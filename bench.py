@@ -1,0 +1,68 @@
+"""BENCH harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Queries are forced end-to-end with the `noop` sink (full compute, no
+driver collect). Per-query wall-clock seconds are reported individually;
+"value" is the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_analyse_marche_emploi_spark import catalog  # noqa: E402
+from data_analyse_marche_emploi_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "agg_pricing_summary",
+    "flagship_orders_by_month",
+    "join_enrich",
+    "agg_topk",
+    "dedup_union_by_id",
+    "pipeline_clean_text",
+    "agg_distinct",
+    "join_anti",
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = catalog.QUERIES[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("bench", extra_conf={"spark.driver.memory": "8g"})
+    # warm up the JVM/codegen paths on a trivial action
+    spark.range(1000).count()
+    names = [n for n in HEADLINE if n in catalog.QUERIES]
+    times: dict[str, float] = {}
+    for name in names:
+        times[name] = round(run_query(spark, name, sf_dir), 3)
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Aggregation operators (SURVEY.md §2.D).
+
+The reference computes only a count itself (ES ``_count``,
+ingestion-elasticsearch.py:298-301); the richer analytic surface is
+delegated to Kibana terms/date-histogram/top-N aggregations over the
+offers index (README.md:8-9). The engine owns all of them natively.
+
+Scale notes: every group-by here is a Spark hash aggregate with
+map-side partial aggregation (`HashAggregate(partial) → Exchange →
+HashAggregate(final)`) — the same per-shard/reduce split Elasticsearch
+would have done. Top-k compiles to `TakeOrderedAndProject` (per-partition
+heap, no global sort). Exact money sums cast to DECIMAL first: exact,
+associative, and therefore deterministic under any partitioning — a
+prerequisite for cross-engine reproducibility at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 2-decimal money stored as double → exact decimal before SUM so results
+# are independent of partition/merge order (bit-stable at any parallelism).
+MONEY = "decimal(18,2)"
+
+
+def money_sum(col: Column, alias: str) -> Column:
+    return F.sum(col.cast(MONEY)).alias(alias)
+
+
+def money_avg(col: Column, alias: str) -> Column:
+    """Deterministic average: exact decimal sum → double, divided by the
+    exact count (IEEE division is order-free)."""
+    return (F.sum(col.cast(MONEY)).cast("double") / F.count(col)).alias(alias)
+
+
+def agg_count_total(df: DataFrame) -> DataFrame:
+    """Collection cardinality (reference: ES ``_count`` probe,
+    ingestion-elasticsearch.py:298-301). For Parquet sources Spark
+    answers `count(*)` from footer metadata without scanning data."""
+    return df.agg(F.count(F.lit(1)).alias("total"))
+
+
+def agg_groupby_count(df: DataFrame, *keys: str) -> DataFrame:
+    """Offers-per-code terms aggregation (reference: implied Kibana terms
+    agg over romeCode/codeNAF — SURVEY.md §2.D)."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def agg_date_histogram(df: DataFrame, ts: Column, unit: str = "month") -> DataFrame:
+    """Volume-over-time (reference: implied Kibana date_histogram on
+    ``dateActualisation``). Truncated timestamp cast to date for a
+    timezone-free, engine-portable bucket key."""
+    return (
+        df.groupBy(F.date_trunc(unit, ts).cast("date").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def agg_topk(df: DataFrame, key: str, k: int) -> DataFrame:
+    """Top-N terms (reference: implied Kibana top-N). Deterministic
+    tiebreak on the key so the result set is stable; Spark plans the
+    sort+limit as partial top-k (`TakeOrderedAndProject`), never a full
+    global sort."""
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc(key))
+        .limit(k)
+    )
+
+
+def agg_distinct(df: DataFrame, col: str) -> DataFrame:
+    """Exact distinct cardinality (reference: implied Kibana dashboard
+    filters — SURVEY.md §2.D)."""
+    return df.agg(F.countDistinct(col).alias("n_distinct"))
+
+
+def agg_approx_distinct(df: DataFrame, col: str, rsd: float = 0.05) -> DataFrame:
+    """HyperLogLog++ distinct — the 100 TB path, where exact distinct's
+    shuffle of every key is the bottleneck. Not oracle-comparable
+    (estimator differs per engine) → rows-only check."""
+    return df.agg(F.approx_count_distinct(col, rsd).alias("n_distinct_approx"))

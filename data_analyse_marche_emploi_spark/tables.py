@@ -1,0 +1,55 @@
+"""Test-fixture table loaders.
+
+The driver materializes a TPC-H-ish star schema plus ``events`` /
+``documents`` / ``embeddings`` at ``/root/testdata/sf*/NAME.parquet``
+(TESTDATA.md). These loaders are the engine's ``src_es_scan`` equivalent
+(reference: Logstash elasticsearch input, export-offres-csv.conf:1-12):
+a declarative scan that Catalyst pushes projections and predicates into.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Plain ``spark.read.parquet`` so predicate
+    pushdown / column pruning / metadata-only counts all apply.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; read it as nanos-since-epoch (legacy conf)
+    and truncate to a micros timestamp — the same floor-truncation DuckDB
+    applies, so the oracle comparison stays exact.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (for the SQL API)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

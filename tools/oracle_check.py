@@ -1,0 +1,107 @@
+"""Local replica of the driver's DuckDB-differential correctness gate.
+
+For every entry in catalog.QUERIES with an oracle: run the Spark query
+and the DuckDB SQL on the same parquet dir, sort columns by name,
+compare row multisets exactly. Used by tests and ad-hoc:
+
+    python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import os
+import sys
+from collections import Counter
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_analyse_marche_emploi_spark import catalog  # noqa: E402
+from data_analyse_marche_emploi_spark.session import get_spark  # noqa: E402
+from data_analyse_marche_emploi_spark.tables import TABLES  # noqa: E402
+
+
+def _norm(v):
+    """Normalize a cell for cross-engine comparison (mirrors a
+    str()-style value hash)."""
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _rows_to_multiset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return Counter(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def check_query(spark, con, name: str, sf_dir: str) -> tuple[bool, str]:
+    sdf = catalog.QUERIES[name](spark, sf_dir)
+    srows = sdf.collect()
+    scols = sdf.columns
+    if name not in catalog.ORACLES:
+        return (len(srows) >= 0, f"rows-only: {len(srows)} rows")
+    res = con.execute(catalog.ORACLES[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    if sorted(scols) != sorted(c.lower() for c in ocols) and sorted(
+        c.lower() for c in scols
+    ) != sorted(c.lower() for c in ocols):
+        return (False, f"schema mismatch: spark={sorted(scols)} oracle={sorted(ocols)}")
+    sm = _rows_to_multiset(srows, [c.lower() for c in scols])
+    om = _rows_to_multiset(orows, [c.lower() for c in ocols])
+    if sm == om:
+        return (True, f"OK {len(srows)} rows")
+    only_s = list((sm - om).items())[:3]
+    only_o = list((om - sm).items())[:3]
+    return (
+        False,
+        f"value mismatch: {len(srows)} spark rows vs {len(orows)} oracle rows; "
+        f"spark-only sample={only_s}; oracle-only sample={only_o}",
+    )
+
+
+def main(sf_dir: str, names: list[str] | None = None) -> int:
+    spark = get_spark("oracle-check")
+    con = duck_con(sf_dir)
+    names = names or list(catalog.QUERIES)
+    failed = 0
+    for name in names:
+        try:
+            ok, msg = check_query(spark, con, name, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
+        status = "PASS" if ok else "FAIL"
+        if not ok:
+            failed += 1
+        print(f"[{status}] {name}: {msg}")
+    print(f"{len(names) - failed}/{len(names)} passed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    qs = sys.argv[2:] or None
+    raise SystemExit(main(sf, qs))
