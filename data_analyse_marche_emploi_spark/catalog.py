@@ -333,13 +333,19 @@ def join_enrich(spark, sf_dir):
     "join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    )
     """,
 )
 def join_anti(spark, sf_dir):
-    """Left-anti join — customers with no orders (engine surface)."""
+    """Left-anti join — customers with no recent orders (engine
+    surface; NOT EXISTS)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
     return J.join_anti(c, o, c["c_custkey"] == o["o_custkey"]).select("c_custkey", "c_name")
 
 
@@ -372,4 +378,429 @@ def dedup_union_by_id(spark, sf_dir):
         a.unionAll(b)
         .drop("o_orderdate")
         .dropDuplicates(["o_orderkey", "o_orderstatus", "o_totalprice"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.C scalar transforms: json / dates / split-parse
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_parse",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def json_parse(spark, sf_dir):
+    """JSON string → typed field (reference: json.loads of API payloads,
+    ingestion-elasticsearch.py:40). get_json_object is JVM-side."""
+    from .functions.json_fns import json_get
+
+    e = _t(spark, sf_dir, "events")
+    return e.select("event_id", json_get(F.col("props"), "$.k").cast("long").alias("k"))
+
+
+@register(
+    "json_serialize",
+    oracle="""
+    SELECT event_id,
+           '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS doc
+    FROM events
+    """,
+)
+def json_serialize(spark, sf_dir):
+    """Typed row → JSON document (reference: NDJSON bulk lines,
+    ingestion-elasticsearch.py:48-49). Oracle reproduces Spark's compact
+    field order by construction."""
+    from .functions.json_fns import json_serialize as ser
+
+    e = _t(spark, sf_dir, "events")
+    return e.select("event_id", ser(F.col("event_id"), F.col("event_type")).alias("doc"))
+
+
+@register(
+    "str_split_parse",
+    oracle="""
+    WITH ranges AS (
+      SELECT l_orderkey, l_linenumber,
+             'offres ' || (l_linenumber * 150 - 150) || '-' ||
+             (l_linenumber * 150 - 1) || '/' || l_orderkey AS content_range
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(string_split(string_split(string_split(content_range, ' ')[2], '/')[1], '-')[1] AS BIGINT) AS page_start,
+           CAST(string_split(string_split(string_split(content_range, ' ')[2], '/')[1], '-')[2] AS BIGINT) AS page_end,
+           CAST(string_split(content_range, '/')[2] AS BIGINT) AS total
+    FROM ranges
+    """,
+)
+def str_split_parse(spark, sf_dir):
+    """Content-Range header parse via chained splits (reference:
+    'offres 0-149/3149' → ints, ingestion-elasticsearch.py:62-63,:89-97).
+    The header strings are synthesized from lineitem so the parse is
+    driven at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    ranges = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat(
+            F.lit("offres "),
+            (F.col("l_linenumber") * 150 - 150).cast("string"),
+            F.lit("-"),
+            (F.col("l_linenumber") * 150 - 1).cast("string"),
+            F.lit("/"),
+            F.col("l_orderkey").cast("string"),
+        ).alias("content_range"),
+    )
+    payload = F.split(F.col("content_range"), " ").getItem(1)
+    span = F.split(payload, "/").getItem(0)
+    return ranges.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.split(span, "-").getItem(0).cast("long").alias("page_start"),
+        F.split(span, "-").getItem(1).cast("long").alias("page_end"),
+        F.split(F.col("content_range"), "/").getItem(1).cast("long").alias("total"),
+    )
+
+
+@register(
+    "date_fmt_fr",
+    oracle="""
+    SELECT o_orderkey, strftime(o_orderdate, '%d/%m/%Y %H:%M:%S') AS date_fr
+    FROM orders
+    """,
+)
+def date_fmt_fr_q(spark, sf_dir):
+    """French timestamp format (reference: ingestion-elasticsearch.py:251)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderkey", date_fmt_fr(F.col("o_orderdate")).alias("date_fr"))
+
+
+@register(
+    "duration_hhmm",
+    oracle="""
+    SELECT user_id,
+           printf('%02d:%02d',
+                  date_diff('second', min(ts), max(ts)) // 3600,
+                  (date_diff('second', min(ts), max(ts)) // 60) % 60) AS duree
+    FROM events GROUP BY 1
+    """,
+)
+def duration_hhmm_q(spark, sf_dir):
+    """Wall-clock duration → zero-padded HH:MM per user (reference:
+    ingestion-elasticsearch.py:291-296, minutes bug fixed per SURVEY §2.C)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        duration_hhmm(
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("duree")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.A ingest semantics: run metrics + pipelines
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snk_run_metrics",
+    oracle="""
+    SELECT 'fin de l''execution du programme' AS message,
+           '01/01/2024 08:00:00' AS date_debut,
+           '01/01/2024 09:30:00' AS date_fin,
+           count(*) AS total_offres,
+           count(DISTINCT o_orderkey) AS total_offres_collecte,
+           '01:30' AS duree_totale,
+           count(DISTINCT o_orderkey) = count(*) AS complet
+    FROM orders
+    """,
+)
+def snk_run_metrics(spark, sf_dir):
+    """Run-metrics document (reference: the `ingestion` index doc,
+    ingestion-elasticsearch.py:303-310) incl. the completeness invariant
+    collected == available."""
+    from .operators.ingest import run_metrics
+
+    o = _t(spark, sf_dir, "orders")
+    n = o.count()
+    return run_metrics(
+        o, "o_orderkey", "2024-01-01 08:00:00", "2024-01-01 09:30:00", available_total=n
+    )
+
+
+@register(
+    "pipeline_csv_tech",
+    oracle=r"""
+    SELECT doc_id, lang,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(lower(text), '[,*-.:;«»✔➡¿\\"·?!()/]', ' ', 'g'),
+                   '&nbsp', ' ', 'g'),
+                 '\r', ' ', 'g'),
+               '[ \t\n\x0B\f\r\x{00A0}]', ' ', 'g'),
+             '[ \t\n\x0B\f\r\x{00A0}]+', ' ', 'g')) AS text
+    FROM documents
+    WHERE lang IN ('fr', 'es')
+    """,
+)
+def pipeline_csv_tech_q(spark, sf_dir):
+    """The csv-tech extract pipeline end-to-end (reference:
+    csv-tech.conf:8-53): pushed-down terms filter (lang ≈ romeCode),
+    ordered mutate chain, sink-order projection."""
+    from .plans.pipelines import pipeline_csv_tech
+
+    d = _t(spark, sf_dir, "documents")
+    return pipeline_csv_tech(d, "doc_id", "lang", ["fr", "es"], ["text"])
+
+
+@register(
+    "pipeline_export_offres",
+    oracle="""
+    SELECT c_custkey AS id, c_name AS nom, c_mktsegment AS segment
+    FROM customer
+    """,
+)
+def pipeline_export_offres_q(spark, sf_dir):
+    """The export-offres-csv pipeline (reference:
+    export-offres-csv.conf:1-26): match_all scan + rename/flatten +
+    ordered projection."""
+    from .plans.pipelines import pipeline_export_offres
+
+    c = _t(spark, sf_dir, "customer")
+    return pipeline_export_offres(
+        c, [("c_custkey", "id"), ("c_name", "nom"), ("c_mktsegment", "segment")]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (engine surface; SURVEY.md §2.D absent-list)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+             ) AS rn
+      FROM lineitem
+    ) WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark, sf_dir):
+    """Top-3 line items per supplier — the distributed top-N-per-group
+    pattern (one shuffle on the group key; no global sort)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return li.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS running_total
+    FROM orders
+    """,
+)
+def window_running_sum(spark, sf_dir):
+    """Per-customer running spend — rows-frame cumulative window."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(AGG.MONEY)).over(w).alias("running_total"),
+    )
+
+
+@register(
+    "sessionize",
+    oracle="""
+    SELECT event_id, user_id,
+           SUM(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_seq
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    """,
+)
+def sessionize_q(spark, sf_dir):
+    """Sessionization: lag → gap-flag → cumulative sum (30-min gap).
+    The batch form of streaming session windows (§2.F)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = (
+        prev_ts.isNull() | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 1800)
+    ).cast("int")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id", "user_id", F.sum(new_session).over(wsum).alias("session_seq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (engine surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def set_intersect(spark, sf_dir):
+    """Customers active in both years — INTERSECT (distinct)."""
+    from .operators.setops import intersect
+
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    return intersect(a, b)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def set_except(spark, sf_dir):
+    """Customers active in 1996 but not 1997 — EXCEPT (distinct)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    return a.subtract(b)
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / pivot (engine surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS gid,
+           count(*) AS cnt,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    """ROLLUP with grouping id — subtotals + grand total in one pass
+    (partial aggregation still applies per grouping set)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("cnt"),
+        AGG.money_sum(F.col("l_quantity"), "sum_qty"),
+    ).select("l_returnflag", "l_linestatus", "gid", "cnt", "sum_qty")
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           2 * GROUPING(o_orderstatus) + GROUPING(o_orderpriority) AS gid,
+           count(*) AS cnt
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """CUBE over status × priority."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("cnt")
+    ).select("o_orderstatus", "o_orderpriority", "gid", "cnt")
+
+
+@register(
+    "pivot_status",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket,
+           sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS "F",
+           sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS "O",
+           sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS "P"
+    FROM orders GROUP BY 1
+    """,
+)
+def pivot_status(spark, sf_dir):
+    """Pivot order status into columns — monthly revenue by status."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("bucket"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(F.col("o_totalprice").cast(AGG.MONEY)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fact-fact join (shuffle join at scale)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_fact_fact",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS cnt,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def join_fact_fact(spark, sf_dir):
+    """lineitem ⋈ orders on the order key — the big shuffle join. At
+    100 TB both sides hash-partition on l_orderkey/o_orderkey (sort-merge
+    join); co-partitioned bucketing on orderkey would remove the shuffle
+    entirely (see sources.bucketing notes)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            AGG.money_sum(F.col("l_extendedprice"), "sum_price"),
+        )
     )
