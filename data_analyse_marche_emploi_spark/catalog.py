@@ -804,3 +804,284 @@ def join_fact_fact(spark, sf_dir):
             AGG.money_sum(F.col("l_extendedprice"), "sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# North-star extensions: text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(lower(text), ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '\w+|[^\w\s]')) AS n_bpe_ish
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish pre-tokenizer regex
+    (north-star text analysis)."""
+    from .operators.text_analysis import token_count, token_count_bpe_ish
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        token_count_bpe_ish(F.col("text")).alias("n_bpe_ish"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(lower(text), ' ')) AS n_tokens,
+           (length(text) - (len(string_split(lower(text), ' ')) - 1))
+             / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS mean_token_len,
+           (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+             / CAST(length(text) AS DOUBLE) AS punct_ratio,
+           len(list_filter(string_split(lower(text), ' '),
+               t -> list_contains(['the','of','and','a','to','in','is'], t)))
+             / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Per-document quality signals (length / punctuation / stopword
+    ratios) — exact int/int double divisions, engine-portable."""
+    from .operators.text_analysis import quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_features(d, "text", "doc_id")
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    WITH words(lang, w) AS (VALUES
+      ('de','der'),('de','die'),('de','das'),('de','und'),('de','ein'),('de','zu'),('de','ist'),
+      ('en','the'),('en','of'),('en','and'),('en','a'),('en','to'),('en','in'),('en','is'),
+      ('es','el'),('es','los'),('es','de'),('es','y'),('es','un'),('es','que'),('es','es'),
+      ('fr','le'),('fr','la'),('fr','les'),('fr','de'),('fr','et'),('fr','un'),('fr','une')),
+    toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    scores AS (
+      SELECT doc_id, lang, count(*) AS hits
+      FROM toks JOIN words ON tok = w
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+      FROM scores
+    )
+    SELECT d.doc_id, coalesce(b.lang, 'und') AS detected_lang
+    FROM documents d LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b
+      ON d.doc_id = b.doc_id
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Function-word language ID (n-gram heuristic): broadcast wordlist
+    join → argmax with deterministic ties."""
+    from .operators.text_analysis import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return lang_id(d, "text", "doc_id")
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+             AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Order/repetition-insensitive document fingerprint: md5 of sorted
+    distinct tokens."""
+    from .operators.text_analysis import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# North-star extensions: deduplication (documents table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_q(spark, sf_dir):
+    """Exact content dedup: digest group-by, min-id representative.
+    Only the 16-byte digest shuffles — at 100 TB the text never moves."""
+    from .operators.dedup import dedup_exact
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_exact(d, "text", "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(toks) < 3 THEN []
+                    ELSE list_transform(generate_series(1, len(toks) - 2),
+                         i -> array_to_string(toks[i:i+2], ' ')) END)) AS shingle
+      FROM d
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i, j, common / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = i
+    JOIN sizes sb ON sb.doc_id = j
+    WHERE common / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram-shingle Jaccard similarity join (inverted index) —
+    the verification oracle for the LSH path."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+
+
+@register("dedup_minhash_lsh")  # hash-family specific → rows-only check
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(64) + 16-band LSH candidate generation, exact-Jaccard
+    verified at 0.5 — the linear-time scale path for near-dup dedup."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "text", "doc_id", threshold=0.5)
+
+
+@register("dedup_simhash")  # hash-family specific → rows-only check
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash sketch per document (token votes on bits)."""
+    from .operators.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d, "text", "doc_id")
+
+
+@register("dedup_simhash_pairs")  # hash-family specific → rows-only check
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming ≤ 3) via 16-bit chunk banding
+    (pigeonhole) — no all-pairs stage."""
+    from .operators.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d, "text", "doc_id", max_hamming=3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS i, b.vec_id AS j
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs (cosine ≥ 0.4): exact all-pairs at test
+    scale; the LSH path (ann_lsh) is the production variant."""
+    from .operators.dedup import embedding_cosine_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(e, "embedding", "vec_id", 0.4)
+
+
+# ---------------------------------------------------------------------------
+# North-star extensions: similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "knn_brute_force",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.vec_id AS qid, v.vec_id AS nid,
+             CAST(floor(list_cosine_similarity(q.embedding, v.embedding) * 1e6) AS BIGINT) AS cos6
+      FROM embeddings v JOIN q ON q.vec_id <> v.vec_id
+    )
+    SELECT qid, nid, rank, cos6 FROM (
+      SELECT qid, nid, cos6,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def knn_brute_force_q(spark, sf_dir):
+    """Exact cosine top-5 neighbors for the query subset (vec_id % 50 = 0).
+    Cosine bucketed to 1e-6 + id tiebreak ⇒ fully deterministic ranking."""
+    from .operators.similarity import knn_brute_force
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return knn_brute_force(e, q, "embedding", "vec_id", k=5)
+
+
+@register("ann_lsh")  # approximate, hash-specific → rows-only check
+def ann_lsh_q(spark, sf_dir):
+    """Random-hyperplane LSH bucketed ANN top-5 — the scale path
+    (bucket equi-join instead of all-pairs)."""
+    from .operators.similarity import ann_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    # 6 signature bits ≈ 64 buckets — sized to the fixture corpus so each
+    # bucket holds candidates; at corpus scale raise bits to keep bucket
+    # occupancy bounded (bits ≈ log2(N / target_bucket_size)).
+    return ann_lsh(e, q, "embedding", "vec_id", k=5, bits=6)
+
+
+# ---------------------------------------------------------------------------
+# North-star extensions: multimodal columns (documents as payload carrier)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes, 'text/plain' AS format
+    FROM documents
+    """,
+)
+def multimodal_meta(spark, sf_dir):
+    """Opaque binary payload + typed metadata struct — the multimodal
+    column pattern; metadata is queryable without touching payloads."""
+    from .operators.multimodal import attach_media
+
+    d = _t(spark, sf_dir, "documents")
+    m = attach_media(d, "text", "doc_id")
+    return m.select("doc_id", F.col("meta.n_bytes").alias("n_bytes"), F.col("meta.format").alias("format"))
+
+
+@register("multimodal_features")  # stubbed decoder → rows-only check
+def multimodal_features(spark, sf_dir):
+    """Arrow-batched mapInPandas decode/feature-extract plumbing over
+    binary payloads (decoder stubbed — no codecs in this environment)."""
+    from .operators.multimodal import attach_media, extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    return extract_features(attach_media(d, "text", "doc_id"))

@@ -1,0 +1,273 @@
+"""Deduplication operators for a training-data pipeline (north-star
+extensions, BASELINE.json): exact, n-gram-Jaccard similarity join,
+MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+The reference's only dedup is the `_id`-keyed upsert
+(ingestion-elasticsearch.py:36-55) — exact key dedup. A 100 TB corpus
+needs content dedup:
+
+- **exact**: hash-groupBy on a content digest — one shuffle on the
+  digest; at scale the digest (16 bytes) shuffles, never the text.
+- **n-gram Jaccard (exact)**: inverted-index set-similarity join —
+  explode shingles, self-join on shingle, count commons per pair. Quadratic in
+  the hot-shingle document frequency → ``max_df`` prunes stop-shingles
+  (prefix-filter analog). This is the verification oracle for LSH.
+- **MinHash + LSH**: per-doc K-perm signature (xxhash64 family), banded
+  into b buckets; candidate pairs only within equal (band, hash)
+  buckets → candidate count ~linear for bounded bucket sizes; verified
+  with exact Jaccard. The scale path: no all-pairs stage anywhere.
+- **SimHash**: 64-bit per-doc sketch; near-dups = small Hamming
+  distance, banded on 16-bit chunks for sub-linear candidate gen.
+- **embedding cosine**: exact pair join at test scale; LSH/IVF variant
+  in operators.similarity is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# --- shingling ------------------------------------------------------------
+
+SHINGLE_EXPR = (
+    "CASE WHEN size({toks}) < {n} THEN array() "
+    "ELSE array_distinct(transform(sequence(1, size({toks}) - {n} + 1), "
+    "i -> concat_ws(' ', slice({toks}, i, {n})))) END"
+)
+
+
+def with_shingles(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (empty when the doc
+    has fewer than n tokens — guards sequence()'s descending behavior)."""
+    toks = f"split({text_col}, ' ')"
+    return df.withColumn("shingles", F.expr(SHINGLE_EXPR.format(toks=toks, n=n)))
+
+
+# --- exact ----------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact content dedup: md5-digest group-by keeping the minimum id
+    as the canonical representative. Only the 32-hex digest shuffles."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+# --- exact n-gram Jaccard similarity join ---------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold, via the inverted
+    index (explode shingle → equi-join on shingle → per-pair common
+    count). ``max_df`` drops shingles appearing in more than max_df docs
+    (stop-shingle pruning — at corpus scale a shingle in 10⁶ docs would
+    generate 10¹² candidate pairs; dropping it loses only pairs whose
+    entire similarity rides on ubiquitous text)."""
+    sh = (
+        with_shingles(df.select(F.col(id_col), F.col(text_col)), text_col, n)
+        .select(F.col(id_col).alias("doc"), F.explode("shingles").alias("shingle"))
+    )
+    if max_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        sh = sh.join(F.broadcast(hot.filter(F.col("df_") > max_df)), "shingle", "left_anti")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("i"), F.col("b.doc").alias("j"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(sa, F.col("i") == F.col("sa.doc"))
+        .join(sb, F.col("j") == F.col("sb.doc"))
+        .select(
+            "i",
+            "j",
+            (F.col("common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("common"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- MinHash + LSH --------------------------------------------------------
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 64) -> DataFrame:
+    """K-permutation MinHash signature per document. The k hash families
+    are xxhash64(shingle, seed) — one pass over the shingle array per
+    doc, no shuffle. Docs with no shingles are dropped."""
+    sh = with_shingles(df.select(F.col(id_col), F.col(text_col)), text_col)
+    return (
+        sh.filter(F.size("shingles") > 0)
+        .withColumn(
+            "sig",
+            F.expr(
+                f"transform(sequence(0, {k - 1}), "
+                "s -> array_min(transform(shingles, x -> xxhash64(x, s))))"
+            ),
+        )
+        .select(F.col(id_col), "sig", "shingles")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH, verified with exact
+    Jaccard. b=16 bands × r=4 rows ⇒ candidate-probability knee around
+    j ≈ (1/b)^(1/r) ≈ 0.5.
+
+    Scale shape: signatures are map-side; the only shuffles are the
+    band-bucket exchange (key = (band, bandhash), value = doc id) and
+    the candidate verification. No stage is quadratic in corpus size —
+    only in per-bucket occupancy."""
+    r = k // bands
+    sigs = minhash_signatures(df, text_col, id_col, k)
+    buckets = sigs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b as band, xxhash64(slice(sig, b*{r}+1, {r})) as bh))"
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bh")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("i"), F.col("b.doc").alias("j"))
+        .distinct()
+    )
+    sh = sigs.select(F.col(id_col).alias("doc"), "shingles")
+    si = sh.alias("si")
+    sj = sh.alias("sj")
+    return (
+        cand.join(si, F.col("i") == F.col("si.doc"))
+        .join(sj, F.col("j") == F.col("sj.doc"))
+        .withColumn("common", F.size(F.array_intersect(F.col("si.shingles"), F.col("sj.shingles"))))
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.size(F.col("si.shingles")) + F.size(F.col("sj.shingles")) - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("i", "j", "jaccard")
+    )
+
+
+# --- SimHash --------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document: each token votes ±1 on every bit of
+    xxhash64(token); the sketch keeps the sign. Pure per-row expression
+    (two nested folds), zero shuffle."""
+    toks = f"split({text_col}, ' ')"
+    votes = (
+        f"transform(sequence(0, 63), j -> aggregate({toks}, 0, "
+        "(acc, t) -> acc + CASE WHEN (shiftright(xxhash64(t), j) & 1) = 1 THEN 1 ELSE -1 END))"
+    )
+    pack = (
+        "aggregate(sequence(0, 63), 0L, "
+        f"(acc, j) -> acc | (CASE WHEN votes[j] > 0 THEN shiftleft(1L, j) ELSE 0L END))"
+    )
+    return (
+        df.select(F.col(id_col), F.expr(votes).alias("votes"))
+        .select(F.col(id_col), F.expr(pack).alias("simhash"))
+    )
+
+
+def simhash_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+    Banded on the four 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at
+    least one of 4 chunks equal), so candidate generation joins on a
+    16-bit key instead of all-pairs."""
+    sh = simhash(df, text_col, id_col).select(F.col(id_col).alias("doc"), "simhash")
+    chunks = sh.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), c -> struct(c as chunk, "
+                "shiftright(simhash, c * 16) & 65535 as ck))"
+            )
+        ).alias("cc"),
+    ).select("doc", "simhash", "cc.chunk", "cc.ck")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("i"),
+            F.col("b.doc").alias("j"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- embedding cosine near-dup --------------------------------------------
+
+
+def cosine_expr(a: str, b: str) -> F.Column:
+    """Exact cosine between two array<float> columns, folded
+    sequentially in double (deterministic element order — the same fold
+    DuckDB's list_cosine_similarity performs, so oracle-comparable)."""
+    dot = F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    na = F.expr(
+        f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), "
+        "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    nb = F.expr(
+        f"sqrt(aggregate({b}, CAST(0.0 AS DOUBLE), "
+        "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    return dot / (na * nb)
+
+
+def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str, threshold: float) -> DataFrame:
+    """Exact near-dup pairs by embedding cosine ≥ threshold. All-pairs
+    join — correct but quadratic; the oracle/verifier for the LSH path
+    in operators.similarity (which is what runs at 100 TB)."""
+    a = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("j"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("i") < F.col("j"))
+        .withColumn("cos", cosine_expr("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("i", "j")
+    )

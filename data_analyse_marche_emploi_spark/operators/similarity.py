@@ -1,0 +1,95 @@
+"""Similarity search over embedding columns (north-star extension,
+BASELINE.json): brute-force cosine top-k as the exactness baseline, and
+a random-hyperplane LSH bucketed variant as the scale path.
+
+At 100 TB / billions of vectors the brute-force path is the *verifier*
+(run on samples), and the LSH path is production: signatures are
+map-side, candidates come from bucket equi-joins (shuffle on a small
+integer key), and only candidates pay the full-dimension cosine.
+An IVF layout (k-means coarse quantizer + inverted lists) would slot in
+the same way — bucket id from nearest centroid instead of hyperplane
+signs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import cosine_expr
+
+
+def knn_brute_force(
+    vectors: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Cross-join queries × corpus → cosine → per-query window top-k.
+    Cosine is bucketed to 1e-6 (floor) before ranking with an id
+    tiebreak, making the result set fully deterministic and
+    engine-portable. Queries are broadcast (assumed small)."""
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    v = vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    scored = (
+        v.join(F.broadcast(q), F.col("qid") != F.col("nid"))
+        .withColumn("cos6", F.floor(cosine_expr("qv", "nv") * 1e6).cast("long"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos6"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cos6")
+    )
+
+
+def _hyperplane_sig_expr(vec_col: str, bits: int) -> str:
+    """Deterministic pseudo-random hyperplane signature: plane b's
+    component for dimension d is xxhash64(b * 4096 + d) scaled to
+    [-1, 1]; the signature bit is the sign of the dot product. Data-
+    independent and reproducible — no fitted model to ship."""
+    plane_dot = (
+        f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
+        "(x, d) -> CAST(x AS DOUBLE) * (CAST(xxhash64(b * 4096 + d) % 1000001 AS DOUBLE) / 1000000.0)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return (
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, b) -> "
+        f"acc | (CASE WHEN ({plane_dot}) > 0 THEN shiftleft(1L, b) ELSE 0L END))"
+    )
+
+
+def ann_lsh(
+    vectors: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    bits: int = 12,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane (SimHash-for-cosine) bucket
+    join. Vectors and queries hash to a ``bits``-bit signature; only
+    same-bucket candidates pay the exact cosine; per-query top-k over
+    candidates. Recall < 1 by construction (single probe, no
+    multi-table OR-amplification) — the tested contract is
+    "every reported neighbor is a true neighbor of its query and ranks
+    consistently", verified against knn_brute_force in tests."""
+    sig = _hyperplane_sig_expr(vec_col, bits)
+    v = vectors.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), F.expr(sig).alias("bucket")
+    )
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")).withColumn(
+        "qbucket", F.expr(_hyperplane_sig_expr("qv", bits))
+    )
+    cand = v.join(
+        F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col("qid") != F.col("nid"))
+    ).withColumn("cos6", F.floor(cosine_expr("qv", "nv") * 1e6).cast("long"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos6"), F.asc("nid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cos6")
+    )

@@ -1,0 +1,96 @@
+"""Semantic tests for the non-SQL-oracle ops (LSH / SimHash / ANN /
+multimodal): since no DuckDB oracle exists, validate their contracts —
+LSH recall vs the exact similarity join, sketch invariances, ANN
+consistency with brute force."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_analyse_marche_emploi_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from data_analyse_marche_emploi_spark.operators.multimodal import (
+    attach_media,
+    extract_features,
+)
+from data_analyse_marche_emploi_spark.operators.similarity import ann_lsh, knn_brute_force
+from data_analyse_marche_emploi_spark.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings").cache()
+
+
+def test_minhash_lsh_vs_exact(docs):
+    exact = {
+        (r["i"], r["j"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    lsh = {(r["i"], r["j"]): r["jaccard"] for r in minhash_lsh_pairs(docs, "text", "doc_id").collect()}
+    # soundness: every LSH-reported pair is a true >=0.5 pair (verified in-op)
+    assert set(lsh) <= set(exact)
+    # recall: near-certain candidates (jaccard >= 0.9) must all be found
+    high = {p for p, j in exact.items() if j >= 0.9}
+    assert high <= set(lsh), f"missed high-similarity pairs: {high - set(lsh)}"
+
+
+def test_simhash_invariances(spark):
+    base = " ".join(f"tok{i}" for i in range(100))
+    variant = " ".join(f"tok{i}" for i in range(99)) + " changed"
+    different = " ".join(f"other{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, variant), (4, different)], "doc_id long, text string"
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(df, "text", "doc_id").collect()}
+    assert sh[1] == sh[2], "identical docs must hash identically"
+    ham = bin(sh[1] ^ sh[3]).count("1")
+    assert ham <= 10, f"one-token change moved {ham} bits"
+    ham_diff = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_diff > ham, "unrelated doc should be farther than near-dup"
+    pairs = simhash_pairs(df, "text", "doc_id", max_hamming=3).collect()
+    assert (1, 2) in {(r["i"], r["j"]) for r in pairs}
+
+
+def test_embedding_cosine_pairs_symmetric_ids(emb):
+    pairs = embedding_cosine_pairs(emb, "embedding", "vec_id", 0.4).collect()
+    assert all(r["i"] < r["j"] for r in pairs)
+
+
+def test_ann_subset_of_brute(emb):
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    brute_full = {
+        (r["qid"], r["nid"]): r["cos6"]
+        for r in knn_brute_force(emb, q, "embedding", "vec_id", k=200).collect()
+    }
+    ann = ann_lsh(emb, q, "embedding", "vec_id", k=5).collect()
+    assert len(ann) > 0
+    for r in ann:
+        key = (r["qid"], r["nid"])
+        # every ANN neighbor is a real vector pair with the same exact score
+        if key in brute_full:
+            assert brute_full[key] == r["cos6"]
+        assert r["qid"] != r["nid"]
+
+
+def test_multimodal_features_contract(docs):
+    media = attach_media(docs, "text", "doc_id")
+    feats = extract_features(media).collect()
+    metas = {r["doc_id"]: r["meta"]["n_bytes"] for r in media.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert len(feats) == len(metas)
+    for r in feats:
+        assert r["n_bytes"] == metas[r["doc_id"]]
+        assert r["fake_first"] == texts[r["doc_id"]].encode("utf-8")[0]
+        assert r["decoder"] == "fake-v0"
