@@ -1077,6 +1077,141 @@ def multimodal_meta(spark, sf_dir):
     return m.select("doc_id", F.col("meta.n_bytes").alias("n_bytes"), F.col("meta.format").alias("format"))
 
 
+# ---------------------------------------------------------------------------
+# §2.F streaming / incremental (events table as the live-feed stand-in).
+# Each entry runs a real Structured Streaming query drained with
+# Trigger.AvailableNow into a memory sink, so the result is a plain
+# DataFrame and the DuckDB oracle applies — streaming results are
+# batch-equivalent by construction.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket, count(*) AS cnt
+    FROM events GROUP BY 1
+    """,
+)
+def stream_tumbling_window(spark, sf_dir):
+    """Streaming tumbling-window daily counts (the live Kibana
+    date_histogram, SURVEY.md §2.F) — watermarked groupBy(window(...))."""
+    from .streaming import incremental as S
+
+    ev = S.read_events_stream(spark, sf_dir)
+    return S.run_available_now(S.stream_tumbling_counts(ev), "complete")
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    SELECT w_start, w_start + INTERVAL 2 DAY AS w_end, count(*) AS cnt
+    FROM (
+      SELECT unnest([date_trunc('day', ts),
+                     date_trunc('day', ts) - INTERVAL 1 DAY]) AS w_start
+      FROM events
+    )
+    GROUP BY 1
+    """,
+)
+def stream_sliding_window(spark, sf_dir):
+    """Streaming sliding-window counts (2-day window, 1-day slide) —
+    each event contributes to size/slide windows."""
+    from .streaming import incremental as S
+
+    ev = S.read_events_stream(spark, sf_dir)
+    return S.run_available_now(S.stream_sliding_counts(ev), "complete")
+
+
+@register(
+    "stream_dedup_upsert",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+)
+def stream_dedup_upsert(spark, sf_dir):
+    """Streaming keyed upsert: the same feed consumed twice (the
+    reference's overlapping partitioned scans) and merged by watermarked
+    dropDuplicates on the key — the §2.A snk_bulk_upsert_by_id semantics
+    on a live stream."""
+    from .streaming import incremental as S
+
+    doubled = S.read_events_stream(spark, sf_dir).unionByName(
+        S.read_events_stream(spark, sf_dir)
+    )
+    out = S.run_available_now(S.stream_dedup_by_id(doubled), "append")
+    return out.select("event_id", "user_id", "event_type")
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM t
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark, sf_dir):
+    """Gap-based session windows per user via the built-in
+    session_window — the native form of the batch gaps-and-islands
+    `sessionize` entry; oracle reproduces merge semantics (new session
+    iff gap ≥ 30 min, end = last event + gap)."""
+    from .streaming import incremental as S
+
+    ev = S.read_events_stream(spark, sf_dir)
+    return S.run_available_now(S.session_windows(ev, "30 minutes"), "complete")
+
+
+# ---------------------------------------------------------------------------
+# §2.A the paged-REST connector end-to-end (fixture transport)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "src_rest_paged",
+    oracle="SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+)
+def src_rest_paged(spark, sf_dir):
+    """The reference's paginated REST scan re-expressed as a
+    distributed page fetch (probe total → page-plan DataFrame →
+    mapInPandas fetch per page, 150 rows/page) against a local
+    parquet-backed fake of the API — proves the connector end-to-end
+    with zero network (reference: ingestion-elasticsearch.py:57-167)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from .sources.fixture_transport import ParquetPagedTransport
+    from .sources.rest_paged import read_paged
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    transport = ParquetPagedTransport(
+        os.path.join(sf_dir, "orders.parquet"),
+        ["o_orderkey", "o_orderstatus", "o_totalprice"],
+        "o_orderkey",
+    )
+    rows, _errors = read_paged(spark, transport, "local://orders", schema)
+    return rows
+
+
 @register("multimodal_features")  # stubbed decoder → rows-only check
 def multimodal_features(spark, sf_dir):
     """Arrow-batched mapInPandas decode/feature-extract plumbing over

@@ -1,0 +1,161 @@
+"""Incremental / streaming operators (SURVEY.md §2.F, §7 step 8).
+
+The reference is batch-only full-refresh (indices dropped and rebuilt
+per run, ingestion-elasticsearch.py:253-262), but its design intent is
+continuous collection: offers carry ``dateActualisation`` and the keyed
+bulk upsert (:36-55) exists precisely so re-ingestion merges by ``id``.
+This module is that intent expressed natively:
+
+* file-source ``readStream`` over the events fixture (the stand-in for
+  the live offer feed),
+* watermarked streaming ``dropDuplicates`` = the keyed upsert,
+* tumbling / sliding / session windowed aggregates = the Kibana
+  date-histogram dashboards on live data,
+* an ``available-now`` runner that drains the whole source as one
+  incremental run and returns the result as a DataFrame — which makes
+  every streaming op batch-equivalent and therefore oracle-checkable.
+
+Scale notes: watermarks bound state (without one, streaming
+``dropDuplicates`` state grows without limit); windowed aggregates keep
+one state row per (key, window) and emit on watermark passage; the file
+source lists incrementally, so a 100 TB backlog is consumed
+``maxFilesPerTrigger`` at a time rather than as one giant microbatch.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Physical schema of the events fixture with
+# spark.sql.legacy.parquet.nanosAsLong=true: TIMESTAMP(NANOS) surfaces as
+# nanos-since-epoch BIGINT (streaming file sources require an explicit
+# schema — there is no inference at plan time).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+_STAGED_DIRS: dict[str, str] = {}
+
+
+def _stage_as_dir(sf_dir: str) -> str:
+    """The file stream source requires a directory path; the fixture is a
+    single file. Stage it as a symlink inside a per-sf temp directory
+    (cached for the process lifetime)."""
+    if sf_dir not in _STAGED_DIRS:
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"), os.path.join(d, "part-0.parquet")
+        )
+        _STAGED_DIRS[sf_dir] = d
+    return _STAGED_DIRS[sf_dir]
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (the live-feed stand-in).
+
+    Nanos are floor-truncated to micros exactly like the batch loader
+    (tables.load_table) so streaming results compare equal to batch.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stage_as_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def stream_dedup_by_id(events: DataFrame, watermark: str = "2 days") -> DataFrame:
+    """Streaming keyed upsert (reference: `_id`-keyed bulk index,
+    ingestion-elasticsearch.py:36-55): first-writer-wins dedup on
+    ``event_id`` with a watermark bounding the dedup state."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def stream_tumbling_counts(events: DataFrame, size: str = "1 day",
+                           watermark: str = "1 day") -> DataFrame:
+    """Tumbling-window volume-over-time (the Kibana date_histogram,
+    SURVEY.md §2.D, on live data)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size).alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").cast("date").alias("bucket"), "cnt")
+    )
+
+
+def stream_sliding_counts(events: DataFrame, size: str = "2 days",
+                          slide: str = "1 day", watermark: str = "1 day") -> DataFrame:
+    """Sliding-window counts — each event lands in size/slide windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").cast("timestamp").alias("w_start"),
+            F.col("w.end").cast("timestamp").alias("w_end"),
+            "cnt",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str | None = None) -> DataFrame:
+    """Session windows per user (gap-based). Works identically on batch
+    and streaming inputs; streaming requires the watermark to close
+    sessions. This is the built-in form of the batch gaps-and-islands
+    sessionize in the catalog."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Drain the stream as one incremental run (Trigger.AvailableNow)
+    into an in-memory table and return the result as a DataFrame.
+
+    This is the reference's one-shot batch run re-expressed as an
+    incremental job — and the bridge that lets the DuckDB oracle check
+    streaming operators: available-now processes everything, the final
+    watermark passes the max event time, and the memory sink holds the
+    complete result.
+    """
+    name = "stream_out_" + uuid.uuid4().hex[:12]
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    spark = stream_df.sparkSession
+    # Materialize off the transient memory sink before the table goes away.
+    rows = spark.table(name)
+    out = spark.createDataFrame(rows.collect(), rows.schema)
+    spark.catalog.dropTempView(name)
+    return out

@@ -1,0 +1,213 @@
+"""Sources (§2.A connector/sinks/bucketing) and streaming (§2.F) tests.
+
+Streaming correctness is defined as batch-equivalence: every streaming
+operator drained with Trigger.AvailableNow must produce exactly the
+batch answer (the reference's one-shot run re-run incrementally must
+converge to the same collection — its own completeness invariant,
+ingestion-elasticsearch.py:298-308).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_analyse_marche_emploi_spark.sources import bucketing, sinks
+from data_analyse_marche_emploi_spark.sources.fixture_transport import (
+    ParquetPagedTransport,
+)
+from data_analyse_marche_emploi_spark.sources.rest_paged import (
+    fetch_pages,
+    page_plan,
+    parse_content_range,
+    probe_total,
+    read_paged,
+    split_error_channel,
+)
+from data_analyse_marche_emploi_spark.streaming import incremental as S
+from data_analyse_marche_emploi_spark.tables import load_table
+
+ORDERS_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ]
+)
+ORDERS_COLS = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+
+def _transport(sf_dir, **kw):
+    return ParquetPagedTransport(
+        os.path.join(sf_dir, "orders.parquet"), ORDERS_COLS, "o_orderkey", **kw
+    )
+
+
+# ---------------------------------------------------------------------------
+# paged REST connector
+# ---------------------------------------------------------------------------
+
+
+def test_parse_content_range():
+    assert parse_content_range("offres 0-149/3149") == (0, 149, 3149)
+    assert parse_content_range("offres */0") == (0, -1, 0)
+
+
+def test_probe_total(spark, sf_dir):
+    total = probe_total(_transport(sf_dir), "local://orders")
+    assert total == load_table(spark, sf_dir, "orders").count()
+
+
+def test_read_paged_roundtrip(spark, sf_dir):
+    """Distributed page fetch reassembles the exact collection."""
+    orders = load_table(spark, sf_dir, "orders")
+    rows, errors = read_paged(spark, _transport(sf_dir), "local://orders", ORDERS_SCHEMA)
+    assert errors.count() == 0
+    assert rows.count() == orders.count()
+    got = {r.o_orderkey for r in rows.select("o_orderkey").collect()}
+    want = {r.o_orderkey for r in orders.select("o_orderkey").collect()}
+    assert got == want
+
+
+def test_read_paged_retry_on_429(spark, sf_dir):
+    """First request per task is throttled (429 + Retry-After: 0); the
+    fetch loop must retry and still return every row."""
+    orders_n = load_table(spark, sf_dir, "orders").count()
+    rows, errors = read_paged(
+        spark, _transport(sf_dir, throttle_first=True), "local://orders", ORDERS_SCHEMA
+    )
+    assert errors.count() == 0
+    assert rows.count() == orders_n
+
+
+def test_read_paged_error_channel(spark, sf_dir):
+    """A failing page becomes one erreurs row; the rest of the scan
+    completes (reference: ingestion-elasticsearch.py:99-123)."""
+    total = probe_total(_transport(sf_dir), "local://orders")
+    pages = page_plan(spark, total, 150)
+    fetched = fetch_pages(
+        pages, _transport(sf_dir, fail_starts=(0,)), "local://orders", ORDERS_SCHEMA,
+        max_retries=0,
+    )
+    good, errors = split_error_channel(fetched)
+    assert errors.count() == 1
+    assert "range=0-149" in errors.first().message
+    assert good.count() == total - 150
+
+
+# ---------------------------------------------------------------------------
+# sinks
+# ---------------------------------------------------------------------------
+
+
+def test_csv_sink_roundtrip(spark, sf_dir, tmp_path):
+    """snk_csv: ordered fields, header, separator — read-back parity."""
+    c = load_table(spark, sf_dir, "customer")
+    out = str(tmp_path / "csv_out")
+    sinks.write_csv(c, out, ["c_custkey", "c_name", "c_mktsegment"], single_file=True)
+    files = [f for f in os.listdir(out) if f.startswith("part-") and f.endswith(".csv")]
+    assert len(files) == 1
+    back = spark.read.option("header", "true").csv(out)
+    assert back.columns == ["c_custkey", "c_name", "c_mktsegment"]
+    assert back.count() == c.count()
+
+
+def test_parquet_partitioned_sink_prunes(spark, sf_dir, tmp_path):
+    """Partitioned layout: a predicate on the partition column scans
+    only that directory (partition pruning — the Spark analog of the
+    reference's per-region scan decomposition)."""
+    o = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_part")
+    sinks.write_parquet_partitioned(o, out, ["o_orderstatus"])
+    statuses = [r[0] for r in o.select("o_orderstatus").distinct().collect()]
+    assert set(os.listdir(out)) >= {f"o_orderstatus={s}" for s in statuses}
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == statuses[0])
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == o.filter(F.col("o_orderstatus") == statuses[0]).count()
+    # Pruning shows as the partition filter in the scan, not a post-filter.
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+
+
+# ---------------------------------------------------------------------------
+# bucketing
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Co-bucketed fact-fact join plans with no Exchange on either side."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+        bucketing.write_bucketed(li, "li_b", "l_orderkey", 8)
+        bucketing.write_bucketed(o, "o_b", "o_orderkey", 8)
+        joined = bucketing.cobucketed_join(spark, "li_b", "o_b", "l_orderkey", "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == li.join(o, li["l_orderkey"] == o["o_orderkey"]).count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+# ---------------------------------------------------------------------------
+# streaming §2.F: batch-equivalence
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def events_stream(spark, sf_dir):
+    return S.read_events_stream(spark, sf_dir)
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir, events_stream):
+    got = S.run_available_now(S.stream_tumbling_counts(events_stream), "complete")
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    assert {(r.bucket, r.cnt) for r in got.collect()} == {
+        (r.bucket, r.cnt) for r in want.collect()
+    }
+
+
+def test_stream_dedup_doubled_feed(spark, sf_dir, events_stream):
+    """The same feed consumed twice + watermarked dropDuplicates on the
+    key = the reference's idempotent keyed upsert, on a stream."""
+    doubled = events_stream.unionByName(S.read_events_stream(spark, sf_dir))
+    got = S.run_available_now(S.stream_dedup_by_id(doubled), "append")
+    n = load_table(spark, sf_dir, "events").count()
+    assert got.count() == n
+    assert got.select("event_id").distinct().count() == n
+
+
+def test_stream_sessions_equal_batch_gaps_and_islands(spark, sf_dir, events_stream):
+    """session_window == the hand-rolled lag/cumsum sessionization."""
+    got = S.run_available_now(S.session_windows(events_stream, "30 minutes"), "complete")
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = 30 * 60 * 1_000_000
+    prev = F.lag("ts").over(w)
+    new_s = (
+        prev.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) >= gap_us)
+    ).cast("int")
+    sid = F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = (
+        e.withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got_set = {(r.user_id, r.n_events) for r in got.collect()}
+    want_set = {(r.user_id, r.n_events) for r in want.collect()}
+    assert got.count() == want.count()
+    assert got_set == want_set
