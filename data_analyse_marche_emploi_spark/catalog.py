@@ -1078,6 +1078,243 @@ def multimodal_meta(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Time-series joins (engine surface beyond the reference; SURVEY.md §2.E
+# absent-list): as-of and range joins in shuffle-friendly formulations.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark, sf_dir):
+    """Backward as-of join: each purchase attached to the user's most
+    recent click at-or-before it. Union-and-window formulation — one
+    shuffle on user_id, no range predicate, no row explosion."""
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    return asof_join(purchases, clicks, "user_id", "ts", ["click_id"])
+
+
+@register(
+    "join_range",
+    oracle="""
+    SELECT a.user_id, a.event_id AS err_id, b.event_id AS near_id
+    FROM events a JOIN events b ON a.user_id = b.user_id
+    WHERE a.event_type = 'error' AND b.event_id <> a.event_id
+      AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 3600000000
+    """,
+)
+def join_range(spark, sf_dir):
+    """Range (interval) join: events within ±1 h of each error event by
+    the same user. Interval-bucketed equi-join (bucket ± 1 probe) +
+    exact residual filter — linear, vs. quadratic theta-join."""
+    from .operators.asof import range_join_pairs
+
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id")
+    )
+    others = e.select("user_id", "ts", F.col("event_id").alias("near_id"))
+    pairs = range_join_pairs(
+        errors, others, "user_id", "ts", "ts", 3600, ["err_id"], ["near_id"]
+    )
+    return pairs.filter(F.col("err_id") != F.col("near_id"))
+
+
+# ---------------------------------------------------------------------------
+# Engine surface: global sort/limit, stats, quantiles, sampling, arrays
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def order_limit(spark, sf_dir):
+    """Global ORDER BY + LIMIT — planned as TakeOrderedAndProject
+    (per-partition top-k, no full sort)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           min(l_extendedprice) AS min_p,
+           max(l_extendedprice) AS max_p,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 6) AS avg_p,
+           round(sqrt((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 - (CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                    * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
+                   / count(*))
+                / (count(*) - 1)), 6) AS std_p
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_stats(spark, sf_dir):
+    """min/max/avg/stddev per group. Sums accumulate in DECIMAL (exact,
+    order-independent — safe under partial aggregation at any
+    parallelism) and only the final scalar arithmetic is double, so the
+    result is bit-identical across engines and cluster sizes."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice")
+    dec = p.cast(AGG.MONEY)
+    n = F.count(F.lit(1))
+    s = F.sum(dec).cast("double")
+    sq = F.sum(dec * dec).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.min(p).alias("min_p"),
+        F.max(p).alias("max_p"),
+        # round(…, 6): decimal sums are exact, but the final
+        # decimal→double casts are not correctly rounded in every engine
+        # for >53-bit magnitudes — rounding well above that ulp noise
+        # keeps the comparison engine-portable. s*s, not pow(s, 2):
+        # multiplication is IEEE-exact; pow() depends on platform libm.
+        F.round(s / n, 6).alias("avg_p"),
+        F.round(F.sqrt((sq - (s * s) / n) / (n - 1)), 6).alias("std_p"),
+    )
+
+
+@register(
+    "agg_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles per group (both engines implement
+    the same continuous-quantile definition: pos = p·(n−1), linear
+    interpolation). The scale path is approx_percentile — registered
+    separately as a rows-only op since sketches are engine-specific."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("p75"),
+    )
+
+
+@register("agg_approx_quantiles")  # t-digest/KLL sketch is engine-specific
+def agg_approx_quantiles(spark, sf_dir):
+    """approx_percentile — the sketch-based scale path for quantiles."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)"
+        ).alias("approx_q")
+    )
+
+
+@register("sample_seeded")  # engine-specific RNG → rows-only check
+def sample_seeded(spark, sf_dir):
+    """Seeded Bernoulli sampling — deterministic for a fixed seed within
+    the engine (XORShift per partition), but RNG streams differ across
+    engines, hence rows-only."""
+    return _t(spark, sf_dir, "orders").sample(fraction=0.1, seed=42)
+
+
+@register(
+    "array_ops",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_toks,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq,
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',')
+             AS first3
+    FROM documents
+    """,
+)
+def array_ops(spark, sf_dir):
+    """Array scalar-function surface: split / distinct / sort / slice /
+    join — all JVM-side codegen'd expressions."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), ",").alias(
+            "first3"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# North-star: TF-IDF + IVF ANN
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tf_idf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(floor(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) * 1e6)
+                  AS BIGINT) AS score6
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+    )
+    SELECT doc_id, term, rank, score6 FROM (
+      SELECT doc_id, term, score6,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score6 DESC, term ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def text_tf_idf(spark, sf_dir):
+    """Top-3 TF-IDF terms per document as pure DataFrame algebra
+    (explode → tf → df → broadcast join → window top-N)."""
+    from .operators.text_analysis import tf_idf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tf_idf_top_terms(d, "text", "doc_id", top_n=3)
+
+
+@register("ann_ivf")  # approximate, layout-specific → rows-only check
+def ann_ivf_q(spark, sf_dir):
+    """IVF-style ANN: coarse-quantizer inverted lists, n_probe nearest
+    lists per query, exact cosine inside probed lists only."""
+    from .operators.similarity import ann_ivf
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return ann_ivf(e, q, "embedding", "vec_id", k=5, n_centroids=16, n_probe=4)
+
+
+# ---------------------------------------------------------------------------
 # §2.F streaming / incremental (events table as the live-feed stand-in).
 # Each entry runs a real Structured Streaming query drained with
 # Trigger.AvailableNow into a memory sink, so the result is a plain

@@ -1,0 +1,122 @@
+"""As-of and range (interval) joins — time-series join surface.
+
+The reference has no joins at all (SURVEY.md §2.E); these are the two
+time-series join shapes its event-dated domain (``dateActualisation``)
+would need first. Both are built from shuffle-friendly primitives
+rather than naive non-equi joins:
+
+* **as-of join** — "for each left row, the latest right row at or
+  before it" — via the union-and-window technique: tag both inputs,
+  union, sort once per key, carry the last right value forward. One
+  shuffle on the key, no row explosion, no range predicate — this is
+  the plan that survives 100 TB (a naive ``l.ts >= r.ts`` theta-join
+  is quadratic per key).
+* **range join** — "pairs within a time window" — via interval
+  bucketing: events land in fixed-width buckets; candidates come from
+  equi-joining (key, bucket±1); the exact predicate filters residue.
+  Equi-join + cheap filter ≈ linear, vs. Catalyst's BNL for raw
+  non-equi predicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """For every left row, attach ``right_cols`` from the most recent
+    right row with the same ``key`` and ``right.ts <= left.ts``
+    (``backward``; ties match). All left columns are preserved.
+
+    Single shuffle on ``key``; per-key chronological sort; a
+    last-value-ignore-nulls window carries the right row forward.
+    """
+    if direction != "backward":
+        raise ValueError("only backward as-of is implemented")
+    lcols = left.columns
+    tagged_l = left.withColumn("__side", F.lit(1)).select(
+        *lcols, "__side", *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols]
+    )
+    tagged_r = right.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    # Align schemas: right side gets NULL for left-only columns.
+    for c in lcols:
+        if c not in (key, ts):
+            tagged_r = tagged_r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    tagged_r = tagged_r.select(
+        *lcols, "__side", *[F.col(f"__r_{c}") for c in right_cols]
+    )
+    u = tagged_l.unionByName(tagged_r)
+    # Right rows sort before left rows at equal ts, so ties match.
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *lcols,
+        "__side",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(c)
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).drop("__side")
+
+
+def range_join_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance_seconds: int,
+    left_cols: list[str],
+    right_cols: list[str],
+) -> DataFrame:
+    """All (left, right) pairs sharing ``key`` with
+    ``|left_ts - right_ts| <= tolerance`` — interval-bucketed.
+
+    Each side maps to epoch-second buckets of width ``tolerance``; the
+    left side probes its own bucket and both neighbors, so every
+    qualifying pair co-locates in exactly one equi-join bucket; the
+    exact predicate then trims the residue. The shuffle key is
+    (key, bucket) — adding the bucket also splinters hot keys.
+    """
+    width = int(tolerance_seconds)
+    lb = left.select(
+        F.col(key).alias("__k"),
+        F.unix_micros(F.col(left_ts)).alias("__lus"),
+        *[F.col(c) for c in left_cols],
+    ).withColumn(
+        "__bucket",
+        F.explode(
+            F.array(
+                (F.col("__lus") / (width * 1_000_000)).cast("long") - 1,
+                (F.col("__lus") / (width * 1_000_000)).cast("long"),
+                (F.col("__lus") / (width * 1_000_000)).cast("long") + 1,
+            )
+        ),
+    )
+    rb = right.select(
+        F.col(key).alias("__rk"),
+        F.unix_micros(F.col(right_ts)).alias("__rus"),
+        *[F.col(c) for c in right_cols],
+    ).withColumn("__rbucket", (F.col("__rus") / (width * 1_000_000)).cast("long"))
+    pairs = lb.join(
+        rb,
+        (F.col("__k") == F.col("__rk")) & (F.col("__bucket") == F.col("__rbucket")),
+    ).filter(F.abs(F.col("__lus") - F.col("__rus")) <= width * 1_000_000)
+    return pairs.select(F.col("__k").alias(key), *left_cols, *right_cols)

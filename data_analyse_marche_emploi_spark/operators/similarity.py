@@ -62,6 +62,64 @@ def _hyperplane_sig_expr(vec_col: str, bits: int) -> str:
     )
 
 
+def ann_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer partitions the
+    corpus into inverted lists; queries probe only the ``n_probe``
+    nearest lists and pay exact cosine there.
+
+    Centroids are a deterministic corpus subset (the ``n_centroids``
+    lowest ids — a k-means fit would slot in identically but would ship
+    a fitted model; determinism wins for the differential harness).
+    Scale shape: assignment is a map-side broadcast argmax; the probe
+    join shuffles on the small integer list id, so each query touches
+    ~``n_probe/n_centroids`` of the corpus instead of all of it.
+    """
+    cent = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.asc(id_col))  # planned as TakeOrderedAndProject — no global sort
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    )
+
+    def nearest_lists(df: DataFrame, idc: str, vc: str, n: int, out: str) -> DataFrame:
+        scored = df.join(F.broadcast(cent)).withColumn(
+            "__ccos", F.floor(cosine_expr(vc, "cv") * 1e6).cast("long")
+        )
+        wq = Window.partitionBy(idc).orderBy(F.desc("__ccos"), F.asc("cid"))
+        return (
+            scored.withColumn("__crn", F.row_number().over(wq))
+            .filter(F.col("__crn") <= n)
+            .select(df[idc], df[vc], F.col("cid").alias(out))
+        )
+
+    v = nearest_lists(
+        vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),
+        "nid", "nv", 1, "list_id",
+    )
+    q = nearest_lists(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
+        "qid", "qv", n_probe, "qlist_id",
+    )
+    cand = v.join(
+        F.broadcast(q),
+        (F.col("list_id") == F.col("qlist_id")) & (F.col("qid") != F.col("nid")),
+    ).withColumn("cos6", F.floor(cosine_expr("qv", "nv") * 1e6).cast("long"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos6"), F.asc("nid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cos6")
+    )
+
+
 def ann_lsh(
     vectors: DataFrame,
     queries: DataFrame,

@@ -92,6 +92,37 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def tf_idf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, top_n: int = 3
+) -> DataFrame:
+    """Per-document top-N terms by smoothed TF-IDF, as pure DataFrame
+    algebra (no ML pipeline, no fitted model to ship):
+
+    tf(t, d)  = occurrences of t in d
+    idf(t)    = ln((N + 1) / (df(t) + 1)) + 1   (sklearn-style smooth)
+    score     = tf · idf, 1e-6-floor-bucketed for deterministic ranking
+
+    Scale shape: explode → per-(doc, term) partial-aggregated count →
+    per-term document frequency (second small aggregate) joined back,
+    window top-N per doc. The doc-frequency table is term-cardinality
+    sized (≪ corpus) and broadcast when small.
+    """
+    n_docs = df.count()
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "score6", F.floor(F.col("tf") * idf * 1e6).cast("long")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score6"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(id_col, "term", "rank", "score6")
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Normalized document fingerprint: md5 of the sorted distinct token
     set — the canonical near-canonicalization fingerprint (token-order

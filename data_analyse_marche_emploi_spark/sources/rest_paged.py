@@ -42,6 +42,43 @@ PAGE_SIZE = 150  # reference page size (ingestion-elasticsearch.py:134-135)
 Fetch = Callable[[str, dict], tuple[int, dict, str]]
 
 
+class TokenPool:
+    """Round-robin credential pool (reference: one OAuth token per
+    configured key pair, round-robined across scan threads to multiply
+    the rate-limit quota — ingestion-elasticsearch.py:10-25, :238-244,
+    :278-286).
+
+    ``authenticate`` is injectable like the page transport; the pool
+    itself is picklable, so distributed fetch tasks can draw tokens.
+    """
+
+    def __init__(self, credentials: list[tuple[str, str]],
+                 authenticate: Callable[[str, str], str]):
+        self.tokens = [authenticate(cid, secret) for cid, secret in credentials]
+        self._next = 0
+
+    def get(self) -> str:
+        tok = self.tokens[self._next % len(self.tokens)]
+        self._next += 1
+        return tok
+
+
+def read_referentiel(
+    spark: SparkSession, fetch: Fetch, url: str, schema: T.StructType
+) -> DataFrame:
+    """Small reference-list fetch → dimension DataFrame (reference:
+    get_referentiel for regions/départements/métiers,
+    ingestion-elasticsearch.py:27-34, :266-270). One driver-side request
+    — these lists are tiny (13 regions / ~101 départements) and become
+    broadcast dims in joins."""
+    status, _, body = fetch(url, {})
+    if status != 200:
+        raise RuntimeError(f"referentiel fetch failed: HTTP {status}")
+    field_names = [f.name for f in schema.fields]
+    rows = [tuple(rec.get(k) for k in field_names) for rec in json.loads(body)]
+    return spark.createDataFrame(rows, schema)
+
+
 def parse_content_range(header: str) -> tuple[int, int, int]:
     """Parse ``"offres 0-149/3149"`` → (start, end, total); the empty
     result renders as ``"offres */0"`` → (0, -1, 0)

@@ -1,0 +1,113 @@
+"""Semantic tests for the time-series joins, TF-IDF, IVF ANN, and the
+connector's token pool / referentiel reader."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_analyse_marche_emploi_spark.operators.asof import asof_join, range_join_pairs
+from data_analyse_marche_emploi_spark.operators.similarity import (
+    ann_ivf,
+    knn_brute_force,
+)
+from data_analyse_marche_emploi_spark.sources.rest_paged import (
+    TokenPool,
+    read_referentiel,
+)
+from data_analyse_marche_emploi_spark.tables import load_table
+
+
+def test_asof_join_semantics(spark):
+    """Hand-built fixture: backward as-of picks the latest right row at
+    or before each left ts; ties match; no right row → NULL."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "a"),
+         (1, "2024-01-01 12:00:00", "b"),
+         (2, "2024-01-01 09:00:00", "c")],
+        "k int, ts string, lv string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", "r1"),
+         (1, "2024-01-01 10:00:00", "r2"),   # tie with left 'a' → matches
+         (1, "2024-01-01 11:00:00", "r3"),
+         (2, "2024-01-01 09:30:00", "r4")],  # after left 'c' → no match
+        "k int, ts string, rv string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.lv: r.rv for r in asof_join(left, right, "k", "ts", ["rv"]).collect()}
+    assert out == {"a": "r2", "b": "r3", "c": None}
+
+
+def test_range_join_matches_theta_join(spark, sf_dir):
+    """Bucketed range join ≡ the naive theta-join on the same predicate."""
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id")
+    )
+    others = e.select("user_id", "ts", F.col("event_id").alias("near_id"))
+    got = (
+        range_join_pairs(errors, others, "user_id", "ts", "ts", 3600,
+                         ["err_id"], ["near_id"])
+        .filter(F.col("err_id") != F.col("near_id"))
+    )
+    a, b = errors.alias("a"), others.alias("b")
+    want = (
+        a.join(b, F.col("a.user_id") == F.col("b.user_id"))
+        .filter(
+            (F.col("err_id") != F.col("near_id"))
+            & (
+                F.abs(F.unix_micros(F.col("a.ts")) - F.unix_micros(F.col("b.ts")))
+                <= 3600 * 1_000_000
+            )
+        )
+        .select("err_id", "near_id")
+    )
+    assert {(r.err_id, r.near_id) for r in got.collect()} == {
+        (r.err_id, r.near_id) for r in want.collect()
+    }
+
+
+def test_ann_ivf_reports_true_cosines(spark, sf_dir):
+    """Every IVF-reported neighbor carries the exact cosine the brute
+    force assigns to that same (query, neighbor) pair, and per-query
+    ranks are consistent (approximate recall, exact scoring)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    ivf = ann_ivf(e, q, "embedding", "vec_id", k=5, n_centroids=16, n_probe=4)
+    brute = knn_brute_force(e, q, "embedding", "vec_id", k=10_000)
+    truth = {(r.qid, r.nid): r.cos6 for r in brute.collect()}
+    rows = ivf.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert truth[(r.qid, r.nid)] == r.cos6
+    # ranks are 1..n contiguous per query, ordered by descending cosine
+    per_q: dict = {}
+    for r in rows:
+        per_q.setdefault(r.qid, []).append((r.rank, r.cos6))
+    for ranked in per_q.values():
+        ranked.sort()
+        assert [rk for rk, _ in ranked] == list(range(1, len(ranked) + 1))
+        cosines = [c for _, c in ranked]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_token_pool_round_robin():
+    pool = TokenPool(
+        [("id1", "s1"), ("id2", "s2")], authenticate=lambda cid, sec: f"tok-{cid}"
+    )
+    assert [pool.get() for _ in range(4)] == ["tok-id1", "tok-id2", "tok-id1", "tok-id2"]
+
+
+def test_read_referentiel(spark):
+    body = json.dumps(
+        [{"code": "11", "nom": "Île-de-France"}, {"code": "75", "nom": "Paris"}]
+    )
+    schema = T.StructType(
+        [T.StructField("code", T.StringType()), T.StructField("nom", T.StringType())]
+    )
+    dim = read_referentiel(spark, lambda url, p: (200, {}, body), "local://regions", schema)
+    assert {(r.code, r.nom) for r in dim.collect()} == {
+        ("11", "Île-de-France"), ("75", "Paris")
+    }
