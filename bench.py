@@ -29,6 +29,17 @@ HEADLINE = [
     "pipeline_clean_text",
     "agg_distinct",
     "join_anti",
+    # fact-fact shuffle join + TPC-H-shaped multi-joins
+    "join_fact_fact",
+    "q_shipping_priority",
+    "q_returned_items",
+    # window + time-series joins
+    "window_topk_per_group",
+    "join_asof",
+    # training-data extensions
+    "text_tf_idf",
+    "dedup_minhash_lsh",
+    "knn_brute_force",
 ]
 
 

@@ -1078,6 +1078,183 @@ def multimodal_meta(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Skew mitigation (salting) — results identical to unsalted operators
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_groupby",
+    oracle="""
+    SELECT o_custkey, count(*) AS cnt,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def salted_groupby(spark, sf_dir):
+    """Two-stage salted aggregation: hot keys fan out over (key, salt)
+    partials before the final per-key merge — same answer as the plain
+    groupBy for any data, skew-proof at 100 TB."""
+    from .operators.skew import salted_agg_count_sum
+
+    o = _t(spark, sf_dir, "orders")
+    return salted_agg_count_sum(
+        o, "o_custkey", F.col("o_totalprice").cast(AGG.MONEY), n_salts=16
+    )
+
+
+@register(
+    "salted_join",
+    oracle="""
+    SELECT n_name, count(*) AS cnt FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1
+    """,
+)
+def salted_join(spark, sf_dir):
+    """Salted broadcast join: big side salted, small side replicated per
+    salt — a hot nation key never lands in a single task."""
+    from .operators.skew import salted_broadcast_join
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = salted_broadcast_join(c, n, "c_nationkey", "n_nationkey", n_salts=8)
+    return joined.groupBy("n_name").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Flagship analytics: TPC-H-shaped multi-join queries (the dashboard
+# workload the reference delegates to Kibana, at engine scale)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H-Q3-shaped: selective dim filter → two-fact join → grouped
+    revenue → top-10. Catalyst pushes both date predicates into the
+    scans; customer (filtered) broadcasts; the lineitem⋈orders join
+    shuffles on the order key (bucketing both removes it — see
+    sources.bucketing)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
+    )
+    rev = (F.col("l_extendedprice").cast(AGG.MONEY)
+           * (F.lit(1) - F.col("l_discount").cast(AGG.MONEY)))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H-Q5-shaped: six-way star join (two facts + four broadcast
+    dims) with a same-nation correlation predicate."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice").cast(AGG.MONEY)
+           * (F.lit(1) - F.col("l_discount").cast(AGG.MONEY)))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue"))
+    )
+
+
+@register(
+    "q_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 4
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q_returned_items(spark, sf_dir):
+    """TPC-H-Q10-shaped: returned-item revenue per customer, top 20."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice").cast(AGG.MONEY)
+           * (F.lit(1) - F.col("l_discount").cast(AGG.MONEY)))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Time-series joins (engine surface beyond the reference; SURVEY.md §2.E
 # absent-list): as-of and range joins in shuffle-friendly formulations.
 # ---------------------------------------------------------------------------

@@ -72,9 +72,14 @@ def ngram_jaccard_pairs(
     (stop-shingle pruning — at corpus scale a shingle in 10⁶ docs would
     generate 10¹² candidate pairs; dropping it loses only pairs whose
     entire similarity rides on ubiquitous text)."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
     sh = (
-        with_shingles(df.select(F.col(id_col), F.col(text_col)), text_col, n)
+        with_shingles(
+            df.select(F.col(id_col), F.col(text_col)).repartition(n_part), text_col, n
+        )
         .select(F.col(id_col).alias("doc"), F.explode("shingles").alias("shingle"))
+        # Three consumers (self-join both sides + sizes): materialize once.
+        .persist()
     )
     if max_df is not None:
         hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
@@ -107,20 +112,43 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 64) -> DataFrame:
-    """K-permutation MinHash signature per document. The k hash families
-    are xxhash64(shingle, seed) — one pass over the shingle array per
-    doc, no shuffle. Docs with no shingles are dropped."""
-    sh = with_shingles(df.select(F.col(id_col), F.col(text_col)), text_col)
-    return (
-        sh.filter(F.size("shingles") > 0)
-        .withColumn(
-            "sig",
-            F.expr(
-                f"transform(sequence(0, {k - 1}), "
-                "s -> array_min(transform(shingles, x -> xxhash64(x, s))))"
-            ),
-        )
-        .select(F.col(id_col), "sig", "shingles")
+    """K-permutation MinHash signature per document, no shuffle.
+
+    Each shingle *string* is hashed once to a 64-bit value; the k
+    permutations re-hash that fixed-width long (``xxhash64(h, s)``) —
+    k cheap 8-byte hashes per shingle instead of k string hashes, and
+    each seed is a genuinely independent ordering (an affine ``h1+s·h2``
+    mix is NOT: the additive term can't reorder the high bits, which
+    collapses band independence). The shingle array is built in its own
+    projection with an optimizer barrier before the signature lambda:
+    without the barrier, CollapseProject inlines shingle construction
+    into every one of the k interpreted HOF lambdas — a silent k×
+    recompute (observed 30× wall-clock at sf0.1).
+
+    Docs with no shingles (< n tokens) are dropped.
+    """
+    spark = df.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    # Repartition first: a small single-file corpus otherwise plans one
+    # task for this embarrassingly parallel per-doc computation.
+    sh = with_shingles(
+        df.select(F.col(id_col), F.col(text_col)).repartition(n_part), text_col
+    ).filter(F.size("shingles") > 0)
+    hashed = sh.select(
+        F.col(id_col),
+        "shingles",
+        F.expr("transform(shingles, x -> xxhash64(x))").alias("hs"),
+    )
+    # Barrier: stops CollapseProject from inlining `hs` into the k
+    # signature lambdas (localCheckpoint would also work but costs I/O).
+    hashed = hashed.repartition(n_part)
+    return hashed.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(sequence(0, {k - 1}), "
+            "s -> array_min(transform(hs, h -> xxhash64(h, s))))"
+        ).alias("sig"),
+        "shingles",
     )
 
 
@@ -141,7 +169,11 @@ def minhash_lsh_pairs(
     the candidate verification. No stage is quadratic in corpus size —
     only in per-bucket occupancy."""
     r = k // bands
-    sigs = minhash_signatures(df, text_col, id_col, k)
+    # Signatures feed three consumers (both sides of the bucket
+    # self-join + exact-Jaccard verification); persist so the per-doc
+    # hashing runs once. At corpus scale use persist(DISK_ONLY) or a
+    # checkpoint table instead of memory.
+    sigs = minhash_signatures(df, text_col, id_col, k).persist()
     buckets = sigs.select(
         F.col(id_col).alias("doc"),
         F.explode(
@@ -185,19 +217,35 @@ def minhash_lsh_pairs(
 
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per document: each token votes ±1 on every bit of
-    xxhash64(token); the sketch keeps the sign. Pure per-row expression
-    (two nested folds), zero shuffle."""
-    toks = f"split({text_col}, ' ')"
+    xxhash64(token); the sketch keeps the sign. Per-row expressions,
+    zero shuffle (the repartitions below are optimizer barriers /
+    parallelism spreads, not key exchanges).
+
+    Tokens are hashed once into ``th``; the 64 bit-votes fold over the
+    cached hashes. Barriers between the projections stop CollapseProject
+    from inlining tokenize+hash into all 64 interpreted vote lambdas.
+    """
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    hashed = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(n_part)
+        .select(
+            F.col(id_col),
+            F.expr(f"transform(split({text_col}, ' '), t -> xxhash64(t))").alias("th"),
+        )
+        .repartition(n_part)
+    )
     votes = (
-        f"transform(sequence(0, 63), j -> aggregate({toks}, 0, "
-        "(acc, t) -> acc + CASE WHEN (shiftright(xxhash64(t), j) & 1) = 1 THEN 1 ELSE -1 END))"
+        "transform(sequence(0, 63), j -> aggregate(th, 0, "
+        "(acc, h) -> acc + CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END))"
     )
     pack = (
         "aggregate(sequence(0, 63), 0L, "
-        f"(acc, j) -> acc | (CASE WHEN votes[j] > 0 THEN shiftleft(1L, j) ELSE 0L END))"
+        "(acc, j) -> acc | (CASE WHEN votes[j] > 0 THEN shiftleft(1L, j) ELSE 0L END))"
     )
     return (
-        df.select(F.col(id_col), F.expr(votes).alias("votes"))
+        hashed.select(F.col(id_col), F.expr(votes).alias("votes"))
+        .repartition(n_part)
         .select(F.col(id_col), F.expr(pack).alias("simhash"))
     )
 
@@ -207,7 +255,8 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 
     Banded on the four 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at
     least one of 4 chunks equal), so candidate generation joins on a
     16-bit key instead of all-pairs."""
-    sh = simhash(df, text_col, id_col).select(F.col(id_col).alias("doc"), "simhash")
+    # Sketches feed both sides of the chunk self-join: compute once.
+    sh = simhash(df, text_col, id_col).select(F.col(id_col).alias("doc"), "simhash").persist()
     chunks = sh.select(
         "doc",
         "simhash",
