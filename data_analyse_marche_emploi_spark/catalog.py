@@ -166,6 +166,35 @@ def str_lower(spark, sf_dir):
 
 
 @register(
+    "str_mutate_steps",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(text, '[,*-.:;«»✔➡¿\\"·?!()/]', ' ', 'g') AS no_punct,
+           regexp_replace(text, '&nbsp', ' ', 'g') AS no_nbsp,
+           regexp_replace(text, chr(13), ' ', 'g') AS no_cr,
+           regexp_replace(text, '[ \t\n\x0B\f\r\x{00A0}]', ' ', 'g') AS posix_space,
+           trim(regexp_replace(text, '[ \t\n\x0B\f\r\x{00A0}]+', ' ', 'g')) AS collapsed
+    FROM documents
+    """,
+)
+def str_mutate_steps(spark, sf_dir):
+    """Each Logstash mutate gsub as an individual operator (reference:
+    csv-tech.conf:30,31,35,38,32 — str_strip_punct / str_strip_nbsp /
+    str_strip_cr / str_posix_space / str_collapse_ws), applied
+    independently so every §2.C op id is oracle-checked on its own."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TXT.strip_punctuation(t).alias("no_punct"),
+        TXT.strip_nbsp(t).alias("no_nbsp"),
+        TXT.strip_carriage_returns(t).alias("no_cr"),
+        TXT.strip_posix_space(t).alias("posix_space"),
+        TXT.collapse_whitespace(t).alias("collapsed"),
+    )
+
+
+@register(
     "pipeline_clean_text",
     oracle=r"""
     SELECT doc_id,
@@ -1480,6 +1509,29 @@ def text_tf_idf(spark, sf_dir):
     return tf_idf_top_terms(d, "text", "doc_id", top_n=3)
 
 
+@register(
+    "emb_centroid",
+    oracle="""
+    SELECT label, pos, round(avg(CAST(x AS DOUBLE)), 6) AS v
+    FROM (SELECT label, unnest(embedding) AS x,
+                 unnest(range(1, len(embedding) + 1)) AS pos
+          FROM embeddings)
+    GROUP BY 1, 2
+    """,
+)
+def emb_centroid(spark, sf_dir):
+    """Per-label centroid of the embedding column, one row per
+    (label, dimension): posexplode → partial-aggregated avg. The
+    vector-aggregate building block for IVF training / cluster stats;
+    rounded above double-accumulation-order noise."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "x"))
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("v"))
+    )
+
+
 @register("ann_ivf")  # approximate, layout-specific → rows-only check
 def ann_ivf_q(spark, sf_dir):
     """IVF-style ANN: coarse-quantizer inverted lists, n_probe nearest
@@ -1588,6 +1640,29 @@ def stream_session_window(spark, sf_dir):
     return S.run_available_now(S.session_windows(ev, "30 minutes"), "complete")
 
 
+@register(
+    "stream_stateful_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def stream_stateful_totals(spark, sf_dir):
+    """Custom stateful streaming op (applyInPandasWithState): per-user
+    running count+sum held in explicit group state — the extension
+    point for stateful logic built-in windows can't express. Drained
+    available-now, the final state equals the batch aggregate."""
+    from .streaming import incremental as S
+    from .streaming.stateful import stream_user_totals
+
+    ev = S.read_events_stream(spark, sf_dir)
+    out = S.run_available_now(stream_user_totals(ev), "update")
+    return out.select(
+        "user_id", "n_events", F.round("total_value", 4).alias("total_value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.A the paged-REST connector end-to-end (fixture transport)
 # ---------------------------------------------------------------------------
@@ -1624,6 +1699,54 @@ def src_rest_paged(spark, sf_dir):
     )
     rows, _errors = read_paged(spark, transport, "local://orders", schema)
     return rows
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id, 224 AS width, 224 AS height,
+           least(octet_length(encode(text)), 224 * 224 * 3) AS n_bytes,
+           'fake-resize-v0' AS decoder
+    FROM documents
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """Image-resize plumbing (stub resampler): binary payload in, fixed
+    target dims out, Arrow-batched mapInPandas, zero shuffle. The
+    oracle checks the deterministic metadata contract."""
+    from .operators.multimodal import attach_media, resize_images
+
+    d = _t(spark, sf_dir, "documents")
+    return resize_images(attach_media(d, "text", "doc_id"))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, octet_length(encode(text)) AS nb,
+             least(4, greatest(1, octet_length(encode(text)) // 1024)) AS nf
+      FROM documents
+    ),
+    f AS (SELECT doc_id, nb, unnest(range(0, nf)) AS frame_idx FROM m)
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           least(1024, nb - frame_idx * 1024) AS frame_len,
+           'fake-framesample-v0' AS decoder
+    FROM f
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing (stub extractor): one payload row
+    fans out to ≤4 frame rows — the row-expanding UDTF shape. Oracle
+    checks the fan-out cardinality and per-frame byte counts."""
+    from .operators.multimodal import attach_media, sample_frames
+
+    d = _t(spark, sf_dir, "documents")
+    frames = sample_frames(attach_media(d, "text", "doc_id"))
+    return frames.select(
+        "doc_id", "frame_idx",
+        F.length("frame_bytes").alias("frame_len"), "decoder",
+    )
 
 
 @register("multimodal_features")  # stubbed decoder → rows-only check

@@ -59,6 +59,65 @@ def _fake_decode(payload: bytes) -> dict:
     }
 
 
+RESIZE_SCHEMA = "doc_id long, width int, height int, n_bytes long, decoder string"
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes binary, decoder string"
+
+
+def resize_images(media_df: DataFrame, width: int = 224, height: int = 224,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Image resize plumbing over mapInPandas. The resample itself is a
+    STUB (no PIL/cv2 in this environment — a real impl replaces the
+    body of ``fake_resize`` with ``PIL.Image.open(io.BytesIO(b))
+    .resize((w, h))``); the Spark-side contract — binary in, fixed
+    (width, height, bytes) out, Arrow batching, zero shuffle — is real
+    and tested."""
+
+    def fake_resize(b: bytes | None) -> int:
+        # deterministic stand-in for the resampled byte size
+        return 0 if not b else min(len(b), width * height * 3)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": width,
+                    "height": height,
+                    "n_bytes": pdf["media"].map(fake_resize),
+                    "decoder": "fake-resize-v0",
+                }
+            )
+
+    return media_df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+def sample_frames(media_df: DataFrame, every_n_bytes: int = 1024,
+                  max_frames: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """Video frame-sampling plumbing over mapInPandas: one payload row
+    fans out to ≤ max_frames frame rows (a row-expanding UDTF shape).
+    Frame extraction is a STUB (no ffmpeg/cv2 here — the fake "frame"
+    is a deterministic byte slice standing in for a decoded keyframe);
+    the fan-out schema and Arrow batch handling are real."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["media"]):
+                if payload is None:
+                    continue
+                n = min(max_frames, max(1, len(payload) // every_n_bytes))
+                for i in range(n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(bytes(payload[i * every_n_bytes:(i + 1) * every_n_bytes]))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_bytes": frames,
+                 "decoder": "fake-framesample-v0"}
+            )
+
+    return media_df.mapInPandas(batches, FRAME_SCHEMA)
+
+
 def extract_features(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Decode + featurize each media payload via mapInPandas: Arrow batches
     in, feature rows out. One Python worker per partition, zero

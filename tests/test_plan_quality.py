@@ -1,0 +1,79 @@
+"""Physical-plan regression tests: the scale properties the engine
+depends on (pushdown, pruning, broadcast, partial top-k) must survive
+refactors — a correct-but-full-scan plan is a failure at 100 TB even
+when the answer matches."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from data_analyse_marche_emploi_spark import catalog
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    # default metadata truncation (100 chars) cuts ReadSchema lists short
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    df = catalog.QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def read_schemas(plan: str) -> list[str]:
+    return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "agg_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # into PushedFilters
+    # column pruning: lineitem has 11 columns, the query needs 5
+    cols = read_schemas(plan)[0].split(",")
+    assert len(cols) == 5
+
+
+def test_in_list_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "filter_terms_in")
+    assert "In(c_mktsegment" in plan
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_enrich")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_anti_join_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_anti")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_topk_is_partial(spark, sf_dir):
+    """Top-k must plan as TakeOrderedAndProject (per-partition heads),
+    never a global sort."""
+    for name in ("agg_topk", "order_limit"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_nested_projection_prunes(spark, sf_dir):
+    """proj_source_fields must read exactly its three columns."""
+    plan = plan_of(spark, sf_dir, "proj_source_fields")
+    cols = read_schemas(plan)[0].split(",")
+    assert len(cols) == 3
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_simhash_pairs", "ann_lsh"])
+def test_similarity_paths_have_no_cartesian(spark, sf_dir, name):
+    """The scale paths must never plan an all-pairs product."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_candidate_join_is_hashed(spark, sf_dir):
+    """ann_ivf's only unconditioned product is corpus × the (constant,
+    broadcast) centroid set — linear in corpus size. The candidate join
+    itself must be an equi-hash join on the inverted-list id."""
+    plan = plan_of(spark, sf_dir, "ann_ivf")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"BroadcastHashJoin \[list_id", plan)
