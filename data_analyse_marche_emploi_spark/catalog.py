@@ -76,6 +76,34 @@ def flagship_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sql_api_flagship",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket,
+           o_orderstatus,
+           count(*) AS cnt,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def sql_api_flagship(spark, sf_dir):
+    """The flagship query through the engine's SQL surface
+    (register_views + spark.sql) — same Catalyst plan as the DataFrame
+    form; proves the full SQL front end over the registered tables."""
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket,
+               o_orderstatus,
+               count(*) AS cnt,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders
+        GROUP BY 1, 2
+    """)
+
+
 # ---------------------------------------------------------------------------
 # §2.B scan / projection / filter
 # ---------------------------------------------------------------------------

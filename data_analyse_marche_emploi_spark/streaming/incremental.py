@@ -132,6 +132,42 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def foreach_batch_upsert(
+    stream_df: DataFrame, path: str, key: str, recency: str
+) -> None:
+    """Incremental keyed upsert into a parquet table via foreachBatch —
+    the reference's `_id`-keyed bulk index (ingestion-elasticsearch.py:
+    36-55) as a streaming sink. Each micro-batch merges into the target
+    with last-writer-wins on ``key`` ordered by ``recency``.
+
+    Parquet has no MERGE, so the merge is read-union-dedup-overwrite —
+    correct and idempotent, O(table) per batch; on a lakehouse the same
+    hook body becomes ``DeltaTable.merge`` (O(touched files)). Blocks
+    until the available data is drained (Trigger.AvailableNow).
+    """
+    from ..operators.ingest import upsert_dedup
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            current = spark.read.parquet(path)
+            merged = current.unionByName(batch_df)
+        except Exception:  # first batch: table doesn't exist yet
+            merged = batch_df
+        out = upsert_dedup(merged, key, recency=recency)
+        # localCheckpoint breaks lineage to the files being overwritten
+        out.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+
+    with tempfile.TemporaryDirectory(prefix="ckpt_upsert_") as ckpt:
+        q = (
+            stream_df.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
 def run_available_now(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
     """Drain the stream as one incremental run (Trigger.AvailableNow)
     into an in-memory table and return the result as a DataFrame.

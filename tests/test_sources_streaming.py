@@ -188,6 +188,22 @@ def test_stream_dedup_doubled_feed(spark, sf_dir, events_stream):
     assert got.select("event_id").distinct().count() == n
 
 
+def test_foreach_batch_upsert(spark, sf_dir, tmp_path, events_stream):
+    """Streaming keyed upsert into a parquet table: consuming the same
+    feed twice leaves exactly one row per event_id (idempotent re-ingest
+    — the reference's completeness invariant on a stream)."""
+    out = str(tmp_path / "events_upserted")
+    S.foreach_batch_upsert(events_stream, out, key="event_id", recency="ts")
+    # second run over the same data must be a no-op on cardinality
+    S.foreach_batch_upsert(
+        S.read_events_stream(spark, sf_dir), out, key="event_id", recency="ts"
+    )
+    back = spark.read.parquet(out)
+    n = load_table(spark, sf_dir, "events").count()
+    assert back.count() == n
+    assert back.select("event_id").distinct().count() == n
+
+
 def test_stream_sessions_equal_batch_gaps_and_islands(spark, sf_dir, events_stream):
     """session_window == the hand-rolled lag/cumsum sessionization."""
     got = S.run_available_now(S.session_windows(events_stream, "30 minutes"), "complete")
