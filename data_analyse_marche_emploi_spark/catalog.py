@@ -1311,6 +1311,69 @@ def q_returned_items(spark, sf_dir):
     )
 
 
+@register(
+    "q_order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS cnt
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+    )
+    GROUP BY 1
+    """,
+)
+def q_order_priority_exists(spark, sf_dir):
+    """TPC-H-Q4-shaped EXISTS: left-semi join on the order key with a
+    non-equi residual (l_shipdate > o_orderdate) — the decorrelated
+    plan Catalyst produces for correlated EXISTS subqueries."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > o["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "q_small_quantity_revenue",
+    oracle="""
+    SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue, count(*) AS cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+)
+def q_small_quantity_revenue(spark, sf_dir):
+    """TPC-H-Q17-shaped correlated scalar subquery (per-part average
+    threshold), decorrelated as a window average over the part key —
+    one shuffle on l_partkey instead of a rescan per row."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    w = Window.partitionBy("l_partkey")
+    with_avg = li.withColumn("avg_qty", F.avg("l_quantity").over(w))
+    return (
+        with_avg.join(F.broadcast(p), with_avg["l_partkey"] == p["p_partkey"])
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            AGG.money_sum(F.col("l_extendedprice"), "revenue"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Time-series joins (engine surface beyond the reference; SURVEY.md §2.E
 # absent-list): as-of and range joins in shuffle-friendly formulations.
