@@ -38,6 +38,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and truncate to a micros timestamp — the same floor-truncation DuckDB
     applies, so the oracle comparison stays exact.
     """
+    # DuckDB timestamps are UTC-naive; render the same wall-clock values
+    # whatever session the caller brings (runtime-settable, idempotent).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
