@@ -1763,6 +1763,39 @@ def stream_stateful_totals(spark, sf_dir):
     )
 
 
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join: each purchase matched with the
+    same user's clicks in the preceding hour, both sides live streams
+    with watermark-bounded join state. Drained available-now, the
+    result equals the batch interval join (the oracle)."""
+    from .streaming import incremental as S
+
+    ev = S.read_events_stream(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = S.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    joined = S.stream_stream_interval_join(
+        purchases, clicks, "user_id", "interval 1 hour"
+    )
+    out = S.run_available_now(joined, "append")
+    return out.select(
+        "user_id",
+        F.col("l_event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("click_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.A the paged-REST connector end-to-end (fixture transport)
 # ---------------------------------------------------------------------------

@@ -132,6 +132,42 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    lookback: str = "interval 1 hour",
+    left_cols: tuple[str, ...] = ("event_id",),
+    right_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    each left event matches right events of the same key within
+    ``[left.ts - lookback, left.ts]`` (e.g. purchases ⋈ the clicks that
+    preceded them). Both sides carry watermarks so the join state —
+    right rows buffered until no earlier left row can still arrive —
+    is bounded and purged as the watermark advances.
+    """
+    l = left.withWatermark("ts", watermark).select(
+        F.col(key).alias("lk"),
+        F.col("ts").alias("lts"),
+        *[F.col(c).alias(f"l_{c}") for c in left_cols],
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col(key).alias("rk"),
+        F.col("ts").alias("rts"),
+        *[F.col(c).alias(f"r_{c}") for c in right_cols],
+    )
+    return l.join(
+        r,
+        F.expr(f"lk = rk AND rts >= lts - {lookback} AND rts <= lts"),
+    ).select(
+        F.col("lk").alias(key),
+        *[f"l_{c}" for c in left_cols],
+        *[f"r_{c}" for c in right_cols],
+    )
+
+
 def foreach_batch_upsert(
     stream_df: DataFrame, path: str, key: str, recency: str
 ) -> None:
