@@ -107,13 +107,17 @@ def tf_idf_top_terms(
     window top-N per doc. The doc-frequency table is term-cardinality
     sized (≪ corpus) and broadcast when small.
     """
-    n_docs = df.count()
+    # Corpus size as a broadcast one-row aggregate folded into the plan
+    # (not a separate df.count() action on the driver).
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
-    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
-        "score6", F.floor(F.col("tf") * idf * 1e6).cast("long")
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score6", F.floor(F.col("tf") * idf * 1e6).cast("long"))
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("score6"), F.asc("term"))
     return (
