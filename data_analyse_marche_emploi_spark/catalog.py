@@ -1882,6 +1882,28 @@ def multimodal_frame_sample(spark, sf_dir):
     )
 
 
+@register(
+    "src_rest_paged_dsv2",
+    oracle="SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+)
+def src_rest_paged_dsv2(spark, sf_dir):
+    """The paged-REST scan as a registered Python Data Source
+    (spark.read.format('paged_rest')): count-probe at planning, one
+    InputPartition per 150-row page at execution — the DataSourceV2
+    shape of the reference's pagination loop (SURVEY.md §2.A)."""
+    import os
+
+    from .sources import datasource as DS
+
+    DS.register(spark)
+    return (
+        spark.read.format("paged_rest")
+        .option("path", os.path.join(sf_dir, "orders.parquet"))
+        .option("order_col", "o_orderkey")
+        .load()
+    )
+
+
 @register("multimodal_features")  # stubbed decoder → rows-only check
 def multimodal_features(spark, sf_dir):
     """Arrow-batched mapInPandas decode/feature-extract plumbing over

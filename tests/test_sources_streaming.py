@@ -98,6 +98,27 @@ def test_read_paged_error_channel(spark, sf_dir):
     assert good.count() == total - 150
 
 
+def test_python_datasource_pages_become_partitions(spark, sf_dir):
+    """spark.read.format('paged_rest'): row parity with the direct scan
+    and one input partition per 150-row page."""
+    from data_analyse_marche_emploi_spark.sources import datasource as DS
+
+    DS.register(spark)
+    df = (
+        spark.read.format("paged_rest")
+        .option("path", os.path.join(sf_dir, "orders.parquet"))
+        .option("order_col", "o_orderkey")
+        .load()
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    assert df.count() == n
+    assert df.rdd.getNumPartitions() == (n + 149) // 150
+    assert {r.o_orderkey for r in df.collect()} == {
+        r.o_orderkey for r in orders.select("o_orderkey").collect()
+    }
+
+
 # ---------------------------------------------------------------------------
 # sinks
 # ---------------------------------------------------------------------------
