@@ -40,6 +40,42 @@ def test_asof_join_semantics(spark):
     assert out == {"a": "r2", "b": "r3", "c": None}
 
 
+def test_asof_join_random_with_ties_matches_naive(spark):
+    """Randomized stress with forced timestamp ties and sparse keys:
+    as-of result must equal a naive per-row argmax (computed in
+    Python), including tie-matches and no-match NULLs."""
+    import random
+
+    rng = random.Random(7)
+    base = 1_700_000_000
+    lefts = [
+        (rng.randint(1, 5), base + rng.randint(0, 50), i) for i in range(120)
+    ]
+    rights = [
+        (rng.randint(1, 5), base + rng.randint(0, 50), 1000 + i) for i in range(120)
+    ]
+    left = spark.createDataFrame(
+        [(k, t, i) for k, t, i in lefts], "k int, sec long, lid int"
+    ).withColumn("ts", F.col("sec").cast("timestamp")).drop("sec")
+    right = spark.createDataFrame(
+        [(k, t, i) for k, t, i in rights], "k int, sec long, rid int"
+    ).withColumn("ts", F.col("sec").cast("timestamp")).drop("sec")
+    got = {
+        r.lid: r.rid
+        for r in asof_join(left, right, "k", "ts", ["rid"]).collect()
+    }
+    for k, t, lid in lefts:
+        cands = [(rt, rid) for rk, rt, rid in rights if rk == k and rt <= t]
+        # as-of picks the max-ts candidate; among equal ts the engine may
+        # pick any (last in window order) — compare on ts, not rid
+        want_ts = max((rt for rt, _ in cands), default=None)
+        if want_ts is None:
+            assert got[lid] is None
+        else:
+            got_ts = {rid: rt for rt, rid in cands}.get(got[lid])
+            assert got_ts == want_ts, (lid, got[lid])
+
+
 def test_range_join_matches_theta_join(spark, sf_dir):
     """Bucketed range join ≡ the naive theta-join on the same predicate."""
     e = load_table(spark, sf_dir, "events")
