@@ -1030,6 +1030,56 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
 
 
+@register(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    edges AS (
+      SELECT i, j FROM (
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(
+                   CASE WHEN len(toks) < 3 THEN []
+                        ELSE list_transform(generate_series(1, len(toks) - 2),
+                             i -> array_to_string(toks[i:i+2], ' ')) END)) AS shingle
+          FROM d
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        pairs AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT i, j
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = i
+        JOIN sizes sb ON sb.doc_id = j
+        WHERE common / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.5
+      )
+    ),
+    sym AS (SELECT i AS a, j AS b FROM edges UNION SELECT j, i FROM edges),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.b, reach.lab FROM reach JOIN sym s ON reach.node = s.a
+    )
+    SELECT node AS doc_id, min(lab) AS cluster_id,
+           node = min(lab) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters_q(spark, sf_dir):
+    """Full dedup resolution: exact-Jaccard near-dup pairs → connected
+    components (iterative min-label propagation) → cluster id +
+    canonical-representative flag per document. The oracle computes the
+    same transitive closure with a recursive CTE."""
+    from .operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    d = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    return dedup_clusters(d, pairs, "doc_id")
+
+
 @register("dedup_minhash_lsh")  # hash-family specific → rows-only check
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(64) + 16-band LSH candidate generation, exact-Jaccard

@@ -286,6 +286,75 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 
     )
 
 
+# --- duplicate clusters ----------------------------------------------------
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components: every node gets
+    ``comp`` = the minimum node id reachable through the edge set (the
+    canonical representative — keep one row per comp to dedupe).
+
+    Iterative min-label propagation: each round joins labels across
+    edges (both directions) and keeps the per-node minimum, until a
+    fixpoint or ``max_iter``. Rounds needed = graph diameter; near-dup
+    graphs are shallow (dup clusters are cliques or short chains), so
+    a handful of shuffles total. ``nodes``: column ``id``; ``edges``:
+    columns ``i``, ``j``.
+    """
+    sym = (
+        edges.select(F.col("i").alias("a"), F.col("j").alias("b"))
+        .unionByName(edges.select(F.col("j").alias("a"), F.col("i").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(F.col("id"), F.col("id").alias("comp")).persist()
+    for _ in range(max_iter):
+        # neighbor labels: for node b, the labels of all its neighbors a
+        neighbor = (
+            sym.join(labels, sym["a"] == labels["id"])
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Full dedup resolution: documents + near-dup pairs → one row per
+    document with its cluster representative (``comp``) and a
+    ``is_canonical`` flag (the min-id member survives; the rest are the
+    rows a training-data pipeline drops)."""
+    nodes = df.select(F.col(id_col).alias("id"))
+    cc = connected_components(nodes, pairs)
+    return cc.select(
+        F.col("id").alias(id_col),
+        F.col("comp").alias("cluster_id"),
+        (F.col("id") == F.col("comp")).alias("is_canonical"),
+    )
+
+
 # --- embedding cosine near-dup --------------------------------------------
 
 

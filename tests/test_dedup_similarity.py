@@ -46,6 +46,21 @@ def test_minhash_lsh_vs_exact(docs):
     assert high <= set(lsh), f"missed high-similarity pairs: {high - set(lsh)}"
 
 
+def test_connected_components_chain_clique_singleton(spark):
+    """Hand-built graph: a 4-chain (diameter > 1 forces multiple
+    propagation rounds), a triangle, and an isolated node."""
+    from data_analyse_marche_emploi_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain 1-2-3-4
+         (5, 6), (6, 7), (5, 7)],         # triangle 5-6-7; node 8 isolated
+        "i long, j long",
+    )
+    got = {r.id: r.comp for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8}
+
+
 def test_simhash_invariances(spark):
     base = " ".join(f"tok{i}" for i in range(100))
     variant = " ".join(f"tok{i}" for i in range(99)) + " changed"
