@@ -1703,6 +1703,95 @@ def ann_ivf_q(spark, sf_dir):
 
 
 @register(
+    "funnel_conversion",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY 1
+    )
+    SELECT count(*) AS n_users,
+           count(t_view) AS viewed,
+           count(CASE WHEN t_click > t_view THEN 1 END) AS clicked_after_view,
+           count(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+             AS purchased_after_click
+    FROM stages
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered funnel (view → click → purchase): first event time per
+    stage per user, stages counted only when reached in order — the
+    dashboard conversion query (one shuffle on user_id; conditional
+    aggregation instead of three self-joins)."""
+    e = _t(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    stages = e.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("viewed"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias(
+            "clicked_after_view"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("purchased_after_click"),
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+      FROM events GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             date_diff('week', f.cohort, CAST(date_trunc('week', e.ts) AS DATE))
+               AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort, week_offset, count(*) AS active_users
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity week, counted
+    per week offset they return — the classic retention-matrix
+    dashboard query (two aggregations + one broadcastable first-week
+    join)."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    activity = (
+        e.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort"))
+                / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort", "week_offset").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+
+
+@register(
     "stream_tumbling_window",
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket, count(*) AS cnt
