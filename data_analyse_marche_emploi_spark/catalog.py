@@ -1703,6 +1703,36 @@ def ann_ivf_q(spark, sf_dir):
 
 
 @register(
+    "profile_table",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+           count(*) - count(o_orderkey) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           count(o_orderkey) / CAST(count(*) AS DOUBLE) AS completeness
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           count(o_orderstatus) / CAST(count(*) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           count(o_totalprice) / CAST(count(*) AS DOUBLE)
+    FROM orders
+    """,
+)
+def profile_table_q(spark, sf_dir):
+    """Single-pass per-column profiling (nulls/distincts/completeness)
+    — the reference's completeness metric generalized per column; one
+    scan for all columns, stack-unpivoted."""
+    from .operators.profiling import profile_table
+
+    o = _t(spark, sf_dir, "orders")
+    return profile_table(o, ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+
+@register(
     "funnel_conversion",
     oracle="""
     WITH stages AS (

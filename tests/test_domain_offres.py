@@ -103,6 +103,48 @@ def test_export_pipeline_flattens_nested(spark):
     assert {r.codecommune for r in out.collect()} == {"75056", "69123"}
 
 
+def test_incremental_ndjson_ingest_two_batches(spark, tmp_path):
+    """The reference's continuous-collection intent, live: an NDJSON
+    offer feed consumed file-by-file (one micro-batch each), parsed
+    with the PERMISSIVE channel, upserted by id via foreachBatch.
+    Batch 2 updates OFR-1 — last writer must win across micro-batches."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from data_analyse_marche_emploi_spark.domain.offres import OFFRE_SCHEMA
+    from data_analyse_marche_emploi_spark.operators.ingest import (
+        parse_json_with_error_channel,
+    )
+    from data_analyse_marche_emploi_spark.streaming.incremental import (
+        foreach_batch_upsert,
+    )
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    batch1 = [OFFRES[0], OFFRES[1]]
+    batch2 = [OFFRES[2]]  # OFR-1 with a newer dateActualisation
+    (src / "b1.ndjson").write_text(
+        "\n".join(json.dumps(o, ensure_ascii=False) for o in batch1)
+    )
+    (src / "b2.ndjson").write_text(
+        "\n".join(json.dumps(o, ensure_ascii=False) for o in batch2)
+    )
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    good, _errors = parse_json_with_error_channel(spark, raw, "value", OFFRE_SCHEMA)
+    out = str(tmp_path / "offres_table")
+    foreach_batch_upsert(good, out, key="id", recency="dateActualisation")
+
+    table = spark.read.parquet(out)
+    assert table.count() == 2
+    winner = table.filter(F.col("id") == "OFR-1").first()
+    assert winner.intitule == "Développeur Big Data sénior"
+    assert table.filter(F.col("id") == "OFR-2").count() == 1
+
+
 def test_extract_tech_regex_chain_parity(spark):
     good, _ = parse_offres(spark, _raw(spark))
     tech = {r.id: r for r in extract_tech(good).collect()}
