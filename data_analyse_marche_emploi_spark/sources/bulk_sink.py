@@ -1,0 +1,75 @@
+"""NDJSON bulk sink as a Python DataSource writer — the reference's
+Elasticsearch `_bulk` wire format (ingestion-elasticsearch.py:44-55):
+action line ``{"index": {"_id": <id>}}`` followed by the document line,
+one pair per row.
+
+``spark.read/write.format("bulk_ndjson")``: each task writes its
+partition as one ``part-<id>.ndjson`` file of framed pairs — exactly
+what a downstream bulk-load into ES (or any keyed store) consumes. The
+commit protocol is Spark's: tasks report written files, the job-level
+commit keeps them (abort leaves partials to be ignored by the marker
+file convention).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Iterator
+
+from pyspark.sql import Row, SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+
+
+class BulkWriteCommit(WriterCommitMessage):
+    def __init__(self, file_path: str, n_rows: int):
+        self.file_path = file_path
+        self.n_rows = n_rows
+
+
+class BulkNdjsonWriter(DataSourceWriter):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.id_col = options.get("id_col", "id")
+
+    def write(self, rows: Iterator[Row]) -> BulkWriteCommit:
+        os.makedirs(self.path, exist_ok=True)
+        fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.ndjson")
+        n = 0
+        with open(fname + ".inprogress", "w", encoding="utf-8") as f:
+            for row in rows:
+                doc = row.asDict(recursive=True)
+                doc_id = doc.get(self.id_col)
+                f.write(json.dumps({"index": {"_id": doc_id}}) + "\n")
+                f.write(json.dumps(doc, ensure_ascii=False, default=str) + "\n")
+                n += 1
+        os.rename(fname + ".inprogress", fname)
+        return BulkWriteCommit(fname, n)
+
+    def commit(self, messages) -> None:
+        # task outputs are already atomically renamed; record a manifest
+        manifest = {
+            "files": [m.file_path for m in messages if m is not None],
+            "rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.file_path):
+                os.remove(m.file_path)
+
+
+class BulkNdjsonDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "bulk_ndjson"
+
+    def writer(self, schema, overwrite: bool) -> BulkNdjsonWriter:
+        return BulkNdjsonWriter(self.options)
+
+
+def register(spark: SparkSession) -> None:
+    spark.dataSource.register(BulkNdjsonDataSource)

@@ -152,6 +152,39 @@ def test_parquet_partitioned_sink_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
 
 
+def test_bulk_ndjson_writer_frames_pairs(spark, sf_dir, tmp_path):
+    """write.format('bulk_ndjson'): the reference's _bulk framing —
+    action line with _id, then the document, per row."""
+    import glob
+    import json as _json
+
+    from data_analyse_marche_emploi_spark.sources import bulk_sink
+
+    bulk_sink.register(spark)
+    out = str(tmp_path / "bulk")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), "c_name", "c_mktsegment"
+    )
+    c.write.format("bulk_ndjson").option("path", out).mode("append").save()
+
+    files = glob.glob(os.path.join(out, "part-*.ndjson"))
+    assert files
+    lines = []
+    for fp in files:
+        with open(fp, encoding="utf-8") as f:
+            lines += [l for l in f.read().splitlines() if l]
+    assert len(lines) == 2 * c.count()
+    ids = set()
+    for action, doc in zip(lines[::2], lines[1::2]):
+        a = _json.loads(action)
+        d = _json.loads(doc)
+        assert a["index"]["_id"] == d["id"]
+        ids.add(d["id"])
+    assert ids == {r.id for r in c.select("id").collect()}
+    manifest = _json.loads(open(os.path.join(out, "_MANIFEST.json")).read())
+    assert manifest["rows"] == c.count()
+
+
 # ---------------------------------------------------------------------------
 # bucketing
 # ---------------------------------------------------------------------------
