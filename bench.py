@@ -45,11 +45,17 @@ HEADLINE = [
 ]
 
 
-def run_query(spark, name: str, sf_dir: str) -> float:
-    t0 = time.perf_counter()
-    df = catalog.QUERIES[name](spark, sf_dir)
-    df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+def run_query(spark, name: str, sf_dir: str, repeats: int = 2) -> float:
+    """min of ``repeats`` runs — strips scheduler/GC noise (and the
+    per-plan-shape codegen cost on the first run) so round-over-round
+    comparisons track real regressions, not variance."""
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        df = catalog.QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> None:
