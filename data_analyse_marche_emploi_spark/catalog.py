@@ -958,6 +958,39 @@ def text_lang_id(spark, sf_dir):
     return lang_id(d, "text", "doc_id")
 
 
+def _fr_stopword_sql_list() -> str:
+    from .operators.text_analysis import STOPWORDS_FR
+
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in STOPWORDS_FR)
+
+
+@register(
+    "text_fr_nlp_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '),
+                       t -> NOT list_contains([{_fr_stopword_sql_list()}], t))
+             AS toks,
+           len(list_filter(string_split(lower(text), ' '),
+                           t -> NOT list_contains([{_fr_stopword_sql_list()}], t)))
+             AS n_content_tokens
+    FROM documents
+    """,
+)
+def text_fr_nlp_tokens(spark, sf_dir):
+    """The reference's planned NLP stage (README.md:10): tokenize the
+    cleaned text and drop French stopwords — tokenize +
+    StopWordsRemover(fr) as pure Column expressions (JVM-side, no ML
+    model object to ship)."""
+    from .operators.text_analysis import remove_stopwords_fr, tokens
+
+    d = _docs(spark, sf_dir)
+    content = remove_stopwords_fr(tokens(F.col("text")))
+    return d.select(
+        "doc_id", content.alias("toks"), F.size(content).alias("n_content_tokens")
+    )
+
+
 @register(
     "text_fingerprint",
     oracle="""

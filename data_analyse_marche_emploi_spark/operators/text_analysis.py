@@ -26,6 +26,28 @@ LANG_WORDS: dict[str, list[str]] = {
 
 STOPWORDS_EN = ["the", "of", "and", "a", "to", "in", "is"]
 
+# Compact French stopword list for the reference's planned NLP stage
+# (README.md:10 — analysis of intitule/description). Owned by the
+# engine so the DuckDB oracle can embed the identical list; extend
+# freely (both sides read this constant).
+STOPWORDS_FR = [
+    "au", "aux", "avec", "ce", "ces", "dans", "de", "des", "du", "elle",
+    "en", "et", "eux", "il", "ils", "je", "la", "le", "les", "leur",
+    "lui", "ma", "mais", "me", "même", "mes", "moi", "mon", "ne", "nos",
+    "notre", "nous", "on", "ou", "où", "par", "pas", "pour", "qu", "que",
+    "qui", "sa", "se", "ses", "son", "sur", "ta", "te", "tes", "toi",
+    "ton", "tu", "un", "une", "vos", "votre", "vous", "à", "d", "l",
+    "s", "est", "sont", "être", "avoir",
+]
+
+
+def remove_stopwords_fr(tokens_col: Column) -> Column:
+    """Drop French stopwords from a token array (the engine-owned
+    equivalent of Spark ML's StopWordsRemover(french), kept as a pure
+    Column expression so it stays JVM-side and oracle-checkable)."""
+    stop = F.array(*[F.lit(w) for w in STOPWORDS_FR])
+    return F.filter(tokens_col, lambda t: ~F.array_contains(stop, t))
+
 
 def tokens(col: Column) -> Column:
     """Whitespace tokenization of lowercased text."""
