@@ -1,23 +1,25 @@
 """Skew mitigation: salting for hot keys (SURVEY.md §7 scale stance).
 
 A 100 TB corpus has hot keys — one ROME code covering a third of all
-offers, one user generating most events. A plain ``groupBy(key)`` or
-``join(key)`` routes every hot-key row through a single reducer task;
-AQE's skew-join split helps joins but not aggregations with
-high-cardinality accumulations.
+offers, one user generating most events. Know what Spark already
+solves before salting (measured on a 50%-hot-key table,
+docs/SCALING.md):
 
-Two standard remedies, engine-owned:
+* algebraic aggregates (count/sum/min/max): map-side partial
+  aggregation collapses the hot key to one row per task *before* the
+  shuffle — plain ``groupBy`` beat the salted rewrite 3× in our
+  measurement. Don't salt these.
+* ``countDistinct``: Spark plans an Expand + two-phase aggregate;
+  the explicit distinct-then-count rewrite was only ~15% faster.
+* big-big skewed joins: AQE's skew-join split (on in session.py) is
+  the first line.
 
-* **salted aggregation** — two-stage: aggregate on (key, salt) first
-  (fans the hot key across ``n_salts`` tasks), then combine partials by
-  key. Works for any algebraic aggregate (sum/count/min/max —
-  anything with a merge function).
-* **salted broadcast-side join** — replicate the small side per salt,
-  salt the big side, join on (key, salt). For big-big skewed joins,
-  AQE's ``skewJoin`` split (enabled in session.py) is the first line.
-
-Results are exactly those of the unsalted operator — verified against
-the DuckDB oracle like every other op.
+Salting earns its keep where none of that applies: per-key state that
+cannot partial-merge (``collect_list``, large window frames over a hot
+key), and joins whose skewed side feeds a non-splittable stage. The
+operators below implement both patterns; their results are exactly the
+unsalted answers — verified against the DuckDB oracle like every other
+op.
 """
 
 from __future__ import annotations
