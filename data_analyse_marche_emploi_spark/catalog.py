@@ -1200,8 +1200,9 @@ def ann_lsh_q(spark, sf_dir):
     q = e.filter(F.col("vec_id") % 50 == 0)
     # 6 signature bits ≈ 64 buckets — sized to the fixture corpus so each
     # bucket holds candidates; at corpus scale raise bits to keep bucket
-    # occupancy bounded (bits ≈ log2(N / target_bucket_size)).
-    return ann_lsh(e, q, "embedding", "vec_id", k=5, bits=6)
+    # occupancy bounded (bits ≈ log2(N / target_bucket_size)). 4 hash
+    # tables OR-amplify recall (≈1−(1−p⁶)⁴ per neighbor).
+    return ann_lsh(e, q, "embedding", "vec_id", k=5, bits=6, n_tables=4)
 
 
 # ---------------------------------------------------------------------------

@@ -46,14 +46,17 @@ def knn_brute_force(
     )
 
 
-def _hyperplane_sig_expr(vec_col: str, bits: int) -> str:
+def _hyperplane_sig_expr(vec_col: str, bits: int, table: int = 0) -> str:
     """Deterministic pseudo-random hyperplane signature: plane b's
-    component for dimension d is xxhash64(b * 4096 + d) scaled to
-    [-1, 1]; the signature bit is the sign of the dot product. Data-
-    independent and reproducible — no fitted model to ship."""
+    component for dimension d is xxhash64(table * 2^20 + b * 4096 + d)
+    scaled to [-1, 1]; the signature bit is the sign of the dot
+    product. Data-independent and reproducible — no fitted model to
+    ship; ``table`` offsets the hash stream so each LSH table draws an
+    independent plane family."""
+    off = table * (1 << 20)
     plane_dot = (
         f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
-        "(x, d) -> CAST(x AS DOUBLE) * (CAST(xxhash64(b * 4096 + d) % 1000001 AS DOUBLE) / 1000000.0)), "
+        f"(x, d) -> CAST(x AS DOUBLE) * (CAST(xxhash64({off} + b * 4096 + d) % 1000001 AS DOUBLE) / 1000000.0)), "
         "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
     return (
@@ -127,24 +130,50 @@ def ann_lsh(
     id_col: str,
     k: int = 10,
     bits: int = 12,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane (SimHash-for-cosine) bucket
-    join. Vectors and queries hash to a ``bits``-bit signature; only
-    same-bucket candidates pay the exact cosine; per-query top-k over
-    candidates. Recall < 1 by construction (single probe, no
-    multi-table OR-amplification) — the tested contract is
-    "every reported neighbor is a true neighbor of its query and ranks
-    consistently", verified against knn_brute_force in tests."""
-    sig = _hyperplane_sig_expr(vec_col, bits)
-    v = vectors.select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), F.expr(sig).alias("bucket")
+    join. Vectors and queries hash to a ``bits``-bit signature per
+    table; only same-(table, bucket) candidates pay the exact cosine;
+    per-query top-k over the distinct candidate union.
+
+    ``n_tables`` is the OR-amplification knob: recall ≈
+    1 − (1 − p^bits)^n_tables for per-plane agreement p, so more tables
+    buy recall linearly in signature cost while candidate generation
+    stays an equi-join (shuffle key = (table, bucket)). The tested
+    contract: every reported neighbor is a true neighbor with its exact
+    brute-force cosine, ranks consistent; recall vs knn_brute_force is
+    asserted to improve with n_tables in tests."""
+    tables = list(range(n_tables))
+
+    def sig_rows(df: DataFrame, idc: str, vc: str, id_alias: str, b_alias: str) -> DataFrame:
+        sigs = [
+            F.struct(
+                F.lit(t).alias("tbl"),
+                F.expr(_hyperplane_sig_expr(vc, bits, table=t)).alias("sig"),
+            )
+            for t in tables
+        ]
+        return df.select(
+            F.col(idc).alias(id_alias),
+            F.col(vc).alias(f"{id_alias}_v"),
+            F.explode(F.array(*sigs)).alias("tb"),
+        ).select(id_alias, f"{id_alias}_v", F.col("tb.tbl").alias(f"{b_alias}_tbl"),
+                 F.col("tb.sig").alias(b_alias))
+
+    v = sig_rows(vectors, id_col, vec_col, "nid", "bucket")
+    q = sig_rows(queries, id_col, vec_col, "qid", "qbucket")
+    cand = (
+        v.join(
+            F.broadcast(q),
+            (F.col("bucket_tbl") == F.col("qbucket_tbl"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("qid") != F.col("nid")),
+        )
+        .select("qid", "nid", F.col("qid_v").alias("qv"), F.col("nid_v").alias("nv"))
+        .distinct()
+        .withColumn("cos6", F.floor(cosine_expr("qv", "nv") * 1e6).cast("long"))
     )
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")).withColumn(
-        "qbucket", F.expr(_hyperplane_sig_expr("qv", bits))
-    )
-    cand = v.join(
-        F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col("qid") != F.col("nid"))
-    ).withColumn("cos6", F.floor(cosine_expr("qv", "nv") * 1e6).cast("long"))
     w = Window.partitionBy("qid").orderBy(F.desc("cos6"), F.asc("nid"))
     return (
         cand.withColumn("rank", F.row_number().over(w))

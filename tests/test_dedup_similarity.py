@@ -46,6 +46,38 @@ def test_minhash_lsh_vs_exact(docs):
     assert high <= set(lsh), f"missed high-similarity pairs: {high - set(lsh)}"
 
 
+def test_ann_lsh_recall_improves_with_tables(emb):
+    """OR-amplification: 4 hash tables must recover at least as many
+    true top-5 neighbors as 1 table, and strictly help on this corpus."""
+    from pyspark.sql import functions as F
+
+    from data_analyse_marche_emploi_spark.operators.similarity import (
+        ann_lsh,
+        knn_brute_force,
+    )
+
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    truth = {
+        (r.qid, r.nid) for r in knn_brute_force(emb, q, "embedding", "vec_id", k=5).collect()
+    }
+
+    def recall(n_tables):
+        got = {
+            (r.qid, r.nid)
+            for r in ann_lsh(
+                emb, q, "embedding", "vec_id", k=5, bits=4, n_tables=n_tables
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    # On this near-random synthetic corpus per-plane agreement p ≈ 0.6
+    # for true neighbors → per-table hit ≈ p⁴ ≈ 0.13; four tables
+    # OR-amplify to ≈ 0.43. Assert the direction and a loose floor.
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1
+    assert r4 > 0.25
+
+
 def test_connected_components_chain_clique_singleton(spark):
     """Hand-built graph: a 4-chain (diameter > 1 forces multiple
     propagation rounds), a triangle, and an isolated node."""
