@@ -317,16 +317,16 @@ def connected_components(
             .groupBy(F.col("b").alias("id"))
             .agg(F.min("comp").alias("ncomp"))
         )
-        new_labels = (
-            labels.join(neighbor, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias(
-                    "comp"
-                ),
-            )
-            .persist()
+        new_labels = labels.join(neighbor, "id", "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias(
+                "comp"
+            ),
         )
+        # Break lineage each round: without this, iteration i's plan
+        # contains all i-1 previous joins (classic iterative-algorithm
+        # plan blowup; at scale use reliable checkpoint instead).
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -338,6 +338,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    sym.unpersist()
     return labels
 
 
