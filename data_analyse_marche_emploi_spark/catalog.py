@@ -1548,6 +1548,49 @@ def order_limit(spark, sf_dir):
 
 
 @register(
+    "sort_global",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 300000 ORDER BY o_totalprice DESC, o_orderkey
+    """,
+)
+def sort_global(spark, sf_dir):
+    """Full global ORDER BY (no limit): planned as a range-partitioned
+    exchange (sampled split points) + per-partition sort — the
+    distributed total order, vs TakeOrderedAndProject for top-k."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_totalprice") > 300000)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+
+
+@register(
+    "join_hint_shuffle_hash",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS cnt
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def join_hint_shuffle_hash(spark, sf_dir):
+    """Join-strategy hint surface: force a shuffled hash join (build
+    the smaller side's hash table per partition — beats sort-merge when
+    one side is much smaller but too big to broadcast; skips both
+    sorts)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority").hint(
+        "shuffle_hash"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
     "agg_stats",
     oracle="""
     SELECT l_returnflag,

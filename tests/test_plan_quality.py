@@ -70,6 +70,20 @@ def test_similarity_paths_have_no_cartesian(spark, sf_dir, name):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_global_sort_is_range_partitioned(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sort_global")
+    assert "rangepartitioning" in plan
+
+
+def test_shuffle_hash_hint_respected(spark, sf_dir):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, sf_dir, "join_hint_shuffle_hash")
+        assert "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_ivf_candidate_join_is_hashed(spark, sf_dir):
     """ann_ivf's only unconditioned product is corpus × the (constant,
     broadcast) centroid set — linear in corpus size. The candidate join
