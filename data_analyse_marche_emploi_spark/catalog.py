@@ -1145,9 +1145,14 @@ def dedup_simhash_pairs(spark, sf_dir):
 @register(
     "dedup_embedding_cosine",
     oracle="""
+    -- CAST to DOUBLE[]: DuckDB computes list_cosine_similarity on
+    -- FLOAT[] in float32 (≈3e-8 error — flips threshold comparisons);
+    -- on DOUBLE[] it is the exact sequential double fold the Spark
+    -- side computes.
     SELECT a.vec_id AS i, b.vec_id AS j
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
@@ -1169,8 +1174,12 @@ def dedup_embedding_cosine(spark, sf_dir):
     oracle="""
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
     scored AS (
+      -- DOUBLE[] cast: float32 accumulation on FLOAT[] shifts cos6
+      -- buckets (caught by the sf0.1 differential run)
       SELECT q.vec_id AS qid, v.vec_id AS nid,
-             CAST(floor(list_cosine_similarity(q.embedding, v.embedding) * 1e6) AS BIGINT) AS cos6
+             CAST(floor(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(v.embedding AS DOUBLE[])) * 1e6)
+                  AS BIGINT) AS cos6
       FROM embeddings v JOIN q ON q.vec_id <> v.vec_id
     )
     SELECT qid, nid, rank, cos6 FROM (
