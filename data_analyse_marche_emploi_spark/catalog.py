@@ -1009,6 +1009,28 @@ def text_fingerprint(spark, sf_dir):
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+@register(
+    "text_fingerprint_rolling",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(lower(text), ' '),
+                 t -> CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT))),
+             (acc, h) -> (acc * 131 + h) % 2147483647) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint_rolling(spark, sf_dir):
+    """Order-sensitive rolling-hash fingerprint (Rabin-Karp fold over
+    md5-derived 32-bit token values) — the sequential complement to the
+    set-based fingerprint."""
+    from .operators.text_analysis import fingerprint_rolling
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", fingerprint_rolling("text").alias("fp"))
+
+
 # ---------------------------------------------------------------------------
 # North-star extensions: deduplication (documents table)
 # ---------------------------------------------------------------------------

@@ -154,3 +154,26 @@ def fingerprint(col: Column) -> Column:
     set — the canonical near-canonicalization fingerprint (token-order
     and repetition insensitive)."""
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
+
+
+# Rolling-hash parameters: Mersenne-prime modulus keeps the fold inside
+# signed-64 under ANSI (acc < 2^31, acc*131 + 2^32 < 2^39).
+ROLLING_BASE = 131
+ROLLING_MOD = 2_147_483_647  # 2^31 - 1
+
+
+def fingerprint_rolling(col_name: str) -> Column:
+    """Order-sensitive rolling-hash fingerprint (Rabin-Karp style) over
+    the token stream: each token maps to a 32-bit value via its md5
+    prefix (portable across engines — no shared native string hash
+    exists), folded as ``acc·base + h mod p``. Distinguishes
+    permutations the set-based :func:`fingerprint` deliberately
+    ignores; the building block for shift-tolerant chunk fingerprints.
+    Takes the column *name* (the fold is a single SQL expression).
+    """
+    return F.expr(
+        "aggregate("
+        f"  transform(split(lower({col_name}), ' '),"
+        "            t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)),"
+        f"  0L, (acc, h) -> (acc * {ROLLING_BASE} + h) % {ROLLING_MOD})"
+    )
