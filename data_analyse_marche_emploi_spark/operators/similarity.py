@@ -25,22 +25,74 @@ def knn_brute_force(
     vec_col: str,
     id_col: str,
     k: int = 10,
+    preselect_margin: int = 30,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    Cross-join queries × corpus → cosine → per-query window top-k.
-    Cosine is bucketed to 1e-6 (floor) before ranking with an id
-    tiebreak, making the result set fully deterministic and
-    engine-portable. Queries are broadcast (assumed small)."""
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-    v = vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
-    scored = (
-        v.join(F.broadcast(q), F.col("qid") != F.col("nid"))
+    Two stages, both exact in the result:
+
+    1. **Preselect** — the query matrix (small, broadcast as numpy)
+       does one BLAS matmul per Arrow batch of corpus rows; each task
+       emits its per-query best ``k + preselect_margin`` candidates.
+       fp64-matmul scores differ from the final fold by ~1e-15
+       relative, so the true top-k always survives a 30-deep margin.
+    2. **Rescore** — survivors (≪ corpus) get the sequential-fold
+       cosine (`cosine_expr`, the engine-portable definition), floor-
+       bucketed to 1e-6 with id tiebreak, window top-k.
+
+    Result identical to the full cross-join formulation at ~1/100th of
+    the interpreted-fold work. Queries are assumed small (broadcast).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    q_rows = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")).collect()
+    q_ids = np.array([r.qid for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.qv for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    b_qids = spark.sparkContext.broadcast(q_ids)
+    b_qmat = spark.sparkContext.broadcast(q_mat)
+    depth = k + preselect_margin
+
+    def preselect(it):
+        qids, qmat = b_qids.value, b_qmat.value
+        for pdf in it:
+            m = np.array(list(pdf["nv"]), dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            sims = qmat @ m.T  # (nq, batch)
+            nids = pdf["nid"].to_numpy()
+            out_q, out_n = [], []
+            for qi in range(sims.shape[0]):
+                row = sims[qi]
+                mask = nids != qids[qi]
+                cand_idx = np.argsort(-row)[: depth + 1]
+                for ci in cand_idx:
+                    if mask[ci]:
+                        out_q.append(qids[qi])
+                        out_n.append(nids[ci])
+            yield pd.DataFrame({"qid": out_q, "nid": out_n})
+
+    n_part = spark.sparkContext.defaultParallelism
+    v = vectors.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")
+    ).repartition(n_part)
+    cand = v.mapInPandas(preselect, "qid long, nid long")
+    # per-task candidates → global per-query top-depth is a superset of
+    # the true top-k; rescore exactly and rank
+    rescored = (
+        cand.join(v, "nid")
+        .join(
+            F.broadcast(
+                queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+            ),
+            "qid",
+        )
         .withColumn("cos6", F.floor(cosine_expr("qv", "nv") * 1e6).cast("long"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos6"), F.asc("nid"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        rescored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", "cos6")
     )
