@@ -1840,6 +1840,92 @@ def ann_ivf_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Capstone: the LLM training-data preparation pipeline end-to-end
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_training_data",
+    oracle=r"""
+    WITH RECURSIVE
+    cleaned AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(lower(text), '[,*-.:;«»✔➡¿\\"·?!()/]', ' ', 'g'),
+                     '&nbsp', ' ', 'g'),
+                   '\r', ' ', 'g'),
+                 '[ \t\n\x0B\f\r\x{00A0}]', ' ', 'g'),
+               '[ \t\n\x0B\f\r\x{00A0}]+', ' ', 'g')) AS text
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens
+      FROM cleaned
+      WHERE len(string_split(text, ' ')) >= 20
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+                    ELSE list_transform(
+                      generate_series(1, len(string_split(text, ' ')) - 2),
+                      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')) END))
+               AS shingle
+      FROM quality
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT i, j FROM pairs
+      JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+      WHERE common / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.5
+    ),
+    sym AS (SELECT i AS a, j AS b FROM edges UNION SELECT j, i FROM edges),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM quality
+      UNION
+      SELECT s.b, reach.lab FROM reach JOIN sym s ON reach.node = s.a
+    ),
+    comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1)
+    SELECT q.doc_id, q.n_tokens, c.cluster_id
+    FROM quality q JOIN comp c ON q.doc_id = c.doc_id
+    WHERE q.doc_id = c.cluster_id
+    """,
+)
+def pipeline_training_data(spark, sf_dir):
+    """The LLM training-data prep pipeline end-to-end, composed from
+    this engine's verified operators: Logstash-exact text cleaning →
+    token-count quality gate (≥ 20) → exact-Jaccard near-dup clustering
+    (connected components) → keep one canonical document per cluster.
+    Each stage is the operator the catalog checks in isolation; this
+    entry checks their composition. At 100 TB the near-dup stage swaps
+    the exact-Jaccard candidate generator for the MinHash-LSH path —
+    same clustering, linear candidate generation."""
+    from .functions.text import clean_text_chain
+    from .operators.dedup import dedup_clusters, ngram_jaccard_pairs
+    from .operators.text_analysis import token_count
+
+    d = _docs(spark, sf_dir)
+    cleaned = d.select("doc_id", clean_text_chain(F.col("text")).alias("text"))
+    quality = cleaned.withColumn("n_tokens", token_count(F.col("text"))).filter(
+        F.col("n_tokens") >= 20
+    )
+    pairs = ngram_jaccard_pairs(quality, "text", "doc_id", n=3, threshold=0.5)
+    clusters = dedup_clusters(quality, pairs, "doc_id")
+    return (
+        quality.join(clusters, "doc_id")
+        .filter(F.col("is_canonical"))
+        .select("doc_id", "n_tokens", "cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.F streaming / incremental (events table as the live-feed stand-in).
 # Each entry runs a real Structured Streaming query drained with
 # Trigger.AvailableNow into a memory sink, so the result is a plain
