@@ -2305,6 +2305,31 @@ def src_rest_paged_dsv2(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_audio",
+    oracle="""
+    SELECT doc_id,
+           greatest(1, octet_length(encode(text)) // 2048) AS n_windows,
+           round(octet_length(encode(text)) / 2048.0, 6) AS duration_proxy,
+           'fake-audio-v0' AS decoder
+    FROM documents
+    """,
+)
+def multimodal_audio(spark, sf_dir):
+    """Audio feature-extraction plumbing (stub decoder): windowed
+    payload summary via mapInPandas; the oracle checks the
+    deterministic window/duration metadata (band energies are covered
+    by the operator's unit test)."""
+    from .operators.multimodal import attach_media, extract_audio_features
+
+    d = _docs(spark, sf_dir)
+    feats = extract_audio_features(attach_media(d, "text", "doc_id"))
+    return feats.select(
+        "doc_id", "n_windows",
+        F.round("duration_proxy", 6).alias("duration_proxy"), "decoder",
+    )
+
+
 @register("multimodal_features")  # stubbed decoder → rows-only check
 def multimodal_features(spark, sf_dir):
     """Arrow-batched mapInPandas decode/feature-extract plumbing over

@@ -118,6 +118,48 @@ def sample_frames(media_df: DataFrame, every_n_bytes: int = 1024,
     return media_df.mapInPandas(batches, FRAME_SCHEMA)
 
 
+AUDIO_SCHEMA = (
+    "doc_id long, n_windows int, duration_proxy double, band_energy array<double>, "
+    "decoder string"
+)
+
+
+def extract_audio_features(media_df: DataFrame, window_bytes: int = 2048,
+                           n_bands: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """Audio feature plumbing over mapInPandas: payload → windowed
+    "spectrogram" summary (window count, duration proxy, per-band
+    energies). Decoding is a STUB (no torchaudio/librosa here — band
+    energies are deterministic byte-slice means standing in for FFT
+    bins); the schema, fixed-length feature vector, and Arrow batch
+    shape are the tested contract."""
+
+    def features(payload: bytes | None) -> tuple[int, float, list[float]]:
+        if not payload:
+            return 0, 0.0, [0.0] * n_bands
+        n_windows = max(1, len(payload) // window_bytes)
+        step = max(1, len(payload) // n_bands)
+        bands = [
+            (sum(payload[i * step:(i + 1) * step]) / max(1, len(payload[i * step:(i + 1) * step])))
+            for i in range(n_bands)
+        ]
+        return n_windows, len(payload) / window_bytes, bands
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [features(p) for p in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_windows": [r[0] for r in rows],
+                    "duration_proxy": [r[1] for r in rows],
+                    "band_energy": [r[2] for r in rows],
+                    "decoder": "fake-audio-v0",
+                }
+            )
+
+    return media_df.mapInPandas(batches, AUDIO_SCHEMA)
+
+
 def extract_features(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Decode + featurize each media payload via mapInPandas: Arrow batches
     in, feature rows out. One Python worker per partition, zero
