@@ -290,19 +290,57 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Cluster near-duplicate pairs into components: every node gets
     ``comp`` = the minimum node id reachable through the edge set (the
     canonical representative — keep one row per comp to dedupe).
+    ``nodes``: column ``id``; ``edges``: columns ``i``, ``j``.
 
-    Iterative min-label propagation: each round joins labels across
-    edges (both directions) and keeps the per-node minimum, until a
-    fixpoint or ``max_iter``. Rounds needed = graph diameter; near-dup
-    graphs are shallow (dup clusters are cliques or short chains), so
-    a handful of shuffles total. ``nodes``: column ``id``; ``edges``:
-    columns ``i``, ``j``.
+    Two execution paths, chosen by edge count:
+
+    * **driver union-find** (≤ ``driver_threshold`` edges): the dup
+      graph is the *output* of near-dup detection — usually minuscule
+      next to the corpus. Union-find on the driver + a broadcast
+      mapping join beats iterative propagation by ~10× here (each
+      Spark iteration costs seconds of fixed latency regardless of
+      how few labels change).
+    * **iterative min-label propagation** (above threshold): rounds of
+      label joins across edges until fixpoint or ``max_iter``; rounds
+      needed = graph diameter (shallow for dup clusters). The
+      unbounded-scale path.
     """
+    spark = nodes.sparkSession
+    # Materialize once: the edge set is typically the output of an
+    # expensive similarity join, and this function consumes it with
+    # multiple actions (count + collect / iterative joins).
+    edges = edges.persist()
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edges.select("i", "j").collect():
+            ri, rj = find(r.i), find(r.j)
+            if ri != rj:
+                # union by min id so the root IS the canonical min
+                lo, hi = (ri, rj) if ri < rj else (rj, ri)
+                parent[hi] = lo
+        mapping = [(x, find(x)) for x in list(parent)]
+        if not mapping:
+            return nodes.select(F.col("id"), F.col("id").alias("comp"))
+        map_df = spark.createDataFrame(mapping, "id long, __root long")
+        return nodes.join(F.broadcast(map_df), "id", "left").select(
+            "id", F.coalesce(F.col("__root"), F.col("id")).alias("comp")
+        )
     sym = (
         edges.select(F.col("i").alias("a"), F.col("j").alias("b"))
         .unionByName(edges.select(F.col("j").alias("a"), F.col("i").alias("b")))

@@ -89,8 +89,16 @@ def test_connected_components_chain_clique_singleton(spark):
          (5, 6), (6, 7), (5, 7)],         # triangle 5-6-7; node 8 isolated
         "i long, j long",
     )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8}
+    # driver union-find path (small edge set)
     got = {r.id: r.comp for r in connected_components(nodes, edges).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8}
+    assert got == want
+    # distributed min-label-propagation path (forced)
+    got_iter = {
+        r.id: r.comp
+        for r in connected_components(nodes, edges, driver_threshold=0).collect()
+    }
+    assert got_iter == want
 
 
 def test_simhash_invariances(spark):
