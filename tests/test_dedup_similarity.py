@@ -46,6 +46,39 @@ def test_minhash_lsh_vs_exact(docs):
     assert high <= set(lsh), f"missed high-similarity pairs: {high - set(lsh)}"
 
 
+def test_ngram_jaccard_max_df_prunes_stop_shingles(spark):
+    """Stop-shingle pruning: docs whose only overlap is a ubiquitous
+    shingle lose that pair under max_df; genuinely-similar docs keep
+    theirs (sizes are computed post-pruning, so Jaccard stays
+    consistent within the pruned shingle space)."""
+    from data_analyse_marche_emploi_spark.operators.dedup import ngram_jaccard_pairs
+
+    stop = "the quick brown"  # shingle appearing in every doc
+    docs = spark.createDataFrame(
+        [
+            (1, f"{stop} alpha beta gamma delta"),
+            (2, f"{stop} alpha beta gamma delta"),   # true near-dup of 1
+            (3, f"{stop} epsilon zeta eta theta"),
+            (4, f"{stop} iota kappa lambda mu"),
+        ],
+        "doc_id long, text string",
+    )
+    unpruned = {
+        (r.i, r.j)
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.1).collect()
+    }
+    pruned = {
+        (r.i, r.j)
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.1, max_df=3
+        ).collect()
+    }
+    # every doc pair shares the stop shingles → all 6 pairs unpruned
+    assert unpruned == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    # with the ubiquitous shingles dropped, only the true dup remains
+    assert pruned == {(1, 2)}
+
+
 def test_ann_lsh_recall_improves_with_tables(emb):
     """OR-amplification: 4 hash tables must recover at least as many
     true top-5 neighbors as 1 table, and strictly help on this corpus."""
