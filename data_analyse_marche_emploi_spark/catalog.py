@@ -532,6 +532,68 @@ def str_split_parse(spark, sf_dir):
 
 
 @register(
+    "json_map_explode",
+    oracle="""
+    SELECT event_id, 'k' AS key,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS value
+    FROM events
+    """,
+)
+def json_map_explode(spark, sf_dir):
+    """JSON object → map → exploded (key, value) rows: the generic
+    schema-free form of json_parse (reference: dynamic ES mapping —
+    documents with arbitrary keys). from_json(map<string,long>) +
+    explode, all JVM-side."""
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return e.select("event_id", F.explode(m).alias("key", "value"))
+
+
+@register(
+    "regex_extract_groups",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '^([a-z]+) ([a-z]+)', 1) AS w1,
+           regexp_extract(text, '^([a-z]+) ([a-z]+)', 2) AS w2
+    FROM documents
+    """,
+)
+def regex_extract_groups(spark, sf_dir):
+    """Capture-group extraction (the structured complement of the gsub
+    chain) — first two words of each document."""
+    d = _docs(spark, sf_dir)
+    pat = "^([a-z]+) ([a-z]+)"
+    return d.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), pat, 1).alias("w1"),
+        F.regexp_extract(F.col("text"), pat, 2).alias("w2"),
+    )
+
+
+@register(
+    "emb_norms",
+    oracle="""
+    SELECT vec_id,
+           sqrt(list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+             (a, b) -> a + b)) AS l2_norm
+    FROM embeddings
+    """,
+)
+def emb_norms(spark, sf_dir):
+    """Higher-order array arithmetic: per-vector L2 norm via a
+    sequential double fold (transform + aggregate) — the deterministic
+    building block the cosine operators share."""
+    e = _t(spark, sf_dir, "embeddings")
+    norm = F.expr(
+        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (a, b) -> a + b))"
+    )
+    return e.select("vec_id", norm.alias("l2_norm"))
+
+
+@register(
     "date_fmt_fr",
     oracle="""
     SELECT o_orderkey, strftime(o_orderdate, '%d/%m/%Y %H:%M:%S') AS date_fr
