@@ -65,7 +65,7 @@ def _docs(spark, sf_dir):
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket,
            o_orderstatus,
            count(*) AS cnt,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
     FROM orders
     GROUP BY 1, 2
     """,
@@ -91,7 +91,7 @@ def flagship_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket,
            o_orderstatus,
            count(*) AS cnt,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
     FROM orders
     GROUP BY 1, 2
     """,
@@ -107,7 +107,7 @@ def sql_api_flagship(spark, sf_dir):
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket,
                o_orderstatus,
                count(*) AS cnt,
-               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
         FROM orders
         GROUP BY 1, 2
     """)
@@ -319,10 +319,10 @@ def agg_approx_distinct(spark, sf_dir):
     "agg_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
            count(*) AS count_order,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 6) AS avg_qty
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY 1, 2
@@ -371,7 +371,7 @@ def join_dim_containment(spark, sf_dir):
     "join_enrich",
     oracle="""
     SELECT r_name, count(*) AS cnt,
-           sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -740,10 +740,10 @@ def window_topk_per_group(spark, sf_dir):
     "window_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS running_total
+           ) AS DOUBLE), 2) AS running_total
     FROM orders
     """,
 )
@@ -760,7 +760,9 @@ def window_running_sum(spark, sf_dir):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast(AGG.MONEY)).over(w).alias("running_total"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast(AGG.MONEY)).over(w).cast("double"), 2
+        ).alias("running_total"),
     )
 
 
@@ -806,16 +808,22 @@ def window_analytics(spark, sf_dir):
     "sessionize",
     oracle="""
     SELECT event_id, user_id,
-           SUM(new_session) OVER (
+           CAST(SUM(new_session) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS session_seq
+           ) AS BIGINT) AS session_seq
     FROM (
       SELECT event_id, user_id, ts,
              CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     OR date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM (
+        -- TIMESTAMP(NANOS) parquet: truncate to micros so LAG adjacency
+        -- (tie order) matches Spark, which reads nanos and floor-divides
+        -- to micros (tables.load_table). No-op when DuckDB already reads
+        -- the column as micros TIMESTAMP.
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      )
     )
     """,
 )
@@ -886,7 +894,7 @@ def set_except(spark, sf_dir):
     SELECT l_returnflag, l_linestatus,
            2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS gid,
            count(*) AS cnt,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -924,9 +932,9 @@ def agg_cube(spark, sf_dir):
     "pivot_status",
     oracle="""
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket,
-           sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS "F",
-           sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS "O",
-           sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS "P"
+           round(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS "F",
+           round(CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS "O",
+           round(CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS "P"
     FROM orders GROUP BY 1
     """,
 )
@@ -936,7 +944,7 @@ def pivot_status(spark, sf_dir):
     return (
         o.groupBy(F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("bucket"))
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.sum(F.col("o_totalprice").cast(AGG.MONEY)))
+        .agg(F.round(F.sum(F.col("o_totalprice").cast(AGG.MONEY)).cast("double"), 2))
     )
 
 
@@ -950,7 +958,7 @@ def pivot_status(spark, sf_dir):
     oracle="""
     SELECT o_orderpriority,
            count(*) AS cnt,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1
     """,
@@ -1068,9 +1076,10 @@ def _fr_stopword_sql_list() -> str:
     "text_fr_nlp_tokens",
     oracle=f"""
     SELECT doc_id,
-           list_filter(string_split(lower(text), ' '),
-                       t -> NOT list_contains([{_fr_stopword_sql_list()}], t))
-             AS toks,
+           array_to_string(
+             list_filter(string_split(lower(text), ' '),
+                         t -> NOT list_contains([{_fr_stopword_sql_list()}], t)),
+             ' ') AS toks,
            len(list_filter(string_split(lower(text), ' '),
                            t -> NOT list_contains([{_fr_stopword_sql_list()}], t)))
              AS n_content_tokens
@@ -1086,8 +1095,13 @@ def text_fr_nlp_tokens(spark, sf_dir):
 
     d = _docs(spark, sf_dir)
     content = remove_stopwords_fr(tokens(F.col("text")))
+    # Scalar output contract: the driver's canonicalizer hashes cells, so
+    # the token array is emitted space-joined (array<string> is unhashable
+    # there); n_content_tokens preserves the token-count signal.
     return d.select(
-        "doc_id", content.alias("toks"), F.size(content).alias("n_content_tokens")
+        "doc_id",
+        F.array_join(content, " ").alias("toks"),
+        F.size(content).alias("n_content_tokens"),
     )
 
 
@@ -1367,7 +1381,7 @@ def multimodal_meta(spark, sf_dir):
     "salted_groupby",
     oracle="""
     SELECT o_custkey, count(*) AS cnt,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
     FROM orders GROUP BY 1
     """,
 )
@@ -1380,7 +1394,7 @@ def salted_groupby(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return salted_agg_count_sum(
         o, "o_custkey", F.col("o_totalprice").cast(AGG.MONEY), n_salts=16
-    )
+    ).withColumn("total", F.round(F.col("total").cast("double"), 2))
 
 
 @register(
@@ -1412,8 +1426,8 @@ def salted_join(spark, sf_dir):
     "q_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue,
            o_orderdate
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -1444,7 +1458,7 @@ def q_shipping_priority(spark, sf_dir):
         c.join(o, c["c_custkey"] == o["o_custkey"])
         .join(li, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(rev).alias("revenue"))
+        .agg(AGG.exact_sum(rev, "revenue", 4))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -1455,8 +1469,8 @@ def q_shipping_priority(spark, sf_dir):
     "q_local_supplier_volume",
     oracle="""
     SELECT n_name,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -1490,7 +1504,7 @@ def q_local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("n_name")
-        .agg(F.sum(rev).alias("revenue"))
+        .agg(AGG.exact_sum(rev, "revenue", 4))
     )
 
 
@@ -1498,8 +1512,8 @@ def q_local_supplier_volume(spark, sf_dir):
     "q_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue,
            n_name
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -1528,7 +1542,7 @@ def q_returned_items(spark, sf_dir):
         .join(li, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(rev).alias("revenue"))
+        .agg(AGG.exact_sum(rev, "revenue", 4))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -1568,7 +1582,7 @@ def q_order_priority_exists(spark, sf_dir):
 @register(
     "q_small_quantity_revenue",
     oracle="""
-    SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue, count(*) AS cnt
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue, count(*) AS cnt
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#13'
@@ -1640,8 +1654,8 @@ def q_promo_revenue_share(spark, sf_dir):
     oracle="""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            year(l_shipdate) AS l_year,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS volume
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS volume
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -1679,7 +1693,7 @@ def q_nation_volume(spark, sf_dir):
             & (F.col("supp_nation") != F.col("cust_nation"))
         )
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(rev).alias("volume"))
+        .agg(AGG.exact_sum(rev, "volume", 4))
     )
 
 
@@ -1874,10 +1888,19 @@ def agg_quantiles(spark, sf_dir):
 def agg_approx_quantiles(spark, sf_dir):
     """approx_percentile — the sketch-based scale path for quantiles."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr(
-            "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)"
-        ).alias("approx_q")
+    q = F.expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+    # Scalar columns, not array<double>: rows-only today, but keeps the
+    # entry canonicalizer-safe if it ever gains a value check. One sketch
+    # per group (agg once, index after the aggregate barrier).
+    return (
+        li.groupBy("l_returnflag")
+        .agg(q.alias("approx_q"))
+        .select(
+            "l_returnflag",
+            F.col("approx_q")[0].alias("approx_p25"),
+            F.col("approx_q")[1].alias("approx_p50"),
+            F.col("approx_q")[2].alias("approx_p75"),
+        )
     )
 
 

@@ -25,13 +25,30 @@ MONEY = "decimal(18,2)"
 
 
 def money_sum(col: Column, alias: str) -> Column:
-    return F.sum(col.cast(MONEY)).alias(alias)
+    """Exact DECIMAL(18,2) accumulation (order-independent under partial
+    aggregation), emitted as round(double, 2): the sum is an exact
+    multiple of 0.01, so rounding to the accumulator's own scale snaps
+    both engines to the identical double even where one engine's
+    decimal→double cast is off by an ulp. DECIMAL output itself is not
+    portable across result canonicalizers (Decimal vs pandas)."""
+    return F.round(F.sum(col.cast(MONEY)).cast("double"), 2).alias(alias)
+
+
+def exact_sum(dec_col: Column, alias: str, scale: int) -> Column:
+    """Sum an already-exact decimal expression (e.g. price*(1-discount),
+    scale 4) and emit round(double, scale) — same portability contract
+    as money_sum for non-2-scale accumulators."""
+    return F.round(F.sum(dec_col).cast("double"), scale).alias(alias)
 
 
 def money_avg(col: Column, alias: str) -> Column:
     """Deterministic average: exact decimal sum → double, divided by the
-    exact count (IEEE division is order-free)."""
-    return (F.sum(col.cast(MONEY)).cast("double") / F.count(col)).alias(alias)
+    exact count (IEEE division is order-free). round(6) because the
+    quotient is not a finite decimal; both engines round the same
+    correctly-rounded-division result."""
+    return F.round(
+        F.sum(col.cast(MONEY)).cast("double") / F.count(col), 6
+    ).alias(alias)
 
 
 def agg_count_total(df: DataFrame) -> DataFrame:

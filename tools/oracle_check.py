@@ -25,21 +25,54 @@ from data_analyse_marche_emploi_spark.session import get_spark  # noqa: E402
 from data_analyse_marche_emploi_spark.tables import TABLES  # noqa: E402
 
 
+class NonScalarCell(Exception):
+    """A list/array/struct output cell — the driver's pandas-based
+    canonicalizer (sort_values → factorize) crashes on these
+    (`unhashable type: 'list'`), so the local gate must fail them too."""
+
+
 def _norm(v):
-    """Normalize a cell for cross-engine comparison (mirrors a
-    str()-style value hash)."""
+    """Normalize a cell the way the driver's pandas canonicalizer sees it.
+
+    Deliberately STRICTER than a str() hash:
+    - decimal.Decimal never equals a float: Spark DECIMAL outputs and
+      DuckDB's decimal→float64 pandas conversion hash-diverge in the
+      driver, so they must diverge here (policy: emit round(double, k)).
+    - list/tuple/ndarray/dict cells raise (driver crashes on them).
+    - int-valued floats normalize to int: DuckDB's SUM(int)→HUGEINT
+      reaches pandas as float64 while Spark emits int64; Python hashes
+      equal numerics equally, so mirror that.
+    """
+    import numpy as np
+
+    if v is None:
+        return None
+    import pandas as pd
+
+    if v is pd.NaT:
+        return None
     if isinstance(v, decimal.Decimal):
-        return str(v)
+        return ("decimal", str(v))
+    if isinstance(v, (list, tuple, dict, np.ndarray)):
+        raise NonScalarCell(f"non-scalar cell {type(v).__name__}: {str(v)[:60]}")
+    if isinstance(v, np.floating):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if v.is_integer() and abs(v) < 2**53:
+            return int(v)
         return repr(v)
+    if isinstance(v, np.integer):
+        return int(v)
     if isinstance(v, datetime.datetime):
+        # midnight timestamps ≡ dates: engines disagree on DATE vs
+        # midnight-TIMESTAMP rendering of date_trunc/CAST AS DATE.
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
         return v.isoformat()
     if isinstance(v, datetime.date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
     return v
 
 
@@ -59,13 +92,18 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def check_query(spark, con, name: str, sf_dir: str) -> tuple[bool, str]:
     sdf = catalog.QUERIES[name](spark, sf_dir)
-    srows = sdf.collect()
-    scols = sdf.columns
+    # Pandas on BOTH sides, like the driver: this is where DuckDB
+    # DECIMAL→float64 and HUGEINT→float64 conversions happen, and where
+    # array cells become unhashable — collect()/fetchall() would hide
+    # exactly the divergences the driver trips on.
+    spdf = sdf.toPandas()
+    srows = list(spdf.itertuples(index=False, name=None))
+    scols = list(spdf.columns)
     if name not in catalog.ORACLES:
         return (len(srows) >= 0, f"rows-only: {len(srows)} rows")
-    res = con.execute(catalog.ORACLES[name])
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
+    odf = con.execute(catalog.ORACLES[name]).df()
+    ocols = list(odf.columns)
+    orows = list(odf.itertuples(index=False, name=None))
     if sorted(scols) != sorted(c.lower() for c in ocols) and sorted(
         c.lower() for c in scols
     ) != sorted(c.lower() for c in ocols):
