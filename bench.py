@@ -42,6 +42,7 @@ HEADLINE = [
     "text_tf_idf",
     "dedup_minhash_lsh",
     "knn_brute_force",
+    "pipeline_training_data",
 ]
 
 

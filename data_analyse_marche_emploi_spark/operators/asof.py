@@ -41,23 +41,34 @@ def asof_join(
     """
     if direction != "backward":
         raise ValueError("only backward as-of is implemented")
+    from pyspark.sql.types import StructField, StructType
+
     lcols = left.columns
-    tagged_l = left.withColumn("__side", F.lit(1)).select(
-        *lcols, "__side", *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols]
+    # Carry ONE struct per right row, not per-column lasts: the struct is
+    # non-null for every right row even when its members are NULL, so a
+    # NULL in the newest matching right row stays NULL instead of
+    # resurrecting a stale value — and all attached fields always come
+    # from the SAME right row (per-column ignorenulls lasts can mix
+    # fields across different right rows).
+    rstruct = StructType(
+        [StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
+    tagged_l = (
+        left.withColumn("__side", F.lit(1))
+        .withColumn("__r", F.lit(None).cast(rstruct))
+        .select(*lcols, "__side", "__r")
     )
     tagged_r = right.select(
         F.col(key),
         F.col(ts),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
     )
     # Align schemas: right side gets NULL for left-only columns.
     for c in lcols:
         if c not in (key, ts):
             tagged_r = tagged_r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    tagged_r = tagged_r.select(
-        *lcols, "__side", *[F.col(f"__r_{c}") for c in right_cols]
-    )
+    tagged_r = tagged_r.select(*lcols, "__side", "__r")
     u = tagged_l.unionByName(tagged_r)
     # Right rows sort before left rows at equal ts, so ties match.
     w = (
@@ -66,14 +77,11 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
-        *lcols,
-        "__side",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(c)
-            for c in right_cols
-        ],
+        *lcols, "__side", F.last(F.col("__r"), ignorenulls=True).over(w).alias("__r")
     )
-    return carried.filter(F.col("__side") == 1).drop("__side")
+    return carried.filter(F.col("__side") == 1).select(
+        *lcols, *[F.col("__r")[c].alias(c) for c in right_cols]
+    )
 
 
 def range_join_pairs(

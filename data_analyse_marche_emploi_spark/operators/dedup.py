@@ -337,7 +337,17 @@ def connected_components(
         mapping = [(x, find(x)) for x in list(parent)]
         if not mapping:
             return nodes.select(F.col("id"), F.col("id").alias("comp"))
-        map_df = spark.createDataFrame(mapping, "id long, __root long")
+        from pyspark.sql.types import StructField, StructType
+
+        # Schema follows the node id's actual type (string doc ids,
+        # ints, …) — a hardcoded "id long" would break non-long keys.
+        id_type = nodes.schema["id"].dataType
+        map_df = spark.createDataFrame(
+            mapping,
+            StructType(
+                [StructField("id", id_type), StructField("__root", id_type)]
+            ),
+        )
         return nodes.join(F.broadcast(map_df), "id", "left").select(
             "id", F.coalesce(F.col("__root"), F.col("id")).alias("comp")
         )
@@ -416,7 +426,13 @@ def cosine_expr(a: str, b: str) -> F.Column:
     return dot / (na * nb)
 
 
-def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str, threshold: float) -> DataFrame:
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    max_rows: int = 100_000,
+) -> DataFrame:
     """Exact near-dup pairs by embedding cosine ≥ threshold — the
     all-pairs verifier for the LSH/IVF paths in operators.similarity
     (which are what run at 100 TB; this op is for bounded samples).
@@ -435,7 +451,17 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str, threshold: 
     rows = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v")).repartition(
         n_part
     )
-    mat_rows = rows.collect()  # bounded-sample verifier: corpus must fit the driver
+    # Bounded-sample verifier: the corpus matrix must fit the driver.
+    # head(max_rows+1) doubles as the guard AND the collect — no extra
+    # count action, and an oversized table can never be silently pulled.
+    mat_rows = rows.head(max_rows + 1)
+    if len(mat_rows) > max_rows:
+        raise ValueError(
+            f"embedding_cosine_pairs is the bounded all-pairs verifier "
+            f"(> {max_rows} rows collected to the driver); use the scale "
+            f"paths operators.similarity.ann_lsh / ann_ivf instead, or "
+            f"raise max_rows explicitly for a bigger sample"
+        )
     ids = np.array([r.i for r in mat_rows], dtype=np.int64)
     m = np.array([r.v for r in mat_rows], dtype=np.float64)
     m /= np.linalg.norm(m, axis=1, keepdims=True)

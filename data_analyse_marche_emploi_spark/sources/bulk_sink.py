@@ -37,13 +37,20 @@ class BulkNdjsonWriter(DataSourceWriter):
         os.makedirs(self.path, exist_ok=True)
         fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.ndjson")
         n = 0
-        with open(fname + ".inprogress", "w", encoding="utf-8") as f:
-            for row in rows:
-                doc = row.asDict(recursive=True)
-                doc_id = doc.get(self.id_col)
-                f.write(json.dumps({"index": {"_id": doc_id}}) + "\n")
-                f.write(json.dumps(doc, ensure_ascii=False, default=str) + "\n")
-                n += 1
+        try:
+            with open(fname + ".inprogress", "w", encoding="utf-8") as f:
+                for row in rows:
+                    doc = row.asDict(recursive=True)
+                    doc_id = doc.get(self.id_col)
+                    f.write(json.dumps({"index": {"_id": doc_id}}) + "\n")
+                    f.write(json.dumps(doc, ensure_ascii=False, default=str) + "\n")
+                    n += 1
+        except BaseException:
+            # a failed task must not leave its partial behind — the
+            # retry writes a fresh uuid, so this file is garbage forever
+            if os.path.exists(fname + ".inprogress"):
+                os.remove(fname + ".inprogress")
+            raise
         os.rename(fname + ".inprogress", fname)
         return BulkWriteCommit(fname, n)
 
@@ -57,9 +64,18 @@ class BulkNdjsonWriter(DataSourceWriter):
             json.dump(manifest, f)
 
     def abort(self, messages) -> None:
+        # Remove files from tasks that reported success…
         for m in messages:
             if m is not None and os.path.exists(m.file_path):
                 os.remove(m.file_path)
+        # …and any renamed-but-unreported orphans or in-flight partials
+        # from tasks that died between rename and report. Only files
+        # listed in _MANIFEST.json are valid output, so unmanifested
+        # leftovers are always safe to delete here.
+        import glob
+
+        for leftover in glob.glob(os.path.join(self.path, "*.inprogress")):
+            os.remove(leftover)
 
 
 class BulkNdjsonDataSource(DataSource):

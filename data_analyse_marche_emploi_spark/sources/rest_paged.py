@@ -50,17 +50,57 @@ class TokenPool:
 
     ``authenticate`` is injectable like the page transport; the pool
     itself is picklable, so distributed fetch tasks can draw tokens.
+
+    ``ttl_seconds`` bounds token age: a token older than the TTL is
+    re-authenticated on the next draw (the reference re-auths per run;
+    long-lived distributed scans outlive a single OAuth expiry).
+    Rotation starts at the Spark partition id inside tasks, so the N
+    copies of a pickled pool don't all hammer credential 0 first —
+    deterministic under task retries, uniform across the fleet.
     """
 
     def __init__(self, credentials: list[tuple[str, str]],
-                 authenticate: Callable[[str, str], str]):
+                 authenticate: Callable[[str, str], str],
+                 ttl_seconds: float | None = None):
+        self.credentials = list(credentials)
+        self.authenticate = authenticate
+        self.ttl = ttl_seconds
         self.tokens = [authenticate(cid, secret) for cid, secret in credentials]
-        self._next = 0
+        self.issued = [time.time()] * len(self.tokens)
+        self._next: int | None = 0
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_next"] = None  # task-side copies re-seed from partition id
+        return state
+
+    def _start_index(self) -> int:
+        try:
+            from pyspark import TaskContext
+
+            tc = TaskContext.get()
+            return tc.partitionId() if tc is not None else 0
+        except Exception:
+            return 0
 
     def get(self) -> str:
-        tok = self.tokens[self._next % len(self.tokens)]
+        if self._next is None:
+            self._next = self._start_index()
+        i = self._next % len(self.tokens)
         self._next += 1
-        return tok
+        if self.ttl is not None and time.time() - self.issued[i] > self.ttl:
+            cid, secret = self.credentials[i]
+            self.tokens[i] = self.authenticate(cid, secret)
+            self.issued[i] = time.time()
+        return self.tokens[i]
+
+    def mark_expired(self, token: str) -> None:
+        """Force re-auth of a token the server just 401'd."""
+        for i, tok in enumerate(self.tokens):
+            if tok == token:
+                cid, secret = self.credentials[i]
+                self.tokens[i] = self.authenticate(cid, secret)
+                self.issued[i] = time.time()
 
 
 def read_referentiel(

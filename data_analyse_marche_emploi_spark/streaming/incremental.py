@@ -82,8 +82,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_dedup_by_id(events: DataFrame, watermark: str = "2 days") -> DataFrame:
     """Streaming keyed upsert (reference: `_id`-keyed bulk index,
     ingestion-elasticsearch.py:36-55): first-writer-wins dedup on
-    ``event_id`` with a watermark bounding the dedup state."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    ``event_id``.
+
+    ``dropDuplicatesWithinWatermark``, not ``dropDuplicates``: with a
+    key set that excludes the event-time column, plain dropDuplicates
+    keeps every key in state FOREVER (the watermark only filters late
+    input) — an unbounded state store on an unbounded stream. The
+    WithinWatermark variant evicts each key once the watermark passes
+    its first occurrence, bounding state to the watermark horizon while
+    guaranteeing dedup for duplicates that arrive within it."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def stream_tumbling_counts(events: DataFrame, size: str = "1 day",

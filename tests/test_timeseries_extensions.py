@@ -76,6 +76,57 @@ def test_asof_join_random_with_ties_matches_naive(spark):
             assert got_ts == want_ts, (lid, got[lid])
 
 
+def test_asof_join_null_right_columns_not_resurrected(spark):
+    """A NULL column in the newest matching right row must stay NULL —
+    not be back-filled from an older right row — and every attached
+    column must come from that same right row (per-column ignorenulls
+    carries can mix fields across rows). Differential oracle: DuckDB's
+    native ASOF LEFT JOIN on the same data."""
+    import duckdb
+
+    left_rows = [(1, 100, "l0"), (1, 200, "l1"), (1, 300, "l2"), (2, 150, "l3"),
+                 (3, 10, "l4")]
+    right_rows = [
+        (1, 50, "p1", 10.0),
+        (1, 150, None, 20.0),   # newest for l1: price NULL must stay NULL
+        (1, 250, "p3", None),   # newest for l2: qty NULL must stay NULL
+        (2, 100, None, None),   # matched row entirely NULL-valued
+    ]
+    left = (
+        spark.createDataFrame(left_rows, "k int, sec long, lv string")
+        .withColumn("ts", F.col("sec").cast("timestamp")).drop("sec")
+    )
+    right = (
+        spark.createDataFrame(right_rows, "k int, sec long, price string, qty double")
+        .withColumn("ts", F.col("sec").cast("timestamp")).drop("sec")
+    )
+    got = {
+        r.lv: (r.price, r.qty)
+        for r in asof_join(left, right, "k", "ts", ["price", "qty"]).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE L(k INT, ts TIMESTAMP, lv VARCHAR)")
+    con.execute("CREATE TABLE R(k INT, ts TIMESTAMP, price VARCHAR, qty DOUBLE)")
+    con.executemany(
+        "INSERT INTO L VALUES (?, make_timestamp(? * 1000000), ?)", left_rows
+    )
+    con.executemany(
+        "INSERT INTO R VALUES (?, make_timestamp(? * 1000000), ?, ?)", right_rows
+    )
+    want = {
+        lv: (price, qty)
+        for lv, price, qty in con.execute(
+            "SELECT l.lv, r.price, r.qty FROM L l "
+            "ASOF LEFT JOIN R r ON l.k = r.k AND l.ts >= r.ts"
+        ).fetchall()
+    }
+    assert got == want
+    # the regression pins the exact cells the buggy carry resurrected
+    assert got["l1"] == (None, 20.0)
+    assert got["l2"] == ("p3", None)
+    assert got["l4"] == (None, None)  # no matching right row at all
+
+
 def test_range_join_matches_theta_join(spark, sf_dir):
     """Bucketed range join ≡ the naive theta-join on the same predicate."""
     e = load_table(spark, sf_dir, "events")
