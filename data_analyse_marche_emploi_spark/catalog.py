@@ -2514,7 +2514,31 @@ def multimodal_audio(spark, sf_dir):
     )
 
 
-@register("multimodal_features")  # stubbed decoder → rows-only check
+@register(
+    "multimodal_wav_roundtrip",
+    oracle="""
+    SELECT doc_id, 1 AS n_channels, 8000 AS sample_rate, 8 AS bits,
+           octet_length(encode(text)) AS n_samples,
+           round(octet_length(encode(text)) / 8000.0, 6) AS duration_s,
+           'wav-pcm8-v1' AS decoder
+    FROM documents
+    """,
+)
+def multimodal_wav_roundtrip(spark, sf_dir):
+    """REAL audio decode, driver-checkable: frame each document's UTF-8
+    bytes as a valid mono PCM8 WAV (mapInPandas synth), parse it back
+    with the dependency-free RIFF decoder (media_codecs.decode_wav —
+    chunk walk, fmt/data parse, sample decode), and check the decoded
+    container metadata against its arithmetic ground truth
+    (n_samples = octet_length(text), duration = n/8000 s)."""
+    from .operators.multimodal import extract_wav_meta, synth_wav
+
+    d = _docs(spark, sf_dir)
+    meta = extract_wav_meta(synth_wav(d, "text", "doc_id", sample_rate=8000))
+    return meta.withColumn("duration_s", F.round("duration_s", 6))
+
+
+@register("multimodal_features")  # decoder dispatch (wav/ppm real, else stub)
 def multimodal_features(spark, sf_dir):
     """Arrow-batched mapInPandas decode/feature-extract plumbing over
     binary payloads (decoder stubbed — no codecs in this environment)."""
@@ -2587,7 +2611,7 @@ _DRIVER_WINDOW = [
     "q_returned_items",
     "q_promo_revenue_share",
     "src_rest_paged",
-    "multimodal_meta",
+    "multimodal_wav_roundtrip",
 ]
 
 

@@ -3,11 +3,14 @@ image/audio/video payloads as opaque ``binary`` columns with a typed
 metadata struct, plus decode / feature-extraction plumbing as
 Arrow-batched Pandas operations over ``mapInPandas``.
 
-The decode step itself is a STUB — this container has no image/audio
-codecs — but everything Spark-side is real and tested: the schema, the
-binary column handling, the ``mapInPandas`` batch iteration, the output
-schema contract, and the partition-preserving shape. Swapping the fake
-decoder for PIL/ffmpeg is a one-function change inside the UDF.
+Decoding is REAL for WAV (RIFF PCM parse + sample decode) and PPM/PGM
+(netpbm parse + exact nearest-neighbor resize) via the dependency-free
+``operators.media_codecs``; payloads in any other format fall back to a
+deterministic fake decoder (this container has no PIL/ffmpeg — swapping
+the fallback for a codec library is a one-function change inside the
+UDF). Everything Spark-side is real and tested either way: the schema,
+the binary column handling, the ``mapInPandas`` batch iteration, the
+output schema contract, and the partition-preserving shape.
 
 Scale notes: binary payloads ride the columnar Parquet path (no
 base64); ``mapInPandas`` streams Arrow record batches so peak memory is
@@ -46,17 +49,46 @@ def attach_media(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _fake_decode(payload: bytes) -> dict:
-    """Deterministic stand-in for a real decoder (PIL.Image.open /
-    torchaudio.load / cv2.VideoCapture frame sampling). Real decoders
-    are NOT installed in this environment; the plumbing around this
-    function is the tested artifact."""
+    """Deterministic stand-in for formats we can't parse natively
+    (no PIL/ffmpeg in this environment). WAV and PPM payloads never
+    reach this — ``_decode`` routes them to the real parsers."""
     if payload is None or len(payload) == 0:
-        return {"n_bytes": 0, "fake_mean": 0.0, "fake_first": -1}
+        return {"n_bytes": 0, "fake_mean": 0.0, "fake_first": -1, "decoder": "fake-v0"}
     return {
         "n_bytes": len(payload),
         "fake_mean": sum(payload[:64]) / min(len(payload), 64),
         "fake_first": payload[0],
+        "decoder": "fake-v0",
     }
+
+
+def _decode(payload: bytes) -> dict:
+    """Format-dispatched decode: real RIFF/PCM parse for WAV, real
+    netpbm parse for PPM/PGM, deterministic fake for anything else.
+    ``fake_mean`` carries the real signal statistic where decode is
+    real (mean |amplitude| for audio, mean pixel value for images)."""
+    from . import media_codecs as MC
+
+    kind = MC.sniff_format(payload)
+    if kind == "wav":
+        w = MC.decode_wav(payload)
+        import numpy as np
+
+        return {
+            "n_bytes": len(payload),
+            "fake_mean": float(np.abs(w["samples"]).mean()) if w["n_samples"] else 0.0,
+            "fake_first": w["n_samples"],
+            "decoder": f"wav-pcm{w['bits']}-v1",
+        }
+    if kind == "ppm":
+        p = MC.decode_ppm(payload)
+        return {
+            "n_bytes": len(payload),
+            "fake_mean": float(p["pixels"].mean()),
+            "fake_first": p["width"] * p["height"],
+            "decoder": "ppm-v1",
+        }
+    return _fake_decode(payload)
 
 
 RESIZE_SCHEMA = "doc_id long, width int, height int, n_bytes long, decoder string"
@@ -65,26 +97,33 @@ FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes binary, decoder string"
 
 def resize_images(media_df: DataFrame, width: int = 224, height: int = 224,
                   id_col: str = "doc_id") -> DataFrame:
-    """Image resize plumbing over mapInPandas. The resample itself is a
-    STUB (no PIL/cv2 in this environment — a real impl replaces the
-    body of ``fake_resize`` with ``PIL.Image.open(io.BytesIO(b))
-    .resize((w, h))``); the Spark-side contract — binary in, fixed
-    (width, height, bytes) out, Arrow batching, zero shuffle — is real
-    and tested."""
+    """Image resize over mapInPandas. PPM/PGM payloads get a REAL
+    nearest-neighbor resample (media_codecs.resize_nearest — exact
+    integer index math, PIL-NEAREST pixel-center convention) and report
+    the true re-encoded byte size; other formats fall back to a
+    deterministic size stub (no PIL/cv2 here). Spark-side contract —
+    binary in, fixed (width, height, bytes) out, Arrow batching, zero
+    shuffle — identical on both paths."""
+    from . import media_codecs as MC
 
-    def fake_resize(b: bytes | None) -> int:
-        # deterministic stand-in for the resampled byte size
-        return 0 if not b else min(len(b), width * height * 3)
+    def one(b: bytes | None) -> tuple[int, str]:
+        if not b:
+            return 0, "fake-resize-v0"
+        if MC.sniff_format(b) == "ppm":
+            resized = MC.resize_nearest(MC.decode_ppm(b)["pixels"], width, height)
+            return len(MC.encode_ppm(resized)), "ppm-nn-v1"
+        return min(len(b), width * height * 3), "fake-resize-v0"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            sized = [one(b) for b in pdf["media"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "width": width,
                     "height": height,
-                    "n_bytes": pdf["media"].map(fake_resize),
-                    "decoder": "fake-resize-v0",
+                    "n_bytes": [n for n, _ in sized],
+                    "decoder": [d for _, d in sized],
                 }
             )
 
@@ -126,23 +165,30 @@ AUDIO_SCHEMA = (
 
 def extract_audio_features(media_df: DataFrame, window_bytes: int = 2048,
                            n_bands: int = 4, id_col: str = "doc_id") -> DataFrame:
-    """Audio feature plumbing over mapInPandas: payload → windowed
-    "spectrogram" summary (window count, duration proxy, per-band
-    energies). Decoding is a STUB (no torchaudio/librosa here — band
-    energies are deterministic byte-slice means standing in for FFT
-    bins); the schema, fixed-length feature vector, and Arrow batch
-    shape are the tested contract."""
+    """Audio features over mapInPandas: payload → windowed summary
+    (window count, duration, per-band energies). WAV payloads are
+    REALLY decoded (RIFF parse → PCM samples → time-sliced mean
+    |amplitude| per band, true duration in seconds); other formats use
+    a deterministic byte-slice stub (no torchaudio/librosa here). The
+    schema, fixed-length feature vector, and Arrow batch shape are
+    identical on both paths."""
+    from . import media_codecs as MC
 
-    def features(payload: bytes | None) -> tuple[int, float, list[float]]:
+    def features(payload: bytes | None) -> tuple[int, float, list[float], str]:
         if not payload:
-            return 0, 0.0, [0.0] * n_bands
+            return 0, 0.0, [0.0] * n_bands, "fake-audio-v0"
+        if MC.sniff_format(payload) == "wav":
+            w = MC.decode_wav(payload)
+            n_windows = max(1, w["n_samples"] // window_bytes)
+            bands = MC.wav_band_energies(w["samples"], n_bands)
+            return n_windows, w["duration_s"], bands, f"wav-pcm{w['bits']}-v1"
         n_windows = max(1, len(payload) // window_bytes)
         step = max(1, len(payload) // n_bands)
         bands = [
             (sum(payload[i * step:(i + 1) * step]) / max(1, len(payload[i * step:(i + 1) * step])))
             for i in range(n_bands)
         ]
-        return n_windows, len(payload) / window_bytes, bands
+        return n_windows, len(payload) / window_bytes, bands, "fake-audio-v0"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -153,28 +199,84 @@ def extract_audio_features(media_df: DataFrame, window_bytes: int = 2048,
                     "n_windows": [r[0] for r in rows],
                     "duration_proxy": [r[1] for r in rows],
                     "band_energy": [r[2] for r in rows],
-                    "decoder": "fake-audio-v0",
+                    "decoder": [r[3] for r in rows],
                 }
             )
 
     return media_df.mapInPandas(batches, AUDIO_SCHEMA)
 
 
-def extract_features(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Decode + featurize each media payload via mapInPandas: Arrow batches
-    in, feature rows out. One Python worker per partition, zero
-    shuffle."""
+WAV_META_SCHEMA = (
+    "doc_id long, n_channels int, sample_rate int, bits int, n_samples long, "
+    "duration_s double, decoder string"
+)
+
+
+def synth_wav(docs: DataFrame, text_col: str, id_col: str,
+              sample_rate: int = 8000) -> DataFrame:
+    """Manufacture REAL WAV payloads from the documents fixture: each
+    UTF-8 byte of the text becomes one unsigned 8-bit PCM sample in a
+    valid RIFF container. Deterministic, so decoded metadata has an
+    arithmetic ground truth (n_samples = octet_length(text))."""
+    from . import media_codecs as MC
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = pdf["media"].map(_fake_decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "media": [
+                        MC.encode_wav_pcm8(t.encode("utf-8"), sample_rate)
+                        for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        batches, "doc_id long, media binary"
+    )
+
+
+def extract_wav_meta(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Parse each WAV payload's container for real (RIFF chunk walk +
+    PCM decode — media_codecs.decode_wav) and emit the decoded
+    metadata. Raises on non-WAV payloads: this operator IS the decode
+    proof, silent fallback would defeat it."""
+    from . import media_codecs as MC
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws = [MC.decode_wav(b) for b in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_channels": [w["n_channels"] for w in ws],
+                    "sample_rate": [w["sample_rate"] for w in ws],
+                    "bits": [w["bits"] for w in ws],
+                    "n_samples": [w["n_samples"] for w in ws],
+                    "duration_s": [w["duration_s"] for w in ws],
+                    "decoder": [f"wav-pcm{w['bits']}-v1" for w in ws],
+                }
+            )
+
+    return media_df.mapInPandas(batches, WAV_META_SCHEMA)
+
+
+def extract_features(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode + featurize each media payload via mapInPandas: Arrow batches
+    in, feature rows out. One Python worker per partition, zero
+    shuffle. WAV/PPM payloads decode for real; see ``_decode``."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = pdf["media"].map(_decode)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "n_bytes": [f["n_bytes"] for f in feats],
                     "fake_mean": [f["fake_mean"] for f in feats],
                     "fake_first": [f["fake_first"] for f in feats],
-                    "decoder": "fake-v0",
+                    "decoder": [f["decoder"] for f in feats],
                 }
             )
 
