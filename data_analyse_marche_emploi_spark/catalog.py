@@ -662,15 +662,20 @@ def snk_run_metrics(spark, sf_dir):
     "pipeline_csv_tech",
     oracle=r"""
     SELECT doc_id, lang,
-           trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(text), '[,*-.:;«»✔➡¿\\"·?!()/]', ' ', 'g'),
+               '&nbsp', ' ', 'g'),
+             '[ \t\n\x0B\f\r]+', ' ', 'g') AS title,
+           regexp_replace(
              regexp_replace(
                regexp_replace(
                  regexp_replace(
-                   regexp_replace(lower(text), '[,*-.:;«»✔➡¿\\"·?!()/]', ' ', 'g'),
+                   regexp_replace(lower(text), '\r', ' ', 'g'),
                    '&nbsp', ' ', 'g'),
-                 '\r', ' ', 'g'),
+                 '[,*-.:;«»✔➡¿\\"·?!()/]', ' ', 'g'),
                '[ \t\n\x0B\f\r\x{00A0}]', ' ', 'g'),
-             '[ \t\n\x0B\f\r\x{00A0}]+', ' ', 'g')) AS text
+             '[ \t\n\x0B\f\r]+', ' ', 'g') AS body
     FROM documents
     WHERE lang IN ('fr', 'es')
     """,
@@ -678,11 +683,20 @@ def snk_run_metrics(spark, sf_dir):
 def pipeline_csv_tech_q(spark, sf_dir):
     """The csv-tech extract pipeline end-to-end (reference:
     csv-tech.conf:8-53): pushed-down terms filter (lang ≈ romeCode),
-    ordered mutate chain, sink-order projection."""
+    then each field's EXACT mutate chain — the intitule chain (:29-31,
+    as `title`) and the description chain (:34-39, as `body`) differ in
+    steps and order (no \r / Unicode-space steps for intitule, `&nbsp`
+    on opposite sides of the punctuation gsub, no trim on either)."""
     from .plans.pipelines import pipeline_csv_tech
 
-    d = _t(spark, sf_dir, "documents")
-    return pipeline_csv_tech(d, "doc_id", "lang", ["fr", "es"], ["text"])
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.col("text").alias("title"), F.col("text").alias("body"),
+    )
+    return pipeline_csv_tech(
+        d, "doc_id", "lang", ["fr", "es"],
+        title_cols=["title"], desc_cols=["body"],
+    )
 
 
 @register(

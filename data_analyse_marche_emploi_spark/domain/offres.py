@@ -107,8 +107,10 @@ def export_offres_csv_df(offres: DataFrame) -> DataFrame:
 
 def extract_tech(offres: DataFrame, codes: list[str] | None = None) -> DataFrame:
     """The csv-tech / csv-tech-data pipelines (csv-tech.conf:8-53) on
-    real offer fields: terms filter on romeCode, ordered mutate chain
-    over intitule + description, sink-ordered projection."""
+    real offer fields: terms filter on romeCode, then each field's
+    exact mutate chain — intitule's (:29-31) and description's
+    (:34-39) differ in steps and order — sink-ordered projection."""
     return pipeline_csv_tech(
-        offres, "id", "romeCode", codes or ROME_TECH, ["intitule", "description"]
+        offres, "id", "romeCode", codes or ROME_TECH,
+        title_cols=["intitule"], desc_cols=["description"],
     )

@@ -32,6 +32,11 @@ PUNCT_CLASS = r'[,*-.:;«»✔➡¿\\"·?!()/]'
 # explicitly (same syntax valid in Java regex and RE2/DuckDB).
 SPACE_CLASS = "[ \\t\\n\\x0B\\f\\r\\x{00A0}]"
 
+# Oniguruma's ``\s`` on the other hand is ASCII-only (no NBSP) — the
+# class Logstash's ``gsub => [..., '\s+', ' ']`` steps actually use.
+# Spelled out so Java/RE2/Python agree byte-for-byte.
+ASCII_SPACE_CLASS = "[ \\t\\n\\x0B\\f\\r]"
+
 
 def lower(col: Column) -> Column:
     """Lowercase (reference: csv-tech.conf:26-28)."""
@@ -62,6 +67,47 @@ def collapse_whitespace(col: Column) -> Column:
     """Collapse whitespace runs to one space; applied last
     (reference: csv-tech.conf:32,:39)."""
     return F.trim(F.regexp_replace(col, SPACE_CLASS + "+", " "))
+
+
+def collapse_ascii_space(col: Column) -> Column:
+    """Logstash's ``gsub => ['\\s+', ' ']`` exactly: collapse *ASCII*
+    whitespace runs to one space, no trim (gsub never trims), NBSP
+    untouched (Oniguruma ``\\s`` is ASCII-only)."""
+    return F.regexp_replace(col, ASCII_SPACE_CLASS + "+", " ")
+
+
+def clean_intitule_chain(col: Column) -> Column:
+    """The *intitule* field's exact mutate chain (csv-tech.conf:26-31,
+    csv-tech-data.conf — same shape):
+
+        lowercase → punctuation class → ``&nbsp`` → ``\\s+`` collapse
+
+    Field-exact fidelity notes vs :func:`clean_description_chain`:
+    no ``\\r`` strip step (``\\r`` still collapses via ``\\s+``), no
+    Unicode ``[[:space:]]`` step — so U+00A0 NBSP survives in intitule
+    output — and ``&nbsp`` is stripped *after* the punctuation class.
+    No trim: Logstash gsub never trims."""
+    c = lower(col)
+    c = strip_punctuation(c)
+    c = strip_nbsp(c)
+    return collapse_ascii_space(c)
+
+
+def clean_description_chain(col: Column) -> Column:
+    """The *description* field's exact mutate chain (csv-tech.conf:34-39):
+
+        lowercase → ``\\r`` → ``&nbsp`` → punctuation class
+        → ``[[:space:]]`` (Unicode: eats NBSP) → ``\\s+`` collapse
+
+    ``&nbsp`` is stripped *before* the punctuation class here (the
+    opposite order from intitule), and the Unicode space step converts
+    NBSP to plain space before the ASCII collapse. No trim."""
+    c = lower(col)
+    c = strip_carriage_returns(c)
+    c = strip_nbsp(c)
+    c = strip_punctuation(c)
+    c = strip_posix_space(c)
+    return collapse_ascii_space(c)
 
 
 def clean_text_chain(col: Column) -> Column:

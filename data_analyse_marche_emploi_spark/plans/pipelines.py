@@ -15,7 +15,11 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import clean_text_chain
+from ..functions.text import (
+    clean_description_chain,
+    clean_intitule_chain,
+    clean_text_chain,
+)
 
 
 def pipeline_csv_tech(
@@ -23,18 +27,28 @@ def pipeline_csv_tech(
     id_col: str,
     code_col: str,
     codes: Sequence[str],
-    text_cols: Sequence[str],
+    text_cols: Sequence[str] = (),
+    title_cols: Sequence[str] = (),
+    desc_cols: Sequence[str] = (),
 ) -> DataFrame:
     """csv-tech / csv-tech-data pipeline shape (reference:
     csv-tech.conf:8-53, csv-tech-data.conf:5-48): terms-filter on the
-    code, clean every text column through the ordered mutate chain,
-    project in sink order."""
+    code, clean each text column through its field-exact ordered mutate
+    chain, project in sink order.
+
+    The conf applies *different* gsub chains per field: ``title_cols``
+    get the intitule chain (csv-tech.conf:29-31 — no ``\\r`` step, no
+    Unicode-space step, ``&nbsp`` after punctuation), ``desc_cols`` the
+    description chain (:34-39). ``text_cols`` keeps the legacy unified
+    chain for callers that don't care about the field-order asterisk."""
     filt = docs.filter(
         F.col(code_col) == codes[0] if len(codes) == 1 else F.col(code_col).isin(*codes)
     )
     cleaned = filt.select(
         F.col(id_col),
         F.col(code_col),
+        *[clean_intitule_chain(F.col(c)).alias(c) for c in title_cols],
+        *[clean_description_chain(F.col(c)).alias(c) for c in desc_cols],
         *[clean_text_chain(F.col(c)).alias(c) for c in text_cols],
     )
     return cleaned

@@ -59,17 +59,30 @@ def _raw(spark):
     return spark.createDataFrame([(l,) for l in lines], "value string")
 
 
-# Independent re-implementation of the Logstash chain with Python's re
-# module (a third regex engine) — guards against silently porting a
-# Java-regex quirk into both the operator and its expectation.
-def py_clean(s: str) -> str:
+# Independent re-implementations of the two field-exact Logstash chains
+# with Python's re module (a third regex engine) — guards against
+# silently porting a Java-regex quirk into both the operator and its
+# expectation. Note: no trim (gsub never trims) and Oniguruma `\\s` is
+# ASCII-only, while `[[:space:]]` (description only) also eats NBSP.
+def py_clean_intitule(s: str) -> str:
+    """csv-tech.conf:26-31 — lowercase, punct, &nbsp, \\s+."""
     s = s.lower()
     s = re.sub(r'[,*-.:;«»✔➡¿\\"·?!()/]', " ", s)
     s = s.replace("&nbsp", " ")
+    s = re.sub("[ \t\n\x0b\f\r]+", " ", s)
+    return s
+
+
+def py_clean_description(s: str) -> str:
+    """csv-tech.conf:34-39 — lowercase, \\r, &nbsp, punct,
+    [[:space:]], \\s+."""
+    s = s.lower()
     s = s.replace("\r", " ")
-    s = re.sub("[ \t\n\x0b\f\r ]", " ", s)
-    s = re.sub("[ \t\n\x0b\f\r ]+", " ", s)
-    return s.strip()
+    s = s.replace("&nbsp", " ")
+    s = re.sub(r'[,*-.:;«»✔➡¿\\"·?!()/]', " ", s)
+    s = re.sub("[ \t\n\x0b\f\r\u00a0]", " ", s)
+    s = re.sub("[ \t\n\x0b\f\r]+", " ", s)
+    return s
 
 
 def test_parse_error_channel(spark):
@@ -158,7 +171,29 @@ def test_extract_tech_regex_chain_parity(spark):
         row = tech.get(o["id"]) if o["romeCode"] != "M1403" else data.get(o["id"])
         if row is None or o["id"] == "OFR-1":
             continue
-        assert row.intitule == py_clean(o["intitule"])
-        assert row.description == py_clean(o["description"])
-    assert data["OFR-2"].intitule == "data scientist m1403"
-    assert data["OFR-2"].description == "sql python spark — l'équipe t'attend vite"
+        assert row.intitule == py_clean_intitule(o["intitule"])
+        assert row.description == py_clean_description(o["description"])
+    # Field-exact = no trim: the stripped trailing `¿` / `*` leave one
+    # trailing space, exactly as the Logstash gsub chain would.
+    assert data["OFR-2"].intitule == "data scientist m1403 "
+    assert data["OFR-2"].description == "sql python spark — l'équipe t'attend vite "
+
+
+def test_field_exact_chains_nbsp_divergence(spark):
+    """The one observable difference between the two conf chains
+    (csv-tech.conf:29-31 vs :34-39): intitule has no Unicode
+    ``[[:space:]]`` step and Oniguruma ``\\s`` is ASCII-only, so NBSP
+    survives the intitule chain but not the description chain."""
+    from data_analyse_marche_emploi_spark.functions.text import (
+        clean_description_chain,
+        clean_intitule_chain,
+    )
+
+    s = "Chef\u00a0de projet&nbsp;SI !\r\n vite"
+    df = spark.createDataFrame([(s,)], "t string")
+    row = df.select(
+        clean_intitule_chain(F.col("t")).alias("i"),
+        clean_description_chain(F.col("t")).alias("d"),
+    ).first()
+    assert row.i == py_clean_intitule(s) and "\u00a0" in row.i
+    assert row.d == py_clean_description(s) and "\u00a0" not in row.d
