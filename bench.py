@@ -41,8 +41,11 @@ HEADLINE = [
     # training-data extensions
     "text_tf_idf",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "knn_brute_force",
     "pipeline_training_data",
+    # structured-streaming drain (availableNow → watermarked dedup)
+    "stream_dedup_upsert",
 ]
 
 

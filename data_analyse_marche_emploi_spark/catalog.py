@@ -1231,12 +1231,19 @@ def dedup_ngram_jaccard(spark, sf_dir):
     edges AS (
       SELECT i, j FROM (
         WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        sh AS (
+        sh0 AS (
           SELECT doc_id, unnest(list_distinct(
                    CASE WHEN len(toks) < 3 THEN []
                         ELSE list_transform(generate_series(1, len(toks) - 2),
                              i -> array_to_string(toks[i:i+2], ' ')) END)) AS shingle
           FROM d
+        ),
+        -- stop-shingle pruning (max_df=1000), mirroring the engine
+        sh AS (
+          SELECT * FROM sh0
+          WHERE shingle NOT IN (
+            SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) > 1000
+          )
         ),
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
         pairs AS (
@@ -1270,7 +1277,7 @@ def dedup_clusters_q(spark, sf_dir):
     from .operators.dedup import dedup_clusters, ngram_jaccard_pairs
 
     d = _docs(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5, max_df=1000)
     return dedup_clusters(d, pairs, "doc_id")
 
 
@@ -2302,8 +2309,11 @@ def stream_dedup_upsert(spark, sf_dir):
     doubled = S.read_events_stream(spark, sf_dir).unionByName(
         S.read_events_stream(spark, sf_dir)
     )
-    out = S.run_available_now(S.stream_dedup_by_id(doubled), "append")
-    return out.select("event_id", "user_id", "event_type")
+    # Project to the output columns BEFORE the sink: the memory sink is
+    # a driver-side collect, so width there is the cost that matters
+    # (ts must survive until dropDuplicatesWithinWatermark has run).
+    deduped = S.stream_dedup_by_id(doubled).select("event_id", "user_id", "event_type")
+    return S.run_available_now(deduped, "append")
 
 
 @register(
