@@ -2573,6 +2573,203 @@ def multimodal_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# North-star extensions: corpus curation (repetition / decontamination /
+# PII / mixture sampling) — the quality-gate stages of a training-data
+# pipeline, all pure DataFrame algebra with DuckDB oracles.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, len(toks) AS nt,
+             len(list_distinct(CASE WHEN len(toks) < 2 THEN []
+                  ELSE list_transform(generate_series(1, len(toks) - 1),
+                       i -> array_to_string(toks[i:i+1], ' ')) END)) AS d2,
+             unnest(toks) AS tok
+      FROM d
+    ),
+    c AS (SELECT doc_id, tok, count(*) AS c, any_value(nt) AS nt,
+                 any_value(d2) AS d2
+          FROM g GROUP BY 1, 2),
+    a AS (SELECT doc_id, any_value(nt) AS nt, any_value(d2) AS d2,
+                 count(*) AS n_distinct, max(c) AS top_count
+          FROM c GROUP BY 1)
+    SELECT doc_id, nt AS n_tokens,
+           n_distinct / CAST(nt AS DOUBLE) AS distinct_token_ratio,
+           top_count / CAST(nt AS DOUBLE) AS top_token_frac,
+           CASE WHEN nt > 1 THEN (nt - 1 - d2) / CAST(nt - 1 AS DOUBLE)
+                ELSE 0.0 END AS dup_2gram_frac
+    FROM a
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher/RefinedWeb repetition quality signals (distinct-token
+    ratio, top-token fraction, duplicate-2-gram fraction) — the classic
+    boilerplate/degenerate-text filter rules for corpus curation."""
+    from .operators.text_analysis import repetition_signals
+
+    d = _docs(spark, sf_dir)
+    return repetition_signals(d, "text", "doc_id")
+
+
+@register(
+    "text_decontaminate",
+    oracle="""
+    WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents WHERE doc_id % 45 <> 8),
+    bench AS (SELECT string_split(text, ' ') AS toks
+              FROM documents WHERE doc_id % 45 = 8),
+    cs AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 8 THEN []
+            ELSE list_transform(generate_series(1, len(toks) - 7),
+                 i -> array_to_string(toks[i:i+7], ' ')) END)) AS shingle
+           FROM corpus),
+    bs AS (SELECT DISTINCT unnest(list_distinct(CASE WHEN len(toks) < 8 THEN []
+            ELSE list_transform(generate_series(1, len(toks) - 7),
+                 i -> array_to_string(toks[i:i+7], ' ')) END)) AS shingle
+           FROM bench),
+    hits AS (SELECT doc_id, count(*) AS n FROM cs JOIN bs USING (shingle)
+             GROUP BY 1)
+    SELECT c.doc_id,
+           coalesce(h.n, 0) AS n_contaminated_ngrams,
+           coalesce(h.n, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 45 <> 8) c
+    LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/Dolma 8-gram overlap rule):
+    documents with id ≡ 8 (mod 45) play the eval set; its distinct shingles are
+    broadcast and the corpus side never shuffles on content."""
+    from .operators.text_analysis import decontaminate
+
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 45 != 8)
+    bench = d.filter(F.col("doc_id") % 45 == 8)
+    return decontaminate(corpus, bench, "text", "doc_id", n=8)
+
+
+def _pii_oracle() -> str:
+    from .operators.text_analysis import PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE
+
+    return (
+        """
+    WITH s0 AS (SELECT doc_id,
+          text || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com tel +33 1 23 45 67 89 host 10.0.'
+               || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+          FROM documents),
+    s1 AS (SELECT doc_id, len(regexp_extract_all(t, '__EMAIL__')) AS n_emails,
+                  regexp_replace(t, '__EMAIL__', '<EMAIL>', 'g') AS t FROM s0),
+    s2 AS (SELECT doc_id, n_emails,
+                  len(regexp_extract_all(t, '__IP__')) AS n_ips,
+                  regexp_replace(t, '__IP__', '<IP>', 'g') AS t FROM s1),
+    s3 AS (SELECT doc_id, n_emails, n_ips,
+                  len(regexp_extract_all(t, '__PHONE__')) AS n_phones,
+                  regexp_replace(t, '__PHONE__', '<PHONE>', 'g') AS t FROM s2)
+    SELECT doc_id, t AS text_redacted, n_emails, n_ips, n_phones FROM s3
+    """.replace("__EMAIL__", PII_EMAIL_RE)
+        .replace("__IP__", PII_IPV4_RE)
+        .replace("__PHONE__", PII_PHONE_RE)
+    )
+
+
+@register("pii_redact", oracle=_pii_oracle())
+def pii_redact_q(spark, sf_dir):
+    """Regex PII redaction (email/IPv4/phone → typed placeholders) with
+    sequential per-kind counts. The fixture has no PII, so a
+    deterministic contact blob is appended on BOTH sides first — the
+    redaction itself is the operator under test."""
+    from .operators.text_analysis import pii_redact
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel +33 1 23 45 67 89 host 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return pii_redact(d, "text", "doc_id")
+
+
+@register(
+    "docs_to_chunks",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+               FROM documents),
+    s AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks), 48)) AS start
+          FROM d)
+    SELECT doc_id,
+           CAST((start - 1) / 48 AS INT) AS chunk_id,
+           array_to_string(toks[start:start+63], ' ') AS chunk_text,
+           len(toks[start:start+63]) AS n_chunk_tokens
+    FROM s
+    """,
+)
+def docs_to_chunks(spark, sf_dir):
+    """Overlapping fixed-token-window chunking (window 64, stride 48) —
+    the pre-tokenization chunk/pack step of a training pipeline.
+    Tokenize once behind a barrier, explode partition-locally."""
+    from .operators.text_analysis import chunk_tokens
+
+    d = _docs(spark, sf_dir)
+    return chunk_tokens(d, "text", "doc_id", window=64, stride=48)
+
+
+@register(
+    "cap_docs_per_source",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 50
+    """,
+)
+def cap_docs_per_source(spark, sf_dir):
+    """Per-source document cap (keep the 50 lowest-id docs per source) —
+    stops one crawl domain from dominating the mixture. One shuffle on
+    the group key, rank, filter."""
+    from .operators.sampling import cap_per_group
+
+    d = _docs(spark, sf_dir)
+    return cap_per_group(d, "source", "doc_id", cap=50).select("doc_id", "source")
+
+
+@register(
+    "mixture_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE lang IN ('fr', 'en', 'es', 'de')
+      AND ((doc_id % 1000003) * 2654435761) % 1000 <
+          CASE lang WHEN 'fr' THEN 500 WHEN 'en' THEN 250
+                    WHEN 'es' THEN 100 WHEN 'de' THEN 50 END
+    """,
+)
+def mixture_stratified_sample(spark, sf_dir):
+    """Training-mixture construction: deterministic stratified Bernoulli
+    sample by multiplicative key hash — fr@50% en@25% es@10% de@5%,
+    other strata dropped. Reproducible under re-runs, retries and
+    repartitioning; the rate spec is a broadcast dim, the gate a pure
+    row expression (no shuffle at any scale)."""
+    from .operators.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir)
+    out = stratified_sample(
+        d, "lang", "doc_id", {"fr": 0.5, "en": 0.25, "es": 0.1, "de": 0.05}
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window
 # ---------------------------------------------------------------------------
 # The differential harness verifies registry entries in registration
@@ -2591,7 +2788,6 @@ _DRIVER_WINDOW = [
     "scan_match_all",
     "proj_source_fields",
     "filter_terms_in",
-    "col_rename_flatten",
     "pipeline_clean_text",
     "pipeline_csv_tech",
     "pipeline_export_offres",
@@ -2599,7 +2795,6 @@ _DRIVER_WINDOW = [
     "agg_groupby_count",
     "agg_date_histogram",
     "agg_topk",
-    "agg_distinct",
     "join_dim_containment",
     "join_enrich",
     "join_anti",
@@ -2627,15 +2822,17 @@ _DRIVER_WINDOW = [
     "ann_ivf",
     "text_tf_idf",
     "pipeline_training_data",
-    "text_token_count",
     "text_quality",
     "text_lang_id",
     "text_fr_nlp_tokens",
     "q_shipping_priority",
     "q_returned_items",
-    "q_promo_revenue_share",
     "src_rest_paged",
     "multimodal_wav_roundtrip",
+    "text_repetition",
+    "text_decontaminate",
+    "pii_redact",
+    "mixture_stratified_sample",
 ]
 
 

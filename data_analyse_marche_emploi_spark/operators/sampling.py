@@ -1,0 +1,87 @@
+"""Sampling operators for training-mixture construction (north-star
+extensions): deterministic stratified Bernoulli sampling by key hash.
+
+Building an LLM training mixture means sampling each source/language/
+quality stratum at its own rate — reproducibly, so a re-run (or a
+backfill on two more ingest batches) keeps exactly the same documents.
+``random()`` cannot do that; a hash of the stable document key can.
+
+Scale shape: the (stratum → rate) spec is a tiny dim **broadcast** to
+every task; the gate is a pure per-row expression. No shuffle, no
+driver involvement, and the sample is stable under repartitioning,
+retries, and incremental re-runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Knuth's multiplicative-hash constant (2^32 / φ). The key is reduced
+# mod a prime first so the product stays far below 2^63 for any BIGINT
+# key — ANSI-overflow-safe — at the documented cost that keys equal
+# mod 1_000_003 share a gate value.
+KNUTH_MULT = 2_654_435_761
+KEY_PRIME = 1_000_003
+
+
+def sample_gate(key_col: str, salt: int = 0) -> F.Column:
+    """Deterministic per-row gate in [0, 1000): multiplicative hash of
+    the key, reduced to permille. Portable: the same arithmetic runs
+    verbatim in any SQL engine (no engine-native hash function)."""
+    return F.pmod(
+        (F.col(key_col) % KEY_PRIME) * F.lit(KNUTH_MULT) + F.lit(salt), F.lit(1000)
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    cap: int,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, deterministically preferring
+    the lowest ``order_col`` — the per-domain/per-source cap that stops
+    a single crawl domain from dominating a training mixture.
+
+    Scale shape: one shuffle on the group key, rank, filter. The rank
+    filter means each task emits at most ``cap`` rows per group it
+    owns; a pathologically hot group is one task's sort, bounded by
+    spill (salting can't apply — top-K-per-group is order-dependent
+    across the whole group by construction).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.asc(order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    salt: int = 0,
+) -> DataFrame:
+    """Keep each row of stratum ``s`` iff its key-hash permille falls
+    under ``rates[s]`` (a fraction in [0, 1]). Strata absent from
+    ``rates`` are dropped — a mixture spec is exhaustive by intent.
+
+    The rate dim is broadcast; the filter is row-local. At 100 TB this
+    is a scan with a pushable stratum filter and a cheap arithmetic
+    gate — no shuffle anywhere.
+    """
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(s, int(round(r * 1000))) for s, r in sorted(rates.items())],
+        f"{strata_col} string, __permille int",
+    )
+    return (
+        df.join(F.broadcast(dim), strata_col, "inner")
+        .filter(sample_gate(key_col, salt) < F.col("__permille"))
+        .drop("__permille")
+    )

@@ -149,6 +149,164 @@ def tf_idf_top_terms(
     )
 
 
+def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher/RefinedWeb-style repetition quality signals per document:
+    distinct-token ratio, most-frequent-token fraction, duplicate-2-gram
+    fraction. Low distinct ratios / high top-token or dup-gram fractions
+    are the classic filter rules for boilerplate and degenerate text in
+    LLM corpus curation.
+
+    Scale shape: explode → two-level aggregation keyed (doc, token) then
+    (doc), both partial-aggregated map-side; the distinct-2-gram count
+    rides along as a per-row expression so no second pass over the text
+    and no self-join. All ratios are exact int/int double divisions
+    (portable across engines).
+    """
+    from .dedup import SHINGLE_EXPR
+
+    toks = tokens(F.col(text_col))
+    g2 = F.expr(
+        SHINGLE_EXPR.format(toks=f"split(lower({text_col}), ' ')", n=2)
+    )
+    ex = df.select(
+        F.col(id_col),
+        F.size(toks).alias("nt"),
+        F.size(g2).alias("d2"),
+        F.explode(toks).alias("tok"),
+    )
+    cnt = ex.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.first("nt").alias("nt"),
+        F.first("d2").alias("d2"),
+    )
+    agg = cnt.groupBy(id_col).agg(
+        F.first("nt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_count"),
+        F.first("d2").alias("d2"),
+    )
+    return agg.select(
+        F.col(id_col),
+        "n_tokens",
+        (F.col("n_distinct") / F.col("n_tokens")).alias("distinct_token_ratio"),
+        (F.col("top_count") / F.col("n_tokens")).alias("top_token_frac"),
+        F.when(
+            F.col("n_tokens") > 1,
+            (F.col("n_tokens") - 1 - F.col("d2")) / (F.col("n_tokens") - 1),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_2gram_frac"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Dolma n-gram overlap rule):
+    flag corpus documents sharing any word ``n``-gram with a benchmark /
+    eval set, with the count of distinct shared shingles.
+
+    Scale shape: the benchmark side is eval-set sized (≪ corpus), so its
+    distinct shingle set is built once and **broadcast**; the corpus
+    side is a scan → shingle explode → broadcast hash join → per-doc
+    count. The corpus never shuffles on content — only (doc_id, hits)
+    aggregates move.
+    """
+    from .dedup import with_shingles
+
+    d_sh = with_shingles(docs.select(id_col, text_col), text_col, n).select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    )
+    b_sh = (
+        with_shingles(bench.select(text_col), text_col, n)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    hits = (
+        d_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+    return docs.select(id_col).join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_contaminated_ngrams", F.lit(0)).alias("n_contaminated_ngrams"),
+        (F.coalesce("n_contaminated_ngrams", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into overlapping fixed-token-window training
+    chunks: starts 1, 1+stride, 1+2·stride, … while ≤ n_tokens; each
+    chunk is ``window`` tokens (the last may be shorter). The standard
+    pre-tokenization chunking step before packing sequences.
+
+    Scale shape: tokenization runs once per document behind a
+    repartition barrier (without it CollapseProject inlines the split
+    into the per-chunk lambda — an n/stride× recompute, the HOF pitfall
+    measured at 30× on MinHash); the explode then multiplies rows
+    partition-locally with no shuffle.
+    """
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    t = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("toks")
+    ).repartition(n_part)
+    chunks = F.expr(
+        f"transform(sequence(1, size(toks), {stride}),"
+        f"          s -> slice(toks, s, {window}))"
+    )
+    return t.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "chunk_toks"),
+    ).select(
+        F.col(id_col),
+        "chunk_id",
+        F.array_join("chunk_toks", " ").alias("chunk_text"),
+        F.size("chunk_toks").alias("n_chunk_tokens"),
+    )
+
+
+# PII patterns — deliberately in the Java-regex ∩ RE2 common subset so
+# the engine and the DuckDB oracle run the *same* pattern strings.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b([0-9]{1,3}\.)(([0-9]{1,3})\.){2}[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+?[0-9][0-9 .-]{7,}[0-9]"
+
+
+def pii_redact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Regex PII redaction (emails → ``<EMAIL>``, IPv4 → ``<IP>``,
+    phone-like digit runs → ``<PHONE>``) with per-kind match counts.
+
+    Redaction is sequential — email, then IP, then phone — and each
+    count is taken on the text as it stands at that step, so a digit
+    run inside an IP is never double-counted as a phone. Pure Column
+    expressions: per-row, JVM-side, zero shuffle at any scale.
+    """
+    t0 = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t0, F.lit(PII_EMAIL_RE), 0))
+    t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(t1, F.lit(PII_IPV4_RE), 0))
+    t2 = F.regexp_replace(t1, PII_IPV4_RE, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE_RE), 0))
+    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        t3.alias("text_redacted"),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Normalized document fingerprint: md5 of the sorted distinct token
     set — the canonical near-canonicalization fingerprint (token-order

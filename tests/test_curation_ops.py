@@ -1,0 +1,144 @@
+"""Corpus-curation operators (repetition signals, decontamination, PII
+redaction, stratified mixture sampling) — hand-computed expectations on
+tiny fixtures plus the scale-shape invariants (broadcast sides, no
+cartesian, determinism)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_analyse_marche_emploi_spark.operators.sampling import (
+    cap_per_group,
+    stratified_sample,
+)
+from data_analyse_marche_emploi_spark.operators.text_analysis import (
+    chunk_tokens,
+    decontaminate,
+    pii_redact,
+    repetition_signals,
+)
+
+
+def test_repetition_signals_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z w"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_signals(df, "text", "doc_id").collect()}
+    r1 = rows[1]  # tokens: a a a b -> 2-grams: (a a)(a a)(a b), distinct 2
+    assert r1.n_tokens == 4
+    assert r1.distinct_token_ratio == 2 / 4
+    assert r1.top_token_frac == 3 / 4
+    assert r1.dup_2gram_frac == (3 - 2) / 3
+    r2 = rows[2]  # all distinct
+    assert r2.distinct_token_ratio == 1.0
+    assert r2.top_token_frac == 1 / 4
+    assert r2.dup_2gram_frac == 0.0
+    r3 = rows[3]  # single token: no 2-grams
+    assert r3.n_tokens == 1 and r3.dup_2gram_frac == 0.0
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta tail"),  # shares 'alpha beta gamma'
+            (2, "completely different words here"),
+            (3, "x alpha beta gamma y"),  # shares it mid-document
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta",)], "text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in decontaminate(corpus, bench, "text", "doc_id", n=3).collect()
+    }
+    assert out[1].contaminated and out[1].n_contaminated_ngrams == 2
+    assert not out[2].contaminated and out[2].n_contaminated_ngrams == 0
+    assert out[3].contaminated and out[3].n_contaminated_ngrams == 1
+
+
+def test_decontaminate_broadcasts_bench_side(spark):
+    corpus = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), F.col("id").cast("string"), F.lit(" a b c d")).alias(
+            "text"
+        ),
+    )
+    bench = spark.createDataFrame([("a b c d e",)], "text string")
+    plan = decontaminate(corpus, bench, "text", "doc_id", n=3)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_redact_counts_and_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "server 192.168.0.17 then call +33 1 23 45 67 89 ok"),
+            (3, "clean text with the number 42"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_redact(df, "text", "doc_id").collect()}
+    assert rows[1].text_redacted == "mail <EMAIL> now"
+    assert (rows[1].n_emails, rows[1].n_ips, rows[1].n_phones) == (1, 0, 0)
+    assert rows[2].text_redacted == "server <IP> then call <PHONE> ok"
+    assert (rows[2].n_emails, rows[2].n_ips, rows[2].n_phones) == (0, 1, 1)
+    # the IP is redacted BEFORE phone counting — never double-counted
+    assert rows[3].text_redacted == "clean text with the number 42"
+    assert (rows[3].n_emails, rows[3].n_ips, rows[3].n_phones) == (0, 0, 0)
+
+
+def test_chunk_tokens_windows_and_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, text), (2, "a b")], "doc_id long, text string")
+    rows = sorted(
+        chunk_tokens(df, "text", "doc_id", window=4, stride=3).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    d1 = [r for r in rows if r.doc_id == 1]
+    # starts 1,4,7,10 -> 4 chunks; last is the single trailing token
+    assert [r.chunk_id for r in d1] == [0, 1, 2, 3]
+    assert d1[0].chunk_text == "t0 t1 t2 t3"
+    assert d1[1].chunk_text == "t3 t4 t5 t6"  # overlap of window-stride=1
+    assert d1[3].chunk_text == "t9" and d1[3].n_chunk_tokens == 1
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].chunk_text == "a b"
+
+
+def test_cap_per_group_keeps_lowest_ids(spark):
+    df = spark.createDataFrame(
+        [(i, "big" if i < 80 else "small") for i in range(100)],
+        "doc_id long, source string",
+    )
+    out = cap_per_group(df, "source", "doc_id", cap=10)
+    big = sorted(r.doc_id for r in out.filter(F.col("source") == "big").collect())
+    assert big == list(range(10))  # deterministic: lowest ids win
+    assert out.filter(F.col("source") == "small").count() == 10
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "fr").otherwise("zz").alias("lang"),
+    )
+    rates = {"fr": 0.5}
+    a = stratified_sample(df, "lang", "doc_id", rates)
+    b = stratified_sample(df, "lang", "doc_id", rates)
+    ra = sorted(r.doc_id for r in a.collect())
+    rb = sorted(r.doc_id for r in b.collect())
+    assert ra == rb  # reproducible — same sample on re-run
+    # unlisted stratum dropped entirely
+    assert a.filter(F.col("lang") == "zz").count() == 0
+    # rate roughly honored (2000 eligible, permille gate < 500)
+    assert 800 <= len(ra) <= 1200
+    # full-rate stratum keeps everything
+    full = stratified_sample(df, "lang", "doc_id", {"fr": 1.0})
+    assert full.count() == 2000
+    # salt changes the sample but not its size class
+    salted = stratified_sample(df, "lang", "doc_id", rates, salt=7)
+    rs = sorted(r.doc_id for r in salted.collect())
+    assert rs != ra
