@@ -80,8 +80,12 @@ def stratified_sample(
         [(s, int(round(r * 1000))) for s, r in sorted(rates.items())],
         f"{strata_col} string, __permille int",
     )
+    # The join implies the stratum membership, but only a literal IN
+    # filter reaches the parquet scan (PushedFilters / partition
+    # pruning) — at scale that skips unsampled strata entirely.
     return (
-        df.join(F.broadcast(dim), strata_col, "inner")
+        df.filter(F.col(strata_col).isin(*rates))
+        .join(F.broadcast(dim), strata_col, "inner")
         .filter(sample_gate(key_col, salt) < F.col("__permille"))
         .drop("__permille")
     )

@@ -91,3 +91,42 @@ def test_ivf_candidate_join_is_hashed(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "ann_ivf")
     assert "CartesianProduct" not in plan
     assert re.search(r"BroadcastHashJoin \[list_id", plan)
+
+
+def test_mixture_sample_pushes_strata_to_scan(spark, sf_dir):
+    """The mixture's stratum membership must reach the parquet scan as
+    an IN filter (partition/row-group pruning at scale), and the rate
+    dim must broadcast."""
+    plan = plan_of(spark, sf_dir, "mixture_stratified_sample")
+    assert re.search(r"PushedFilters: \[.*In\(lang", plan)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pii_redact_is_shuffle_free(spark, sf_dir):
+    """Pure per-row redaction: no keyed shuffle anywhere in the plan
+    (the loader's round-robin repartition is a parallelism barrier,
+    not operator data movement)."""
+    plan = plan_of(spark, sf_dir, "pii_redact")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_cap_per_source_single_shuffle(spark, sf_dir):
+    """Rank-filter cap: exactly one shuffle, on the group key."""
+    plan = plan_of(spark, sf_dir, "cap_docs_per_source")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_repetition_signals_partial_aggregates(spark, sf_dir):
+    """Both aggregation levels must partial-aggregate map-side (the
+    skew story for hot tokens) — and nothing may collect or join the
+    corpus to itself."""
+    plan = plan_of(spark, sf_dir, "text_repetition")
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_chunking_reads_only_needed_columns(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "docs_to_chunks")
+    cols = read_schemas(plan)[0].split(",")
+    assert len(cols) == 2  # doc_id, text
