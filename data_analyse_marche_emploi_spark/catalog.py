@@ -2724,6 +2724,42 @@ def docs_to_chunks(spark, sf_dir):
 
 
 @register(
+    "chunks_to_sequences",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+               FROM documents),
+    s AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks), 48)) AS start
+          FROM d),
+    chunks AS (
+      SELECT doc_id,
+             CAST((start - 1) / 48 AS INT) AS chunk_id,
+             len(toks[start:start+63]) AS n_chunk_tokens
+      FROM s),
+    c AS (SELECT doc_id, chunk_id, n_chunk_tokens,
+                 sum(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_id
+                     ROWS UNBOUNDED PRECEDING) - n_chunk_tokens AS cum_excl
+          FROM chunks)
+    SELECT doc_id, chunk_id, n_chunk_tokens,
+           cum_excl // 512 AS sequence_id,
+           cum_excl % 512 AS seq_pos
+    FROM c
+    """,
+)
+def chunks_to_sequences_q(spark, sf_dir):
+    """Sequence packing: the chunk stream cut into 512-token training
+    sequences via the two-phase distributed prefix sum — the oracle's
+    global window IS the single-partition plan the operator avoids."""
+    from .operators.text_analysis import chunk_tokens, chunks_to_sequences
+
+    d = _docs(spark, sf_dir)
+    ch = chunk_tokens(d, "text", "doc_id", window=64, stride=48).drop("chunk_text")
+    return chunks_to_sequences(
+        ch, ["doc_id", "chunk_id"], "n_chunk_tokens", target=512
+    )
+
+
+@register(
     "cap_docs_per_source",
     oracle="""
     SELECT doc_id, source FROM (

@@ -1,0 +1,65 @@
+"""Distributed prefix sum — the scale-safe form of a global running
+total.
+
+A global-order cumulative sum written naively (`Window.orderBy(...)`
+with no partition key) plans a single-partition window: every row moves
+to one task — the textbook scale-killer. The classic fix is the
+two-phase prefix sum:
+
+1. range-partition + sort by the order key (global order preserved
+   across partition boundaries),
+2. per-partition running sum (partition-local window),
+3. per-partition totals — ``n_partitions`` rows, collected and turned
+   into exclusive offsets (the ONLY driver involvement, bounded by the
+   partition count, like the query-set collect in similarity.py),
+4. final value = partition offset + local running sum, via a broadcast
+   join on the partition id.
+
+The partitioned frame is persisted between the totals action and the
+main query so both see identical partition assignments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "prefix_sum",
+) -> DataFrame:
+    """Inclusive running sum of ``value_col`` over the TOTAL order given
+    by ``order_cols`` (which must be a unique key), computed without a
+    single-partition window. Adds ``out_col``; row order of the result
+    is the global order."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(n_part, *[F.asc(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = parted.withColumn("__local", F.sum(value_col).over(w))
+    totals = sorted(
+        parted.groupBy("__pid").agg(F.sum(value_col).alias("t")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    offsets, acc = [], 0
+    for r in totals:
+        offsets.append((r["__pid"], acc))
+        acc += r["t"]
+    spark = df.sparkSession
+    off_dim = spark.createDataFrame(offsets, "__pid int, __off long")
+    return (
+        local.join(F.broadcast(off_dim), "__pid")
+        .withColumn(out_col, F.col("__off") + F.col("__local"))
+        .drop("__pid", "__off", "__local")
+    )

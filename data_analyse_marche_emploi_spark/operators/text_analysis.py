@@ -275,6 +275,33 @@ def chunk_tokens(
     )
 
 
+def chunks_to_sequences(
+    chunks: DataFrame,
+    order_cols: list[str],
+    token_col: str,
+    target: int = 2048,
+) -> DataFrame:
+    """Pack the ordered chunk stream into fixed-token-budget training
+    sequences ("concatenate the stream, cut every ``target`` tokens":
+    each chunk belongs to the sequence where its first token lands).
+    Adds ``sequence_id`` and ``seq_pos`` (token offset within the
+    sequence).
+
+    Scale shape: the global running token count uses the two-phase
+    distributed prefix sum (operators.prefix_sum) — no single-partition
+    window anywhere; everything else is row-local arithmetic.
+    """
+    from .prefix_sum import distributed_prefix_sum
+
+    summed = distributed_prefix_sum(chunks, order_cols, token_col, "__cum")
+    cum_excl = F.col("__cum") - F.col(token_col)
+    return (
+        summed.withColumn("sequence_id", F.expr(f"(__cum - {token_col}) div {target}"))
+        .withColumn("seq_pos", cum_excl % target)
+        .drop("__cum")
+    )
+
+
 # PII patterns — deliberately in the Java-regex ∩ RE2 common subset so
 # the engine and the DuckDB oracle run the *same* pattern strings.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -109,6 +109,52 @@ def test_chunk_tokens_windows_and_overlap(spark):
     assert len(d2) == 1 and d2[0].chunk_text == "a b"
 
 
+def test_distributed_prefix_sum_matches_global(spark):
+    from data_analyse_marche_emploi_spark.operators.prefix_sum import (
+        distributed_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 13 + 1) for i in range(500)], "k long, v long"
+    )
+    out = {
+        r.k: r.prefix_sum
+        for r in distributed_prefix_sum(df, ["k"], "v").collect()
+    }
+    acc = 0
+    for i in range(500):
+        acc += (i * 7) % 13 + 1
+        assert out[i] == acc
+    # and the plan must not contain a single-partition global window
+    plan = (
+        distributed_prefix_sum(df, ["k"], "v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_chunks_to_sequences_packing(spark):
+    from data_analyse_marche_emploi_spark.operators.text_analysis import (
+        chunks_to_sequences,
+    )
+
+    # chunks of 4,4,4,2 tokens, target 6: cut points at every 6 tokens
+    df = spark.createDataFrame(
+        [(1, 0, 4), (1, 1, 4), (2, 0, 4), (2, 1, 2)],
+        "doc_id long, chunk_id int, n_chunk_tokens int",
+    )
+    rows = {
+        (r.doc_id, r.chunk_id): r
+        for r in chunks_to_sequences(
+            df, ["doc_id", "chunk_id"], "n_chunk_tokens", target=6
+        ).collect()
+    }
+    assert (rows[(1, 0)].sequence_id, rows[(1, 0)].seq_pos) == (0, 0)
+    assert (rows[(1, 1)].sequence_id, rows[(1, 1)].seq_pos) == (0, 4)
+    assert (rows[(2, 0)].sequence_id, rows[(2, 0)].seq_pos) == (1, 2)
+    assert (rows[(2, 1)].sequence_id, rows[(2, 1)].seq_pos) == (2, 0)
+
+
 def test_cap_per_group_keeps_lowest_ids(spark):
     df = spark.createDataFrame(
         [(i, "big" if i < 80 else "small") for i in range(100)],
