@@ -35,6 +35,7 @@ HEADLINE = [
     "join_fact_fact",
     "q_shipping_priority",
     "q_returned_items",
+    "q_market_share",
     # window + time-series joins
     "window_topk_per_group",
     "join_asof",
@@ -44,6 +45,7 @@ HEADLINE = [
     "dedup_clusters",
     "knn_brute_force",
     "pipeline_training_data",
+    "chunks_to_sequences",
     # structured-streaming drain (availableNow → watermarked dedup)
     "stream_dedup_upsert",
 ]

@@ -1729,6 +1729,284 @@ def q_nation_volume(spark, sf_dir):
     )
 
 
+@register(
+    "q_market_share",
+    oracle="""
+    SELECT year(o_orderdate) AS o_year,
+           round(CAST(coalesce(sum(CASE WHEN sn.n_name = 'NATION_3'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2))) END), 0) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+                 6) AS mkt_share
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = cn.n_regionkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q_market_share(spark, sf_dir):
+    """TPC-H-Q8-shaped: one nation's share of ECONOMY-part revenue sold
+    into ASIA customers, by order year. Six-table star: every dimension
+    (part-filtered, region-restricted nation set, supplier nation names)
+    broadcasts; only the lineitem⋈orders edge shuffles. Numerator and
+    denominator accumulate in exact decimal; the single division runs in
+    double, rounded to the shared 6-decimal contract."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    asia_nations = (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    rev = (F.col("l_extendedprice").cast(AGG.MONEY)
+           * (F.lit(1) - F.col("l_discount").cast(AGG.MONEY)))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(asia_nations), c["c_nationkey"] == F.col("cn_key"))
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("supp_nation") == "NATION_3", rev)), F.lit(0)
+                ).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey) per_cust
+    GROUP BY c_count
+    """,
+)
+def q_customer_distribution(spark, sf_dir):
+    """TPC-H-Q13-shaped: distribution of customers by order count —
+    outer join preserving zero-order customers, then a two-level
+    aggregation. First groupBy shuffles on c_custkey; the second input
+    is one row per customer and its key domain (distinct counts) is
+    tiny, so the second exchange moves almost nothing. All-count
+    outputs: exact on any engine."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name,
+           round(CAST(total_rev AS DOUBLE), 4) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+    """,
+)
+def q_top_supplier(spark, sf_dir):
+    """TPC-H-Q15-shaped: supplier(s) with the maximum quarterly revenue.
+    The argmax is a broadcast-scalar join — aggregate the per-supplier
+    revenue once, reduce it to a 1-row max, broadcast that back over the
+    same aggregate and keep the ties — instead of a single-partition
+    global window, which would serialize at scale. The tie comparison
+    happens in the exact decimal domain; only the surviving rows cast to
+    double for output."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = (F.col("l_extendedprice").cast(AGG.MONEY)
+           * (F.lit(1) - F.col("l_discount").cast(AGG.MONEY)))
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev"))
+    mx = per_supp.agg(F.max("total_rev").alias("__mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.join(F.broadcast(mx), per_supp["total_rev"] == mx["__mx"])
+        .join(F.broadcast(s), per_supp["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 4).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q_large_orders",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           round(CAST(big.sum_qty AS DOUBLE), 2) AS sum_qty
+    FROM (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250) big
+    JOIN orders ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q_large_orders(spark, sf_dir):
+    """TPC-H-Q18-shaped: orders whose total quantity exceeds a
+    threshold, with their customers. The HAVING pre-aggregation runs
+    first and survives as a small filtered fact (≈1% of orders), so the
+    two enrichment joins move only survivors; at scale the orders join
+    shuffles on the order key while the customer side broadcasts after
+    AQE sees the filtered size."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(AGG.MONEY)).alias("__q"))
+        .filter(F.col("__q") > 250)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.round(F.col("__q").cast("double"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "q_disjunctive_revenue",
+    oracle="""
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue,
+           count(*) AS cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_disjunctive_revenue(spark, sf_dir):
+    """TPC-H-Q19-shaped: disjunctive multi-branch predicate across both
+    join sides. Catalyst extracts the common join key (still a plain
+    equi-join — no theta join), pushes the part-only disjunction
+    (brand/size) into the part scan and the quantity envelope
+    (1..30) into the lineitem scan, and evaluates the full OR
+    post-join. Part broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    rev = (F.col("l_extendedprice").cast(AGG.MONEY)
+           * (F.lit(1) - F.col("l_discount").cast(AGG.MONEY)))
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(branch)
+        .agg(AGG.exact_sum(rev, "revenue", 4), F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "q_dormant_customers",
+    oracle="""
+    SELECT c_nationkey, count(*) AS numcust,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS totacctbal
+    FROM customer
+    WHERE CAST(c_acctbal AS DECIMAL(18,2))
+            * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+          > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2)))
+             FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def q_dormant_customers(spark, sf_dir):
+    """TPC-H-Q22-shaped: above-average-balance customers with no recent
+    orders, aggregated by nation. The average threshold is decorrelated
+    as a cross-multiplied comparison (balance × count > total) so both
+    sides stay in the exact decimal domain — no double average whose
+    last ulp could flip a boundary customer between engines. The
+    1-row (count, total) aggregate broadcasts; the recency check is a
+    left-anti join against date-filtered orders (predicate pushed to
+    the orders scan)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    pos = c.filter(F.col("c_acctbal") > 0)
+    stats = pos.agg(
+        F.sum(F.col("c_acctbal").cast(AGG.MONEY)).alias("__tot"),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        c.join(F.broadcast(stats))
+        .filter(F.col("c_acctbal").cast(AGG.MONEY) * F.col("__cnt") > F.col("__tot"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            AGG.money_sum(F.col("c_acctbal"), "totacctbal"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Time-series joins (engine surface beyond the reference; SURVEY.md §2.E
 # absent-list): as-of and range joins in shuffle-friendly formulations.

@@ -25,12 +25,19 @@ from .conftest import SF_SMOKE
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return load_table(spark, SF_SMOKE, "documents").cache()
+    # unpersist at teardown: a cached scan left behind would be
+    # cache-substituted into OTHER modules' plans (breaking the
+    # PushedFilters assertions in test_plan_quality).
+    df = load_table(spark, SF_SMOKE, "documents").cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def emb(spark):
-    return load_table(spark, SF_SMOKE, "embeddings").cache()
+    df = load_table(spark, SF_SMOKE, "embeddings").cache()
+    yield df
+    df.unpersist()
 
 
 def test_minhash_lsh_vs_exact(docs):

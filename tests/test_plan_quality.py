@@ -15,6 +15,10 @@ from data_analyse_marche_emploi_spark import catalog
 def plan_of(spark, sf_dir, name: str) -> str:
     # default metadata truncation (100 chars) cuts ReadSchema lists short
     spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    # plan assertions describe the COLD plan: drop any cached scans left
+    # by earlier modules, or CacheManager swaps InMemoryRelation in for
+    # the parquet scan and PushedFilters vanish from the plan string.
+    spark.catalog.clearCache()
     df = catalog.QUERIES[name](spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -130,3 +134,42 @@ def test_chunking_reads_only_needed_columns(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "docs_to_chunks")
     cols = read_schemas(plan)[0].split(",")
     assert len(cols) == 2  # doc_id, text
+
+
+def test_market_share_star_broadcasts_dims(spark, sf_dir):
+    """Q8 shape: every dimension edge (part, asia-nation set, supplier
+    nation names, region) broadcasts; no cartesian anywhere; all three
+    selective predicates (p_type, r_name, the order-date window) reach
+    their parquet scans."""
+    plan = plan_of(spark, sf_dir, "q_market_share")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+    assert re.search(r"PushedFilters: \[.*EqualTo\(p_type,ECONOMY", plan)
+    assert re.search(r"PushedFilters: \[.*EqualTo\(r_name,ASIA", plan)
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate", plan)
+
+
+def test_large_orders_aggregates_before_joining(spark, sf_dir):
+    """Q18 shape: the quantity pre-aggregation (the only hash shuffle)
+    runs below the enrichment joins, so only HAVING survivors move."""
+    plan = plan_of(spark, sf_dir, "q_large_orders")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_top_supplier_argmax_is_broadcast_not_window(spark, sf_dir):
+    """Q15 shape: the argmax must be a broadcast-scalar join, not a
+    single-partition global window (which serializes at scale)."""
+    plan = plan_of(spark, sf_dir, "q_top_supplier")
+    assert "Window" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_dormant_customers_anti_join_pushes_date(spark, sf_dir):
+    """Q22 shape: the recency anti-join's date predicate reaches the
+    orders scan; the scalar threshold joins as a 1-row broadcast."""
+    plan = plan_of(spark, sf_dir, "q_dormant_customers")
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate,2000-01-01", plan)
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row (count,total) scalar
+    assert plan.count("Exchange hashpartitioning") <= 1
