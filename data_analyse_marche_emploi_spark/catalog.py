@@ -3084,6 +3084,61 @@ def mixture_stratified_sample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Mergeable-sketch rollups (operators/sketches.py): the warehouse-scale
+# answer to distinct counts and quantiles — persist kilobyte sketches per
+# fine cell, merge for any coarser window, never rescan raw data. Built
+# on Spark 4's DataSketches expressions (JVM, codegen; no UDF). Estimates
+# are engine-specific → rows-only driver check (like agg_approx_distinct);
+# tests/test_sketches.py pins error bounds and HLL's partition-invariance.
+# ---------------------------------------------------------------------------
+
+
+@register("agg_hll_rollup", oracle=None)
+def agg_hll_rollup(spark, sf_dir):
+    """Two-level HLL distinct-user rollup: one 4 KB sketch per
+    (month, event_type) cell, then ``hll_union_agg`` up to event_type.
+    Both levels partial-aggregate map-side; the shuffle carries
+    sketches, not user ids. HLL registers are max-merged, so the
+    estimate is bit-identical under any partitioning/order — the rolled
+    estimate equals the single-pass estimate exactly
+    (test_sketches.test_hll_two_level_equals_direct)."""
+    from .operators.sketches import hll_cells, hll_rollup
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "month", F.date_trunc("month", F.col("ts"))
+    )
+    cells = hll_cells(e, ["month", "event_type"], "user_id")
+    return hll_rollup(cells, ["event_type"]).orderBy("event_type")
+
+
+@register("agg_kll_quantiles", oracle=None)
+def agg_kll_quantiles(spark, sf_dir):
+    """Mergeable quantiles: per-month KLL(double) sketches of
+    o_totalprice merged to one global sketch, quantiles read off the
+    merge — rank error ~1.7% at k=200 regardless of row count. The
+    exact-percentile alternative (`agg_quantiles`) needs a global sort
+    at scale; this needs a 3 KB-per-month shuffle."""
+    from .operators.sketches import kll_cells, kll_rollup_quantiles
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "month", F.date_trunc("month", F.col("o_orderdate"))
+    )
+    cells = kll_cells(o, ["month"], "o_totalprice")
+    return kll_rollup_quantiles(cells, [], probs=[0.25, 0.5, 0.75, 0.95])
+
+
+@register("agg_theta_distinct", oracle=None)
+def agg_theta_distinct(spark, sf_dir):
+    """Theta-sketch distinct users per event type — same mergeable
+    contract as HLL but the sketches additionally support set algebra
+    (intersection/difference across segments) downstream."""
+    from .operators.sketches import theta_distinct
+
+    e = _t(spark, sf_dir, "events")
+    return theta_distinct(e, ["event_type"], "user_id").orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window
 # ---------------------------------------------------------------------------
 # The differential harness verifies registry entries in registration

@@ -1,0 +1,112 @@
+"""Mergeable-sketch aggregation (DataSketches HLL / KLL / Theta via the
+built-in Spark 4 functions) — the 100 TB pattern for distinct counts and
+quantiles.
+
+At scale you never answer "distinct users last quarter" by re-scanning a
+quarter of raw events. You pre-aggregate a tiny mergeable sketch per
+fine-grained cell (day × segment), persist those — kilobytes per cell —
+and answer ANY coarser rollup (month, quarter, arbitrary segment set) by
+merging sketches. Merging is associative and commutative, so it
+partial-aggregates map-side like a sum: the shuffle carries sketches,
+not ids. The estimate error is a fixed property of the sketch size
+(HLL: ~1.6%/sqrt(2^lgK); KLL: rank error ~1.7% at k=200), independent
+of data volume.
+
+Everything here is a built-in JVM expression (``hll_sketch_agg``,
+``kll_sketch_agg_double``, ``theta_sketch_agg`` — Spark 3.5+/4.x): no
+UDF, full codegen, Tungsten binary sketch buffers.
+
+Extends the reference's Kibana "unique count" aggregate surface
+(SURVEY.md §2.D `agg_distinct`; the reference delegates cardinalities to
+Elasticsearch, which itself answers them with the same HLL++ family)
+to explicitly two-level, re-mergeable form.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# lgK=12 → 2^12 registers → relative standard error ≈ 1.04/sqrt(4096)
+# ≈ 1.6%; 4 KB per sketch. The right default trade for per-cell
+# materialization at warehouse scale.
+HLL_LGK = 12
+
+# KLL k=200 → ~1.7% rank error, ~3 KB per sketch.
+KLL_K = 200
+
+
+def hll_cells(
+    df: DataFrame, cell_cols: Sequence[str], value_col: str, lgk: int = HLL_LGK
+) -> DataFrame:
+    """Phase 1: one HLL sketch per fine-grained cell.
+
+    The output (cell_cols…, sketch BINARY) is what a real pipeline
+    persists daily: kilobytes per cell instead of the raw id stream.
+    Map-side partial aggregation collapses each task's rows into one
+    sketch per local cell before the (tiny) shuffle."""
+    return df.groupBy(*cell_cols).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("sketch")
+    )
+
+
+def hll_rollup(
+    cells: DataFrame, rollup_cols: Sequence[str], alias: str = "distinct_est"
+) -> DataFrame:
+    """Phase 2: merge cell sketches up to any coarser grain — no raw
+    rescan. ``hll_union_agg`` is associative/commutative, so this also
+    partial-aggregates; the answer for a quarter is the union of ~90
+    4 KB day sketches per group."""
+    return cells.groupBy(*rollup_cols).agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col("sketch"), F.lit(True))
+        ).alias(alias)
+    )
+
+
+def kll_cells(
+    df: DataFrame, cell_cols: Sequence[str], value_col: str, k: int = KLL_K
+) -> DataFrame:
+    """One KLL(double) quantile sketch per cell — the mergeable form of
+    a per-cell value distribution."""
+    return df.groupBy(*cell_cols).agg(
+        F.kll_sketch_agg_double(
+            F.col(value_col).cast("double"), F.lit(k)
+        ).alias("sketch")
+    )
+
+
+def kll_rollup_quantiles(
+    cells: DataFrame,
+    rollup_cols: Sequence[str],
+    probs: Sequence[float],
+) -> DataFrame:
+    """Merge per-cell KLL sketches to a coarser grain and read quantiles
+    off the merged sketch. Output: rollup_cols… + q_<prob> double
+    columns (dots stripped: q_50, q_95, …)."""
+    merged = cells.groupBy(*rollup_cols).agg(
+        F.kll_merge_agg_double(F.col("sketch")).alias("merged")
+    )
+    qcols = [
+        F.kll_sketch_get_quantile_double(F.col("merged"), F.lit(float(p))).alias(
+            f"q_{int(round(p * 100)):02d}"
+        )
+        for p in probs
+    ]
+    return merged.select(*rollup_cols, *qcols)
+
+
+def theta_distinct(
+    df: DataFrame, group_cols: Sequence[str], value_col: str
+) -> DataFrame:
+    """Theta-sketch distinct estimate per group. Theta sketches also
+    support set algebra (union/intersection/difference across groups)
+    downstream — the tool for 'users in BOTH segments' questions that
+    HLL cannot answer."""
+    return df.groupBy(*group_cols).agg(
+        F.theta_sketch_estimate(
+            F.theta_sketch_agg(F.col(value_col))
+        ).alias("distinct_est")
+    )

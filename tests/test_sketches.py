@@ -1,0 +1,121 @@
+"""Mergeable-sketch semantics: error bounds vs exact answers, and the
+merge-invariance properties the two-level rollup pattern depends on."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_analyse_marche_emploi_spark.operators.sketches import (
+    hll_cells,
+    hll_rollup,
+    kll_cells,
+    kll_rollup_quantiles,
+    theta_distinct,
+)
+from data_analyse_marche_emploi_spark.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    df = load_table(spark, SF_SMOKE, "events").cache()
+    yield df
+    df.unpersist()
+
+
+def exact_distinct(events) -> dict[str, int]:
+    return {
+        r["event_type"]: r["nd"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    }
+
+
+def test_hll_two_level_equals_direct(events):
+    """HLL registers are max-merged → building per-month sketches and
+    unioning them must give the SAME estimate as one pass over the raw
+    stream. This is the property that makes persisted daily sketches a
+    lossless substitute for re-scanning raw data at any rollup grain."""
+    e = events.withColumn("month", F.date_trunc("month", F.col("ts")))
+    rolled = {
+        r["event_type"]: r["distinct_est"]
+        for r in hll_rollup(
+            hll_cells(e, ["month", "event_type"], "user_id"), ["event_type"]
+        ).collect()
+    }
+    direct = {
+        r["event_type"]: r["distinct_est"]
+        for r in events.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("user_id"), F.lit(12))
+            ).alias("distinct_est")
+        )
+        .collect()
+    }
+    assert rolled == direct
+
+
+def test_hll_estimate_is_partition_invariant(events):
+    """Register max-merge is order/partition-insensitive: the estimate
+    must be bit-identical however the rows were distributed — the
+    determinism contract a distributed pipeline needs for reruns."""
+    def est(df):
+        return {
+            r["event_type"]: r["distinct_est"]
+            for r in hll_rollup(
+                hll_cells(df, ["event_type"], "user_id"), ["event_type"]
+            ).collect()
+        }
+
+    assert est(events.repartition(3)) == est(events.repartition(11))
+
+
+def test_hll_error_bound(events):
+    """lgK=12 → RSE ≈ 1.6%; allow 3σ."""
+    exact = exact_distinct(events)
+    rolled = {
+        r["event_type"]: r["distinct_est"]
+        for r in hll_rollup(
+            hll_cells(
+                events.withColumn("month", F.date_trunc("month", F.col("ts"))),
+                ["month", "event_type"],
+                "user_id",
+            ),
+            ["event_type"],
+        ).collect()
+    }
+    assert rolled.keys() == exact.keys()
+    for k, nd in exact.items():
+        assert abs(rolled[k] - nd) <= max(1, 0.05 * nd), (k, rolled[k], nd)
+
+
+def test_theta_error_bound(events):
+    exact = exact_distinct(events)
+    got = {
+        r["event_type"]: r["distinct_est"]
+        for r in theta_distinct(events, ["event_type"], "user_id").collect()
+    }
+    assert got.keys() == exact.keys()
+    for k, nd in exact.items():
+        assert abs(got[k] - nd) <= max(1, 0.05 * nd), (k, got[k], nd)
+
+
+def test_kll_rollup_rank_error(spark):
+    """The merged sketch's quantile values must sit within ~3% rank
+    error of the requested probabilities (k=200 ⇒ ε≈1.7%, doubled for
+    merge slack): check by computing the TRUE rank of each estimated
+    quantile value."""
+    o = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "month", F.date_trunc("month", F.col("o_orderdate"))
+    )
+    probs = [0.25, 0.5, 0.75, 0.95]
+    row = kll_rollup_quantiles(kll_cells(o, ["month"], "o_totalprice"), [], probs).first()
+    n = o.count()
+    for p in probs:
+        v = row[f"q_{int(round(p * 100)):02d}"]
+        true_rank = o.filter(F.col("o_totalprice") <= v).count() / n
+        assert abs(true_rank - p) <= 0.035, (p, v, true_rank)
