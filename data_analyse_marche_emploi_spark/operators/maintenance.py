@@ -47,3 +47,85 @@ def compact_parquet(
         out = out.sortWithinPartitions(*sort_cols)
     out.write.mode("overwrite").parquet(out_path)
     return n_files
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout: multi-column data skipping.
+# ---------------------------------------------------------------------------
+# A single-column sort makes parquet min/max stats selective for ONE
+# column; queries filtering the second key still read every file.
+# Interleaving the bits of both keys (Morton/Z curve) clusters rows so
+# EVERY file covers a narrow range of EACH key — predicates on either
+# (or both) columns prune files/row-groups by footer stats alone. This
+# is the engine-side analog of lakehouse OPTIMIZE ZORDER BY, built from
+# pure Column expressions: rank-free min/max bucketing (two scalar
+# aggregates, broadcast), bit interleave via shift/mask, then
+# repartitionByRange + sortWithinPartitions on the z-value.
+
+from pyspark.sql import Column, functions as F
+
+_Z_BITS = 16  # 16 bits/key -> 32-bit z-value for 2 keys
+
+
+def _spread_bits(x: Column) -> Column:
+    """Spread a 16-bit int's bits to even positions (Morton helper),
+    the classic shift/mask ladder as JVM bitwise expressions."""
+    x = x.bitwiseAND(F.lit(0xFFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def zvalue(a16: Column, b16: Column) -> Column:
+    """Interleave two 16-bit bucket ids into one 32-bit Morton code."""
+    return _spread_bits(a16).bitwiseOR(F.shiftleft(_spread_bits(b16), 1))
+
+
+def zorder_write(
+    df: DataFrame,
+    out_path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+) -> None:
+    """Write ``df`` as ``n_files`` z-ordered parquet files clustered on
+    (col_a, col_b).
+
+    Buckets each key to 16 bits by min/max normalization — two scalar
+    aggregates (one broadcast row), no global rank/window — so the
+    layout step costs one range shuffle regardless of scale. Skew in the
+    value distribution degrades bucket balance, not correctness; for
+    heavily skewed keys substitute approx-quantile bucket boundaries."""
+    spark = df.sparkSession
+    stats = df.agg(
+        F.min(col_a).alias("a_min"), F.max(col_a).alias("a_max"),
+        F.min(col_b).alias("b_min"), F.max(col_b).alias("b_max"),
+    )
+    top = F.lit((1 << _Z_BITS) - 1)
+
+    def bucket(c: Column, lo: Column, hi: Column) -> Column:
+        span = F.when(hi > lo, hi - lo).otherwise(F.lit(1)).cast("double")
+        return F.least(
+            top, F.floor((c - lo).cast("double") / span * top).cast("bigint")
+        )
+
+    with_z = (
+        df.join(F.broadcast(stats))
+        .withColumn(
+            "__z",
+            zvalue(
+                bucket(F.col(col_a), F.col("a_min"), F.col("a_max")),
+                bucket(F.col(col_b), F.col("b_min"), F.col("b_max")),
+            ),
+        )
+        .drop("a_min", "a_max", "b_min", "b_max")
+    )
+    (
+        with_z.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )

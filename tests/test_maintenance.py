@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 from data_analyse_marche_emploi_spark.operators.maintenance import compact_parquet
 from data_analyse_marche_emploi_spark.tables import load_table
 
+from .conftest import SF_SMOKE
+
 
 def test_compaction_preserves_content_and_reduces_files(spark, sf_dir, tmp_path):
     frag = str(tmp_path / "fragmented")
@@ -39,3 +41,43 @@ def test_compaction_preserves_content_and_reduces_files(spark, sf_dir, tmp_path)
         .count()
     )
     assert sorted_ok >= 1
+
+
+def test_zorder_clusters_both_columns(spark, tmp_path):
+    """Z-ordered files must each cover a narrow band of BOTH keys (so
+    min/max footer stats prune on either predicate), where a
+    single-column sort leaves the second key's per-file spread at
+    ~the full range."""
+    from pyspark.sql import functions as F
+
+    from data_analyse_marche_emploi_spark.operators.maintenance import zorder_write
+    from data_analyse_marche_emploi_spark.tables import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_partkey", "l_suppkey")
+    n_files = 16
+
+    zpath = str(tmp_path / "zorder")
+    zorder_write(li, zpath, "l_partkey", "l_suppkey", n_files)
+
+    spath = str(tmp_path / "sorted")
+    (li.repartitionByRange(n_files, "l_partkey")
+       .sortWithinPartitions("l_partkey")
+       .write.mode("overwrite").parquet(spath))
+
+    def mean_file_spread(path, col):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg((F.max(col) - F.min(col)).alias("spread"))
+        )
+        return per_file.agg(F.avg("spread")).first()[0]
+
+    glob_a = li.agg(F.max("l_partkey") - F.min("l_partkey")).first()[0]
+    glob_b = li.agg(F.max("l_suppkey") - F.min("l_suppkey")).first()[0]
+
+    # z-order: BOTH columns clustered well below their global range
+    assert mean_file_spread(zpath, "l_partkey") < 0.5 * glob_a
+    assert mean_file_spread(zpath, "l_suppkey") < 0.5 * glob_b
+    # single-column sort: first key clusters, second stays ~unclustered
+    assert mean_file_spread(spath, "l_partkey") < 0.5 * glob_a
+    assert mean_file_spread(spath, "l_suppkey") > 0.8 * glob_b

@@ -173,3 +173,26 @@ def test_dormant_customers_anti_join_pushes_date(spark, sf_dir):
     assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate,2000-01-01", plan)
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row (count,total) scalar
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_runtime_bloom_filter_engages_on_shuffle_join(spark, sf_dir):
+    """At cluster scale (application side too big to broadcast, >10 GB
+    scan) Spark injects a runtime bloom filter built from the selective
+    creation side into the probe-side scan. Local fixtures never cross
+    those thresholds, so simulate the size regime by conf: the filtered
+    orders side of q_shipping_priority must then produce
+    bloom_filter_agg + might_contain on the lineitem probe side —
+    proof the engine's declarative plans are runtime-filter-eligible
+    (no manual semi-join pre-filters needed at 100 TB)."""
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, sf_dir, "q_shipping_priority")
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+    finally:
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
