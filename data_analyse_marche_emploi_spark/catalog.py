@@ -2408,6 +2408,113 @@ def pipeline_training_data(spark, sf_dir):
     )
 
 
+@register(
+    "pipeline_training_sequences",
+    oracle=r"""
+    WITH RECURSIVE
+    cleaned AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(lower(text), '[,*-.:;«»✔➡¿\\"·?!()/]', ' ', 'g'),
+                     '&nbsp', ' ', 'g'),
+                   '\r', ' ', 'g'),
+                 '[ \t\n\x0B\f\r\x{00A0}]', ' ', 'g'),
+               '[ \t\n\x0B\f\r\x{00A0}]+', ' ', 'g')) AS text
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, text
+      FROM cleaned
+      WHERE len(string_split(text, ' ')) >= 20
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+                    ELSE list_transform(
+                      generate_series(1, len(string_split(text, ' ')) - 2),
+                      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')) END))
+               AS shingle
+      FROM quality
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT i, j FROM pairs
+      JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+      WHERE common / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.5
+    ),
+    sym AS (SELECT i AS a, j AS b FROM edges UNION SELECT j, i FROM edges),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM quality
+      UNION
+      SELECT s.b, reach.lab FROM reach JOIN sym s ON reach.node = s.a
+    ),
+    comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1),
+    canon AS (
+      SELECT q.doc_id, q.text FROM quality q
+      JOIN comp c ON q.doc_id = c.doc_id
+      WHERE q.doc_id = c.cluster_id
+    ),
+    toks AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM canon),
+    starts AS (SELECT doc_id, toks,
+                      unnest(generate_series(1, len(toks), 48)) AS start
+               FROM toks),
+    chunks AS (
+      SELECT doc_id,
+             CAST((start - 1) / 48 AS INT) AS chunk_id,
+             len(toks[start:start+63]) AS n_chunk_tokens
+      FROM starts),
+    cum AS (SELECT doc_id, chunk_id, n_chunk_tokens,
+                   sum(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_id
+                       ROWS UNBOUNDED PRECEDING) - n_chunk_tokens AS cum_excl
+            FROM chunks)
+    SELECT doc_id, chunk_id, n_chunk_tokens,
+           cum_excl // 512 AS sequence_id,
+           cum_excl % 512 AS seq_pos
+    FROM cum
+    """,
+)
+def pipeline_training_sequences(spark, sf_dir):
+    """The capstone carried to its real endpoint: raw corpus → packed
+    training sequences. Logstash-exact cleaning → quality gate →
+    MinHash-LSH near-dup clustering → one canonical doc per cluster →
+    64/48 token-window chunking → 512-token sequence packing via the
+    two-phase distributed prefix sum. Every stage is an independently
+    verified catalog operator; this entry pins their composition
+    against one composed recursive-CTE + global-window oracle. At
+    100 TB no stage is quadratic, single-partition, or driver-bound:
+    LSH candidates are a banded bucket join, components are the hybrid
+    union-find/propagation, and the pack offset is two passes (per-
+    partition totals broadcast, partition-local cumsum)."""
+    from .functions.text import clean_text_chain
+    from .operators.dedup import dedup_clusters, minhash_lsh_pairs
+    from .operators.text_analysis import (
+        chunk_tokens,
+        chunks_to_sequences,
+        token_count,
+    )
+
+    d = _docs(spark, sf_dir)
+    cleaned = d.select("doc_id", clean_text_chain(F.col("text")).alias("text"))
+    quality = cleaned.filter(token_count(F.col("text")) >= 20)
+    pairs = minhash_lsh_pairs(quality, "text", "doc_id", k=64, bands=16, threshold=0.5)
+    clusters = dedup_clusters(quality, pairs, "doc_id")
+    canon = (
+        quality.join(clusters, "doc_id")
+        .filter(F.col("is_canonical"))
+        .select("doc_id", "text")
+    )
+    ch = chunk_tokens(canon, "text", "doc_id", window=64, stride=48).drop("chunk_text")
+    return chunks_to_sequences(ch, ["doc_id", "chunk_id"], "n_chunk_tokens", target=512)
+
+
 # ---------------------------------------------------------------------------
 # §2.F streaming / incremental (events table as the live-feed stand-in).
 # Each entry runs a real Structured Streaming query drained with
