@@ -3190,6 +3190,43 @@ def mixture_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "lang", "source")
 
 
+@register(
+    "emb_quantize",
+    oracle="""
+    SELECT vec_id,
+           CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> abs(x))) = 0
+                THEN 1.0
+                ELSE list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> abs(x))) END / 127 AS scale,
+           CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                x -> CAST(round(x / scale) AS INTEGER))) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                x -> abs(CAST(round(x / scale) AS INTEGER)))) AS BIGINT) AS q_l1
+    FROM embeddings
+    """,
+)
+def emb_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization (storage/shuffle 4×
+    reduction for ANN pipelines), surfaced as scalar per-vector
+    checksums (q_sum, q_l1) because the harness canonicalizer rejects
+    array cells. The scale divide is IEEE-identical on both engines
+    (float32 widening + one division — no accumulation), so raw doubles
+    hash-match; the int checksums are exact. Reconstruction bound
+    |x − q·scale| ≤ scale/2 is pinned in test_quantize_reconstruction_
+    bound."""
+    from .operators.similarity import quantize_int8
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = quantize_int8(e, "embedding", "vec_id")
+    return q.select(
+        "vec_id",
+        "scale",
+        F.aggregate("q", F.lit(0), lambda a, x: a + x).cast("bigint").alias("q_sum"),
+        F.aggregate("q", F.lit(0), lambda a, x: a + F.abs(x)).cast("bigint").alias("q_l1"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Mergeable-sketch rollups (operators/sketches.py): the warehouse-scale
 # answer to distinct counts and quantiles — persist kilobyte sketches per

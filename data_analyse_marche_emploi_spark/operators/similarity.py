@@ -232,3 +232,61 @@ def ann_lsh(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", "cos6")
     )
+
+
+def quantize_int8(vectors: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|x| / 127,
+    q[i] = round(x[i] / scale) ∈ [-127, 127].
+
+    The storage/bandwidth lever for embedding tables at corpus scale —
+    4 B/dim float32 → 1 B/dim + one double per vector (≈4× smaller scan
+    and shuffle for ANN candidate generation; rescore on the float
+    column only for finalists). Pure JVM higher-order functions;
+    per-row work, no shuffle. The scale projection is separated from
+    the quantize lambda by an optimizer barrier, else CollapseProject
+    inlines the array_max scan into EVERY element's lambda (d× d-scans
+    per row).
+
+    Output: (id, scale DOUBLE, q ARRAY<INT>). All-zero vectors get
+    scale 1/127 (q stays all-zero) instead of a 0-divide."""
+    n_part = vectors.sparkSession.sparkContext.defaultParallelism
+    base = vectors.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__e"),
+    ).withColumn(
+        "scale",
+        F.when(
+            F.array_max(F.transform("__e", lambda x: F.abs(x))) == 0, F.lit(1.0)
+        ).otherwise(F.array_max(F.transform("__e", lambda x: F.abs(x))))
+        / F.lit(127.0),
+    )
+    base = base.repartition(n_part)  # barrier: keep `scale` materialized
+    return base.select(
+        F.col(id_col),
+        F.col("scale"),
+        F.transform(
+            "__e", lambda x: F.round(x / F.col("scale"), 0).cast("int")
+        ).alias("q"),
+    )
+
+
+def dequantize_error(quantized: DataFrame, original: DataFrame,
+                     vec_col: str, id_col: str) -> DataFrame:
+    """Per-vector max absolute reconstruction error |x - q*scale| —
+    bounded by scale/2 by construction; the verification surface for
+    the quantizer."""
+    joined = quantized.join(
+        original.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__x")),
+        id_col,
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col("scale"),
+        F.array_max(
+            F.zip_with(
+                "__x",
+                "q",
+                lambda x, q: F.abs(x - q.cast("double") * F.col("scale")),
+            )
+        ).alias("max_abs_err"),
+    )

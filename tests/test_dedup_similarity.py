@@ -189,3 +189,33 @@ def test_multimodal_features_contract(docs):
         assert r["n_bytes"] == metas[r["doc_id"]]
         assert r["fake_first"] == texts[r["doc_id"]].encode("utf-8")[0]
         assert r["decoder"] == "fake-v0"
+
+
+def test_quantize_reconstruction_bound(spark, emb):
+    """|x − q·scale| ≤ scale/2 element-wise (+1 ulp slack), and cosine
+    between original and dequantized vectors stays ≥ 0.999 — int8 is
+    enough for candidate generation."""
+    from data_analyse_marche_emploi_spark.operators.similarity import (
+        dequantize_error,
+        quantize_int8,
+    )
+
+    q = quantize_int8(emb, "embedding", "vec_id")
+    err = dequantize_error(q, emb, "embedding", "vec_id")
+    bad = err.filter(F.col("max_abs_err") > F.col("scale") * 0.5000001).count()
+    assert bad == 0
+
+    # cosine(original, dequantized) per vector
+    joined = q.join(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("x")),
+        "vec_id",
+    ).select(
+        "vec_id",
+        F.zip_with("x", "q", lambda x, qi: qi.cast("double") * F.col("scale")).alias("y"),
+        "x",
+    )
+    dot = F.aggregate(F.zip_with("x", "y", lambda a, b: a * b), F.lit(0.0), lambda s, v: s + v)
+    nx = F.sqrt(F.aggregate(F.transform("x", lambda a: a * a), F.lit(0.0), lambda s, v: s + v))
+    ny = F.sqrt(F.aggregate(F.transform("y", lambda a: a * a), F.lit(0.0), lambda s, v: s + v))
+    worst = joined.select((dot / (nx * ny)).alias("cos")).agg(F.min("cos")).first()[0]
+    assert worst >= 0.999, worst
