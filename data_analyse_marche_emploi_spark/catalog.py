@@ -3191,6 +3191,60 @@ def mixture_stratified_sample(spark, sf_dir):
 
 
 @register(
+    "dedup_incremental",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(toks) < 3 THEN []
+                    ELSE list_transform(generate_series(1, len(toks) - 2),
+                         i -> array_to_string(toks[i:i+2], ' ')) END)) AS shingle
+      FROM d
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    p0 AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT i, j FROM p0
+      JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+      WHERE common / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.5
+    ),
+    newdocs AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+    partners AS (
+      SELECT j AS new_id, i AS partner FROM pairs
+      WHERE j IN (SELECT doc_id FROM newdocs)
+      UNION ALL
+      SELECT i AS new_id, j AS partner FROM pairs
+      WHERE i IN (SELECT doc_id FROM newdocs)
+        AND j NOT IN (SELECT doc_id FROM newdocs)
+    ),
+    agg AS (SELECT new_id, min(partner) AS dup_of FROM partners GROUP BY 1)
+    SELECT n.doc_id, a.dup_of, a.dup_of IS NULL AS keep
+    FROM newdocs n LEFT JOIN agg a ON n.doc_id = a.new_id
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Rolling-ingest dedup: docs with doc_id % 5 == 0 play the day's
+    increment, the rest the standing corpus. The operator prunes
+    corpus×corpus candidates at the LSH bucket join — per-batch cost
+    tracks the increment, not the corpus — and the oracle computes the
+    same answer from the full exact-Jaccard pair set (the LSH edge set
+    is exact-equal on the fixtures, test_minhash_lsh_vs_exact)."""
+    from .operators.dedup import incremental_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return incremental_dedup(
+        d.filter(F.col("doc_id") % 5 != 0),
+        d.filter(F.col("doc_id") % 5 == 0),
+        "text",
+        "doc_id",
+    )
+
+
+@register(
     "emb_quantize",
     oracle="""
     SELECT vec_id,

@@ -485,3 +485,113 @@ def embedding_cosine_pairs(
             yield pd.DataFrame({"i": out_i, "j": out_j})
 
     return rows.mapInPandas(block, "i long, j long")
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    increment: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus and itself — the
+    production shape for rolling ingest (daily crawl increments) —
+    WITHOUT re-pairing the corpus: corpus×corpus candidates are dropped
+    at the band-bucket join, before exact verification, so per-increment
+    cost is (increment buckets × bucket occupancy), independent of how
+    many corpus-only near-dup pairs exist. In production the corpus
+    side's signatures/buckets are persisted append-only artifacts;
+    here they derive inline from the corpus frame.
+
+    Returns one row per increment doc: (id, dup_of, keep) where dup_of
+    is the smallest-id directly-matching partner (any corpus doc, or an
+    earlier increment doc) and keep = no match. Direct matches only —
+    transitive chains are ``dedup_clusters``' job."""
+    r = k // bands
+    tagged = (
+        corpus.select(F.col(id_col), F.col(text_col))
+        .withColumn("__new", F.lit(False))
+        .unionByName(
+            increment.select(F.col(id_col), F.col(text_col)).withColumn(
+                "__new", F.lit(True)
+            )
+        )
+    )
+    sigs = minhash_signatures(tagged, text_col, id_col, k).persist()
+    newness = tagged.select(F.col(id_col).alias("doc"), "__new")
+    buckets = (
+        sigs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {bands - 1}), "
+                    f"b -> struct(b as band, xxhash64(slice(sig, b*{r}+1, {r})) as bh))"
+                )
+            ).alias("bb"),
+        )
+        .select("doc", "bb.band", "bb.bh")
+        .join(newness, "doc")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            # the incremental pruning: at least one side is new
+            & (F.col("a.__new") | F.col("b.__new")),
+        )
+        .select(
+            F.col("a.doc").alias("i"),
+            F.col("b.doc").alias("j"),
+            F.col("a.__new").alias("i_new"),
+            F.col("b.__new").alias("j_new"),
+        )
+        .distinct()
+    )
+    sh = sigs.select(F.col(id_col).alias("doc"), "shingles")
+    si = sh.alias("si")
+    sj = sh.alias("sj")
+    pairs = (
+        cand.join(si, F.col("i") == F.col("si.doc"))
+        .join(sj, F.col("j") == F.col("sj.doc"))
+        .withColumn(
+            "common",
+            F.size(F.array_intersect(F.col("si.shingles"), F.col("sj.shingles"))),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (
+                F.size(F.col("si.shingles"))
+                + F.size(F.col("sj.shingles"))
+                - F.col("common")
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("i", "j", "i_new", "j_new")
+    )
+    partners = (
+        pairs.filter(F.col("j_new"))
+        .select(F.col("j").alias("new_id"), F.col("i").alias("partner"))
+        .unionByName(
+            pairs.filter(F.col("i_new") & ~F.col("j_new")).select(
+                F.col("i").alias("new_id"), F.col("j").alias("partner")
+            )
+        )
+        .groupBy("new_id")
+        .agg(F.min("partner").alias("dup_of"))
+    )
+    return (
+        increment.select(F.col(id_col))
+        .join(partners, F.col(id_col) == F.col("new_id"), "left")
+        .select(
+            F.col(id_col),
+            F.col("dup_of"),
+            F.col("dup_of").isNull().alias("keep"),
+        )
+    )

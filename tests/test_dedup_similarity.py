@@ -219,3 +219,37 @@ def test_quantize_reconstruction_bound(spark, emb):
     ny = F.sqrt(F.aggregate(F.transform("y", lambda a: a * a), F.lit(0.0), lambda s, v: s + v))
     worst = joined.select((dot / (nx * ny)).alias("cos")).agg(F.min("cos")).first()[0]
     assert worst >= 0.999, worst
+
+
+def test_incremental_dedup_semantics(spark):
+    """Hand-built batch: increment docs must be matched against the
+    corpus in BOTH id directions and against earlier increment docs;
+    corpus-corpus duplicates must not appear in the output at all."""
+    from data_analyse_marche_emploi_spark.operators.dedup import incremental_dedup
+
+    text_a = " ".join(f"alpha{i}" for i in range(30))
+    text_b = " ".join(f"beta{i}" for i in range(30))
+    text_c = " ".join(f"gamma{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(5, text_a), (6, text_a), (7, text_b)],  # 5≈6: old-old dup pair
+        "doc_id long, text string",
+    )
+    increment = spark.createDataFrame(
+        [
+            (1, text_b),   # dup of corpus doc 7 (partner has LARGER id)
+            (10, text_a),  # dup of corpus docs 5/6 (smaller ids) → min = 5
+            (11, text_c),  # unique
+            (12, text_c),  # dup of earlier increment doc 11
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["dup_of"], r["keep"])
+        for r in incremental_dedup(corpus, increment, "text", "doc_id").collect()
+    }
+    assert out == {
+        1: (7, False),
+        10: (5, False),
+        11: (None, True),
+        12: (11, False),
+    }
