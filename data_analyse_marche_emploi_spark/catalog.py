@@ -3191,6 +3191,66 @@ def mixture_stratified_sample(spark, sf_dir):
 
 
 @register(
+    "mixture_train_split",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000 < 950 THEN 'train'
+                WHEN ((doc_id % 1000003) * 2654435761) % 1000 < 975 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def mixture_train_split(spark, sf_dir):
+    """Deterministic 95/2.5/2.5 train/val/test assignment from the
+    document-key hash: reproducible under re-runs and repartitioning,
+    and stable as the corpus grows (a doc's split depends only on its
+    own key — no count-dependent boundaries). Pure row-local
+    arithmetic, no shuffle."""
+    from .operators.sampling import train_val_test_split
+
+    d = _docs(spark, sf_dir)
+    return train_val_test_split(d, "doc_id").select("doc_id", "lang", "split")
+
+
+@register(
+    "mixture_token_budget",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split(lower(text), ' ')) AS n_tokens,
+             ((doc_id % 1000003) * 2654435761) % 1000 AS gate
+      FROM documents WHERE lang IN ('de', 'en', 'es', 'fr')
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY gate, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens FROM c
+    WHERE cum - n_tokens < 5000
+    """,
+)
+def mixture_token_budget(spark, sf_dir):
+    """Chinchilla-style token-budget mixture: 5 000 whitespace-tokens
+    per language, documents admitted in deterministic key-hash order
+    until each stratum's budget is spent. The per-stratum running count
+    is the grouped two-phase prefix sum — the oracle's
+    PARTITION BY lang window IS the 5-task plan the operator avoids at
+    corpus scale."""
+    from .operators.sampling import token_budget_mixture
+    from .operators.text_analysis import token_count
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    out = token_budget_mixture(
+        d, "lang", "doc_id", "n_tokens",
+        {"de": 5000, "en": 5000, "es": 5000, "fr": 5000},
+    )
+    return out.select("doc_id", "lang", "n_tokens")
+
+
+@register(
     "dedup_incremental",
     oracle="""
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

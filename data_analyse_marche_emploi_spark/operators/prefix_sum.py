@@ -63,3 +63,63 @@ def distributed_prefix_sum(
         .withColumn(out_col, F.col("__off") + F.col("__local"))
         .drop("__pid", "__off", "__local")
     )
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "prefix_sum",
+) -> DataFrame:
+    """Inclusive running sum of ``value_col`` within each group, ordered
+    by ``order_cols`` (unique within a group) — without hanging each
+    group on a single ``Window.partitionBy(group)`` task.
+
+    A handful of massive strata is the common shape (per-language token
+    budgets over a web corpus): plain per-group windows collapse to
+    n_groups tasks. Here rows range-partition on (group, order) — so a
+    group spans consecutive partitions and every core works — local
+    windows run per (partition, group) slice, and the driver stitches
+    per-group offsets from the (n_partitions × n_groups) totals grid,
+    broadcast back. Same two-phase shape as ``distributed_prefix_sum``,
+    keyed by group."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    keys = [*group_cols, *order_cols]
+    parted = (
+        df.repartitionByRange(n_part, *[F.asc(c) for c in keys])
+        .sortWithinPartitions(*keys)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    w = (
+        Window.partitionBy("__pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = parted.withColumn("__local", F.sum(value_col).over(w))
+    totals = parted.groupBy("__pid", *group_cols).agg(
+        F.sum(value_col).alias("t")
+    ).collect()
+    acc: dict[tuple, int] = {}
+    offsets = []
+    for r in sorted(totals, key=lambda r: (tuple(r[c] for c in group_cols), r["__pid"])):
+        g = tuple(r[c] for c in group_cols)
+        offsets.append((r["__pid"], *g, acc.get(g, 0)))
+        acc[g] = acc.get(g, 0) + r["t"]
+    spark = df.sparkSession
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    off_schema = StructType(
+        [
+            StructField("__pid", IntegerType()),
+            *[StructField(c, df.schema[c].dataType) for c in group_cols],
+            StructField("__off", LongType()),
+        ]
+    )
+    off_dim = spark.createDataFrame(offsets, off_schema)
+    return (
+        local.join(F.broadcast(off_dim), ["__pid", *group_cols])
+        .withColumn(out_col, F.col("__off") + F.col("__local"))
+        .drop("__pid", "__off", "__local")
+    )

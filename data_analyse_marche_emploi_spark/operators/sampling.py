@@ -89,3 +89,68 @@ def stratified_sample(
         .filter(sample_gate(key_col, salt) < F.col("__permille"))
         .drop("__permille")
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    val_permille: int = 25,
+    test_permille: int = 25,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic per-row split assignment from the key hash: the
+    top ``val+test`` permille of the gate range hold out validation and
+    test, the rest is train. Stable under re-runs, retries, and
+    repartitioning (same contract as ``stratified_sample``); a doc
+    never migrates between splits when the corpus grows, because its
+    gate depends only on its own key."""
+    gate = sample_gate(key_col, salt)
+    train_cut = 1000 - val_permille - test_permille
+    return df.withColumn(
+        "split",
+        F.when(gate < train_cut, "train")
+        .when(gate < train_cut + val_permille, "val")
+        .otherwise("test"),
+    )
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    tokens_col: str,
+    budgets: dict[str, int],
+) -> DataFrame:
+    """Chinchilla-style mixture: keep documents per stratum until that
+    stratum's TOKEN budget is exhausted, in deterministic key-hash
+    order (so the kept set is stable and unbiased, not
+    first-files-first). A doc is kept iff it STARTS within budget —
+    the budget overshoots by at most one document.
+
+    Scale shape: the per-stratum running token count uses
+    ``grouped_prefix_sum`` — range-partitioned two-phase cumsum — so a
+    5-language / 100 TB corpus does not collapse onto 5 window tasks.
+    """
+    from .prefix_sum import grouped_prefix_sum
+
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(s, int(b)) for s, b in sorted(budgets.items())],
+        f"{strata_col} string, __budget long",
+    )
+    ordered = (
+        df.filter(F.col(strata_col).isin(*budgets))
+        .withColumn("__gate", sample_gate(key_col))
+        .join(F.broadcast(dim), strata_col, "inner")
+    )
+    summed = grouped_prefix_sum(
+        ordered,
+        [strata_col],
+        ["__gate", key_col],
+        tokens_col,
+        out_col="__cum",
+    )
+    return (
+        summed.filter(F.col("__cum") - F.col(tokens_col) < F.col("__budget"))
+        .drop("__gate", "__budget", "__cum")
+    )

@@ -18,6 +18,8 @@ from data_analyse_marche_emploi_spark.operators.text_analysis import (
     repetition_signals,
 )
 
+from .conftest import SF_SMOKE
+
 
 def test_repetition_signals_hand_computed(spark):
     df = spark.createDataFrame(
@@ -188,3 +190,89 @@ def test_stratified_sample_deterministic_and_rate(spark):
     salted = stratified_sample(df, "lang", "doc_id", rates, salt=7)
     rs = sorted(r.doc_id for r in salted.collect())
     assert rs != ra
+
+
+def test_grouped_prefix_sum_matches_window(spark):
+    """The two-phase grouped cumsum must equal the single-window
+    PARTITION BY answer exactly, for every group."""
+    from pyspark.sql import Window
+
+    from data_analyse_marche_emploi_spark.operators.prefix_sum import (
+        grouped_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(g, i, (i * 7 + ord(g) * 3) % 11 + 1) for g in ["a", "b", "c"] for i in range(200)],
+        "grp string, k long, v long",
+    )
+    got = {
+        (r["grp"], r["k"]): r["prefix_sum"]
+        for r in grouped_prefix_sum(df, ["grp"], ["k"], "v").collect()
+    }
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r["grp"], r["k"]): r["ps"]
+        for r in df.withColumn("ps", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_token_budget_overshoots_at_most_one_doc(spark):
+    """Each stratum's kept token total exceeds its budget by at most
+    the final admitted document, and admission order is the key-hash
+    gate (deterministic), not input order."""
+    from data_analyse_marche_emploi_spark.operators.sampling import (
+        token_budget_mixture,
+    )
+    from data_analyse_marche_emploi_spark.operators.text_analysis import token_count
+    from data_analyse_marche_emploi_spark.tables import load_table
+
+    budget = 3000
+    d = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    out = token_budget_mixture(
+        d, "lang", "doc_id", "n_tokens", {"fr": budget, "en": budget}
+    )
+    per = {
+        r["lang"]: (r["tot"], r["mx"], r["n"])
+        for r in out.groupBy("lang")
+        .agg(F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(per) == {"fr", "en"}
+    for lang, (tot, mx, n) in per.items():
+        assert tot < budget + mx, (lang, tot, mx)
+        assert n >= 1
+    # determinism under repartitioning
+    again = token_budget_mixture(
+        d.repartition(13), "lang", "doc_id", "n_tokens",
+        {"fr": budget, "en": budget},
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_train_split_is_stable_under_corpus_growth(spark):
+    """A document's split never changes when the corpus doubles — the
+    anti-leakage property hash-based splits exist for."""
+    from data_analyse_marche_emploi_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    small = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"]: r["split"] for r in train_val_test_split(small, "doc_id").collect()}
+    s2 = {r["doc_id"]: r["split"] for r in train_val_test_split(big, "doc_id").collect()}
+    assert all(s2[k] == v for k, v in s1.items())
+    # ratios in the right neighborhood on the bigger draw
+    from collections import Counter
+
+    c = Counter(s2.values())
+    assert c["train"] > 1800 and c["val"] + c["test"] < 200
