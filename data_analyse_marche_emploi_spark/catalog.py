@@ -2790,6 +2790,20 @@ def stream_stream_join(spark, sf_dir):
     )
 
 
+@register("stream_distinct_users", oracle=None)
+def stream_distinct_users(spark, sf_dir):
+    """Streaming daily distinct users with HLL-sketch aggregation
+    state: kilobytes per window at any traffic volume, where streaming
+    countDistinct would buffer every id. Rows-only here (estimates are
+    engine-specific); test_stream_distinct_users_equals_batch pins
+    exact equality with the batch sketch — HLL state is register-max-
+    merged, so incremental arrival order cannot change the answer."""
+    from .streaming import incremental as S
+
+    ev = S.read_events_stream(spark, sf_dir)
+    return S.run_available_now(S.stream_distinct_users(ev), "complete")
+
+
 # ---------------------------------------------------------------------------
 # §2.A the paged-REST connector end-to-end (fixture transport)
 # ---------------------------------------------------------------------------

@@ -108,6 +108,26 @@ def stream_tumbling_counts(events: DataFrame, size: str = "1 day",
     )
 
 
+def stream_distinct_users(events: DataFrame, size: str = "1 day",
+                          watermark: str = "1 day") -> DataFrame:
+    """Streaming per-window distinct users via the mergeable HLL sketch
+    (operators/sketches.py rationale): the aggregation state per window
+    is a fixed-size sketch, not a user-id set — state stays kilobytes
+    per window at any traffic volume, where a countDistinct stream
+    would hold every id in state. The estimate is register-max-merged,
+    so it equals the batch answer's sketch exactly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size).alias("w"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("user_id"), F.lit(12))
+            ).alias("distinct_users")
+        )
+        .select(F.col("w.start").cast("date").alias("bucket"), "distinct_users")
+    )
+
+
 def stream_sliding_counts(events: DataFrame, size: str = "2 days",
                           slide: str = "1 day", watermark: str = "1 day") -> DataFrame:
     """Sliding-window counts — each event lands in size/slide windows."""

@@ -281,3 +281,22 @@ def test_stream_sessions_equal_batch_gaps_and_islands(spark, sf_dir, events_stre
     want_set = {(r.user_id, r.n_events) for r in want.collect()}
     assert got.count() == want.count()
     assert got_set == want_set
+
+
+def test_stream_distinct_users_equals_batch(spark, sf_dir, events_stream):
+    """HLL state is register-max-merged: the streamed per-day distinct
+    estimate must equal the batch sketch EXACTLY, however the
+    microbatches split the input."""
+    got = S.run_available_now(S.stream_distinct_users(events_stream), "complete")
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("bucket"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("user_id"), F.lit(12))
+            ).alias("distinct_users")
+        )
+    )
+    assert {(r.bucket, r.distinct_users) for r in got.collect()} == {
+        (r.bucket, r.distinct_users) for r in want.collect()
+    }
