@@ -3205,6 +3205,47 @@ def mixture_stratified_sample(spark, sf_dir):
 
 
 @register(
+    "chunks_to_sequences_by_lang",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+               FROM documents),
+    s AS (SELECT doc_id, lang, toks,
+                 unnest(generate_series(1, len(toks), 48)) AS start
+          FROM d),
+    chunks AS (
+      SELECT doc_id, lang,
+             CAST((start - 1) / 48 AS INT) AS chunk_id,
+             len(toks[start:start+63]) AS n_chunk_tokens
+      FROM s),
+    c AS (SELECT doc_id, lang, chunk_id, n_chunk_tokens,
+                 sum(n_chunk_tokens) OVER (PARTITION BY lang
+                     ORDER BY doc_id, chunk_id
+                     ROWS UNBOUNDED PRECEDING) - n_chunk_tokens AS cum_excl
+          FROM chunks)
+    SELECT doc_id, lang, chunk_id, n_chunk_tokens,
+           cum_excl // 512 AS sequence_id,
+           cum_excl % 512 AS seq_pos
+    FROM c
+    """,
+)
+def chunks_to_sequences_by_lang(spark, sf_dir):
+    """Stratum-safe sequence packing: sequences never cross a language
+    boundary (no mixed-language training sequences), via the grouped
+    two-phase prefix sum — the oracle's PARTITION BY lang window IS the
+    one-task-per-language plan the operator avoids. The stratum column
+    re-joins after chunking here; a production tokenizer carries it
+    through instead."""
+    from .operators.text_analysis import chunk_tokens, chunks_to_sequences_grouped
+
+    d = _docs(spark, sf_dir)
+    ch = chunk_tokens(d, "text", "doc_id", window=64, stride=48).drop("chunk_text")
+    ch = ch.join(F.broadcast(d.select("doc_id", "lang")), "doc_id")
+    return chunks_to_sequences_grouped(
+        ch, ["lang"], ["doc_id", "chunk_id"], "n_chunk_tokens", target=512
+    ).select("doc_id", "lang", "chunk_id", "n_chunk_tokens", "sequence_id", "seq_pos")
+
+
+@register(
     "mixture_train_split",
     oracle="""
     SELECT doc_id, lang,

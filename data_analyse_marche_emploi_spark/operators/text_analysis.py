@@ -302,6 +302,32 @@ def chunks_to_sequences(
     )
 
 
+def chunks_to_sequences_grouped(
+    chunks: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    token_col: str,
+    target: int = 2048,
+) -> DataFrame:
+    """Per-group sequence packing: sequences never cross a group
+    boundary (pack per language / per source so no training sequence
+    mixes strata). ``sequence_id`` restarts at 0 within each group —
+    (group_cols…, sequence_id) is the packed key.
+
+    Same two-phase shape as the global packer, but the running count is
+    the grouped prefix sum, so a few massive strata still use every
+    core instead of one window task per group."""
+    from .prefix_sum import grouped_prefix_sum
+
+    summed = grouped_prefix_sum(chunks, group_cols, order_cols, token_col, "__cum")
+    cum_excl = F.col("__cum") - F.col(token_col)
+    return (
+        summed.withColumn("sequence_id", F.expr(f"(__cum - {token_col}) div {target}"))
+        .withColumn("seq_pos", cum_excl % target)
+        .drop("__cum")
+    )
+
+
 # PII patterns — deliberately in the Java-regex ∩ RE2 common subset so
 # the engine and the DuckDB oracle run the *same* pattern strings.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
