@@ -3504,8 +3504,8 @@ _DRIVER_WINDOW = [
     "ann_ivf",
     "text_tf_idf",
     "pipeline_training_data",
-    "text_quality",
-    "text_lang_id",
+    "pipeline_training_sequences",
+    "dedup_incremental",
     "text_fr_nlp_tokens",
     "q_shipping_priority",
     "q_returned_items",
