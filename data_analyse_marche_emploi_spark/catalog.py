@@ -3440,6 +3440,19 @@ def agg_kll_quantiles(spark, sf_dir):
     return kll_rollup_quantiles(cells, [], probs=[0.25, 0.5, 0.75, 0.95])
 
 
+@register("agg_theta_overlap", oracle=None)
+def agg_theta_overlap(spark, sf_dir):
+    """Audience set algebra from sketches: distinct users who clicked
+    AND purchased / clicked but never purchased, etc. — no user-level
+    join anywhere; two kilobyte sketches and four scalar expressions.
+    Rows-only (estimates); test_theta_algebra_error_bound pins ≤5%
+    against the exact join-based answers."""
+    from .operators.sketches import theta_segment_algebra
+
+    e = _t(spark, sf_dir, "events")
+    return theta_segment_algebra(e, "event_type", "user_id", "click", "purchase")
+
+
 @register("agg_theta_distinct", oracle=None)
 def agg_theta_distinct(spark, sf_dir):
     """Theta-sketch distinct users per event type — same mergeable

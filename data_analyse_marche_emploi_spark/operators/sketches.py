@@ -110,3 +110,43 @@ def theta_distinct(
             F.theta_sketch_agg(F.col(value_col))
         ).alias("distinct_est")
     )
+
+
+def theta_segment_algebra(
+    df: DataFrame,
+    segment_col: str,
+    value_col: str,
+    seg_a: str,
+    seg_b: str,
+) -> DataFrame:
+    """Audience overlap between two segments from their theta sketches
+    — |A∪B|, |A∩B|, |A\\B|, |B\\A| estimated WITHOUT any join or
+    re-scan: each segment aggregates once into a kilobyte sketch
+    (map-side partial merge, like every sketch here), and the set
+    algebra runs on the two sketch blobs in a 1-row projection. The
+    question "how many users clicked but never purchased" at 100 TB
+    becomes two persisted sketches and four scalar expressions."""
+    sk = (
+        df.filter(F.col(segment_col).isin(seg_a, seg_b))
+        .groupBy(segment_col)
+        .agg(F.theta_sketch_agg(F.col(value_col)).alias("sk"))
+    )
+    row = (
+        sk.groupBy()
+        .pivot(segment_col, [seg_a, seg_b])
+        .agg(F.first("sk"))
+        .withColumnRenamed(seg_a, "__a")
+        .withColumnRenamed(seg_b, "__b")
+    )
+    return row.select(
+        F.expr("theta_sketch_estimate(theta_union(__a, __b))").alias("union_est"),
+        F.expr("theta_sketch_estimate(theta_intersection(__a, __b))").alias(
+            "intersect_est"
+        ),
+        F.expr("theta_sketch_estimate(theta_difference(__a, __b))").alias(
+            "a_minus_b_est"
+        ),
+        F.expr("theta_sketch_estimate(theta_difference(__b, __a))").alias(
+            "b_minus_a_est"
+        ),
+    )

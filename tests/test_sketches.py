@@ -119,3 +119,31 @@ def test_kll_rollup_rank_error(spark):
         v = row[f"q_{int(round(p * 100)):02d}"]
         true_rank = o.filter(F.col("o_totalprice") <= v).count() / n
         assert abs(true_rank - p) <= 0.035, (p, v, true_rank)
+
+
+def test_theta_algebra_error_bound(events):
+    """Theta union/intersection/difference estimates within 5% of the
+    exact join-based answers."""
+    from data_analyse_marche_emploi_spark.operators.sketches import (
+        theta_segment_algebra,
+    )
+
+    clicks = {
+        r["user_id"]
+        for r in events.filter(F.col("event_type") == "click")
+        .select("user_id").distinct().collect()
+    }
+    buys = {
+        r["user_id"]
+        for r in events.filter(F.col("event_type") == "purchase")
+        .select("user_id").distinct().collect()
+    }
+    row = theta_segment_algebra(events, "event_type", "user_id", "click", "purchase").first()
+    exact = {
+        "union_est": len(clicks | buys),
+        "intersect_est": len(clicks & buys),
+        "a_minus_b_est": len(clicks - buys),
+        "b_minus_a_est": len(buys - clicks),
+    }
+    for col, want in exact.items():
+        assert abs(row[col] - want) <= max(1, 0.05 * want), (col, row[col], want)
