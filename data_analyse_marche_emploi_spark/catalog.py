@@ -3204,6 +3204,20 @@ def mixture_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "lang", "source")
 
 
+@register("bpe_vocab", oracle=None)
+def bpe_vocab(spark, sf_dir):
+    """Distributed BPE vocabulary training on the corpus: one
+    corpus-sized word count, then vocab-sized merge iterations
+    (adjacent-pair counts + argmax + array-fold application), plan kept
+    O(1) deep via per-iteration localCheckpoint. Rows-only (iterative —
+    not SQL-expressible); test_bpe.py pins exact rule-sequence equality
+    against a pure-Python reference implementation."""
+    from .operators.bpe import bpe_merges
+
+    d = _docs(spark, sf_dir)
+    return bpe_merges(d, "text", n_merges=12, min_freq=2)
+
+
 @register(
     "chunks_to_sequences_by_lang",
     oracle="""
