@@ -21,9 +21,13 @@ ENTRIES = [
     "text_decontaminate",
     "pii_redact",
     "mixture_stratified_sample",
+    "mixture_token_budget",
     "docs_to_chunks",
     "chunks_to_sequences",
+    "chunks_to_sequences_by_lang",
     "cap_docs_per_source",
+    "agg_hll_rollup",
+    "bpe_vocab",
 ]
 
 SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
