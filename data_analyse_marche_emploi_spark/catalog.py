@@ -3204,6 +3204,38 @@ def mixture_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "lang", "source")
 
 
+@register(
+    "dq_report",
+    oracle="""
+    SELECT 'not_null:o_custkey' AS constraint,
+           count(*) FILTER (o_custkey IS NULL) AS violations FROM orders
+    UNION ALL
+    SELECT 'unique:o_orderkey',
+           coalesce(sum(n - 1), 0)
+    FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'ref:o_custkey', count(*)
+    FROM orders WHERE o_custkey IS NOT NULL
+      AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+    """,
+)
+def dq_report(spark, sf_dir):
+    """Expectation-suite data quality: null-rate, key-uniqueness, and
+    referential-integrity constraints as one violations report — each
+    check a partial-aggregated scan or an anti join, nothing bigger
+    than the per-constraint row comes back."""
+    from .operators.profiling import dq_report as dq
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return dq(
+        o,
+        unique_cols=["o_orderkey"],
+        not_null_cols=["o_custkey"],
+        ref_checks=[("o_custkey", c, "c_custkey")],
+    )
+
+
 @register("bpe_vocab", oracle=None)
 def bpe_vocab(spark, sf_dir):
     """Distributed BPE vocabulary training on the corpus: one

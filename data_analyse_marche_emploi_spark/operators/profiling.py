@@ -46,3 +46,76 @@ def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFr
         "n_distinct",
         ((F.col("n_rows") - F.col("n_nulls")) / F.col("n_rows")).alias("completeness"),
     )
+
+
+def dq_report(
+    df: DataFrame,
+    unique_cols: Sequence[str] = (),
+    not_null_cols: Sequence[str] = (),
+    ref_checks: Sequence[tuple[str, DataFrame, str]] = (),
+) -> DataFrame:
+    """Declarative data-quality report: one row per constraint with its
+    violation count — the expectation-suite pattern (unique keys, null
+    rates, referential integrity) as plain aggregates.
+
+    Scale shape: each uniqueness check is one partial-aggregated
+    groupBy; null checks share a single scan via conditional counts;
+    each referential check is a left-anti join (broadcast when the
+    referenced key side is dimension-sized). Nothing collects more than
+    the one-row-per-constraint report."""
+    spark = df.sparkSession
+    reports = []
+    if not_null_cols:
+        null_agg = df.agg(
+            *[
+                F.count(F.when(F.col(c).isNull(), 1)).alias(c)
+                for c in not_null_cols
+            ]
+        )
+        reports.append(
+            null_agg.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(f"not_null:{c}").alias("constraint"),
+                                F.col(c).cast("long").alias("violations"),
+                            )
+                            for c in not_null_cols
+                        ]
+                    )
+                ).alias("r")
+            ).select("r.constraint", "r.violations")
+        )
+    for c in unique_cols:
+        dupes = (
+            df.groupBy(c)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .agg(
+                F.lit(f"unique:{c}").alias("constraint"),
+                F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).cast("long").alias(
+                    "violations"
+                ),
+            )
+        )
+        reports.append(dupes)
+    for fk_col, ref_df, ref_col in ref_checks:
+        orphans = (
+            df.select(F.col(fk_col))
+            .filter(F.col(fk_col).isNotNull())
+            .join(
+                ref_df.select(F.col(ref_col).alias(fk_col)).distinct(),
+                fk_col,
+                "left_anti",
+            )
+            .agg(
+                F.lit(f"ref:{fk_col}").alias("constraint"),
+                F.count(F.lit(1)).cast("long").alias("violations"),
+            )
+        )
+        reports.append(orphans)
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

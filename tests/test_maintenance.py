@@ -81,3 +81,25 @@ def test_zorder_clusters_both_columns(spark, tmp_path):
     # single-column sort: first key clusters, second stays ~unclustered
     assert mean_file_spread(spath, "l_partkey") < 0.5 * glob_a
     assert mean_file_spread(spath, "l_suppkey") > 0.8 * glob_b
+
+
+def test_dq_report_counts_violations(spark):
+    """Synthetic table with one duplicate key, two nulls, and one
+    orphan FK — the report must count each exactly."""
+    from data_analyse_marche_emploi_spark.operators.profiling import dq_report
+
+    rows = spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 20), (3, None), (4, None), (5, 99)],
+        "k long, fk long",
+    )
+    dim = spark.createDataFrame([(10,), (20,)], "d long")
+    got = {
+        r["constraint"]: r["violations"]
+        for r in dq_report(
+            rows,
+            unique_cols=["k"],
+            not_null_cols=["fk"],
+            ref_checks=[("fk", dim, "d")],
+        ).collect()
+    }
+    assert got == {"not_null:fk": 2, "unique:k": 1, "ref:fk": 1}
