@@ -2409,6 +2409,84 @@ def pipeline_training_data(spark, sf_dir):
 
 
 @register(
+    "dedup_canonical_quality",
+    oracle=r"""
+    WITH RECURSIVE
+    cleaned AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(lower(text), '[,*-.:;«»✔➡¿\\"·?!()/]', ' ', 'g'),
+                     '&nbsp', ' ', 'g'),
+                   '\r', ' ', 'g'),
+                 '[ \t\n\x0B\f\r\x{00A0}]', ' ', 'g'),
+               '[ \t\n\x0B\f\r\x{00A0}]+', ' ', 'g')) AS text
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens
+      FROM cleaned
+      WHERE len(string_split(text, ' ')) >= 20
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+                    ELSE list_transform(
+                      generate_series(1, len(string_split(text, ' ')) - 2),
+                      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')) END))
+               AS shingle
+      FROM quality
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT i, j FROM pairs
+      JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+      WHERE common / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.5
+    ),
+    sym AS (SELECT i AS a, j AS b FROM edges UNION SELECT j, i FROM edges),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM quality
+      UNION
+      SELECT s.b, reach.lab FROM reach JOIN sym s ON reach.node = s.a
+    ),
+    comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1)
+    SELECT q.doc_id, c.cluster_id, q.n_tokens,
+           (row_number() OVER (PARTITION BY c.cluster_id
+                ORDER BY q.n_tokens DESC, q.doc_id ASC) = 1) AS is_canonical
+    FROM quality q JOIN comp c ON q.doc_id = c.doc_id
+    """,
+)
+def dedup_canonical_quality(spark, sf_dir):
+    """Quality-weighted canonical selection: within each near-dup
+    cluster the LONGEST document survives (id-ascending tiebreak)
+    instead of the smallest crawl id — keep the best copy, not the
+    first-seen one. Same clustering machinery as the capstone; the
+    selection is one window over cluster_id."""
+    from .functions.text import clean_text_chain
+    from .operators.dedup import canonical_by_score, dedup_clusters, minhash_lsh_pairs
+    from .operators.text_analysis import token_count
+
+    d = _docs(spark, sf_dir)
+    cleaned = d.select("doc_id", clean_text_chain(F.col("text")).alias("text"))
+    quality = cleaned.withColumn("n_tokens", token_count(F.col("text"))).filter(
+        F.col("n_tokens") >= 20
+    )
+    pairs = minhash_lsh_pairs(quality, "text", "doc_id", k=64, bands=16, threshold=0.5)
+    clusters = dedup_clusters(quality, pairs, "doc_id")
+    out = canonical_by_score(
+        clusters, quality.select("doc_id", "n_tokens"), "doc_id", "n_tokens"
+    )
+    return out.select("doc_id", "cluster_id", "n_tokens", "is_canonical")
+
+
+@register(
     "pipeline_training_sequences",
     oracle=r"""
     WITH RECURSIVE

@@ -404,6 +404,33 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def canonical_by_score(
+    clustered: DataFrame, scores: DataFrame, id_col: str, score_col: str
+) -> DataFrame:
+    """Re-select each cluster's canonical member by QUALITY instead of
+    min-id: the highest-``score_col`` member survives (id ascending as
+    the deterministic tiebreak). ``clustered`` is ``dedup_clusters``
+    output; ``scores`` maps id → score (e.g. a text-quality signal —
+    keep the best-written copy of each near-dup family, not the one
+    with the smallest crawl id).
+
+    One shuffle on cluster_id; clusters are near-dup families (small),
+    so the per-partition window never sees a pathological key unless
+    the corpus is one giant duplicate class — which max_df / LSH
+    thresholds bound upstream."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        clustered.join(scores.select(F.col(id_col), F.col(score_col)), id_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .withColumn("is_canonical", F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+
 # --- embedding cosine near-dup --------------------------------------------
 
 
