@@ -253,3 +253,24 @@ def test_incremental_dedup_semantics(spark):
         11: (None, True),
         12: (11, False),
     }
+
+
+def test_canonical_by_score_argmax_and_tiebreak(spark):
+    """Highest score survives per cluster; equal scores fall back to
+    the smaller id; singleton clusters stay canonical."""
+    from data_analyse_marche_emploi_spark.operators.dedup import canonical_by_score
+
+    clustered = spark.createDataFrame(
+        [(1, 1, True), (2, 1, False), (3, 1, False), (7, 7, True), (8, 8, True)],
+        "doc_id long, cluster_id long, is_canonical boolean",
+    )
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (7, 5), (8, 1)],
+        "doc_id long, score long",
+    )
+    got = {
+        r["doc_id"]: r["is_canonical"]
+        for r in canonical_by_score(clustered, scores, "doc_id", "score").collect()
+    }
+    # cluster 1: docs 2 and 3 tie at 30 → smaller id (2) wins, min-id 1 loses
+    assert got == {1: False, 2: True, 3: False, 7: True, 8: True}
