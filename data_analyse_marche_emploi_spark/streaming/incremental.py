@@ -245,16 +245,27 @@ def run_available_now(stream_df: DataFrame, output_mode: str = "append") -> Data
     complete result.
     """
     name = "stream_out_" + uuid.uuid4().hex[:12]
+    spark0 = stream_df.sparkSession
+    # A NEW checkpoint sizes its state-store count from the current
+    # shuffle-partition conf; 32 stores for a fixture-scale drain is
+    # pure per-store open/commit overhead. Clamp for the drain and
+    # restore after — a production stream sizes this deliberately via
+    # its own checkpoint instead.
+    prev = spark0.conf.get("spark.sql.shuffle.partitions")
     with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        try:
+            spark0.conf.set("spark.sql.shuffle.partitions", "8")
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark0.conf.set("spark.sql.shuffle.partitions", prev)
     spark = stream_df.sparkSession
     # Materialize off the transient memory sink before the table goes away.
     rows = spark.table(name)
