@@ -115,6 +115,8 @@ def dq_report(
             )
         )
         reports.append(orphans)
+    if not reports:
+        raise ValueError("dq_report: declare at least one constraint")
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)
