@@ -104,9 +104,13 @@ def range_join_pairs(
     (key, bucket) — adding the bucket also splinters hot keys.
     """
     width = int(tolerance_seconds)
+    # cast("timestamp") first: fixture parquet may surface the event time
+    # as TIMESTAMP_NTZ (pyarrow writes tz-naive), which unix_micros
+    # rejects. Both sides cast identically under the UTC-pinned session,
+    # so the |l - r| difference is unaffected.
     lb = left.select(
         F.col(key).alias("__k"),
-        F.unix_micros(F.col(left_ts)).alias("__lus"),
+        F.unix_micros(F.col(left_ts).cast("timestamp")).alias("__lus"),
         *[F.col(c) for c in left_cols],
     ).withColumn(
         "__bucket",
@@ -120,7 +124,7 @@ def range_join_pairs(
     )
     rb = right.select(
         F.col(key).alias("__rk"),
-        F.unix_micros(F.col(right_ts)).alias("__rus"),
+        F.unix_micros(F.col(right_ts).cast("timestamp")).alias("__rus"),
         *[F.col(c) for c in right_cols],
     ).withColumn("__rbucket", (F.col("__rus") / (width * 1_000_000)).cast("long"))
     pairs = lb.join(

@@ -269,7 +269,7 @@ def test_stream_sessions_equal_batch_gaps_and_islands(spark, sf_dir, events_stre
     prev = F.lag("ts").over(w)
     new_s = (
         prev.isNull()
-        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) >= gap_us)
+        | ((F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(prev.cast("timestamp"))) >= gap_us)
     ).cast("int")
     sid = F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     want = (

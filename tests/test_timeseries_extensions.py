@@ -145,7 +145,7 @@ def test_range_join_matches_theta_join(spark, sf_dir):
         .filter(
             (F.col("err_id") != F.col("near_id"))
             & (
-                F.abs(F.unix_micros(F.col("a.ts")) - F.unix_micros(F.col("b.ts")))
+                F.abs(F.unix_micros(F.col("a.ts").cast("timestamp")) - F.unix_micros(F.col("b.ts").cast("timestamp")))
                 <= 3600 * 1_000_000
             )
         )
