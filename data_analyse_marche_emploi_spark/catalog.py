@@ -633,6 +633,35 @@ def duration_hhmm_q(spark, sf_dir):
 
 
 @register(
+    "scd2_apply",
+    oracle="""
+    WITH o AS (SELECT user_id, event_type, ts, event_id,
+                      lag(event_type) OVER w AS prev,
+                      row_number() OVER w AS rn
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    chg AS (SELECT user_id, event_type, ts, event_id FROM o
+            WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+    SELECT user_id, event_type AS status, ts AS valid_from,
+           lead(ts) OVER w2 AS valid_to,
+           lead(ts) OVER w2 IS NULL AS is_current
+    FROM chg WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_apply(spark, sf_dir):
+    """Type-2 SCD history of each user's event_type: consecutive repeats
+    collapse; each retained change holds [valid_from, valid_to); the
+    open interval is current. One shuffle on user_id serves both window
+    passes; event_id tie-breaks micro-equal timestamps."""
+    from .operators.ingest import scd2_history
+
+    e = _t(spark, sf_dir, "events")
+    return scd2_history(e, "user_id", "event_type", "ts", "event_id").withColumnRenamed(
+        "event_type", "status"
+    )
+
+
+@register(
     "snk_run_metrics",
     oracle="""
     SELECT 'fin de l''execution du programme' AS message,
@@ -1289,6 +1318,36 @@ def dedup_minhash_lsh(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, "text", "doc_id", threshold=0.5)
+
+
+@register(
+    "dedup_window_exact",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    w AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < 16 THEN []
+           ELSE list_transform(generate_series(1, len(t) - 15),
+                i -> array_to_string(t[i:i+15], ' ')) END)) AS win
+          FROM toks),
+    own AS (SELECT win, min(doc_id) AS owner FROM w GROUP BY 1),
+    dup AS (SELECT w.doc_id, count(*) AS n_dup FROM w JOIN own USING (win)
+            WHERE own.owner < w.doc_id GROUP BY 1),
+    nw AS (SELECT doc_id, count(*) AS n_win FROM w GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(nw.n_win, 0) AS n_windows,
+           coalesce(dup.n_dup, 0) AS n_dup_windows,
+           coalesce(dup.n_dup, 0) > 0 AS is_dup
+    FROM documents d
+    LEFT JOIN nw USING (doc_id) LEFT JOIN dup USING (doc_id)
+    """,
+)
+def dedup_window_exact(spark, sf_dir):
+    """Exact substring dedup at 16-token window granularity (the
+    suffix-array-recipe analog): docs sharing any verbatim window with
+    an earlier doc are flagged. Only (window-hash, id) pairs shuffle."""
+    from .operators.dedup import window_exact_dedup
+
+    d = _docs(spark, sf_dir)
+    return window_exact_dedup(d, "text", "doc_id", k=16)
 
 
 @register("dedup_simhash")  # hash-family specific → rows-only check
@@ -3635,6 +3694,7 @@ _DRIVER_WINDOW = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_window_exact",
     "dedup_clusters",
     "knn_brute_force",
     "ann_lsh",
@@ -3651,7 +3711,6 @@ _DRIVER_WINDOW = [
     "text_repetition",
     "text_decontaminate",
     "pii_redact",
-    "mixture_stratified_sample",
 ]
 
 

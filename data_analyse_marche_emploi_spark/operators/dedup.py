@@ -622,3 +622,56 @@ def incremental_dedup(
             F.col("dup_of").isNull().alias("keep"),
         )
     )
+
+
+# --- exact substring (token-window) dedup ---------------------------------
+
+
+def window_exact_dedup(
+    docs: DataFrame, text_col: str, id_col: str, k: int = 16
+) -> DataFrame:
+    """Exact substring dedup: flag documents that share any verbatim
+    ``k``-token window with an earlier (smaller-id) document.
+
+    The window-level analog of suffix-array substring dedup (the
+    "Deduplicating Training Data Makes Language Models Better" recipe):
+    a copied span of >= k tokens always yields at least one shared
+    window, while per-window exactness keeps false positives at zero
+    (unlike MinHash, which bounds Jaccard, not substring overlap).
+
+    Scale shape: distinct windows per doc are built map-side
+    (with_shingles), then only ``(xxhash64(window), id)`` pairs — 16
+    bytes a row, never the text — shuffle. The owner aggregation is
+    algebraic (min), so partial aggregation absorbs hot windows; the
+    join back on the window hash reuses the owner exchange. A 64-bit
+    hash collision between distinct window strings (~n^2 / 2^64) is the
+    accepted trade for not shuffling window strings.
+
+    Returns one row per input doc: ``(id, n_windows, n_dup_windows,
+    is_dup)``; docs shorter than ``k`` tokens have zero windows and are
+    never flagged.
+    """
+    w = (
+        with_shingles(docs.select(id_col, text_col), text_col, n=k)
+        .select(F.col(id_col).alias("__id"), F.explode("shingles").alias("__win"))
+        .select("__id", F.xxhash64("__win").alias("__wh"))
+    )
+    n_windows = w.groupBy("__id").agg(F.count("*").alias("n_windows"))
+    owner = w.groupBy("__wh").agg(F.min("__id").alias("__owner"))
+    n_dup = (
+        w.join(owner, "__wh")
+        .filter(F.col("__owner") < F.col("__id"))
+        .groupBy("__id")
+        .agg(F.count("*").alias("n_dup_windows"))
+    )
+    per_doc = n_windows.join(n_dup, "__id", "left")
+    return (
+        docs.select(id_col)
+        .join(per_doc, F.col(id_col) == F.col("__id"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            (F.coalesce("n_dup_windows", F.lit(0)) > 0).alias("is_dup"),
+        )
+    )

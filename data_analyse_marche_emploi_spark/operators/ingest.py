@@ -124,3 +124,50 @@ def run_metrics(
         duration_hhmm(F.unix_timestamp(end_c) - F.unix_timestamp(start_c)).alias("duree_totale"),
         (F.col("total_distinct") == avail).alias("complet"),
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key: str,
+    attr: str,
+    ts: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change feed.
+
+    The warehouse-side completion of the keyed upsert
+    (ingestion-elasticsearch.py:36-55 keeps only the latest state;
+    SCD2 keeps every state with its validity interval): consecutive
+    identical values collapse, each retained change opens an interval
+    ``[valid_from, valid_to)`` closed by the next change, and the open
+    interval is ``is_current``.
+
+    One shuffle on ``key`` serves both window passes (change detection
+    and interval close share the same (key × ts, tiebreak) ordering).
+    ``tiebreak`` must be unique per key (e.g. an event id) so
+    micro-equal timestamps order deterministically — this is what makes
+    the output reproducible across partitionings and engines.
+    """
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    # row_number (not prev-is-null) marks the genuine first change so a
+    # legitimate NULL attribute value neither opens a spurious interval
+    # nor hides a change to/from NULL (eqNullSafe, not <>).
+    changed = (
+        changes.select(key, attr, ts, tiebreak)
+        .withColumn("__prev", F.lag(attr).over(w))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(
+            (F.col("__rn") == 1) | ~F.col("__prev").eqNullSafe(F.col(attr))
+        )
+    )
+    w2 = Window.partitionBy(key).orderBy(ts, tiebreak)
+    return (
+        changed.withColumn("valid_to", F.lead(ts).over(w2))
+        .select(
+            F.col(key),
+            F.col(attr),
+            F.col(ts).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

@@ -274,3 +274,27 @@ def test_canonical_by_score_argmax_and_tiebreak(spark):
     }
     # cluster 1: docs 2 and 3 tie at 30 → smaller id (2) wins, min-id 1 loses
     assert got == {1: False, 2: True, 3: False, 7: True, 8: True}
+
+
+def test_window_exact_dedup_flags_copied_span(spark):
+    from data_analyse_marche_emploi_spark.operators.dedup import window_exact_dedup
+
+    span = " ".join(f"w{i}" for i in range(16))  # exactly one 16-token window
+    rows = [
+        (1, span + " tail one"),          # owner of the span's windows
+        (2, "lead two " + span),          # copies the span -> flagged
+        (3, "totally different words " + " ".join(f"x{i}" for i in range(16))),
+        (4, "short doc"),                 # < 16 tokens -> zero windows
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in window_exact_dedup(d, "text", "doc_id", k=16).collect()
+    }
+    assert not got[1]["is_dup"] and got[1]["n_windows"] == 3
+    assert got[2]["is_dup"] and got[2]["n_dup_windows"] >= 1
+    assert not got[3]["is_dup"]
+    assert got[4]["n_windows"] == 0 and not got[4]["is_dup"]
+    # flagging is ordered: the smallest id owning a window is never itself
+    # flagged for that window, so a pure two-doc duplicate flags exactly one
+    assert got[1]["n_dup_windows"] == 0

@@ -73,3 +73,58 @@ def test_snk_csv(spark, tmp_path):
     assert back.columns == ["id", "txt"]
     # quoted comma survives the round-trip
     assert {r["txt"] for r in back.collect()} == {"x,y", "z"}
+
+
+def test_scd2_history_collapses_and_closes_intervals(spark):
+    from datetime import datetime
+
+    from data_analyse_marche_emploi_spark.operators.ingest import scd2_history
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # user 1: a, a (collapse), b, b (collapse), a  -> 3 intervals
+        (1, "a", t(1), 101),
+        (1, "a", t(2), 102),
+        (1, "b", t(3), 103),
+        (1, "b", t(4), 104),
+        (1, "a", t(5), 105),
+        # user 2: value changes to NULL and back -> 3 intervals
+        (2, "x", t(1), 201),
+        (2, None, t(2), 202),
+        (2, "x", t(3), 203),
+        # user 3: micro-equal timestamps, tiebreak orders them
+        (3, "p", t(1), 302),
+        (3, "q", t(1), 301),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, status string, ts timestamp, event_id long"
+    )
+    out = scd2_history(df, "user_id", "status", "ts", "event_id")
+    got = sorted(
+        out.collect(), key=lambda r: (r["user_id"], r["valid_from"], r["status"] or "")
+    )
+    u1 = [r for r in got if r["user_id"] == 1]
+    assert [(r["status"], r["valid_from"].second) for r in u1] == [
+        ("a", 1), ("b", 3), ("a", 5)
+    ]
+    assert [r["valid_to"].second if r["valid_to"] else None for r in u1] == [3, 5, None]
+    assert [r["is_current"] for r in u1] == [False, False, True]
+    u2 = [r for r in got if r["user_id"] == 2]
+    assert [r["status"] for r in u2] == ["x", None, "x"]
+    # tiebreak: event_id 301 (q) precedes 302 (p)? No - order is (ts, event_id):
+    # 301 has the smaller id so 'q' opens first and 'p' is current
+    u3 = [r for r in got if r["user_id"] == 3]
+    assert [(r["status"], r["is_current"]) for r in sorted(u3, key=lambda r: not r["is_current"])] == [
+        ("p", True), ("q", False)
+    ]
+    # every user's intervals tile: each non-current valid_to equals the
+    # next interval's valid_from
+    for uid in (1, 2, 3):
+        iv = sorted(
+            [r for r in got if r["user_id"] == uid],
+            # micro-equal valid_from ties (user 3) order by interval
+            # position: the closed interval precedes the open one
+            key=lambda r: (r["valid_from"], r["valid_to"] is None),
+        )
+        for a, b in zip(iv, iv[1:]):
+            assert a["valid_to"] == b["valid_from"]
