@@ -1384,11 +1384,31 @@ def dedup_simhash_pairs(spark, sf_dir):
 )
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding near-dup pairs (cosine ≥ 0.4): exact all-pairs at test
-    scale; the LSH path (ann_lsh) is the production variant."""
+    scale; the LSH path (dedup_embedding_lsh) is the production variant."""
     from .operators.dedup import embedding_cosine_pairs
 
     e = _t(spark, sf_dir, "embeddings")
     return embedding_cosine_pairs(e, "embedding", "vec_id", 0.4)
+
+
+@register("dedup_embedding_lsh")  # LSH recall is hash-family specific → rows-only
+def dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup pairs via random-hyperplane LSH buckets +
+    exact cosine rescore — the 100 TB path: no all-pairs stage, no
+    driver collect; shuffle key is the (table, bucket) integer pair.
+    Soundness exact (every emitted pair carries its true cosine);
+    recall vs the exact verifier is asserted in tests. Bucket width
+    follows the threshold: the fixture's 0.4 threshold needs short
+    4-bit signatures (per-plane agreement p ≈ 0.63 → p^bits candidate
+    rate) OR-amplified over 12 tables for ~0.9 recall; a production
+    0.9+ near-dup threshold (p ≈ 0.97) uses 12-16 bits, where buckets
+    stay sub-quadratic at corpus scale."""
+    from .operators.dedup import embedding_lsh_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_lsh_pairs(
+        e, "embedding", "vec_id", threshold=0.4, bits=4, n_tables=12
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -693,3 +693,69 @@ def window_exact_dedup(
             (F.coalesce("n_dup_windows", F.lit(0)) > 0).alias("is_dup"),
         )
     )
+
+
+def embedding_lsh_pairs(
+    vectors: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    bits: int = 12,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold — the LSH-bucketed
+    scale path (embedding_cosine_pairs is the bounded all-pairs
+    verifier; this is what runs at 100 TB).
+
+    Candidates come from a same-(table, bucket) self-join of
+    random-hyperplane signatures (similarity._hyperplane_sig_expr):
+    the shuffle key is a small integer pair, never the vectors, and no
+    all-pairs stage exists anywhere. Every candidate pays the exact
+    sequential-fold cosine, so reported pairs are exact (soundness 1);
+    recall is the LSH bound ~1-(1-p^bits)^n_tables, OR-amplified by
+    ``n_tables``. Bucket population is geometrically concentrated for
+    near-dup thresholds; a pathological hot bucket degrades to that
+    bucket's pair count only (cf. max_df in the Jaccard join).
+
+    Returns (i, j, cos6) with i < j, distinct across tables.
+    """
+    from .similarity import _hyperplane_sig_expr
+
+    def sigs(alias_id: str, alias_v: str, alias_t: str, alias_b: str) -> DataFrame:
+        per_table = [
+            F.struct(
+                F.lit(t).alias("tbl"),
+                F.expr(_hyperplane_sig_expr(vec_col, bits, table=t)).alias("sig"),
+            )
+            for t in range(n_tables)
+        ]
+        return vectors.select(
+            F.col(id_col).alias(alias_id),
+            F.col(vec_col).alias(alias_v),
+            F.explode(F.array(*per_table)).alias("__tb"),
+        ).select(
+            alias_id,
+            alias_v,
+            F.col("__tb.tbl").alias(alias_t),
+            F.col("__tb.sig").alias(alias_b),
+        )
+
+    left = sigs("i", "__vi", "__ti", "__bi")
+    right = sigs("j", "__vj", "__tj", "__bj")
+    cand = (
+        left.join(
+            right,
+            (F.col("__ti") == F.col("__tj"))
+            & (F.col("__bi") == F.col("__bj"))
+            & (F.col("i") < F.col("j")),
+        )
+        .select("i", "j", "__vi", "__vj")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "cos6", F.floor(cosine_expr("__vi", "__vj") * 1e6).cast("long")
+        )
+        .filter(F.col("cos6") >= int(threshold * 1e6))
+        .select("i", "j", "cos6")
+    )

@@ -298,3 +298,35 @@ def test_window_exact_dedup_flags_copied_span(spark):
     # flagging is ordered: the smallest id owning a window is never itself
     # flagged for that window, so a pure two-doc duplicate flags exactly one
     assert got[1]["n_dup_windows"] == 0
+
+
+def test_embedding_lsh_pairs_sound_and_recall(emb):
+    from data_analyse_marche_emploi_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        embedding_lsh_pairs,
+    )
+
+    exact = {
+        (r["i"], r["j"])
+        for r in embedding_cosine_pairs(emb, "embedding", "vec_id", 0.4).collect()
+    }
+    got = embedding_lsh_pairs(
+        emb, "embedding", "vec_id", threshold=0.4, bits=4, n_tables=12
+    ).collect()
+    pairs = {(r["i"], r["j"]) for r in got}
+    # soundness: every emitted pair is a true >= threshold pair (the
+    # rescore is the same exact fold the verifier uses)
+    assert pairs <= exact
+    assert all(r["i"] < r["j"] and r["cos6"] >= 400000 for r in got)
+    # recall: OR-amplified buckets must recover a solid majority of the
+    # true pairs at this scale (deterministic hash family -> stable)
+    if exact:
+        assert len(pairs) / len(exact) >= 0.75
+    # and more tables never lose pairs (monotone union of candidates)
+    fewer = {
+        (r["i"], r["j"])
+        for r in embedding_lsh_pairs(
+            emb, "embedding", "vec_id", threshold=0.4, bits=4, n_tables=1
+        ).collect()
+    }
+    assert fewer <= pairs
