@@ -3449,6 +3449,25 @@ def chunks_to_sequences_by_lang(spark, sf_dir):
 
 
 @register(
+    "shuffle_training_order",
+    oracle="""
+    SELECT doc_id,
+           row_number() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)),
+                              doc_id) AS shuffle_pos
+    FROM documents
+    """,
+)
+def shuffle_training_order(spark, sf_dir):
+    """Reproducible global shuffle for the training loader: position in
+    the md5(seed:id) permutation via the two-phase distributed prefix
+    sum — no single-partition window, rerun-stable shard order."""
+    from .operators.sampling import shuffle_deterministic
+
+    d = _docs(spark, sf_dir)
+    return shuffle_deterministic(d, "doc_id", seed=42)
+
+
+@register(
     "mixture_train_split",
     oracle="""
     SELECT doc_id, lang,

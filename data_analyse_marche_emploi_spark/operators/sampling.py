@@ -154,3 +154,29 @@ def token_budget_mixture(
         summed.filter(F.col("__cum") - F.col(tokens_col) < F.col("__budget"))
         .drop("__gate", "__budget", "__cum")
     )
+
+
+def shuffle_deterministic(
+    df: DataFrame, id_col: str, seed: int = 42, out_col: str = "shuffle_pos"
+) -> DataFrame:
+    """Deterministic global shuffle order for training: every row gets a
+    1-based position in the pseudo-random permutation keyed by
+    ``md5(seed || ':' || id)``.
+
+    The training-loader step "shuffle the corpus once, read it in
+    order" needs a *reproducible* permutation (rerunning the job must
+    not reorder shards) — so the key is a cryptographic digest of the
+    row id, not rand(). Positions come from the two-phase distributed
+    prefix sum over the (digest, id) total order: no single-partition
+    window, no driver data path (only the per-partition totals row set
+    is collected). Writing the result range-partitioned by ``out_col``
+    yields shards that stream the permutation in order.
+    """
+    from .prefix_sum import distributed_prefix_sum
+
+    keyed = df.withColumn(
+        "__sk",
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+    ).withColumn("__one", F.lit(1))
+    pos = distributed_prefix_sum(keyed, ["__sk", id_col], "__one", out_col)
+    return pos.select(id_col, F.col(out_col).cast("long").alias(out_col))

@@ -276,3 +276,22 @@ def test_train_split_is_stable_under_corpus_growth(spark):
 
     c = Counter(s2.values())
     assert c["train"] > 1800 and c["val"] + c["test"] < 200
+
+
+def test_shuffle_deterministic_is_reproducible_permutation(spark):
+    from data_analyse_marche_emploi_spark.operators.sampling import (
+        shuffle_deterministic,
+    )
+
+    d = spark.range(0, 257).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["shuffle_pos"] for r in shuffle_deterministic(d, "doc_id").collect()}
+    # a true permutation: positions are exactly 1..n
+    assert sorted(a.values()) == list(range(1, 258))
+    # rerun-stable (the whole point vs rand())
+    b = {r["doc_id"]: r["shuffle_pos"] for r in shuffle_deterministic(d, "doc_id").collect()}
+    assert a == b
+    # seeded: another seed is a different permutation of the same support
+    c = {r["doc_id"]: r["shuffle_pos"] for r in shuffle_deterministic(d, "doc_id", seed=7).collect()}
+    assert sorted(c.values()) == list(range(1, 258)) and c != a
+    # and it actually shuffles: the identity order is broken
+    assert any(a[i] != i + 1 for i in range(257))
