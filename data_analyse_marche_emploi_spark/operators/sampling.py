@@ -174,7 +174,11 @@ def shuffle_deterministic(
     """
     from .prefix_sum import distributed_prefix_sum
 
-    keyed = df.withColumn(
+    # Project to the id before the prefix sum: its persist() would
+    # otherwise pin every payload column (text included) through the
+    # range exchange and cache — the position join back to the payload
+    # is the caller's (cheap, id-keyed) concern.
+    keyed = df.select(id_col).withColumn(
         "__sk",
         F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
     ).withColumn("__one", F.lit(1))
