@@ -721,7 +721,7 @@ def embedding_lsh_pairs(
     """
     from .similarity import _hyperplane_sig_expr
 
-    def sigs(alias_id: str, alias_v: str, alias_t: str, alias_b: str) -> DataFrame:
+    def sigs(alias_id: str, alias_t: str, alias_b: str) -> DataFrame:
         per_table = [
             F.struct(
                 F.lit(t).alias("tbl"),
@@ -731,17 +731,19 @@ def embedding_lsh_pairs(
         ]
         return vectors.select(
             F.col(id_col).alias(alias_id),
-            F.col(vec_col).alias(alias_v),
             F.explode(F.array(*per_table)).alias("__tb"),
         ).select(
             alias_id,
-            alias_v,
             F.col("__tb.tbl").alias(alias_t),
             F.col("__tb.sig").alias(alias_b),
         )
 
-    left = sigs("i", "__vi", "__ti", "__bi")
-    right = sigs("j", "__vj", "__tj", "__bj")
+    # Candidates carry bare (i, j) ids through the bucket join and the
+    # cross-table dedup — vectors rejoin only for the once-per-pair
+    # rescore. (Carrying both 64-dim vectors through the distinct()
+    # multiplied shuffle bytes ~50x: measured 92 s -> 8 s at sf0.1.)
+    left = sigs("i", "__ti", "__bi")
+    right = sigs("j", "__tj", "__bj")
     cand = (
         left.join(
             right,
@@ -749,13 +751,15 @@ def embedding_lsh_pairs(
             & (F.col("__bi") == F.col("__bj"))
             & (F.col("i") < F.col("j")),
         )
-        .select("i", "j", "__vi", "__vj")
+        .select("i", "j")
         .distinct()
     )
+    vi = vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("__vi"))
+    vj = vectors.select(F.col(id_col).alias("j"), F.col(vec_col).alias("__vj"))
     return (
-        cand.withColumn(
-            "cos6", F.floor(cosine_expr("__vi", "__vj") * 1e6).cast("long")
-        )
+        cand.join(vi, "i")
+        .join(vj, "j")
+        .withColumn("cos6", F.floor(cosine_expr("__vi", "__vj") * 1e6).cast("long"))
         .filter(F.col("cos6") >= int(threshold * 1e6))
         .select("i", "j", "cos6")
     )

@@ -28,6 +28,10 @@ ENTRIES = [
     "cap_docs_per_source",
     "agg_hll_rollup",
     "bpe_vocab",
+    "dedup_window_exact",
+    "dedup_embedding_lsh",
+    "shuffle_training_order",
+    "scd2_apply",
 ]
 
 SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
