@@ -66,3 +66,57 @@ def stream_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- transformWithState (Spark 4 arbitrary-state API) ---------------------
+
+
+def make_totals_processor():
+    """Per-user running (count, sum) as a transformWithState processor —
+    the same semantics as ``stream_user_totals`` on the newer API:
+    typed ValueState (RocksDB-backed on a cluster, TTL-able), timers
+    available for eviction logic, initial-state bootstrap supported.
+    Imported lazily so batch code paths never load the state client."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            prior = self._totals.get() if self._totals.exists() else (0, 0.0)
+            n, total = prior[0], prior[1]
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return TotalsProcessor()
+
+
+def stream_user_totals_tws(events: DataFrame) -> DataFrame:
+    """``stream_user_totals`` re-expressed on ``transformWithStateInPandas``
+    (Spark 4's arbitrary-state successor to applyInPandasWithState).
+    Emits updated per-user totals each micro-batch; drained
+    available-now the final row per user equals the batch aggregate.
+
+    The state server speaks protobuf, so this path needs the
+    ``protobuf`` package at runtime (absent in the test sandbox — the
+    equivalence test importorskips; on a real cluster it runs). The
+    applyInPandasWithState twin above is the sandbox-verified form of
+    the same semantics."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=make_totals_processor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

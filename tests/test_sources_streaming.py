@@ -300,3 +300,25 @@ def test_stream_distinct_users_equals_batch(spark, sf_dir, events_stream):
     assert {(r.bucket, r.distinct_users) for r in got.collect()} == {
         (r.bucket, r.distinct_users) for r in want.collect()
     }
+
+
+def test_stream_user_totals_tws_equals_batch(spark):
+    """transformWithState variant of the stateful totals: requires the
+    protobuf package (the state server's wire format), absent in this
+    sandbox — runs on any real cluster with pip-installed pyspark."""
+    pytest.importorskip("google.protobuf")
+    from data_analyse_marche_emploi_spark.streaming.stateful import (
+        stream_user_totals_tws,
+    )
+
+    ev = S.read_events_stream(spark, SF_SMOKE)
+    out = S.run_available_now(stream_user_totals_tws(ev), "update")
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 4)) for r in out.collect()}
+    batch = {
+        r["user_id"]: (r["n"], round(r["t"], 4))
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert got == batch
