@@ -43,6 +43,44 @@ def with_shingles(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
     return df.withColumn("shingles", F.expr(SHINGLE_EXPR.format(toks=toks, n=n)))
 
 
+def explode_window_hashes(
+    df: DataFrame, text_col: str, n: int, out_col: str = "win_hash"
+) -> DataFrame:
+    """One row per distinct ``n``-token-window 64-bit hash — the
+    numeric twin of :func:`with_shingles` + explode for consumers that
+    only compare windows: tokens hash once behind a CollapseProject
+    barrier (without it the per-token hashing inlines into the window
+    lambda, an n-times recompute), each window is xxhash64 over its
+    token-hash slice, and no window string is ever built (~4x cheaper
+    at n=16; the ~rows²/2⁶⁴ collision odds are the accepted trade).
+
+    The explode is applied to the window *expression*, deliberately
+    never to a named column: InferFiltersFromGenerate only fires on
+    attribute generators, and the non-empty filter it infers pushes
+    below the barrier where it re-derives the entire
+    tokenize+hash+window chain at the scan — measured 4x wall-clock on
+    this operator's consumers.
+
+    Replaces ``text_col`` with ``out_col``; rows shorter than ``n``
+    tokens produce no output rows."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    th = (
+        df.withColumn(
+            "__th",
+            F.expr(f"transform(split({text_col}, ' '), t -> xxhash64(t))"),
+        )
+        .drop(text_col)
+        .repartition(n_part)
+    )
+    wins = (
+        f"CASE WHEN size(__th) < {n} THEN array() "
+        f"ELSE array_distinct(transform(sequence(1, size(__th) - {n} + 1), "
+        f"i -> xxhash64(slice(__th, i, {n})))) END"
+    )
+    other = [c for c in th.columns if c != "__th"]
+    return th.select(*other, F.explode(F.expr(wins)).alias(out_col))
+
+
 # --- exact ----------------------------------------------------------------
 
 
@@ -655,24 +693,9 @@ def window_exact_dedup(
     """
     from pyspark.sql import Window
 
-    spark = docs.sparkSession
-    n_part = spark.sparkContext.defaultParallelism
-    # Windows are hashed numerically: each token hashes once, each
-    # window is xxhash64 over its k-token-hash slice — no per-window
-    # string concat (measured ~4x cheaper than concat_ws windows at
-    # k=16). The repartition is the CollapseProject barrier (see
-    # minhash_signatures): without it the per-token hashing inlines
-    # into the window lambda, a silent k-times recompute.
-    th = docs.select(
-        F.col(id_col).alias("__id"),
-        F.expr(f"transform(split({text_col}, ' '), t -> xxhash64(t))").alias("__th"),
-    ).repartition(n_part)
-    wins = (
-        f"CASE WHEN size(__th) < {k} THEN array() "
-        f"ELSE array_distinct(transform(sequence(1, size(__th) - {k} + 1), "
-        f"i -> xxhash64(slice(__th, i, {k})))) END"
+    w = explode_window_hashes(
+        docs.select(F.col(id_col).alias("__id"), text_col), text_col, k, "__wh"
     )
-    w = th.select("__id", F.explode(F.expr(wins)).alias("__wh"))
     per_doc = (
         w.withColumn("__owner", F.min("__id").over(Window.partitionBy("__wh")))
         .groupBy("__id")

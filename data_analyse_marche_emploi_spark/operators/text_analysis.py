@@ -161,18 +161,31 @@ def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     rides along as a per-row expression so no second pass over the text
     and no self-join. All ratios are exact int/int double divisions
     (portable across engines).
-    """
-    from .dedup import SHINGLE_EXPR
 
-    toks = tokens(F.col(text_col))
-    g2 = F.expr(
-        SHINGLE_EXPR.format(toks=f"split(lower({text_col}), ' ')", n=2)
-    )
-    ex = df.select(
+    Tokens travel and group as 64-bit hashes, and 2-grams count as
+    hash-of-hash-pairs — token/gram *strings* never shuffle and no
+    per-gram concat is built (the dedup_window_exact trick; the ~n²/2⁶⁴
+    collision odds are the accepted trade). The hash projection sits
+    behind a repartition barrier so CollapseProject can't inline
+    per-token hashing into every downstream expression.
+    """
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    th = df.select(
         F.col(id_col),
-        F.size(toks).alias("nt"),
-        F.size(g2).alias("d2"),
-        F.explode(toks).alias("tok"),
+        F.expr(f"transform(split(lower({text_col}), ' '), t -> xxhash64(t))").alias(
+            "__th"
+        ),
+    ).repartition(n_part)
+    d2 = (
+        "CASE WHEN size(__th) < 2 THEN 0 ELSE "
+        "size(array_distinct(transform(sequence(1, size(__th) - 1), "
+        "i -> xxhash64(element_at(__th, i), element_at(__th, i + 1))))) END"
+    )
+    ex = th.select(
+        F.col(id_col),
+        F.size("__th").alias("nt"),
+        F.expr(d2).alias("d2"),
+        F.explode("__th").alias("tok"),
     )
     cnt = ex.groupBy(id_col, "tok").agg(
         F.count(F.lit(1)).alias("c"),
@@ -214,18 +227,18 @@ def decontaminate(
     distinct shingle set is built once and **broadcast**; the corpus
     side is a scan → shingle explode → broadcast hash join → per-doc
     count. The corpus never shuffles on content — only (doc_id, hits)
-    aggregates move.
+    aggregates move. Shingles travel as 64-bit window hashes
+    (dedup.with_window_hashes): the broadcast set is 8 bytes per
+    shingle instead of the 8-gram string, and no gram string is built.
     """
-    from .dedup import with_shingles
+    from .dedup import explode_window_hashes
 
-    d_sh = with_shingles(docs.select(id_col, text_col), text_col, n).select(
-        F.col(id_col), F.explode("shingles").alias("shingle")
+    d_sh = explode_window_hashes(
+        docs.select(id_col, text_col), text_col, n, "shingle"
     )
-    b_sh = (
-        with_shingles(bench.select(text_col), text_col, n)
-        .select(F.explode("shingles").alias("shingle"))
-        .distinct()
-    )
+    b_sh = explode_window_hashes(
+        bench.select(text_col), text_col, n, "shingle"
+    ).distinct()
     hits = (
         d_sh.join(F.broadcast(b_sh), "shingle")
         .groupBy(id_col)
