@@ -52,10 +52,13 @@ HEADLINE = [
 ]
 
 
-def run_query(spark, name: str, sf_dir: str, repeats: int = 2) -> float:
+def run_query(spark, name: str, sf_dir: str, repeats: int = 3) -> float:
     """min of ``repeats`` runs — strips scheduler/GC noise (and the
     per-plan-shape codegen cost on the first run) so round-over-round
-    comparisons track real regressions, not variance."""
+    comparisons track real regressions, not variance. Three repeats:
+    with two, a single GC pause during the non-codegen run still
+    inflates the minimum (observed 2x swings on the BLAS-preselect and
+    streaming entries)."""
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
