@@ -2143,6 +2143,38 @@ def join_range(spark, sf_dir):
     return pairs.filter(F.col("err_id") != F.col("near_id"))
 
 
+@register(
+    "ts_gapfill",
+    oracle="""
+    WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+                           sum(value) AS v, count(*) AS n_events
+                    FROM events GROUP BY 1, 2),
+    b AS (SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+          FROM hourly GROUP BY 1),
+    spine AS (SELECT user_id,
+                     unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+              FROM b),
+    j AS (SELECT s.user_id, s.bucket_ts,
+                 coalesce(h.n_events, 0) AS n_events, h.v
+          FROM spine s LEFT JOIN hourly h USING (user_id, bucket_ts))
+    SELECT user_id, bucket_ts, n_events,
+           round(last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_fill
+    FROM j
+    """,
+)
+def ts_gapfill(spark, sf_dir):
+    """Dense per-user hourly grid with forward-filled value sums — the
+    time_bucket_gapfill + locf surface: spine from per-key bounds,
+    empty buckets at n_events = 0, one key shuffle reused by the
+    aggregation, spine join and fill window."""
+    from .operators.asof import gapfill_resample
+
+    e = _t(spark, sf_dir, "events")
+    return gapfill_resample(e, "user_id", "ts", "value", bucket="hour")
+
+
 # ---------------------------------------------------------------------------
 # Engine surface: global sort/limit, stats, quantiles, sampling, arrays
 # ---------------------------------------------------------------------------

@@ -132,3 +132,54 @@ def range_join_pairs(
         (F.col("__k") == F.col("__rk")) & (F.col("__bucket") == F.col("__rbucket")),
     ).filter(F.abs(F.col("__lus") - F.col("__rus")) <= width * 1_000_000)
     return pairs.select(F.col("__k").alias(key), *left_cols, *right_cols)
+
+
+def gapfill_resample(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Resample an event stream to a dense per-key time grid with
+    forward-filled values — the gap-filling/interpolation surface of a
+    time-series store (hypertable ``time_bucket_gapfill`` + ``locf``
+    re-expressed as one Catalyst plan).
+
+    Per key: bucket events (sum/count), span the key's [min, max]
+    bucket range with ``sequence``-exploded spine rows, left-join the
+    aggregates back, and carry the last non-null value forward with an
+    ``ignorenulls`` window ``last``. One shuffle keys the aggregation;
+    the spine explode is map-side on the bounds row; the spine join and
+    the fill window reuse the key partitioning. Spine size is bounded
+    by (key count x key's active range / bucket), never by event count.
+
+    Returns (key, bucket_ts, n_events, v_fill): empty buckets carry
+    n_events = 0 and the forward-filled value (NULL before the key's
+    first event — nothing to carry yet).
+    """
+    b = F.date_trunc(bucket, F.col(ts))
+    hourly = events.groupBy(F.col(key), b.alias("bucket_ts")).agg(
+        F.sum(value_col).alias("__v"), F.count(F.lit(1)).alias("n_events")
+    )
+    bounds = hourly.groupBy(key).agg(
+        F.min("bucket_ts").alias("__lo"), F.max("bucket_ts").alias("__hi")
+    )
+    spine = bounds.select(
+        key,
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr(f"interval 1 {bucket}"))
+        ).alias("bucket_ts"),
+    )
+    joined = spine.join(hourly, [key, "bucket_ts"], "left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        F.col(key),
+        "bucket_ts",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.round(F.last("__v", ignorenulls=True).over(w), 4).alias("v_fill"),
+    )

@@ -198,3 +198,30 @@ def test_read_referentiel(spark):
     assert {(r.code, r.nom) for r in dim.collect()} == {
         ("11", "Île-de-France"), ("75", "Paris")
     }
+
+
+def test_gapfill_resample_dense_grid_and_locf(spark):
+    from datetime import datetime
+
+    from data_analyse_marche_emploi_spark.operators.asof import gapfill_resample
+
+    rows = [
+        # user 1: events at hours 0 and 3 -> spine 0,1,2,3; fill carries 5.0
+        (1, datetime(2024, 1, 1, 0, 15), 2.0),
+        (1, datetime(2024, 1, 1, 0, 45), 3.0),
+        (1, datetime(2024, 1, 1, 3, 10), 7.0),
+        # user 2: single event -> one-row spine
+        (2, datetime(2024, 1, 1, 9, 30), 1.5),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["bucket_ts"].hour): (r["n_events"], r["v_fill"])
+        for r in gapfill_resample(df, "user_id", "ts", "value").collect()
+    }
+    assert got == {
+        (1, 0): (2, 5.0),   # 2.0 + 3.0
+        (1, 1): (0, 5.0),   # gap: forward-filled
+        (1, 2): (0, 5.0),   # gap: forward-filled
+        (1, 3): (1, 7.0),
+        (2, 9): (1, 1.5),
+    }
