@@ -2181,6 +2181,41 @@ def ts_gapfill(spark, sf_dir):
 
 
 @register(
+    "snapshot_diff",
+    oracle="""
+    WITH cur AS (SELECT event_id,
+                        CASE WHEN event_id % 97 = 1 THEN value + 1.0
+                             ELSE value END AS value
+                 FROM events WHERE event_id % 101 <> 0),
+    prev AS (SELECT event_id, value FROM events WHERE event_id % 89 <> 0)
+    SELECT coalesce(c.event_id, p.event_id) AS event_id,
+           CASE WHEN p.event_id IS NULL THEN 'added'
+                WHEN c.event_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM cur c FULL OUTER JOIN prev p USING (event_id)
+    WHERE p.event_id IS NULL OR c.event_id IS NULL OR c.value <> p.value
+    """,
+)
+def snapshot_diff_q(spark, sf_dir):
+    """Audit diff between two ingest snapshots (simulated: the current
+    run drops every 101st event and bumps every 97th value; the prior
+    run lacked every 89th event): added / removed / changed keys via a
+    full-outer join of map-side (key, row-hash) reductions — one
+    8-byte hash per row shuffles, never the payload."""
+    from .operators.maintenance import snapshot_diff
+
+    e = _t(spark, sf_dir, "events")
+    cur = e.filter(F.col("event_id") % 101 != 0).select(
+        "event_id",
+        F.when(F.col("event_id") % 97 == 1, F.col("value") + 1.0)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    prev = e.filter(F.col("event_id") % 89 != 0).select("event_id", "value")
+    return snapshot_diff(cur, prev, ["event_id"], ["value"])
+
+
+@register(
     "order_limit",
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders

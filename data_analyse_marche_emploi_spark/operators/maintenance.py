@@ -129,3 +129,38 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(out_path)
     )
+
+
+def snapshot_diff(
+    cur: DataFrame,
+    prev: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff of two snapshots of a keyed table: which keys were
+    ``added``, ``removed``, or ``changed`` — the audit step between
+    ingest runs (the reference re-ingests the full corpus each run;
+    this is how a 100 TB deployment verifies what an incremental upsert
+    actually did).
+
+    Each side reduces map-side to ``(key, xxhash64(compare_cols))`` —
+    the full-outer join shuffles one 8-byte hash per row, never the
+    payload. Unchanged keys are dropped. Hash equality stands in for
+    column equality (~rows²/2⁶⁴ false-unchanged odds, the repo-wide
+    trade); pass explicit ``compare_cols`` to scope the comparison.
+    """
+    compare = compare_cols or [c for c in cur.columns if c not in key_cols]
+    a = cur.select(*key_cols, F.xxhash64(*compare).alias("__ha"))
+    b = prev.select(*key_cols, F.xxhash64(*compare).alias("__hb"))
+    j = a.join(b, key_cols, "full_outer")
+    status = (
+        F.when(F.col("__hb").isNull(), F.lit("added"))
+        .when(F.col("__ha").isNull(), F.lit("removed"))
+        .when(F.col("__ha") != F.col("__hb"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status") != "unchanged")
+        .select(*key_cols, "status")
+    )

@@ -103,3 +103,17 @@ def test_dq_report_counts_violations(spark):
         ).collect()
     }
     assert got == {"not_null:fk": 2, "unique:k": 1, "ref:fk": 1}
+
+
+def test_snapshot_diff_statuses(spark):
+    from data_analyse_marche_emploi_spark.operators.maintenance import snapshot_diff
+
+    cur = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "id long, v string"
+    )
+    prev = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    got = {r["id"]: r["status"] for r in snapshot_diff(cur, prev, ["id"]).collect()}
+    # 1 unchanged (absent), 2 changed, 3 removed, 4 added
+    assert got == {2: "changed", 3: "removed", 4: "added"}
