@@ -1343,10 +1343,12 @@ def dedup_minhash_lsh(spark, sf_dir):
 def dedup_window_exact(spark, sf_dir):
     """Exact substring dedup at 16-token window granularity (the
     suffix-array-recipe analog): docs sharing any verbatim window with
-    an earlier doc are flagged. Only (window-hash, id) pairs shuffle."""
+    an earlier doc are flagged. Only (window-hash, id) pairs shuffle on
+    content. _t, not _docs: the operator's own token-hash barrier
+    already spreads the single-file fixture."""
     from .operators.dedup import window_exact_dedup
 
-    d = _docs(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
     return window_exact_dedup(d, "text", "doc_id", k=16)
 
 
@@ -3234,7 +3236,7 @@ def text_repetition(spark, sf_dir):
     boilerplate/degenerate-text filter rules for corpus curation."""
     from .operators.text_analysis import repetition_signals
 
-    d = _docs(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
     return repetition_signals(d, "text", "doc_id")
 
 
@@ -3268,7 +3270,7 @@ def text_decontaminate(spark, sf_dir):
     broadcast and the corpus side never shuffles on content."""
     from .operators.text_analysis import decontaminate
 
-    d = _docs(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") % 45 != 8)
     bench = d.filter(F.col("doc_id") % 45 == 8)
     return decontaminate(corpus, bench, "text", "doc_id", n=8)

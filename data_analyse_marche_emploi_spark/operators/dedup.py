@@ -43,6 +43,28 @@ def with_shingles(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
     return df.withColumn("shingles", F.expr(SHINGLE_EXPR.format(toks=toks, n=n)))
 
 
+def hashed_tokens(
+    df: DataFrame, text_col: str, lower: bool = False, out_col: str = "__th"
+) -> DataFrame:
+    """Replace ``text_col`` with an array of per-token xxhash64 values,
+    materialized behind a repartition barrier. The barrier is load-
+    bearing: without it CollapseProject inlines the tokenize+hash
+    transform into every downstream lambda that references the array —
+    an n-times recompute for an n-window consumer. The exchange ships
+    ~8 bytes/token (about the text's own size) round-robin, before any
+    content-keyed shuffle. Shared by the window-hash explode and the
+    repetition signals so the barrier trick lives in one place."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    src = f"lower({text_col})" if lower else text_col
+    return (
+        df.withColumn(
+            out_col, F.expr(f"transform(split({src}, ' '), t -> xxhash64(t))")
+        )
+        .drop(text_col)
+        .repartition(n_part)
+    )
+
+
 def explode_window_hashes(
     df: DataFrame, text_col: str, n: int, out_col: str = "win_hash"
 ) -> DataFrame:
@@ -63,15 +85,7 @@ def explode_window_hashes(
 
     Replaces ``text_col`` with ``out_col``; rows shorter than ``n``
     tokens produce no output rows."""
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    th = (
-        df.withColumn(
-            "__th",
-            F.expr(f"transform(split({text_col}, ' '), t -> xxhash64(t))"),
-        )
-        .drop(text_col)
-        .repartition(n_part)
-    )
+    th = hashed_tokens(df, text_col)
     wins = (
         f"CASE WHEN size(__th) < {n} THEN array() "
         f"ELSE array_distinct(transform(sequence(1, size(__th) - {n} + 1), "
@@ -677,27 +691,31 @@ def window_exact_dedup(
     window, while per-window exactness keeps false positives at zero
     (unlike MinHash, which bounds Jaccard, not substring overlap).
 
-    Scale shape — a single pass over the corpus: distinct windows per
-    doc are built map-side (with_shingles), then only
-    ``(xxhash64(window), id)`` pairs — 16 bytes a row, never the text —
-    shuffle once on the window hash, where a partition-window ``min``
-    computes each window's owner in place (no second scan, no
-    owner-side join), and the per-doc rollup is the only other
-    exchange. A 64-bit hash collision between distinct window strings
-    (~n^2 / 2^64) is the accepted trade for not shuffling window
-    strings.
+    Scale shape: distinct windows per doc are built map-side
+    (explode_window_hashes), then only ``(xxhash64(window), id)`` pairs
+    — 16 bytes a row, never the text — feed the owner aggregation and
+    its join back. The owner is a groupBy ``min``, NOT a partition
+    window: min partial-aggregates map-side, so a boilerplate window
+    shared by 10^7 docs (license headers, nav text) collapses to one
+    row per task before the shuffle, and the remaining skew — that
+    window's probe rows in the join — is exactly the shape AQE's
+    skew-join split handles; a window-function min would funnel every
+    copy of the hot hash into one task with no defense. The price is a
+    second map-side pass over the text (the window stream feeds both
+    the aggregation and the join probe). A 64-bit hash collision
+    between distinct window strings (~n^2 / 2^64) is the accepted
+    trade for not shuffling window strings.
 
     Returns one row per input doc: ``(id, n_windows, n_dup_windows,
     is_dup)``; docs shorter than ``k`` tokens have zero windows and are
     never flagged.
     """
-    from pyspark.sql import Window
-
     w = explode_window_hashes(
         docs.select(F.col(id_col).alias("__id"), text_col), text_col, k, "__wh"
     )
+    owner = w.groupBy("__wh").agg(F.min("__id").alias("__owner"))
     per_doc = (
-        w.withColumn("__owner", F.min("__id").over(Window.partitionBy("__wh")))
+        w.join(owner, "__wh")
         .groupBy("__id")
         .agg(
             F.count("*").alias("n_windows"),

@@ -147,11 +147,29 @@ def snapshot_diff(
     the full-outer join shuffles one 8-byte hash per row, never the
     payload. Unchanged keys are dropped. Hash equality stands in for
     column equality (~rows²/2⁶⁴ false-unchanged odds, the repo-wide
-    trade); pass explicit ``compare_cols`` to scope the comparison.
+    trade); pass explicit ``compare_cols`` to scope the comparison, or
+    ``[]`` for a presence-only diff (added/removed, never changed).
+
+    The hash interleaves a per-column isnull flag with each value:
+    Spark's xxhash64 *skips* NULL arguments, so without the flags a
+    value moving between nullable columns — ('x', NULL) vs (NULL, 'x')
+    — hashes identically and the change is deterministically invisible
+    (not 2⁻⁶⁴-unlikely). The flags pin each value to its position.
     """
-    compare = compare_cols or [c for c in cur.columns if c not in key_cols]
-    a = cur.select(*key_cols, F.xxhash64(*compare).alias("__ha"))
-    b = prev.select(*key_cols, F.xxhash64(*compare).alias("__hb"))
+    compare = (
+        compare_cols
+        if compare_cols is not None
+        else [c for c in cur.columns if c not in key_cols]
+    )
+    if compare:
+        hashed = [F.isnull(F.col(c)).cast("int") for c in compare]
+        row_hash = F.xxhash64(
+            *[x for c, flag in zip(compare, hashed) for x in (flag, F.col(c))]
+        )
+    else:
+        row_hash = F.lit(0)  # presence-only: every matched key is 'unchanged'
+    a = cur.select(*key_cols, row_hash.alias("__ha"))
+    b = prev.select(*key_cols, row_hash.alias("__hb"))
     j = a.join(b, key_cols, "full_outer")
     status = (
         F.when(F.col("__hb").isNull(), F.lit("added"))

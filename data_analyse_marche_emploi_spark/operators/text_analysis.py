@@ -165,17 +165,13 @@ def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Tokens travel and group as 64-bit hashes, and 2-grams count as
     hash-of-hash-pairs — token/gram *strings* never shuffle and no
     per-gram concat is built (the dedup_window_exact trick; the ~n²/2⁶⁴
-    collision odds are the accepted trade). The hash projection sits
-    behind a repartition barrier so CollapseProject can't inline
-    per-token hashing into every downstream expression.
+    collision odds are the accepted trade). The hash projection is
+    dedup.hashed_tokens — one shared home for the CollapseProject
+    barrier it depends on.
     """
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    th = df.select(
-        F.col(id_col),
-        F.expr(f"transform(split(lower({text_col}), ' '), t -> xxhash64(t))").alias(
-            "__th"
-        ),
-    ).repartition(n_part)
+    from .dedup import hashed_tokens
+
+    th = hashed_tokens(df.select(id_col, text_col), text_col, lower=True)
     d2 = (
         "CASE WHEN size(__th) < 2 THEN 0 ELSE "
         "size(array_distinct(transform(sequence(1, size(__th) - 1), "
@@ -225,11 +221,14 @@ def decontaminate(
 
     Scale shape: the benchmark side is eval-set sized (≪ corpus), so its
     distinct shingle set is built once and **broadcast**; the corpus
-    side is a scan → shingle explode → broadcast hash join → per-doc
-    count. The corpus never shuffles on content — only (doc_id, hits)
-    aggregates move. Shingles travel as 64-bit window hashes
-    (dedup.with_window_hashes): the broadcast set is 8 bytes per
-    shingle instead of the 8-gram string, and no gram string is built.
+    side is a scan → token-hash barrier → shingle explode → broadcast
+    hash join → per-doc count. The corpus never shuffles on *content
+    keys* — its only exchange is the round-robin token-hash barrier
+    (~text-sized, see dedup.hashed_tokens), and only (doc_id, hits)
+    aggregates shuffle after it. Shingles travel as 64-bit window
+    hashes (dedup.explode_window_hashes): the broadcast set is 8 bytes
+    per shingle instead of the 8-gram string, and no gram string is
+    ever built.
     """
     from .dedup import explode_window_hashes
 

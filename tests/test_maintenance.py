@@ -117,3 +117,29 @@ def test_snapshot_diff_statuses(spark):
     got = {r["id"]: r["status"] for r in snapshot_diff(cur, prev, ["id"]).collect()}
     # 1 unchanged (absent), 2 changed, 3 removed, 4 added
     assert got == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_null_position_and_presence_only(spark):
+    from data_analyse_marche_emploi_spark.operators.maintenance import snapshot_diff
+
+    # a value MOVING between nullable columns must register as changed:
+    # xxhash64 skips NULL args, so an unflagged hash would see ('x', NULL)
+    # and (NULL, 'x') as identical
+    cur = spark.createDataFrame([(1, "x", None)], "id long, a string, b string")
+    prev = spark.createDataFrame([(1, None, "x")], "id long, a string, b string")
+    got = {r["id"]: r["status"] for r in snapshot_diff(cur, prev, ["id"]).collect()}
+    assert got == {1: "changed"}
+
+    # compare_cols=[] means presence-only: matched keys are never 'changed'
+    got2 = {
+        r["id"]: r["status"]
+        for r in snapshot_diff(
+            cur,
+            prev.unionByName(
+                spark.createDataFrame([(2, None, None)], "id long, a string, b string")
+            ),
+            ["id"],
+            compare_cols=[],
+        ).collect()
+    }
+    assert got2 == {2: "removed"}
