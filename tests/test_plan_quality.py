@@ -196,3 +196,32 @@ def test_runtime_bloom_filter_engages_on_shuffle_join(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_window_exact_owner_partial_aggregates_no_window(spark, sf_dir):
+    """The per-window owner must be a groupBy min (partial-aggregates
+    map-side, probe skew AQE-splittable), never a partition-window min,
+    which would funnel every copy of a hot boilerplate window into one
+    task. Regression guard for the skew fix."""
+    plan = plan_of(spark, sf_dir, "dedup_window_exact")
+    assert "partial_min" in plan
+    assert "Window" not in plan
+
+
+def test_gapfill_single_key_shuffle_then_window(spark, sf_dir):
+    """Gap-fill's fill window must ride the key partitioning the
+    aggregation created — a single-partition (global) window would be
+    the scale-killer."""
+    plan = plan_of(spark, sf_dir, "ts_gapfill")
+    assert "Window" in plan
+    assert "partitionBy" not in plan or "user_id" in plan
+    # the spine explode must be a Generate, not a driver loop
+    assert "Generate explode" in plan
+
+
+def test_snapshot_diff_shuffles_hashes_not_payload(spark, sf_dir):
+    """Both diff sides must reduce to (key, 8-byte hash) before the
+    full-outer join — the value column may be read but never joined."""
+    plan = plan_of(spark, sf_dir, "snapshot_diff")
+    assert "FullOuter" in plan
+    assert "xxhash64" in plan
