@@ -1622,6 +1622,40 @@ def q_local_supplier_volume(spark, sf_dir):
 
 
 @register(
+    "q_priority_lines",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q_priority_lines(spark, sf_dir):
+    """TPC-H Q12 shape on the fixture's columns: conditional priority
+    counts after the fact-fact join. The shipdate predicate pushes to
+    the lineitem scan; both sides project to (key + 1 column) before
+    the join; the CASE counts partial-aggregate map-side, so the only
+    big exchange is the orderkey join itself."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_orderkey", "l_returnflag")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
     "q_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
