@@ -128,3 +128,59 @@ def test_scd2_history_collapses_and_closes_intervals(spark):
         )
         for a, b in zip(iv, iv[1:]):
             assert a["valid_to"] == b["valid_from"]
+
+
+def test_scd2_history_fuzz_vs_python_reference(spark):
+    """Seeded fuzz: scd2_history must agree with an independent
+    pure-Python reference on random change feeds — duplicate
+    timestamps, NULL values, single-event keys, long repeat runs."""
+    import random
+    from datetime import datetime, timedelta
+
+    from data_analyse_marche_emploi_spark.operators.ingest import scd2_history
+
+    rng = random.Random(20260813)
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid in range(1, 13):
+        for _ in range(rng.randint(1, 14)):
+            eid += 1
+            rows.append(
+                (
+                    uid,
+                    rng.choice(["a", "b", "b", "c", None]),
+                    base + timedelta(seconds=rng.randint(0, 20)),  # forced ts ties
+                    eid,
+                )
+            )
+
+    def py_scd2(rows):
+        out = []
+        by_key = {}
+        for uid, val, ts, eid2 in sorted(rows, key=lambda r: (r[0], r[2], r[3])):
+            by_key.setdefault(uid, []).append((val, ts))
+        for uid, seq in by_key.items():
+            changes = []
+            prev = object()  # sentinel distinct from None
+            for val, ts in seq:
+                if val != prev:
+                    changes.append([val, ts, None])
+                    prev = val
+            for cur, nxt in zip(changes, changes[1:]):
+                cur[2] = nxt[1]
+            for val, frm, to in changes:
+                out.append((uid, val, frm, to, to is None))
+        return sorted(out, key=lambda r: (r[0], r[2], r[3] or datetime.max, str(r[1])))
+
+    df = spark.createDataFrame(
+        rows, "user_id long, status string, ts timestamp, event_id long"
+    )
+    got = sorted(
+        (
+            (r["user_id"], r["status"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in scd2_history(df, "user_id", "status", "ts", "event_id").collect()
+        ),
+        key=lambda r: (r[0], r[2], r[3] or datetime.max, str(r[1])),
+    )
+    assert got == py_scd2(rows)
