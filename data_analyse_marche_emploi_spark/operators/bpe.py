@@ -108,6 +108,9 @@ def bpe_encode(df: DataFrame, text_col: str, rules: list[tuple[str, str]]) -> Da
     )
     for left, right in rules:
         out = out.withColumn("syms", _merge_expr(left, right))
+    # trim() strips only ' ' — tab/newline/NBSP symbols would survive as
+    # bogus tokens; filter on the full whitespace class instead
     return out.withColumn(
-        "bpe_tokens", F.expr("filter(syms, s -> trim(s) != '')")
+        "bpe_tokens",
+        F.expr(r"filter(syms, s -> s NOT RLIKE '^[\\s\\u00A0]+$')"),
     ).drop("syms")

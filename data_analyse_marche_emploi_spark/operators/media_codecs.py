@@ -61,6 +61,13 @@ def decode_wav(payload: bytes) -> dict:
     while pos + 8 <= end:
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # declared chunk length runs past the payload: a truncated
+            # file would otherwise decode "successfully" with silently
+            # wrong sample counts / durations
+            raise ValueError(
+                f"truncated {cid!r} chunk: declared {size}, present {len(body)}"
+            )
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":
@@ -68,6 +75,10 @@ def decode_wav(payload: bytes) -> dict:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        # struct.unpack_from would raise struct.error, which callers
+        # catching the documented ValueError wouldn't see
+        raise ValueError(f"fmt chunk too short: {len(fmt)} < 16 bytes")
     audio_format, n_channels, sample_rate, _, _, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0
     )
@@ -139,7 +150,13 @@ def _read_pnm_header(payload: bytes) -> tuple[bytes, int, int, int, int]:
                 j += 1
             fields.append(int(payload[i:j]))
             i = j
-    return magic, fields[0], fields[1], fields[2], i + 1  # one ws after maxval
+    # exactly one whitespace terminates the header — but accept a CRLF
+    # pair as one terminator (Windows-line-ending writers), else the
+    # stray \n shifts every pixel byte by one
+    if i >= len(payload) or not payload[i : i + 1].isspace():
+        raise ValueError("PNM header not terminated by whitespace")
+    off = i + 2 if payload[i : i + 2] == b"\r\n" else i + 1
+    return magic, fields[0], fields[1], fields[2], off
 
 
 def decode_ppm(payload: bytes) -> dict:

@@ -66,28 +66,40 @@ def _decode(payload: bytes) -> dict:
     """Format-dispatched decode: real RIFF/PCM parse for WAV, real
     netpbm parse for PPM/PGM, deterministic fake for anything else.
     ``fake_mean`` carries the real signal statistic where decode is
-    real (mean |amplitude| for audio, mean pixel value for images)."""
+    real (mean |amplitude| for audio, mean pixel value for images).
+
+    Magic-byte sniffing has false positives — arbitrary text starting
+    with ``P6 `` sniffs as PPM — and a malformed payload must degrade
+    to the fake decoder (tagged ``-invalid``), never abort the Spark
+    task: one bad row would otherwise kill the whole job."""
     from . import media_codecs as MC
 
     kind = MC.sniff_format(payload)
-    if kind == "wav":
-        w = MC.decode_wav(payload)
-        import numpy as np
+    try:
+        if kind == "wav":
+            w = MC.decode_wav(payload)
+            import numpy as np
 
-        return {
-            "n_bytes": len(payload),
-            "fake_mean": float(np.abs(w["samples"]).mean()) if w["n_samples"] else 0.0,
-            "fake_first": w["n_samples"],
-            "decoder": f"wav-pcm{w['bits']}-v1",
-        }
-    if kind == "ppm":
-        p = MC.decode_ppm(payload)
-        return {
-            "n_bytes": len(payload),
-            "fake_mean": float(p["pixels"].mean()),
-            "fake_first": p["width"] * p["height"],
-            "decoder": "ppm-v1",
-        }
+            return {
+                "n_bytes": len(payload),
+                "fake_mean": float(np.abs(w["samples"]).mean())
+                if w["n_samples"]
+                else 0.0,
+                "fake_first": w["n_samples"],
+                "decoder": f"wav-pcm{w['bits']}-v1",
+            }
+        if kind == "ppm":
+            p = MC.decode_ppm(payload)
+            return {
+                "n_bytes": len(payload),
+                "fake_mean": float(p["pixels"].mean()),
+                "fake_first": p["width"] * p["height"],
+                "decoder": "ppm-v1",
+            }
+    except Exception:
+        out = _fake_decode(payload)
+        out["decoder"] = "fake-v0-invalid"
+        return out
     return _fake_decode(payload)
 
 
@@ -110,8 +122,15 @@ def resize_images(media_df: DataFrame, width: int = 224, height: int = 224,
         if not b:
             return 0, "fake-resize-v0"
         if MC.sniff_format(b) == "ppm":
-            resized = MC.resize_nearest(MC.decode_ppm(b)["pixels"], width, height)
-            return len(MC.encode_ppm(resized)), "ppm-nn-v1"
+            try:
+                resized = MC.resize_nearest(
+                    MC.decode_ppm(b)["pixels"], width, height
+                )
+                return len(MC.encode_ppm(resized)), "ppm-nn-v1"
+            except Exception:
+                # sniff false-positive / malformed image: degrade, don't
+                # abort the task
+                return min(len(b), width * height * 3), "fake-resize-v0-invalid"
         return min(len(b), width * height * 3), "fake-resize-v0"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -178,10 +197,13 @@ def extract_audio_features(media_df: DataFrame, window_bytes: int = 2048,
         if not payload:
             return 0, 0.0, [0.0] * n_bands, "fake-audio-v0"
         if MC.sniff_format(payload) == "wav":
-            w = MC.decode_wav(payload)
-            n_windows = max(1, w["n_samples"] // window_bytes)
-            bands = MC.wav_band_energies(w["samples"], n_bands)
-            return n_windows, w["duration_s"], bands, f"wav-pcm{w['bits']}-v1"
+            try:
+                w = MC.decode_wav(payload)
+                n_windows = max(1, w["n_samples"] // window_bytes)
+                bands = MC.wav_band_energies(w["samples"], n_bands)
+                return n_windows, w["duration_s"], bands, f"wav-pcm{w['bits']}-v1"
+            except Exception:
+                pass  # sniff false-positive / malformed: byte-slice stub below
         n_windows = max(1, len(payload) // window_bytes)
         step = max(1, len(payload) // n_bands)
         bands = [

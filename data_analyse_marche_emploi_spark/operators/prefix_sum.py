@@ -52,12 +52,16 @@ def distributed_prefix_sum(
         parted.groupBy("__pid").agg(F.sum(value_col).alias("t")).collect(),
         key=lambda r: r["__pid"],
     )
-    offsets, acc = [], 0
+    # offset type follows the summed column: a hardcoded long crashes
+    # createDataFrame on double-valued totals (e.g. summing revenue)
+    is_float = any(isinstance(r["t"], float) for r in totals)
+    offsets, acc = [], 0.0 if is_float else 0
     for r in totals:
         offsets.append((r["__pid"], acc))
         acc += r["t"]
     spark = df.sparkSession
-    off_dim = spark.createDataFrame(offsets, "__pid int, __off long")
+    off_type = "double" if is_float else "long"
+    off_dim = spark.createDataFrame(offsets, f"__pid int, __off {off_type}")
     return (
         local.join(F.broadcast(off_dim), "__pid")
         .withColumn(out_col, F.col("__off") + F.col("__local"))
@@ -101,20 +105,29 @@ def grouped_prefix_sum(
     totals = parted.groupBy("__pid", *group_cols).agg(
         F.sum(value_col).alias("t")
     ).collect()
-    acc: dict[tuple, int] = {}
+    # offset type follows the summed column (see distributed_prefix_sum)
+    is_float = any(isinstance(r["t"], float) for r in totals)
+    zero = 0.0 if is_float else 0
+    acc: dict[tuple, float] = {}
     offsets = []
     for r in sorted(totals, key=lambda r: (tuple(r[c] for c in group_cols), r["__pid"])):
         g = tuple(r[c] for c in group_cols)
-        offsets.append((r["__pid"], *g, acc.get(g, 0)))
-        acc[g] = acc.get(g, 0) + r["t"]
+        offsets.append((r["__pid"], *g, acc.get(g, zero)))
+        acc[g] = acc.get(g, zero) + r["t"]
     spark = df.sparkSession
-    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
     off_schema = StructType(
         [
             StructField("__pid", IntegerType()),
             *[StructField(c, df.schema[c].dataType) for c in group_cols],
-            StructField("__off", LongType()),
+            StructField("__off", DoubleType() if is_float else LongType()),
         ]
     )
     off_dim = spark.createDataFrame(offsets, off_schema)

@@ -250,15 +250,20 @@ def quantize_int8(vectors: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     Output: (id, scale DOUBLE, q ARRAY<INT>). All-zero vectors get
     scale 1/127 (q stays all-zero) instead of a 0-divide."""
     n_part = vectors.sparkSession.sparkContext.defaultParallelism
-    base = vectors.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("__e"),
-    ).withColumn(
-        "scale",
-        F.when(
-            F.array_max(F.transform("__e", lambda x: F.abs(x))) == 0, F.lit(1.0)
-        ).otherwise(F.array_max(F.transform("__e", lambda x: F.abs(x))))
-        / F.lit(127.0),
+    # stage |x|max in its own projection so the O(d) scan runs once per
+    # row, not once per when() branch
+    base = (
+        vectors.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__e"),
+        )
+        .withColumn("__amax", F.array_max(F.transform("__e", lambda x: F.abs(x))))
+        .withColumn(
+            "scale",
+            F.when(F.col("__amax") == 0, F.lit(1.0)).otherwise(F.col("__amax"))
+            / F.lit(127.0),
+        )
+        .drop("__amax")
     )
     base = base.repartition(n_part)  # barrier: keep `scale` materialized
     return base.select(

@@ -24,11 +24,20 @@ from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMes
 
 class BulkWriteCommit(WriterCommitMessage):
     def __init__(self, file_path: str, n_rows: int):
-        self.file_path = file_path
+        self.file_path = file_path  # final name; task leaves .inprogress
         self.n_rows = n_rows
 
 
 class BulkNdjsonWriter(DataSourceWriter):
+    """Rename-on-commit protocol (FileOutputCommitter-v1 shape): tasks
+    only ever produce ``*.inprogress`` files; the driver's commit()
+    renames reported files to their final names and writes the
+    manifest. A task that dies at ANY point — including after finishing
+    its file but before reporting — therefore leaves only an
+    ``.inprogress`` leftover, which abort()'s sweep removes; no
+    final-named orphan can survive an aborted job to be ingested by a
+    ``*.ndjson``-globbing consumer."""
+
     def __init__(self, options: dict):
         self.path = options["path"]
         self.id_col = options.get("id_col", "id")
@@ -51,11 +60,14 @@ class BulkNdjsonWriter(DataSourceWriter):
             if os.path.exists(fname + ".inprogress"):
                 os.remove(fname + ".inprogress")
             raise
-        os.rename(fname + ".inprogress", fname)
         return BulkWriteCommit(fname, n)
 
     def commit(self, messages) -> None:
-        # task outputs are already atomically renamed; record a manifest
+        # the commit point: reported task outputs become visible
+        # together, then the manifest names the valid file set
+        for m in messages:
+            if m is not None and os.path.exists(m.file_path + ".inprogress"):
+                os.rename(m.file_path + ".inprogress", m.file_path)
         manifest = {
             "files": [m.file_path for m in messages if m is not None],
             "rows": sum(m.n_rows for m in messages if m is not None),
@@ -64,14 +76,8 @@ class BulkNdjsonWriter(DataSourceWriter):
             json.dump(manifest, f)
 
     def abort(self, messages) -> None:
-        # Remove files from tasks that reported success…
-        for m in messages:
-            if m is not None and os.path.exists(m.file_path):
-                os.remove(m.file_path)
-        # …and any renamed-but-unreported orphans or in-flight partials
-        # from tasks that died between rename and report. Only files
-        # listed in _MANIFEST.json are valid output, so unmanifested
-        # leftovers are always safe to delete here.
+        # nothing was renamed (commit never ran), so every leftover of
+        # this job is an .inprogress file — reported or not
         import glob
 
         for leftover in glob.glob(os.path.join(self.path, "*.inprogress")):

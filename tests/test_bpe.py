@@ -97,3 +97,11 @@ def test_bpe_encode_roundtrip(spark):
         stripped = "".join(r["text"].lower().split())
         assert r["glued"] == stripped
         assert r["n_tok"] < len(stripped)  # merges compressed something
+
+
+def test_bpe_encode_drops_all_whitespace_symbols(spark):
+    from data_analyse_marche_emploi_spark.operators.bpe import bpe_encode
+
+    df = spark.createDataFrame([("ab\ncd\tef",)], "text string")
+    toks = bpe_encode(df, "text", rules=[]).collect()[0]["bpe_tokens"]
+    assert toks == list("abcdef")  # \n and \t never become tokens

@@ -295,3 +295,24 @@ def test_shuffle_deterministic_is_reproducible_permutation(spark):
     assert sorted(c.values()) == list(range(1, 258)) and c != a
     # and it actually shuffles: the identity order is broken
     assert any(a[i] != i + 1 for i in range(257))
+
+
+def test_distributed_prefix_sum_double_values(spark):
+    from data_analyse_marche_emploi_spark.operators.prefix_sum import (
+        distributed_prefix_sum,
+        grouped_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", 2.5), (3, "b", 10.0)], "k long, g string, v double"
+    )
+    got = {
+        r["k"]: r["ps"]
+        for r in distributed_prefix_sum(df, ["k"], "v", "ps").collect()
+    }
+    assert got == {1: 1.5, 2: 4.0, 3: 14.0}
+    got2 = {
+        r["k"]: r["ps"]
+        for r in grouped_prefix_sum(df, ["g"], ["k"], "v", "ps").collect()
+    }
+    assert got2 == {1: 1.5, 2: 4.0, 3: 10.0}

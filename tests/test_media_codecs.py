@@ -126,3 +126,54 @@ def test_attach_media_payload_still_fake_path(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").limit(5)
     feats = extract_features(attach_media(d, "text", "doc_id")).collect()
     assert feats and all(r.decoder == "fake-v0" for r in feats)
+
+
+def test_decode_magic_false_positive_degrades_not_crashes():
+    """Text that merely starts with PNM/WAV magic must fall back to the
+    fake decoder (tagged -invalid), never raise out of the task."""
+    from data_analyse_marche_emploi_spark.operators.multimodal import _decode
+
+    out = _decode(b"P6 est un processeur intel")
+    assert out["decoder"] == "fake-v0-invalid"
+    assert out["n_bytes"] == 26
+
+
+def test_decode_wav_truncated_data_raises_valueerror():
+    import pytest as _pytest
+
+    from data_analyse_marche_emploi_spark.operators.media_codecs import (
+        decode_wav,
+        encode_wav_pcm8,
+    )
+
+    full = encode_wav_pcm8(bytes(range(200)))
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_wav(full[:-50])  # declared data size runs past payload
+
+
+def test_decode_wav_short_fmt_raises_valueerror_not_struct_error():
+    import struct
+
+    import pytest as _pytest
+
+    from data_analyse_marche_emploi_spark.operators.media_codecs import decode_wav
+
+    fmt_body = struct.pack("<IHH", 8, 1, 1)[4:]  # 4-byte fmt body
+    payload = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 4 + 8 + 2) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"data" + struct.pack("<I", 2) + b"ab"
+    )
+    with _pytest.raises(ValueError, match="fmt chunk too short"):
+        decode_wav(payload)
+
+
+def test_decode_ppm_crlf_header_terminator():
+    import numpy as np
+
+    from data_analyse_marche_emploi_spark.operators.media_codecs import decode_ppm
+
+    pixels = bytes(range(18))  # 3x2 RGB
+    img = decode_ppm(b"P6\n3 2\n255\r\n" + pixels)
+    assert img["width"] == 3 and img["height"] == 2
+    assert np.array_equal(img["pixels"].ravel(), np.frombuffer(pixels, np.uint8))

@@ -322,3 +322,32 @@ def test_stream_user_totals_tws_equals_batch(spark):
         .collect()
     }
     assert got == batch
+
+
+def test_bulk_ndjson_rename_on_commit_protocol(tmp_path):
+    """Tasks must leave only .inprogress files; commit renames, abort
+    sweeps — so a task that finished its file but died before reporting
+    can never leave a final-named orphan after an aborted job."""
+    import glob
+    import os
+
+    from pyspark.sql import Row
+
+    from data_analyse_marche_emploi_spark.sources.bulk_sink import BulkNdjsonWriter
+
+    out = str(tmp_path / "bulk")
+    w = BulkNdjsonWriter({"path": out, "id_col": "id"})
+    m1 = w.write(iter([Row(id=1, v="a")]))
+    m2 = w.write(iter([Row(id=2, v="b")]))  # finished, will go unreported
+    # before commit: nothing has a final name
+    assert glob.glob(os.path.join(out, "*.ndjson")) == []
+    assert len(glob.glob(os.path.join(out, "*.inprogress"))) == 2
+    # abort with m2 unreported: EVERY leftover goes, reported or not
+    w.abort([m1, None])
+    assert os.listdir(out) == []
+    # fresh run commits: files appear with final names + manifest
+    m3 = w.write(iter([Row(id=3, v="c")]))
+    w.commit([m3])
+    assert len(glob.glob(os.path.join(out, "*.ndjson"))) == 1
+    assert os.path.exists(os.path.join(out, "_MANIFEST.json"))
+    assert glob.glob(os.path.join(out, "*.inprogress")) == []
