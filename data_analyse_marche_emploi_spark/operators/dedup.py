@@ -204,6 +204,51 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 64) -
     )
 
 
+def _band_buckets(sigs: DataFrame, id_col: str, k: int, bands: int) -> DataFrame:
+    """(doc, band, bh) rows from MinHash signatures — the LSH banding
+    shared by the batch (minhash_lsh_pairs) and rolling-ingest
+    (incremental_dedup) paths, so the band math lives once."""
+    r = k // bands
+    return sigs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b as band, xxhash64(slice(sig, b*{r}+1, {r})) as bh))"
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bh")
+
+
+def _jaccard_verify(
+    cand: DataFrame, sigs: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (i, j) pairs against the
+    persisted signature shingles; keeps rows with jaccard >= threshold
+    plus whatever extra columns ``cand`` carried."""
+    sh = sigs.select(F.col(id_col).alias("doc"), "shingles")
+    si = sh.alias("si")
+    sj = sh.alias("sj")
+    return (
+        cand.join(si, F.col("i") == F.col("si.doc"))
+        .join(sj, F.col("j") == F.col("sj.doc"))
+        .withColumn(
+            "common",
+            F.size(F.array_intersect(F.col("si.shingles"), F.col("sj.shingles"))),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (
+                F.size(F.col("si.shingles"))
+                + F.size(F.col("sj.shingles"))
+                - F.col("common")
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -220,21 +265,12 @@ def minhash_lsh_pairs(
     band-bucket exchange (key = (band, bandhash), value = doc id) and
     the candidate verification. No stage is quadratic in corpus size —
     only in per-bucket occupancy."""
-    r = k // bands
     # Signatures feed three consumers (both sides of the bucket
     # self-join + exact-Jaccard verification); persist so the per-doc
     # hashing runs once. At corpus scale use persist(DISK_ONLY) or a
     # checkpoint table instead of memory.
     sigs = minhash_signatures(df, text_col, id_col, k).persist()
-    buckets = sigs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> struct(b as band, xxhash64(slice(sig, b*{r}+1, {r})) as bh))"
-            )
-        ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bh")
+    buckets = _band_buckets(sigs, id_col, k, bands)
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
@@ -247,21 +283,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("i"), F.col("b.doc").alias("j"))
         .distinct()
     )
-    sh = sigs.select(F.col(id_col).alias("doc"), "shingles")
-    si = sh.alias("si")
-    sj = sh.alias("sj")
-    return (
-        cand.join(si, F.col("i") == F.col("si.doc"))
-        .join(sj, F.col("j") == F.col("sj.doc"))
-        .withColumn("common", F.size(F.array_intersect(F.col("si.shingles"), F.col("sj.shingles"))))
-        .withColumn(
-            "jaccard",
-            F.col("common")
-            / (F.size(F.col("si.shingles")) + F.size(F.col("sj.shingles")) - F.col("common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("i", "j", "jaccard")
-    )
+    return _jaccard_verify(cand, sigs, id_col, threshold).select("i", "j", "jaccard")
 
 
 # --- SimHash --------------------------------------------------------------
@@ -588,7 +610,6 @@ def incremental_dedup(
     is the smallest-id directly-matching partner (any corpus doc, or an
     earlier increment doc) and keep = no match. Direct matches only —
     transitive chains are ``dedup_clusters``' job."""
-    r = k // bands
     tagged = (
         corpus.select(F.col(id_col), F.col(text_col))
         .withColumn("__new", F.lit(False))
@@ -600,19 +621,7 @@ def incremental_dedup(
     )
     sigs = minhash_signatures(tagged, text_col, id_col, k).persist()
     newness = tagged.select(F.col(id_col).alias("doc"), "__new")
-    buckets = (
-        sigs.select(
-            F.col(id_col).alias("doc"),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, {bands - 1}), "
-                    f"b -> struct(b as band, xxhash64(slice(sig, b*{r}+1, {r})) as bh))"
-                )
-            ).alias("bb"),
-        )
-        .select("doc", "bb.band", "bb.bh")
-        .join(newness, "doc")
-    )
+    buckets = _band_buckets(sigs, id_col, k, bands).join(newness, "doc")
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
@@ -632,27 +641,8 @@ def incremental_dedup(
         )
         .distinct()
     )
-    sh = sigs.select(F.col(id_col).alias("doc"), "shingles")
-    si = sh.alias("si")
-    sj = sh.alias("sj")
-    pairs = (
-        cand.join(si, F.col("i") == F.col("si.doc"))
-        .join(sj, F.col("j") == F.col("sj.doc"))
-        .withColumn(
-            "common",
-            F.size(F.array_intersect(F.col("si.shingles"), F.col("sj.shingles"))),
-        )
-        .withColumn(
-            "jaccard",
-            F.col("common")
-            / (
-                F.size(F.col("si.shingles"))
-                + F.size(F.col("sj.shingles"))
-                - F.col("common")
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("i", "j", "i_new", "j_new")
+    pairs = _jaccard_verify(cand, sigs, id_col, threshold).select(
+        "i", "j", "i_new", "j_new"
     )
     partners = (
         pairs.filter(F.col("j_new"))
