@@ -3789,6 +3789,33 @@ def agg_theta_distinct(spark, sf_dir):
     return theta_distinct(e, ["event_type"], "user_id").orderBy("event_type")
 
 
+@register(
+    "agg_freq_items",
+    oracle="""
+    WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS item
+                  FROM documents),
+    tot AS (SELECT count(*) AS n FROM toks)
+    SELECT item, count(*) AS n_occurrences
+    FROM toks, tot
+    GROUP BY item, n
+    HAVING count(*) * 50 > n
+    """,
+)
+def agg_freq_items(spark, sf_dir):
+    """Exact heavy-hitter tokens (frequency > n/50) at Misra-Gries
+    sketch memory: O(k) per task for candidate generation regardless of
+    vocabulary size, exact JVM counts only for the provable candidate
+    superset — SQL-equal to GROUP BY HAVING while never building the
+    full vocabulary hash table."""
+    from .operators.sketches import freq_items
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("item")
+    )
+    return freq_items(toks, "item", k=50)
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window
 # ---------------------------------------------------------------------------

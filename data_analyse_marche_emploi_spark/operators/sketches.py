@@ -150,3 +150,73 @@ def theta_segment_algebra(
             "b_minus_a_est"
         ),
     )
+
+
+# --- Misra-Gries frequent items -------------------------------------------
+
+FREQ_CAND_SCHEMA = "item string, lower_bound long"
+
+
+def freq_items(df: DataFrame, item_col: str, k: int = 50) -> DataFrame:
+    """Exact heavy hitters: every item whose frequency exceeds n/k,
+    with its exact count — at sketch memory, not groupBy memory.
+
+    Two phases:
+
+    1. **Candidate generation** — a Misra-Gries(k) summary per
+       partition (``mapInPandas``; O(k) memory per task regardless of
+       per-partition cardinality — the point vs a plain groupBy whose
+       hash table grows with distinct items). Any item with global
+       frequency > n/(k+1) is guaranteed to survive in at least one
+       partition's summary: if it missed every local summary its count
+       would be bounded by sum(n_p/(k+1)) = n/(k+1). The per-item scan
+       is a Python loop, justified here exactly because the bounded
+       k-slot decrement semantics have no vectorized equivalent.
+    2. **Exact verification** — the candidate union (<= partitions x k
+       rows) broadcast-semi-joins the corpus; survivors get exact JVM
+       counts; keep count > n/k. So the output is deterministic and
+       SQL-equal to ``GROUP BY HAVING count > n/k`` while the full
+       aggregation only ever runs on the candidate subset.
+
+    Returns (item, n_occurrences), exact, for frequency > n/k.
+    """
+
+    def mg_partition(it):
+        import pandas as pd
+
+        slots: dict = {}
+        for pdf in it:
+            for v in pdf[item_col]:
+                if v is None:
+                    continue
+                if v in slots:
+                    slots[v] += 1
+                elif len(slots) < k:
+                    slots[v] = 1
+                else:
+                    for key in list(slots):
+                        slots[key] -= 1
+                        if slots[key] == 0:
+                            del slots[key]
+        if slots:
+            yield pd.DataFrame(
+                {"item": list(slots), "lower_bound": list(slots.values())}
+            )
+
+    cand = (
+        df.select(F.col(item_col).alias(item_col))
+        .mapInPandas(mg_partition, FREQ_CAND_SCHEMA)
+        .select(F.col("item").alias("__cand_item"))
+        .distinct()
+    )
+    totals = df.select(F.count(item_col).alias("__n"))
+    return (
+        df.join(
+            F.broadcast(cand), F.col(item_col) == F.col("__cand_item"), "left_semi"
+        )
+        .groupBy(F.col(item_col).alias("item"))
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .join(F.broadcast(totals))
+        .filter(F.col("n_occurrences") * k > F.col("__n"))
+        .select("item", "n_occurrences")
+    )

@@ -147,3 +147,22 @@ def test_theta_algebra_error_bound(events):
     }
     for col, want in exact.items():
         assert abs(row[col] - want) <= max(1, 0.05 * want), (col, row[col], want)
+
+
+def test_freq_items_exact_and_bounded_candidates(spark):
+    from data_analyse_marche_emploi_spark.operators.sketches import freq_items
+
+    # skewed stream: two heavy items, long uniform tail, shuffled
+    # across partitions so no single partition sees a clean majority
+    import random
+
+    rng = random.Random(7)
+    vals = ["hot1"] * 400 + ["hot2"] * 250 + [f"t{i}" for i in range(900)]
+    rng.shuffle(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "item string").repartition(8)
+    k = 10  # threshold n/k = 155
+    got = {r["item"]: r["n_occurrences"] for r in freq_items(df, "item", k).collect()}
+    assert got == {"hot1": 400, "hot2": 250}
+    # below-threshold heavy-ish item is excluded at k where it misses
+    got2 = {r["item"] for r in freq_items(df, "item", 4).collect()}  # n/4 = 387
+    assert got2 == {"hot1"}
