@@ -108,9 +108,12 @@ def bpe_encode(df: DataFrame, text_col: str, rules: list[tuple[str, str]]) -> Da
     )
     for left, right in rules:
         out = out.withColumn("syms", _merge_expr(left, right))
-    # trim() strips only ' ' — tab/newline/NBSP symbols would survive as
-    # bogus tokens; filter on the full whitespace class instead
+    # Drop exactly the separator class TRAINING splits words on (Java
+    # \s in word_counts) — trim() stripped only ' ', letting tab/newline
+    # through as bogus tokens, while a wider class (e.g. + NBSP) would
+    # drop characters the trainer treats as word content, making
+    # tokenization diverge from the learned merge statistics.
     return out.withColumn(
         "bpe_tokens",
-        F.expr(r"filter(syms, s -> s NOT RLIKE '^[\\s\\u00A0]+$')"),
+        F.expr(r"filter(syms, s -> s NOT RLIKE '^\\s+$')"),
     ).drop("syms")

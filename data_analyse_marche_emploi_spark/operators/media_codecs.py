@@ -150,12 +150,22 @@ def _read_pnm_header(payload: bytes) -> tuple[bytes, int, int, int, int]:
                 j += 1
             fields.append(int(payload[i:j]))
             i = j
-    # exactly one whitespace terminates the header — but accept a CRLF
-    # pair as one terminator (Windows-line-ending writers), else the
-    # stray \n shifts every pixel byte by one
+    # Exactly one whitespace terminates the header (spec) — but a
+    # Windows-line-ending writer emits CRLF, where skipping one byte
+    # shifts every pixel by the stray \n, while a bare-\r writer whose
+    # first pixel is 0x0A looks identical to CRLF. When the byte after
+    # the terminator is ambiguous (a \r\n pair), disambiguate by pixel
+    # buffer size: prefer the offset whose remaining byte count matches
+    # width*height*channels exactly; spec-compliant single-skip wins
+    # ties and the no-match case (frombuffer then reports truncation).
     if i >= len(payload) or not payload[i : i + 1].isspace():
         raise ValueError("PNM header not terminated by whitespace")
-    off = i + 2 if payload[i : i + 2] == b"\r\n" else i + 1
+    off = i + 1
+    if payload[i : i + 2] == b"\r\n":
+        channels = 3 if magic == b"P6" else 1
+        need = fields[0] * fields[1] * channels
+        if len(payload) - (i + 1) != need and len(payload) - (i + 2) == need:
+            off = i + 2
     return magic, fields[0], fields[1], fields[2], off
 
 

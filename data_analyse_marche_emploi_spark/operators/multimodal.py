@@ -50,8 +50,9 @@ def attach_media(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def _fake_decode(payload: bytes) -> dict:
     """Deterministic stand-in for formats we can't parse natively
-    (no PIL/ffmpeg in this environment). WAV and PPM payloads never
-    reach this — ``_decode`` routes them to the real parsers."""
+    (no PIL/ffmpeg in this environment). Well-formed WAV and PPM
+    payloads route to the real parsers; payloads that merely sniff as
+    WAV/PPM but fail to parse degrade here (tagged ``-invalid``)."""
     if payload is None or len(payload) == 0:
         return {"n_bytes": 0, "fake_mean": 0.0, "fake_first": -1, "decoder": "fake-v0"}
     return {
@@ -203,7 +204,23 @@ def extract_audio_features(media_df: DataFrame, window_bytes: int = 2048,
                 bands = MC.wav_band_energies(w["samples"], n_bands)
                 return n_windows, w["duration_s"], bands, f"wav-pcm{w['bits']}-v1"
             except Exception:
-                pass  # sniff false-positive / malformed: byte-slice stub below
+                # sniff false-positive / malformed: byte-slice stub,
+                # tagged so corruption is countable like the other paths
+                n_windows = max(1, len(payload) // window_bytes)
+                step = max(1, len(payload) // n_bands)
+                bands = [
+                    (
+                        sum(payload[i * step : (i + 1) * step])
+                        / max(1, len(payload[i * step : (i + 1) * step]))
+                    )
+                    for i in range(n_bands)
+                ]
+                return (
+                    n_windows,
+                    len(payload) / window_bytes,
+                    bands,
+                    "fake-audio-v0-invalid",
+                )
         n_windows = max(1, len(payload) // window_bytes)
         step = max(1, len(payload) // n_bands)
         bands = [

@@ -23,6 +23,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _sum_offset_type(df: DataFrame, value_col: str):
+    """(Spark type, Python zero) matching ``sum(value_col)``'s result —
+    what the collected per-partition totals actually are."""
+    dt = df.select(F.sum(value_col).alias("s")).schema["s"].dataType
+    if isinstance(dt, T.DecimalType):
+        import decimal
+
+        return dt, decimal.Decimal(0)
+    if isinstance(dt, T.FractionalType):
+        return dt, 0.0
+    return T.LongType(), 0
 
 
 def distributed_prefix_sum(
@@ -52,16 +66,22 @@ def distributed_prefix_sum(
         parted.groupBy("__pid").agg(F.sum(value_col).alias("t")).collect(),
         key=lambda r: r["__pid"],
     )
-    # offset type follows the summed column: a hardcoded long crashes
-    # createDataFrame on double-valued totals (e.g. summing revenue)
-    is_float = any(isinstance(r["t"], float) for r in totals)
-    offsets, acc = [], 0.0 if is_float else 0
+    # offset type follows the SUM's result type (from the schema, not
+    # the collected Python values — value-sniffing misclassifies
+    # DecimalType and all-null columns): long sums stay long, double
+    # sums double, decimal sums decimal
+    off_type, zero = _sum_offset_type(df, value_col)
+    offsets, acc = [], zero
     for r in totals:
         offsets.append((r["__pid"], acc))
-        acc += r["t"]
+        acc += r["t"] if r["t"] is not None else zero
     spark = df.sparkSession
-    off_type = "double" if is_float else "long"
-    off_dim = spark.createDataFrame(offsets, f"__pid int, __off {off_type}")
+    off_dim = spark.createDataFrame(
+        offsets,
+        T.StructType(
+            [T.StructField("__pid", T.IntegerType()), T.StructField("__off", off_type)]
+        ),
+    )
     return (
         local.join(F.broadcast(off_dim), "__pid")
         .withColumn(out_col, F.col("__off") + F.col("__local"))
@@ -106,28 +126,21 @@ def grouped_prefix_sum(
         F.sum(value_col).alias("t")
     ).collect()
     # offset type follows the summed column (see distributed_prefix_sum)
-    is_float = any(isinstance(r["t"], float) for r in totals)
-    zero = 0.0 if is_float else 0
-    acc: dict[tuple, float] = {}
+    off_type, zero = _sum_offset_type(df, value_col)
+    acc: dict[tuple, object] = {}
     offsets = []
     for r in sorted(totals, key=lambda r: (tuple(r[c] for c in group_cols), r["__pid"])):
         g = tuple(r[c] for c in group_cols)
         offsets.append((r["__pid"], *g, acc.get(g, zero)))
-        acc[g] = acc.get(g, zero) + r["t"]
+        acc[g] = acc.get(g, zero) + (r["t"] if r["t"] is not None else zero)
     spark = df.sparkSession
-    from pyspark.sql.types import (
-        DoubleType,
-        IntegerType,
-        LongType,
-        StructField,
-        StructType,
-    )
+    from pyspark.sql.types import IntegerType, StructField, StructType
 
     off_schema = StructType(
         [
             StructField("__pid", IntegerType()),
             *[StructField(c, df.schema[c].dataType) for c in group_cols],
-            StructField("__off", DoubleType() if is_float else LongType()),
+            StructField("__off", off_type),
         ]
     )
     off_dim = spark.createDataFrame(offsets, off_schema)

@@ -154,9 +154,6 @@ def theta_segment_algebra(
 
 # --- Misra-Gries frequent items -------------------------------------------
 
-FREQ_CAND_SCHEMA = "item string, lower_bound long"
-
-
 def freq_items(df: DataFrame, item_col: str, k: int = 50) -> DataFrame:
     """Exact heavy hitters: every item whose frequency exceeds n/k,
     with its exact count — at sketch memory, not groupBy memory.
@@ -180,6 +177,17 @@ def freq_items(df: DataFrame, item_col: str, k: int = 50) -> DataFrame:
 
     Returns (item, n_occurrences), exact, for frequency > n/k.
     """
+    from pyspark.sql import types as T
+
+    # three consumers (candidates, total, exact counts): persist so an
+    # expensive upstream (e.g. a token explode) computes once
+    df = df.persist()
+    cand_schema = T.StructType(
+        [
+            T.StructField("item", df.schema[item_col].dataType),
+            T.StructField("lower_bound", T.LongType()),
+        ]
+    )
 
     def mg_partition(it):
         import pandas as pd
@@ -205,7 +213,7 @@ def freq_items(df: DataFrame, item_col: str, k: int = 50) -> DataFrame:
 
     cand = (
         df.select(F.col(item_col).alias(item_col))
-        .mapInPandas(mg_partition, FREQ_CAND_SCHEMA)
+        .mapInPandas(mg_partition, cand_schema)
         .select(F.col("item").alias("__cand_item"))
         .distinct()
     )

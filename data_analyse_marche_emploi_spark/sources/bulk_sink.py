@@ -64,16 +64,33 @@ class BulkNdjsonWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         # the commit point: reported task outputs become visible
-        # together, then the manifest names the valid file set
+        # together, then the manifest names the valid file set. A
+        # reported file whose .inprogress is missing means something
+        # external removed task output — fail LOUDLY rather than write
+        # a manifest naming files that don't exist.
         for m in messages:
-            if m is not None and os.path.exists(m.file_path + ".inprogress"):
-                os.rename(m.file_path + ".inprogress", m.file_path)
+            if m is None:
+                continue
+            src = m.file_path + ".inprogress"
+            if not os.path.exists(src):
+                raise IOError(
+                    f"commit: task output missing: {src} (concurrent writer "
+                    f"or external cleanup on {self.path}?)"
+                )
+            os.rename(src, m.file_path)
         manifest = {
             "files": [m.file_path for m in messages if m is not None],
             "rows": sum(m.n_rows for m in messages if m is not None),
         }
         with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
             json.dump(manifest, f)
+        # losing speculative/retried attempts finished write() but their
+        # messages were discarded; their .inprogress leftovers are
+        # garbage on the success path too
+        import glob
+
+        for leftover in glob.glob(os.path.join(self.path, "*.inprogress")):
+            os.remove(leftover)
 
     def abort(self, messages) -> None:
         # nothing was renamed (commit never ran), so every leftover of

@@ -316,3 +316,17 @@ def test_distributed_prefix_sum_double_values(spark):
         for r in grouped_prefix_sum(df, ["g"], ["k"], "v", "ps").collect()
     }
     assert got2 == {1: 1.5, 2: 4.0, 3: 10.0}
+
+
+def test_prefix_sum_decimal_values(spark):
+    from decimal import Decimal
+
+    from data_analyse_marche_emploi_spark.operators.prefix_sum import (
+        distributed_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(1, Decimal("1.10")), (2, Decimal("2.20"))], "k long, v decimal(10,2)"
+    )
+    got = {r["k"]: r["ps"] for r in distributed_prefix_sum(df, ["k"], "v", "ps").collect()}
+    assert got == {1: Decimal("1.10"), 2: Decimal("3.30")}

@@ -177,3 +177,15 @@ def test_decode_ppm_crlf_header_terminator():
     img = decode_ppm(b"P6\n3 2\n255\r\n" + pixels)
     assert img["width"] == 3 and img["height"] == 2
     assert np.array_equal(img["pixels"].ravel(), np.frombuffer(pixels, np.uint8))
+
+
+def test_decode_ppm_bare_cr_terminator_with_newline_pixel():
+    """A bare-\r terminated header whose first pixel byte is 0x0A must
+    not be mistaken for CRLF — size consistency disambiguates."""
+    import numpy as np
+
+    from data_analyse_marche_emploi_spark.operators.media_codecs import decode_ppm
+
+    pixels = bytes([10, 1, 2, 3])  # first pixel IS 0x0A
+    img = decode_ppm(b"P5\r2 2\r255\r" + pixels)
+    assert np.array_equal(img["pixels"].ravel(), np.frombuffer(pixels, np.uint8))

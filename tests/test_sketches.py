@@ -166,3 +166,13 @@ def test_freq_items_exact_and_bounded_candidates(spark):
     # below-threshold heavy-ish item is excluded at k where it misses
     got2 = {r["item"] for r in freq_items(df, "item", 4).collect()}  # n/4 = 387
     assert got2 == {"hot1"}
+
+
+def test_freq_items_long_column(spark):
+    from data_analyse_marche_emploi_spark.operators.sketches import freq_items
+
+    df = spark.createDataFrame(
+        [(i,) for i in [7] * 50 + list(range(100))], "user_id long"
+    ).repartition(4)
+    got = {r["item"]: r["n_occurrences"] for r in freq_items(df, "user_id", 3).collect()}
+    assert got == {7: 51}  # 51 of 151 total > 151/3 ~ 50.3
