@@ -3571,6 +3571,28 @@ def shuffle_training_order(spark, sf_dir):
 
 
 @register(
+    "sample_weighted",
+    oracle="""
+    WITH tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS W FROM documents)
+    SELECT doc_id, source, n_chars
+    FROM documents, tot
+    WHERE ((doc_id % 1000003) * 2654435761) % 1000 * W
+          < 100000 * CAST(n_chars AS BIGINT)
+    """,
+)
+def sample_weighted_q(spark, sf_dir):
+    """Quality-weighted corpus selection: keep each doc with probability
+    min(1, 100 * n_chars / total_chars) — inclusion odds proportional
+    to the weight, expected sample ~100 docs. The decision is pure
+    int64 arithmetic (permille gate x total weight vs 1000 x k x w), so
+    the sample is bit-reproducible across engines and re-runs."""
+    from .operators.sampling import sample_weighted
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return sample_weighted(d, "doc_id", "n_chars", target_k=100)
+
+
+@register(
     "mixture_train_split",
     oracle="""
     SELECT doc_id, lang,

@@ -184,3 +184,34 @@ def shuffle_deterministic(
     ).withColumn("__one", F.lit(1))
     pos = distributed_prefix_sum(keyed, ["__sk", id_col], "__one", out_col)
     return pos.select(id_col, F.col(out_col).cast("long").alias(out_col))
+
+
+def sample_weighted(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    target_k: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: row i is kept with
+    probability ``min(1, target_k * w_i / W)``, so the expected sample
+    size is ~``target_k`` and inclusion odds are proportional to the
+    weight — the quality-weighted corpus-selection step (weight =
+    quality score / length / dedup-cluster mass).
+
+    Decision is pure integer arithmetic — ``gate * W < 1000 * k * w``
+    with the portable permille gate — so the sample is bit-reproducible
+    across engines and runs (no float boundary, no rand()). W comes
+    from a broadcast single-row aggregate, never a driver collect.
+    Bounds: gate < 1000 and the comparison stays in int64 for
+    W * 1000 < 2^63 (Σ weights below ~9.2e15).
+    """
+    totals = df.agg(F.sum(weight_col).cast("long").alias("__W"))
+    return (
+        df.join(F.broadcast(totals))
+        .filter(
+            sample_gate(key_col, salt).cast("long") * F.col("__W")
+            < F.lit(1000 * target_k) * F.col(weight_col).cast("long")
+        )
+        .drop("__W")
+    )

@@ -330,3 +330,25 @@ def test_prefix_sum_decimal_values(spark):
     )
     got = {r["k"]: r["ps"] for r in distributed_prefix_sum(df, ["k"], "v", "ps").collect()}
     assert got == {1: Decimal("1.10"), 2: Decimal("3.30")}
+
+
+def test_sample_weighted_proportional_and_deterministic(spark):
+    from data_analyse_marche_emploi_spark.operators.sampling import sample_weighted
+
+    # 400 light docs (w=10) + 100 heavy docs (w=100): W = 14000
+    rows = [(i, 10) for i in range(400)] + [(i, 100) for i in range(400, 500)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    kept = sample_weighted(df, "doc_id", "w", target_k=50).collect()
+    ids = {r["doc_id"] for r in kept}
+    # deterministic: identical on re-run
+    assert {r["doc_id"] for r in sample_weighted(df, "doc_id", "w", 50).collect()} == ids
+    # heavy docs are ~10x more likely: p_heavy = 50*100/14000 = 0.357,
+    # p_light = 0.036 — the heavy share of the sample dominates
+    heavy = sum(1 for i in ids if i >= 400)
+    light = len(ids) - heavy
+    assert heavy > light
+    # expected size ~50; permille-quantized gate keeps it in a loose band
+    assert 25 <= len(ids) <= 90
+    # weight above the cap ==> always kept (p = min(1, .))
+    df2 = df.union(spark.createDataFrame([(999, 100000)], "doc_id long, w long"))
+    assert 999 in {r["doc_id"] for r in sample_weighted(df2, "doc_id", "w", 50).collect()}
