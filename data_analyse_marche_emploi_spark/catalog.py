@@ -3811,6 +3811,18 @@ def agg_theta_distinct(spark, sf_dir):
     return theta_distinct(e, ["event_type"], "user_id").orderBy("event_type")
 
 
+@register("emb_kmeans", oracle=None)  # iterative; rows-only + semantic tests
+def emb_kmeans_q(spark, sf_dir):
+    """Distributed Lloyd k-means over the embeddings table (8 clusters,
+    3 iterations): deterministic init (lowest ids), BLAS broadcast
+    assignment per Arrow batch, map-side partial-aggregated centroid
+    sums — the driver only ever holds k x d numbers."""
+    from .operators.similarity import emb_kmeans
+
+    e = _t(spark, sf_dir, "embeddings")
+    return emb_kmeans(e, "embedding", "vec_id", k=8, iters=3)
+
+
 @register(
     "agg_freq_items",
     oracle="""

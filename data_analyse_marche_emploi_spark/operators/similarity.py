@@ -295,3 +295,94 @@ def dequantize_error(quantized: DataFrame, original: DataFrame,
             )
         ).alias("max_abs_err"),
     )
+
+
+def emb_kmeans(
+    vectors: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Distributed Lloyd k-means over an embedding column — the
+    trainable coarse quantizer behind an IVF layout (ann_ivf's
+    deterministic subset init is exactly this with zero iterations).
+
+    Deterministic end to end: init is the ``k`` lowest-id vectors,
+    assignment is cosine floor-bucketed at 1e-6 with lowest-cluster
+    tiebreak, so every run and engine produces the same clustering.
+    Per iteration: assignment is one Arrow-batched pass against the
+    broadcast (k x d) centroid matrix (BLAS argmax per batch — the
+    knn_brute_force pattern); centroid recomputation is a map-side
+    partial-aggregated sum per (cluster, dim) whose result — k x d
+    numbers, independent of corpus size — is the only thing the driver
+    ever holds. Iterations are Python-loop orchestration; the data
+    never leaves the cluster.
+
+    Returns (id, cluster, cos6): final assignment with its similarity
+    to the winning centroid.
+    """
+    import numpy as np
+
+    spark = vectors.sparkSession
+    base = vectors.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    init = (
+        base.orderBy(F.asc("__id")).limit(k).collect()
+    )  # TakeOrderedAndProject: k rows to the driver
+    cent = np.array([r["__v"] for r in init], dtype=np.float64)
+    cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+
+    assign_schema = "__id long, cluster int, cos6 long"
+
+    def make_assign(cmat):
+        b = spark.sparkContext.broadcast(cmat)
+
+        def assign(it):
+            import pandas as pd
+
+            c = b.value
+            for pdf in it:
+                m = np.array(list(pdf["__v"]), dtype=np.float64)
+                m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+                sims = m @ c.T
+                cos6 = np.floor(sims * 1e6).astype(np.int64)
+                best = np.argmax(cos6, axis=1)  # argmax takes the LOWEST index on ties
+                yield pd.DataFrame(
+                    {
+                        "__id": pdf["__id"],
+                        "cluster": best.astype(np.int32),
+                        "cos6": cos6[np.arange(len(best)), best],
+                    }
+                )
+
+        return assign
+
+    assigned = None
+    for _ in range(iters):
+        assigned = base.mapInPandas(make_assign(cent), assign_schema).join(
+            base, "__id"
+        )
+        # centroid update: k x d partial-aggregated sums — the shuffle
+        # carries one (cluster, dim) cell per task, the driver k x d
+        sums = (
+            assigned.select(
+                "cluster",
+                F.posexplode(F.col("__v").cast("array<double>")).alias("d", "x"),
+            )
+            .groupBy("cluster", "d")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_cent = cent.copy()
+        dim = cent.shape[1]
+        acc = np.zeros((k, dim))
+        cnt = np.zeros(k)
+        for r in sums:
+            acc[r["cluster"], r["d"]] += r["s"]
+            cnt[r["cluster"]] = r["n"]
+        nonempty = cnt > 0
+        new_cent[nonempty] = acc[nonempty] / cnt[nonempty, None]
+        norms = np.maximum(np.linalg.norm(new_cent, axis=1, keepdims=True), 1e-12)
+        cent = new_cent / norms
+    final = base.mapInPandas(make_assign(cent), assign_schema)
+    return final.select(F.col("__id").alias(id_col), "cluster", "cos6")

@@ -330,3 +330,24 @@ def test_embedding_lsh_pairs_sound_and_recall(emb):
         ).collect()
     }
     assert fewer <= pairs
+
+
+def test_emb_kmeans_improves_and_deterministic(emb):
+    from data_analyse_marche_emploi_spark.operators.similarity import emb_kmeans
+
+    def mean_cos(iters):
+        rows = emb_kmeans(emb, "embedding", "vec_id", k=8, iters=iters).collect()
+        return sum(r["cos6"] for r in rows) / len(rows), {
+            (r["vec_id"], r["cluster"]) for r in rows
+        }
+
+    m0, a0 = mean_cos(0)  # pure subset-init assignment
+    m3, a3 = mean_cos(3)
+    # Lloyd iterations must not worsen mean similarity to the centroid
+    assert m3 >= m0
+    # every vector is assigned exactly once, to a valid cluster
+    assert len(a3) == emb.count()
+    assert all(0 <= c < 8 for _, c in a3)
+    # deterministic: identical partition-independent re-run
+    _, a3b = mean_cos(3)
+    assert a3 == a3b
