@@ -1625,10 +1625,10 @@ def q_local_supplier_volume(spark, sf_dir):
     "q_priority_lines",
     oracle="""
     SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
     GROUP BY 1
@@ -2736,8 +2736,8 @@ def dedup_canonical_quality(spark, sf_dir):
                        ROWS UNBOUNDED PRECEDING) - n_chunk_tokens AS cum_excl
             FROM chunks)
     SELECT doc_id, chunk_id, n_chunk_tokens,
-           cum_excl // 512 AS sequence_id,
-           cum_excl % 512 AS seq_pos
+           CAST(cum_excl // 512 AS BIGINT) AS sequence_id,
+           CAST(cum_excl % 512 AS BIGINT) AS seq_pos
     FROM cum
     """,
 )
@@ -3400,8 +3400,8 @@ def docs_to_chunks(spark, sf_dir):
                      ROWS UNBOUNDED PRECEDING) - n_chunk_tokens AS cum_excl
           FROM chunks)
     SELECT doc_id, chunk_id, n_chunk_tokens,
-           cum_excl // 512 AS sequence_id,
-           cum_excl % 512 AS seq_pos
+           CAST(cum_excl // 512 AS BIGINT) AS sequence_id,
+           CAST(cum_excl % 512 AS BIGINT) AS seq_pos
     FROM c
     """,
 )
@@ -3471,7 +3471,7 @@ def mixture_stratified_sample(spark, sf_dir):
            count(*) FILTER (o_custkey IS NULL) AS violations FROM orders
     UNION ALL
     SELECT 'unique:o_orderkey',
-           coalesce(sum(n - 1), 0)
+           CAST(coalesce(sum(n - 1), 0) AS BIGINT)
     FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
     UNION ALL
     SELECT 'ref:o_custkey', count(*)
@@ -3529,8 +3529,8 @@ def bpe_vocab(spark, sf_dir):
                      ROWS UNBOUNDED PRECEDING) - n_chunk_tokens AS cum_excl
           FROM chunks)
     SELECT doc_id, lang, chunk_id, n_chunk_tokens,
-           cum_excl // 512 AS sequence_id,
-           cum_excl % 512 AS seq_pos
+           CAST(cum_excl // 512 AS BIGINT) AS sequence_id,
+           CAST(cum_excl % 512 AS BIGINT) AS seq_pos
     FROM c
     """,
 )
@@ -3863,31 +3863,31 @@ def agg_freq_items(spark, sf_dir):
 # ROLLUP, …) register after them — they stay fully covered by pytest and
 # tools/oracle_check.py, which check ALL entries.
 
+# Round-4 rotation: 14 rows that were driver-green for three straight
+# rounds (scan_match_all, proj_source_fields, filter_terms_in,
+# agg_count_total, agg_groupby_count, agg_date_histogram, agg_topk,
+# pipeline_export_offres, snk_run_metrics, join_dim_containment,
+# q_returned_items, q_shipping_priority, pivot_status, src_rest_paged)
+# rotate OUT to the local-gate-only tier, making room for the round-3
+# operator families that have never had a driver row (SCD2/diff/gapfill
+# maintenance, weighted sampling + shuffle order, heavy hitters,
+# k-means, embedding LSH, BPE, mixtures, grouped packing, DQ, and two
+# more multimodal proofs). Rotated-out rows stay covered by pytest and
+# tools/oracle_check.py, which check ALL entries.
 _DRIVER_WINDOW = [
     "flagship_orders_by_month",
     "agg_pricing_summary",
-    "scan_match_all",
-    "proj_source_fields",
-    "filter_terms_in",
     "pipeline_clean_text",
     "pipeline_csv_tech",
-    "pipeline_export_offres",
-    "agg_count_total",
-    "agg_groupby_count",
-    "agg_date_histogram",
-    "agg_topk",
-    "join_dim_containment",
     "join_enrich",
     "join_anti",
     "join_fact_fact",
     "join_asof",
     "dedup_union_by_id",
-    "snk_run_metrics",
     "window_topk_per_group",
     "window_running_sum",
     "sessionize",
     "agg_rollup",
-    "pivot_status",
     "stream_tumbling_window",
     "stream_sliding_window",
     "stream_dedup_upsert",
@@ -3907,13 +3907,24 @@ _DRIVER_WINDOW = [
     "pipeline_training_sequences",
     "dedup_incremental",
     "text_fr_nlp_tokens",
-    "q_shipping_priority",
-    "q_returned_items",
-    "src_rest_paged",
     "multimodal_wav_roundtrip",
     "text_repetition",
     "text_decontaminate",
     "pii_redact",
+    "scd2_apply",
+    "snapshot_diff",
+    "ts_gapfill",
+    "sample_weighted",
+    "agg_freq_items",
+    "emb_kmeans",
+    "shuffle_training_order",
+    "dedup_embedding_lsh",
+    "bpe_vocab",
+    "mixture_token_budget",
+    "chunks_to_sequences_by_lang",
+    "dq_report",
+    "multimodal_meta",
+    "multimodal_resize",
 ]
 
 

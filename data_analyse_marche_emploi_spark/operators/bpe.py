@@ -112,8 +112,10 @@ def bpe_encode(df: DataFrame, text_col: str, rules: list[tuple[str, str]]) -> Da
     # \s in word_counts) — trim() stripped only ' ', letting tab/newline
     # through as bogus tokens, while a wider class (e.g. + NBSP) would
     # drop characters the trainer treats as word content, making
-    # tokenization diverge from the learned merge statistics.
+    # tokenization diverge from the learned merge statistics. The
+    # empty string needs its own clause: '' char-splits out of empty
+    # text, \s+ requires >=1 char, and '' is not a trainer word either.
     return out.withColumn(
         "bpe_tokens",
-        F.expr(r"filter(syms, s -> s NOT RLIKE '^\\s+$')"),
+        F.expr(r"filter(syms, s -> s != '' AND s NOT RLIKE '^\\s+$')"),
     ).drop("syms")

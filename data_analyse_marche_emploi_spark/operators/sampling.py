@@ -205,7 +205,23 @@ def sample_weighted(
     from a broadcast single-row aggregate, never a driver collect.
     Bounds: gate < 1000 and the comparison stays in int64 for
     W * 1000 < 2^63 (Σ weights below ~9.2e15).
+
+    ``weight_col`` MUST be an integral column (byte/short/int/long):
+    the int64 decision would silently truncate fractional weights —
+    a quality score in (0, 1) would cast to 0 and never be sampled.
+    For fractional scores, pre-scale by a fixed power of 10 first,
+    e.g. ``df.withColumn("w", F.round(F.col("score") * 1000).cast("long"))``;
+    the common scale factor cancels in the keep probability.
     """
+    from pyspark.sql import types as T
+
+    wtype = df.schema[weight_col].dataType
+    if not isinstance(wtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise TypeError(
+            f"sample_weighted needs an integral weight column; {weight_col} is "
+            f"{wtype.simpleString()}. Pre-scale fractional weights by a fixed "
+            "power of 10 and round to long (the scale cancels in the odds)."
+        )
     totals = df.agg(F.sum(weight_col).cast("long").alias("__W"))
     return (
         df.join(F.broadcast(totals))

@@ -370,18 +370,22 @@ def emb_kmeans(
                 F.posexplode(F.col("__v").cast("array<double>")).alias("d", "x"),
             )
             .groupBy("cluster", "d")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("x").alias("s"), F.count("x").alias("n"))
             .collect()
         )
         new_cent = cent.copy()
         dim = cent.shape[1]
         acc = np.zeros((k, dim))
-        cnt = np.zeros(k)
+        # per-(cluster, dim) NON-NULL counts: a vector with a null
+        # element contributes to count(lit(1)) but not to sum(x), so a
+        # scalar per-cluster count would bias that dimension's mean —
+        # divide each cell by exactly the rows that fed its sum
+        cnt = np.zeros((k, dim))
         for r in sums:
-            acc[r["cluster"], r["d"]] += r["s"]
-            cnt[r["cluster"]] = r["n"]
+            acc[r["cluster"], r["d"]] += r["s"] if r["s"] is not None else 0.0
+            cnt[r["cluster"], r["d"]] += r["n"]
         nonempty = cnt > 0
-        new_cent[nonempty] = acc[nonempty] / cnt[nonempty, None]
+        new_cent[nonempty] = acc[nonempty] / cnt[nonempty]
         norms = np.maximum(np.linalg.norm(new_cent, axis=1, keepdims=True), 1e-12)
         cent = new_cent / norms
     final = base.mapInPandas(make_assign(cent), assign_schema)

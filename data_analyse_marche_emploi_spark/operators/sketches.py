@@ -195,7 +195,12 @@ def freq_items(df: DataFrame, item_col: str, k: int = 50) -> DataFrame:
         slots: dict = {}
         for pdf in it:
             for v in pdf[item_col]:
-                if v is None:
+                # Arrow->pandas renders nullable-numeric NULLs as NaN,
+                # which `is None` misses: a NaN slot would trigger
+                # decrements (weakening the survival bound vs the
+                # null-excluding count(item_col) total) and can fail
+                # the pandas->Arrow cast back to the item dtype.
+                if v is None or (isinstance(v, float) and v != v):
                     continue
                 if v in slots:
                     slots[v] += 1

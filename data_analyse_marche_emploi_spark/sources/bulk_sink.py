@@ -4,11 +4,11 @@ action line ``{"index": {"_id": <id>}}`` followed by the document line,
 one pair per row.
 
 ``spark.read/write.format("bulk_ndjson")``: each task writes its
-partition as one ``part-<id>.ndjson`` file of framed pairs — exactly
-what a downstream bulk-load into ES (or any keyed store) consumes. The
-commit protocol is Spark's: tasks report written files, the job-level
-commit keeps them (abort leaves partials to be ignored by the marker
-file convention).
+partition as one ``part-<job>-<task>.ndjson`` file of framed pairs —
+exactly what a downstream bulk-load into ES (or any keyed store)
+consumes. The commit protocol is Spark's: tasks report written files,
+the job-level commit keeps them (abort leaves partials to be ignored by
+the marker file convention).
 """
 
 from __future__ import annotations
@@ -32,19 +32,33 @@ class BulkNdjsonWriter(DataSourceWriter):
     """Rename-on-commit protocol (FileOutputCommitter-v1 shape): tasks
     only ever produce ``*.inprogress`` files; the driver's commit()
     renames reported files to their final names and writes the
-    manifest. A task that dies at ANY point — including after finishing
-    its file but before reporting — therefore leaves only an
-    ``.inprogress`` leftover, which abort()'s sweep removes; no
-    final-named orphan can survive an aborted job to be ingested by a
-    ``*.ndjson``-globbing consumer."""
+    manifest.
+
+    Failure containment is TASK-level: a task that dies at ANY point —
+    including after finishing its file but before reporting — leaves
+    only an ``.inprogress`` leftover, which the sweeps remove. The
+    driver's commit() itself is NOT atomic (v1's known window): a crash
+    mid-rename can leave some final-named files with no
+    ``_MANIFEST.json``. Consumers must therefore gate on the manifest
+    and read exactly its ``files`` list — never glob ``*.ndjson``.
+
+    All of this job's files carry a per-job id prefix
+    (``part-<jobid>-…``), and every sweep matches only that prefix, so
+    a concurrent job writing to the same directory never has its
+    in-flight files deleted by this job's commit/abort."""
 
     def __init__(self, options: dict):
         self.path = options["path"]
         self.id_col = options.get("id_col", "id")
+        # generated once on the driver, shipped pickled to every task:
+        # the shared per-job prefix that scopes file names AND sweeps
+        self.job_id = uuid.uuid4().hex[:12]
 
     def write(self, rows: Iterator[Row]) -> BulkWriteCommit:
         os.makedirs(self.path, exist_ok=True)
-        fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.ndjson")
+        fname = os.path.join(
+            self.path, f"part-{self.job_id}-{uuid.uuid4().hex}.ndjson"
+        )
         n = 0
         try:
             with open(fname + ".inprogress", "w", encoding="utf-8") as f:
@@ -62,43 +76,48 @@ class BulkNdjsonWriter(DataSourceWriter):
             raise
         return BulkWriteCommit(fname, n)
 
+    def _sweep_inprogress(self) -> None:
+        # only THIS job's leftovers: a concurrent job's in-flight
+        # .inprogress files have a different job id prefix
+        import glob
+
+        pat = os.path.join(self.path, f"part-{self.job_id}-*.inprogress")
+        for leftover in glob.glob(pat):
+            os.remove(leftover)
+
     def commit(self, messages) -> None:
-        # the commit point: reported task outputs become visible
-        # together, then the manifest names the valid file set. A
-        # reported file whose .inprogress is missing means something
-        # external removed task output — fail LOUDLY rather than write
-        # a manifest naming files that don't exist.
-        for m in messages:
-            if m is None:
-                continue
+        # the commit point: reported task outputs become visible, then
+        # the manifest names the valid file set. Validate EVERY source
+        # before renaming ANY — a reported file whose .inprogress is
+        # missing means something external removed task output; failing
+        # before the first rename keeps the directory in the clean
+        # all-.inprogress state so abort()'s sweep fully reverses it.
+        live = [m for m in messages if m is not None]
+        for m in live:
             src = m.file_path + ".inprogress"
             if not os.path.exists(src):
                 raise IOError(
                     f"commit: task output missing: {src} (concurrent writer "
                     f"or external cleanup on {self.path}?)"
                 )
-            os.rename(src, m.file_path)
+        for m in live:
+            os.rename(m.file_path + ".inprogress", m.file_path)
         manifest = {
-            "files": [m.file_path for m in messages if m is not None],
-            "rows": sum(m.n_rows for m in messages if m is not None),
+            "files": [m.file_path for m in live],
+            "rows": sum(m.n_rows for m in live),
         }
         with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
             json.dump(manifest, f)
         # losing speculative/retried attempts finished write() but their
         # messages were discarded; their .inprogress leftovers are
         # garbage on the success path too
-        import glob
-
-        for leftover in glob.glob(os.path.join(self.path, "*.inprogress")):
-            os.remove(leftover)
+        self._sweep_inprogress()
 
     def abort(self, messages) -> None:
-        # nothing was renamed (commit never ran), so every leftover of
-        # this job is an .inprogress file — reported or not
-        import glob
-
-        for leftover in glob.glob(os.path.join(self.path, "*.inprogress")):
-            os.remove(leftover)
+        # nothing was renamed (commit's pre-rename validation failed, or
+        # commit never ran), so every leftover of this job is an
+        # .inprogress file — reported or not
+        self._sweep_inprogress()
 
 
 class BulkNdjsonDataSource(DataSource):

@@ -105,3 +105,18 @@ def test_bpe_encode_drops_all_whitespace_symbols(spark):
     df = spark.createDataFrame([("ab\ncd\tef",)], "text string")
     toks = bpe_encode(df, "text", rules=[]).collect()[0]["bpe_tokens"]
     assert toks == list("abcdef")  # \n and \t never become tokens
+
+
+def test_bpe_encode_empty_text_yields_no_tokens(spark):
+    """Empty text char-splits to [''] — the empty string is not a
+    trainer word and must not survive as a token."""
+    from data_analyse_marche_emploi_spark.operators.bpe import bpe_encode
+
+    df = spark.createDataFrame([("",), ("  ",), ("ab",)], "text string")
+    got = {
+        i: r["bpe_tokens"]
+        for i, r in enumerate(bpe_encode(df, "text", rules=[]).collect())
+    }
+    assert got[0] == []
+    assert got[1] == []
+    assert got[2] == ["a", "b"]

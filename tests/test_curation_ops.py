@@ -352,3 +352,15 @@ def test_sample_weighted_proportional_and_deterministic(spark):
     # weight above the cap ==> always kept (p = min(1, .))
     df2 = df.union(spark.createDataFrame([(999, 100000)], "doc_id long, w long"))
     assert 999 in {r["doc_id"] for r in sample_weighted(df2, "doc_id", "w", 50).collect()}
+
+
+def test_sample_weighted_rejects_fractional_weights(spark):
+    """A quality score in (0,1) would int64-truncate to 0 and silently
+    never be sampled — the operator must refuse non-integral weights."""
+    import pytest
+
+    from data_analyse_marche_emploi_spark.operators.sampling import sample_weighted
+
+    df = spark.createDataFrame([(1, 0.9), (2, 0.1)], "doc_id long, w double")
+    with pytest.raises(TypeError, match="integral weight"):
+        sample_weighted(df, "doc_id", "w", target_k=1)

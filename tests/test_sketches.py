@@ -176,3 +176,17 @@ def test_freq_items_long_column(spark):
     ).repartition(4)
     got = {r["item"]: r["n_occurrences"] for r in freq_items(df, "user_id", 3).collect()}
     assert got == {7: 51}  # 51 of 151 total > 151/3 ~ 50.3
+
+
+def test_freq_items_nullable_long_with_nans(spark):
+    """Arrow->pandas renders nullable-numeric NULLs as NaN; a NaN must
+    never occupy an MG slot (it would trigger decrements against a
+    null-excluding total) nor reach the LongType candidate cast."""
+    from data_analyse_marche_emploi_spark.operators.sketches import freq_items
+
+    rows = [(7,)] * 50 + [(i,) for i in range(60)] + [(None,)] * 200
+    df = spark.createDataFrame(rows, "user_id long").repartition(4)
+    # total = count(user_id) = 110 non-null (NaNs excluded both sides);
+    # 7 occurs 50 + 1 (from range(60)) = 51 > 110/3 ~ 36.7
+    got = {r["item"]: r["n_occurrences"] for r in freq_items(df, "user_id", 3).collect()}
+    assert got == {7: 51}

@@ -351,3 +351,41 @@ def test_bulk_ndjson_rename_on_commit_protocol(tmp_path):
     assert len(glob.glob(os.path.join(out, "*.ndjson"))) == 1
     assert os.path.exists(os.path.join(out, "_MANIFEST.json"))
     assert glob.glob(os.path.join(out, "*.inprogress")) == []
+
+
+def test_bulk_ndjson_sweeps_are_job_scoped_and_commit_validates_first(tmp_path):
+    """A concurrent job's in-flight files must survive this job's
+    commit/abort sweeps, and commit must validate every reported file
+    BEFORE renaming any — so a missing task output leaves the directory
+    in the all-.inprogress state that abort fully reverses."""
+    import glob
+    import os
+
+    import pytest
+    from pyspark.sql import Row
+
+    from data_analyse_marche_emploi_spark.sources.bulk_sink import BulkNdjsonWriter
+
+    out = str(tmp_path / "bulk")
+    w1 = BulkNdjsonWriter({"path": out, "id_col": "id"})
+    w2 = BulkNdjsonWriter({"path": out, "id_col": "id"})  # concurrent job
+    assert w1.job_id != w2.job_id
+    m1 = w1.write(iter([Row(id=1, v="a")]))
+    other = w2.write(iter([Row(id=9, v="z")]))
+    w1.commit([m1])
+    # w2's in-flight file survived w1's post-commit sweep
+    assert os.path.exists(other.file_path + ".inprogress")
+    w1_abort_probe = w1.write(iter([Row(id=2, v="b")]))
+    w1.abort([w1_abort_probe])
+    assert os.path.exists(other.file_path + ".inprogress")
+
+    # commit with one reported file externally removed: fails loudly
+    # with ZERO renames (the intact sibling keeps its .inprogress name)
+    ma = w2.write(iter([Row(id=10, v="y")]))
+    os.remove(other.file_path + ".inprogress")
+    with pytest.raises(IOError):
+        w2.commit([other, ma])
+    assert glob.glob(os.path.join(out, f"part-{w2.job_id}-*.ndjson")) == []
+    assert os.path.exists(ma.file_path + ".inprogress")
+    w2.abort([other, ma])
+    assert glob.glob(os.path.join(out, f"part-{w2.job_id}-*")) == []

@@ -39,9 +39,13 @@ def _norm(v):
       DuckDB's decimal→float64 pandas conversion hash-diverge in the
       driver, so they must diverge here (policy: emit round(double, k)).
     - list/tuple/ndarray/dict cells raise (driver crashes on them).
-    - int-valued floats normalize to int: DuckDB's SUM(int)→HUGEINT
-      reaches pandas as float64 while Spark emits int64; Python hashes
-      equal numerics equally, so mirror that.
+    - floats NEVER equal ints, even int-valued ones: DuckDB's
+      SUM(BIGINT)→HUGEINT (plain and windowed) reaches pandas as
+      float64 while Spark emits int64, and the driver's dtype-
+      sensitive hash distinguishes them (round-3 driver failure
+      `pipeline_training_sequences`). Policy: oracles must
+      CAST(... AS BIGINT) every HUGEINT-producing expression so both
+      sides arrive int64. Local green must imply driver green.
     """
     import numpy as np
 
@@ -60,9 +64,7 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        if v.is_integer() and abs(v) < 2**53:
-            return int(v)
-        return repr(v)
+        return ("float", repr(v))
     if isinstance(v, np.integer):
         return int(v)
     if isinstance(v, datetime.datetime):
