@@ -1310,7 +1310,38 @@ def dedup_clusters_q(spark, sf_dir):
     return dedup_clusters(d, pairs, "doc_id")
 
 
-@register("dedup_minhash_lsh")  # hash-family specific → rows-only check
+@register(
+    "dedup_minhash_lsh",
+    # The oracle is the EXACT-Jaccard pair set (no banding): LSH output
+    # equals it whenever banding recalls every >=0.5 pair, which holds
+    # on these fixtures (verified at sf0.001/0.01/0.1 — 16 bands x 4
+    # rows puts the S-curve knee at ~0.5 and every true pair collides
+    # in at least one band; the deterministic xxhash64 family keeps it
+    # stable across runs). Unlike dedup_ngram_jaccard there is NO
+    # max_df stop-shingle pruning here — the minhash path hashes every
+    # shingle — so this oracle omits the pruning CTE.
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(toks) < 3 THEN []
+                    ELSE list_transform(generate_series(1, len(toks) - 2),
+                         i -> array_to_string(toks[i:i+2], ' ')) END)) AS shingle
+      FROM d
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i, j, common / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = i
+    JOIN sizes sb ON sb.doc_id = j
+    WHERE common / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.5
+    """,
+)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(64) + 16-band LSH candidate generation, exact-Jaccard
     verified at 0.5 — the linear-time scale path for near-dup dedup."""
@@ -1393,9 +1424,54 @@ def dedup_embedding_cosine(spark, sf_dir):
     return embedding_cosine_pairs(e, "embedding", "vec_id", 0.4)
 
 
-@register("dedup_embedding_lsh")  # LSH recall is hash-family specific → rows-only
+@register(
+    "dedup_embedding_lsh",
+    # Anchor-pair planes are engine-replayable (see ann_lsh): the
+    # oracle replays the plane table (96 anchors: bits=4 x 12 tables,
+    # tbl = p//4, bit = p%4), the signature buckets, the cross-table
+    # distinct self-join, and the exact cos6 >= 400000 rescore.
+    oracle="""
+    WITH anchors AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS av,
+             row_number() OVER (ORDER BY vec_id) - 1 AS idx
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 96)
+    ),
+    planes AS (
+      SELECT CAST((e.idx // 2) // 4 AS INT) AS tbl,
+             CAST((e.idx // 2) % 4 AS INT) AS bit,
+             e.av AS va, o.av AS vb
+      FROM anchors e JOIN anchors o ON o.idx = e.idx + 1
+      WHERE e.idx % 2 = 0
+    ),
+    sig AS (
+      SELECT v.vec_id AS id, p.tbl,
+             CAST(sum(CASE WHEN
+                    CAST(floor(list_cosine_similarity(
+                         CAST(v.embedding AS DOUBLE[]), p.va) * 1e6) AS BIGINT)
+                  > CAST(floor(list_cosine_similarity(
+                         CAST(v.embedding AS DOUBLE[]), p.vb) * 1e6) AS BIGINT)
+                  THEN (CAST(1 AS BIGINT) << p.bit) ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings v CROSS JOIN planes p
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS i, b.id AS j
+      FROM sig a JOIN sig b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
+    )
+    SELECT i, j, cos6 FROM (
+      SELECT c.i, c.j,
+             CAST(floor(list_cosine_similarity(CAST(vi.embedding AS DOUBLE[]),
+                                               CAST(vj.embedding AS DOUBLE[]))
+                        * 1e6) AS BIGINT) AS cos6
+      FROM cand c
+      JOIN embeddings vi ON vi.vec_id = c.i
+      JOIN embeddings vj ON vj.vec_id = c.j
+    ) WHERE cos6 >= 400000
+    """,
+)
 def dedup_embedding_lsh(spark, sf_dir):
-    """Embedding near-dup pairs via random-hyperplane LSH buckets +
+    """Embedding near-dup pairs via anchor-pair LSH buckets +
     exact cosine rescore — the 100 TB path: no all-pairs stage, no
     driver collect; shuffle key is the (table, bucket) integer pair.
     Soundness exact (every emitted pair carries its true cosine);
@@ -1448,17 +1524,69 @@ def knn_brute_force_q(spark, sf_dir):
     return knn_brute_force(e, q, "embedding", "vec_id", k=5)
 
 
-@register("ann_lsh")  # approximate, hash-specific → rows-only check
+@register(
+    "ann_lsh",
+    # ann_lsh's anchor-pair plane family is hash-free and deterministic
+    # (anchors = the 48 lowest-id vectors; bit = which anchor of the
+    # pair the vector is cos6-closer to), so the oracle replays the
+    # ENTIRE pipeline — plane table, signatures, bucket join, exact
+    # rescoring, top-5 — on the cosine primitive whose cross-engine
+    # bit-parity knn_brute_force pins. tbl = p//6, bit = p%6 for plane
+    # p = idx//2 over the anchors in id order.
+    oracle="""
+    WITH anchors AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS av,
+             row_number() OVER (ORDER BY vec_id) - 1 AS idx
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 48)
+    ),
+    planes AS (
+      SELECT CAST((e.idx // 2) // 6 AS INT) AS tbl,
+             CAST((e.idx // 2) % 6 AS INT) AS bit,
+             e.av AS va, o.av AS vb
+      FROM anchors e JOIN anchors o ON o.idx = e.idx + 1
+      WHERE e.idx % 2 = 0
+    ),
+    sig AS (
+      SELECT v.vec_id AS id, p.tbl,
+             CAST(sum(CASE WHEN
+                    CAST(floor(list_cosine_similarity(
+                         CAST(v.embedding AS DOUBLE[]), p.va) * 1e6) AS BIGINT)
+                  > CAST(floor(list_cosine_similarity(
+                         CAST(v.embedding AS DOUBLE[]), p.vb) * 1e6) AS BIGINT)
+                  THEN (CAST(1 AS BIGINT) << p.bit) ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings v CROSS JOIN planes p
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT q.id AS qid, v.id AS nid
+      FROM sig v JOIN (SELECT * FROM sig WHERE id % 50 = 0) q
+        ON v.tbl = q.tbl AND v.bucket = q.bucket AND v.id <> q.id
+    ),
+    scored AS (
+      SELECT c.qid, c.nid,
+             CAST(floor(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                               CAST(ne.embedding AS DOUBLE[]))
+                        * 1e6) AS BIGINT) AS cos6
+      FROM cand c
+      JOIN embeddings qe ON qe.vec_id = c.qid
+      JOIN embeddings ne ON ne.vec_id = c.nid
+    )
+    SELECT qid, nid, rank, cos6 FROM (
+      SELECT qid, nid, cos6,
+             row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid ASC) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
 def ann_lsh_q(spark, sf_dir):
-    """Random-hyperplane LSH bucketed ANN top-5 — the scale path
-    (bucket equi-join instead of all-pairs)."""
+    """Anchor-pair LSH bucketed ANN top-5 — the scale path (bucket
+    equi-join instead of all-pairs)."""
     from .operators.similarity import ann_lsh
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0)
     # 6 signature bits ≈ 64 buckets — sized to the fixture corpus so each
     # bucket holds candidates; at corpus scale raise bits to keep bucket
-    # occupancy bounded (bits ≈ log2(N / target_bucket_size)). 4 hash
+    # occupancy bounded (bits ≈ log2(N / target_bucket_size)). 4 plane
     # tables OR-amplify recall (≈1−(1−p⁶)⁴ per neighbor).
     return ann_lsh(e, q, "embedding", "vec_id", k=5, bits=6, n_tables=4)
 
@@ -2490,7 +2618,51 @@ def emb_centroid(spark, sf_dir):
     )
 
 
-@register("ann_ivf")  # approximate, layout-specific → rows-only check
+@register(
+    "ann_ivf",
+    # IVF is approximate but fully DETERMINISTIC and hash-free — coarse
+    # quantizer = the 16 lowest-id vectors, assignment/probe = argmax of
+    # the same 1e-6-bucketed cosine the (driver-green) knn_brute_force
+    # oracle already proves bit-parity for — so the WHOLE pipeline is
+    # SQL-expressible: this oracle replays quantize → assign → probe 4
+    # lists → exact cosine inside probed lists → top-5.
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    score AS (
+      SELECT v.vec_id AS id, v.embedding AS vec, cid,
+             CAST(floor(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), cv)
+                        * 1e6) AS BIGINT) AS c6
+      FROM embeddings v CROSS JOIN cent
+    ),
+    vassign AS (
+      SELECT id AS nid, vec AS nv, cid AS list_id FROM (
+        SELECT id, vec, cid,
+               row_number() OVER (PARTITION BY id ORDER BY c6 DESC, cid ASC) AS rn
+        FROM score) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT id AS qid, vec AS qv, cid AS qlist_id FROM (
+        SELECT id, vec, cid,
+               row_number() OVER (PARTITION BY id ORDER BY c6 DESC, cid ASC) AS rn
+        FROM score WHERE id % 50 = 0) WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT q.qid, v.nid,
+             CAST(floor(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                               CAST(v.nv AS DOUBLE[]))
+                        * 1e6) AS BIGINT) AS cos6
+      FROM qprobe q JOIN vassign v
+        ON v.list_id = q.qlist_id AND q.qid <> v.nid
+    )
+    SELECT qid, nid, rank, cos6 FROM (
+      SELECT qid, nid, cos6,
+             row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid ASC) AS rank
+      FROM cand) WHERE rank <= 5
+    """,
+)
 def ann_ivf_q(spark, sf_dir):
     """IVF-style ANN: coarse-quantizer inverted lists, n_probe nearest
     lists per query, exact cosine inside probed lists only."""

@@ -739,42 +739,29 @@ def embedding_lsh_pairs(
     verifier; this is what runs at 100 TB).
 
     Candidates come from a same-(table, bucket) self-join of
-    random-hyperplane signatures (similarity._hyperplane_sig_expr):
-    the shuffle key is a small integer pair, never the vectors, and no
-    all-pairs stage exists anywhere. Every candidate pays the exact
-    sequential-fold cosine, so reported pairs are exact (soundness 1);
-    recall is the LSH bound ~1-(1-p^bits)^n_tables, OR-amplified by
-    ``n_tables``. Bucket population is geometrically concentrated for
-    near-dup thresholds; a pathological hot bucket degrades to that
-    bucket's pair count only (cf. max_df in the Jaccard join).
+    anchor-pair signatures (similarity.anchor_planes /
+    anchor_signatures — the deterministic, engine-replayable plane
+    family the DuckDB differential oracle rides on): the shuffle key is
+    a small integer pair, never the vectors, and no all-pairs stage
+    exists anywhere. Every candidate pays the exact sequential-fold
+    cosine, so reported pairs are exact (soundness 1); recall is the
+    LSH bound ~1-(1-p^bits)^n_tables, OR-amplified by ``n_tables``.
+    Bucket population is geometrically concentrated for near-dup
+    thresholds; a pathological hot bucket degrades to that bucket's
+    pair count only (cf. max_df in the Jaccard join).
 
     Returns (i, j, cos6) with i < j, distinct across tables.
     """
-    from .similarity import _hyperplane_sig_expr
+    from .similarity import anchor_planes, anchor_signatures
 
-    def sigs(alias_id: str, alias_t: str, alias_b: str) -> DataFrame:
-        per_table = [
-            F.struct(
-                F.lit(t).alias("tbl"),
-                F.expr(_hyperplane_sig_expr(vec_col, bits, table=t)).alias("sig"),
-            )
-            for t in range(n_tables)
-        ]
-        return vectors.select(
-            F.col(id_col).alias(alias_id),
-            F.explode(F.array(*per_table)).alias("__tb"),
-        ).select(
-            alias_id,
-            F.col("__tb.tbl").alias(alias_t),
-            F.col("__tb.sig").alias(alias_b),
-        )
+    planes = anchor_planes(vectors, vec_col, id_col, bits, n_tables)
 
     # Candidates carry bare (i, j) ids through the bucket join and the
     # cross-table dedup — vectors rejoin only for the once-per-pair
     # rescore. (Carrying both 64-dim vectors through the distinct()
     # multiplied shuffle bytes ~50x: measured 92 s -> 8 s at sf0.1.)
-    left = sigs("i", "__ti", "__bi")
-    right = sigs("j", "__tj", "__bj")
+    left = anchor_signatures(vectors, planes, vec_col, id_col, "i", "__ti", "__bi")
+    right = anchor_signatures(vectors, planes, vec_col, id_col, "j", "__tj", "__bj")
     cand = (
         left.join(
             right,

@@ -98,22 +98,84 @@ def knn_brute_force(
     )
 
 
-def _hyperplane_sig_expr(vec_col: str, bits: int, table: int = 0) -> str:
-    """Deterministic pseudo-random hyperplane signature: plane b's
-    component for dimension d is xxhash64(table * 2^20 + b * 4096 + d)
-    scaled to [-1, 1]; the signature bit is the sign of the dot
-    product. Data-independent and reproducible — no fitted model to
-    ship; ``table`` offsets the hash stream so each LSH table draws an
-    independent plane family."""
-    off = table * (1 << 20)
-    plane_dot = (
-        f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
-        f"(x, d) -> CAST(x AS DOUBLE) * (CAST(xxhash64({off} + b * 4096 + d) % 1000001 AS DOUBLE) / 1000000.0)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+def anchor_planes(
+    vectors: DataFrame, vec_col: str, id_col: str, bits: int, n_tables: int
+) -> DataFrame:
+    """The anchor-pair LSH plane table: ``bits·n_tables`` rows
+    (tbl, bit, va, vb) where plane p pairs the corpus vectors with the
+    2p-th and (2p+1)-th lowest ids. Each plane is the Voronoi bisector
+    between two fixed corpus directions — a data-dependent family that
+    any engine with a cosine can replay exactly (the property the
+    DuckDB differential oracles ride on), unlike a seeded-hash plane
+    stream. The anchor fetch is a k-sized TakeOrderedAndProject to the
+    driver (same contract as knn's query-set collect)."""
+    from pyspark.sql import types as T
+
+    spark = vectors.sparkSession
+    n_anchor = 2 * bits * n_tables
+    anchors = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.asc(id_col))  # TakeOrderedAndProject: n_anchor rows to the driver
+        .limit(n_anchor)
+        .collect()
     )
+    if len(anchors) < n_anchor:
+        raise ValueError(
+            f"anchor_planes needs at least {n_anchor} vectors for {bits} bits x "
+            f"{n_tables} tables; corpus has {len(anchors)}"
+        )
+    vec_type = vectors.schema[vec_col].dataType
+    plane_schema = T.StructType(
+        [
+            T.StructField("tbl", T.IntegerType()),
+            T.StructField("bit", T.IntegerType()),
+            T.StructField("va", vec_type),
+            T.StructField("vb", vec_type),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (p // bits, p % bits, anchors[2 * p][vec_col], anchors[2 * p + 1][vec_col])
+            for p in range(bits * n_tables)
+        ],
+        plane_schema,
+    )
+
+
+def _cos6(a: str, b: str) -> F.Column:
+    """The 1e-6-bucketed cosine every similarity op ranks by — floor +
+    long keeps comparisons integer-exact across engines."""
+    return F.floor(cosine_expr(a, b) * 1e6).cast("long")
+
+
+def anchor_signatures(
+    df: DataFrame,
+    planes: DataFrame,
+    vec_col: str,
+    id_col: str,
+    id_alias: str,
+    t_alias: str,
+    b_alias: str,
+) -> DataFrame:
+    """(id, table, bucket) signature rows: bit b of table t is whether
+    the vector is cos6-closer to anchor 2p than anchor 2p+1. The
+    broadcast product vs the FIXED-size plane table is linear in the
+    corpus (constant ``bits·n_tables`` multiplier) and partial-
+    aggregates to one bucket row per (id, table) before the only
+    corpus-sized exchange — the sum of distinct powers of two IS the
+    signature's bit-OR."""
     return (
-        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, b) -> "
-        f"acc | (CASE WHEN ({plane_dot}) > 0 THEN shiftleft(1L, b) ELSE 0L END))"
+        df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias("__v"))
+        .join(F.broadcast(planes))
+        .groupBy(F.col(id_alias), F.col("tbl").alias(t_alias))
+        .agg(
+            F.sum(
+                F.when(
+                    _cos6("__v", "va") > _cos6("__v", "vb"),
+                    F.expr("shiftleft(1L, bit)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias(b_alias)
+        )
     )
 
 
@@ -184,51 +246,55 @@ def ann_lsh(
     bits: int = 12,
     n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: random-hyperplane (SimHash-for-cosine) bucket
-    join. Vectors and queries hash to a ``bits``-bit signature per
-    table; only same-(table, bucket) candidates pay the exact cosine;
-    per-query top-k over the distinct candidate union.
+    """Approximate top-k: anchor-pair LSH bucket join. Bit ``b`` of a
+    signature is whether the vector is cosine-closer to anchor ``2b``
+    than to anchor ``2b+1``, where the anchors are the ``2·bits·
+    n_tables`` lowest-id corpus vectors — each bit is the Voronoi
+    bisector hyperplane between two fixed directions (a data-dependent
+    plane family; vs seeded pseudo-random planes it trades nothing on
+    this corpus shape and is exactly reproducible by any engine that
+    can compute a cosine, which is what makes the DuckDB differential
+    oracle possible — the bit compares the 1e-6-bucketed cos6 values
+    whose cross-engine parity knn_brute_force already pins).
 
-    ``n_tables`` is the OR-amplification knob: recall ≈
-    1 − (1 − p^bits)^n_tables for per-plane agreement p, so more tables
-    buy recall linearly in signature cost while candidate generation
-    stays an equi-join (shuffle key = (table, bucket)). The tested
-    contract: every reported neighbor is a true neighbor with its exact
-    brute-force cosine, ranks consistent; recall vs knn_brute_force is
-    asserted to improve with n_tables in tests."""
-    tables = list(range(n_tables))
+    Only same-(table, bucket) candidates pay the exact cosine;
+    per-query top-k over the distinct candidate union. ``n_tables`` is
+    the OR-amplification knob: recall ≈ 1 − (1 − p^bits)^n_tables for
+    per-plane agreement p; more tables buy recall while candidate
+    generation stays an equi-join (shuffle key = (table, bucket)).
 
-    def sig_rows(df: DataFrame, idc: str, vc: str, id_alias: str, b_alias: str) -> DataFrame:
-        sigs = [
-            F.struct(
-                F.lit(t).alias("tbl"),
-                F.expr(_hyperplane_sig_expr(vc, bits, table=t)).alias("sig"),
-            )
-            for t in tables
-        ]
-        return df.select(
-            F.col(idc).alias(id_alias),
-            F.col(vc).alias(f"{id_alias}_v"),
-            F.explode(F.array(*sigs)).alias("tb"),
-        ).select(id_alias, f"{id_alias}_v", F.col("tb.tbl").alias(f"{b_alias}_tbl"),
-                 F.col("tb.sig").alias(b_alias))
-
-    v = sig_rows(vectors, id_col, vec_col, "nid", "bucket")
-    q = sig_rows(queries, id_col, vec_col, "qid", "qbucket")
+    Scale shape: see anchor_planes / anchor_signatures — the plane
+    product is linear in the corpus, and candidates join back to the
+    corpus by id for exact rescoring."""
+    planes = anchor_planes(vectors, vec_col, id_col, bits, n_tables)
+    v = anchor_signatures(vectors, planes, vec_col, id_col, "nid", "tbl", "bucket")
+    q = anchor_signatures(queries, planes, vec_col, id_col, "qid", "qtbl", "qbucket")
     cand = (
         v.join(
             F.broadcast(q),
-            (F.col("bucket_tbl") == F.col("qbucket_tbl"))
+            (F.col("tbl") == F.col("qtbl"))
             & (F.col("bucket") == F.col("qbucket"))
             & (F.col("qid") != F.col("nid")),
         )
-        .select("qid", "nid", F.col("qid_v").alias("qv"), F.col("nid_v").alias("nv"))
+        .select("qid", "nid")
         .distinct()
-        .withColumn("cos6", F.floor(cosine_expr("qv", "nv") * 1e6).cast("long"))
+    )
+    scored = (
+        cand.join(
+            vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),
+            "nid",
+        )
+        .join(
+            F.broadcast(
+                queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+            ),
+            "qid",
+        )
+        .withColumn("cos6", _cos6("qv", "nv"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos6"), F.asc("nid"))
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", "cos6")
     )

