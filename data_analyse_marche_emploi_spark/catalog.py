@@ -3393,7 +3393,36 @@ def multimodal_wav_roundtrip(spark, sf_dir):
     return meta.withColumn("duration_s", F.round("duration_s", 6))
 
 
-@register("multimodal_features")  # decoder dispatch (wav/ppm real, else stub)
+@register(
+    "multimodal_jpeg",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + 8 * (doc_id % 3) AS INTEGER) AS width,
+           CAST(8 + 8 * (doc_id % 2) AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_pixel,
+           'jpeg-baseline-v1' AS decoder
+    FROM documents
+    """,
+)
+def multimodal_jpeg(spark, sf_dir):
+    """REAL image decode, driver-checkable: synthesize a baseline JPEG
+    per document (flat gray, value/dims arithmetic in doc_id; all-ones
+    quantization so the lone DC coefficient reconstructs bit-exactly),
+    then decode it with the dependency-free T.81 decoder
+    (operators/jpeg.py — marker walk, canonical Huffman, dequant,
+    vectorized IDCT) and check the parsed dimensions and decoded mean
+    pixel against their arithmetic ground truth. A wrong SOF parse,
+    Huffman table, zigzag, or IDCT shifts width/height/mean_pixel and
+    fails the hash. mapInPandas both ways: zero shuffle, Arrow-batched,
+    embarrassingly parallel at any corpus size."""
+    from .operators.multimodal import extract_image_meta, synth_jpeg
+
+    d = _docs(spark, sf_dir)
+    return extract_image_meta(synth_jpeg(d, "doc_id"))
+
+
+@register("multimodal_features")  # decoder dispatch (wav/ppm/jpeg real, else stub)
 def multimodal_features(spark, sf_dir):
     """Arrow-batched mapInPandas decode/feature-extract plumbing over
     binary payloads (decoder stubbed — no codecs in this environment)."""
@@ -4095,7 +4124,11 @@ _DRIVER_WINDOW = [
     "mixture_token_budget",
     "chunks_to_sequences_by_lang",
     "dq_report",
-    "multimodal_meta",
+    # multimodal_jpeg replaces multimodal_meta in the 50-row window: the
+    # JPEG entry subsumes the meta proof (same parse-the-container shape)
+    # and additionally exercises the full T.81 entropy-decode + IDCT
+    # path; multimodal_meta stays green in the local gate.
+    "multimodal_jpeg",
     "multimodal_resize",
 ]
 

@@ -1,0 +1,595 @@
+"""Dependency-free baseline JPEG (ITU T.81 / JFIF) codec.
+
+Retires the last ``_fake_decode`` fallback for *images*: JPEG payloads
+now decode for real — marker walk → quantization + Huffman table parse
+→ entropy decode (byte-stuffing + restart markers) → dequantize →
+de-zigzag → 8×8 IDCT → chroma upsampling → YCbCr→RGB. Pure
+Python/numpy; the IDCT is a vectorized orthonormal DCT-II matrix
+product over all blocks at once, so decode cost is dominated by the
+(tiny, per-coefficient) Huffman bit walk.
+
+Scope: baseline sequential DCT (SOF0), 8-bit precision, 1 or 3
+components, any JFIF sampling whose factors divide the max (covers
+4:4:4, 4:2:2, 4:2:0), DRI/RSTn restart markers. Progressive (SOF2),
+arithmetic coding, and 12-bit raise ValueError — callers route that to
+the documented fallback, same contract as truncated WAV/PPM.
+
+The encoder exists to manufacture deterministic test payloads (the
+container has no image files): 4:4:4 or forced-4:2:0, caller-supplied
+quantization tables, the spec's Annex K Huffman tables. With all-ones
+quantization a flat-color image round-trips BIT-EXACTLY (single DC
+coefficient, IDCT of a constant is constant), which gives the catalog
+entry an arithmetic SQL oracle; gradient images round-trip within the
+usual DCT quantization bound and are asserted within tolerance in
+tests.
+
+Everything here is public knowledge: the marker grammar, zigzag order,
+Annex K tables, and DCT definitions are from the published T.81 spec.
+Reference parity note: the reference repo has no media pipeline; this
+extends SURVEY.md's multimodal north-star (BASELINE.json) the same way
+operators/media_codecs.py does for WAV/PPM.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- constants (ITU T.81, public) ------------------------------------------
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.3 typical Huffman tables: (bits[1..16], huffval) per class/id.
+_DC_LUM = (
+    [0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHR = (
+    [0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUM = (
+    [0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHR = (
+    [0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# orthonormal DCT-II basis: IDCT is  C.T @ coeff @ C, FDCT is C @ px @ C.T
+_k = np.arange(8)
+_C = np.cos((2 * _k[None, :] + 1) * _k[:, None] * np.pi / 16) * np.where(
+    _k[:, None] == 0, 1 / np.sqrt(2), 1.0
+) * 0.5
+
+
+def _idct_blocks(blocks: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) coefficient blocks → (n, 8, 8) spatial, vectorized."""
+    return np.einsum("ij,njk,kl->nil", _C.T, blocks, _C, optimize=True)
+
+
+def _fdct_blocks(blocks: np.ndarray) -> np.ndarray:
+    return np.einsum("ij,njk,kl->nil", _C, blocks, _C.T, optimize=True)
+
+
+# --- Huffman ---------------------------------------------------------------
+
+
+def _build_decode_table(bits: list[int], huffval: list[int]) -> dict:
+    """Canonical Huffman: map (length, code) → symbol (T.81 C.2)."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            table[(length, code)] = huffval[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _build_encode_table(bits: list[int], huffval: list[int]) -> dict:
+    """symbol → (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            out[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF00, stops at markers.
+
+    RSTn markers are consumed by ``restart()`` which also resets the
+    bit buffer to a byte boundary (T.81 E.2.4)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                # past the end: pad with 1s (spec allows; EOB-terminated
+                # scans may leave a partial final byte)
+                self.buf = (self.buf << 8) | 0xFF
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:  # stuffed literal FF
+                    self.pos += 2
+                    self.buf = (self.buf << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+                # a real marker (RSTn / EOI / next segment): stop feeding
+                self.buf = (self.buf << 8) | 0xFF
+                self.nbits += 8
+                continue
+            self.pos += 1
+            self.buf = (self.buf << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill_one()
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def _fill_one(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            self.buf, self.nbits = 0xFF, 8
+            return
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+                self.buf, self.nbits = 0xFF, 8
+                return
+            # marker ahead: don't consume it; emit pad bits
+            self.buf, self.nbits = 0xFF, 8
+            return
+        self.pos += 1
+        self.buf, self.nbits = b, 8
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in entropy stream")
+
+    def align_and_expect_rst(self, n: int) -> None:
+        """Drop partial byte, consume the RSTn marker (mod-8 sequence n)."""
+        self.nbits = 0
+        d = self.data
+        # skip any pad FFs before the marker byte
+        while self.pos + 1 < len(d) and d[self.pos] == 0xFF and d[self.pos + 1] == 0xFF:
+            self.pos += 1
+        if (
+            self.pos + 1 >= len(d)
+            or d[self.pos] != 0xFF
+            or d[self.pos + 1] != 0xD0 + (n % 8)
+        ):
+            raise ValueError(f"expected RST{n % 8} marker at {self.pos}")
+        self.pos += 2
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+# --- decoder ---------------------------------------------------------------
+
+
+def sniff_jpeg(payload: bytes | None) -> bool:
+    return bool(payload) and payload[:3] == b"\xff\xd8\xff"
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Baseline JPEG → ``{width, height, channels, pixels}`` (uint8
+    (h, w, c) array, RGB for 3-component, gray for 1). Raises
+    ValueError on progressive/arithmetic/12-bit/malformed input."""
+    if not sniff_jpeg(payload):
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                qt[tq] = np.frombuffer(body, np.uint8, 64, i + 1).astype(np.int32)
+                i += 65
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline(-ish) sequential
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                        0xCE, 0xCF):
+            raise ValueError("only baseline sequential DCT (SOF0/1) supported")
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = [0] + list(body[i + 1 : i + 17])
+                cnt = sum(bits)
+                huffval = list(body[i + 17 : i + 17 + cnt])
+                huff[(tc, th)] = _build_decode_table(bits, huffval)
+                i += 17 + cnt
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tables = struct.unpack_from(">BB", body, 1 + 2 * c)
+                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                scan.append((comp, tables >> 4, tables & 0xF))
+            data_start = pos + 2 + seg_len
+            return _decode_scan(
+                payload, data_start, frame, scan, qt, huff, restart_interval
+            )
+        pos += 2 + seg_len
+    raise ValueError("no SOS marker found")
+
+
+def _decode_scan(payload, pos, frame, scan, qt, huff, restart_interval):
+    w, h = frame["w"], frame["h"]
+    comps = [c for c, _, _ in scan]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # per-component block grids (in MCU-padded units)
+    planes = []
+    for c, _, _ in scan:
+        bw, bh = mcus_x * c["h"], mcus_y * c["v"]
+        planes.append(np.zeros((bh * bw, 8, 8), dtype=np.float64))
+    reader = _BitReader(payload, pos)
+    pred = [0] * len(scan)
+    rst_seq = 0
+    mcu_index = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                reader.align_and_expect_rst(rst_seq)
+                rst_seq += 1
+                pred = [0] * len(scan)
+            for ci, (c, dc_id, ac_id) in enumerate(scan):
+                dct = huff[(0, dc_id)]
+                act = huff[(1, ac_id)]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int32)
+                        s = reader.decode_symbol(dct)
+                        pred[ci] += _extend(reader.receive(s), s)
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_symbol(act)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(reader.receive(s), s)
+                            k += 1
+                        blk = np.zeros(64, dtype=np.float64)
+                        blk[ZIGZAG] = zz * q
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        planes[ci][row * (mcus_x * c["h"]) + col] = blk.reshape(8, 8)
+            mcu_index += 1
+    # IDCT all blocks of each component at once, assemble planes
+    out_planes = []
+    for ci, (c, _, _) in enumerate(scan):
+        bw, bh = mcus_x * c["h"], mcus_y * c["v"]
+        spatial = _idct_blocks(planes[ci]) + 128.0
+        plane = (
+            spatial.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        # crop to the component's true dimensions, then replicate up to
+        # full resolution (nearest — the common fast-path convention)
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        plane = plane[:ch, :cw]
+        plane = np.repeat(plane, vmax // c["v"], axis=0)
+        plane = np.repeat(plane, hmax // c["h"], axis=1)
+        out_planes.append(plane[:h, :w])
+    if len(out_planes) == 1:
+        pix = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return {"width": w, "height": h, "channels": 1, "pixels": pix[:, :, None]}
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    pix = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return {"width": w, "height": h, "channels": 3, "pixels": pix}
+
+
+# --- encoder ---------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+
+
+def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int,
+                  dc_tab: dict, ac_tab: dict) -> int:
+    diff = int(zz[0]) - pred
+    size = int(diff).bit_length() if diff else 0
+    if diff < 0:
+        bits = diff + (1 << size) - 1
+    else:
+        bits = diff
+    code, length = dc_tab[size]
+    bw.write(code, length)
+    if size:
+        bw.write(bits, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tab[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        size = abs(v).bit_length()
+        bits = v + (1 << size) - 1 if v < 0 else v
+        code, length = ac_tab[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(bits, size)
+        run = 0
+        if k == last_nz:
+            break
+    if last_nz < 63:
+        code, length = ac_tab[0x00]  # EOB
+        bw.write(code, length)
+    return int(zz[0])
+
+
+def _plane_to_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Pad a 2-D plane to multiples of 8 (edge replicate) and return
+    (n_blocks, 8, 8) in raster order plus the block-grid dims."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+    return blocks, ph // 8, pw // 8
+
+
+def encode_jpeg(pixels: np.ndarray, quant_luma: np.ndarray | None = None,
+                quant_chroma: np.ndarray | None = None,
+                subsample_420: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """(h, w, 1|3) uint8 → baseline JFIF bytes.
+
+    Default quantization tables are ALL ONES (near-lossless: flat-color
+    blocks round-trip exactly). Pass the Annex K tables for realistic
+    lossy behavior. ``subsample_420`` box-averages chroma 2×2 and
+    encodes Y at 2×2 sampling so the decoder's upsampling path is
+    exercised; ``restart_interval`` emits DRI + RSTn markers."""
+    h, w, nc = pixels.shape
+    if quant_luma is None:
+        quant_luma = np.ones(64, dtype=np.int32)
+    if quant_chroma is None:
+        quant_chroma = np.ones(64, dtype=np.int32)
+    quant_luma = np.asarray(quant_luma, dtype=np.int32).reshape(64)
+    quant_chroma = np.asarray(quant_chroma, dtype=np.int32).reshape(64)
+    px = pixels.astype(np.float64)
+    if nc == 3:
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample_420:
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+            crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qids = [0, 1, 1]
+    else:
+        planes = [px[..., 0]]
+        samp = [(1, 1)]
+        qids = [0]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    quants = [quant_luma, quant_chroma]
+    # quantized zigzag blocks per component, indexed by block-grid raster
+    comp_blocks = []
+    comp_grid = []
+    for ci, plane in enumerate(planes):
+        sh, sv = samp[ci]
+        # pad plane out to the full MCU grid for this component
+        tw, th = mcus_x * sh * 8, mcus_y * sv * 8
+        ph, pw = plane.shape
+        plane = np.pad(plane, ((0, th - ph), (0, tw - pw)), mode="edge")
+        blocks, gh, gw = _plane_to_blocks(plane)
+        coeff = _fdct_blocks(blocks - 128.0)
+        q = quants[qids[ci]]
+        flat = coeff.reshape(-1, 64)[:, ZIGZAG]  # natural → zigzag
+        zz = np.round(flat / q[None, :]).astype(np.int32)
+        comp_blocks.append(zz)
+        comp_grid.append((gh, gw))
+    # --- emit segments
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, q in enumerate(quants[: 2 if nc == 3 else 1]):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(
+            int(v) for v in q
+        )
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        out += struct.pack(
+            ">BBB", ci + 1, (samp[ci][0] << 4) | samp[ci][1], qids[ci]
+        )
+    tables = [(0, 0, _DC_LUM), (1, 0, _AC_LUM)]
+    if nc == 3:
+        tables += [(0, 1, _DC_CHR), (1, 1, _AC_CHR)]
+    enc_tabs = {}
+    for tc, th, (bits, huffval) in tables:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(huffval), (tc << 4) | th)
+        out += bytes(bits[1:]) + bytes(huffval)
+        enc_tabs[(tc, th)] = _build_encode_table(bits, huffval)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        tid = 0 if ci == 0 else (1 if nc == 3 else 0)
+        out += struct.pack(">BB", ci + 1, (tid << 4) | tid)
+    out += b"\x00\x3f\x00"  # Ss=0 Se=63 AhAl=0
+    bw = _BitWriter()
+    pred = [0] * nc
+    rst_seq = 0
+    mcu_index = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                bw.flush()
+                out += bytes(bw.out)
+                bw = _BitWriter()
+                out += bytes([0xFF, 0xD0 + (rst_seq % 8)])
+                rst_seq += 1
+                pred = [0] * nc
+            for ci in range(nc):
+                sh, sv = samp[ci]
+                _, gw = comp_grid[ci]
+                tid = 0 if ci == 0 else (1 if nc == 3 else 0)
+                for by in range(sv):
+                    for bx in range(sh):
+                        row = my * sv + by
+                        col = mx * sh + bx
+                        zz = comp_blocks[ci][row * gw + col]
+                        pred[ci] = _encode_block(
+                            bw, zz, pred[ci],
+                            enc_tabs[(0, tid)], enc_tabs[(1, tid)],
+                        )
+            mcu_index += 1
+    bw.flush()
+    out += bytes(bw.out)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

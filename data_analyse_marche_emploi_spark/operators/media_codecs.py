@@ -31,14 +31,19 @@ WAV_MAGIC = b"RIFF"
 PPM_MAGICS = (b"P6", b"P5")
 
 
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+
 def sniff_format(payload: bytes | None) -> str:
-    """'wav' | 'ppm' | 'unknown' by magic bytes."""
+    """'wav' | 'ppm' | 'jpeg' | 'unknown' by magic bytes."""
     if not payload:
         return "unknown"
     if payload[:4] == WAV_MAGIC and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:2] in PPM_MAGICS:
         return "ppm"
+    if payload[:3] == JPEG_MAGIC:
+        return "jpeg"
     return "unknown"
 
 

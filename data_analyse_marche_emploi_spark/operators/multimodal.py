@@ -3,12 +3,14 @@ image/audio/video payloads as opaque ``binary`` columns with a typed
 metadata struct, plus decode / feature-extraction plumbing as
 Arrow-batched Pandas operations over ``mapInPandas``.
 
-Decoding is REAL for WAV (RIFF PCM parse + sample decode) and PPM/PGM
-(netpbm parse + exact nearest-neighbor resize) via the dependency-free
-``operators.media_codecs``; payloads in any other format fall back to a
-deterministic fake decoder (this container has no PIL/ffmpeg — swapping
-the fallback for a codec library is a one-function change inside the
-UDF). Everything Spark-side is real and tested either way: the schema,
+Decoding is REAL for WAV (RIFF PCM parse + sample decode), PPM/PGM
+(netpbm parse + exact nearest-neighbor resize), and baseline JPEG
+(full T.81 decode: Huffman → dequant → IDCT → chroma upsample →
+YCbCr→RGB, ``operators.jpeg``) via dependency-free pure-numpy codecs;
+payloads in any other format (video containers, progressive JPEG, PNG)
+fall back to a deterministic fake decoder (this container has no
+PIL/ffmpeg — swapping the fallback for a codec library is a
+one-function change inside the UDF). Everything Spark-side is real and tested either way: the schema,
 the binary column handling, the ``mapInPandas`` batch iteration, the
 output schema contract, and the partition-preserving shape.
 
@@ -97,6 +99,16 @@ def _decode(payload: bytes) -> dict:
                 "fake_first": p["width"] * p["height"],
                 "decoder": "ppm-v1",
             }
+        if kind == "jpeg":
+            from .jpeg import decode_jpeg
+
+            j = decode_jpeg(payload)
+            return {
+                "n_bytes": len(payload),
+                "fake_mean": float(j["pixels"].mean()),
+                "fake_first": j["width"] * j["height"],
+                "decoder": "jpeg-baseline-v1",
+            }
     except Exception:
         out = _fake_decode(payload)
         out["decoder"] = "fake-v0-invalid"
@@ -122,12 +134,19 @@ def resize_images(media_df: DataFrame, width: int = 224, height: int = 224,
     def one(b: bytes | None) -> tuple[int, str]:
         if not b:
             return 0, "fake-resize-v0"
-        if MC.sniff_format(b) == "ppm":
+        kind = MC.sniff_format(b)
+        if kind in ("ppm", "jpeg"):
             try:
-                resized = MC.resize_nearest(
-                    MC.decode_ppm(b)["pixels"], width, height
-                )
-                return len(MC.encode_ppm(resized)), "ppm-nn-v1"
+                if kind == "ppm":
+                    pixels = MC.decode_ppm(b)["pixels"]
+                    tag = "ppm-nn-v1"
+                else:
+                    from .jpeg import decode_jpeg
+
+                    pixels = decode_jpeg(b)["pixels"]
+                    tag = "jpeg-nn-v1"
+                resized = MC.resize_nearest(pixels, width, height)
+                return len(MC.encode_ppm(resized)), tag
             except Exception:
                 # sniff false-positive / malformed image: degrade, don't
                 # abort the task
@@ -299,6 +318,73 @@ def extract_wav_meta(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return media_df.mapInPandas(batches, WAV_META_SCHEMA)
+
+
+IMAGE_META_SCHEMA = (
+    "doc_id long, width int, height int, channels int, mean_pixel double, "
+    "decoder string"
+)
+
+
+def synth_jpeg(docs: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL baseline JPEG payloads deterministically from
+    the documents fixture: a flat-gray image whose value and dimensions
+    are arithmetic functions of the id (value = id % 256, width =
+    16 + 8*(id % 3), height = 8 + 8*(id % 2)). With all-ones
+    quantization a flat image is a single DC coefficient per block, so
+    the decode is BIT-EXACT — giving ``extract_image_meta`` an
+    arithmetic SQL oracle that actually checks the decoder (a wrong
+    IDCT, Huffman walk, or SOF parse shifts mean_pixel/width/height)."""
+    from .jpeg import encode_jpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 16 + 8 * (i % 3), 8 + 8 * (i % 2)
+                px = np.full((h, w, 1), i % 256, dtype=np.uint8)
+                payloads.append(encode_jpeg(px))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "media": payloads})
+
+    return docs.select(id_col).mapInPandas(batches, "doc_id long, media binary")
+
+
+def extract_image_meta(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode each image payload for real (PPM or baseline JPEG —
+    full entropy decode + IDCT, operators/jpeg.py) and emit its parsed
+    metadata plus the decoded mean pixel value. Raises on payloads that
+    are neither: this operator IS the image-decode proof, silent
+    fallback would defeat it."""
+    from . import media_codecs as MC
+    from .jpeg import decode_jpeg
+
+    def one(b: bytes) -> tuple[int, int, int, float, str]:
+        if MC.sniff_format(b) == "ppm":
+            p = MC.decode_ppm(b)
+            return (p["width"], p["height"], p["channels"],
+                    float(p["pixels"].mean()), "ppm-v1")
+        j = decode_jpeg(b)
+        return (j["width"], j["height"], j["channels"],
+                float(j["pixels"].mean()), "jpeg-baseline-v1")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [one(b) for b in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "channels": [r[2] for r in rows],
+                    "mean_pixel": [r[3] for r in rows],
+                    "decoder": [r[4] for r in rows],
+                }
+            )
+
+    return media_df.mapInPandas(batches, IMAGE_META_SCHEMA)
 
 
 def extract_features(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
