@@ -32,6 +32,9 @@ ENTRIES = [
     "dedup_embedding_lsh",
     "shuffle_training_order",
     "scd2_apply",
+    "pipeline_training_sequences",
+    "emb_kmeans",
+    "multimodal_jpeg",
 ]
 
 SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
