@@ -3422,7 +3422,34 @@ def multimodal_jpeg(spark, sf_dir):
     return extract_image_meta(synth_jpeg(d, "doc_id"))
 
 
-@register("multimodal_features")  # decoder dispatch (wav/ppm/jpeg real, else stub)
+@register(
+    "multimodal_png",
+    oracle="""
+    SELECT doc_id,
+           CAST(256 AS INTEGER) AS width,
+           CAST(2 + doc_id % 3 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(127.5 AS DOUBLE) AS mean_pixel,
+           'png-v1' AS decoder
+    FROM documents
+    """,
+)
+def multimodal_png(spark, sf_dir):
+    """REAL lossless image decode, driver-checkable: synthesize a PNG
+    per document (256-wide gradient, pixel = (x+y+id) % 256, encoded
+    with alternating Sub/Up scanline filters) and decode it with the
+    dependency-free codec (operators/png.py — chunk walk, zlib
+    inflate, per-filter-type unfilter). Each gradient row spans every
+    residue class, so the decoded mean is exactly 127.5 — but only if
+    the inflate+unfilter reconstruction is bit-perfect, which is what
+    the hash checks. Zero shuffle, Arrow-batched mapInPandas."""
+    from .operators.multimodal import extract_image_meta, synth_png
+
+    d = _docs(spark, sf_dir)
+    return extract_image_meta(synth_png(d, "doc_id"))
+
+
+@register("multimodal_features")  # decoder dispatch (wav/ppm/jpeg/png real, else stub)
 def multimodal_features(spark, sf_dir):
     """Arrow-batched mapInPandas decode/feature-extract plumbing over
     binary payloads (decoder stubbed — no codecs in this environment)."""

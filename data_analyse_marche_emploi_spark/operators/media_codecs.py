@@ -32,10 +32,11 @@ PPM_MAGICS = (b"P6", b"P5")
 
 
 JPEG_MAGIC = b"\xff\xd8\xff"
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_format(payload: bytes | None) -> str:
-    """'wav' | 'ppm' | 'jpeg' | 'unknown' by magic bytes."""
+    """'wav' | 'ppm' | 'jpeg' | 'png' | 'unknown' by magic bytes."""
     if not payload:
         return "unknown"
     if payload[:4] == WAV_MAGIC and payload[8:12] == b"WAVE":
@@ -44,6 +45,8 @@ def sniff_format(payload: bytes | None) -> str:
         return "ppm"
     if payload[:3] == JPEG_MAGIC:
         return "jpeg"
+    if payload[:8] == PNG_MAGIC:
+        return "png"
     return "unknown"
 
 

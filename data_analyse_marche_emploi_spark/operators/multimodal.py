@@ -109,6 +109,16 @@ def _decode(payload: bytes) -> dict:
                 "fake_first": j["width"] * j["height"],
                 "decoder": "jpeg-baseline-v1",
             }
+        if kind == "png":
+            from .png import decode_png
+
+            p = decode_png(payload)
+            return {
+                "n_bytes": len(payload),
+                "fake_mean": float(p["pixels"].mean()),
+                "fake_first": p["width"] * p["height"],
+                "decoder": "png-v1",
+            }
     except Exception:
         out = _fake_decode(payload)
         out["decoder"] = "fake-v0-invalid"
@@ -135,16 +145,24 @@ def resize_images(media_df: DataFrame, width: int = 224, height: int = 224,
         if not b:
             return 0, "fake-resize-v0"
         kind = MC.sniff_format(b)
-        if kind in ("ppm", "jpeg"):
+        if kind in ("ppm", "jpeg", "png"):
             try:
                 if kind == "ppm":
                     pixels = MC.decode_ppm(b)["pixels"]
                     tag = "ppm-nn-v1"
-                else:
+                elif kind == "jpeg":
                     from .jpeg import decode_jpeg
 
                     pixels = decode_jpeg(b)["pixels"]
                     tag = "jpeg-nn-v1"
+                else:
+                    from .png import decode_png
+
+                    pixels = decode_png(b)["pixels"]
+                    # drop the alpha plane for the PPM re-encode
+                    # (RGBA→RGB, gray+alpha→gray)
+                    pixels = pixels[..., :3] if pixels.shape[-1] >= 3 else pixels[..., :1]
+                    tag = "png-nn-v1"
                 resized = MC.resize_nearest(pixels, width, height)
                 return len(MC.encode_ppm(resized)), tag
             except Exception:
@@ -352,20 +370,52 @@ def synth_jpeg(docs: DataFrame, id_col: str) -> DataFrame:
     return docs.select(id_col).mapInPandas(batches, "doc_id long, media binary")
 
 
+def synth_png(docs: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL PNG payloads deterministically: pixel(y, x) =
+    (x + y + id) % 256 over a 256-wide gradient, height = 2 + id % 3.
+    Every row spans all 256 residues, so the decoded mean is EXACTLY
+    127.5 for every image — arithmetic oracle — while the gradient
+    content (unlike a flat fill) makes the Sub/Up filter pipeline and
+    the inflate+unfilter decode carry real information: any unfilter
+    or palette bug shifts the mean."""
+    from .png import encode_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                h = 2 + i % 3
+                yy, xx = np.mgrid[0:h, 0:256]
+                px = ((xx + yy + i) % 256).astype(np.uint8)[:, :, None]
+                payloads.append(encode_png(px))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "media": payloads})
+
+    return docs.select(id_col).mapInPandas(batches, "doc_id long, media binary")
+
+
 def extract_image_meta(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Decode each image payload for real (PPM or baseline JPEG —
-    full entropy decode + IDCT, operators/jpeg.py) and emit its parsed
-    metadata plus the decoded mean pixel value. Raises on payloads that
-    are neither: this operator IS the image-decode proof, silent
-    fallback would defeat it."""
+    """Decode each image payload for real (PPM, baseline JPEG — full
+    entropy decode + IDCT, operators/jpeg.py — or PNG — inflate +
+    unfilter, operators/png.py) and emit its parsed metadata plus the
+    decoded mean pixel value. Raises on other payloads: this operator
+    IS the image-decode proof, silent fallback would defeat it."""
     from . import media_codecs as MC
     from .jpeg import decode_jpeg
+    from .png import decode_png
 
     def one(b: bytes) -> tuple[int, int, int, float, str]:
-        if MC.sniff_format(b) == "ppm":
+        kind = MC.sniff_format(b)
+        if kind == "ppm":
             p = MC.decode_ppm(b)
             return (p["width"], p["height"], p["channels"],
                     float(p["pixels"].mean()), "ppm-v1")
+        if kind == "png":
+            p = decode_png(b)
+            return (p["width"], p["height"], p["channels"],
+                    float(p["pixels"].mean()), "png-v1")
         j = decode_jpeg(b)
         return (j["width"], j["height"], j["channels"],
                 float(j["pixels"].mean()), "jpeg-baseline-v1")

@@ -274,7 +274,6 @@ def run_available_now(stream_df: DataFrame, output_mode: str = "append") -> Data
     watermark passes the max event time, and the memory sink holds the
     complete result.
     """
-    name = "stream_out_" + uuid.uuid4().hex[:12]
     spark0 = stream_df.sparkSession
     # A NEW checkpoint sizes its state-store count from the current
     # shuffle-partition conf; 32 stores for a fixture-scale drain is
@@ -282,6 +281,38 @@ def run_available_now(stream_df: DataFrame, output_mode: str = "append") -> Data
     # restore after — a production stream sizes this deliberately via
     # its own checkpoint instead.
     prev = spark0.conf.get("spark.sql.shuffle.partitions")
+    if output_mode == "append":
+        # File sink: the result never round-trips through the driver
+        # (the memory sink collects every row, and materializing off it
+        # re-uploads them via createDataFrame — measured ~1 s of pure
+        # harness cost on a 100k-row drain). The sink dir outlives this
+        # call so the returned scan stays valid; it's reclaimed at
+        # process exit.
+        import atexit
+        import shutil
+
+        sink = tempfile.mkdtemp(prefix="stream_sink_")
+        atexit.register(shutil.rmtree, sink, ignore_errors=True)
+        with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+            try:
+                spark0.conf.set("spark.sql.shuffle.partitions", "8")
+                q = (
+                    stream_df.writeStream.format("parquet")
+                    .option("path", sink)
+                    .outputMode("append")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+            finally:
+                spark0.conf.set("spark.sql.shuffle.partitions", prev)
+        # explicit schema: an all-late/empty drain writes no part files
+        return spark0.read.schema(stream_df.schema).parquet(sink)
+    # complete/update have no file-sink support — memory sink. Results
+    # in these modes are final aggregates (tens of rows), so the
+    # collect + re-upload materialization is noise.
+    name = "stream_out_" + uuid.uuid4().hex[:12]
     with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
         try:
             spark0.conf.set("spark.sql.shuffle.partitions", "8")
@@ -296,9 +327,8 @@ def run_available_now(stream_df: DataFrame, output_mode: str = "append") -> Data
             q.awaitTermination()
         finally:
             spark0.conf.set("spark.sql.shuffle.partitions", prev)
-    spark = stream_df.sparkSession
     # Materialize off the transient memory sink before the table goes away.
-    rows = spark.table(name)
-    out = spark.createDataFrame(rows.collect(), rows.schema)
-    spark.catalog.dropTempView(name)
+    rows = spark0.table(name)
+    out = spark0.createDataFrame(rows.collect(), rows.schema)
+    spark0.catalog.dropTempView(name)
     return out
