@@ -1383,6 +1383,43 @@ def dedup_window_exact(spark, sf_dir):
     return window_exact_dedup(d, "text", "doc_id", k=16)
 
 
+@register(
+    "dedup_lines_global",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    segs AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS seg
+      FROM t, UNNEST(generate_series(0,
+           greatest(1, CAST(ceil(len(toks) / 8.0) AS BIGINT)) - 1)) AS u(i)
+    ),
+    own AS (SELECT seg, min(doc_id * 1048576 + seg_idx) AS keep_key
+            FROM segs GROUP BY 1),
+    f AS (SELECT s.doc_id, s.seg_idx, s.seg,
+                 (s.doc_id * 1048576 + s.seg_idx) = o.keep_key AS keep
+          FROM segs s JOIN own o USING (seg))
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep THEN seg END, ' '
+                               ORDER BY seg_idx), '') AS clean_text,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+    FROM f GROUP BY doc_id
+    """,
+)
+def dedup_lines_global(spark, sf_dir):
+    """C4-style corpus-level span dedup: every 8-token segment that
+    occurs more than once in the corpus survives only at its first
+    (lowest doc, position) occurrence; documents are reassembled from
+    their surviving segments in order. Ownership is a partial-agg
+    groupBy min (boilerplate segments collapse map-side, hot-key join
+    residue is AQE-splittable — same topology as dedup_window_exact's
+    owner), reassembly one per-doc array_sort."""
+    from .operators.dedup import line_dedup_global
+
+    d = _t(spark, sf_dir, "documents")
+    return line_dedup_global(d, "text", "doc_id", segment_tokens=8)
+
+
 @register("dedup_simhash")  # hash-family specific → rows-only check
 def dedup_simhash(spark, sf_dir):
     """64-bit SimHash sketch per document (token votes on bits)."""

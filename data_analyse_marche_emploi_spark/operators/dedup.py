@@ -726,6 +726,62 @@ def window_exact_dedup(
     )
 
 
+def line_dedup_global(
+    docs: DataFrame, text_col: str, id_col: str, segment_tokens: int = 8
+) -> DataFrame:
+    """C4-style global line dedup: drop every *segment* that occurs
+    more than once anywhere in the corpus, keeping exactly the first
+    occurrence (lowest ``(doc, position)``), then reassemble each
+    document's surviving segments in original order.
+
+    This is the C4 recipe's corpus-level span dedup (boilerplate nav
+    text, cookie banners, license blocks vanish from all but one doc)
+    as pure DataFrame algebra. A production corpus segments on real
+    newlines; this fixture's text has none, so segments are
+    non-overlapping ``segment_tokens``-token groups — the op is
+    separator-agnostic (the segment expression is the only line that
+    changes).
+
+    Scale shape: segments explode map-side with their position; global
+    ownership is a groupBy ``min`` over a packed (doc, position) key —
+    partial aggregation collapses a boilerplate segment shared by 10^7
+    docs to one row per task before the shuffle, and the join-back's
+    hot-key residue is AQE-skew-split shaped (same design as
+    window_exact_dedup's owner). The group key is the segment TEXT
+    (one shuffle of the corpus — exact, oracle-checkable); at 100 TB
+    swap the key for a 128-bit hash and this plan shuffles 16 bytes a
+    segment instead (the accepted-collision variant, same topology).
+    Reassembly is one groupBy(doc) with an array_sort over (position,
+    segment) structs — per-doc state, bounded by document size.
+
+    Returns ``(id, clean_text, n_kept, n_dropped)`` — one row per
+    input document.
+    """
+    n = segment_tokens
+    toks = f"split({text_col}, ' ')"
+    seg_expr = (
+        f"transform(sequence(0, greatest(1, CAST(ceil(size({toks}) / {n}.0) "
+        f"AS INT)) - 1), i -> concat_ws(' ', slice({toks}, i * {n} + 1, {n})))"
+    )
+    segs = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.expr(seg_expr)).alias("__pos", "__seg"),
+    ).withColumn("__key", F.col("__id") * (1 << 20) + F.col("__pos"))
+    owner = segs.groupBy("__seg").agg(F.min("__key").alias("__keep_key"))
+    flagged = segs.join(owner, "__seg").withColumn(
+        "keep", F.col("__key") == F.col("__keep_key")
+    )
+    return flagged.groupBy(F.col("__id").alias(id_col)).agg(
+        F.expr(
+            "concat_ws(' ', transform(filter(array_sort("
+            "collect_list(struct(__pos, keep, __seg))), s -> s.keep), "
+            "s -> s.__seg))"
+        ).alias("clean_text"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+    )
+
+
 def embedding_lsh_pairs(
     vectors: DataFrame,
     vec_col: str,

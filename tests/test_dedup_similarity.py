@@ -351,3 +351,34 @@ def test_emb_kmeans_improves_and_deterministic(emb):
     # deterministic: identical partition-independent re-run
     _, a3b = mean_cos(3)
     assert a3 == a3b
+
+
+def test_line_dedup_global_semantics(spark):
+    """First occurrence (lowest doc, then position) of a duplicated
+    segment survives; all later copies — in other docs or the same doc
+    — are dropped; surviving segments reassemble in original order."""
+    from data_analyse_marche_emploi_spark.operators.dedup import line_dedup_global
+
+    boiler = "a b c d"  # 4-token boilerplate segment (segment_tokens=4)
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} u1 u2 u3 u4"),            # first occurrence: kept
+            (2, f"v1 v2 v3 v4 {boiler}"),            # later doc: dropped
+            (3, f"{boiler} w1 w2 w3 w4 {boiler}"),   # both copies dropped
+            (4, "x1 x2"),                             # short doc, one partial segment
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup_global(docs, "text", "doc_id", segment_tokens=4).collect()
+    }
+    assert len(out) == 4
+    assert out[1]["clean_text"] == f"{boiler} u1 u2 u3 u4"
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (2, 0)
+    assert out[2]["clean_text"] == "v1 v2 v3 v4"
+    assert (out[2]["n_kept"], out[2]["n_dropped"]) == (1, 1)
+    assert out[3]["clean_text"] == "w1 w2 w3 w4"
+    assert (out[3]["n_kept"], out[3]["n_dropped"]) == (1, 2)
+    assert out[4]["clean_text"] == "x1 x2"
+    assert (out[4]["n_kept"], out[4]["n_dropped"]) == (1, 0)
