@@ -43,6 +43,8 @@ HEADLINE = [
     "text_tf_idf",
     "dedup_minhash_lsh",
     "dedup_window_exact",
+    "dedup_lines_global",
+    "multimodal_jpeg",
     "dedup_clusters",
     "knn_brute_force",
     "pipeline_training_data",

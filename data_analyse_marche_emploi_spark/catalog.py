@@ -4159,8 +4159,10 @@ _DRIVER_WINDOW = [
     "stream_session_window",
     "stream_stateful_totals",
     "stream_stream_join",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
+    # dedup_exact / dedup_ngram_jaccard rotate out after two straight
+    # green driver rounds (r2+r3; still in the local gate) in favor of
+    # the two new round-4 proofs below.
+    "dedup_lines_global",
     "dedup_minhash_lsh",
     "dedup_window_exact",
     "dedup_clusters",
@@ -4193,6 +4195,7 @@ _DRIVER_WINDOW = [
     # and additionally exercises the full T.81 entropy-decode + IDCT
     # path; multimodal_meta stays green in the local gate.
     "multimodal_jpeg",
+    "multimodal_png",
     "multimodal_resize",
 ]
 

@@ -758,6 +758,12 @@ def line_dedup_global(
     input document.
     """
     n = segment_tokens
+    # Inline split (no hashed_tokens-style barrier): measured A/B at
+    # sf0.1 shows Spark 4's subexpression elimination already evaluates
+    # the tokenizer once per doc inside this transform, and adding a
+    # materialization exchange of the full text costs ~0.25 s more than
+    # it saves. (Contrast hashed_tokens, where the consumer is N
+    # downstream lambdas across separate projections.)
     toks = f"split({text_col}, ' ')"
     seg_expr = (
         f"transform(sequence(0, greatest(1, CAST(ceil(size({toks}) / {n}.0) "
