@@ -230,3 +230,14 @@ def test_snapshot_diff_shuffles_hashes_not_payload(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "snapshot_diff")
     assert "FullOuter" in plan
     assert "xxhash64" in plan
+
+
+def test_line_dedup_owner_partial_aggregates_no_cartesian(spark, sf_dir):
+    """dedup_lines_global's segment ownership must partial-aggregate
+    map-side (boilerplate segments collapse before the shuffle) and the
+    candidate topology must stay an equi-join — no window-function
+    funnel, no cartesian anywhere."""
+    plan = plan_of(spark, sf_dir, "dedup_lines_global")
+    assert "partial_min" in plan
+    assert "Window" not in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan

@@ -33,6 +33,7 @@ ENTRIES = [
     "shuffle_training_order",
     "scd2_apply",
     "pipeline_training_sequences",
+    "dedup_lines_global",
     "emb_kmeans",
     "multimodal_jpeg",
 ]
