@@ -3775,6 +3775,33 @@ def bpe_vocab(spark, sf_dir):
     return bpe_merges(d, "text", n_merges=12, min_freq=2)
 
 
+@register("bpe_encode_corpus", oracle=None)
+def bpe_encode_corpus(spark, sf_dir):
+    """Tokenizer APPLICATION at corpus scale: train the merge rules
+    (vocab-sized driver state — the tokenizer artifact), then encode
+    every document as one shuffle-free projection chain of array folds
+    (no UDF; one fold per rule). The real token accounting for sequence
+    packing and mixture budgets — token counts from the actual learned
+    tokenizer rather than the whitespace proxy. Rows-only (the encoding
+    depends on iteratively-trained rules); test_bpe.py pins
+    encode-vs-pure-Python parity and greedy-leftmost fold semantics."""
+    from .operators.bpe import bpe_encode, bpe_merges
+
+    d = _docs(spark, sf_dir)
+    rules = [
+        (r["left"], r["right"])
+        for r in bpe_merges(d, "text", n_merges=12, min_freq=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    enc = bpe_encode(d, "text", rules)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_bpe_tokens"),
+        F.concat_ws(" ", "bpe_tokens").alias("bpe_text"),
+    )
+
+
 @register(
     "chunks_to_sequences_by_lang",
     oracle="""
