@@ -156,31 +156,6 @@ class _BitReader:
         self.buf = 0
         self.nbits = 0
 
-    def _fill(self) -> None:
-        d = self.data
-        while self.nbits <= 24:
-            if self.pos >= len(d):
-                # past the end: pad with 1s (spec allows; EOB-terminated
-                # scans may leave a partial final byte)
-                self.buf = (self.buf << 8) | 0xFF
-                self.nbits += 8
-                continue
-            b = d[self.pos]
-            if b == 0xFF:
-                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
-                if nxt == 0x00:  # stuffed literal FF
-                    self.pos += 2
-                    self.buf = (self.buf << 8) | 0xFF
-                    self.nbits += 8
-                    continue
-                # a real marker (RSTn / EOI / next segment): stop feeding
-                self.buf = (self.buf << 8) | 0xFF
-                self.nbits += 8
-                continue
-            self.pos += 1
-            self.buf = (self.buf << 8) | b
-            self.nbits += 8
-
     def read_bit(self) -> int:
         if self.nbits == 0:
             self._fill_one()
@@ -224,7 +199,12 @@ class _BitReader:
         """Drop partial byte, consume the RSTn marker (mod-8 sequence n)."""
         self.nbits = 0
         d = self.data
-        # skip any pad FFs before the marker byte
+        # An encoder's byte-align flush pads with 1 bits; a final byte
+        # of all ones is 0xFF, which the stuffing rule follows with
+        # 0x00 — so a legal stream can put FF00 right before the RST
+        # marker. Skip stuffed pad bytes, then any bare pad FFs.
+        while self.pos + 1 < len(d) and d[self.pos] == 0xFF and d[self.pos + 1] == 0x00:
+            self.pos += 2
         while self.pos + 1 < len(d) and d[self.pos] == 0xFF and d[self.pos + 1] == 0xFF:
             self.pos += 1
         if (

@@ -176,3 +176,18 @@ def test_malformed_jpeg_degrades_in_dispatch(spark):
     df = spark.createDataFrame([(1, bytearray(bad))], "doc_id long, media binary")
     row = extract_features(df).collect()[0]
     assert row["decoder"] == "fake-v0-invalid"
+
+
+def test_stuffed_pad_byte_before_restart_marker():
+    """An all-ones byte-align pad before a RSTn marker is legally
+    followed by a 0x00 stuffing byte; the decoder must skip the FF00
+    pair when seeking the marker (regression: seed 5 produces exactly
+    this byte sequence)."""
+    import re
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (16, 8, 1), dtype=np.uint8).astype(np.uint8)
+    enc = J.encode_jpeg(px, restart_interval=1)
+    assert re.search(rb"\xff\x00\xff[\xd0-\xd7]", enc) is not None
+    dec = J.decode_jpeg(enc)
+    assert np.abs(dec["pixels"].astype(int) - px.astype(int)).max() <= 2
