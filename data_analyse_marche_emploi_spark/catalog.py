@@ -3486,6 +3486,31 @@ def multimodal_png(spark, sf_dir):
     return extract_image_meta(synth_png(d, "doc_id"))
 
 
+@register(
+    "multimodal_spectral",
+    oracle="""
+    SELECT doc_id,
+           CAST(1024 AS BIGINT) AS n_samples,
+           CAST(round((100 + 100 * (doc_id % 20)) * 1024.0 / 8000, 0)
+                AS INTEGER) AS dominant_bin,
+           'wav-rfft-v1' AS decoder
+    FROM documents
+    """,
+)
+def multimodal_spectral(spark, sf_dir):
+    """REAL frequency-domain DSP, driver-checkable: synthesize a pure
+    sine tone per document (f = 100 + 100*(id % 20) Hz as 8-bit PCM in
+    a valid RIFF container), decode it back, rFFT, and report the
+    dominant bin — which must equal round(f * n_fft / sr) exactly
+    (bin offsets land on .2/.4/.6/.8, never .5, and 8-bit quantization
+    noise sits ~40 dB under the tone). A wrong sample decode, scaling,
+    or FFT indexing shifts the argmax and fails the hash."""
+    from .operators.multimodal import extract_audio_spectral, synth_wav_tone
+
+    d = _docs(spark, sf_dir)
+    return extract_audio_spectral(synth_wav_tone(d, "doc_id"))
+
+
 @register("multimodal_features")  # decoder dispatch (wav/ppm/jpeg/png real, else stub)
 def multimodal_features(spark, sf_dir):
     """Arrow-batched mapInPandas decode/feature-extract plumbing over

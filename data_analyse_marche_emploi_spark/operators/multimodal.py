@@ -338,6 +338,72 @@ def extract_wav_meta(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return media_df.mapInPandas(batches, WAV_META_SCHEMA)
 
 
+SPECTRAL_SCHEMA = (
+    "doc_id long, n_samples long, dominant_bin int, decoder string"
+)
+
+
+def synth_wav_tone(docs: DataFrame, id_col: str, sample_rate: int = 8000,
+                   n_samples: int = 1024) -> DataFrame:
+    """Manufacture REAL WAV payloads carrying a pure sine tone whose
+    frequency is an arithmetic function of the id: f = 100 + 100 *
+    (id % 20) Hz (all below Nyquist at 8 kHz). 8-bit PCM quantization
+    adds broadband noise ~40 dB below the tone, so the tone's FFT bin
+    stays the unambiguous argmax — giving the spectral extractor an
+    arithmetic ground truth."""
+    from . import media_codecs as MC
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        t = np.arange(n_samples)
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                f = 100.0 + 100.0 * (int(i) % 20)
+                wave = 128.0 + 100.0 * np.sin(2 * np.pi * f * t / sample_rate)
+                raw = np.clip(np.round(wave), 0, 255).astype(np.uint8).tobytes()
+                payloads.append(MC.encode_wav_pcm8(raw, sample_rate))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "media": payloads})
+
+    return docs.select(id_col).mapInPandas(batches, "doc_id long, media binary")
+
+
+def extract_audio_spectral(media_df: DataFrame, id_col: str = "doc_id",
+                           n_fft: int = 1024) -> DataFrame:
+    """REAL frequency-domain audio analysis: decode the WAV container
+    (media_codecs.decode_wav), run an rFFT over the first ``n_fft``
+    samples, and report the dominant non-DC bin — the fundamental
+    feature of pitch/voice-activity pipelines. Raises on non-WAV
+    payloads (this operator is a decode+DSP proof). mapInPandas,
+    zero shuffle; FFT cost is O(n_fft log n_fft) per row, vectorized
+    in numpy per Arrow batch."""
+    from . import media_codecs as MC
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, ns, bins = [], [], []
+            for i, b in zip(pdf[id_col], pdf["media"]):
+                w = MC.decode_wav(b)
+                s = w["samples"][:n_fft]
+                mag = np.abs(np.fft.rfft(s, n=n_fft))
+                ids.append(i)
+                ns.append(w["n_samples"])
+                bins.append(int(np.argmax(mag[1:])) + 1)  # skip DC
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_samples": ns,
+                    "dominant_bin": np.array(bins, dtype="int32"),
+                    "decoder": "wav-rfft-v1",
+                }
+            )
+
+    return media_df.mapInPandas(batches, SPECTRAL_SCHEMA)
+
+
 IMAGE_META_SCHEMA = (
     "doc_id long, width int, height int, channels int, mean_pixel double, "
     "decoder string"

@@ -189,3 +189,22 @@ def test_decode_ppm_bare_cr_terminator_with_newline_pixel():
     pixels = bytes([10, 1, 2, 3])  # first pixel IS 0x0A
     img = decode_ppm(b"P5\r2 2\r255\r" + pixels)
     assert np.array_equal(img["pixels"].ravel(), np.frombuffer(pixels, np.uint8))
+
+
+def test_spectral_dominant_bin_matches_tone(spark):
+    """synth_wav_tone → extract_audio_spectral end-to-end: the rFFT
+    argmax must land on round(f * n_fft / sr) for every id-derived
+    tone frequency, proving decode scaling and FFT indexing."""
+    from data_analyse_marche_emploi_spark.operators.multimodal import (
+        extract_audio_spectral,
+        synth_wav_tone,
+    )
+
+    docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    rows = extract_audio_spectral(synth_wav_tone(docs, "doc_id")).collect()
+    assert len(rows) == 40
+    for r in rows:
+        f = 100 + 100 * (r["doc_id"] % 20)
+        assert r["dominant_bin"] == round(f * 1024 / 8000)
+        assert r["n_samples"] == 1024
+        assert r["decoder"] == "wav-rfft-v1"
