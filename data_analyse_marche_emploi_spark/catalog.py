@@ -3487,6 +3487,34 @@ def multimodal_png(spark, sf_dir):
 
 
 @register(
+    "multimodal_mp4_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(0.5 * (1 + doc_id % 24) AS DOUBLE) AS duration_s,
+           CAST(1 AS INTEGER) AS n_tracks,
+           CAST(16 * (4 + doc_id % 5) AS INTEGER) AS video_width,
+           CAST(16 * (3 + doc_id % 3) AS INTEGER) AS video_height,
+           CAST(1 + doc_id % 97 AS BIGINT) AS mdat_bytes,
+           'mp4-bmff-v1' AS decoder
+    FROM documents
+    """,
+)
+def multimodal_mp4_meta(spark, sf_dir):
+    """REAL video-container metadata decode, driver-checkable:
+    synthesize a valid ISO BMFF file per document (ftyp/moov/mdat,
+    arithmetic duration/dimensions/payload size), then parse it back
+    with the dependency-free box walker (operators/mp4.py — mvhd
+    timescale/duration, tkhd 16.16 fixed-point dimensions, hdlr track
+    type, mdat bounds). The video family is now container-real; only
+    frame DECODE remains the documented stub (no codecs in this
+    environment). mapInPandas, zero shuffle."""
+    from .operators.multimodal import extract_video_meta, synth_mp4
+
+    d = _docs(spark, sf_dir)
+    return extract_video_meta(synth_mp4(d, "doc_id"))
+
+
+@register(
     "multimodal_spectral",
     oracle="""
     SELECT doc_id,

@@ -404,6 +404,64 @@ def extract_audio_spectral(media_df: DataFrame, id_col: str = "doc_id",
     return media_df.mapInPandas(batches, SPECTRAL_SCHEMA)
 
 
+VIDEO_META_SCHEMA = (
+    "doc_id long, duration_s double, n_tracks int, video_width int, "
+    "video_height int, mdat_bytes long, decoder string"
+)
+
+
+def synth_mp4(docs: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL ISO BMFF containers deterministically: duration
+    = 0.5 * (1 + id % 24) s at a 1000 timescale, dimensions and mdat
+    size arithmetic in the id — a valid ftyp/moov/mdat file whose
+    parsed metadata has exact ground truth."""
+    from .mp4 import encode_minimal_mp4
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                payloads.append(
+                    encode_minimal_mp4(
+                        duration=500 * (1 + i % 24),
+                        timescale=1000,
+                        width=16 * (4 + i % 5),
+                        height=16 * (3 + i % 3),
+                        mdat=b"\x00" * (1 + i % 97),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "media": payloads})
+
+    return docs.select(id_col).mapInPandas(batches, "doc_id long, media binary")
+
+
+def extract_video_meta(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Parse each MP4 container for real (ISO BMFF box walk —
+    operators/mp4.py: mvhd timescale/duration, tkhd 16.16 dimensions,
+    hdlr track types, mdat bounds) and emit the decoded metadata.
+    Raises on non-BMFF payloads: this operator IS the video-container
+    proof (frame DECODE stays a documented stub — no codecs in env)."""
+    from .mp4 import parse_mp4
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ms = [parse_mp4(b) for b in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "duration_s": [m["duration_s"] for m in ms],
+                    "n_tracks": [m["n_tracks"] for m in ms],
+                    "video_width": [m["video_width"] for m in ms],
+                    "video_height": [m["video_height"] for m in ms],
+                    "mdat_bytes": [m["mdat_bytes"] for m in ms],
+                    "decoder": "mp4-bmff-v1",
+                }
+            )
+
+    return media_df.mapInPandas(batches, VIDEO_META_SCHEMA)
+
+
 IMAGE_META_SCHEMA = (
     "doc_id long, width int, height int, channels int, mean_pixel double, "
     "decoder string"
