@@ -116,6 +116,7 @@ def parse_mp4(payload: bytes) -> dict:
         "video_height": video_h,
         "handlers": handlers,
         "mdat_bytes": mdat_bytes,
+        "mdat_offset": mdat[0] if mdat is not None else -1,
     }
 
 

@@ -191,24 +191,42 @@ def sample_frames(media_df: DataFrame, every_n_bytes: int = 1024,
                   max_frames: int = 4, id_col: str = "doc_id") -> DataFrame:
     """Video frame-sampling plumbing over mapInPandas: one payload row
     fans out to ≤ max_frames frame rows (a row-expanding UDTF shape).
-    Frame extraction is a STUB (no ffmpeg/cv2 here — the fake "frame"
-    is a deterministic byte slice standing in for a decoded keyframe);
-    the fan-out schema and Arrow batch handling are real."""
+
+    For ISO BMFF payloads the container parse is REAL (operators/mp4.py
+    locates the mdat sample data) and slices are taken from within the
+    actual media payload region, tagged ``mp4-slice-v1``; decoding the
+    slice into pixels remains the documented STUB (no ffmpeg/cv2 in
+    this environment — each slice stands in for a decoded keyframe).
+    Non-BMFF payloads fall back to whole-payload slices. The fan-out
+    schema and Arrow batch handling are identical on both paths."""
+    from .mp4 import parse_mp4, sniff_mp4
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, idxs, frames = [], [], []
+            ids, idxs, frames, tags = [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf["media"]):
                 if payload is None:
                     continue
-                n = min(max_frames, max(1, len(payload) // every_n_bytes))
+                region, tag = payload, "fake-framesample-v0"
+                if sniff_mp4(payload):
+                    try:
+                        meta = parse_mp4(payload)
+                        if meta["mdat_bytes"]:
+                            # real sample-data bounds from the box walk
+                            start = meta["mdat_offset"]
+                            region = payload[start : start + meta["mdat_bytes"]]
+                            tag = "mp4-slice-v1"
+                    except ValueError:
+                        tag = "fake-framesample-v0-invalid"
+                n = min(max_frames, max(1, len(region) // every_n_bytes))
                 for i in range(n):
                     ids.append(doc_id)
                     idxs.append(i)
-                    frames.append(bytes(payload[i * every_n_bytes:(i + 1) * every_n_bytes]))
+                    frames.append(bytes(region[i * every_n_bytes:(i + 1) * every_n_bytes]))
+                    tags.append(tag)
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": idxs, "frame_bytes": frames,
-                 "decoder": "fake-framesample-v0"}
+                 "decoder": tags}
             )
 
     return media_df.mapInPandas(batches, FRAME_SCHEMA)

@@ -81,3 +81,20 @@ def test_multimodal_mp4_meta_distributed(spark):
         assert r["video_height"] == 16 * (3 + i % 3)
         assert r["mdat_bytes"] == 1 + i % 97
         assert r["decoder"] == "mp4-bmff-v1"
+
+
+def test_sample_frames_slices_inside_mdat(spark):
+    """For BMFF payloads the frame sampler must slice from the real
+    mdat region (container parse), not the raw payload."""
+    from data_analyse_marche_emploi_spark.operators.multimodal import sample_frames
+
+    media = b"\xAB" * 3000  # recognizable mdat content
+    payload = M.encode_minimal_mp4(
+        duration=1000, width=64, height=48, mdat=media
+    )
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, media binary")
+    rows = sample_frames(df, every_n_bytes=1024, max_frames=3).collect()
+    assert len(rows) == 2  # 3000 // 1024
+    for r in rows:
+        assert r["decoder"] == "mp4-slice-v1"
+        assert set(r["frame_bytes"]) == {0xAB}
