@@ -284,6 +284,11 @@ def decode_jpeg(payload: bytes) -> dict:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
+            if ns != len(frame["comps"]):
+                # a non-interleaved multi-scan baseline file would need
+                # further SOS segments we don't process — mis-decoding
+                # silently is worse than refusing
+                raise ValueError("non-interleaved multi-scan JPEG unsupported")
             scan = []
             for c in range(ns):
                 cs, tables = struct.unpack_from(">BB", body, 1 + 2 * c)
