@@ -2716,6 +2716,58 @@ def ann_ivf_q(spark, sf_dir):
 
 
 @register(
+    "pipeline_multimodal_training",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             doc_id % 3 AS m3
+      FROM documents
+      WHERE doc_id % 10 != 7
+    )
+    SELECT doc_id,
+           CASE m3 WHEN 0 THEN 'audio' WHEN 1 THEN 'image-jpeg'
+                   ELSE 'image-png' END AS modality,
+           CAST(CASE m3 WHEN 0 THEN abs(doc_id % 256 - 128) / 128.0
+                        WHEN 1 THEN CAST(doc_id % 256 AS DOUBLE)
+                        ELSE 127.5 END AS DOUBLE) AS mean_feature,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM m WHERE n_tokens >= 10
+    """,
+)
+def pipeline_multimodal_training(spark, sf_dir):
+    """Multimodal training-data prep capstone: a mixed-format media
+    column (WAV/JPEG/PNG by id, with every 10th payload truncated
+    mid-header like a real crawl) flows through format dispatch → REAL
+    decode → corrupt-payload filtering (the error-channel semantic:
+    invalid payloads drop out, never kill the task) → a text-quality
+    join (token floor on the paired document). The oracle replays all
+    of it arithmetically: each surviving row's decoded mean feature is
+    an exact function of the id (flat-PCM |v-128|/128, flat-JPEG DC v,
+    PNG gradient 127.5), so any dispatch, decode, or filter defect
+    shifts the hash. All mapInPandas + one broadcast-sized join; zero
+    corpus shuffle."""
+    from .operators.multimodal import extract_features, synth_mixed_media
+
+    d = _docs(spark, sf_dir)
+    feats = extract_features(synth_mixed_media(d, "doc_id"))
+    modality = (
+        F.when(F.col("decoder") == "wav-pcm8-v1", "audio")
+        .when(F.col("decoder") == "jpeg-baseline-v1", "image-jpeg")
+        .when(F.col("decoder") == "png-v1", "image-png")
+    )
+    ok = feats.filter(
+        F.col("decoder").isin("wav-pcm8-v1", "jpeg-baseline-v1", "png-v1")
+    ).select("doc_id", modality.alias("modality"),
+             F.col("fake_mean").alias("mean_feature"))
+    toks = d.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 10)
+    return ok.join(toks, "doc_id").select(
+        "doc_id", "modality", "mean_feature", "n_tokens"
+    )
+
+
+@register(
     "pipeline_training_data",
     oracle=r"""
     WITH RECURSIVE
@@ -4276,7 +4328,10 @@ _DRIVER_WINDOW = [
     # path; multimodal_meta stays green in the local gate.
     "multimodal_jpeg",
     "multimodal_png",
-    "multimodal_resize",
+    # the composed capstone subsumes the resize proof (dispatch + real
+    # decode + corrupt-payload filter + quality join, arithmetic
+    # oracle); multimodal_resize stays green in the local gate.
+    "pipeline_multimodal_training",
 ]
 
 

@@ -422,6 +422,44 @@ def extract_audio_spectral(media_df: DataFrame, id_col: str = "doc_id",
     return media_df.mapInPandas(batches, SPECTRAL_SCHEMA)
 
 
+def synth_mixed_media(docs: DataFrame, id_col: str,
+                      corrupt_every: int = 10) -> DataFrame:
+    """Manufacture a MIXED-FORMAT media column deterministically: per
+    id, modality id%3 selects flat-PCM WAV (0), flat-gray JPEG (1), or
+    gradient PNG (2) — each with an arithmetic decoded-feature ground
+    truth — and every ``corrupt_every``-th id (offset 7) ships
+    TRUNCATED (6 bytes) to exercise the corrupt-payload path the way a
+    real crawl does. The pipeline entry proves dispatch + decode +
+    error-channel filtering end-to-end against a SQL oracle."""
+    from . import media_codecs as MC
+    from .jpeg import encode_jpeg
+    from .png import encode_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                v = i % 256
+                if i % 3 == 0:
+                    p = MC.encode_wav_pcm8(bytes([v]) * 400, 8000)
+                elif i % 3 == 1:
+                    p = encode_jpeg(np.full((16, 16, 1), v, dtype=np.uint8))
+                else:
+                    h = 2
+                    yy, xx = np.mgrid[0:h, 0:256]
+                    px = ((xx + yy + i) % 256).astype(np.uint8)[:, :, None]
+                    p = encode_png(px)
+                if i % corrupt_every == 7:
+                    p = p[:6]  # truncated mid-header: must not kill the task
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": pdf[id_col], "media": payloads})
+
+    return docs.select(id_col).mapInPandas(batches, "doc_id long, media binary")
+
+
 VIDEO_META_SCHEMA = (
     "doc_id long, duration_s double, n_tracks int, video_width int, "
     "video_height int, mdat_bytes long, decoder string"

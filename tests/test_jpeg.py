@@ -191,3 +191,28 @@ def test_stuffed_pad_byte_before_restart_marker():
     assert re.search(rb"\xff\x00\xff[\xd0-\xd7]", enc) is not None
     dec = J.decode_jpeg(enc)
     assert np.abs(dec["pixels"].astype(int) - px.astype(int)).max() <= 2
+
+
+def test_pipeline_multimodal_training_filters_corrupt(spark):
+    """The capstone's corrupt-payload path: truncated payloads (id%10
+    == 7) and short docs drop out; every surviving row carries the
+    arithmetically-correct decoded feature for its modality."""
+    from data_analyse_marche_emploi_spark import catalog
+
+    rows = catalog.QUERIES["pipeline_multimodal_training"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        i = r["doc_id"]
+        assert i % 10 != 7
+        assert r["n_tokens"] >= 10
+        if i % 3 == 0:
+            assert r["modality"] == "audio"
+            assert r["mean_feature"] == abs(i % 256 - 128) / 128.0
+        elif i % 3 == 1:
+            assert r["modality"] == "image-jpeg"
+            assert r["mean_feature"] == float(i % 256)
+        else:
+            assert r["modality"] == "image-png"
+            assert r["mean_feature"] == 127.5
