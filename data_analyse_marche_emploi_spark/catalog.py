@@ -3223,6 +3223,45 @@ def stream_dedup_upsert(spark, sf_dir):
 
 
 @register(
+    "stream_scd2_enrich",
+    oracle="""
+    WITH o AS (SELECT user_id, event_type, ts, event_id,
+                      lag(event_type) OVER w AS prev,
+                      row_number() OVER w AS rn
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    chg AS (SELECT user_id, event_type, ts, event_id FROM o
+            WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+    hist AS (SELECT user_id, event_type AS status, ts AS valid_from,
+                    lead(ts) OVER w2 AS valid_to
+             FROM chg WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT e.event_id, e.user_id, e.event_type, h.status AS at_status
+    FROM events e JOIN hist h
+      ON e.user_id = h.user_id
+     AND e.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+    """,
+)
+def stream_scd2_enrich(spark, sf_dir):
+    """Streaming point-in-time enrichment (stream-static temporal
+    join): each live event joins the SCD2 dimension row valid at its
+    event time. The dim is the batch-built type-2 history; the stream
+    side carries no join state (static side re-read per micro-batch)
+    and at scale the dim broadcasts while the fact stream stays a
+    map-side probe. Row-preserving: every event falls in exactly one
+    validity interval."""
+    from .operators.ingest import scd2_history
+    from .streaming import incremental as S
+
+    e_batch = _t(spark, sf_dir, "events")
+    hist = scd2_history(
+        e_batch, "user_id", "event_type", "ts", "event_id"
+    ).withColumnRenamed("event_type", "status")
+    ev = S.read_events_stream(spark, sf_dir)
+    return S.run_available_now(S.stream_scd2_enrich(ev, hist), "append")
+
+
+@register(
     "stream_session_window",
     oracle="""
     WITH t AS (
@@ -3864,6 +3903,48 @@ def dq_report(spark, sf_dir):
         not_null_cols=["o_custkey"],
         ref_checks=[("o_custkey", c, "c_custkey")],
     )
+
+
+@register(
+    "dq_drift",
+    oracle="""
+    WITH a AS (SELECT o_orderpriority AS bucket, count(*) AS n_a
+               FROM orders WHERE o_orderdate < DATE '1995-06-01' GROUP BY 1),
+    b AS (SELECT o_orderpriority AS bucket, count(*) AS n_b
+          FROM orders WHERE o_orderdate >= DATE '1995-06-01' GROUP BY 1),
+    j AS (SELECT coalesce(a.bucket, b.bucket) AS bucket,
+                 coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+          FROM a FULL OUTER JOIN b ON a.bucket = b.bucket),
+    t AS (SELECT bucket, n_a, n_b,
+                 count(*) OVER () AS nb,
+                 sum(n_a) OVER () AS ta, sum(n_b) OVER () AS tb
+          FROM j)
+    SELECT 'o_orderpriority' AS column_name, bucket,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(floor((n_a + 1) / CAST(ta + nb AS DOUBLE) * 1e6) AS BIGINT)
+             AS share_a6,
+           CAST(floor((n_b + 1) / CAST(tb + nb AS DOUBLE) * 1e6) AS BIGINT)
+             AS share_b6,
+           CAST(floor(((n_a + 1) / CAST(ta + nb AS DOUBLE)
+                     - (n_b + 1) / CAST(tb + nb AS DOUBLE))
+                 * ln(((n_a + 1) / CAST(ta + nb AS DOUBLE))
+                    / ((n_b + 1) / CAST(tb + nb AS DOUBLE))) * 1e6) AS BIGINT)
+             AS psi6
+    FROM t
+    """,
+)
+def dq_drift(spark, sf_dir):
+    """Population-stability (PSI) drift between two order-date
+    snapshots, per o_orderpriority bucket: smoothed shares and PSI
+    contributions, floor-bucketed at 1e-6 for cross-engine float
+    determinism. One partial-aggregated count per period; the drift
+    arithmetic runs on a bucket-cardinality table."""
+    from .operators.profiling import dq_drift as drift
+
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderdate") < "1995-06-01")
+    b = o.filter(F.col("o_orderdate") >= "1995-06-01")
+    return drift(a, b, ["o_orderpriority"])
 
 
 @register("bpe_vocab", oracle=None)

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -117,6 +117,58 @@ def dq_report(
         reports.append(orphans)
     if not reports:
         raise ValueError("dq_report: declare at least one constraint")
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def dq_drift(df_a: DataFrame, df_b: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Population-stability (PSI) drift report between two snapshots:
+    per column, per bucket, the smoothed share in each period and the
+    PSI contribution ``(p - q) * ln(p / q)``.
+
+    Laplace (+1) smoothing keeps buckets present in only one period
+    finite; shares and PSI are floor-bucketed at 1e-6 (the repo's
+    standard for cross-engine float determinism — exact comparison of
+    the count arithmetic, ULP-insensitive comparison of the log).
+
+    Scale shape: one partial-aggregated count per (column, period);
+    everything after runs on bucket-cardinality-sized tables (the
+    window totals are over dozens of rows, not the corpus)."""
+    reports = []
+    for c in columns:
+        ca = df_a.groupBy(F.col(c).cast("string").alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n_a")
+        )
+        cb = df_b.groupBy(F.col(c).cast("string").alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n_b")
+        )
+        j = (
+            ca.join(cb, "bucket", "full_outer")
+            .select(
+                "bucket",
+                F.coalesce("n_a", F.lit(0)).alias("n_a"),
+                F.coalesce("n_b", F.lit(0)).alias("n_b"),
+            )
+        )
+        w = Window.partitionBy(F.lit(1))
+        nb = F.count(F.lit(1)).over(w)
+        ta = F.sum("n_a").over(w)
+        tb = F.sum("n_b").over(w)
+        p = (F.col("n_a") + 1) / (ta + nb)
+        q = (F.col("n_b") + 1) / (tb + nb)
+        reports.append(
+            j.select(
+                F.lit(c).alias("column_name"),
+                "bucket",
+                "n_a",
+                "n_b",
+                F.floor(p * 1e6).cast("long").alias("share_a6"),
+                F.floor(q * 1e6).cast("long").alias("share_b6"),
+                F.floor((p - q) * F.log(p / q) * 1e6).cast("long").alias("psi6"),
+            )
+        )
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)

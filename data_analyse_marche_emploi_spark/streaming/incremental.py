@@ -192,6 +192,36 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def stream_scd2_enrich(events: DataFrame, hist: DataFrame,
+                       key: str = "user_id") -> DataFrame:
+    """Streaming point-in-time enrichment: join each live event to the
+    SCD2 dimension row whose validity interval covers the event's
+    timestamp (``valid_from <= ts < valid_to``, open interval =
+    current). The canonical stream-static temporal join: the dimension
+    is a bounded batch table re-read per micro-batch, so no watermark
+    or join state is needed, and at 100 TB the dim side is
+    broadcast-sized (key history, not fact volume) while the stream
+    side stays a map-side probe — zero shuffle on the fact stream.
+
+    Every event matches exactly one interval (each key's history
+    starts at its first event and the last interval is open), so the
+    enrichment is row-preserving."""
+    h = hist.select(
+        F.col(key).alias("__hk"),
+        F.col("status").alias("at_status"),
+        "valid_from",
+        "valid_to",
+    )
+    cond = (
+        (events[key] == h["__hk"])
+        & (events["ts"] >= h["valid_from"])
+        & (h["valid_to"].isNull() | (events["ts"] < h["valid_to"]))
+    )
+    return events.join(h, cond).select(
+        "event_id", key, "event_type", "at_status"
+    )
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

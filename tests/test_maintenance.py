@@ -143,3 +143,26 @@ def test_snapshot_diff_null_position_and_presence_only(spark):
         ).collect()
     }
     assert got2 == {2: "removed"}
+
+
+def test_dq_drift_psi_signs_and_smoothing(spark):
+    """PSI contributions: positive when a bucket's share moved in
+    either direction, zero for identical shares; +1 smoothing keeps
+    one-period-only buckets finite."""
+    from data_analyse_marche_emploi_spark.operators.profiling import dq_drift
+
+    a = spark.createDataFrame(
+        [("x",)] * 60 + [("y",)] * 40, "k string"
+    )
+    b = spark.createDataFrame(
+        [("x",)] * 40 + [("y",)] * 40 + [("z",)] * 20, "k string"
+    )
+    rows = {r["bucket"]: r for r in dq_drift(a, b, ["k"]).collect()}
+    assert set(rows) == {"x", "y", "z"}
+    assert rows["x"]["n_a"] == 60 and rows["x"]["n_b"] == 40
+    # share fell -> (p-q)ln(p/q) > 0
+    assert rows["x"]["psi6"] > 0
+    # z absent in period A: smoothing keeps it finite, contribution > 0
+    assert rows["z"]["n_a"] == 0 and rows["z"]["psi6"] > 0
+    # y: 40/103 vs 41/103-ish after smoothing — near-zero but finite
+    assert abs(rows["y"]["psi6"]) < 1000
