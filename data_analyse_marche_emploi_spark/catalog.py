@@ -4364,10 +4364,13 @@ _DRIVER_WINDOW = [
     "dedup_union_by_id",
     "window_topk_per_group",
     "window_running_sum",
-    "sessionize",
+    # sessionize and stream_sliding_window rotate out (green r2+r3 /
+    # r3; local gate keeps them) for the round-4 streaming temporal
+    # join and the drift report, which have never had a driver row.
+    "dq_drift",
     "agg_rollup",
     "stream_tumbling_window",
-    "stream_sliding_window",
+    "stream_scd2_enrich",
     "stream_dedup_upsert",
     "stream_session_window",
     "stream_stateful_totals",
