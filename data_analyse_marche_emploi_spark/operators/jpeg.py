@@ -232,7 +232,18 @@ def sniff_jpeg(payload: bytes | None) -> bool:
 def decode_jpeg(payload: bytes) -> dict:
     """Baseline JPEG → ``{width, height, channels, pixels}`` (uint8
     (h, w, c) array, RGB for 3-component, gray for 1). Raises
-    ValueError on progressive/arithmetic/12-bit/malformed input."""
+    ValueError on progressive/arithmetic/12-bit/malformed input —
+    including truncated/bit-flipped streams, which must NOT surface as
+    struct.error/IndexError/KeyError (callers implement the dispatch
+    layer's "degrade, don't abort" contract by catching the documented
+    ValueError; fuzz-pinned in test_codec_fuzz.py)."""
+    try:
+        return _decode_impl(payload)
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"malformed JPEG stream: {e!r}") from None
+
+
+def _decode_impl(payload: bytes) -> dict:
     if not sniff_jpeg(payload):
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
@@ -292,8 +303,10 @@ def decode_jpeg(payload: bytes) -> dict:
             scan = []
             for c in range(ns):
                 cs, tables = struct.unpack_from(">BB", body, 1 + 2 * c)
-                comp = next(x for x in frame["comps"] if x["id"] == cs)
-                scan.append((comp, tables >> 4, tables & 0xF))
+                matches = [x for x in frame["comps"] if x["id"] == cs]
+                if not matches:
+                    raise ValueError(f"SOS references unknown component {cs}")
+                scan.append((matches[0], tables >> 4, tables & 0xF))
             data_start = pos + 2 + seg_len
             return _decode_scan(
                 payload, data_start, frame, scan, qt, huff, restart_interval

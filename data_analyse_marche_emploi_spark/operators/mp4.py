@@ -66,8 +66,17 @@ def _find(payload: bytes, start: int, end: int, btype: bytes):
 
 def parse_mp4(payload: bytes) -> dict:
     """Parse container metadata: ``{duration_s, timescale, n_tracks,
-    video_width, video_height, handlers, mdat_bytes}``. Width/height are
-    0 for audio-only files. Raises ValueError on malformed input."""
+    video_width, video_height, handlers, mdat_bytes, mdat_offset}``.
+    Width/height are 0 for audio-only files. Raises ValueError on
+    malformed input — truncations/bit-flips must not surface as
+    struct.error (fuzz-pinned, test_codec_fuzz.py)."""
+    try:
+        return _parse_impl(payload)
+    except struct.error as e:
+        raise ValueError(f"malformed BMFF stream: {e!r}") from None
+
+
+def _parse_impl(payload: bytes) -> dict:
     if not sniff_mp4(payload):
         raise ValueError("not an ISO BMFF payload")
     moov = _find(payload, 0, len(payload), b"moov")

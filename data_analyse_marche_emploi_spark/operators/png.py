@@ -40,7 +40,16 @@ def sniff_png(payload: bytes | None) -> bool:
 def decode_png(payload: bytes) -> dict:
     """PNG → ``{width, height, channels, pixels}`` ((h, w, c) uint8;
     palette images expand to RGB). Raises ValueError on interlaced /
-    non-8-bit / malformed input."""
+    non-8-bit / malformed input — truncations and bit-flips must not
+    surface as struct.error/IndexError (fuzz-pinned exception
+    discipline, test_codec_fuzz.py)."""
+    try:
+        return _decode_impl(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed PNG stream: {e!r}") from None
+
+
+def _decode_impl(payload: bytes) -> dict:
     if not sniff_png(payload):
         raise ValueError("not a PNG payload")
     pos = 8

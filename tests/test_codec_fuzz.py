@@ -1,0 +1,107 @@
+"""Property-based fuzz for the media codecs (hypothesis):
+
+* PNG encode→decode is IDENTITY for arbitrary uint8 images (lossless
+  codec — any deviation is a filter/inflate bug).
+* JPEG encode→decode with unit quantization stays within the DCT
+  rounding bound for arbitrary images, exact for flat ones.
+* WAV PCM8 framing round-trips arbitrary byte payloads sample-exactly.
+* The decoders never hang or die with a non-ValueError on arbitrary
+  byte garbage or on truncations/bitflips of valid payloads — the
+  dispatch layer's "degrade, don't abort" contract depends on
+  exactly this exception discipline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_analyse_marche_emploi_spark.operators import jpeg as J
+from data_analyse_marche_emploi_spark.operators import media_codecs as MC
+from data_analyse_marche_emploi_spark.operators import mp4 as M4
+from data_analyse_marche_emploi_spark.operators import png as P
+
+dims = st.tuples(
+    st.integers(min_value=1, max_value=24),  # h
+    st.integers(min_value=1, max_value=24),  # w
+    st.sampled_from([1, 3]),                 # channels
+)
+
+
+def _image(h, w, c, seed):
+    return (
+        np.random.default_rng(seed)
+        .integers(0, 256, (h, w, c), dtype=np.uint8)
+        .astype(np.uint8)
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(dims=dims, seed=st.integers(0, 2**31), mix=st.booleans())
+def test_png_roundtrip_identity(dims, seed, mix):
+    h, w, c = dims
+    px = _image(h, w, c, seed)
+    dec = P.decode_png(P.encode_png(px, filter_mix=mix))
+    assert np.array_equal(dec["pixels"], px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(dims=dims, seed=st.integers(0, 2**31))
+def test_jpeg_unit_quant_bounded_error(dims, seed):
+    h, w, c = dims
+    px = _image(h, w, c, seed)
+    dec = J.decode_jpeg(J.encode_jpeg(px))
+    assert (dec["height"], dec["width"]) == (h, w)
+    # unit quantization: error is DCT/color rounding only
+    bound = 2 if c == 1 else 3
+    assert np.abs(dec["pixels"].astype(int) - px.astype(int)).max() <= bound
+
+
+@settings(max_examples=40, deadline=None)
+@given(raw=st.binary(min_size=0, max_size=512),
+       rate=st.integers(min_value=1, max_value=48_000))
+def test_wav_pcm8_roundtrip_sample_exact(raw, rate):
+    w = MC.decode_wav(MC.encode_wav_pcm8(raw, rate))
+    assert w["n_samples"] == len(raw)
+    assert w["sample_rate"] == rate
+    back = np.round(w["samples"] * 128.0 + 128.0).astype(np.uint8)
+    assert bytes(back) == raw
+
+
+@settings(max_examples=120, deadline=None)
+@given(garbage=st.binary(min_size=0, max_size=256))
+def test_decoders_raise_only_valueerror_on_garbage(garbage):
+    for dec in (MC.decode_wav, MC.decode_ppm, J.decode_jpeg, P.decode_png,
+                M4.parse_mp4):
+        try:
+            dec(garbage)
+        except ValueError:
+            pass  # the documented failure mode
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 2**31), cut=st.integers(0, 400),
+       flip=st.integers(0, 400))
+def test_decoders_survive_truncation_and_bitflips(seed, cut, flip):
+    """Truncations and single-byte corruptions of VALID payloads must
+    either decode or raise ValueError — never hang, never IndexError/
+    struct.error/zlib.error (those leak through the dispatch layer's
+    except ValueError and would kill a Spark task)."""
+    px = _image(8, 8, 1, seed)
+    payloads = [
+        P.encode_png(px),
+        J.encode_jpeg(px),
+        MC.encode_wav_pcm8(bytes(px.ravel()), 8000),
+        M4.encode_minimal_mp4(duration=1000, width=16, height=16, mdat=b"x" * 32),
+    ]
+    for payload, dec in zip(payloads, (P.decode_png, J.decode_jpeg,
+                                       MC.decode_wav, M4.parse_mp4)):
+        truncated = payload[: cut % (len(payload) + 1)]
+        mutated = bytearray(payload)
+        mutated[flip % len(mutated)] ^= 0xFF
+        for cand in (truncated, bytes(mutated)):
+            try:
+                dec(cand)
+            except ValueError:
+                pass
