@@ -1393,11 +1393,12 @@ def dedup_window_exact(spark, sf_dir):
       FROM t, UNNEST(generate_series(0,
            greatest(1, CAST(ceil(len(toks) / 8.0) AS BIGINT)) - 1)) AS u(i)
     ),
-    own AS (SELECT seg, min(doc_id * 1048576 + seg_idx) AS keep_key
-            FROM segs GROUP BY 1),
-    f AS (SELECT s.doc_id, s.seg_idx, s.seg,
-                 (s.doc_id * 1048576 + s.seg_idx) = o.keep_key AS keep
-          FROM segs s JOIN own o USING (seg))
+    -- first-occurrence flag; the engine computes this as a
+    -- collision-free groupBy min over a (doc, position) struct
+    f AS (SELECT doc_id, seg_idx, seg,
+                 row_number() OVER (PARTITION BY seg
+                                    ORDER BY doc_id, seg_idx) = 1 AS keep
+          FROM segs)
     SELECT doc_id,
            coalesce(string_agg(CASE WHEN keep THEN seg END, ' '
                                ORDER BY seg_idx), '') AS clean_text,
@@ -3914,7 +3915,8 @@ def dq_report(spark, sf_dir):
           FROM orders WHERE o_orderdate >= DATE '1995-06-01' GROUP BY 1),
     j AS (SELECT coalesce(a.bucket, b.bucket) AS bucket,
                  coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
-          FROM a FULL OUTER JOIN b ON a.bucket = b.bucket),
+          FROM a FULL OUTER JOIN b
+            ON a.bucket IS NOT DISTINCT FROM b.bucket),
     t AS (SELECT bucket, n_a, n_b,
                  count(*) OVER () AS nb,
                  sum(n_a) OVER () AS ta, sum(n_b) OVER () AS tb

@@ -743,10 +743,11 @@ def line_dedup_global(
     changes).
 
     Scale shape: segments explode map-side with their position; global
-    ownership is a groupBy ``min`` over a packed (doc, position) key —
-    partial aggregation collapses a boilerplate segment shared by 10^7
-    docs to one row per task before the shuffle, and the join-back's
-    hot-key residue is AQE-skew-split shaped (same design as
+    ownership is a groupBy ``min`` over a (doc, position) struct
+    (lexicographic, collision-free at any document length) — partial
+    aggregation collapses a boilerplate segment shared by 10^7 docs to
+    one row per task before the shuffle, and the join-back's hot-key
+    residue is AQE-skew-split shaped (same design as
     window_exact_dedup's owner). The group key is the segment TEXT
     (one shuffle of the corpus — exact, oracle-checkable); at 100 TB
     swap the key for a 128-bit hash and this plan shuffles 16 bytes a
@@ -772,7 +773,10 @@ def line_dedup_global(
     segs = docs.select(
         F.col(id_col).alias("__id"),
         F.posexplode(F.expr(seg_expr)).alias("__pos", "__seg"),
-    ).withColumn("__key", F.col("__id") * (1 << 20) + F.col("__pos"))
+    ).withColumn("__key", F.struct("__id", "__pos"))
+    # struct min is lexicographic (doc, then position) and still a
+    # partial-aggregating groupBy min — unlike a packed bigint key it
+    # cannot collide for any document length or id range.
     owner = segs.groupBy("__seg").agg(F.min("__key").alias("__keep_key"))
     flagged = segs.join(owner, "__seg").withColumn(
         "keep", F.col("__key") == F.col("__keep_key")

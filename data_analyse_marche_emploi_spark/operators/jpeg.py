@@ -255,6 +255,11 @@ def _decode_impl(payload: bytes) -> dict:
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip them or a conformant encoder's padded file
+        # misreads 0xFF as the marker code
+        while pos + 4 <= n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break

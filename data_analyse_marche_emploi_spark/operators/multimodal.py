@@ -3,14 +3,17 @@ image/audio/video payloads as opaque ``binary`` columns with a typed
 metadata struct, plus decode / feature-extraction plumbing as
 Arrow-batched Pandas operations over ``mapInPandas``.
 
-Decoding is REAL for WAV (RIFF PCM parse + sample decode), PPM/PGM
-(netpbm parse + exact nearest-neighbor resize), and baseline JPEG
-(full T.81 decode: Huffman → dequant → IDCT → chroma upsample →
-YCbCr→RGB, ``operators.jpeg``) via dependency-free pure-numpy codecs;
-payloads in any other format (video containers, progressive JPEG, PNG)
-fall back to a deterministic fake decoder (this container has no
-PIL/ffmpeg — swapping the fallback for a codec library is a
-one-function change inside the UDF). Everything Spark-side is real and tested either way: the schema,
+Decoding is REAL for WAV (RIFF PCM parse + sample decode + rFFT
+spectral features), PPM/PGM (netpbm parse + exact nearest-neighbor
+resize), baseline JPEG (full T.81 decode: Huffman → dequant → IDCT →
+chroma upsample → YCbCr→RGB, ``operators.jpeg``), PNG (zlib inflate +
+all five scanline filters, ``operators.png``), and MP4 container
+METADATA (ISO BMFF box walk, ``operators.mp4``) via dependency-free
+pure-numpy/stdlib codecs; payloads in any other format — and video
+FRAME decode — fall back to a deterministic fake decoder (this
+container has no PIL/ffmpeg — swapping the fallback for a codec
+library is a one-function change inside the UDF).
+Everything Spark-side is real and tested either way: the schema,
 the binary column handling, the ``mapInPandas`` batch iteration, the
 output schema contract, and the partition-preserving shape.
 

@@ -144,10 +144,16 @@ def dq_drift(df_a: DataFrame, df_b: DataFrame, columns: Sequence[str]) -> DataFr
         cb = df_b.groupBy(F.col(c).cast("string").alias("bucket")).agg(
             F.count(F.lit(1)).alias("n_b")
         )
+        # null-safe bucket equality: a NULL bucket present in both
+        # periods must merge into ONE row — a plain equi-join splits it
+        # into two, inflating the bucket count and corrupting every
+        # bucket's smoothing denominator (null buckets are the normal
+        # case for a data-quality tool)
+        cb2 = cb.withColumnRenamed("bucket", "__bucket_b")
         j = (
-            ca.join(cb, "bucket", "full_outer")
+            ca.join(cb2, ca["bucket"].eqNullSafe(cb2["__bucket_b"]), "full_outer")
             .select(
-                "bucket",
+                F.coalesce("bucket", "__bucket_b").alias("bucket"),
                 F.coalesce("n_a", F.lit(0)).alias("n_a"),
                 F.coalesce("n_b", F.lit(0)).alias("n_b"),
             )

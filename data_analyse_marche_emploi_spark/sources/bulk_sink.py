@@ -38,14 +38,18 @@ class BulkNdjsonWriter(DataSourceWriter):
     including after finishing its file but before reporting — leaves
     only an ``.inprogress`` leftover, which the sweeps remove. The
     driver's commit() itself is NOT atomic (v1's known window): a crash
-    mid-rename can leave some final-named files with no
-    ``_MANIFEST.json``. Consumers must therefore gate on the manifest
-    and read exactly its ``files`` list — never glob ``*.ndjson``.
+    mid-rename can leave some final-named files with no manifest.
+    Consumers must therefore gate on the manifests and read exactly
+    their ``files`` lists — never glob ``*.ndjson``
+    (:func:`read_manifests` does this).
 
     All of this job's files carry a per-job id prefix
-    (``part-<jobid>-…``), and every sweep matches only that prefix, so
-    a concurrent job writing to the same directory never has its
-    in-flight files deleted by this job's commit/abort."""
+    (``part-<jobid>-…``), every sweep matches only that prefix, AND the
+    manifest itself is per-job (``_MANIFEST-<jobid>.json``) — a shared
+    manifest name would let a concurrent job's commit overwrite this
+    job's file list, silently orphaning its committed data for
+    manifest-gated consumers. Concurrent jobs in one directory
+    therefore never touch each other's files or manifests."""
 
     def __init__(self, options: dict):
         self.path = options["path"]
@@ -106,7 +110,9 @@ class BulkNdjsonWriter(DataSourceWriter):
             "files": [m.file_path for m in live],
             "rows": sum(m.n_rows for m in live),
         }
-        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+        with open(
+            os.path.join(self.path, f"_MANIFEST-{self.job_id}.json"), "w"
+        ) as f:
             json.dump(manifest, f)
         # losing speculative/retried attempts finished write() but their
         # messages were discarded; their .inprogress leftovers are
@@ -118,6 +124,24 @@ class BulkNdjsonWriter(DataSourceWriter):
         # commit never ran), so every leftover of this job is an
         # .inprogress file — reported or not
         self._sweep_inprogress()
+
+
+def read_manifests(path: str) -> dict:
+    """Union the committed file lists of every job that wrote ``path``
+    (the consumer-side half of the manifest-gating contract): returns
+    ``{"files": [...], "rows": n}`` across all ``_MANIFEST-*.json``.
+    Final-named files absent from every manifest (a crashed commit's
+    v1 window) are correctly ignored."""
+    import glob as _glob
+
+    files: list[str] = []
+    rows = 0
+    for mpath in sorted(_glob.glob(os.path.join(path, "_MANIFEST-*.json"))):
+        with open(mpath) as f:
+            m = json.load(f)
+        files.extend(m["files"])
+        rows += m["rows"]
+    return {"files": files, "rows": rows}
 
 
 class BulkNdjsonDataSource(DataSource):

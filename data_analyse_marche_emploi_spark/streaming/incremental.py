@@ -24,6 +24,7 @@ source lists incrementally, so a 100 TB backlog is consumed
 
 from __future__ import annotations
 
+import atexit
 import os
 import tempfile
 import uuid
@@ -294,6 +295,23 @@ def foreach_batch_upsert(
         q.awaitTermination()
 
 
+# append-mode drains write to per-call parquet sink dirs; keep the most
+# recent few (callers materialize promptly) and reap the rest eagerly,
+# with a process-exit sweep as the backstop
+_SINK_DIRS: list[str] = []
+_SINK_KEEP = 4
+
+
+def _reap_sinks_at_exit() -> None:
+    import shutil
+
+    for d in _SINK_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_reap_sinks_at_exit)
+
+
 def run_available_now(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
     """Drain the stream as one incremental run (Trigger.AvailableNow)
     into an in-memory table and return the result as a DataFrame.
@@ -316,13 +334,17 @@ def run_available_now(stream_df: DataFrame, output_mode: str = "append") -> Data
         # (the memory sink collects every row, and materializing off it
         # re-uploads them via createDataFrame — measured ~1 s of pure
         # harness cost on a 100k-row drain). The sink dir outlives this
-        # call so the returned scan stays valid; it's reclaimed at
-        # process exit.
-        import atexit
+        # call so the returned scan stays valid; retention is bounded
+        # to the last few drains (every caller here materializes the
+        # result promptly — driver collect / bench noop write), so a
+        # long-lived session doesn't accumulate one full result copy
+        # per drain; whatever remains is reclaimed at process exit.
         import shutil
 
         sink = tempfile.mkdtemp(prefix="stream_sink_")
-        atexit.register(shutil.rmtree, sink, ignore_errors=True)
+        _SINK_DIRS.append(sink)
+        while len(_SINK_DIRS) > _SINK_KEEP:
+            shutil.rmtree(_SINK_DIRS.pop(0), ignore_errors=True)
         with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
             try:
                 spark0.conf.set("spark.sql.shuffle.partitions", "8")

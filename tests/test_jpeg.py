@@ -216,3 +216,15 @@ def test_pipeline_multimodal_training_filters_corrupt(spark):
         else:
             assert r["modality"] == "image-png"
             assert r["mean_feature"] == 127.5
+
+
+def test_fill_bytes_before_markers_accepted():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker; a conformant encoder's padded file must decode."""
+    px = np.full((8, 8, 1), 77, dtype=np.uint8)
+    enc = J.encode_jpeg(px)
+    # inject fill bytes before the SOF0 marker (FFC0)
+    i = enc.index(b"\xff\xc0")
+    padded = enc[:i] + b"\xff\xff\xff" + enc[i:]
+    dec = J.decode_jpeg(padded)
+    assert np.array_equal(dec["pixels"], px)

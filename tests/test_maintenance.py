@@ -166,3 +166,18 @@ def test_dq_drift_psi_signs_and_smoothing(spark):
     assert rows["z"]["n_a"] == 0 and rows["z"]["psi6"] > 0
     # y: 40/103 vs 41/103-ish after smoothing — near-zero but finite
     assert abs(rows["y"]["psi6"]) < 1000
+
+
+def test_dq_drift_null_bucket_merges(spark):
+    """A NULL bucket present in both periods must merge into ONE row
+    (null-safe join); a plain equi-join splits it in two and corrupts
+    every bucket's smoothing denominator."""
+    from data_analyse_marche_emploi_spark.operators.profiling import dq_drift
+
+    a = spark.createDataFrame([("x",), (None,), (None,)], "k string")
+    b = spark.createDataFrame([("x",), (None,)], "k string")
+    rows = dq_drift(a, b, ["k"]).collect()
+    assert len(rows) == 2  # x and the single merged NULL bucket
+    nulls = [r for r in rows if r["bucket"] is None]
+    assert len(nulls) == 1
+    assert nulls[0]["n_a"] == 2 and nulls[0]["n_b"] == 1

@@ -77,6 +77,17 @@ def test_similarity_paths_have_no_cartesian(spark, sf_dir, name):
     assert "CartesianProduct" not in plan
     nlj = plan.count("BroadcastNestedLoopJoin")
     assert nlj <= (2 if name == "ann_lsh" else 0)
+    if name == "ann_lsh" and nlj:
+        # counting alone would let a corpus×corpus BNLJ hide behind the
+        # allowance: pin that every broadcast-product build side IS the
+        # fixed-size plane table (its ExistingRDD schema), so a
+        # regression that broadcasts vectors×vectors fails here
+        idents = re.findall(
+            r"BroadcastExchange IdentityBroadcastMode(?:.*\n){1,4}", plan
+        )
+        assert len(idents) == nlj
+        for block in idents:
+            assert "ExistingRDD[tbl" in block
 
 
 def test_global_sort_is_range_partitioned(spark, sf_dir):

@@ -181,7 +181,9 @@ def test_bulk_ndjson_writer_frames_pairs(spark, sf_dir, tmp_path):
         assert a["index"]["_id"] == d["id"]
         ids.add(d["id"])
     assert ids == {r.id for r in c.select("id").collect()}
-    manifest = _json.loads(open(os.path.join(out, "_MANIFEST.json")).read())
+    from data_analyse_marche_emploi_spark.sources.bulk_sink import read_manifests
+
+    manifest = read_manifests(out)
     assert manifest["rows"] == c.count()
 
 
@@ -349,7 +351,7 @@ def test_bulk_ndjson_rename_on_commit_protocol(tmp_path):
     m3 = w.write(iter([Row(id=3, v="c")]))
     w.commit([m3])
     assert len(glob.glob(os.path.join(out, "*.ndjson"))) == 1
-    assert os.path.exists(os.path.join(out, "_MANIFEST.json"))
+    assert glob.glob(os.path.join(out, "_MANIFEST-*.json"))
     assert glob.glob(os.path.join(out, "*.inprogress")) == []
 
 
@@ -389,3 +391,29 @@ def test_bulk_ndjson_sweeps_are_job_scoped_and_commit_validates_first(tmp_path):
     assert os.path.exists(ma.file_path + ".inprogress")
     w2.abort([other, ma])
     assert glob.glob(os.path.join(out, f"part-{w2.job_id}-*")) == []
+
+
+def test_bulk_ndjson_concurrent_manifests_do_not_clobber(tmp_path):
+    """Two jobs committing into one directory must each leave their own
+    manifest: a shared manifest name would let the second commit
+    orphan the first job's data for manifest-gated consumers."""
+    import os
+
+    from pyspark.sql import Row
+
+    from data_analyse_marche_emploi_spark.sources.bulk_sink import (
+        BulkNdjsonWriter,
+        read_manifests,
+    )
+
+    out = str(tmp_path / "bulk")
+    wa = BulkNdjsonWriter({"path": out})
+    wb = BulkNdjsonWriter({"path": out})
+    ma = wa.write(iter([Row(id=1, v="a"), Row(id=2, v="b")]))
+    mb = wb.write(iter([Row(id=3, v="c")]))
+    wa.commit([ma])
+    wb.commit([mb])  # must NOT clobber job A's manifest
+    union = read_manifests(out)
+    assert union["rows"] == 3
+    assert len(union["files"]) == 2
+    assert all(os.path.exists(f) for f in union["files"])
