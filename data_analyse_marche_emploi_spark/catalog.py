@@ -2562,6 +2562,28 @@ def agg_approx_quantiles(spark, sf_dir):
     )
 
 
+@register(
+    "sample_exact_k",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             ((doc_id % 1000003) * 2654435761 + 0) % 1000003 AS r
+      FROM documents
+    ) ORDER BY r, doc_id LIMIT 100
+    """,
+)
+def sample_exact_k(spark, sf_dir):
+    """Deterministic exact-k uniform sample (distributed reservoir
+    equivalent): rank by the portable multiplicative key hash, keep the
+    100 smallest — planned as TakeOrderedAndProject (per-task top-k,
+    no global sort), identical under repartitioning, and replayed
+    verbatim by the SQL oracle."""
+    from .operators.sampling import sample_exact_k as sk
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return sk(d, "doc_id", k=100)
+
+
 @register("sample_seeded")  # engine-specific RNG → rows-only check
 def sample_seeded(spark, sf_dir):
     """Seeded Bernoulli sampling — deterministic for a fixed seed within

@@ -231,3 +231,31 @@ def sample_weighted(
         )
         .drop("__W")
     )
+
+
+def sample_exact_k(
+    df: DataFrame, key_col: str, k: int, salt: int = 0
+) -> DataFrame:
+    """Deterministic EXACT-k uniform sample: rank every row by the
+    portable multiplicative hash of its key (ties broken by the key
+    itself) and keep the k smallest — the distributed equivalent of
+    reservoir sampling, with two properties the classic algorithm
+    lacks: the sample is identical under repartitioning/retries, and
+    it's replayable in any SQL engine (same arithmetic, ORDER BY +
+    LIMIT).
+
+    Scale shape: Catalyst plans the rank-and-keep as
+    TakeOrderedAndProject — each task keeps its local top-k and only
+    k rows per task move, never a global sort. Complements
+    sample_gate (rate-based, size ~Binomial) when the contract is an
+    exact budget (eval sets, fixed-size calibration splits)."""
+    rank = F.pmod(
+        (F.col(key_col) % KEY_PRIME) * F.lit(KNUTH_MULT) + F.lit(salt),
+        F.lit(KEY_PRIME),
+    )
+    return (
+        df.withColumn("__rank", rank)
+        .orderBy("__rank", key_col)
+        .limit(k)
+        .drop("__rank")
+    )
