@@ -2564,7 +2564,7 @@ def agg_approx_quantiles(spark, sf_dir):
 
 @register(
     "sample_exact_k",
-    oracle=f"""
+    oracle="""
     SELECT doc_id, lang, source FROM (
       SELECT doc_id, lang, source,
              ((doc_id % 1000003) * 2654435761 + 0) % 1000003 AS r
