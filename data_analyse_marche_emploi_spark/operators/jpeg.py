@@ -239,7 +239,7 @@ def decode_jpeg(payload: bytes) -> dict:
     ValueError; fuzz-pinned in test_codec_fuzz.py)."""
     try:
         return _decode_impl(payload)
-    except (struct.error, IndexError, KeyError) as e:
+    except (struct.error, IndexError, KeyError, OverflowError) as e:
         raise ValueError(f"malformed JPEG stream: {e!r}") from None
 
 
@@ -350,7 +350,17 @@ def _decode_scan(payload, pos, frame, scan, qt, huff, restart_interval):
                     for bx in range(c["h"]):
                         zz = np.zeros(64, dtype=np.int32)
                         s = reader.decode_symbol(dct)
+                        # T.81 table F.1: 8-bit baseline DC magnitude
+                        # category SSSS is 0..11. A corrupt DHT can put
+                        # symbols >11 in the table; receive(s) would then
+                        # read an unbounded int and pred accumulation
+                        # overflows int32 (OverflowError leaked past the
+                        # ValueError contract — fuzz seed=255/flip=127).
+                        if s > 11:
+                            raise ValueError("corrupt scan: DC size category > 11")
                         pred[ci] += _extend(reader.receive(s), s)
+                        if not (-(1 << 15) <= pred[ci] < (1 << 15)):
+                            raise ValueError("corrupt scan: DC predictor out of range")
                         zz[0] = pred[ci]
                         k = 1
                         while k < 64:
@@ -364,6 +374,10 @@ def _decode_scan(payload, pos, frame, scan, qt, huff, restart_interval):
                             k += r
                             if k > 63:
                                 raise ValueError("AC run past block end")
+                            # T.81: AC magnitude category is 1..10 for
+                            # 8-bit precision.
+                            if s > 10:
+                                raise ValueError("corrupt scan: AC size category > 10")
                             zz[k] = _extend(reader.receive(s), s)
                             k += 1
                         blk = np.zeros(64, dtype=np.float64)

@@ -53,9 +53,11 @@ def test_jpeg_unit_quant_bounded_error(dims, seed):
     px = _image(h, w, c, seed)
     dec = J.decode_jpeg(J.encode_jpeg(px))
     assert (dec["height"], dec["width"]) == (h, w)
-    # unit quantization: error is DCT/color rounding only
-    bound = 2 if c == 1 else 3
-    assert np.abs(dec["pixels"].astype(int) - px.astype(int)).max() <= bound
+    # unit quantization: error is DCT/color rounding only. The
+    # analytical worst case of per-coefficient 0.5 rounding through the
+    # IDCT plus the YCbCr round-trip is ~3.4, so the provable bound is 4
+    # (a tighter 2/3 bound held empirically but is hypothesis-flaky).
+    assert np.abs(dec["pixels"].astype(int) - px.astype(int)).max() <= 4
 
 
 @settings(max_examples=40, deadline=None)
@@ -78,6 +80,23 @@ def test_decoders_raise_only_valueerror_on_garbage(garbage):
             dec(garbage)
         except ValueError:
             pass  # the documented failure mode
+
+
+def test_jpeg_dc_predictor_overflow_regression():
+    """Pin the exact r4-red fuzz case (seed=255, flip byte 127): a
+    bit-flip in a DHT/scan header put a DC size-category symbol >11 in
+    the Huffman table, receive() read an unbounded Python int, and
+    ``zz[0] = pred[ci]`` raised OverflowError — leaking past the
+    documented ValueError-only contract (operators/jpeg.py now
+    validates T.81 table F.1 categories and bounds the predictor)."""
+    px = _image(8, 8, 1, 255)
+    payload = J.encode_jpeg(px)
+    mutated = bytearray(payload)
+    mutated[127 % len(mutated)] ^= 0xFF
+    try:
+        J.decode_jpeg(bytes(mutated))
+    except ValueError:
+        pass  # the documented failure mode — anything else fails the test
 
 
 @settings(max_examples=60, deadline=None)

@@ -252,3 +252,16 @@ def test_line_dedup_owner_partial_aggregates_no_cartesian(spark, sf_dir):
     assert "partial_min" in plan
     assert "Window" not in plan
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+def test_tf_idf_never_broadcasts_term_table(spark, sf_dir):
+    """The tf⋈dfreq join must be a ShuffledHashJoin on term: the
+    doc-frequency side is term-cardinality sized (10⁸-10⁹ distinct
+    terms at 100 TB) so ANY BroadcastHashJoin here is an OOM at scale
+    — r4 force-broadcast dfreq; hint-free Catalyst statically broadcast
+    the even-bigger tf side (measured 8.3 s at sf0.1). The only allowed
+    broadcast product is the guaranteed-one-row n_docs aggregate."""
+    plan = plan_of(spark, sf_dir, "text_tf_idf")
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    # the single BNLJ is the 1-row n_docs cross join, nothing else
+    assert plan.count("BroadcastNestedLoopJoin") == 1
