@@ -4365,83 +4365,74 @@ def agg_freq_items(spark, sf_dir):
 # ROLLUP, …) register after them — they stay fully covered by pytest and
 # tools/oracle_check.py, which check ALL entries.
 
-# Round-4 rotation: 14 rows that were driver-green for three straight
-# rounds (scan_match_all, proj_source_fields, filter_terms_in,
-# agg_count_total, agg_groupby_count, agg_date_histogram, agg_topk,
-# pipeline_export_offres, snk_run_metrics, join_dim_containment,
-# q_returned_items, q_shipping_priority, pivot_status, src_rest_paged)
-# rotate OUT to the local-gate-only tier, making room for the round-3
-# operator families that have never had a driver row (SCD2/diff/gapfill
-# maintenance, weighted sampling + shuffle order, heavy hitters,
-# k-means, embedding LSH, BPE, mixtures, grouped packing, DQ, and two
-# more multimodal proofs). Rotated-out rows stay covered by pytest and
-# tools/oracle_check.py, which check ALL entries.
+# Round-5 rotation: every entry that was green in r4 and is unchanged
+# this round rotates OUT to the local-gate-only tier (pytest +
+# tools/oracle_check.py still check ALL 144 entries every round). The
+# window packs in the 52 entries that had never had a driver row by r4
+# (VERDICT r4 next-round #3) minus six rows-only sketch/seeded entries
+# deferred to r6, plus four carry-overs: the flagship smoke anchor and
+# the three entries whose code changed this round (TF-IDF join
+# topology, JPEG decoder hardening, window-dedup owner) so the driver
+# re-proves them on the new plans.
 _DRIVER_WINDOW = [
+    # carry-overs (changed this round or smoke anchor)
     "flagship_orders_by_month",
-    "agg_pricing_summary",
-    "pipeline_clean_text",
-    "pipeline_csv_tech",
-    "join_enrich",
-    "join_anti",
-    "join_fact_fact",
-    "join_asof",
-    "dedup_union_by_id",
-    "window_topk_per_group",
-    "window_running_sum",
-    # sessionize and stream_sliding_window rotate out (green r2+r3 /
-    # r3; local gate keeps them) for the round-4 streaming temporal
-    # join and the drift report, which have never had a driver row.
-    "dq_drift",
-    "agg_rollup",
-    "stream_tumbling_window",
-    "stream_scd2_enrich",
-    "stream_dedup_upsert",
-    "stream_session_window",
-    "stream_stateful_totals",
-    "stream_stream_join",
-    # dedup_exact / dedup_ngram_jaccard rotate out after two straight
-    # green driver rounds (r2+r3; still in the local gate) in favor of
-    # the two new round-4 proofs below.
-    "dedup_lines_global",
-    "dedup_minhash_lsh",
-    "dedup_window_exact",
-    "dedup_clusters",
-    "knn_brute_force",
-    "ann_lsh",
-    "ann_ivf",
     "text_tf_idf",
-    "pipeline_training_data",
-    "pipeline_training_sequences",
-    "dedup_incremental",
-    "text_fr_nlp_tokens",
-    "multimodal_wav_roundtrip",
-    "text_repetition",
-    "text_decontaminate",
-    "pii_redact",
-    "scd2_apply",
-    "snapshot_diff",
-    "ts_gapfill",
-    "sample_weighted",
-    "agg_freq_items",
-    "emb_kmeans",
-    "shuffle_training_order",
-    "dedup_embedding_lsh",
-    "bpe_vocab",
-    "mixture_token_budget",
-    "chunks_to_sequences_by_lang",
-    "dq_report",
-    # multimodal_jpeg replaces multimodal_meta in the 50-row window: the
-    # JPEG entry subsumes the meta proof (same parse-the-container shape)
-    # and additionally exercises the full T.81 entropy-decode + IDCT
-    # path; multimodal_meta stays green in the local gate.
     "multimodal_jpeg",
-    "multimodal_png",
-    # the composed capstone subsumes the resize proof (dispatch + real
-    # decode + corrupt-payload filter + quality join, arithmetic
-    # oracle); multimodal_resize stays green in the local gate.
-    "pipeline_multimodal_training",
+    "dedup_window_exact",
+    # TPC-H-shaped analytics (never driver-checked; judge priority)
+    "q_market_share",
+    "q_large_orders",
+    "q_top_supplier",
+    "q_dormant_customers",
+    "q_local_supplier_volume",
+    "q_priority_lines",
+    "q_order_priority_exists",
+    "q_small_quantity_revenue",
+    "q_promo_revenue_share",
+    "q_nation_volume",
+    "q_customer_distribution",
+    "q_disjunctive_revenue",
+    # ordering / sampling / skew (never driver-checked)
+    "sort_global",
+    "order_limit",
+    "join_range",
+    "join_hint_shuffle_hash",
+    "salted_groupby",
+    "salted_join",
+    "sample_exact_k",
+    # exact stats and aggregates (never driver-checked)
+    "agg_stats",
+    "agg_quantiles",
+    "array_ops",
+    "emb_centroid",
+    "dedup_embedding_cosine",
+    "dedup_canonical_quality",
+    "profile_table",
+    "funnel_conversion",
+    "cohort_retention",
+    # sources / multimodal (never driver-checked)
+    "src_rest_paged_dsv2",
+    "multimodal_meta",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_audio",
+    "multimodal_mp4_meta",
+    "multimodal_spectral",
+    # curation / packing / mixtures (never driver-checked)
+    "docs_to_chunks",
+    "chunks_to_sequences",
+    "cap_docs_per_source",
+    "mixture_stratified_sample",
+    "mixture_train_split",
+    "emb_quantize",
+    # rows-only proofs (no SQL oracle by nature; driver records rows)
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "agg_theta_overlap",
+    "agg_kll_quantiles",
+    "stream_distinct_users",
 ]
-
 
 def _prioritize() -> None:
     missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]

@@ -683,18 +683,23 @@ def window_exact_dedup(
 
     Scale shape: distinct windows per doc are built map-side
     (explode_window_hashes), then only ``(xxhash64(window), id)`` pairs
-    — 16 bytes a row, never the text — feed the owner aggregation and
-    its join back. The owner is a groupBy ``min``, NOT a partition
-    window: min partial-aggregates map-side, so a boilerplate window
-    shared by 10^7 docs (license headers, nav text) collapses to one
-    row per task before the shuffle, and the remaining skew — that
-    window's probe rows in the join — is exactly the shape AQE's
-    skew-join split handles; a window-function min would funnel every
-    copy of the hot hash into one task with no defense. The price is a
-    second map-side pass over the text (the window stream feeds both
-    the aggregation and the join probe). A 64-bit hash collision
-    between distinct window strings (~n^2 / 2^64) is the accepted
-    trade for not shuffling window strings.
+    — 16 bytes a row, never the text — feed two aggregations. The owner
+    is a groupBy ``min``, NOT a partition window: min partial-aggregates
+    map-side, so a boilerplate window shared by 10^7 docs (license
+    headers, nav text) collapses to one row per task before the
+    shuffle; a window-function min would funnel every copy of the hot
+    hash into one task with no defense. Per-doc dup counting never
+    joins the owner table back against the window stream (the r4 form;
+    that probe join was the whole stream through a second hash join —
+    +23 % at sf0.1 and the dominant shuffle at scale): because
+    ``owner(wh) <= id`` for every (wh, id) pair, ``n_dup_windows =
+    n_windows − #{wh : owner(wh) = id}``, and the owned-count is the
+    owner table's own groupBy-count — so the only join is the
+    doc-cardinality rollup join on id. Both branches hang off the
+    hashed-token round-robin barrier, which AQE ReuseExchange computes
+    once (the text is scanned and tokenized a single time). A 64-bit
+    hash collision between distinct window strings (~n^2 / 2^64) is
+    the accepted trade for not shuffling window strings.
 
     Returns one row per input doc: ``(id, n_windows, n_dup_windows,
     is_dup)``; docs shorter than ``k`` tokens have zero windows and are
@@ -703,15 +708,22 @@ def window_exact_dedup(
     w = explode_window_hashes(
         docs.select(F.col(id_col).alias("__id"), text_col), text_col, k, "__wh"
     )
-    owner = w.groupBy("__wh").agg(F.min("__id").alias("__owner"))
+    owned = (
+        w.groupBy("__wh")
+        .agg(F.min("__id").alias("__owner"))
+        .groupBy("__owner")
+        .agg(F.count(F.lit(1)).alias("n_owned"))
+    )
     per_doc = (
-        w.join(owner, "__wh")
-        .groupBy("__id")
-        .agg(
-            F.count("*").alias("n_windows"),
-            F.sum(
-                F.when(F.col("__owner") < F.col("__id"), 1).otherwise(0)
-            ).alias("n_dup_windows"),
+        w.groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_windows"))
+        .join(owned, F.col("__id") == F.col("__owner"), "left")
+        .select(
+            "__id",
+            "n_windows",
+            (F.col("n_windows") - F.coalesce("n_owned", F.lit(0))).alias(
+                "n_dup_windows"
+            ),
         )
     )
     return (
