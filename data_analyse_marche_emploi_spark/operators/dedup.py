@@ -739,7 +739,11 @@ def window_exact_dedup(
 
 
 def line_dedup_global(
-    docs: DataFrame, text_col: str, id_col: str, segment_tokens: int = 8
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    segment_tokens: int = 8,
+    key_mode: str = "hash",
 ) -> DataFrame:
     """C4-style global line dedup: drop every *segment* that occurs
     more than once anywhere in the corpus, keeping exactly the first
@@ -754,21 +758,28 @@ def line_dedup_global(
     separator-agnostic (the segment expression is the only line that
     changes).
 
-    Scale shape: segments explode map-side with their position; global
-    ownership is a groupBy ``min`` over a (doc, position) struct
-    (lexicographic, collision-free at any document length) — partial
-    aggregation collapses a boilerplate segment shared by 10^7 docs to
-    one row per task before the shuffle, and the join-back's hot-key
-    residue is AQE-skew-split shaped (same design as
-    window_exact_dedup's owner). The group key is the segment TEXT
-    (one shuffle of the corpus — exact, oracle-checkable); at 100 TB
-    swap the key for a 128-bit hash and this plan shuffles 16 bytes a
-    segment instead (the accepted-collision variant, same topology).
-    Reassembly is one groupBy(doc) with an array_sort over (position,
-    segment) structs — per-doc state, bounded by document size.
+    Scale shape (default ``key_mode="hash"``): document TEXT never
+    shuffles and the segment stream is consumed exactly ONCE. Segments
+    hash map-side to a (xxhash64, salted-xxhash64) 128-bit composite;
+    ownership is a partial-aggregating groupBy ``min`` of the
+    (doc, position) struct over those 16-byte keys (a boilerplate
+    segment shared by 10^7 docs collapses to one row per task before
+    the shuffle — same owner design as window_exact_dedup). The keeper
+    keys that fall out of that aggregation ARE the per-doc kept
+    positions — no join back against the segment stream (the probe
+    join re-shuffled the whole stream; measured +0.65 s at sf0.1):
+    they roll up to an int array per doc, and ``clean_text`` is
+    rebuilt map-side from the original text column with an
+    index-aware ``filter``. A 128-bit collision between distinct
+    segments (~n²/2¹²⁸) is the accepted trade.
 
-    Returns ``(id, clean_text, n_kept, n_dropped)`` — one row per
-    input document.
+    ``key_mode="text"`` keys ownership on the segment string instead —
+    bit-exact by construction at any adversarial input, at the price
+    of shuffling the corpus text once; it is the differential-oracle
+    reference form and the fallback if a corpus is ever suspected of
+    engineered hash collisions. Both modes return identical
+    ``(id, clean_text, n_kept, n_dropped)`` rows absent collisions
+    (property-tested equal in tests/test_dedup.py).
     """
     n = segment_tokens
     # Inline split (no hashed_tokens-style barrier): measured A/B at
@@ -782,6 +793,38 @@ def line_dedup_global(
         f"transform(sequence(0, greatest(1, CAST(ceil(size({toks}) / {n}.0) "
         f"AS INT)) - 1), i -> concat_ws(' ', slice({toks}, i * {n} + 1, {n})))"
     )
+    if key_mode == "hash":
+        hseg_expr = (
+            f"transform({seg_expr}, "
+            "s -> struct(xxhash64(s) AS h1, xxhash64(s, 1) AS h2))"
+        )
+        segs = docs.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(F.expr(hseg_expr)).alias("__pos", "__h"),
+        ).withColumn("__key", F.struct("__id", "__pos"))
+        kept = (
+            segs.groupBy("__h")
+            .agg(F.min("__key").alias("__keep_key"))
+            .groupBy(F.col("__keep_key.__id").alias("__id"))
+            .agg(F.collect_list("__keep_key.__pos").alias("__keep_pos"))
+        )
+        keep_arr = "coalesce(__keep_pos, array())"
+        return (
+            docs.join(kept, F.col(id_col) == F.col("__id"), "left")
+            .select(
+                F.col(id_col),
+                F.expr(
+                    f"concat_ws(' ', filter({seg_expr}, "
+                    f"(s, i) -> array_contains({keep_arr}, i)))"
+                ).alias("clean_text"),
+                F.expr(f"CAST(size({keep_arr}) AS BIGINT)").alias("n_kept"),
+                F.expr(
+                    f"CAST(size({seg_expr}) - size({keep_arr}) AS BIGINT)"
+                ).alias("n_dropped"),
+            )
+        )
+    if key_mode != "text":
+        raise ValueError(f"key_mode must be 'hash' or 'text', got {key_mode!r}")
     segs = docs.select(
         F.col(id_col).alias("__id"),
         F.posexplode(F.expr(seg_expr)).alias("__pos", "__seg"),

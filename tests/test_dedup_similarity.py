@@ -382,3 +382,25 @@ def test_line_dedup_global_semantics(spark):
     assert (out[3]["n_kept"], out[3]["n_dropped"]) == (1, 2)
     assert out[4]["clean_text"] == "x1 x2"
     assert (out[4]["n_kept"], out[4]["n_dropped"]) == (1, 0)
+
+def test_line_dedup_hash_and_text_modes_agree(spark):
+    """The default 16-byte-key plan and the text-key oracle form must
+    produce identical rows (collisions aside, which these inputs cannot
+    trigger): dropping a mode-divergence here means the driver-checked
+    entry no longer describes what the scale path computes."""
+    from data_analyse_marche_emploi_spark.operators.dedup import line_dedup_global
+
+    rows = []
+    boiler = "a b c d"
+    for i in range(40):
+        uniq = " ".join(f"u{i}_{j}" for j in range(7))
+        text = f"{boiler} {uniq}" if i % 3 else f"{uniq} {boiler} {boiler}"
+        rows.append((i, text))
+    rows.append((100, ""))           # empty doc: one empty segment
+    rows.append((101, "x1 x2"))      # short doc: one partial segment
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    key = lambda r: (r["doc_id"], r["clean_text"], r["n_kept"], r["n_dropped"])
+    h = sorted(map(key, line_dedup_global(docs, "text", "doc_id", 4).collect()))
+    t = sorted(map(key, line_dedup_global(docs, "text", "doc_id", 4,
+                                          key_mode="text").collect()))
+    assert h == t

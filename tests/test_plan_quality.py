@@ -265,3 +265,17 @@ def test_tf_idf_never_broadcasts_term_table(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan
     # the single BNLJ is the 1-row n_docs cross join, nothing else
     assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_line_dedup_default_shuffles_hash_keys_not_text(spark, sf_dir):
+    """dedup_lines_global's default ownership exchange must key on the
+    128-bit segment-hash struct, never the segment string — at 100 TB
+    the text-keyed form shuffles the whole corpus; the hash form ships
+    16-byte keys and rebuilds clean_text map-side from the original
+    column."""
+    plan = plan_of(spark, sf_dir, "dedup_lines_global")
+    assert "hashpartitioning(__h" in plan
+    assert "hashpartitioning(__seg" not in plan
+    assert "partial_min" in plan
+    assert "Window" not in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
