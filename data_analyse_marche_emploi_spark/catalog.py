@@ -3447,30 +3447,30 @@ def multimodal_resize(spark, sf_dir):
 @register(
     "multimodal_frame_sample",
     oracle="""
-    WITH m AS (
-      SELECT doc_id, octet_length(encode(text)) AS nb,
-             least(4, greatest(1, octet_length(encode(text)) // 1024)) AS nf
-      FROM documents
-    ),
-    f AS (SELECT doc_id, nb, unnest(range(0, nf)) AS frame_idx FROM m)
-    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
-           least(1024, nb - frame_idx * 1024) AS frame_len,
-           'fake-framesample-v0' AS decoder
+    WITH f AS (
+      SELECT doc_id, unnest(range(0, 1 + doc_id % 4)) AS k FROM documents
+    )
+    SELECT doc_id, CAST(k AS INT) AS frame_idx,
+           CAST(16 AS INT) AS width, CAST(8 AS INT) AS height,
+           CAST((doc_id * 31 + 17 * k) % 256 AS DOUBLE) AS mean_pixel,
+           'mp4-mjpeg-v1' AS decoder
     FROM f
     """,
 )
 def multimodal_frame_sample(spark, sf_dir):
-    """Video frame-sampling plumbing (stub extractor): one payload row
-    fans out to ≤4 frame rows — the row-expanding UDTF shape. Oracle
-    checks the fan-out cardinality and per-frame byte counts."""
-    from .operators.multimodal import attach_media, sample_frames
+    """REAL video frame decode, driver-checkable: synthesize a
+    Motion-JPEG MP4 per document (1 + id % 4 flat-gray frames, value
+    arithmetic in (id, frame)), walk its genuine ISO BMFF sample table
+    (operators/mp4.py — stsd/stsz/stsc/stco), and T.81-decode every
+    sampled frame (operators/jpeg.py). One payload row fans out to ≤4
+    frame rows — the row-expanding UDTF shape — and the decoded
+    dimensions + mean pixel have exact arithmetic ground truth: a
+    wrong chunk-offset walk, sample-size table read, or entropy decode
+    shifts the hash. mapInPandas both ways, zero shuffle."""
+    from .operators.multimodal import sample_video_frames, synth_mjpeg_mp4
 
     d = _docs(spark, sf_dir)
-    frames = sample_frames(attach_media(d, "text", "doc_id"))
-    return frames.select(
-        "doc_id", "frame_idx",
-        F.length("frame_bytes").alias("frame_len"), "decoder",
-    )
+    return sample_video_frames(synth_mjpeg_mp4(d, "doc_id"))
 
 
 @register(

@@ -75,7 +75,7 @@ def test_wav_pcm8_roundtrip_sample_exact(raw, rate):
 @given(garbage=st.binary(min_size=0, max_size=256))
 def test_decoders_raise_only_valueerror_on_garbage(garbage):
     for dec in (MC.decode_wav, MC.decode_ppm, J.decode_jpeg, P.decode_png,
-                M4.parse_mp4):
+                M4.parse_mp4, M4.extract_video_samples):
         try:
             dec(garbage)
         except ValueError:
@@ -108,14 +108,25 @@ def test_decoders_survive_truncation_and_bitflips(seed, cut, flip):
     struct.error/zlib.error (those leak through the dispatch layer's
     except ValueError and would kill a Spark task)."""
     px = _image(8, 8, 1, seed)
+
+    def extract_and_decode(payload):
+        """The full MJPEG video path: sample walk + per-frame T.81
+        decode — a corrupt sample table or frame must surface as
+        ValueError, nothing else."""
+        out = M4.extract_video_samples(payload)
+        for s in out["samples"]:
+            J.decode_jpeg(s)
+
     payloads = [
         P.encode_png(px),
         J.encode_jpeg(px),
         MC.encode_wav_pcm8(bytes(px.ravel()), 8000),
         M4.encode_minimal_mp4(duration=1000, width=16, height=16, mdat=b"x" * 32),
+        M4.encode_mjpeg_mp4([J.encode_jpeg(px)] * 2, width=8, height=8),
     ]
     for payload, dec in zip(payloads, (P.decode_png, J.decode_jpeg,
-                                       MC.decode_wav, M4.parse_mp4)):
+                                       MC.decode_wav, M4.parse_mp4,
+                                       extract_and_decode)):
         truncated = payload[: cut % (len(payload) + 1)]
         mutated = bytearray(payload)
         mutated[flip % len(mutated)] ^= 0xFF
