@@ -3945,15 +3945,15 @@ def dq_report(spark, sf_dir):
           FROM j)
     SELECT 'o_orderpriority' AS column_name, bucket,
            CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-           CAST(floor((n_a + 1) / CAST(ta + nb AS DOUBLE) * 1e6) AS BIGINT)
-             AS share_a6,
-           CAST(floor((n_b + 1) / CAST(tb + nb AS DOUBLE) * 1e6) AS BIGINT)
-             AS share_b6,
+           CAST(floor((n_a + 1) / CAST(ta + nb AS DOUBLE) * 1e6 + 1e-6)
+                AS BIGINT) AS share_a6,
+           CAST(floor((n_b + 1) / CAST(tb + nb AS DOUBLE) * 1e6 + 1e-6)
+                AS BIGINT) AS share_b6,
            CAST(floor(((n_a + 1) / CAST(ta + nb AS DOUBLE)
                      - (n_b + 1) / CAST(tb + nb AS DOUBLE))
                  * ln(((n_a + 1) / CAST(ta + nb AS DOUBLE))
-                    / ((n_b + 1) / CAST(tb + nb AS DOUBLE))) * 1e6) AS BIGINT)
-             AS psi6
+                    / ((n_b + 1) / CAST(tb + nb AS DOUBLE))) * 1e6 + 1e-6)
+                AS BIGINT) AS psi6
     FROM t
     """,
 )

@@ -170,9 +170,17 @@ def dq_drift(df_a: DataFrame, df_b: DataFrame, columns: Sequence[str]) -> DataFr
                 "bucket",
                 "n_a",
                 "n_b",
-                F.floor(p * 1e6).cast("long").alias("share_a6"),
-                F.floor(q * 1e6).cast("long").alias("share_b6"),
-                F.floor((p - q) * F.log(p / q) * 1e6).cast("long").alias("psi6"),
+                # the +1e-6 guard absorbs cross-engine libm ULP noise
+                # (Spark vs DuckDB ln/÷ can differ by ~1e-8 at this
+                # magnitude): without it, a true value landing exactly
+                # on a bucket boundary floors differently per engine
+                # and the differential hash flakes. 1e-6 ≪ the
+                # quantization step (1), so no legitimate value moves.
+                F.floor(p * 1e6 + 1e-6).cast("long").alias("share_a6"),
+                F.floor(q * 1e6 + 1e-6).cast("long").alias("share_b6"),
+                F.floor((p - q) * F.log(p / q) * 1e6 + 1e-6)
+                .cast("long")
+                .alias("psi6"),
             )
         )
     out = reports[0]

@@ -129,14 +129,21 @@ class BulkNdjsonWriter(DataSourceWriter):
 def read_manifests(path: str) -> dict:
     """Union the committed file lists of every job that wrote ``path``
     (the consumer-side half of the manifest-gating contract): returns
-    ``{"files": [...], "rows": n}`` across all ``_MANIFEST-*.json``.
-    Final-named files absent from every manifest (a crashed commit's
-    v1 window) are correctly ignored."""
+    ``{"files": [...], "rows": n}`` across all ``_MANIFEST-*.json``,
+    plus a legacy single ``_MANIFEST.json`` if present (the pre-
+    per-job-manifest writer format — ignoring it would make a
+    manifest-gated consumer silently treat previously committed data
+    as absent). Final-named files absent from every manifest (a
+    crashed commit's v1 window) are correctly ignored."""
     import glob as _glob
 
     files: list[str] = []
     rows = 0
-    for mpath in sorted(_glob.glob(os.path.join(path, "_MANIFEST-*.json"))):
+    paths = sorted(_glob.glob(os.path.join(path, "_MANIFEST-*.json")))
+    legacy = os.path.join(path, "_MANIFEST.json")
+    if os.path.exists(legacy):
+        paths.append(legacy)
+    for mpath in paths:
         with open(mpath) as f:
             m = json.load(f)
         files.extend(m["files"])

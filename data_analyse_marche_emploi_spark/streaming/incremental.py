@@ -299,7 +299,7 @@ def foreach_batch_upsert(
 # recent few (callers materialize promptly) and reap the rest eagerly,
 # with a process-exit sweep as the backstop
 _SINK_DIRS: list[str] = []
-_SINK_KEEP = 4
+_SINK_KEEP = 16
 
 
 def _reap_sinks_at_exit() -> None:
@@ -321,6 +321,14 @@ def run_available_now(stream_df: DataFrame, output_mode: str = "append") -> Data
     streaming operators: available-now processes everything, the final
     watermark passes the max event time, and the memory sink holds the
     complete result.
+
+    RETENTION CONTRACT (append mode): the returned DataFrame is a lazy
+    scan over a per-call temp sink directory that is reclaimed after
+    ``_SINK_KEEP`` (16) newer append-mode drains in this process, or
+    at process exit. Materialize promptly (collect / write / cache+
+    count) — a consumer that holds the lazy plan across many drains
+    gets FileNotFoundException on a later action. Complete/update
+    modes return fully materialized data with no such constraint.
     """
     spark0 = stream_df.sparkSession
     # A NEW checkpoint sizes its state-store count from the current

@@ -417,3 +417,32 @@ def test_bulk_ndjson_concurrent_manifests_do_not_clobber(tmp_path):
     assert union["rows"] == 3
     assert len(union["files"]) == 2
     assert all(os.path.exists(f) for f in union["files"])
+
+
+def test_bulk_ndjson_reads_legacy_single_manifest(tmp_path):
+    """Directories committed by the pre-per-job writer carry one
+    _MANIFEST.json; read_manifests must union it with per-job
+    manifests instead of silently reporting that data as absent."""
+    import json
+    import os
+
+    from pyspark.sql import Row
+
+    from data_analyse_marche_emploi_spark.sources.bulk_sink import (
+        BulkNdjsonWriter,
+        read_manifests,
+    )
+
+    out = str(tmp_path / "bulk")
+    w = BulkNdjsonWriter({"path": out})
+    m = w.write(iter([Row(id=1, v="a")]))
+    w.commit([m])
+    legacy_file = os.path.join(out, "legacy-000.ndjson")
+    with open(legacy_file, "w") as f:
+        f.write('{"id": 9}\n{"id": 10}\n')
+    with open(os.path.join(out, "_MANIFEST.json"), "w") as f:
+        json.dump({"files": [legacy_file], "rows": 2}, f)
+    union = read_manifests(out)
+    assert union["rows"] == 3
+    assert legacy_file in union["files"]
+    assert len(union["files"]) == 2
