@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_window_exact",
     "dedup_lines_global",
     "multimodal_jpeg",
+    "multimodal_frame_sample",
     "dedup_clusters",
     "knn_brute_force",
     "pipeline_training_data",

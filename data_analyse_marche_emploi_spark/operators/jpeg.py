@@ -610,3 +610,38 @@ def encode_jpeg(pixels: np.ndarray, quant_luma: np.ndarray | None = None,
     out += bytes(bw.out)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def classify_jpeg(payload: bytes) -> str:
+    """Classify a JPEG payload by its SOF marker WITHOUT decoding:
+    ``baseline`` (SOF0/1 — decodable here), ``progressive`` (SOF2 —
+    valid-but-unsupported, ~10 % of real scraped corpora),
+    ``other-sof`` (lossless/hierarchical/arithmetic), ``malformed``.
+    Lets pipeline operators report honest per-class counts instead of
+    lumping valid progressive files in with corrupt ones."""
+    if not sniff_jpeg(payload):
+        return "malformed"
+    pos, n = 2, len(payload)
+    try:
+        while pos + 4 <= n:
+            if payload[pos] != 0xFF:
+                return "malformed"
+            while pos + 4 <= n and payload[pos + 1] == 0xFF:
+                pos += 1
+            marker = payload[pos + 1]
+            if marker in (0xC0, 0xC1):
+                return "baseline"
+            if marker == 0xC2:
+                return "progressive"
+            if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                          0xCE, 0xCF):
+                return "other-sof"
+            if marker in (0xD9, 0xDA):  # EOI / SOS before any SOF
+                return "malformed"
+            seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
+            if seg_len < 2:
+                return "malformed"
+            pos += 2 + seg_len
+    except struct.error:
+        return "malformed"
+    return "malformed"

@@ -126,6 +126,17 @@ def _decode(payload: bytes) -> dict:
             }
     except Exception:
         out = _fake_decode(payload)
+        if kind == "jpeg":
+            from .jpeg import classify_jpeg
+
+            # a VALID progressive/lossless JPEG is not corruption —
+            # ~10 % of real scraped corpora is progressive; tag the
+            # class so curation reports count it honestly instead of
+            # lumping it into the corrupt channel
+            cls = classify_jpeg(payload)
+            if cls in ("progressive", "other-sof"):
+                out["decoder"] = f"jpeg-{cls}-unsupported"
+                return out
         out["decoder"] = "fake-v0-invalid"
         return out
     return _fake_decode(payload)

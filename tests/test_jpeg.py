@@ -228,3 +228,40 @@ def test_fill_bytes_before_markers_accepted():
     padded = enc[:i] + b"\xff\xff\xff" + enc[i:]
     dec = J.decode_jpeg(padded)
     assert np.array_equal(dec["pixels"], px)
+
+
+def test_classify_jpeg_distinguishes_progressive_from_corrupt():
+    """A valid progressive file (SOF2) must classify as 'progressive'
+    — ~10% of real scraped corpora — while header garbage stays
+    'malformed'; the dispatch layer tags the former
+    jpeg-progressive-unsupported instead of dumping it in the corrupt
+    channel."""
+    import numpy as np
+
+    from data_analyse_marche_emploi_spark.operators.jpeg import (
+        classify_jpeg,
+        encode_jpeg,
+    )
+    from data_analyse_marche_emploi_spark.operators.multimodal import _decode
+
+    px = np.full((8, 8, 1), 100, dtype=np.uint8)
+    baseline = encode_jpeg(px)
+    assert classify_jpeg(baseline) == "baseline"
+
+    # rewrite the SOF0 marker (FF C0) to SOF2 (FF C2): byte-identical
+    # file, progressive frame header
+    i = baseline.index(b"\xff\xc0")
+    progressive = baseline[:i] + b"\xff\xc2" + baseline[i + 2:]
+    assert classify_jpeg(progressive) == "progressive"
+    assert _decode(progressive)["decoder"] == "jpeg-progressive-unsupported"
+
+    # lossless sequential (SOF3) → other-sof
+    lossless = baseline[:i] + b"\xff\xc3" + baseline[i + 2:]
+    assert classify_jpeg(lossless) == "other-sof"
+
+    assert classify_jpeg(b"\xff\xd8\xff\x00garbage") == "malformed"
+    assert classify_jpeg(b"not a jpeg") == "malformed"
+    # truncated mid-stream: SOI+APP0 then nothing
+    assert classify_jpeg(baseline[:6]) == "malformed"
+    # corrupt baseline still lands in the corrupt channel
+    assert _decode(b"\xff\xd8\xff\xdb junk")["decoder"] == "fake-v0-invalid"
