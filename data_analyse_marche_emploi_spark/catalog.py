@@ -1421,23 +1421,67 @@ def dedup_lines_global(spark, sf_dir):
     return line_dedup_global(d, "text", "doc_id", segment_tokens=8)
 
 
-@register("dedup_simhash")  # hash-family specific → rows-only check
+_SIMHASH_ORACLE_CTE = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS hv
+      FROM tok
+    ),
+    v AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (hv >> CAST(j AS INT)) & 1 = 1
+                      THEN 1 ELSE -1 END) AS vote
+      FROM h, (SELECT unnest(range(60)) AS j) r
+      GROUP BY doc_id, j
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN vote > 0
+                           THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM v GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=_SIMHASH_ORACLE_CTE + "SELECT doc_id, simhash FROM s",
+)
 def dedup_simhash(spark, sf_dir):
-    """64-bit SimHash sketch per document (token votes on bits)."""
+    """SimHash sketch per document (token votes on bits), in the
+    md5-derived 60-bit replayable family so the sketch VALUES carry a
+    full cross-engine differential oracle (the 64-bit xxhash64 family
+    is the default fast path in operators/dedup.py — same algorithm,
+    different token-hash function)."""
     from .operators.dedup import simhash
 
     d = _t(spark, sf_dir, "documents")
-    return simhash(d, "text", "doc_id")
+    return simhash(d, "text", "doc_id", hash_fn="md5")
 
 
-@register("dedup_simhash_pairs")  # hash-family specific → rows-only check
+@register(
+    "dedup_simhash_pairs",
+    oracle=_SIMHASH_ORACLE_CTE + """
+    SELECT a.doc_id AS i, b.doc_id AS j,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM s a, s b
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (Hamming ≤ 3) via 16-bit chunk banding
-    (pigeonhole) — no all-pairs stage."""
+    """SimHash near-dup pairs (Hamming ≤ 3) via 15-bit chunk banding —
+    no all-pairs stage, and EXACT by pigeonhole (distance ≤ 3 over 4
+    chunks ⇒ one chunk equal), which is why a brute-force SQL oracle
+    can replay the banded plan's entire output value-for-value."""
     from .operators.dedup import simhash_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_pairs(d, "text", "doc_id", max_hamming=3)
+    return simhash_pairs(d, "text", "doc_id", max_hamming=3, hash_fn="md5")
 
 
 @register(

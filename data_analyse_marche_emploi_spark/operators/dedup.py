@@ -289,32 +289,50 @@ def minhash_lsh_pairs(
 # --- SimHash --------------------------------------------------------------
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash per document: each token votes ±1 on every bit of
-    xxhash64(token); the sketch keeps the sign. Per-row expressions,
-    zero shuffle (the repartitions below are optimizer barriers /
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """SimHash sketch per document: each token votes ±1 on every bit of
+    its hash; the sketch keeps the sign. Per-row expressions, zero
+    shuffle (the repartitions below are optimizer barriers /
     parallelism spreads, not key exchanges).
 
-    Tokens are hashed once into ``th``; the 64 bit-votes fold over the
+    ``hash_fn="xxhash64"`` (default, 64-bit sketch) is the fast scale
+    path. ``hash_fn="md5"`` derives a 60-bit token hash from the first
+    15 hex chars of md5 — slower, but byte-replayable in any engine
+    with md5 (DuckDB included), which is what lets the catalog entry
+    carry a full value-hash differential oracle instead of a rows-only
+    check. Same algorithm either way; only the token-hash family and
+    sketch width (60 vs 64 bits) differ.
+
+    Tokens are hashed once into ``th``; the bit-votes fold over the
     cached hashes. Barriers between the projections stop CollapseProject
-    from inlining tokenize+hash into all 64 interpreted vote lambdas.
+    from inlining tokenize+hash into all interpreted vote lambdas.
     """
+    if hash_fn == "md5":
+        n_bits = 60
+        th = (
+            f"transform(split({text_col}, ' '), "
+            "t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
+        )
+    elif hash_fn == "xxhash64":
+        n_bits = 64
+        th = f"transform(split({text_col}, ' '), t -> xxhash64(t))"
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     n_part = df.sparkSession.sparkContext.defaultParallelism
     hashed = (
         df.select(F.col(id_col), F.col(text_col))
         .repartition(n_part)
-        .select(
-            F.col(id_col),
-            F.expr(f"transform(split({text_col}, ' '), t -> xxhash64(t))").alias("th"),
-        )
+        .select(F.col(id_col), F.expr(th).alias("th"))
         .repartition(n_part)
     )
     votes = (
-        "transform(sequence(0, 63), j -> aggregate(th, 0, "
+        f"transform(sequence(0, {n_bits - 1}), j -> aggregate(th, 0, "
         "(acc, h) -> acc + CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END))"
     )
     pack = (
-        "aggregate(sequence(0, 63), 0L, "
+        f"aggregate(sequence(0, {n_bits - 1}), 0L, "
         "(acc, j) -> acc | (CASE WHEN votes[j] > 0 THEN shiftleft(1L, j) ELSE 0L END))"
     )
     return (
@@ -324,20 +342,35 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def simhash_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
-    Banded on the four 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at
-    least one of 4 chunks equal), so candidate generation joins on a
-    16-bit key instead of all-pairs."""
+    Banded on four equal-width sketch chunks (pigeonhole: distance ≤ 3
+    ⇒ at least one of 4 chunks equal — EXACT recall, not
+    probabilistic), so candidate generation joins on a small chunk key
+    instead of all-pairs. With ``hash_fn="md5"`` (60-bit sketch, 15-bit
+    chunks) the whole output is replayable by a brute-force SQL oracle;
+    the default 64-bit xxhash64 sketch uses 16-bit chunks."""
+    n_bits = 60 if hash_fn == "md5" else 64
+    cw = n_bits // 4  # chunk width
     # Sketches feed both sides of the chunk self-join: compute once.
-    sh = simhash(df, text_col, id_col).select(F.col(id_col).alias("doc"), "simhash").persist()
+    sh = (
+        simhash(df, text_col, id_col, hash_fn=hash_fn)
+        .select(F.col(id_col).alias("doc"), "simhash")
+        .persist()
+    )
     chunks = sh.select(
         "doc",
         "simhash",
         F.explode(
             F.expr(
                 "transform(sequence(0, 3), c -> struct(c as chunk, "
-                "shiftright(simhash, c * 16) & 65535 as ck))"
+                f"shiftright(simhash, c * {cw}) & {(1 << cw) - 1} as ck))"
             )
         ).alias("cc"),
     ).select("doc", "simhash", "cc.chunk", "cc.ck")
