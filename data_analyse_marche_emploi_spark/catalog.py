@@ -4333,24 +4333,59 @@ def agg_kll_quantiles(spark, sf_dir):
     return kll_rollup_quantiles(cells, [], probs=[0.25, 0.5, 0.75, 0.95])
 
 
-@register("agg_theta_overlap", oracle=None)
+@register(
+    "agg_theta_overlap",
+    # A theta sketch is EXACT below its nominal entry count (2^12 =
+    # 4096): the fixture holds ≤1500 distinct users at every tested SF,
+    # so union/intersection/difference estimates must equal the exact
+    # set algebra to the last bit — a full differential on the sketch
+    # path in its exact regime (the ≥4096 estimation regime is pinned
+    # separately by test_theta_algebra_error_bound).
+    oracle="""
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT
+      CAST((SELECT count(*) FROM (SELECT user_id FROM c
+                                  UNION SELECT user_id FROM p)) AS BIGINT)
+        AS union_est,
+      CAST((SELECT count(*) FROM c WHERE user_id IN (SELECT user_id FROM p))
+           AS BIGINT) AS intersect_est,
+      CAST((SELECT count(*) FROM c
+            WHERE user_id NOT IN (SELECT user_id FROM p)) AS BIGINT)
+        AS a_minus_b_est,
+      CAST((SELECT count(*) FROM p
+            WHERE user_id NOT IN (SELECT user_id FROM c)) AS BIGINT)
+        AS b_minus_a_est
+    """,
+)
 def agg_theta_overlap(spark, sf_dir):
     """Audience set algebra from sketches: distinct users who clicked
     AND purchased / clicked but never purchased, etc. — no user-level
     join anywhere; two kilobyte sketches and four scalar expressions.
-    Rows-only (estimates); test_theta_algebra_error_bound pins ≤5%
-    against the exact join-based answers."""
+    Differentially checked against exact set algebra (sketches are in
+    their exact sub-nominal regime at fixture scale);
+    test_theta_algebra_error_bound pins ≤5% in the estimation regime."""
     from .operators.sketches import theta_segment_algebra
 
     e = _t(spark, sf_dir, "events")
     return theta_segment_algebra(e, "event_type", "user_id", "click", "purchase")
 
 
-@register("agg_theta_distinct", oracle=None)
+@register(
+    "agg_theta_distinct",
+    # exact-regime differential: see agg_theta_overlap
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_est
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_theta_distinct(spark, sf_dir):
     """Theta-sketch distinct users per event type — same mergeable
     contract as HLL but the sketches additionally support set algebra
-    (intersection/difference across segments) downstream."""
+    (intersection/difference across segments) downstream. Checked
+    value-exact against COUNT(DISTINCT) in the sketch's sub-nominal
+    exact regime."""
     from .operators.sketches import theta_distinct
 
     e = _t(spark, sf_dir, "events")
