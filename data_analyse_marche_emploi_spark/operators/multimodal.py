@@ -555,13 +555,23 @@ def synth_jpeg(docs: DataFrame, id_col: str) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        # the fixture space is tiny ((id%6 dims) × (id%256 values) =
+        # 1536 distinct payloads): memoize per worker so the pure-
+        # Python encoder runs once per distinct image, not once per
+        # row. The decode side — the thing under test — still runs on
+        # every row.
+        cache: dict[int, bytes] = {}
         for pdf in it:
             payloads = []
             for i in pdf[id_col]:
                 i = int(i)
-                w, h = 16 + 8 * (i % 3), 8 + 8 * (i % 2)
-                px = np.full((h, w, 1), i % 256, dtype=np.uint8)
-                payloads.append(encode_jpeg(px))
+                key = (i % 6) * 256 + (i % 256)
+                payload = cache.get(key)
+                if payload is None:
+                    w, h = 16 + 8 * (i % 3), 8 + 8 * (i % 2)
+                    px = np.full((h, w, 1), i % 256, dtype=np.uint8)
+                    payload = cache[key] = encode_jpeg(px)
+                payloads.append(payload)
             yield pd.DataFrame({"doc_id": pdf[id_col], "media": payloads})
 
     return docs.select(id_col).mapInPandas(batches, "doc_id long, media binary")
@@ -674,17 +684,25 @@ def synth_mjpeg_mp4(docs: DataFrame, id_col: str) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        # all frames are flat 16×8 grays: at most 256 distinct coded
+        # frames exist, so memoize the pure-Python encoder per worker.
+        # The sample-table walk + per-frame decode under test still
+        # run on every row.
+        frame_cache: dict[int, bytes] = {}
+
+        def frame(v: int) -> bytes:
+            f = frame_cache.get(v)
+            if f is None:
+                f = frame_cache[v] = encode_jpeg(
+                    np.full((8, 16, 1), v, dtype=np.uint8)
+                )
+            return f
+
         for pdf in it:
             payloads = []
             for i in pdf[id_col]:
                 i = int(i)
-                frames = [
-                    encode_jpeg(
-                        np.full((8, 16, 1), (i * 31 + 17 * k) % 256,
-                                dtype=np.uint8)
-                    )
-                    for k in range(1 + i % 4)
-                ]
+                frames = [frame((i * 31 + 17 * k) % 256) for k in range(1 + i % 4)]
                 payloads.append(encode_mjpeg_mp4(frames, width=16, height=8))
             yield pd.DataFrame({"doc_id": pdf[id_col], "media": payloads})
 
