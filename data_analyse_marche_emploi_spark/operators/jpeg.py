@@ -239,7 +239,8 @@ def decode_jpeg(payload: bytes) -> dict:
     ValueError; fuzz-pinned in test_codec_fuzz.py)."""
     try:
         return _decode_impl(payload)
-    except (struct.error, IndexError, KeyError, OverflowError) as e:
+    except (struct.error, IndexError, KeyError, OverflowError,
+            ZeroDivisionError) as e:
         raise ValueError(f"malformed JPEG stream: {e!r}") from None
 
 
@@ -280,7 +281,15 @@ def _decode_impl(payload: bytes) -> dict:
             comps = []
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+                hs, vs = hv >> 4, hv & 0xF
+                # T.81 B.2.2: sampling factors are 1..4. A corrupt 0
+                # reaches the MCU-grid division and leaked as
+                # ZeroDivisionError (exhaustive bit-flip audit, r5).
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError("corrupt SOF: sampling factor out of 1..4")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
+            if w == 0 or h == 0:
+                raise ValueError("corrupt SOF: zero dimension")
             frame = {"w": w, "h": h, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
