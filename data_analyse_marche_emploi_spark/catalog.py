@@ -4505,10 +4505,13 @@ _DRIVER_WINDOW = [
     "mixture_stratified_sample",
     "mixture_train_split",
     "emb_quantize",
-    # rows-only proofs (no SQL oracle by nature; driver records rows)
+    # upgraded to full value-hash oracles this round: simhash runs the
+    # md5-derived replayable family, theta overlap is checked in the
+    # sketch's sub-nominal exact regime
     "dedup_simhash",
     "dedup_simhash_pairs",
     "agg_theta_overlap",
+    # rows-only proofs (no SQL oracle by nature; driver records rows)
     "agg_kll_quantiles",
     "stream_distinct_users",
 ]

@@ -827,9 +827,16 @@ def line_dedup_global(
         f"AS INT)) - 1), i -> concat_ws(' ', slice({toks}, i * {n} + 1, {n})))"
     )
     if key_mode == "hash":
+        # Argument ORDER matters for independence: Spark's multi-arg
+        # xxhash64 chains the running hash as the seed, so
+        # xxhash64(s, 1) = XXH64(1, seed=xxhash64(s)) — a pure function
+        # of the first hash, adding zero collision resistance. Hashing
+        # the salt FIRST (xxhash64(1, s) = XXH64(s, seed=XXH64(1, 42)))
+        # hashes the string under a different fixed seed, giving a
+        # genuinely independent second 64 bits.
         hseg_expr = (
             f"transform({seg_expr}, "
-            "s -> struct(xxhash64(s) AS h1, xxhash64(s, 1) AS h2))"
+            "s -> struct(xxhash64(s) AS h1, xxhash64(1, s) AS h2))"
         )
         segs = docs.select(
             F.col(id_col).alias("__id"),

@@ -134,10 +134,12 @@ def _parse_impl(payload: bytes) -> dict:
 
 def extract_video_samples(payload: bytes, max_samples: int | None = None) -> dict:
     """Walk the first video track's sample table and return
-    ``{"format": fourcc, "samples": [bytes, ...]}`` — each element is
-    one coded frame, located via stsz (sizes) + stsc (sample→chunk
-    runs) + stco/co64 (chunk offsets). Raises ValueError on missing or
-    malformed tables (never struct.error/IndexError — fuzz-pinned).
+    ``{"format": fourcc, "samples": [bytes, ...], "width": w,
+    "height": h}`` — each sample is one coded frame, located via stsz
+    (sizes) + stsc (sample→chunk runs) + stco/co64 (chunk offsets);
+    width/height are the track header's 16.16 dims (0 if tkhd absent).
+    Raises ValueError on missing or malformed tables (never
+    struct.error/IndexError — fuzz-pinned).
     The caller decides decodability from the fourcc ('jpeg' → the
     in-repo T.81 decoder; anything else is an opaque bitstream here)."""
     try:
@@ -153,6 +155,7 @@ def _extract_samples_impl(payload: bytes, max_samples: int | None) -> dict:
     if moov is None:
         raise ValueError("missing moov box")
     stbl = None
+    track_w = track_h = 0
     for t, b, e in _walk(payload, moov[0], moov[1]):
         if t != b"trak":
             continue
@@ -162,6 +165,10 @@ def _extract_samples_impl(payload: bytes, max_samples: int | None) -> dict:
         hdlr = _find(payload, mdia[0], mdia[1], b"hdlr")
         if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
             continue
+        tkhd = _find(payload, b, e, b"tkhd")
+        if tkhd is not None:
+            w_fx, h_fx = struct.unpack_from(">II", payload, tkhd[1] - 8)
+            track_w, track_h = w_fx >> 16, h_fx >> 16
         minf = _find(payload, mdia[0], mdia[1], b"minf")
         if minf is None:
             continue
@@ -224,7 +231,8 @@ def _extract_samples_impl(payload: bytes, max_samples: int | None) -> dict:
         pos = offsets[ci]
         for _ in range(spc):
             if si >= limit:
-                return {"format": fourcc, "samples": samples}
+                return {"format": fourcc, "samples": samples,
+                        "width": track_w, "height": track_h}
             if si >= n_samples:
                 break
             end = pos + sizes[si]
@@ -235,7 +243,8 @@ def _extract_samples_impl(payload: bytes, max_samples: int | None) -> dict:
             si += 1
     if si < limit:
         raise ValueError("chunk map covers fewer samples than stsz declares")
-    return {"format": fourcc, "samples": samples}
+    return {"format": fourcc, "samples": samples,
+            "width": track_w, "height": track_h}
 
 
 def _box(btype: bytes, body: bytes) -> bytes:
@@ -261,7 +270,10 @@ def encode_minimal_mp4(duration: int, timescale: int = 1000,
     is_video = width > 0 and height > 0
     tkhd = _box(
         b"tkhd",
-        struct.pack(">BxxxIIIxxxxI", 0, 0, 0, 1, duration)
+        # version 0, flags 3 (track_enabled | track_in_movie — the three
+        # bytes AFTER the version byte; 'xxx' pad here would write
+        # flags=0, a disabled track per ISO 14496-12)
+        struct.pack(">B3sIIIxxxxI", 0, b"\x00\x00\x03", 0, 0, 1, duration)
         + b"\x00" * 8
         + struct.pack(">HHHxx", 0, 0, 0 if is_video else 0x0100)
         + struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
@@ -314,7 +326,11 @@ def encode_mjpeg_mp4(frames: list[bytes], timescale: int = 1000,
         )
         tkhd = _box(
             b"tkhd",
-            struct.pack(">BxxxIIIxxxxI", 0, 3, 0, 1, duration)
+            # flags=3 goes in the 3 bytes after version; the earlier
+            # ">Bxxx...3..." form zeroed flags and wrote 3 into
+            # creation_time (spec-strict players treat flags=0 as a
+            # DISABLED track)
+            struct.pack(">B3sIIIxxxxI", 0, b"\x00\x00\x03", 0, 0, 1, duration)
             + b"\x00" * 8
             + struct.pack(">HHHxx", 0, 0, 0)
             + struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0,

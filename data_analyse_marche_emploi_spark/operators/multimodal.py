@@ -748,7 +748,9 @@ def sample_video_frames(media_df: DataFrame, max_frames: int = 4,
                             mean = -1.0
                             tag = "mp4-mjpeg-v1-corrupt"
                     else:
-                        w = h = 0
+                        # container-true dims from the track header;
+                        # the bitstream itself stays opaque (no codec)
+                        w, h = out["width"], out["height"]
                         mean = -1.0
                         tag = f"mp4-opaque-{out['format']}"
                     ids.append(doc_id)

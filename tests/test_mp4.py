@@ -98,3 +98,56 @@ def test_sample_frames_slices_inside_mdat(spark):
     for r in rows:
         assert r["decoder"] == "mp4-slice-v1"
         assert set(r["frame_bytes"]) == {0xAB}
+
+
+def test_tkhd_flags_enable_track():
+    """tkhd flags must be 3 (track_enabled | track_in_movie) in the 3
+    bytes after the version byte — the earlier pack pattern zeroed the
+    flags (a DISABLED track for spec-strict players) and wrote the
+    intended value into creation_time."""
+    from data_analyse_marche_emploi_spark.operators import jpeg as J
+    from data_analyse_marche_emploi_spark.operators import mp4 as M4
+    import numpy as np
+
+    px = np.full((8, 8, 1), 9, dtype=np.uint8)
+    for payload in (
+        M4.encode_minimal_mp4(duration=1000, width=16, height=16, mdat=b"x"),
+        M4.encode_mjpeg_mp4([J.encode_jpeg(px)], width=8, height=8),
+    ):
+        i = payload.index(b"tkhd")
+        version_and_flags = payload[i + 4 : i + 8]
+        assert version_and_flags == b"\x00\x00\x00\x03"
+        # and creation_time (next 4 bytes) is 0, not a misplaced 3
+        assert payload[i + 8 : i + 12] == b"\x00\x00\x00\x00"
+
+
+def test_extract_samples_returns_track_dims_for_opaque_codecs(spark):
+    """A non-MJPEG video track must surface container-true dimensions
+    on its opaque frame rows (the docstring contract) — not 0×0."""
+    from data_analyse_marche_emploi_spark.operators import jpeg as J
+    from data_analyse_marche_emploi_spark.operators import mp4 as M4
+    from data_analyse_marche_emploi_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    import numpy as np
+
+    px = np.full((8, 8, 1), 5, dtype=np.uint8)
+    payload = bytearray(M4.encode_mjpeg_mp4([J.encode_jpeg(px)] * 2,
+                                            width=48, height=32))
+    # rewrite the stsd sample-entry fourcc 'jpeg' -> 'avc1' (the stsd
+    # occurrence, not the frame bytes: take the LAST index before mdat)
+    i = payload.index(b"stsd")
+    j = payload.index(b"jpeg", i)
+    payload[j : j + 4] = b"avc1"
+    out = M4.extract_video_samples(bytes(payload))
+    assert out["format"] == "avc1"
+    assert (out["width"], out["height"]) == (48, 32)
+
+    df = spark.createDataFrame([(1, bytes(payload))], "doc_id long, media binary")
+    rows = sample_video_frames(df).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["decoder"] == "mp4-opaque-avc1"
+        assert (r["width"], r["height"]) == (48, 32)
+        assert r["mean_pixel"] == -1.0

@@ -28,5 +28,9 @@ def test_every_oracle_has_a_query():
 
 
 def test_driver_window_is_50_registered_entries():
-    names = list(catalog.QUERIES)[:50]
-    assert len(set(names)) == 50
+    """The driver samples the first 50 registry entries; the window
+    list must be exactly 50 names and actually control that prefix
+    (a prior version of this test only checked dict-key uniqueness,
+    which dict semantics guarantee — vacuous)."""
+    assert len(catalog._DRIVER_WINDOW) == 50
+    assert list(catalog.QUERIES)[:50] == catalog._DRIVER_WINDOW
