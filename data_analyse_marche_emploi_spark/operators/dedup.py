@@ -208,6 +208,14 @@ def _band_buckets(sigs: DataFrame, id_col: str, k: int, bands: int) -> DataFrame
     """(doc, band, bh) rows from MinHash signatures — the LSH banding
     shared by the batch (minhash_lsh_pairs) and rolling-ingest
     (incremental_dedup) paths, so the band math lives once."""
+    if bands < 1 or bands > k or k % bands:
+        # bands > k would make every band hash the EMPTY slice (one
+        # global bucket → the O(n²) cross product LSH exists to avoid);
+        # a non-dividing bands silently ignores the signature tail —
+        # both are configuration bugs, fail loudly.
+        raise ValueError(
+            f"bands must divide the signature length: k={k}, bands={bands}"
+        )
     r = k // bands
     return sigs.select(
         F.col(id_col).alias("doc"),
@@ -442,6 +450,7 @@ def connected_components(
                 lo, hi = (ri, rj) if ri < rj else (rj, ri)
                 parent[hi] = lo
         mapping = [(x, find(x)) for x in list(parent)]
+        edges.unpersist()  # fully consumed (count + collect) above
         if not mapping:
             return nodes.select(F.col("id"), F.col("id").alias("comp"))
         from pyspark.sql.types import StructField, StructType
@@ -465,6 +474,7 @@ def connected_components(
         .persist()
     )
     labels = nodes.select(F.col("id"), F.col("id").alias("comp")).persist()
+    changed = 1
     for _ in range(max_iter):
         # neighbor labels: for node b, the labels of all its neighbors a
         neighbor = (
@@ -478,6 +488,16 @@ def connected_components(
                 "comp"
             ),
         )
+        # Pointer jumping: comp <- label(comp). Neighbor-min alone
+        # needs diameter iterations (a 22-long duplicate chain would
+        # exhaust max_iter); the jump halves the remaining distance
+        # each round, so max_iter=20 covers diameters ~2^20.
+        jump = new_labels.select(
+            F.col("id").alias("__jid"), F.col("comp").alias("__jcomp")
+        )
+        new_labels = new_labels.join(
+            jump, new_labels["comp"] == jump["__jid"], "left"
+        ).select("id", F.coalesce("__jcomp", "comp").alias("comp"))
         # Break lineage each round: without this, iteration i's plan
         # contains all i-1 previous joins (classic iterative-algorithm
         # plan blowup; at scale use reliable checkpoint instead).
@@ -494,6 +514,15 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    edges.unpersist()
+    if changed != 0:
+        # returning non-converged labels would silently split true
+        # clusters (several is_canonical rows per duplicate family)
+        raise ValueError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations — raise max_iter (pointer-jumping makes each "
+            "iteration halve the remaining label distance)"
+        )
     return labels
 
 
@@ -524,14 +553,23 @@ def canonical_by_score(
     One shuffle on cluster_id; clusters are near-dup families (small),
     so the per-partition window never sees a pathological key unless
     the corpus is one giant duplicate class — which max_df / LSH
-    thresholds bound upstream."""
+    thresholds bound upstream.
+
+    ``scores`` may be PARTIAL (a quality signal that skipped short
+    docs, say): unscored members are kept and ranked behind every
+    scored one (NULL score sorts last, id tiebreak) — an inner join
+    here would silently DELETE them from the dedup resolution, and if
+    a cluster's only scored member were its worst copy, promote it
+    while the unscored best copy vanished."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("cluster_id").orderBy(
-        F.desc(score_col), F.asc(id_col)
+        F.desc_nulls_last(score_col), F.asc(id_col)
     )
     return (
-        clustered.join(scores.select(F.col(id_col), F.col(score_col)), id_col)
+        clustered.join(
+            scores.select(F.col(id_col), F.col(score_col)), id_col, "left"
+        )
         .withColumn("__rk", F.row_number().over(w))
         .withColumn("is_canonical", F.col("__rk") == 1)
         .drop("__rk")
@@ -913,7 +951,7 @@ def embedding_lsh_pairs(
 
     Returns (i, j, cos6) with i < j, distinct across tables.
     """
-    from .similarity import anchor_planes, anchor_signatures
+    from .similarity import _cos6, anchor_planes, anchor_signatures
 
     planes = anchor_planes(vectors, vec_col, id_col, bits, n_tables)
 
@@ -938,7 +976,7 @@ def embedding_lsh_pairs(
     return (
         cand.join(vi, "i")
         .join(vj, "j")
-        .withColumn("cos6", F.floor(cosine_expr("__vi", "__vj") * 1e6).cast("long"))
+        .withColumn("cos6", _cos6("__vi", "__vj"))
         .filter(F.col("cos6") >= int(threshold * 1e6))
         .select("i", "j", "cos6")
     )

@@ -129,7 +129,16 @@ def grouped_prefix_sum(
     off_type, zero = _sum_offset_type(df, value_col)
     acc: dict[tuple, object] = {}
     offsets = []
-    for r in sorted(totals, key=lambda r: (tuple(r[c] for c in group_cols), r["__pid"])):
+
+    def gkey(r):
+        # NULL-safe ordering: a raw tuple key raises TypeError the
+        # moment one group value is None next to a non-None one (NULL
+        # groups are routine for real data — a language column with
+        # undetected rows). (present, value) sorts NULLs first,
+        # matching repartitionByRange's NULLS FIRST.
+        return tuple((r[c] is not None, r[c]) for c in group_cols)
+
+    for r in sorted(totals, key=lambda r: (gkey(r), r["__pid"])):
         g = tuple(r[c] for c in group_cols)
         offsets.append((r["__pid"], *g, acc.get(g, zero)))
         acc[g] = acc.get(g, zero) + (r["t"] if r["t"] is not None else zero)
@@ -144,8 +153,18 @@ def grouped_prefix_sum(
         ]
     )
     off_dim = spark.createDataFrame(offsets, off_schema)
+    # NULL-safe join keys: a plain equi-join never matches NULL group
+    # values, which would silently DROP every null-group row from the
+    # output instead of prefix-summing it.
+    renames = {"__pid": "__opid", **{c: f"__og_{c}" for c in group_cols}}
+    off = off_dim
+    for old, new in renames.items():
+        off = off.withColumnRenamed(old, new)
+    cond = F.col("__pid") == F.col("__opid")
+    for c in group_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__og_{c}"))
     return (
-        local.join(F.broadcast(off_dim), ["__pid", *group_cols])
+        local.join(F.broadcast(off), cond)
         .withColumn(out_col, F.col("__off") + F.col("__local"))
-        .drop("__pid", "__off", "__local")
+        .drop("__pid", "__off", "__local", *renames.values())
     )

@@ -66,7 +66,13 @@ def knn_brute_force(
             for qi in range(sims.shape[0]):
                 row = sims[qi]
                 mask = nids != qids[qi]
-                cand_idx = np.argsort(-row)[: depth + 1]
+                # Cut by the CONTRACT ordering (1e-6 bucket desc, nid
+                # asc), not raw fp64: with >depth same-bucket ties in
+                # one batch, a raw-score cut can drop the low-nid
+                # members the final (cos6, nid) window would rank in
+                # the top-k. lexsort's last key is primary.
+                bucket = np.floor(row * 1e6)
+                cand_idx = np.lexsort((nids, -bucket))[: depth + 1]
                 for ci in cand_idx:
                     if mask[ci]:
                         out_q.append(qids[qi])
@@ -88,7 +94,7 @@ def knn_brute_force(
             ),
             "qid",
         )
-        .withColumn("cos6", F.floor(cosine_expr("qv", "nv") * 1e6).cast("long"))
+        .withColumn("cos6", _cos6("qv", "nv"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos6"), F.asc("nid"))
     return (
@@ -207,9 +213,25 @@ def ann_ivf(
     )
 
     def nearest_lists(df: DataFrame, idc: str, vc: str, n: int, out: str) -> DataFrame:
-        scored = df.join(F.broadcast(cent)).withColumn(
-            "__ccos", F.floor(cosine_expr(vc, "cv") * 1e6).cast("long")
-        )
+        scored = df.join(F.broadcast(cent)).withColumn("__ccos", _cos6(vc, "cv"))
+        if n == 1:
+            # Corpus-side assignment: a per-id window would shuffle the
+            # corpus ×n_centroids (vectors included) through an
+            # exchange just to pick the argmax; max_by partial-
+            # aggregates the broadcast-join output map-side to ONE row
+            # per id before any exchange. Ordering struct (__ccos,
+            # -cid) reproduces (cos desc, cid asc) exactly — cid is
+            # unique per group, so the argmax is deterministic.
+            return (
+                scored.groupBy(idc)
+                .agg(
+                    F.max_by(
+                        F.struct(F.col(vc).alias("v"), F.col("cid").alias("c")),
+                        F.struct(F.col("__ccos"), (-F.col("cid")).alias("nc")),
+                    ).alias("m")
+                )
+                .select(F.col(idc), F.col("m.v").alias(vc), F.col("m.c").alias(out))
+            )
         wq = Window.partitionBy(idc).orderBy(F.desc("__ccos"), F.asc("cid"))
         return (
             scored.withColumn("__crn", F.row_number().over(wq))
@@ -228,7 +250,7 @@ def ann_ivf(
     cand = v.join(
         F.broadcast(q),
         (F.col("list_id") == F.col("qlist_id")) & (F.col("qid") != F.col("nid")),
-    ).withColumn("cos6", F.floor(cosine_expr("qv", "nv") * 1e6).cast("long"))
+    ).withColumn("cos6", _cos6("qv", "nv"))
     w = Window.partitionBy("qid").orderBy(F.desc("cos6"), F.asc("nid"))
     return (
         cand.withColumn("rank", F.row_number().over(w))

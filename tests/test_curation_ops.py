@@ -364,3 +364,27 @@ def test_sample_weighted_rejects_fractional_weights(spark):
     df = spark.createDataFrame([(1, 0.9), (2, 0.1)], "doc_id long, w double")
     with pytest.raises(TypeError, match="integral weight"):
         sample_weighted(df, "doc_id", "w", target_k=1)
+
+
+def test_grouped_prefix_sum_null_group(spark):
+    """A NULL group value must neither crash the driver-side offset
+    sort (None vs str TypeError) nor vanish through the equi-join
+    (NULL keys never match a plain join): null-group rows form their
+    own stratum with a correct running sum."""
+    from pyspark.sql import functions as F
+
+    from data_analyse_marche_emploi_spark.operators.prefix_sum import (
+        grouped_prefix_sum,
+    )
+
+    rows = [("fr", 1, 10), (None, 2, 20), ("fr", 3, 30), (None, 4, 40),
+            ("en", 5, 50), (None, 6, 60)]
+    df = spark.createDataFrame(rows, "grp string, k int, v int")
+    got = {
+        (r["grp"], r["k"]): r["ps"]
+        for r in grouped_prefix_sum(df, ["grp"], ["k"], "v", "ps").collect()
+    }
+    assert len(got) == 6  # no row dropped
+    assert got[("fr", 1)] == 10 and got[("fr", 3)] == 40
+    assert got[("en", 5)] == 50
+    assert got[(None, 2)] == 20 and got[(None, 4)] == 60 and got[(None, 6)] == 120

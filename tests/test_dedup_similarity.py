@@ -404,3 +404,66 @@ def test_line_dedup_hash_and_text_modes_agree(spark):
     t = sorted(map(key, line_dedup_global(docs, "text", "doc_id", 4,
                                           key_mode="text").collect()))
     assert h == t
+
+
+def test_band_buckets_rejects_non_dividing_bands(spark):
+    """bands > k degenerates every band to the hash of an EMPTY slice
+    (one global bucket, O(n²) candidates); non-dividing bands silently
+    drop the signature tail. Both must fail loudly."""
+    import pytest
+
+    from data_analyse_marche_emploi_spark.operators.dedup import (
+        minhash_signatures,
+        _band_buckets,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(docs, "text", "doc_id", k=8)
+    with pytest.raises(ValueError):
+        _band_buckets(sigs, "doc_id", k=8, bands=16)
+    with pytest.raises(ValueError):
+        _band_buckets(sigs, "doc_id", k=8, bands=3)
+
+
+def test_canonical_by_score_keeps_unscored_members(spark):
+    """Partial score coverage must not delete cluster members: the
+    unscored doc stays in the output ranked behind scored ones, and a
+    cluster whose best copy is unscored does not silently promote a
+    scored worse copy ahead of... it does promote the scored one (NULL
+    sorts last) but KEEPS the unscored row."""
+    from data_analyse_marche_emploi_spark.operators.dedup import canonical_by_score
+
+    clustered = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9)], "doc_id long, q double"  # doc 3, 9 unscored
+    )
+    rows = {r["doc_id"]: r for r in
+            canonical_by_score(clustered, scores, "doc_id", "q").collect()}
+    assert set(rows) == {1, 2, 3, 9}  # nothing vanished
+    assert rows[2]["is_canonical"] is True       # best scored wins
+    assert rows[1]["is_canonical"] is False
+    assert rows[3]["is_canonical"] is False      # unscored ranks last
+    assert rows[9]["is_canonical"] is True       # lone unscored member
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A duplicate chain longer than max_iter must still resolve to ONE
+    component (pointer jumping gives O(log diameter) convergence; the
+    old neighbor-min-only loop silently returned split clusters)."""
+    from data_analyse_marche_emploi_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 40  # diameter 40 > max_iter 20
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "i long, j long"
+    )
+    out = connected_components(nodes, edges, driver_threshold=0, max_iter=20)
+    comps = {r["comp"] for r in out.collect()}
+    assert comps == {0}
