@@ -3618,6 +3618,34 @@ def multimodal_jpeg(spark, sf_dir):
 
 
 @register(
+    "multimodal_jpeg_progressive",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + 8 * (doc_id % 3) AS INTEGER) AS width,
+           CAST(16 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS channels,
+           (doc_id % 256 + (doc_id * 31) % 256) / 2.0 AS mean_pixel,
+           'jpeg-progressive-v1' AS decoder
+    FROM documents
+    """,
+)
+def multimodal_jpeg_progressive(spark, sf_dir):
+    """REAL progressive (SOF2) JPEG decode, driver-checkable: per-doc
+    two-band block-flat images encoded with a cjpeg-style scan script
+    (DC successive approximation, spectral-selection AC bands,
+    EOB-run-heavy AC scans, AC refinement — T.81 Annex G, the ~10 % of
+    real scraped corpora the baseline decoder can't read), decoded with
+    the dependency-free multi-scan decoder (operators/jpeg.py). Block-
+    flat + all-ones quantization makes the decode bit-exact, so the
+    mean pixel is an arithmetic function of doc_id the oracle recomputes
+    in SQL. Same mapInPandas shape as multimodal_jpeg: zero shuffle."""
+    from .operators.multimodal import extract_image_meta, synth_jpeg_progressive
+
+    d = _docs(spark, sf_dir)
+    return extract_image_meta(synth_jpeg_progressive(d, "doc_id"))
+
+
+@register(
     "multimodal_png",
     oracle="""
     SELECT doc_id,
@@ -4511,8 +4539,9 @@ _DRIVER_WINDOW = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "agg_theta_overlap",
-    # rows-only proofs (no SQL oracle by nature; driver records rows)
-    "agg_kll_quantiles",
+    # new this round: full Annex G progressive JPEG decode
+    "multimodal_jpeg_progressive",
+    # rows-only proof (no SQL oracle by nature; driver records rows)
     "stream_distinct_users",
 ]
 

@@ -8,11 +8,15 @@ Python/numpy; the IDCT is a vectorized orthonormal DCT-II matrix
 product over all blocks at once, so decode cost is dominated by the
 (tiny, per-coefficient) Huffman bit walk.
 
-Scope: baseline sequential DCT (SOF0), 8-bit precision, 1 or 3
-components, any JFIF sampling whose factors divide the max (covers
-4:4:4, 4:2:2, 4:2:0), DRI/RSTn restart markers. Progressive (SOF2),
-arithmetic coding, and 12-bit raise ValueError — callers route that to
-the documented fallback, same contract as truncated WAV/PPM.
+Scope: baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2 —
+spectral selection + successive approximation, the full T.81 Annex G
+Huffman feature set: interleaved/non-interleaved DC scans, per-band AC
+scans, EOB runs, DC/AC refinement scans; ~10 % of real scraped corpora
+is progressive), 8-bit precision, 1 or 3 components, any JFIF sampling
+whose factors divide the max (covers 4:4:4, 4:2:2, 4:2:0), DRI/RSTn
+restart markers. Arithmetic coding, lossless/hierarchical SOFs, and
+12-bit raise ValueError — callers route that to the documented
+fallback, same contract as truncated WAV/PPM.
 
 The encoder exists to manufacture deterministic test payloads (the
 container has no image files): 4:4:4 or forced-4:2:0, caller-supplied
@@ -250,6 +254,7 @@ def _decode_impl(payload: bytes) -> dict:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    prog_state = None
     restart_interval = 0
     pos = 2
     n = len(payload)
@@ -274,7 +279,7 @@ def _decode_impl(payload: bytes) -> dict:
                     raise ValueError("16-bit quantization tables unsupported")
                 qt[tq] = np.frombuffer(body, np.uint8, 64, i + 1).astype(np.int32)
                 i += 65
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline(-ish) sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -290,10 +295,13 @@ def _decode_impl(payload: bytes) -> dict:
                 comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
             if w == 0 or h == 0:
                 raise ValueError("corrupt SOF: zero dimension")
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
-            raise ValueError("only baseline sequential DCT (SOF0/1) supported")
+            raise ValueError(
+                "only baseline (SOF0/1) and progressive (SOF2) DCT supported"
+            )
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -309,11 +317,6 @@ def _decode_impl(payload: bytes) -> dict:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
-            if ns != len(frame["comps"]):
-                # a non-interleaved multi-scan baseline file would need
-                # further SOS segments we don't process — mis-decoding
-                # silently is worse than refusing
-                raise ValueError("non-interleaved multi-scan JPEG unsupported")
             scan = []
             for c in range(ns):
                 cs, tables = struct.unpack_from(">BB", body, 1 + 2 * c)
@@ -322,10 +325,30 @@ def _decode_impl(payload: bytes) -> dict:
                     raise ValueError(f"SOS references unknown component {cs}")
                 scan.append((matches[0], tables >> 4, tables & 0xF))
             data_start = pos + 2 + seg_len
-            return _decode_scan(
-                payload, data_start, frame, scan, qt, huff, restart_interval
+            if not frame["progressive"]:
+                if ns != len(frame["comps"]):
+                    # a non-interleaved multi-scan baseline file would
+                    # need further SOS segments we don't process —
+                    # mis-decoding silently is worse than refusing
+                    raise ValueError(
+                        "non-interleaved multi-scan baseline JPEG unsupported"
+                    )
+                return _decode_scan(
+                    payload, data_start, frame, scan, qt, huff,
+                    restart_interval,
+                )
+            # progressive: Ss/Se/AhAl follow the component specs
+            ss, se, ahal = struct.unpack_from(">BBB", body, 1 + 2 * ns)
+            if prog_state is None:
+                prog_state = _init_progressive_state(frame)
+            pos = _decode_progressive_scan(
+                payload, data_start, frame, scan, huff, restart_interval,
+                prog_state, ss, se, ahal >> 4, ahal & 0xF,
             )
+            continue
         pos += 2 + seg_len
+    if prog_state is not None:
+        return _finish_progressive(frame, prog_state, qt)
     raise ValueError("no SOS marker found")
 
 
@@ -395,9 +418,18 @@ def _decode_scan(payload, pos, frame, scan, qt, huff, restart_interval):
                         col = mx * c["h"] + bx
                         planes[ci][row * (mcus_x * c["h"]) + col] = blk.reshape(8, 8)
             mcu_index += 1
-    # IDCT all blocks of each component at once, assemble planes
+    return _assemble([c for c, _, _ in scan], planes, mcus_x, mcus_y, w, h,
+                     "baseline")
+
+
+def _assemble(comps, planes, mcus_x, mcus_y, w, h, mode):
+    """Dequantized (n, 8, 8) coefficient blocks per component → final
+    pixel dict (IDCT, plane crop, chroma upsample, color convert).
+    Shared by the baseline and progressive paths."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     out_planes = []
-    for ci, (c, _, _) in enumerate(scan):
+    for ci, c in enumerate(comps):
         bw, bh = mcus_x * c["h"], mcus_y * c["v"]
         spatial = _idct_blocks(planes[ci]) + 128.0
         plane = (
@@ -415,14 +447,242 @@ def _decode_scan(payload, pos, frame, scan, qt, huff, restart_interval):
         out_planes.append(plane[:h, :w])
     if len(out_planes) == 1:
         pix = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
-        return {"width": w, "height": h, "channels": 1, "pixels": pix[:, :, None]}
+        return {"width": w, "height": h, "channels": 1,
+                "pixels": pix[:, :, None], "mode": mode}
     y, cb, cr = out_planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     pix = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-    return {"width": w, "height": h, "channels": 3, "pixels": pix}
+    return {"width": w, "height": h, "channels": 3, "pixels": pix,
+            "mode": mode}
+
+
+# --- progressive decoder (T.81 Annex G, Huffman) ---------------------------
+
+
+def _init_progressive_state(frame) -> dict:
+    """Per-component coefficient accumulators for the multi-scan walk:
+    int32 (n_blocks, 64) arrays in ZIGZAG order, sized to the MCU-padded
+    grid (interleaved DC scans address it in MCU order; non-interleaved
+    AC scans address the ceil(component-dim/8) prefix of each row)."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    coef = {}
+    for c in comps:
+        bw, bh = mcus_x * c["h"], mcus_y * c["v"]
+        coef[c["id"]] = np.zeros((bh * bw, 64), dtype=np.int32)
+    return {"mcus_x": mcus_x, "mcus_y": mcus_y, "hmax": hmax, "vmax": vmax,
+            "coef": coef, "nscans": 0}
+
+
+def _skip_to_marker(data: bytes, pos: int) -> int:
+    """Advance past entropy-coded data to the next non-RST marker."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0x00:
+                pos += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # stray RST (e.g. after final interval)
+                pos += 2
+                continue
+            if nxt == 0xFF:  # fill byte
+                pos += 1
+                continue
+            return pos
+        pos += 1
+    return n
+
+
+def _comp_block_dims(frame, c, hmax, vmax) -> tuple[int, int]:
+    """Non-interleaved block-grid dims for one component (T.81 A.2.2):
+    ceil(ceil(dim * sampling / max_sampling) / 8) per axis."""
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _refine_nonzero(coef, k, reader, p1) -> None:
+    """Read one correction bit for an already-nonzero coefficient
+    (T.81 G.1.2.3: append the bit below the known magnitude)."""
+    if reader.read_bit():
+        cur = int(coef[k])
+        if (cur & p1) == 0:
+            coef[k] = cur + (p1 if cur >= 0 else -p1)
+
+
+def _first_ac_block(coef, reader, act, ss, se, al, eobrun) -> int:
+    """Decode one block's band in an AC first scan (Ah == 0). Returns
+    the updated EOB run (blocks whose band is entirely zero)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(act)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:
+                return (1 << r) - 1 + (reader.receive(r) if r else 0)
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            if s > 10:
+                raise ValueError("corrupt scan: AC size category > 10")
+            coef[k] = _extend(reader.receive(s), s) << al
+            k += 1
+    return 0
+
+
+def _refine_ac_block(coef, reader, act, ss, se, al, eobrun) -> int:
+    """Decode one block's band in an AC refinement scan (Ah == Al + 1):
+    newly-significant coefficients arrive as ±1<<Al; every
+    already-nonzero coefficient passed over contributes one correction
+    bit (libjpeg/stb-compatible ordering). Returns the updated EOB run."""
+    p1 = 1 << al
+    if eobrun > 0:
+        for k in range(ss, se + 1):
+            if coef[k] != 0:
+                _refine_nonzero(coef, k, reader, p1)
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(act)
+        r, s = rs >> 4, rs & 0xF
+        val = 0
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1 + (reader.receive(r) if r else 0)
+                r = 64  # run past the band: only correction bits remain
+            # else ZRL: r == 15 skips 16 zero-history coefficients
+        else:
+            if s != 1:
+                raise ValueError(
+                    "corrupt progressive refinement: size category != 1"
+                )
+            val = p1 if reader.read_bit() else -p1
+        while k <= se:
+            if coef[k] != 0:
+                _refine_nonzero(coef, k, reader, p1)
+            else:
+                if r == 0:
+                    if s:
+                        coef[k] = val
+                    k += 1
+                    break
+                r -= 1
+            k += 1
+    return eobrun
+
+
+def _decode_progressive_scan(payload, pos, frame, scan, huff,
+                             restart_interval, state, ss, se, ah, al) -> int:
+    """Decode one progressive SOS (any of the four scan kinds) into the
+    accumulated coefficient state; returns the stream position of the
+    next marker after the entropy data."""
+    if ss == 0:
+        if se != 0:
+            raise ValueError("corrupt scan header: DC scan with Se != 0")
+        kind = "dc_first" if ah == 0 else "dc_refine"
+    else:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+        if se > 63 or ss > se:
+            raise ValueError("corrupt scan header: bad spectral band")
+        kind = "ac_first" if ah == 0 else "ac_refine"
+    if al > 13 or ah > 14:
+        raise ValueError("corrupt scan header: successive approximation > 13")
+    reader = _BitReader(payload, pos)
+    mcus_x, mcus_y = state["mcus_x"], state["mcus_y"]
+    hmax, vmax = state["hmax"], state["vmax"]
+    rst_seq = 0
+    if kind in ("dc_first", "dc_refine"):
+        pred = [0] * len(scan)
+        # DC scans may interleave all frame components (MCU walk). A
+        # single-component DC scan degenerates to the same walk with a
+        # 1-component MCU, except the grid is the non-interleaved one.
+        interleaved = len(scan) > 1
+        if interleaved:
+            unit_iter = [(my, mx) for my in range(mcus_y) for mx in range(mcus_x)]
+        else:
+            c = scan[0][0]
+            nbx, nby = _comp_block_dims(frame, c, hmax, vmax)
+            unit_iter = [(by, bx) for by in range(nby) for bx in range(nbx)]
+        for unit_index, (uy, ux) in enumerate(unit_iter):
+            if restart_interval and unit_index and unit_index % restart_interval == 0:
+                reader.align_and_expect_rst(rst_seq)
+                rst_seq += 1
+                pred = [0] * len(scan)
+            for ci, (c, dc_id, _) in enumerate(scan):
+                grid_w = mcus_x * c["h"]
+                if interleaved:
+                    blocks = [
+                        ((uy * c["v"] + by) * grid_w + (ux * c["h"] + bx))
+                        for by in range(c["v"]) for bx in range(c["h"])
+                    ]
+                else:
+                    blocks = [uy * grid_w + ux]
+                coefs = state["coef"][c["id"]]
+                for bi in blocks:
+                    if kind == "dc_first":
+                        dct = huff[(0, dc_id)]
+                        s = reader.decode_symbol(dct)
+                        if s > 11:
+                            raise ValueError(
+                                "corrupt scan: DC size category > 11"
+                            )
+                        pred[ci] += _extend(reader.receive(s), s)
+                        if not (-(1 << 15) <= pred[ci] < (1 << 15)):
+                            raise ValueError(
+                                "corrupt scan: DC predictor out of range"
+                            )
+                        coefs[bi, 0] = pred[ci] << al
+                    else:  # dc_refine: one correction bit per block
+                        if reader.read_bit():
+                            coefs[bi, 0] = int(coefs[bi, 0]) | (1 << al)
+    else:
+        c, _, ac_id = scan[0]
+        act = huff[(1, ac_id)]
+        coefs = state["coef"][c["id"]]
+        grid_w = mcus_x * c["h"]
+        nbx, nby = _comp_block_dims(frame, c, hmax, vmax)
+        eobrun = 0
+        block_fn = _first_ac_block if kind == "ac_first" else _refine_ac_block
+        unit_index = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and unit_index and unit_index % restart_interval == 0:
+                    reader.align_and_expect_rst(rst_seq)
+                    rst_seq += 1
+                    eobrun = 0
+                eobrun = block_fn(
+                    coefs[by * grid_w + bx], reader, act, ss, se, al, eobrun
+                )
+                unit_index += 1
+    state["nscans"] += 1
+    return _skip_to_marker(payload, reader.pos)
+
+
+def _finish_progressive(frame, state, qt) -> dict:
+    if state["nscans"] == 0:
+        raise ValueError("progressive JPEG with no decoded scans")
+    comps = frame["comps"]
+    planes = []
+    for c in comps:
+        zz = state["coef"][c["id"]]
+        q = qt[c["tq"]]
+        blk = np.zeros((zz.shape[0], 64), dtype=np.float64)
+        blk[:, ZIGZAG] = zz * q[None, :]
+        planes.append(blk.reshape(-1, 8, 8))
+    return _assemble(comps, planes, state["mcus_x"], state["mcus_y"],
+                     frame["w"], frame["h"], "progressive")
 
 
 # --- encoder ---------------------------------------------------------------
@@ -501,17 +761,12 @@ def _plane_to_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
     return blocks, ph // 8, pw // 8
 
 
-def encode_jpeg(pixels: np.ndarray, quant_luma: np.ndarray | None = None,
-                quant_chroma: np.ndarray | None = None,
-                subsample_420: bool = False,
-                restart_interval: int = 0) -> bytes:
-    """(h, w, 1|3) uint8 → baseline JFIF bytes.
-
-    Default quantization tables are ALL ONES (near-lossless: flat-color
-    blocks round-trip exactly). Pass the Annex K tables for realistic
-    lossy behavior. ``subsample_420`` box-averages chroma 2×2 and
-    encodes Y at 2×2 sampling so the decoder's upsampling path is
-    exercised; ``restart_interval`` emits DRI + RSTn markers."""
+def _prepare_encode(pixels: np.ndarray, quant_luma, quant_chroma,
+                    subsample_420: bool):
+    """Shared front half of both encoders: color convert, subsample,
+    FDCT, quantize. Returns (comp_blocks, comp_grid, samp, qids,
+    quants, mcus_x, mcus_y, h, w, nc) where comp_blocks[ci] is the
+    (n_blocks, 64) int32 zigzag coefficient grid."""
     h, w, nc = pixels.shape
     if quant_luma is None:
         quant_luma = np.ones(64, dtype=np.int32)
@@ -561,18 +816,44 @@ def encode_jpeg(pixels: np.ndarray, quant_luma: np.ndarray | None = None,
         zz = np.round(flat / q[None, :]).astype(np.int32)
         comp_blocks.append(zz)
         comp_grid.append((gh, gw))
-    # --- emit segments
-    out = bytearray(b"\xff\xd8")  # SOI
+    return (comp_blocks, comp_grid, samp, qids, quants, mcus_x, mcus_y,
+            h, w, nc)
+
+
+def _emit_frame_headers(out: bytearray, h, w, nc, samp, qids, quants,
+                        sof_marker: int) -> None:
+    """SOI + JFIF APP0 + DQTs + SOFn, shared by both encoders."""
+    out += b"\xff\xd8"  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     for tq, q in enumerate(quants[: 2 if nc == 3 else 1]):
         out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(
             int(v) for v in q
         )
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    out += bytes([0xFF, sof_marker]) + struct.pack(
+        ">HBHHB", 8 + 3 * nc, 8, h, w, nc
+    )
     for ci in range(nc):
         out += struct.pack(
             ">BBB", ci + 1, (samp[ci][0] << 4) | samp[ci][1], qids[ci]
         )
+
+
+def encode_jpeg(pixels: np.ndarray, quant_luma: np.ndarray | None = None,
+                quant_chroma: np.ndarray | None = None,
+                subsample_420: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """(h, w, 1|3) uint8 → baseline JFIF bytes.
+
+    Default quantization tables are ALL ONES (near-lossless: flat-color
+    blocks round-trip exactly). Pass the Annex K tables for realistic
+    lossy behavior. ``subsample_420`` box-averages chroma 2×2 and
+    encodes Y at 2×2 sampling so the decoder's upsampling path is
+    exercised; ``restart_interval`` emits DRI + RSTn markers."""
+    (comp_blocks, comp_grid, samp, qids, quants, mcus_x, mcus_y,
+     h, w, nc) = _prepare_encode(pixels, quant_luma, quant_chroma,
+                                 subsample_420)
+    out = bytearray()
+    _emit_frame_headers(out, h, w, nc, samp, qids, quants, 0xC0)
     tables = [(0, 0, _DC_LUM), (1, 0, _AC_LUM)]
     if nc == 3:
         tables += [(0, 1, _DC_CHR), (1, 1, _AC_CHR)]
@@ -621,13 +902,277 @@ def encode_jpeg(pixels: np.ndarray, quant_luma: np.ndarray | None = None,
     return bytes(out)
 
 
+# Progressive-scan Huffman tables. Annex K's AC tables carry only EOB
+# (0x00) and ZRL (0xF0) among the s=0 symbols, but progressive AC scans
+# also need the EOBn run-length symbols 0x10..0xE0 — so the progressive
+# encoder ships its own flat canonical tables: every symbol at one code
+# length (L chosen so count < 2^L, keeping the all-ones code unused as
+# T.81 C.2 requires). Compression is suboptimal; determinism and
+# decoder-compatibility are what the test corpus needs.
+_PROG_DC_SYMS = list(range(12))
+_PROG_DC = ([0, 0, 0, 0, 12] + [0] * 12, _PROG_DC_SYMS)
+_PROG_AC_SYMS = (
+    [r << 4 for r in range(15)]            # EOB1..EOB16384 run lengths
+    + [0xF0]                               # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_PROG_AC = (
+    [0] * 9 + [len(_PROG_AC_SYMS)] + [0] * 7,  # all 176 symbols at length 9
+    _PROG_AC_SYMS,
+)
+
+
+def _default_scan_script(nc: int) -> list:
+    """cjpeg-style progression: DC with one successive-approximation
+    level, per-component spectral-selection AC scans at Al, then AC and
+    DC refinements down to Al=0."""
+    if nc == 1:
+        return [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    return [
+        ([0, 1, 2], 0, 0, 0, 1),
+        ([0], 1, 5, 0, 2), ([2], 1, 63, 0, 1), ([1], 1, 63, 0, 1),
+        ([0], 6, 63, 0, 2),
+        ([0], 1, 63, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([2], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([0], 1, 63, 1, 0),
+    ]
+
+
+def _emit_eobrun(bw: _BitWriter, ac_tab: dict, eobrun: int,
+                 bitbuf: list) -> None:
+    """Flush a pending EOB run + its buffered correction bits."""
+    if eobrun > 0:
+        nbits = eobrun.bit_length() - 1
+        code, length = ac_tab[nbits << 4]
+        bw.write(code, length)
+        if nbits:
+            bw.write(eobrun & ((1 << nbits) - 1), nbits)
+    for b in bitbuf:
+        bw.write(b, 1)
+    bitbuf.clear()
+
+
+def _encode_ac_first(bw, zz_rows, ss, se, al, ac_tab) -> None:
+    """AC first scan (Ah=0) for one component band over its blocks."""
+    eobrun = 0
+    for zz in zz_rows:
+        band = [int(v) for v in zz[ss:se + 1]]
+        shifted = [(abs(v) >> al) * (1 if v >= 0 else -1) for v in band]
+        if not any(shifted):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                _emit_eobrun(bw, ac_tab, eobrun, [])
+                eobrun = 0
+            continue
+        r = 0
+        last_nz = max(i for i, v in enumerate(shifted) if v)
+        for i, v in enumerate(shifted):
+            if i > last_nz:
+                eobrun += 1  # trailing zeros → this block joins an EOB run
+                break
+            if v == 0:
+                r += 1
+                continue
+            if eobrun:
+                _emit_eobrun(bw, ac_tab, eobrun, [])
+                eobrun = 0
+            while r > 15:
+                code, length = ac_tab[0xF0]
+                bw.write(code, length)
+                r -= 16
+            size = abs(v).bit_length()
+            bits = v + (1 << size) - 1 if v < 0 else v
+            code, length = ac_tab[(r << 4) | size]
+            bw.write(code, length)
+            bw.write(bits, size)
+            r = 0
+        else:
+            if r > 0:  # band ended in zeros after the last nonzero
+                eobrun += 1
+        if eobrun == 0x7FFF:
+            _emit_eobrun(bw, ac_tab, eobrun, [])
+            eobrun = 0
+    _emit_eobrun(bw, ac_tab, eobrun, [])
+
+
+def _encode_ac_refine(bw, zz_rows, ss, se, al, ac_tab) -> None:
+    """AC refinement scan (Ah=Al+1): newly-significant coefficients as
+    ±1<<Al plus one correction bit for every already-nonzero
+    coefficient passed over.
+
+    Correction-bit placement mirrors the decoder's advance windows
+    exactly: a ZRL opens a window of 16 zero-history slots and the
+    corrections INTERLEAVED among those slots follow that ZRL; a
+    (r<<4)|1 symbol's corrections are those before its target slot;
+    corrections in blocks folded into an EOB run are buffered (in
+    positional order) and flushed right after the EOBn symbol."""
+    eobrun = 0
+    fifo: list[int] = []  # corrections buffered under the pending EOB run
+
+    def flush_eob():
+        nonlocal eobrun
+        _emit_eobrun(bw, ac_tab, eobrun, fifo)
+        eobrun = 0
+
+    for zz in zz_rows:
+        band = [int(v) for v in zz[ss:se + 1]]
+        absval = [abs(v) >> al for v in band]
+        keob = max((i for i, a in enumerate(absval) if a == 1), default=-1)
+        if keob < 0:
+            # no newly-significant coefficient: the whole band folds
+            # into the EOB run; history corrections ride the FIFO
+            fifo.extend(a & 1 for a in absval if a > 1)
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        # events since the last emitted symbol: 'z' = zero-history slot,
+        # int = a history coefficient's correction bit
+        gap: list = []
+        for i, a in enumerate(absval):
+            if i > keob:
+                break
+            if a == 0:
+                gap.append("z")
+            elif a > 1:
+                gap.append(a & 1)
+            else:  # newly significant
+                nz = gap.count("z")
+                while nz > 15:
+                    flush_eob()
+                    code, length = ac_tab[0xF0]
+                    bw.write(code, length)
+                    # window = everything up to and incl. the 16th zero
+                    seen = 0
+                    cut = 0
+                    for cut, ev in enumerate(gap):
+                        if ev == "z":
+                            seen += 1
+                            if seen == 16:
+                                break
+                    for ev in gap[: cut + 1]:
+                        if ev != "z":
+                            bw.write(ev, 1)
+                    gap = gap[cut + 1:]
+                    nz -= 16
+                flush_eob()
+                code, length = ac_tab[(nz << 4) | 1]
+                bw.write(code, length)
+                bw.write(1 if band[i] >= 0 else 0, 1)
+                for ev in gap:
+                    if ev != "z":
+                        bw.write(ev, 1)
+                gap = []
+        # tail after the last newly-significant coefficient
+        tail_corr = [a & 1 for a in absval[keob + 1:] if a > 1]
+        if absval[keob + 1:]:
+            fifo.extend(tail_corr)
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def encode_jpeg_progressive(pixels: np.ndarray,
+                            quant_luma: np.ndarray | None = None,
+                            quant_chroma: np.ndarray | None = None,
+                            subsample_420: bool = False,
+                            scans: list | None = None) -> bytes:
+    """(h, w, 1|3) uint8 → PROGRESSIVE (SOF2) JFIF bytes.
+
+    Transmits the same quantized coefficients as :func:`encode_jpeg`
+    split across a cjpeg-style scan script (DC first + refinement,
+    per-component spectral bands, AC successive-approximation
+    refinements), so ``decode_jpeg(encode_jpeg_progressive(px))``
+    equals ``decode_jpeg(encode_jpeg(px))`` bit-exactly — progressive
+    transmission is lossless re-ordering. ``scans`` overrides the
+    script with (comp_indices, Ss, Se, Ah, Al) tuples."""
+    (comp_blocks, comp_grid, samp, qids, quants, mcus_x, mcus_y,
+     h, w, nc) = _prepare_encode(pixels, quant_luma, quant_chroma,
+                                 subsample_420)
+    if scans is None:
+        scans = _default_scan_script(nc)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    out = bytearray()
+    _emit_frame_headers(out, h, w, nc, samp, qids, quants, 0xC2)
+    enc_tabs = {}
+    for tc, th, (bits, huffval) in [(0, 0, _PROG_DC), (1, 0, _PROG_AC)]:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(huffval), (tc << 4) | th)
+        out += bytes(bits[1:17]) + bytes(huffval)
+        enc_tabs[(tc, th)] = _build_encode_table(bits, huffval)
+    dc_tab, ac_tab = enc_tabs[(0, 0)], enc_tabs[(1, 0)]
+    for comp_idx, ss, se, ah, al in scans:
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_idx), len(comp_idx))
+        for ci in comp_idx:
+            out += struct.pack(">BB", ci + 1, 0)  # DC/AC table id 0
+        out += struct.pack(">BBB", ss, se, (ah << 4) | al)
+        bw = _BitWriter()
+        if ss == 0 and ah == 0:  # DC first (interleaved MCU walk)
+            pred = [0] * len(comp_idx)
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for k, ci in enumerate(comp_idx):
+                        sh, sv = samp[ci]
+                        _, gw = comp_grid[ci]
+                        for by in range(sv):
+                            for bx in range(sh):
+                                row, col = my * sv + by, mx * sh + bx
+                                v = int(comp_blocks[ci][row * gw + col][0]) >> al
+                                diff = v - pred[k]
+                                pred[k] = v
+                                size = abs(diff).bit_length()
+                                bits_ = diff + (1 << size) - 1 if diff < 0 else diff
+                                code, length = dc_tab[size]
+                                bw.write(code, length)
+                                if size:
+                                    bw.write(bits_, size)
+        elif ss == 0:  # DC refinement: bit Al of each DC, MCU order
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci in comp_idx:
+                        sh, sv = samp[ci]
+                        _, gw = comp_grid[ci]
+                        for by in range(sv):
+                            for bx in range(sh):
+                                row, col = my * sv + by, mx * sh + bx
+                                v = int(comp_blocks[ci][row * gw + col][0])
+                                bw.write((v >> al) & 1, 1)
+        else:  # AC scan: single component, non-interleaved block walk
+            ci = comp_idx[0]
+            sh, sv = samp[ci]
+            _, gw = comp_grid[ci]
+            cw = -(-w * sh // hmax)
+            ch = -(-h * sv // vmax)
+            nbx, nby = -(-cw // 8), -(-ch // 8)
+            zz_rows = [
+                comp_blocks[ci][by * gw + bx]
+                for by in range(nby) for bx in range(nbx)
+            ]
+            if ah == 0:
+                _encode_ac_first(bw, zz_rows, ss, se, al, ac_tab)
+            else:
+                _encode_ac_refine(bw, zz_rows, ss, se, al, ac_tab)
+        bw.flush()
+        out += bytes(bw.out)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def classify_jpeg(payload: bytes) -> str:
     """Classify a JPEG payload by its SOF marker WITHOUT decoding:
-    ``baseline`` (SOF0/1 — decodable here), ``progressive`` (SOF2 —
-    valid-but-unsupported, ~10 % of real scraped corpora),
-    ``other-sof`` (lossless/hierarchical/arithmetic), ``malformed``.
-    Lets pipeline operators report honest per-class counts instead of
-    lumping valid progressive files in with corrupt ones."""
+    ``baseline`` (SOF0/1), ``progressive`` (SOF2 — ~10 % of real
+    scraped corpora; both decodable here), ``other-sof``
+    (lossless/hierarchical/arithmetic — valid but undecodable),
+    ``malformed``. Lets pipeline operators report honest per-class
+    counts instead of lumping valid-but-unsupported files in with
+    corrupt ones."""
     if not sniff_jpeg(payload):
         return "malformed"
     pos, n = 2, len(payload)

@@ -112,7 +112,7 @@ def _decode(payload: bytes) -> dict:
                 "n_bytes": len(payload),
                 "fake_mean": float(j["pixels"].mean()),
                 "fake_first": j["width"] * j["height"],
-                "decoder": "jpeg-baseline-v1",
+                "decoder": f"jpeg-{j['mode']}-v1",
             }
         if kind == "png":
             from .png import decode_png
@@ -129,12 +129,13 @@ def _decode(payload: bytes) -> dict:
         if kind == "jpeg":
             from .jpeg import classify_jpeg
 
-            # a VALID progressive/lossless JPEG is not corruption —
-            # ~10 % of real scraped corpora is progressive; tag the
-            # class so curation reports count it honestly instead of
-            # lumping it into the corrupt channel
+            # a VALID lossless/hierarchical/arithmetic JPEG is not
+            # corruption — tag the class so curation reports count it
+            # honestly instead of lumping it into the corrupt channel.
+            # (Progressive SOF2 decodes for real since round 5, so a
+            # failing progressive payload IS corrupt and falls through.)
             cls = classify_jpeg(payload)
-            if cls in ("progressive", "other-sof"):
+            if cls == "other-sof":
                 out["decoder"] = f"jpeg-{cls}-unsupported"
                 return out
         out["decoder"] = "fake-v0-invalid"
@@ -577,6 +578,43 @@ def synth_jpeg(docs: DataFrame, id_col: str) -> DataFrame:
     return docs.select(id_col).mapInPandas(batches, "doc_id long, media binary")
 
 
+def synth_jpeg_progressive(docs: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL progressive (SOF2) JPEG payloads: a two-band
+    image — top 8 rows value ``id % 256``, bottom 8 rows
+    ``(id * 31) % 256``, width ``16 + 8*(id % 3)`` — so every 8×8
+    block is flat (decode is bit-exact under all-ones quantization:
+    one DC coefficient per block) and the decoded mean is EXACTLY
+    ``(id%256 + (id*31)%256) / 2``. The default cjpeg-style scan
+    script walks the full Annex G feature set: interleaved DC first +
+    refinement with successive approximation, per-band AC scans whose
+    all-zero bands exercise multi-block EOB runs, and AC refinement
+    scans. A wrong DC point transform, EOBRUN decode, or refinement
+    bit shifts mean_pixel and fails the arithmetic oracle."""
+    from .jpeg import encode_jpeg_progressive
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cache: dict[int, bytes] = {}
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                v1, v2, wsel = i % 256, (i * 31) % 256, i % 3
+                key = (v1 * 256 + v2) * 3 + wsel
+                payload = cache.get(key)
+                if payload is None:
+                    w = 16 + 8 * wsel
+                    px = np.empty((16, w, 1), dtype=np.uint8)
+                    px[:8] = v1
+                    px[8:] = v2
+                    payload = cache[key] = encode_jpeg_progressive(px)
+                payloads.append(payload)
+            yield pd.DataFrame({"doc_id": pdf[id_col], "media": payloads})
+
+    return docs.select(id_col).mapInPandas(batches, "doc_id long, media binary")
+
+
 def synth_png(docs: DataFrame, id_col: str) -> DataFrame:
     """Manufacture REAL PNG payloads deterministically: pixel(y, x) =
     (x + y + id) % 256 over a 256-wide gradient, height = 2 + id % 3.
@@ -625,7 +663,7 @@ def extract_image_meta(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame
                     float(p["pixels"].mean()), "png-v1")
         j = decode_jpeg(b)
         return (j["width"], j["height"], j["channels"],
-                float(j["pixels"].mean()), "jpeg-baseline-v1")
+                float(j["pixels"].mean()), f"jpeg-{j['mode']}-v1")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

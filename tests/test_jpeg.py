@@ -96,8 +96,15 @@ def test_byte_stuffing_roundtrip():
         assert np.abs(dec["pixels"].astype(int) - px.astype(int)).max() <= 2
 
 
-def test_progressive_rejected():
+def test_lossless_sof_rejected():
+    # SOF3 (lossless sequential) stays unsupported; SOF2 (progressive)
+    # decodes for real since round 5 — see test_jpeg_progressive.py
     with pytest.raises(ValueError, match="baseline"):
+        J.decode_jpeg(b"\xff\xd8\xff\xc3\x00\x05aaa\xff\xd9")
+
+
+def test_truncated_progressive_sof_rejected():
+    with pytest.raises(ValueError, match="malformed"):
         J.decode_jpeg(b"\xff\xd8\xff\xc2\x00\x05aaa\xff\xd9")
 
 
@@ -232,10 +239,9 @@ def test_fill_bytes_before_markers_accepted():
 
 def test_classify_jpeg_distinguishes_progressive_from_corrupt():
     """A valid progressive file (SOF2) must classify as 'progressive'
-    — ~10% of real scraped corpora — while header garbage stays
-    'malformed'; the dispatch layer tags the former
-    jpeg-progressive-unsupported instead of dumping it in the corrupt
-    channel."""
+    — ~10% of real scraped corpora — and now DECODES for real; header
+    garbage stays 'malformed'; lossless/arithmetic SOFs are tagged
+    valid-but-unsupported instead of dumped in the corrupt channel."""
     import numpy as np
 
     from data_analyse_marche_emploi_spark.operators.jpeg import (
@@ -248,12 +254,24 @@ def test_classify_jpeg_distinguishes_progressive_from_corrupt():
     baseline = encode_jpeg(px)
     assert classify_jpeg(baseline) == "baseline"
 
-    # rewrite the SOF0 marker (FF C0) to SOF2 (FF C2): byte-identical
-    # file, progressive frame header
-    i = baseline.index(b"\xff\xc0")
-    progressive = baseline[:i] + b"\xff\xc2" + baseline[i + 2:]
+    # a REAL progressive file classifies as 'progressive' and (since
+    # round 5) decodes for real through the dispatch layer
+    from data_analyse_marche_emploi_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    progressive = encode_jpeg_progressive(px)
     assert classify_jpeg(progressive) == "progressive"
-    assert _decode(progressive)["decoder"] == "jpeg-progressive-unsupported"
+    assert _decode(progressive)["decoder"] == "jpeg-progressive-v1"
+
+    # a baseline stream whose SOF marker is flipped to SOF2 is an
+    # ILL-FORMED progressive file (baseline scan header: Se=63 on a DC
+    # scan) — it classifies progressive but decodes to the corrupt
+    # channel, which is the honest outcome
+    i = baseline.index(b"\xff\xc0")
+    franken = baseline[:i] + b"\xff\xc2" + baseline[i + 2:]
+    assert classify_jpeg(franken) == "progressive"
+    assert _decode(franken)["decoder"] == "fake-v0-invalid"
 
     # lossless sequential (SOF3) → other-sof
     lossless = baseline[:i] + b"\xff\xc3" + baseline[i + 2:]

@@ -1,0 +1,158 @@
+"""Progressive (SOF2) JPEG codec tests.
+
+The invariant under test is strong: progressive transmission is a
+lossless RE-ORDERING of the same quantized coefficients, so
+``decode_jpeg(encode_jpeg_progressive(px, **kw))`` must equal
+``decode_jpeg(encode_jpeg(px, **kw))`` BIT-EXACTLY for every image and
+every legal scan script — any error in DC/AC first scans, successive
+approximation, EOB-run bookkeeping, refinement correction-bit ordering,
+or the non-interleaved block walk breaks the equality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_analyse_marche_emploi_spark.operators.jpeg import (
+    classify_jpeg,
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
+
+
+def _assert_equals_baseline(px, **kw):
+    scans = kw.pop("scans", None)
+    base = decode_jpeg(encode_jpeg(px, **kw))
+    payload = encode_jpeg_progressive(px, scans=scans, **kw)
+    assert classify_jpeg(payload) == "progressive"
+    prog = decode_jpeg(payload)
+    assert prog["mode"] == "progressive"
+    assert base["mode"] == "baseline"
+    assert (prog["width"], prog["height"], prog["channels"]) == (
+        base["width"], base["height"], base["channels"]
+    )
+    np.testing.assert_array_equal(prog["pixels"], base["pixels"])
+
+
+def test_flat_gray_roundtrip_exact():
+    px = np.full((16, 24, 1), 77, np.uint8)
+    dec = decode_jpeg(encode_jpeg_progressive(px))
+    np.testing.assert_array_equal(dec["pixels"], px)
+
+
+def test_flat_color_roundtrip_exact():
+    px = np.full((24, 17, 3), [200, 30, 99], np.uint8)
+    dec = decode_jpeg(encode_jpeg_progressive(px))
+    np.testing.assert_array_equal(dec["pixels"], px)
+
+
+def test_random_color_equals_baseline():
+    rng = np.random.default_rng(9)
+    _assert_equals_baseline(rng.integers(0, 256, (40, 41, 3)).astype(np.uint8))
+
+
+def test_subsampled_420_equals_baseline():
+    rng = np.random.default_rng(10)
+    px = rng.integers(0, 256, (37, 29, 3)).astype(np.uint8)
+    _assert_equals_baseline(px, subsample_420=True)
+
+
+def test_lossy_quant_equals_baseline():
+    rng = np.random.default_rng(11)
+    q = np.clip(np.arange(1, 65), 1, 50)
+    px = rng.integers(0, 256, (48, 48, 3)).astype(np.uint8)
+    _assert_equals_baseline(px, quant_luma=q, quant_chroma=q)
+
+
+def test_sparse_image_exercises_multiblock_eob_runs():
+    # mostly-flat image: nearly every AC band is all-zero, so the AC
+    # scans are dominated by EOB runs spanning many blocks (including
+    # runs with nonzero EOBn extension bits)
+    px = np.full((128, 128, 1), 50, np.uint8)
+    px[::17, ::13] = 250
+    _assert_equals_baseline(px)
+
+
+@pytest.mark.parametrize(
+    "scans",
+    [
+        # spectral selection only (no successive approximation)
+        [([0], 0, 0, 0, 0), ([0], 1, 63, 0, 0)],
+        # deep DC successive approximation
+        [([0], 0, 0, 0, 3), ([0], 0, 0, 3, 2), ([0], 0, 0, 2, 1),
+         ([0], 0, 0, 1, 0), ([0], 1, 63, 0, 2), ([0], 1, 63, 2, 1),
+         ([0], 1, 63, 1, 0)],
+        # many narrow bands with a mid-band refinement
+        [([0], 0, 0, 0, 0), ([0], 1, 1, 0, 0), ([0], 2, 9, 0, 1),
+         ([0], 2, 9, 1, 0), ([0], 10, 63, 0, 0)],
+    ],
+)
+def test_custom_scan_scripts_equal_baseline(scans):
+    rng = np.random.default_rng(12)
+    px = rng.integers(0, 256, (33, 47, 1)).astype(np.uint8)
+    _assert_equals_baseline(px, scans=scans)
+
+
+def test_custom_color_script_with_420():
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, (50, 31, 3)).astype(np.uint8)
+    scans = [([0, 1, 2], 0, 0, 0, 2), ([0, 1, 2], 0, 0, 2, 1),
+             ([0, 1, 2], 0, 0, 1, 0),
+             ([0], 1, 63, 0, 1), ([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1),
+             ([0], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0)]
+    _assert_equals_baseline(px, subsample_420=True, scans=scans)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(8, 40),
+    h=st.integers(8, 40),
+    nc=st.sampled_from([1, 3]),
+    seed=st.integers(0, 2**31 - 1),
+    sub=st.booleans(),
+)
+def test_progressive_equals_baseline_property(w, h, nc, seed, sub):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, nc)).astype(np.uint8)
+    kw = {"subsample_420": sub} if nc == 3 else {}
+    _assert_equals_baseline(px, **kw)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    cut=st.integers(0, 400),
+    pos=st.integers(0, 400),
+    flip=st.integers(1, 255),
+)
+def test_progressive_decoder_survives_corruption(cut, pos, flip):
+    """Truncation / bit-flips raise ValueError ONLY (the degrade-don't-
+    abort contract) or decode to garbage — never any other exception."""
+    rng = np.random.default_rng(99)
+    px = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+    payload = encode_jpeg_progressive(px)
+    try:
+        decode_jpeg(payload[: cut % len(payload)])
+    except ValueError:
+        pass
+    mutated = bytearray(payload)
+    mutated[pos % len(payload)] ^= flip
+    try:
+        decode_jpeg(bytes(mutated))
+    except ValueError:
+        pass
+
+
+def test_classify_still_reports_progressive():
+    px = np.full((8, 8, 1), 1, np.uint8)
+    assert classify_jpeg(encode_jpeg_progressive(px)) == "progressive"
+    assert classify_jpeg(encode_jpeg(px)) == "baseline"
+
+
+def test_decode_mode_tags():
+    px = np.full((8, 8, 1), 9, np.uint8)
+    assert decode_jpeg(encode_jpeg(px))["mode"] == "baseline"
+    assert decode_jpeg(encode_jpeg_progressive(px))["mode"] == "progressive"

@@ -70,6 +70,10 @@ def main() -> None:
                    P.decode_png)
     total += audit("jpeg-gray", J.encode_jpeg(g), J.decode_jpeg)
     total += audit("jpeg-rgb", J.encode_jpeg(rgb), J.decode_jpeg)
+    total += audit("jpeg-progressive-gray", J.encode_jpeg_progressive(g),
+                   J.decode_jpeg)
+    total += audit("jpeg-progressive-rgb", J.encode_jpeg_progressive(rgb),
+                   J.decode_jpeg)
     total += audit("wav", MC.encode_wav_pcm8(bytes(range(200)), 8000),
                    MC.decode_wav)
     total += audit("ppm", MC.encode_ppm(rgb), MC.decode_ppm)
