@@ -49,6 +49,23 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # InferFiltersFromGenerate synthesizes `size(arr) > 0 AND
+        # isnotnull(arr)` filters under every explode. When `arr` is a
+        # COMPUTED column (shingles, token-hash arrays — this engine's
+        # bread and butter), predicate pushdown substitutes the full
+        # expression into the filter and sinks it below the repartition
+        # exchange: the most expensive lambda of the query re-evaluates
+        # (twice — size + isnotnull) in the narrow pre-shuffle stage,
+        # serializing it onto the scan tasks. The inference only ever
+        # skips generator setup for empty arrays — exploding an empty
+        # array emits nothing anyway — so dropping the rule is pure win
+        # here (measured 2.9 s → 0.4 s on the sf0.1 shingle explode;
+        # plan regression test pins the absence of lambda-bearing
+        # filters below exchanges).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # Nested-field pruning: the reference projects the nested
         # `lieuTravail.commune` inside Elasticsearch (export-offres-csv.conf:6);
         # this is the Spark equivalent — read only the struct leaf.
