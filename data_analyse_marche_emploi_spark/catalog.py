@@ -1075,6 +1075,43 @@ def text_quality(spark, sf_dir):
 
 
 @register(
+    "text_perplexity",
+    oracle="""
+    WITH tris AS (
+      SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS tri
+      FROM documents, UNNEST(range(1, length(text) - 1)) AS t(i)
+      WHERE length(text) >= 3
+    ),
+    c3 AS (SELECT tri, count(*) AS c3 FROM tris GROUP BY tri),
+    c2 AS (SELECT substr(tri, 1, 2) AS bi, sum(c3) AS c2 FROM c3 GROUP BY bi),
+    alpha AS (SELECT count(DISTINCT substr(tri, 3, 1)) AS a FROM c3),
+    model AS (
+      SELECT tri, ln((c3 + 1.0) / (c2 + a)) AS lp
+      FROM c3 JOIN c2 ON substr(c3.tri, 1, 2) = c2.bi CROSS JOIN alpha
+    )
+    SELECT doc_id, round(avg(-lp), 6) AS cross_entropy,
+           count(*) AS n_trigrams
+    FROM tris JOIN model USING (tri)
+    GROUP BY doc_id
+    """,
+)
+def text_perplexity(spark, sf_dir):
+    """Corpus-trained character-trigram LM cross-entropy per document —
+    the perplexity-style quality gate of LLM corpus curation (CCNet et
+    al. filter on LM perplexity; a char-trigram model is its
+    dependency-free, fully-distributed analog). Train and score in one
+    job: trigram counts partial-aggregate, bigram counts roll up from
+    them, add-one smoothing over the corpus alphabet, equi-join scoring
+    shuffle. The oracle replays the exact model in SQL; ±2-ULP libm ln
+    drift is absorbed by round(·, 6) (sum error ~1e-13, six orders
+    below the grid)."""
+    from .operators.text_analysis import char_lm_scores
+
+    d = _docs(spark, sf_dir)
+    return char_lm_scores(d, "text", "doc_id")
+
+
+@register(
     "text_lang_id",
     oracle="""
     WITH words(lang, w) AS (VALUES

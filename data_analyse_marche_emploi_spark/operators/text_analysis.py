@@ -367,6 +367,66 @@ PII_IPV4_RE = r"\b([0-9]{1,3}\.)(([0-9]{1,3})\.){2}[0-9]{1,3}\b"
 PII_PHONE_RE = r"\+?[0-9][0-9 .-]{7,}[0-9]"
 
 
+def char_lm_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Corpus-trained character-trigram language-model score per
+    document — the classic perplexity-style quality gate for LLM corpus
+    curation (a doc whose character statistics diverge from the corpus
+    — boilerplate, binary junk, other-language fragments — scores a
+    high cross-entropy and gets filtered/downweighted).
+
+    Model: add-one-smoothed conditional P(c₃|c₁c₂) =
+    (C₃(c₁c₂c₃)+1) / (C₂(c₁c₂)+A), trained on the corpus itself in one
+    pass — bigram counts roll up FROM the trigram counts (no second
+    text scan) and A is the corpus alphabet size (distinct third
+    characters). Score: mean −ln P over the doc's trigrams.
+
+    Scale shape: one trigram explode (partial-aggregated counts), the
+    model is trigram-cardinality-sized and joins doc trigrams on an
+    equi-key shuffle (never broadcast — trigram types are bounded by
+    A³ but A is corpus-dependent); the alphabet size is the only
+    driver-visible scalar (1-row cross join). Docs shorter than 3
+    chars have no trigrams and are excluded, same as the oracle.
+    Rounded to 6 decimals for cross-engine float portability."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    tris = (
+        df.filter(F.length(text_col) >= 3)
+        .select(F.col(id_col), F.col(text_col))
+        .repartition(n_part)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - 2), "
+                    f"i -> substring({text_col}, i, 3))"
+                )
+            ).alias("tri"),
+        )
+    )
+    c3 = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("c3"))
+    c2 = c3.groupBy(F.substring("tri", 1, 2).alias("bi")).agg(
+        F.sum("c3").alias("c2")
+    )
+    alpha = c3.select(
+        F.countDistinct(F.substring("tri", 3, 1)).alias("a")
+    )
+    model = (
+        c3.join(c2, F.substring(c3["tri"], 1, 2) == c2["bi"])
+        .crossJoin(F.broadcast(alpha))  # 1 row — safe to force
+        .select(
+            "tri",
+            F.log((F.col("c3") + F.lit(1.0)) / (F.col("c2") + F.col("a"))).alias("lp"),
+        )
+    )
+    return (
+        tris.join(model, "tri")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(-F.col("lp")), 6).alias("cross_entropy"),
+            F.count(F.lit(1)).alias("n_trigrams"),
+        )
+    )
+
+
 def pii_redact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Regex PII redaction (emails → ``<EMAIL>``, IPv4 → ``<IP>``,
     phone-like digit runs → ``<PHONE>``) with per-kind match counts.

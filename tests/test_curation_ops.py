@@ -388,3 +388,49 @@ def test_grouped_prefix_sum_null_group(spark):
     assert got[("fr", 1)] == 10 and got[("fr", 3)] == 40
     assert got[("en", 5)] == 50
     assert got[(None, 2)] == 20 and got[(None, 4)] == 60 and got[(None, 6)] == 120
+
+
+def test_char_lm_scores_match_pure_python(spark):
+    """char_lm_scores vs an independent pure-Python trigram LM on a
+    tiny corpus: same counts, same add-one smoothing, same mean -ln P."""
+    import math
+    from collections import Counter
+
+    from data_analyse_marche_emploi_spark.operators.text_analysis import (
+        char_lm_scores,
+    )
+
+    texts = {1: "abcabc", 2: "abcd", 3: "zzzz", 4: "xy"}  # 4 is too short
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+
+    # reference model
+    tris, c3 = [], Counter()
+    per_doc = {}
+    for i, t in texts.items():
+        if len(t) < 3:
+            continue
+        ts = [t[k:k + 3] for k in range(len(t) - 2)]
+        per_doc[i] = ts
+        c3.update(ts)
+    c2 = Counter()
+    for tri, c in c3.items():
+        c2[tri[:2]] += c
+    alphabet = {tri[2] for tri in c3}
+    a = len(alphabet)
+
+    def lp(tri):
+        return math.log((c3[tri] + 1.0) / (c2[tri[:2]] + a))
+
+    expected = {
+        i: (round(sum(-lp(t) for t in ts) / len(ts), 6), len(ts))
+        for i, ts in per_doc.items()
+    }
+
+    got = {
+        r["doc_id"]: (r["cross_entropy"], r["n_trigrams"])
+        for r in char_lm_scores(df, "text", "doc_id").collect()
+    }
+    assert got == expected
+    assert 4 not in got  # sub-trigram docs excluded, like the oracle
