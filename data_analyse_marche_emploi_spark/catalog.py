@@ -3683,6 +3683,32 @@ def multimodal_jpeg_progressive(spark, sf_dir):
 
 
 @register(
+    "multimodal_gif",
+    oracle="""
+    SELECT doc_id,
+           CAST(256 AS INTEGER) AS width,
+           CAST(2 + doc_id % 3 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(127.5 AS DOUBLE) AS mean_pixel,
+           'gif-v1' AS decoder
+    FROM documents
+    """,
+)
+def multimodal_gif(spark, sf_dir):
+    """REAL GIF decode, driver-checkable: per-doc gray-gradient GIF89a
+    payloads (odd ids interlaced) decoded with the dependency-free LZW
+    decoder (operators/gif.py — sub-block walk, dynamic code widths,
+    KwKwK, de-interlace). GIF is LOSSLESS, so the gradient's mean is
+    exactly 127.5 for every row — a wrong LZW table step, palette
+    lookup, or interlace pass ordering shifts it and fails the hash.
+    mapInPandas both ways: zero shuffle."""
+    from .operators.multimodal import extract_image_meta, synth_gif
+
+    d = _docs(spark, sf_dir)
+    return extract_image_meta(synth_gif(d, "doc_id"))
+
+
+@register(
     "multimodal_png",
     oracle="""
     SELECT doc_id,

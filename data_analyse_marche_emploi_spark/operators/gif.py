@@ -1,0 +1,317 @@
+"""Dependency-free GIF (87a/89a) codec.
+
+Extends the multimodal decode family (WAV/PPM/JPEG/PNG/MP4 —
+operators/media_codecs.py, jpeg.py, png.py, mp4.py) with the other
+image format real scraped corpora carry. GIF is LOSSLESS over palettes
+of ≤256 colors, so — unlike JPEG — ANY such image round-trips
+bit-exactly, which gives catalog fixtures arithmetic oracles with no
+flat-block restriction.
+
+Decoder scope: 87a + 89a, global and local color tables, interlaced
+and non-interlaced frames, full LZW (dynamic code widths through 12
+bits, clear/EOI codes, deferred-clear streams), extension blocks
+(skipped; frame COUNT is reported by walking every image descriptor).
+The first frame decodes to RGB pixels; transparency indices resolve to
+their palette color (the curation pipeline wants statistics, not
+compositing). Malformed/truncated input raises ValueError ONLY — the
+same degrade-don't-abort contract as the other codecs (fuzz-pinned).
+
+Encoder scope (test-payload manufacture): 89a, one frame, global
+palette built from the image's distinct colors (raises if > 256), real
+LZW compression, optional interlacing so the decoder's de-interlace
+path is exercised.
+
+Everything here is public knowledge: the GIF89a specification and the
+LZW algorithm it mandates. Reference parity note: the reference repo
+has no media pipeline; this extends SURVEY.md's multimodal north-star
+(BASELINE.json) like the sibling codecs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def sniff_gif(payload: bytes | None) -> bool:
+    return bool(payload) and payload[:6] in (b"GIF87a", b"GIF89a")
+
+
+# --- LZW -------------------------------------------------------------------
+
+
+class _LSBReader:
+    """GIF packs LZW codes little-endian, least-significant-bit first
+    (the opposite of JPEG's bit order)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("LZW stream truncated")
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        v = self.acc & ((1 << n) - 1)
+        self.acc >>= n
+        self.nbits -= n
+        return v
+
+
+def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
+    """GIF LZW → index stream of exactly ``expected`` pixels."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"corrupt LZW minimum code size {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    reader = _LSBReader(data)
+    out = bytearray()
+
+    def reset():
+        return (
+            {i: bytes([i]) for i in range(clear)},
+            min_code_size + 1,
+            eoi + 1,
+        )
+
+    table, width, next_code = reset()
+    prev: bytes | None = None
+    while len(out) < expected:
+        code = reader.read(width)
+        if code == clear:
+            table, width, next_code = reset()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError("corrupt LZW stream: first code undefined")
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("corrupt LZW stream: code out of sequence")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("LZW stream ended before the frame was complete")
+    return bytes(out[:expected])
+
+
+class _LSBWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, n: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc, self.nbits = 0, 0
+        return bytes(self.out)
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Real LZW compression (string-table build, dynamic widths,
+    clear-on-full) — the decoder's exact inverse."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bw = _LSBWriter()
+
+    def reset():
+        return {bytes([i]): i for i in range(clear)}, min_code_size + 1, eoi + 1
+
+    table, width, next_code = reset()
+    bw.write(clear, width)
+    s = b""
+    for b in indices:
+        c = s + bytes([b])
+        if c in table:
+            s = c
+            continue
+        bw.write(table[s], width)
+        if next_code < 4096:
+            table[c] = next_code
+            next_code += 1
+            # GIF increments width when next_code EXCEEDS the current
+            # range (the decoder grows at next_code == 2^width after
+            # its own insert, which lags the encoder by exactly one)
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            bw.write(clear, width)
+            table, width, next_code = reset()
+        s = bytes([b])
+    if s:
+        bw.write(table[s], width)
+    bw.write(eoi, width)
+    return bw.flush()
+
+
+# --- container -------------------------------------------------------------
+
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _deinterlace(rows: np.ndarray) -> np.ndarray:
+    h = rows.shape[0]
+    order = [y for start, step in _INTERLACE_PASSES for y in range(start, h, step)]
+    out = np.empty_like(rows)
+    out[order] = rows
+    return out
+
+
+def decode_gif(payload: bytes) -> dict:
+    """GIF → ``{width, height, channels, pixels, n_frames, mode}``
+    (first frame as uint8 RGB; n_frames counts every image descriptor).
+    Raises ValueError on malformed/truncated input — never any other
+    exception (same contract as decode_jpeg/decode_png)."""
+    try:
+        return _decode_impl(payload)
+    except (struct.error, IndexError, KeyError, OverflowError,
+            ZeroDivisionError) as e:
+        raise ValueError(f"malformed GIF stream: {e!r}") from None
+
+
+def _decode_impl(payload: bytes) -> dict:
+    if not sniff_gif(payload):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    if w == 0 or h == 0:
+        raise ValueError("corrupt GIF: zero logical screen dimension")
+    pos = 13
+    global_pal = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    first = None
+    n_frames = 0
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            if pos >= len(payload):
+                raise ValueError("truncated extension block")
+            pos += 1
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated extension sub-blocks")
+                sz = payload[pos]
+                pos += 1 + sz
+                if sz == 0:
+                    break
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block type {block:#x}")
+        # image descriptor
+        fx, fy, fw, fh, fpacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if fw == 0 or fh == 0:
+            raise ValueError("corrupt GIF: zero frame dimension")
+        pal = global_pal
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if pos >= len(payload):
+            raise ValueError("truncated image data")
+        min_code = payload[pos]
+        pos += 1
+        chunks = []
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated image sub-blocks")
+            sz = payload[pos]
+            pos += 1
+            if sz == 0:
+                break
+            chunks.append(payload[pos:pos + sz])
+            if len(chunks[-1]) != sz:
+                raise ValueError("truncated image sub-block")
+            pos += sz
+        n_frames += 1
+        if first is None:
+            if pal is None:
+                raise ValueError("GIF frame with no color table")
+            idx = _lzw_decode(b"".join(chunks), min_code, fw * fh)
+            arr = np.frombuffer(idx, np.uint8).reshape(fh, fw)
+            if int(arr.max()) >= pal.shape[0]:
+                raise ValueError("corrupt GIF: palette index out of range")
+            if fpacked & 0x40:
+                arr = _deinterlace(arr)
+            first = {"px": pal[arr], "x": fx, "y": fy, "w": fw, "h": fh}
+    if first is None:
+        raise ValueError("GIF with no image frame")
+    # composite the first frame onto the logical screen (frames may be
+    # offset subrectangles; out-of-screen frames are corrupt)
+    if first["x"] + first["w"] > w or first["y"] + first["h"] > h:
+        raise ValueError("corrupt GIF: frame exceeds logical screen")
+    if (first["x"], first["y"], first["w"], first["h"]) == (0, 0, w, h):
+        pixels = first["px"]
+    else:
+        pixels = np.zeros((h, w, 3), dtype=np.uint8)
+        pixels[first["y"]:first["y"] + first["h"],
+               first["x"]:first["x"] + first["w"]] = first["px"]
+    return {"width": w, "height": h, "channels": 3, "pixels": pixels,
+            "n_frames": n_frames, "mode": "gif"}
+
+
+def encode_gif(pixels: np.ndarray, interlace: bool = False) -> bytes:
+    """(h, w, 3) uint8 with ≤256 distinct colors → GIF89a bytes
+    (lossless: ``decode_gif(encode_gif(px))`` returns ``px`` exactly)."""
+    h, w, nc = pixels.shape
+    if nc != 3:
+        raise ValueError("encode_gif expects (h, w, 3) RGB")
+    flat = pixels.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if colors.shape[0] > 256:
+        raise ValueError(f"too many colors for GIF: {colors.shape[0]}")
+    # palette size = power of two ≥ max(2, n_colors)
+    bits = max(1, int(np.ceil(np.log2(max(2, colors.shape[0])))))
+    pal = np.zeros((1 << bits, 3), dtype=np.uint8)
+    pal[: colors.shape[0]] = colors
+    idx = inverse.astype(np.uint8).reshape(h, w)
+    if interlace:
+        order = [y for start, step in _INTERLACE_PASSES for y in range(start, h, step)]
+        idx = idx[order]
+    min_code = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 0x07), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    out.append(min_code)
+    lzw = _lzw_encode(idx.tobytes(), min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

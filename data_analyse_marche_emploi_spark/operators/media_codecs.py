@@ -36,7 +36,7 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_format(payload: bytes | None) -> str:
-    """'wav' | 'ppm' | 'jpeg' | 'png' | 'unknown' by magic bytes."""
+    """'wav' | 'ppm' | 'jpeg' | 'png' | 'gif' | 'unknown' by magic bytes."""
     if not payload:
         return "unknown"
     if payload[:4] == WAV_MAGIC and payload[8:12] == b"WAVE":
@@ -47,6 +47,8 @@ def sniff_format(payload: bytes | None) -> str:
         return "jpeg"
     if payload[:8] == PNG_MAGIC:
         return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return "unknown"
 
 

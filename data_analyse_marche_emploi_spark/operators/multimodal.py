@@ -124,6 +124,16 @@ def _decode(payload: bytes) -> dict:
                 "fake_first": p["width"] * p["height"],
                 "decoder": "png-v1",
             }
+        if kind == "gif":
+            from .gif import decode_gif
+
+            g = decode_gif(payload)
+            return {
+                "n_bytes": len(payload),
+                "fake_mean": float(g["pixels"].mean()),
+                "fake_first": g["width"] * g["height"],
+                "decoder": "gif-v1",
+            }
     except Exception:
         out = _fake_decode(payload)
         if kind == "jpeg":
@@ -162,7 +172,7 @@ def resize_images(media_df: DataFrame, width: int = 224, height: int = 224,
         if not b:
             return 0, "fake-resize-v0"
         kind = MC.sniff_format(b)
-        if kind in ("ppm", "jpeg", "png"):
+        if kind in ("ppm", "jpeg", "png", "gif"):
             try:
                 if kind == "ppm":
                     pixels = MC.decode_ppm(b)["pixels"]
@@ -172,6 +182,11 @@ def resize_images(media_df: DataFrame, width: int = 224, height: int = 224,
 
                     pixels = decode_jpeg(b)["pixels"]
                     tag = "jpeg-nn-v1"
+                elif kind == "gif":
+                    from .gif import decode_gif
+
+                    pixels = decode_gif(b)["pixels"]
+                    tag = "gif-nn-v1"
                 else:
                     from .png import decode_png
 
@@ -615,6 +630,35 @@ def synth_jpeg_progressive(docs: DataFrame, id_col: str) -> DataFrame:
     return docs.select(id_col).mapInPandas(batches, "doc_id long, media binary")
 
 
+def synth_gif(docs: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL GIF payloads deterministically: gray gradient
+    pixel(y, x) = (x + y + id) % 256 over a 256-wide row (every row
+    spans all 256 residues → decoded mean EXACTLY 127.5 — GIF is
+    lossless so no flat-block restriction applies), height 2 + id % 3,
+    odd ids interlaced so both raster paths decode under the oracle."""
+    from .gif import encode_gif
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cache: dict[int, bytes] = {}
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                key = (i % 256) * 6 + (i % 3) * 2 + (i % 2)
+                payload = cache.get(key)
+                if payload is None:
+                    h = 2 + i % 3
+                    g = (np.arange(256)[None, :] + np.arange(h)[:, None] + i) % 256
+                    px = np.repeat(g[:, :, None], 3, axis=2).astype(np.uint8)
+                    payload = cache[key] = encode_gif(px, interlace=bool(i % 2))
+                payloads.append(payload)
+            yield pd.DataFrame({"doc_id": pdf[id_col], "media": payloads})
+
+    return docs.select(id_col).mapInPandas(batches, "doc_id long, media binary")
+
+
 def synth_png(docs: DataFrame, id_col: str) -> DataFrame:
     """Manufacture REAL PNG payloads deterministically: pixel(y, x) =
     (x + y + id) % 256 over a 256-wide gradient, height = 2 + id % 3.
@@ -661,6 +705,12 @@ def extract_image_meta(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame
             p = decode_png(b)
             return (p["width"], p["height"], p["channels"],
                     float(p["pixels"].mean()), "png-v1")
+        if kind == "gif":
+            from .gif import decode_gif
+
+            g = decode_gif(b)
+            return (g["width"], g["height"], g["channels"],
+                    float(g["pixels"].mean()), "gif-v1")
         j = decode_jpeg(b)
         return (j["width"], j["height"], j["channels"],
                 float(j["pixels"].mean()), f"jpeg-{j['mode']}-v1")

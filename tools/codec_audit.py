@@ -20,6 +20,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np  # noqa: E402
 
+from data_analyse_marche_emploi_spark.operators import gif as G  # noqa: E402
 from data_analyse_marche_emploi_spark.operators import jpeg as J  # noqa: E402
 from data_analyse_marche_emploi_spark.operators import media_codecs as MC  # noqa: E402
 from data_analyse_marche_emploi_spark.operators import mp4 as M4  # noqa: E402
@@ -74,6 +75,10 @@ def main() -> None:
                    J.decode_jpeg)
     total += audit("jpeg-progressive-rgb", J.encode_jpeg_progressive(rgb),
                    J.decode_jpeg)
+    total += audit("gif", G.encode_gif(rgb), G.decode_gif)
+    total += audit("gif-interlaced",
+                   G.encode_gif(np.repeat(g, 3, axis=2), interlace=True),
+                   G.decode_gif)
     total += audit("wav", MC.encode_wav_pcm8(bytes(range(200)), 8000),
                    MC.decode_wav)
     total += audit("ppm", MC.encode_ppm(rgb), MC.decode_ppm)
