@@ -3709,6 +3709,30 @@ def multimodal_gif(spark, sf_dir):
 
 
 @register(
+    "multimodal_gif_frames",
+    oracle="""
+    SELECT doc_id, CAST(k AS INTEGER) AS frame_idx,
+           CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           CAST((doc_id + 37 * k) % 256 AS DOUBLE) AS mean_pixel,
+           'gif-anim-v1' AS decoder
+    FROM documents, UNNEST([0, 1, 2]) AS t(k)
+    """,
+)
+def multimodal_gif_frames(spark, sf_dir):
+    """REAL animated-GIF frame decode with GCE compositing: per-doc
+    3-frame animations (frame k flat gray (id + 37k) % 256) fan out to
+    one row per composited frame — the GIF sibling of
+    multimodal_frame_sample's Motion-JPEG path. Lossless decode makes
+    every frame mean an arithmetic function of (doc_id, k) the oracle
+    recomputes; a wrong LZW step, GCE scope, or compositing order
+    shifts it. mapInPandas, zero shuffle, row-expanding UDTF shape."""
+    from .operators.multimodal import sample_gif_frames, synth_gif_animated
+
+    d = _docs(spark, sf_dir)
+    return sample_gif_frames(synth_gif_animated(d, "doc_id"))
+
+
+@register(
     "multimodal_png",
     oracle="""
     SELECT doc_id,
@@ -4583,7 +4607,7 @@ _DRIVER_WINDOW = [
     "cohort_retention",
     # sources / multimodal (never driver-checked)
     "src_rest_paged_dsv2",
-    "multimodal_meta",
+    "multimodal_gif",
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_audio",
@@ -4602,10 +4626,10 @@ _DRIVER_WINDOW = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "agg_theta_overlap",
-    # new this round: full Annex G progressive JPEG decode
+    # new this round: full Annex G progressive JPEG decode; the
+    # char-trigram LM quality gate
     "multimodal_jpeg_progressive",
-    # rows-only proof (no SQL oracle by nature; driver records rows)
-    "stream_distinct_users",
+    "text_perplexity",
 ]
 
 def _prioritize() -> None:

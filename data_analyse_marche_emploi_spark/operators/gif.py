@@ -196,12 +196,16 @@ def decode_gif(payload: bytes) -> dict:
         raise ValueError(f"malformed GIF stream: {e!r}") from None
 
 
-def _decode_impl(payload: bytes) -> dict:
+def _walk(payload: bytes):
+    """Parse the container: returns (screen, frames) where ``screen`` =
+    {w, h, bg, global_pal} and each frame dict carries its descriptor,
+    palette, raw LZW chunks, and the Graphic Control Extension state
+    (disposal method, transparent index) that preceded it."""
     if not sniff_gif(payload):
         raise ValueError("not a GIF payload")
     if len(payload) < 13:
         raise ValueError("truncated GIF header")
-    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    w, h, packed, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     if w == 0 or h == 0:
         raise ValueError("corrupt GIF: zero logical screen dimension")
     pos = 13
@@ -210,8 +214,8 @@ def _decode_impl(payload: bytes) -> dict:
         n = 2 << (packed & 0x07)
         global_pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
-    first = None
-    n_frames = 0
+    frames = []
+    gce = {"disposal": 0, "transparent": None}
     while pos < len(payload):
         block = payload[pos]
         pos += 1
@@ -220,14 +224,26 @@ def _decode_impl(payload: bytes) -> dict:
         if block == 0x21:  # extension: label + sub-blocks
             if pos >= len(payload):
                 raise ValueError("truncated extension block")
+            label = payload[pos]
             pos += 1
+            sub = []
             while True:
                 if pos >= len(payload):
                     raise ValueError("truncated extension sub-blocks")
                 sz = payload[pos]
-                pos += 1 + sz
+                pos += 1
                 if sz == 0:
                     break
+                sub.append(payload[pos:pos + sz])
+                if len(sub[-1]) != sz:
+                    raise ValueError("truncated extension sub-block")
+                pos += sz
+            if label == 0xF9 and sub and len(sub[0]) >= 4:  # GCE
+                flags = sub[0][0]
+                gce = {
+                    "disposal": (flags >> 2) & 0x7,
+                    "transparent": sub[0][3] if flags & 0x1 else None,
+                }
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block type {block:#x}")
@@ -236,11 +252,15 @@ def _decode_impl(payload: bytes) -> dict:
         pos += 9
         if fw == 0 or fh == 0:
             raise ValueError("corrupt GIF: zero frame dimension")
+        if fx + fw > w or fy + fh > h:
+            raise ValueError("corrupt GIF: frame exceeds logical screen")
         pal = global_pal
         if fpacked & 0x80:
             n = 2 << (fpacked & 0x07)
             pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
             pos += n * 3
+        if pal is None:
+            raise ValueError("GIF frame with no color table")
         if pos >= len(payload):
             raise ValueError("truncated image data")
         min_code = payload[pos]
@@ -257,31 +277,120 @@ def _decode_impl(payload: bytes) -> dict:
             if len(chunks[-1]) != sz:
                 raise ValueError("truncated image sub-block")
             pos += sz
-        n_frames += 1
-        if first is None:
-            if pal is None:
-                raise ValueError("GIF frame with no color table")
-            idx = _lzw_decode(b"".join(chunks), min_code, fw * fh)
-            arr = np.frombuffer(idx, np.uint8).reshape(fh, fw)
-            if int(arr.max()) >= pal.shape[0]:
-                raise ValueError("corrupt GIF: palette index out of range")
-            if fpacked & 0x40:
-                arr = _deinterlace(arr)
-            first = {"px": pal[arr], "x": fx, "y": fy, "w": fw, "h": fh}
-    if first is None:
+        frames.append({
+            "x": fx, "y": fy, "w": fw, "h": fh,
+            "interlaced": bool(fpacked & 0x40), "pal": pal,
+            "min_code": min_code, "data": b"".join(chunks), **gce,
+        })
+        gce = {"disposal": 0, "transparent": None}  # GCE scopes one image
+    if not frames:
         raise ValueError("GIF with no image frame")
-    # composite the first frame onto the logical screen (frames may be
-    # offset subrectangles; out-of-screen frames are corrupt)
-    if first["x"] + first["w"] > w or first["y"] + first["h"] > h:
-        raise ValueError("corrupt GIF: frame exceeds logical screen")
-    if (first["x"], first["y"], first["w"], first["h"]) == (0, 0, w, h):
-        pixels = first["px"]
+    return {"w": w, "h": h, "bg": bg, "global_pal": global_pal}, frames
+
+
+def _frame_indices(fr: dict) -> np.ndarray:
+    idx = _lzw_decode(fr["data"], fr["min_code"], fr["w"] * fr["h"])
+    arr = np.frombuffer(idx, np.uint8).reshape(fr["h"], fr["w"])
+    if int(arr.max()) >= fr["pal"].shape[0]:
+        raise ValueError("corrupt GIF: palette index out of range")
+    if fr["interlaced"]:
+        arr = _deinterlace(arr)
+    return arr
+
+
+def _decode_impl(payload: bytes) -> dict:
+    screen, frames = _walk(payload)
+    w, h = screen["w"], screen["h"]
+    fr = frames[0]
+    arr = _frame_indices(fr)
+    px = fr["pal"][arr]
+    if (fr["x"], fr["y"], fr["w"], fr["h"]) == (0, 0, w, h):
+        pixels = px
     else:
         pixels = np.zeros((h, w, 3), dtype=np.uint8)
-        pixels[first["y"]:first["y"] + first["h"],
-               first["x"]:first["x"] + first["w"]] = first["px"]
+        pixels[fr["y"]:fr["y"] + fr["h"], fr["x"]:fr["x"] + fr["w"]] = px
     return {"width": w, "height": h, "channels": 3, "pixels": pixels,
-            "n_frames": n_frames, "mode": "gif"}
+            "n_frames": len(frames), "mode": "gif"}
+
+
+def decode_gif_frames(payload: bytes, max_frames: int = 4) -> dict:
+    """Animated GIF → composited frames: each of the first
+    ``max_frames`` frames rendered onto the logical screen honoring the
+    Graphic Control Extension — transparent indices keep the underlying
+    canvas, disposal 2 restores the frame rect to the background color,
+    disposal 3 restores the pre-frame canvas. Returns ``{width, height,
+    n_frames, frames: [uint8 (h, w, 3), ...]}`` (``n_frames`` counts
+    ALL image descriptors, beyond the decoded prefix). Raises
+    ValueError on malformed input — never any other exception."""
+    try:
+        screen, frames = _walk(payload)
+        w, h = screen["w"], screen["h"]
+        if screen["global_pal"] is not None:
+            bg_color = screen["global_pal"][
+                min(screen["bg"], screen["global_pal"].shape[0] - 1)
+            ]
+        else:
+            bg_color = np.zeros(3, dtype=np.uint8)
+        canvas = np.broadcast_to(bg_color, (h, w, 3)).copy()
+        out = []
+        for fr in frames[:max_frames]:
+            before = canvas.copy() if fr["disposal"] == 3 else None
+            arr = _frame_indices(fr)
+            px = fr["pal"][arr]
+            region = canvas[fr["y"]:fr["y"] + fr["h"],
+                            fr["x"]:fr["x"] + fr["w"]]
+            if fr["transparent"] is not None:
+                opaque = arr != fr["transparent"]
+                region[opaque] = px[opaque]
+            else:
+                region[:] = px
+            out.append(canvas.copy())
+            if fr["disposal"] == 2:
+                canvas[fr["y"]:fr["y"] + fr["h"],
+                       fr["x"]:fr["x"] + fr["w"]] = bg_color
+            elif fr["disposal"] == 3 and before is not None:
+                canvas = before
+        return {"width": w, "height": h, "n_frames": len(frames),
+                "frames": out}
+    except (struct.error, IndexError, KeyError, OverflowError,
+            ZeroDivisionError) as e:
+        raise ValueError(f"malformed GIF stream: {e!r}") from None
+
+
+def _palettize(frames: list[np.ndarray]):
+    """Shared global palette over all frames: (palette, index frames,
+    palette bit width). Raises if the union exceeds 256 colors."""
+    flat = np.concatenate([f.reshape(-1, 3) for f in frames])
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if colors.shape[0] > 256:
+        raise ValueError(f"too many colors for GIF: {colors.shape[0]}")
+    bits = max(1, int(np.ceil(np.log2(max(2, colors.shape[0])))))
+    pal = np.zeros((1 << bits, 3), dtype=np.uint8)
+    pal[: colors.shape[0]] = colors
+    idx_frames, off = [], 0
+    for f in frames:
+        n = f.shape[0] * f.shape[1]
+        idx_frames.append(
+            inverse[off:off + n].astype(np.uint8).reshape(f.shape[:2])
+        )
+        off += n
+    return pal, idx_frames, bits
+
+
+def _emit_frame(out: bytearray, idx: np.ndarray, min_code: int,
+                interlace: bool) -> None:
+    h, w = idx.shape
+    if interlace:
+        order = [y for start, step in _INTERLACE_PASSES for y in range(start, h, step)]
+        idx = idx[order]
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    out.append(min_code)
+    lzw = _lzw_encode(idx.tobytes(), min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
 
 
 def encode_gif(pixels: np.ndarray, interlace: bool = False) -> bytes:
@@ -290,28 +399,34 @@ def encode_gif(pixels: np.ndarray, interlace: bool = False) -> bytes:
     h, w, nc = pixels.shape
     if nc != 3:
         raise ValueError("encode_gif expects (h, w, 3) RGB")
-    flat = pixels.reshape(-1, 3)
-    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
-    if colors.shape[0] > 256:
-        raise ValueError(f"too many colors for GIF: {colors.shape[0]}")
-    # palette size = power of two ≥ max(2, n_colors)
-    bits = max(1, int(np.ceil(np.log2(max(2, colors.shape[0])))))
-    pal = np.zeros((1 << bits, 3), dtype=np.uint8)
-    pal[: colors.shape[0]] = colors
-    idx = inverse.astype(np.uint8).reshape(h, w)
-    if interlace:
-        order = [y for start, step in _INTERLACE_PASSES for y in range(start, h, step)]
-        idx = idx[order]
-    min_code = max(2, bits)
+    pal, (idx,), bits = _palettize([pixels])
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 0x07), 0, 0)
     out += pal.tobytes()
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
-    out.append(min_code)
-    lzw = _lzw_encode(idx.tobytes(), min_code)
-    for i in range(0, len(lzw), 255):
-        chunk = lzw[i:i + 255]
-        out.append(len(chunk))
-        out += chunk
-    out += b"\x00\x3b"
+    _emit_frame(out, idx, max(2, bits), interlace)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def encode_gif_animated(frames: list[np.ndarray],
+                        delay_cs: int = 10) -> bytes:
+    """Full-screen (h, w, 3) frames sharing ≤256 colors → animated
+    GIF89a (one GCE per frame, disposal 1 = leave in place; lossless,
+    so ``decode_gif_frames`` returns every frame exactly)."""
+    if not frames:
+        raise ValueError("encode_gif_animated needs at least one frame")
+    h, w, nc = frames[0].shape
+    if nc != 3 or any(f.shape != (h, w, 3) for f in frames):
+        raise ValueError("all frames must share one (h, w, 3) shape")
+    pal, idx_frames, bits = _palettize(frames)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 0x07), 0, 0)
+    out += pal.tobytes()
+    # Netscape loop extension (loop forever) — the standard animation marker
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for idx in idx_frames:
+        out += b"\x21\xf9\x04" + bytes([0x04, delay_cs & 0xFF,
+                                        (delay_cs >> 8) & 0xFF, 0]) + b"\x00"
+        _emit_frame(out, idx, max(2, bits), False)
+    out += b"\x3b"
     return bytes(out)

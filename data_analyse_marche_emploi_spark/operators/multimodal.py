@@ -659,6 +659,75 @@ def synth_gif(docs: DataFrame, id_col: str) -> DataFrame:
     return docs.select(id_col).mapInPandas(batches, "doc_id long, media binary")
 
 
+def synth_gif_animated(docs: DataFrame, id_col: str,
+                       n_frames: int = 3) -> DataFrame:
+    """Animated-GIF fixtures: ``n_frames`` flat gray frames, frame k's
+    value = (id + 37·k) % 256 — GIF is lossless so each composited
+    frame's mean is exactly that value (arithmetic oracle per frame)."""
+    from .gif import encode_gif_animated
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cache: dict[int, bytes] = {}
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                key = i % 256
+                payload = cache.get(key)
+                if payload is None:
+                    frames = [
+                        np.full((8, 16, 3), (i + 37 * k) % 256, np.uint8)
+                        for k in range(n_frames)
+                    ]
+                    payload = cache[key] = encode_gif_animated(frames)
+                payloads.append(payload)
+            yield pd.DataFrame({"doc_id": pdf[id_col], "media": payloads})
+
+    return docs.select(id_col).mapInPandas(batches, "doc_id long, media binary")
+
+
+def sample_gif_frames(media_df: DataFrame, max_frames: int = 4,
+                      id_col: str = "doc_id") -> DataFrame:
+    """REAL animated-GIF frame decode, per-frame fan-out (the GIF
+    sibling of ``sample_video_frames``): composite each of the first
+    ``max_frames`` frames honoring GCE transparency/disposal
+    (operators/gif.py) and emit its dimensions and mean pixel. Corrupt
+    payloads degrade per-row to a single tagged row, never per-task.
+    mapInPandas, zero shuffle, row-expanding UDTF shape."""
+    from .gif import decode_gif_frames
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, ws, hs, means, tags = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["media"]):
+                if payload is None:
+                    continue
+                try:
+                    d = decode_gif_frames(payload, max_frames=max_frames)
+                    for k, fr in enumerate(d["frames"]):
+                        ids.append(doc_id)
+                        idxs.append(k)
+                        ws.append(d["width"])
+                        hs.append(d["height"])
+                        means.append(float(fr.mean()))
+                        tags.append("gif-anim-v1")
+                except ValueError:
+                    ids.append(doc_id)
+                    idxs.append(0)
+                    ws.append(0)
+                    hs.append(0)
+                    means.append(-1.0)
+                    tags.append("gif-anim-v1-corrupt")
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "width": ws, "height": hs,
+                 "mean_pixel": means, "decoder": tags}
+            )
+
+    return media_df.mapInPandas(batches, FRAME_DECODE_SCHEMA)
+
+
 def synth_png(docs: DataFrame, id_col: str) -> DataFrame:
     """Manufacture REAL PNG payloads deterministically: pixel(y, x) =
     (x + y + id) % 256 over a 256-wide gradient, height = 2 + id % 3.

@@ -122,3 +122,96 @@ def test_resize_real_for_gif(spark):
     row = resize_images(df, width=8, height=8).collect()[0]
     assert row["decoder"] == "gif-nn-v1"
     assert row["n_bytes"] > 0
+
+
+def test_animated_roundtrip_exact():
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, (17, 3), np.uint8)
+    frames = [pal[rng.integers(0, 17, (20, 30))] for _ in range(5)]
+    d = G.decode_gif_frames(G.encode_gif_animated(frames), max_frames=5)
+    assert d["n_frames"] == 5
+    for k in range(5):
+        np.testing.assert_array_equal(d["frames"][k], frames[k])
+
+
+def _hand_crafted_transparency_gif():
+    """2-color global palette; frame 1 full red, frame 2 a 4×4 checker
+    at (2,2) whose index 0 is declared transparent."""
+    import struct as S
+
+    out = bytearray(b"GIF89a")
+    out += S.pack("<HHBBB", 8, 8, 0x80, 0, 0)
+    out += bytes([255, 0, 0, 0, 0, 255])
+    out += b"\x21\xf9\x04" + bytes([0x04, 0, 0, 0]) + b"\x00"
+    G._emit_frame(out, np.zeros((8, 8), np.uint8), 2, False)
+    out += b"\x21\xf9\x04" + bytes([0x05, 0, 0, 0]) + b"\x00"  # transparent
+    rect = ((np.arange(4)[:, None] + np.arange(4)[None, :]) % 2).astype(np.uint8)
+    out += b"\x2c" + S.pack("<HHHHB", 2, 2, 4, 4, 0)
+    out.append(2)
+    lzw = G._lzw_encode(rect.tobytes(), 2)
+    out.append(len(lzw))
+    out += lzw
+    out += b"\x00\x3b"
+    return bytes(out), rect
+
+
+def test_transparency_compositing():
+    payload, rect = _hand_crafted_transparency_gif()
+    d = G.decode_gif_frames(payload, max_frames=2)
+    exp = np.zeros((8, 8, 3), np.uint8)
+    exp[:, :] = [255, 0, 0]
+    sub = exp[2:6, 2:6]
+    sub[rect == 1] = [0, 0, 255]
+    np.testing.assert_array_equal(d["frames"][1], exp)
+
+
+def test_disposal_2_restores_background():
+    import struct as S
+
+    out = bytearray(b"GIF89a")
+    out += S.pack("<HHBBB", 4, 4, 0x80, 1, 0)  # background index 1 = blue
+    out += bytes([255, 0, 0, 0, 0, 255])
+    out += b"\x21\xf9\x04" + bytes([0x08, 0, 0, 0]) + b"\x00"  # disposal 2
+    G._emit_frame(out, np.zeros((4, 4), np.uint8), 2, False)  # all red
+    out += b"\x21\xf9\x04" + bytes([0x04, 0, 0, 0]) + b"\x00"
+    out += b"\x2c" + S.pack("<HHHHB", 0, 0, 1, 1, 0)
+    out.append(2)
+    lzw = G._lzw_encode(b"\x00", 2)
+    out.append(len(lzw))
+    out += lzw
+    out += b"\x00\x3b"
+    d = G.decode_gif_frames(bytes(out), max_frames=2)
+    exp = np.zeros((4, 4, 3), np.uint8)
+    exp[:, :] = [0, 0, 255]  # frame-1 rect restored to background
+    exp[0, 0] = [255, 0, 0]  # the 1×1 frame-2 pixel
+    np.testing.assert_array_equal(d["frames"][1], exp)
+
+
+@settings(max_examples=25, deadline=None)
+@given(pos=st.integers(0, 10_000), flip=st.integers(1, 255))
+def test_animated_bitflip_discipline(pos, flip):
+    rng = np.random.default_rng(12)
+    pal = rng.integers(0, 256, (8, 3), np.uint8)
+    payload = G.encode_gif_animated(
+        [pal[rng.integers(0, 8, (10, 10))] for _ in range(3)]
+    )
+    m = bytearray(payload)
+    m[pos % len(m)] ^= flip
+    try:
+        G.decode_gif_frames(bytes(m))
+    except ValueError:
+        pass
+
+
+def test_gif_frames_distributed(spark):
+    from data_analyse_marche_emploi_spark.operators.multimodal import (
+        sample_gif_frames,
+        synth_gif_animated,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(9)], "doc_id long")
+    rows = sample_gif_frames(synth_gif_animated(docs, "doc_id")).collect()
+    assert len(rows) == 27
+    for r in rows:
+        assert r["mean_pixel"] == float((r["doc_id"] + 37 * r["frame_idx"]) % 256)
+        assert r["decoder"] == "gif-anim-v1"
