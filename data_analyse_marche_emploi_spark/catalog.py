@@ -2234,6 +2234,168 @@ def q_top_supplier(spark, sf_dir):
 
 
 @register(
+    "q_min_price_supplier",
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    best AS (
+      SELECT l_partkey, min(unit_price) AS best_price
+      FROM offers GROUP BY l_partkey)
+    SELECT p_partkey, p_brand, p_type, s_suppkey, s_name, n_name,
+           round(unit_price, 4) AS unit_price
+    FROM offers
+    JOIN best ON offers.l_partkey = best.l_partkey
+             AND offers.unit_price = best.best_price
+    JOIN part ON p_partkey = offers.l_partkey
+    JOIN supplier ON s_suppkey = offers.l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_size < 10
+    """,
+)
+def q_min_price_supplier(spark, sf_dir):
+    """TPC-H-Q2-shaped (the fixture has no partsupp, so the offer table
+    derives from observed lineitem unit prices): for each small part,
+    the supplier(s) quoting the minimum unit price, enriched through
+    supplier → nation. The correlated min is the argmin-per-group
+    pattern done scale-right: a partial-aggregating groupBy-min joined
+    back on (part, price) equality — never a per-part window (WindowExec
+    buffers the hot part's whole group in one task). The price equality
+    is IEEE-exact on both engines: min() preserves a member of the set
+    and the division is a single deterministic operation, so no epsilon
+    is needed. part/supplier/nation are broadcast dims."""
+    li = _t(spark, sf_dir, "lineitem")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    )
+    best = offers.groupBy("l_partkey").agg(
+        F.min("unit_price").alias("best_price")
+    ).withColumnRenamed("l_partkey", "__bk")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") < 10).select(
+        "p_partkey", "p_brand", "p_type"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        offers.join(
+            best,
+            (offers["l_partkey"] == F.col("__bk"))
+            & (offers["unit_price"] == F.col("best_price")),
+        )
+        .select("l_partkey", "l_suppkey", "unit_price")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey", "p_brand", "p_type", "s_suppkey", "s_name", "n_name",
+            F.round("unit_price", 4).alias("unit_price"),
+        )
+    )
+
+
+@register(
+    "q_part_supplier_counts",
+    oracle="""
+    SELECT p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_size IN (1, 9, 17, 25, 33, 41, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_type, p_size
+    """,
+)
+def q_part_supplier_counts(spark, sf_dir):
+    """TPC-H-Q16-shaped: how many distinct suppliers serve each
+    (type, size) bucket of selected parts, excluding an unwanted
+    supplier set (negative account balance standing in for Q16's
+    complaints list). Shapes under test: broadcast LEFT ANTI against
+    the exclusion set (never NOT IN's null-trap semantics at scale),
+    broadcast dim join with the IN-list pushed to the part scan, and a
+    partial-aggregating distinct count."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("__bad")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size").isin(1, 9, 17, 25, 33, 41, 49))
+        .select("p_partkey", "p_type", "p_size")
+    )
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == F.col("__bad"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q_cheapest_line_supplier",
+    oracle="""
+    SELECT s_name, count(*) AS n_lines
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_extendedprice < l1.l_extendedprice)
+    GROUP BY s_name
+    """,
+)
+def q_cheapest_line_supplier(spark, sf_dir):
+    """TPC-H-Q21-shaped (the fixture has no receipt/commit dates, so
+    price stands in for lateness): per supplier, how many of its lines
+    in finished multi-supplier orders are the cheapest line no other
+    supplier undercuts. The Q21 plan shape is the point: a LEFT SEMI
+    self-join (EXISTS another supplier on the order) and a LEFT ANTI
+    self-join with a non-equi conjunct (NOT EXISTS a cheaper
+    other-supplier line), both shuffling on the shared l_orderkey key
+    so AQE can reuse the exchange; orders filters push to its scan and
+    supplier broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l1 = li.alias("l1").join(o, F.col("l1.l_orderkey") == F.col("o_orderkey"))
+    l2 = li.select(
+        F.col("l_orderkey").alias("__ok2"), F.col("l_suppkey").alias("__sk2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("__ok3"),
+        F.col("l_suppkey").alias("__sk3"),
+        F.col("l_extendedprice").alias("__px3"),
+    )
+    survived = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("__ok2"))
+            & (F.col("l1.l_suppkey") != F.col("__sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("__ok3"))
+            & (F.col("l1.l_suppkey") != F.col("__sk3"))
+            & (F.col("__px3") < F.col("l1.l_extendedprice")),
+            "left_anti",
+        )
+    )
+    return (
+        survived.join(F.broadcast(s), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@register(
     "q_large_orders",
     oracle="""
     SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,

@@ -302,3 +302,23 @@ def test_no_lambda_filter_below_exchange(spark, sf_dir, name):
             raise AssertionError(
                 f"{name}: lambda-bearing Filter in plan: {stripped[:200]}"
             )
+
+
+def test_q21_shape_semi_and_anti_no_cartesian(spark, sf_dir):
+    """q_cheapest_line_supplier must express both correlated EXISTS
+    subqueries as hash semi/anti joins with the non-equi conjunct
+    riding the equi-key — a cartesian or BNLJ here is quadratic in
+    order size at scale."""
+    plan = plan_of(spark, sf_dir, "q_cheapest_line_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_q2_argmin_is_partial_aggregate_not_window(spark, sf_dir):
+    """q_min_price_supplier's per-part minimum must come from a
+    partial-aggregating groupBy joined back, never a per-part window
+    (WindowExec buffers a hot part's whole group in one task)."""
+    plan = plan_of(spark, sf_dir, "q_min_price_supplier")
+    assert "partial_min" in plan
+    assert "Window" not in plan
