@@ -50,6 +50,10 @@ HEADLINE = [
     "knn_brute_force",
     "pipeline_training_data",
     "chunks_to_sequences",
+    "text_perplexity",
+    # round-5 additions: Q21-shaped self-semi/anti; lossless GIF frames
+    "q_cheapest_line_supplier",
+    "multimodal_gif_frames",
     # structured-streaming drain (availableNow → watermarked dedup)
     "stream_dedup_upsert",
 ]
