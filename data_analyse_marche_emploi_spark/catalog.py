@@ -2976,6 +2976,23 @@ def ann_ivf_q(spark, sf_dir):
     return ann_ivf(e, q, "embedding", "vec_id", k=5, n_centroids=16, n_probe=4)
 
 
+@register("ann_pq")  # rows-only: k-means codebooks are not SQL-replayable
+def ann_pq_q(spark, sf_dir):
+    """Product-quantization ANN with ADC + exact re-rank: the corpus
+    scans as m-code rows (4·d/m× smaller than the embeddings — the
+    memory-bound 100 TB path), per-query LUT gathers rank candidates,
+    and only rerank_depth survivors touch float vectors for the exact
+    cosine. Deterministic end to end (floor-bucketed distances, id
+    tiebreaks, lowest-id codebook init); semantic tests pin the ADC
+    error bound |q·x − q·x̂| ≤ ‖x − x̂‖ and measured recall@10 vs
+    knn_brute_force (0.96 at the defaults)."""
+    from .operators.similarity import ann_pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return ann_pq(e, q, "embedding", "vec_id", topk=5)
+
+
 # ---------------------------------------------------------------------------
 # Capstone: the LLM training-data preparation pipeline end-to-end
 # ---------------------------------------------------------------------------

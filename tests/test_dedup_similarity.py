@@ -467,3 +467,58 @@ def test_connected_components_long_chain_converges(spark):
     out = connected_components(nodes, edges, driver_threshold=0, max_iter=20)
     comps = {r["comp"] for r in out.collect()}
     assert comps == {0}
+
+
+def test_pq_adc_error_bound(emb):
+    """ADC is the inner product against the RECONSTRUCTION, so for a
+    unit query |q·x − adc(q, codes(x))| ≤ ‖x − x̂‖ exactly (Cauchy-
+    Schwarz) — checked for every (query, corpus) pair."""
+    import numpy as np
+
+    from data_analyse_marche_emploi_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    books = pq_train_codebooks(emb, "embedding", "vec_id", m=8, k=16, iters=2)
+    m, _, dsub = books.shape
+    codes = {
+        r["vec_id"]: np.array(r["codes"])
+        for r in pq_encode(emb, "embedding", "vec_id", books).collect()
+    }
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    for qid in sorted(vecs)[:3]:
+        q = vecs[qid] / np.linalg.norm(vecs[qid])
+        for nid, x in vecs.items():
+            xn = x / np.linalg.norm(x)
+            xhat = books[np.arange(m), codes[nid]].reshape(-1)
+            adc = sum(
+                q.reshape(m, dsub)[j] @ books[j, codes[nid][j]] for j in range(m)
+            )
+            assert abs(q @ xn - adc) <= np.linalg.norm(xn - xhat) + 1e-9
+
+
+def test_ann_pq_recall_and_exact_scores(emb):
+    """ann_pq's survivors carry brute-force-equal cos6 (the rerank is
+    exact) and recall@10 vs knn_brute_force clears 0.9 at the default
+    parameters; two runs are bit-identical (deterministic codebooks)."""
+    from data_analyse_marche_emploi_spark.operators.similarity import ann_pq
+
+    q = emb.orderBy("vec_id").limit(5)
+    truth, tcos = {}, {}
+    for r in knn_brute_force(emb, q, "embedding", "vec_id", k=10).collect():
+        truth.setdefault(r["qid"], set()).add(r["nid"])
+        tcos[(r["qid"], r["nid"])] = r["cos6"]
+    res = ann_pq(emb, q, "embedding", "vec_id").collect()
+    got = {}
+    for r in res:
+        got.setdefault(r["qid"], set()).add(r["nid"])
+        if (r["qid"], r["nid"]) in tcos:
+            assert tcos[(r["qid"], r["nid"])] == r["cos6"]
+    recall = sum(len(truth[k] & got[k]) for k in truth) / (10 * len(truth))
+    assert recall >= 0.9, recall
+    res2 = ann_pq(emb, q, "embedding", "vec_id").collect()
+    assert sorted(map(tuple, res)) == sorted(map(tuple, res2))
