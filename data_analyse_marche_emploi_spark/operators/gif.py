@@ -38,6 +38,13 @@ def sniff_gif(payload: bytes | None) -> bool:
     return bool(payload) and payload[:6] in (b"GIF87a", b"GIF89a")
 
 
+# A 13-byte header can claim 65535×65535 — a 12 GiB canvas — and numpy's
+# failed allocation raises MemoryError, escaping the ValueError-only
+# contract (one corrupt row would kill the Spark task). 64 Mpx bounds
+# the decode canvas at ~192 MB RGB while accepting any plausible image.
+MAX_PIXELS = 64_000_000
+
+
 # --- LZW -------------------------------------------------------------------
 
 
@@ -192,7 +199,7 @@ def decode_gif(payload: bytes) -> dict:
     try:
         return _decode_impl(payload)
     except (struct.error, IndexError, KeyError, OverflowError,
-            ZeroDivisionError) as e:
+            ZeroDivisionError, MemoryError) as e:
         raise ValueError(f"malformed GIF stream: {e!r}") from None
 
 
@@ -208,6 +215,8 @@ def _walk(payload: bytes):
     w, h, packed, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     if w == 0 or h == 0:
         raise ValueError("corrupt GIF: zero logical screen dimension")
+    if w * h > MAX_PIXELS:
+        raise ValueError(f"implausible GIF dimensions {w}x{h}")
     pos = 13
     global_pal = None
     if packed & 0x80:
@@ -353,7 +362,7 @@ def decode_gif_frames(payload: bytes, max_frames: int = 4) -> dict:
         return {"width": w, "height": h, "n_frames": len(frames),
                 "frames": out}
     except (struct.error, IndexError, KeyError, OverflowError,
-            ZeroDivisionError) as e:
+            ZeroDivisionError, MemoryError) as e:
         raise ValueError(f"malformed GIF stream: {e!r}") from None
 
 

@@ -244,7 +244,7 @@ def decode_jpeg(payload: bytes) -> dict:
     try:
         return _decode_impl(payload)
     except (struct.error, IndexError, KeyError, OverflowError,
-            ZeroDivisionError) as e:
+            ZeroDivisionError, MemoryError) as e:
         raise ValueError(f"malformed JPEG stream: {e!r}") from None
 
 
@@ -295,6 +295,13 @@ def _decode_impl(payload: bytes) -> dict:
                 comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
             if w == 0 or h == 0:
                 raise ValueError("corrupt SOF: zero dimension")
+            # A 19-byte SOF can claim 65535×65535 — the coefficient /
+            # plane buffers would be a >12 GiB allocation whose
+            # MemoryError escapes the ValueError-only contract (one
+            # crafted row kills the task). 64 Mpx bounds the decode
+            # buffers at ~0.5-1 GB while accepting any plausible photo.
+            if w * h > 64_000_000:
+                raise ValueError(f"implausible SOF dimensions {w}x{h}")
             frame = {"w": w, "h": h, "comps": comps,
                      "progressive": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,

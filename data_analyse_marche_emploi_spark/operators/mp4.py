@@ -144,7 +144,7 @@ def extract_video_samples(payload: bytes, max_samples: int | None = None) -> dic
     in-repo T.81 decoder; anything else is an opaque bitstream here)."""
     try:
         return _extract_samples_impl(payload, max_samples)
-    except (struct.error, IndexError, OverflowError) as e:
+    except (struct.error, IndexError, OverflowError, MemoryError) as e:
         raise ValueError(f"malformed BMFF sample table: {e!r}") from None
 
 
@@ -220,14 +220,21 @@ def _extract_samples_impl(payload: bytes, max_samples: int | None) -> dict:
     ]
     if not runs or any(r[0] < 1 or r[1] < 1 for r in runs):
         raise ValueError("invalid stsc run")
+    # ISO 14496-12 8.7.4: runs must start at chunk 1 and be strictly
+    # ascending by first_chunk — otherwise some chunk has NO covering
+    # run and any fabricated samples-per-chunk would slice sample bytes
+    # at wrong offsets and hand garbage to the frame decoder as valid
+    if runs[0][0] != 1 or any(
+        runs[i][0] >= runs[i + 1][0] for i in range(len(runs) - 1)
+    ):
+        raise ValueError("corrupt stsc: runs not ascending from chunk 1")
     samples: list[bytes] = []
     si = 0
     limit = n_samples if max_samples is None else min(n_samples, max_samples)
     for ci in range(n_chunks):
         # samples-per-chunk for chunk ci+1 = last run with first_chunk <= ci+1
-        spc = next(
-            (r[1] for r in reversed(runs) if r[0] <= ci + 1), runs[0][1]
-        )
+        # (total coverage guaranteed by the ascending-from-1 check)
+        spc = next(r[1] for r in reversed(runs) if r[0] <= ci + 1)
         pos = offsets[ci]
         for _ in range(spc):
             if si >= limit:

@@ -45,7 +45,7 @@ def decode_png(payload: bytes) -> dict:
     discipline, test_codec_fuzz.py)."""
     try:
         return _decode_impl(payload)
-    except (struct.error, IndexError) as e:
+    except (struct.error, IndexError, OverflowError, MemoryError) as e:
         raise ValueError(f"malformed PNG stream: {e!r}") from None
 
 
@@ -86,14 +86,26 @@ def _decode_impl(payload: bytes) -> dict:
         raise ValueError("missing IHDR")
     w, h, color = ihdr
     ch = _CHANNELS[color]
+    # Bound allocations by the HEADER before touching the stream: a
+    # 33-byte IHDR can claim 2³¹×2³¹ and a small IDAT can be a zlib
+    # bomb — either way numpy/zlib would raise MemoryError past the
+    # ValueError-only contract. 64 Mpx ≈ 256 MB RGBA.
+    if w == 0 or h == 0:
+        raise ValueError("corrupt IHDR: zero dimension")
+    if w * h > 64_000_000:
+        raise ValueError(f"implausible PNG dimensions {w}x{h}")
+    stride = w * ch
+    expected = h * (stride + 1)
     try:
-        raw = zlib.decompress(bytes(idat))
+        dec = zlib.decompressobj()
+        # cap the inflate at the geometry the header promises — a
+        # stream that wants to produce more is corrupt by definition
+        raw = dec.decompress(bytes(idat), expected + 1)
     except zlib.error as e:
         raise ValueError(f"corrupt IDAT stream: {e}") from None
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
+    if len(raw) != expected:
         raise ValueError(
-            f"decompressed size {len(raw)} != expected {h * (stride + 1)}"
+            f"decompressed size {len(raw)} != expected {expected}"
         )
     arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
     filters = arr[:, 0]

@@ -217,17 +217,20 @@ def ann_ivf(
         if n == 1:
             # Corpus-side assignment: a per-id window would shuffle the
             # corpus ×n_centroids (vectors included) through an
-            # exchange just to pick the argmax; max_by partial-
+            # exchange just to pick the argmax; min_by partial-
             # aggregates the broadcast-join output map-side to ONE row
-            # per id before any exchange. Ordering struct (__ccos,
-            # -cid) reproduces (cos desc, cid asc) exactly — cid is
-            # unique per group, so the argmax is deterministic.
+            # per id before any exchange. Ordering struct (-__ccos,
+            # cid) reproduces (cos desc, cid asc) exactly WITHOUT
+            # negating cid — only the always-numeric score flips sign,
+            # so the tiebreak stays correct for string/any-type
+            # centroid ids (unary minus on a string silently casts to
+            # NULL with ANSI off, which would break determinism).
             return (
                 scored.groupBy(idc)
                 .agg(
-                    F.max_by(
+                    F.min_by(
                         F.struct(F.col(vc).alias("v"), F.col("cid").alias("c")),
-                        F.struct(F.col("__ccos"), (-F.col("cid")).alias("nc")),
+                        F.struct((-F.col("__ccos")).alias("ns"), F.col("cid")),
                     ).alias("m")
                 )
                 .select(F.col(idc), F.col("m.v").alias(vc), F.col("m.c").alias(out))
@@ -509,10 +512,29 @@ def pq_train_codebooks(
     import numpy as np
 
     spark = vectors.sparkSession
-    base = vectors.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    # Normalize ONCE on the cluster side: assignment, pq_encode, and
+    # the ADC LUT all operate on L2-normalized vectors, so the centroid
+    # update must average the SAME normalized components — summing the
+    # raw column would scale codebook cells by arbitrary corpus norms
+    # (emb_kmeans can re-normalize its full-vector centroids afterward;
+    # a PQ codebook of subvectors cannot, so the input is normalized).
+    base = (
+        vectors.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .withColumn(
+            "__n",
+            F.expr(
+                "sqrt(aggregate(cast(__v as array<double>), 0D, (a, x) -> a + x * x))"
+            ),
+        )
+        .select(
+            "__id",
+            F.expr(
+                "transform(cast(__v as array<double>), x -> x / greatest(__n, 1e-12))"
+            ).alias("__v"),
+        )
+    )
     init = base.orderBy(F.asc("__id")).limit(k).collect()
     mat = np.array([r["__v"] for r in init], dtype=np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     d = mat.shape[1]
     if d % m:
         raise ValueError(f"m={m} must divide the embedding dim {d}")
@@ -547,18 +569,23 @@ def pq_train_codebooks(
 
         return assign
 
+    # explode the vector ONCE into (id, sub, sd, x) cells — joining the
+    # m assignment rows on (__id, sub) keeps exactly n·d rows (the
+    # assigned-side re-explode-and-filter form generated m·d cells per
+    # vector and discarded (m-1)/m of them)
+    cells = base.select(
+        "__id", F.posexplode("__v").alias("d", "x")
+    ).select(
+        "__id",
+        (F.col("d") / dsub).cast("int").alias("sub"),
+        (F.col("d") % dsub).alias("sd"),
+        "x",
+    )
     for _ in range(iters):
         assigned = base.mapInPandas(make_assign(books), assign_schema)
         sums = (
-            assigned.join(base, "__id")
-            .select(
-                "sub",
-                "cluster",
-                F.posexplode(F.col("__v").cast("array<double>")).alias("d", "x"),
-            )
-            .filter((F.col("d") >= F.col("sub") * dsub)
-                    & (F.col("d") < (F.col("sub") + 1) * dsub))
-            .groupBy("sub", "cluster", (F.col("d") % dsub).alias("sd"))
+            assigned.join(cells, ["__id", "sub"])
+            .groupBy("sub", "cluster", "sd")
             .agg(F.sum("x").alias("s"), F.count("x").alias("n"))
             .collect()
         )
