@@ -1146,6 +1146,56 @@ def text_lang_id(spark, sf_dir):
     return lang_id(d, "text", "doc_id")
 
 
+def _lang_profile_values() -> str:
+    """The trigram profiles as a SQL VALUES body — generated from the
+    same pure function the Spark operator uses, so the two sides can
+    never drift (profile charset is asserted quote-free)."""
+    from .operators.text_analysis import lang_trigram_profiles
+
+    return ", ".join(
+        f"('{lang}','{tri}',{w})"
+        for lang, p in sorted(lang_trigram_profiles().items())
+        for tri, w in sorted(p.items())
+    )
+
+
+@register(
+    "text_lang_id_ngram",
+    oracle=f"""
+    WITH prof(lang, tri, w) AS (VALUES {_lang_profile_values()}),
+    tris AS (
+      SELECT doc_id, substr(lower(text), CAST(i AS INTEGER), 3) AS tri
+      FROM documents, UNNEST(range(1, length(text) - 1)) AS t(i)
+      WHERE length(text) >= 3
+    ),
+    scores AS (
+      SELECT doc_id, lang, sum(w) AS score
+      FROM tris JOIN prof USING (tri) GROUP BY doc_id, lang
+    ),
+    best AS (
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lang ASC) AS rn
+        FROM scores) WHERE rn = 1
+    )
+    SELECT d.doc_id, coalesce(b.lang, 'und') AS detected_lang
+    FROM documents d LEFT JOIN best b USING (doc_id)
+    """,
+)
+def text_lang_id_ngram(spark, sf_dir):
+    """Character-trigram language ID (Cavnar–Trenkle-style weighted
+    profiles over en/fr/de/es seeds) — the REAL n-gram heuristic next
+    to the function-word baseline: robust to unknown words and short
+    texts since every trigram occurrence votes. Integer scores end to
+    end; the oracle re-emits the identical profile literals, so the
+    classification is hash-exact, not approximately checked."""
+    from .operators.text_analysis import lang_id_ngram
+
+    d = _docs(spark, sf_dir)
+    return lang_id_ngram(d, "text", "doc_id")
+
+
 def _fr_stopword_sql_list() -> str:
     from .operators.text_analysis import STOPWORDS_FR
 
@@ -2244,7 +2294,7 @@ def q_top_supplier(spark, sf_dir):
       SELECT l_partkey, min(unit_price) AS best_price
       FROM offers GROUP BY l_partkey)
     SELECT p_partkey, p_brand, p_type, s_suppkey, s_name, n_name,
-           round(unit_price, 4) AS unit_price
+           CAST(floor(unit_price * 10000) AS BIGINT) AS unit_price_1e4
     FROM offers
     JOIN best ON offers.l_partkey = best.l_partkey
              AND offers.unit_price = best.best_price
@@ -2264,7 +2314,11 @@ def q_min_price_supplier(spark, sf_dir):
     buffers the hot part's whole group in one task). The price equality
     is IEEE-exact on both engines: min() preserves a member of the set
     and the division is a single deterministic operation, so no epsilon
-    is needed. part/supplier/nation are broadcast dims."""
+    is needed. part/supplier/nation are broadcast dims. The OUTPUT
+    price is floor-bucketed to 1e-4 (not round(,4): price/quantity
+    quotients land exactly on half-way rounding boundaries where
+    Spark's and DuckDB's rounding of the same double diverges — caught
+    at sf0.1; floor of identical bits is identical always)."""
     li = _t(spark, sf_dir, "lineitem")
     offers = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
@@ -2289,7 +2343,7 @@ def q_min_price_supplier(spark, sf_dir):
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             "p_partkey", "p_brand", "p_type", "s_suppkey", "s_name", "n_name",
-            F.round("unit_price", 4).alias("unit_price"),
+            F.floor(F.col("unit_price") * 10000).cast("long").alias("unit_price_1e4"),
         )
     )
 

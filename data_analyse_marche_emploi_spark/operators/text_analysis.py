@@ -114,6 +114,97 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# Deterministic seed paragraphs for the trigram-profile language ID.
+# Plain lowercase a-z + spaces ONLY (asserted below): the profiles are
+# re-emitted verbatim inside the catalog oracle's SQL VALUES list, so
+# the character set must never need escaping.
+LANG_TRIGRAM_SEEDS = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog and then it runs "
+        "through the forest with all of the other animals that were "
+        "there in the morning light while people watched from the road"
+    ),
+    "fr": (
+        "le renard brun saute par dessus le chien paresseux et il court "
+        "ensuite dans la foret avec tous les autres animaux qui etaient "
+        "la dans la lumiere du matin pendant que les gens regardaient"
+    ),
+    "de": (
+        "der schnelle braune fuchs springt uber den faulen hund und "
+        "rennt dann durch den wald mit allen anderen tieren die dort am "
+        "morgen waren wahrend die menschen von der strasse zuschauten"
+    ),
+    "es": (
+        "el rapido zorro marron salta sobre el perro perezoso y luego "
+        "corre por el bosque con todos los otros animales que estaban "
+        "alli en la luz de la manana mientras la gente miraba desde"
+    ),
+}
+
+
+def lang_trigram_profiles(top_k: int = 60) -> dict:
+    """Per-language trigram weight profiles (Cavnar-Trenkle style,
+    weights = seed counts): deterministic top-k by (count desc, trigram
+    asc). A pure function of the embedded seeds, so the catalog oracle
+    can re-emit the identical rows as a SQL VALUES list."""
+    from collections import Counter
+
+    profiles = {}
+    for lang, text in LANG_TRIGRAM_SEEDS.items():
+        assert all(c.islower() or c == " " for c in text), lang
+        c = Counter(text[i:i + 3] for i in range(len(text) - 2))
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        profiles[lang] = dict(top)
+    return profiles
+
+
+def lang_id_ngram(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Character-trigram language ID — the real n-gram heuristic
+    (Cavnar-Trenkle rank profiles, simplified to weighted trigram
+    hits): every trigram occurrence in lower(text) that matches a
+    language profile contributes that profile's weight; argmax wins
+    (ties → lexicographically first language), 'und' when nothing
+    matches. Integer scores end to end, so the result is exactly
+    SQL-replayable from the same profile literals — unlike real-world
+    fasttext-style models, nothing here is a float.
+
+    Scale shape: one trigram explode, broadcast join against the tiny
+    (lang, tri, w) dim, per-(doc, lang) partial-aggregated sum, ≤4-row
+    window per doc."""
+    spark: SparkSession = df.sparkSession
+    prof = spark.createDataFrame(
+        [
+            (lang, tri, w)
+            for lang, p in sorted(lang_trigram_profiles().items())
+            for tri, w in sorted(p.items())
+        ],
+        "lang string, tri string, w int",
+    )
+    tris = (
+        df.filter(F.length(text_col) >= 3)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - 2), "
+                    f"i -> substring(lower({text_col}), i, 3))"
+                )
+            ).alias("tri"),
+        )
+    )
+    scores = (
+        tris.join(F.broadcast(prof), "tri")
+        .groupBy(id_col, "lang")
+        .agg(F.sum("w").alias("score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("lang"))
+    best = scores.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return df.select(F.col(id_col)).join(best, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("lang"), F.lit("und")).alias("detected_lang"),
+    )
+
+
 def tf_idf_top_terms(
     df: DataFrame, text_col: str, id_col: str, top_n: int = 3
 ) -> DataFrame:

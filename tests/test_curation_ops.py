@@ -434,3 +434,30 @@ def test_char_lm_scores_match_pure_python(spark):
     }
     assert got == expected
     assert 4 not in got  # sub-trigram docs excluded, like the oracle
+
+
+def test_lang_id_ngram_classifies_planted_languages(spark):
+    """Trigram-profile language ID on hand-planted texts: each seed
+    language's own prose classifies correctly, gibberish with no
+    profile trigrams → 'und', and a doc too short for trigrams → 'und'."""
+    from data_analyse_marche_emploi_spark.operators.text_analysis import (
+        lang_id_ngram,
+    )
+
+    rows = [
+        (1, "the people watched the animals in the morning light"),
+        (2, "les gens regardaient les animaux dans la lumiere du matin"),
+        (3, "die menschen schauten den tieren am morgen zu und waren dort"),
+        (4, "la gente miraba los animales en la luz de la manana alli"),
+        (5, "zzqq xxjj qqzz"),
+        (6, "ab"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["detected_lang"]
+           for r in lang_id_ngram(df, "text", "doc_id").collect()}
+    assert got[1] == "en"
+    assert got[2] == "fr"
+    assert got[3] == "de"
+    assert got[4] == "es"
+    assert got[5] == "und"
+    assert got[6] == "und"
