@@ -730,3 +730,138 @@ def ann_pq(
         .filter(F.col("rank") <= topk)
         .select("qid", "nid", "rank", "cos6")
     )
+
+
+def ann_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    topk: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_codes: int = 64,
+    iters: int = 3,
+    rerank_depth: int = 100,
+) -> DataFrame:
+    """IVF-PQ — the billion-scale composition of the two index layers:
+    a coarse quantizer routes each query to its ``n_probe`` nearest
+    inverted lists, candidates INSIDE those lists are ranked by
+    PQ/ADC over m-code rows, and only the ``rerank_depth`` best pay
+    the exact cosine. Scan cost per query ≈
+    (n_probe/n_centroids) · corpus · m bytes — both index layers cut
+    multiplicatively; everything stays deterministic (lowest-id coarse
+    centroids and codebook init, 1e-6 floor-bucketed scores, id
+    tiebreaks).
+
+    PQ codebooks are trained on the normalized corpus, not per-list
+    residuals: residual PQ needs per-list codebooks (k·m·d driver
+    state and a second training pass) for a recall gain the exact
+    re-rank already recovers at these list counts — the simpler
+    shared-codebook form is what keeps the whole pipeline replayable.
+
+    Returns (qid, nid, rank, cos6) — exact scores on the approximate
+    candidate set, the same contract as ann_ivf/ann_pq."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    # --- coarse layer: deterministic centroids, map-side assignment
+    cent_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.asc(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    cent_ids = np.array([r[id_col] for r in cent_rows], dtype=np.int64)
+    cent_mat = np.array([r[vec_col] for r in cent_rows], dtype=np.float64)
+    cent_mat /= np.maximum(np.linalg.norm(cent_mat, axis=1, keepdims=True), 1e-12)
+    b_cm = spark.sparkContext.broadcast(cent_mat)
+    b_ci = spark.sparkContext.broadcast(cent_ids)
+
+    def assign_lists(it):
+        cm, ci = b_cm.value, b_ci.value
+        for pdf in it:
+            x = np.array(list(pdf["__v"]), dtype=np.float64)
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            cos6 = np.floor((x @ cm.T) * 1e6).astype(np.int64)
+            best = np.argmax(cos6, axis=1)  # lowest index wins ties
+            yield pd.DataFrame({"__id": pdf["__id"], "list_id": ci[best]})
+
+    lists = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).mapInPandas(assign_lists, "__id long, list_id long")
+
+    # --- fine layer: shared PQ codebooks + codes, joined with list ids
+    books = pq_train_codebooks(corpus, vec_col, id_col, m=m, k=k_codes,
+                               iters=iters)
+    codes = (
+        pq_encode(corpus, vec_col, id_col, books)
+        .join(lists.withColumnRenamed("__id", id_col), id_col)
+    )
+
+    # --- query side: probe lists + ADC LUTs, both driver-computed
+    q_rows = queries.select(F.col(id_col).alias("qid"),
+                            F.col(vec_col).alias("qv")).collect()
+    q_ids = np.array([r.qid for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.qv for r in q_rows], dtype=np.float64)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    qcos6 = np.floor((q_mat @ cent_mat.T) * 1e6).astype(np.int64)
+    # n_probe nearest lists per query: (-cos6, centroid id) ascending
+    probe = np.array([
+        cent_ids[np.lexsort((cent_ids, -row))[:n_probe]] for row in qcos6
+    ])
+    dsub = books.shape[2]
+    luts = np.einsum("qmd,mkd->qmk", q_mat.reshape(len(q_mat), m, dsub), books)
+    b_l = spark.sparkContext.broadcast(luts)
+    b_q = spark.sparkContext.broadcast(q_ids)
+    b_p = spark.sparkContext.broadcast(probe)
+
+    def scan(it):
+        luts_, qids, probes = b_l.value, b_q.value, b_p.value
+        for pdf in it:
+            c = np.array(list(pdf["codes"]), dtype=np.int64)
+            nids = pdf[id_col].to_numpy()
+            lids = pdf["list_id"].to_numpy()
+            sims = np.zeros((luts_.shape[0], len(c)))
+            for j in range(m):
+                sims += luts_[:, j, c[:, j]]
+            adc6 = np.floor(sims * 1e6).astype(np.int64)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                mask = np.isin(lids, probes[qi]) & (nids != qids[qi])
+                if not mask.any():
+                    continue
+                row = adc6[qi]
+                order = np.lexsort((nids, -row))
+                kept = 0
+                for ci2 in order:
+                    if not mask[ci2]:
+                        continue
+                    out_q.append(qids[qi])
+                    out_n.append(nids[ci2])
+                    out_s.append(row[ci2])
+                    kept += 1
+                    if kept >= rerank_depth:
+                        break
+            yield pd.DataFrame({"qid": out_q, "nid": out_n, "adc6": out_s})
+
+    cand = codes.mapInPandas(scan, "qid long, nid long, adc6 long")
+    w_pre = Window.partitionBy("qid").orderBy(F.desc("adc6"), F.asc("nid"))
+    pre = (
+        cand.withColumn("__r", F.row_number().over(w_pre))
+        .filter(F.col("__r") <= rerank_depth)
+        .select("qid", "nid")
+    )
+    nv = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("__nv"))
+    qv = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv"))
+    w_final = Window.partitionBy("qid").orderBy(F.desc("cos6"), F.asc("nid"))
+    return (
+        pre.join(nv, "nid")
+        .join(F.broadcast(qv), "qid")
+        .withColumn("cos6", _cos6("__qv", "__nv"))
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= topk)
+        .select("qid", "nid", "rank", "cos6")
+    )

@@ -522,3 +522,46 @@ def test_ann_pq_recall_and_exact_scores(emb):
     assert recall >= 0.9, recall
     res2 = ann_pq(emb, q, "embedding", "vec_id").collect()
     assert sorted(map(tuple, res)) == sorted(map(tuple, res2))
+
+
+def test_ann_ivf_pq_recall_exact_scores_and_probe_containment(emb):
+    """IVF-PQ: survivors carry brute-force-equal cos6, recall@10 clears
+    0.8 at the defaults (list routing trades a little recall for the
+    multiplicative scan cut), every returned neighbor lies in one of
+    the query's probed lists, and two runs are bit-identical."""
+    import numpy as np
+
+    from data_analyse_marche_emploi_spark.operators.similarity import (
+        ann_ivf_pq,
+    )
+
+    q = emb.orderBy("vec_id").limit(5)
+    truth, tcos = {}, {}
+    for r in knn_brute_force(emb, q, "embedding", "vec_id", k=10).collect():
+        truth.setdefault(r["qid"], set()).add(r["nid"])
+        tcos[(r["qid"], r["nid"])] = r["cos6"]
+    res = ann_ivf_pq(emb, q, "embedding", "vec_id").collect()
+    got = {}
+    for r in res:
+        got.setdefault(r["qid"], set()).add(r["nid"])
+        if (r["qid"], r["nid"]) in tcos:
+            assert tcos[(r["qid"], r["nid"])] == r["cos6"]
+    recall = sum(len(truth[k] & got.get(k, set())) for k in truth) / (10 * len(truth))
+    assert recall >= 0.8, recall
+    # probe containment: replay the deterministic coarse routing
+    vecs = {r["vec_id"]: np.array(r["embedding"], np.float64)
+            for r in emb.collect()}
+    cent_ids = sorted(vecs)[:16]
+    cm = np.array([vecs[i] for i in cent_ids])
+    cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+
+    def nearest(vid, n):
+        v = vecs[vid] / np.linalg.norm(vecs[vid])
+        cos6 = np.floor(v @ cm.T * 1e6).astype(np.int64)
+        order = np.lexsort((np.array(cent_ids), -cos6))
+        return [cent_ids[i] for i in order[:n]]
+
+    for r in res:
+        assert nearest(r["nid"], 1)[0] in nearest(r["qid"], 4)
+    res2 = ann_ivf_pq(emb, q, "embedding", "vec_id").collect()
+    assert sorted(map(tuple, res)) == sorted(map(tuple, res2))
