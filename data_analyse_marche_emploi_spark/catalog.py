@@ -3932,6 +3932,39 @@ def multimodal_jpeg_progressive(spark, sf_dir):
 
 
 @register(
+    "dedup_image_phash",
+    oracle="""
+    WITH keys AS (
+      SELECT doc_id, (doc_id % 13) * 5 + ((doc_id // 13) % 5) AS tex
+      FROM documents
+    ),
+    cl AS (
+      SELECT tex, min(doc_id) AS canonical_id, count(*) AS n_copies
+      FROM keys GROUP BY tex
+    )
+    SELECT k.doc_id, CAST(n_copies AS BIGINT) AS n_copies,
+           k.doc_id = canonical_id AS is_canonical
+    FROM keys k JOIN cl USING (tex)
+    """,
+)
+def dedup_image_phash_q(spark, sf_dir):
+    """IMAGE-level dedup by perceptual hash — the multimodal analog of
+    text content dedup: decode every payload (real PPM/JPEG/PNG/GIF
+    decoders), pHash it (grayscale → 32×32 → 2-D DCT low-frequency
+    sign pattern — brightness/contrast-invariant), cluster on the
+    64-bit hash. Image bytes never shuffle; only 8-byte hashes do. The
+    fixture plants seeded noise textures keyed by id arithmetic, so
+    the oracle recomputes the exact clusters (equal texture ⇔ equal
+    pHash, distinct textures ≥18 Hamming bits apart) without touching
+    pixels. Near-dup Hamming pairs ride dedup.hamming_pairs (shared
+    with SimHash; unit-tested)."""
+    from .operators.multimodal import dedup_image_phash, synth_image_patterns
+
+    d = _docs(spark, sf_dir)
+    return dedup_image_phash(synth_image_patterns(d, "doc_id"))
+
+
+@register(
     "multimodal_gif",
     oracle="""
     SELECT doc_id,

@@ -407,23 +407,46 @@ def simhash_pairs(
     chunks) the whole output is replayable by a brute-force SQL oracle;
     the default 64-bit xxhash64 sketch uses 16-bit chunks."""
     n_bits = 60 if hash_fn == "md5" else 64
-    cw = n_bits // 4  # chunk width
     # Sketches feed both sides of the chunk self-join: compute once.
     sh = (
         simhash(df, text_col, id_col, hash_fn=hash_fn)
         .select(F.col(id_col).alias("doc"), "simhash")
         .persist()
     )
-    chunks = sh.select(
-        "doc",
-        "simhash",
+    return hamming_pairs(sh, "doc", "simhash", max_hamming, n_bits)
+
+
+def hamming_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    n_bits: int = 64,
+) -> DataFrame:
+    """All (i, j, hamming) pairs of rows whose ``hash_col`` sketches
+    differ in ≤ ``max_hamming`` bits, banded on four equal-width chunks
+    (pigeonhole: distance ≤ 3 ⇒ at least one of 4 chunks equal — EXACT
+    recall, not probabilistic), so candidate generation is a small-key
+    equi-join instead of all-pairs. Shared by SimHash text near-dup and
+    perceptual-hash image near-dup."""
+    if max_hamming > 3:
+        # 4 chunks only pigeonhole distances ≤ 3; silently losing
+        # recall beyond that is a configuration bug — fail loudly
+        raise ValueError(
+            f"4-chunk banding guarantees recall only for max_hamming <= 3 "
+            f"(got {max_hamming})"
+        )
+    cw = n_bits // 4  # chunk width
+    chunks = hashes.select(
+        F.col(id_col).alias("doc"),
+        F.col(hash_col).alias("__h"),
         F.explode(
             F.expr(
                 "transform(sequence(0, 3), c -> struct(c as chunk, "
-                f"shiftright(simhash, c * {cw}) & {(1 << cw) - 1} as ck))"
+                f"shiftright({hash_col}, c * {cw}) & {(1 << cw) - 1} as ck))"
             )
         ).alias("cc"),
-    ).select("doc", "simhash", "cc.chunk", "cc.ck")
+    ).select("doc", "__h", "cc.chunk", "cc.ck")
     a = chunks.alias("a")
     b = chunks.alias("b")
     return (
@@ -436,7 +459,7 @@ def simhash_pairs(
         .select(
             F.col("a.doc").alias("i"),
             F.col("b.doc").alias("j"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h"))).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)

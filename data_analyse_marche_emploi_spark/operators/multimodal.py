@@ -630,6 +630,147 @@ def synth_jpeg_progressive(docs: DataFrame, id_col: str) -> DataFrame:
     return docs.select(id_col).mapInPandas(batches, "doc_id long, media binary")
 
 
+def _decode_pixels(b: bytes):
+    """Decode any supported image payload (PPM/JPEG/PNG/GIF) to a
+    (h, w, c) uint8 array — the shared pixel entry point for
+    pixel-level operators (pHash, resize). Raises ValueError for
+    non-image/corrupt payloads."""
+    from . import media_codecs as MC
+
+    kind = MC.sniff_format(b)
+    if kind == "ppm":
+        return MC.decode_ppm(b)["pixels"]
+    if kind == "jpeg":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(b)["pixels"]
+    if kind == "png":
+        from .png import decode_png
+
+        return decode_png(b)["pixels"]
+    if kind == "gif":
+        from .gif import decode_gif
+
+        return decode_gif(b)["pixels"]
+    raise ValueError(f"not a decodable image payload ({kind})")
+
+
+def phash64(pixels) -> int:
+    """64-bit perceptual hash (classic pHash recipe): grayscale →
+    32×32 nearest-neighbor resample → 2-D orthonormal DCT → the 8×8
+    low-frequency block minus DC → bit = coefficient > median. Exactly
+    deterministic (pure float64 arithmetic on uint8 inputs, median of
+    63 values), and invariant to uniform brightness shifts by
+    construction (only the discarded DC coefficient changes)."""
+    import numpy as np
+
+    from . import media_codecs as MC
+
+    px = np.asarray(pixels, dtype=np.float64)
+    if px.ndim == 3:
+        px = px.mean(axis=2)
+    # resize_nearest is a pure index gather — dtype passes through
+    small = MC.resize_nearest(px[:, :, None], 32, 32)[:, :, 0]
+    k = np.arange(32)
+    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 64) * np.where(
+        k[:, None] == 0, 1 / np.sqrt(2), 1.0
+    ) * (1 / 4)
+    coef = c @ small @ c.T
+    low = coef[:8, :8].reshape(-1)[1:]  # 63 low-freq coefs, DC dropped
+    med = float(np.median(low))
+    bits = 0
+    for i, v in enumerate(low):
+        if v > med:
+            bits |= 1 << i
+    return bits
+
+
+def image_phash(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-image perceptual hash over mapInPandas: (id, phash,
+    decoder). Corrupt/non-image payloads degrade per-row (null hash,
+    tagged), never per-task. Zero shuffle; at corpus scale the 8-byte
+    hash column replaces the image bytes in every downstream dedup
+    exchange."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, hashes, tags = [], [], []
+        for pdf in it:
+            for doc_id, b in zip(pdf[id_col], pdf["media"]):
+                ids.append(doc_id)
+                if not b:
+                    hashes.append(None)
+                    tags.append("phash-v1-empty")
+                    continue
+                try:
+                    px = _decode_pixels(bytes(b))
+                    # numpy uint64 → int64 column: map through Python int
+                    h = phash64(px)
+                    hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+                    tags.append("phash-v1")
+                except ValueError:
+                    hashes.append(None)
+                    tags.append("phash-v1-invalid")
+            yield pd.DataFrame({"doc_id": ids, "phash": pd.array(hashes, dtype="Int64"),
+                                "decoder": tags})
+            ids, hashes, tags = [], [], []
+
+    return media_df.mapInPandas(batches, "doc_id long, phash long, decoder string")
+
+
+def dedup_image_phash(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Image-level exact perceptual dedup: decode → pHash → cluster on
+    the 64-bit hash (identical and brightness-shifted images collapse
+    to one cluster; the min-id member is canonical). One shuffle on the
+    8-byte hash — image bytes never shuffle. Near-dup (Hamming ≤ 3)
+    pairs are available via ``image_phash`` + ``dedup.hamming_pairs``."""
+    hashes = image_phash(media_df, id_col).filter(F.col("phash").isNotNull())
+    w_min = (
+        hashes.groupBy("phash")
+        .agg(F.min("doc_id").alias("canonical_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+    return (
+        hashes.join(w_min, "phash")
+        .select(
+            F.col("doc_id").alias(id_col),
+            "n_copies",
+            (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )
+
+
+def synth_image_patterns(docs: DataFrame, id_col: str) -> DataFrame:
+    """Texture-image fixtures for the pHash oracle: 32×32 gray PPMs of
+    seeded white noise, texture key (a, b) = (1 + id % 13,
+    1 + (id ÷ 13) % 5) — ids sharing (a, b) get byte-identical images
+    (equal pHash guaranteed), while distinct noise textures land ≥18
+    Hamming bits apart (measured over all 65; structured gradients
+    would NOT do here — pHash is contrast-invariant, so proportional
+    patterns correctly collide). The cluster key is pure id arithmetic
+    the SQL oracle recomputes without ever touching pixels."""
+    from . import media_codecs as MC
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cache: dict[tuple, bytes] = {}
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                a, b = 1 + i % 13, 1 + (i // 13) % 5
+                payload = cache.get((a, b))
+                if payload is None:
+                    g = np.random.default_rng(a * 1000 + b).integers(
+                        0, 256, (32, 32), dtype=np.uint8
+                    )
+                    payload = cache[(a, b)] = MC.encode_ppm(g[:, :, None])
+                payloads.append(payload)
+            yield pd.DataFrame({"doc_id": pdf[id_col], "media": payloads})
+
+    return docs.select(id_col).mapInPandas(batches, "doc_id long, media binary")
+
+
 def synth_gif(docs: DataFrame, id_col: str) -> DataFrame:
     """Manufacture REAL GIF payloads deterministically: gray gradient
     pixel(y, x) = (x + y + id) % 256 over a 256-wide row (every row

@@ -565,3 +565,72 @@ def test_ann_ivf_pq_recall_exact_scores_and_probe_containment(emb):
         assert nearest(r["nid"], 1)[0] in nearest(r["qid"], 4)
     res2 = ann_ivf_pq(emb, q, "embedding", "vec_id").collect()
     assert sorted(map(tuple, res)) == sorted(map(tuple, res2))
+
+
+def test_phash_properties():
+    """pHash invariants: identical → equal; uniform brightness shift →
+    EQUAL (only the discarded DC changes); mild noise → small Hamming;
+    unrelated → large Hamming."""
+    import numpy as np
+
+    from data_analyse_marche_emploi_spark.operators.multimodal import phash64
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 200, (48, 64, 3)).astype(np.uint8)
+    h1 = phash64(img)
+    assert phash64(img.copy()) == h1
+    shifted = np.clip(img.astype(int) + 40, 0, 255).astype(np.uint8)
+    assert phash64(shifted) == h1
+    noisy = np.clip(
+        img.astype(int) + rng.integers(-6, 7, img.shape), 0, 255
+    ).astype(np.uint8)
+    assert bin(h1 ^ phash64(noisy)).count("1") <= 10
+    other = rng.integers(0, 256, (40, 40, 3)).astype(np.uint8)
+    assert bin(h1 ^ phash64(other)).count("1") >= 15
+
+
+def test_image_phash_near_dup_pairs_via_hamming_banding(spark):
+    """image_phash + the generic 4-chunk hamming_pairs: a noisy copy
+    pairs with its original (distance ≤ 3 recall is EXACT by
+    pigeonhole), unrelated images don't."""
+    import numpy as np
+
+    from data_analyse_marche_emploi_spark.operators import media_codecs as MC
+    from data_analyse_marche_emploi_spark.operators.dedup import hamming_pairs
+    from data_analyse_marche_emploi_spark.operators.multimodal import (
+        image_phash,
+        phash64,
+    )
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, (32, 32, 1)).astype(np.uint8)
+    # find a perturbation within Hamming 3 (deterministic search)
+    for scale in (1, 2, 3):
+        noisy = np.clip(
+            base.astype(int) + rng.integers(-scale, scale + 1, base.shape),
+            0, 255,
+        ).astype(np.uint8)
+        if bin(phash64(base) ^ phash64(noisy)).count("1") <= 3:
+            break
+    unrelated = rng.integers(0, 256, (32, 32, 1)).astype(np.uint8)
+    rows = [
+        (1, bytearray(MC.encode_ppm(base))),
+        (2, bytearray(MC.encode_ppm(noisy))),
+        (3, bytearray(MC.encode_ppm(unrelated))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    hashes = image_phash(df)
+    pairs = {(r["i"], r["j"]) for r in
+             hamming_pairs(hashes, "doc_id", "phash", max_hamming=3).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_hamming_pairs_rejects_unguaranteed_distance(spark):
+    import pytest
+
+    from data_analyse_marche_emploi_spark.operators.dedup import hamming_pairs
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, h long")
+    with pytest.raises(ValueError, match="max_hamming"):
+        hamming_pairs(df, "doc_id", "h", max_hamming=4)
