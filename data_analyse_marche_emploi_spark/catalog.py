@@ -3965,6 +3965,37 @@ def dedup_image_phash_q(spark, sf_dir):
 
 
 @register(
+    "dedup_audio_fingerprint",
+    oracle="""
+    WITH keys AS (SELECT doc_id, doc_id % 8 AS tone FROM documents),
+    cl AS (
+      SELECT tone, min(doc_id) AS canonical_id, count(*) AS n_copies
+      FROM keys GROUP BY tone
+    )
+    SELECT k.doc_id, CAST(n_copies AS BIGINT) AS n_copies,
+           k.doc_id = canonical_id AS is_canonical
+    FROM keys k JOIN cl USING (tone)
+    """,
+)
+def dedup_audio_fingerprint_q(spark, sf_dir):
+    """AUDIO-level content dedup — the audio cell of the multimodal
+    dedup matrix next to dedup_image_phash: REAL WAV decode → windowed
+    rFFT → dominant-bin spectral fingerprint (gain-invariant: argmax
+    doesn't move under uniform amplitude) → cluster on the 64-bit
+    value; audio bytes never shuffle. The fixture plants tone-sequence
+    rotations keyed id mod 8 with DIFFERENT amplitudes inside each
+    cluster, so the arithmetic oracle passes only if the fingerprint
+    really ignores gain."""
+    from .operators.multimodal import (
+        dedup_audio_fingerprint,
+        synth_tone_sequences,
+    )
+
+    d = _docs(spark, sf_dir)
+    return dedup_audio_fingerprint(synth_tone_sequences(d, "doc_id"))
+
+
+@register(
     "multimodal_gif",
     oracle="""
     SELECT doc_id,

@@ -739,6 +739,118 @@ def dedup_image_phash(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def audio_fingerprint(samples, n_windows: int = 8, win: int = 1024) -> int:
+    """64-bit spectral audio fingerprint (shazam-lite): per time
+    window, the dominant rFFT bin (DC excluded, lowest bin wins ties)
+    quantized to a byte, packed window-major. Amplitude-invariant by
+    construction — argmax doesn't move under uniform gain — so the
+    same recording at different volumes collapses to one fingerprint
+    (the audio analog of pHash's brightness invariance)."""
+    import numpy as np
+
+    fp = 0
+    for k in range(n_windows):
+        w = np.asarray(samples[k * win:(k + 1) * win], dtype=np.float64)
+        if len(w) == 0:
+            break
+        mag = np.abs(np.fft.rfft(w))
+        mag[0] = 0.0  # DC carries the PCM bias, not content
+        peak = int(np.argmax(mag))
+        fp |= min(peak // 4, 255) << (8 * k)
+    return fp
+
+
+def extract_audio_fingerprint(media_df: DataFrame,
+                              id_col: str = "doc_id") -> DataFrame:
+    """Per-payload audio fingerprint over mapInPandas: WAV payloads
+    decode for real (RIFF parse → PCM → windowed rFFT); corrupt or
+    non-WAV rows degrade per-row (null fingerprint, tagged)."""
+    from . import media_codecs as MC
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fps, tags = [], [], []
+            for doc_id, b in zip(pdf[id_col], pdf["media"]):
+                ids.append(doc_id)
+                try:
+                    if not b or MC.sniff_format(bytes(b)) != "wav":
+                        raise ValueError("not a WAV payload")
+                    w = MC.decode_wav(bytes(b))
+                    fp = audio_fingerprint(w["samples"])
+                    fps.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+                    tags.append("afp-v1")
+                except ValueError:
+                    fps.append(None)
+                    tags.append("afp-v1-invalid")
+            yield pd.DataFrame(
+                {"doc_id": ids, "afp": pd.array(fps, dtype="Int64"),
+                 "decoder": tags}
+            )
+
+    return media_df.mapInPandas(batches, "doc_id long, afp long, decoder string")
+
+
+def dedup_audio_fingerprint(media_df: DataFrame,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Audio-level content dedup: decode → spectral fingerprint →
+    cluster on the 64-bit value (the same recording at any gain
+    collapses; min-id member is canonical). One shuffle on 8-byte
+    fingerprints — audio bytes never shuffle."""
+    fps = extract_audio_fingerprint(media_df, id_col).filter(
+        F.col("afp").isNotNull()
+    )
+    cl = fps.groupBy("afp").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return fps.join(cl, "afp").select(
+        F.col("doc_id").alias(id_col),
+        "n_copies",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+    )
+
+
+def synth_tone_sequences(docs: DataFrame, id_col: str) -> DataFrame:
+    """Tone-sequence WAV fixtures for the fingerprint oracle: 8 windows
+    of 1024 samples at 8 kHz, window k a pure tone at bin
+    32·(1 + (a + k) mod 8) with a = id mod 8 — the window sequence is a
+    rotation of one cycle, so ids ≡ (mod 8) share a fingerprint while
+    the 8 rotations pack to distinct 64-bit values. The AMPLITUDE
+    varies with id (0.3 + (id mod 5)·0.1) across cluster members, so
+    the oracle's arithmetic clusters hold only because the fingerprint
+    really is gain-invariant."""
+    from . import media_codecs as MC
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        sr, n = 8000, 1024
+        t = np.arange(n) / sr
+        cache: dict[tuple, bytes] = {}
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                a, amp_sel = i % 8, i % 5
+                payload = cache.get((a, amp_sel))
+                if payload is None:
+                    amp = 0.3 + amp_sel * 0.1
+                    chunks = []
+                    for k in range(8):
+                        f = 32 * (1 + (a + k) % 8) * sr / n
+                        s = np.sin(2 * np.pi * f * t) * amp
+                        chunks.append(
+                            np.clip(np.round(s * 127 + 128), 0, 255).astype(np.uint8)
+                        )
+                    payload = cache[(a, amp_sel)] = MC.encode_wav_pcm8(
+                        bytes(np.concatenate(chunks)), sr
+                    )
+                payloads.append(payload)
+            yield pd.DataFrame({"doc_id": pdf[id_col], "media": payloads})
+
+    return docs.select(id_col).mapInPandas(batches, "doc_id long, media binary")
+
+
 def synth_image_patterns(docs: DataFrame, id_col: str) -> DataFrame:
     """Texture-image fixtures for the pHash oracle: 32×32 gray PPMs of
     seeded white noise, texture key (a, b) = (1 + id % 13,

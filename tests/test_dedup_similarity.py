@@ -634,3 +634,34 @@ def test_hamming_pairs_rejects_unguaranteed_distance(spark):
     df = spark.createDataFrame([(1, 5)], "doc_id long, h long")
     with pytest.raises(ValueError, match="max_hamming"):
         hamming_pairs(df, "doc_id", "h", max_hamming=4)
+
+
+def test_audio_fingerprint_gain_invariant_and_content_sensitive():
+    import numpy as np
+
+    from data_analyse_marche_emploi_spark.operators.multimodal import (
+        audio_fingerprint,
+    )
+
+    sr, n = 8000, 1024
+    t = np.arange(8 * n) / sr
+    tone = np.sin(2 * np.pi * 250.0 * t)
+    assert audio_fingerprint(tone * 0.2) == audio_fingerprint(tone * 0.9)
+    other = np.sin(2 * np.pi * 1000.0 * t)
+    assert audio_fingerprint(tone) != audio_fingerprint(other)
+    # short payloads fingerprint their available windows only
+    assert audio_fingerprint(tone[: n // 2]) != 0
+
+
+def test_dedup_audio_fingerprint_clusters(spark):
+    from data_analyse_marche_emploi_spark.operators.multimodal import (
+        dedup_audio_fingerprint,
+        synth_tone_sequences,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(24)], "doc_id long")
+    rows = dedup_audio_fingerprint(synth_tone_sequences(docs, "doc_id")).collect()
+    assert len(rows) == 24
+    for r in rows:
+        assert r["n_copies"] == 3  # 24 ids / 8 tone keys
+        assert r["is_canonical"] == (r["doc_id"] < 8)
