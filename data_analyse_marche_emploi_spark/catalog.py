@@ -4908,16 +4908,19 @@ _DRIVER_WINDOW = [
     "salted_groupby",
     "salted_join",
     "sample_exact_k",
-    # exact stats and aggregates (never driver-checked)
+    # exact stats, aggregates, embedding dedup (never driver-checked)
     "agg_stats",
     "agg_quantiles",
-    "array_ops",
     "emb_centroid",
     "dedup_embedding_cosine",
     "dedup_canonical_quality",
-    "profile_table",
     "funnel_conversion",
     "cohort_retention",
+    # new this round — multimodal content dedup (the 50-slot cap is
+    # zero-sum: these took the slots of never-checked array_ops /
+    # profile_table, which rotate back in a later round)
+    "dedup_image_phash",
+    "dedup_audio_fingerprint",
     # sources / multimodal (never driver-checked)
     "src_rest_paged_dsv2",
     "multimodal_gif",

@@ -174,29 +174,9 @@ def resize_images(media_df: DataFrame, width: int = 224, height: int = 224,
         kind = MC.sniff_format(b)
         if kind in ("ppm", "jpeg", "png", "gif"):
             try:
-                if kind == "ppm":
-                    pixels = MC.decode_ppm(b)["pixels"]
-                    tag = "ppm-nn-v1"
-                elif kind == "jpeg":
-                    from .jpeg import decode_jpeg
-
-                    pixels = decode_jpeg(b)["pixels"]
-                    tag = "jpeg-nn-v1"
-                elif kind == "gif":
-                    from .gif import decode_gif
-
-                    pixels = decode_gif(b)["pixels"]
-                    tag = "gif-nn-v1"
-                else:
-                    from .png import decode_png
-
-                    pixels = decode_png(b)["pixels"]
-                    # drop the alpha plane for the PPM re-encode
-                    # (RGBA→RGB, gray+alpha→gray)
-                    pixels = pixels[..., :3] if pixels.shape[-1] >= 3 else pixels[..., :1]
-                    tag = "png-nn-v1"
+                pixels, kind = _decode_pixels(bytes(b))
                 resized = MC.resize_nearest(pixels, width, height)
-                return len(MC.encode_ppm(resized)), tag
+                return len(MC.encode_ppm(resized)), f"{kind}-nn-v1"
             except Exception:
                 # sniff false-positive / malformed image: degrade, don't
                 # abort the task
@@ -631,28 +611,33 @@ def synth_jpeg_progressive(docs: DataFrame, id_col: str) -> DataFrame:
 
 
 def _decode_pixels(b: bytes):
-    """Decode any supported image payload (PPM/JPEG/PNG/GIF) to a
-    (h, w, c) uint8 array — the shared pixel entry point for
-    pixel-level operators (pHash, resize). Raises ValueError for
-    non-image/corrupt payloads."""
+    """Decode any supported image payload (PPM/JPEG/PNG/GIF) to
+    ``(pixels, kind)`` — the ONE sniff→decoder dispatch shared by
+    every pixel-level operator (pHash, resize): a new format or a
+    decoder contract change lands here once. Alpha planes are dropped
+    (RGBA→RGB, gray+alpha→gray) so downstream math sees uniform
+    RGB/gray. Raises ValueError for non-image/corrupt payloads."""
     from . import media_codecs as MC
 
     kind = MC.sniff_format(b)
     if kind == "ppm":
-        return MC.decode_ppm(b)["pixels"]
-    if kind == "jpeg":
+        px = MC.decode_ppm(b)["pixels"]
+    elif kind == "jpeg":
         from .jpeg import decode_jpeg
 
-        return decode_jpeg(b)["pixels"]
-    if kind == "png":
+        px = decode_jpeg(b)["pixels"]
+    elif kind == "png":
         from .png import decode_png
 
-        return decode_png(b)["pixels"]
-    if kind == "gif":
+        px = decode_png(b)["pixels"]
+    elif kind == "gif":
         from .gif import decode_gif
 
-        return decode_gif(b)["pixels"]
-    raise ValueError(f"not a decodable image payload ({kind})")
+        px = decode_gif(b)["pixels"]
+    else:
+        raise ValueError(f"not a decodable image payload ({kind})")
+    px = px[..., :3] if px.shape[-1] >= 3 else px[..., :1]
+    return px, kind
 
 
 def phash64(pixels) -> int:
@@ -702,10 +687,10 @@ def image_phash(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     tags.append("phash-v1-empty")
                     continue
                 try:
-                    px = _decode_pixels(bytes(b))
-                    # numpy uint64 → int64 column: map through Python int
-                    h = phash64(px)
-                    hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+                    px, _ = _decode_pixels(bytes(b))
+                    # phash64 packs 63 bits (indices 0..62), so the
+                    # value always fits a signed int64 as-is
+                    hashes.append(phash64(px))
                     tags.append("phash-v1")
                 except ValueError:
                     hashes.append(None)
@@ -721,21 +706,21 @@ def dedup_image_phash(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Image-level exact perceptual dedup: decode → pHash → cluster on
     the 64-bit hash (identical and brightness-shifted images collapse
     to one cluster; the min-id member is canonical). One shuffle on the
-    8-byte hash — image bytes never shuffle. Near-dup (Hamming ≤ 3)
+    8-byte hash — image bytes never shuffle — and ONE decode pass: the
+    per-hash rollup is a window over the hash partition (rows are
+    (id, hash) — a 10⁶-copy duplicate family buffers ~16 MB, unlike
+    the text-carrying window dedup where WindowExec was ruled out; a
+    groupBy+join-back would re-run the decode for the probe side or
+    need a persist the lazy return could leak). Near-dup (Hamming ≤ 3)
     pairs are available via ``image_phash`` + ``dedup.hamming_pairs``."""
+    from pyspark.sql import Window
+
     hashes = image_phash(media_df, id_col).filter(F.col("phash").isNotNull())
-    w_min = (
-        hashes.groupBy("phash")
-        .agg(F.min("doc_id").alias("canonical_id"),
-             F.count(F.lit(1)).alias("n_copies"))
-    )
-    return (
-        hashes.join(w_min, "phash")
-        .select(
-            F.col("doc_id").alias(id_col),
-            "n_copies",
-            (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
-        )
+    w = Window.partitionBy("phash")
+    return hashes.select(
+        F.col("doc_id").alias(id_col),
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
     )
 
 
@@ -796,17 +781,18 @@ def dedup_audio_fingerprint(media_df: DataFrame,
     cluster on the 64-bit value (the same recording at any gain
     collapses; min-id member is canonical). One shuffle on 8-byte
     fingerprints — audio bytes never shuffle."""
+    from pyspark.sql import Window
+
     fps = extract_audio_fingerprint(media_df, id_col).filter(
         F.col("afp").isNotNull()
     )
-    cl = fps.groupBy("afp").agg(
-        F.min("doc_id").alias("canonical_id"),
-        F.count(F.lit(1)).alias("n_copies"),
-    )
-    return fps.join(cl, "afp").select(
+    # single decode pass: per-fingerprint rollup as a window over the
+    # 16-byte (id, fp) rows — same reasoning as dedup_image_phash
+    w = Window.partitionBy("afp")
+    return fps.select(
         F.col("doc_id").alias(id_col),
-        "n_copies",
-        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
     )
 
 

@@ -632,59 +632,42 @@ def pq_encode(vectors: DataFrame, vec_col: str, id_col: str, books) -> DataFrame
     )
 
 
-def ann_pq(
-    corpus: DataFrame,
-    queries: DataFrame,
-    vec_col: str,
-    id_col: str,
-    m: int = 8,
-    k_codes: int = 64,
-    topk: int = 10,
-    iters: int = 3,
-    rerank_depth: int = 100,
-) -> DataFrame:
-    """Approximate top-k cosine neighbors via PQ + Asymmetric Distance
-    Computation with exact re-ranking: the corpus is scanned as m-code
-    rows; each query precomputes an (m × k) look-up table of subspace
-    dot products against the codebooks, and a candidate's ADC score is
-    the sum of m LUT entries — no float vectors are touched during the
-    scan. The ``rerank_depth`` best ADC candidates per query are then
-    rescored with the exact engine-portable cosine (the ann_ivf
-    contract: approximate candidate set, brute-force-equal scores).
-
-    This is the 100 TB shape: the encoded corpus is ~4·d/m× smaller
-    than the embeddings (32× at d=64, m=8), the scan is a byte-indexed
-    LUT gather, the exact rescore touches only depth·n_queries rows,
-    and the ADC error is bounded by the reconstruction residual
-    (|q·x − q·x̂| ≤ ‖x − x̂‖ for unit q — asserted in tests; measured
-    recall@10 = 0.96 on the fixture at the defaults).
-
-    Returns (qid, nid, rank, cos6) — exact floor-bucketed cosine with
-    id tiebreaks, deterministic end to end."""
+def _adc_scan_rerank(corpus, queries, vec_col, id_col, codes, books,
+                     m, rerank_depth, topk, probes=None):
+    """Shared ADC scan + global preselect + exact re-rank behind
+    ``ann_pq`` (``probes=None``) and ``ann_ivf_pq`` (``probes`` = the
+    per-query probed-list array; ``codes`` then carries a ``list_id``
+    column the scan masks on). One home for the scan loop, tie-break
+    ordering, preselect window, and rescore join — a fix to any of
+    them lands in both operators."""
     import numpy as np
     import pandas as pd
 
     spark = corpus.sparkSession
-    books = pq_train_codebooks(corpus, vec_col, id_col, m=m, k=k_codes,
-                               iters=iters)
-    codes = pq_encode(corpus, vec_col, id_col, books)
-    q_rows = queries.select(F.col(id_col).alias("qid"),
-                            F.col(vec_col).alias("qv")).collect()
+    # sorted by qid so the positional `probes` array computed from a
+    # SEPARATE collect in ann_ivf_pq lines up deterministically
+    q_rows = sorted(
+        queries.select(F.col(id_col).alias("qid"),
+                       F.col(vec_col).alias("qv")).collect(),
+        key=lambda r: r.qid,
+    )
     q_ids = np.array([r.qid for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.qv for r in q_rows], dtype=np.float64)
     q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
     dsub = books.shape[2]
     # (nq, m, k) LUT: query subvector · codebook centroid
-    luts = np.einsum("qmd,mkd->qmk",
-                     q_mat.reshape(len(q_mat), m, dsub), books)
+    luts = np.einsum("qmd,mkd->qmk", q_mat.reshape(len(q_mat), m, dsub), books)
     b_l = spark.sparkContext.broadcast(luts)
     b_q = spark.sparkContext.broadcast(q_ids)
+    b_p = spark.sparkContext.broadcast(probes) if probes is not None else None
 
     def scan(it):
         luts_, qids = b_l.value, b_q.value
+        probes_ = b_p.value if b_p is not None else None
         for pdf in it:
             c = np.array(list(pdf["codes"]), dtype=np.int64)  # (batch, m)
             nids = pdf[id_col].to_numpy()
+            lids = pdf["list_id"].to_numpy() if probes_ is not None else None
             # ADC: sum LUT[q, j, code_j] over subspaces j — one (nq, k)
             # gather per subspace, m is small
             sims = np.zeros((luts_.shape[0], len(c)))
@@ -693,8 +676,12 @@ def ann_pq(
             adc6 = np.floor(sims * 1e6).astype(np.int64)
             out_q, out_n, out_s = [], [], []
             for qi in range(len(qids)):
-                row = adc6[qi]
                 mask = nids != qids[qi]
+                if probes_ is not None:
+                    mask &= np.isin(lids, probes_[qi])
+                if not mask.any():
+                    continue
+                row = adc6[qi]
                 order = np.lexsort((nids, -row))
                 kept = 0
                 for ci in order:
@@ -732,6 +719,42 @@ def ann_pq(
     )
 
 
+def ann_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 8,
+    k_codes: int = 64,
+    topk: int = 10,
+    iters: int = 3,
+    rerank_depth: int = 100,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via PQ + Asymmetric Distance
+    Computation with exact re-ranking: the corpus is scanned as m-code
+    rows; each query precomputes an (m × k) look-up table of subspace
+    dot products against the codebooks, and a candidate's ADC score is
+    the sum of m LUT entries — no float vectors are touched during the
+    scan. The ``rerank_depth`` best ADC candidates per query are then
+    rescored with the exact engine-portable cosine (the ann_ivf
+    contract: approximate candidate set, brute-force-equal scores).
+
+    This is the 100 TB shape: the encoded corpus is ~4·d/m× smaller
+    than the embeddings (32× at d=64, m=8), the scan is a byte-indexed
+    LUT gather, the exact rescore touches only depth·n_queries rows,
+    and the ADC error is bounded by the reconstruction residual
+    (|q·x − q·x̂| ≤ ‖x − x̂‖ for unit q — asserted in tests; measured
+    recall@10 = 0.96 on the fixture at the defaults).
+
+    Returns (qid, nid, rank, cos6) — exact floor-bucketed cosine with
+    id tiebreaks, deterministic end to end."""
+    books = pq_train_codebooks(corpus, vec_col, id_col, m=m, k=k_codes,
+                               iters=iters)
+    codes = pq_encode(corpus, vec_col, id_col, books)
+    return _adc_scan_rerank(corpus, queries, vec_col, id_col, codes, books,
+                            m, rerank_depth, topk)
+
+
 def ann_ivf_pq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -755,10 +778,13 @@ def ann_ivf_pq(
     centroids and codebook init, 1e-6 floor-bucketed scores, id
     tiebreaks).
 
-    PQ codebooks are trained on the normalized corpus, not per-list
-    residuals: residual PQ needs per-list codebooks (k·m·d driver
-    state and a second training pass) for a recall gain the exact
-    re-rank already recovers at these list counts — the simpler
+    The coarse assignment and PQ encoding are ONE fused Arrow pass
+    emitting (id, codes, list_id) — both need only broadcast state, so
+    no corpus-sized join or extra shuffle exists on the index-build
+    path. PQ codebooks are trained on the normalized corpus, not
+    per-list residuals: residual PQ needs per-list codebooks (k·m·d
+    driver state and a second training pass) for a recall gain the
+    exact re-rank already recovers at these list counts — the simpler
     shared-codebook form is what keeps the whole pipeline replayable.
 
     Returns (qid, nid, rank, cos6) — exact scores on the approximate
@@ -767,7 +793,7 @@ def ann_ivf_pq(
     import pandas as pd
 
     spark = corpus.sparkSession
-    # --- coarse layer: deterministic centroids, map-side assignment
+    # --- coarse layer: deterministic centroids
     cent_rows = (
         corpus.select(id_col, vec_col)
         .orderBy(F.asc(id_col))
@@ -777,91 +803,53 @@ def ann_ivf_pq(
     cent_ids = np.array([r[id_col] for r in cent_rows], dtype=np.int64)
     cent_mat = np.array([r[vec_col] for r in cent_rows], dtype=np.float64)
     cent_mat /= np.maximum(np.linalg.norm(cent_mat, axis=1, keepdims=True), 1e-12)
+    # --- fine layer: shared PQ codebooks
+    books = pq_train_codebooks(corpus, vec_col, id_col, m=m, k=k_codes,
+                               iters=iters)
+    mm, _, dsub = books.shape
     b_cm = spark.sparkContext.broadcast(cent_mat)
     b_ci = spark.sparkContext.broadcast(cent_ids)
+    b_bk = spark.sparkContext.broadcast(books)
 
-    def assign_lists(it):
-        cm, ci = b_cm.value, b_ci.value
+    def encode_and_assign(it):
+        """One pass: PQ codes AND coarse list per vector (both need
+        only broadcast state — a separate assignment job would force a
+        corpus-sized join to co-locate codes with list ids)."""
+        cm, ci, cb = b_cm.value, b_ci.value, b_bk.value
         for pdf in it:
             x = np.array(list(pdf["__v"]), dtype=np.float64)
             x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            xs = x.reshape(len(x), mm, dsub)
+            d2 = ((xs[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(-1)
+            best = np.argmin(np.floor(d2 * 1e6), axis=2)
             cos6 = np.floor((x @ cm.T) * 1e6).astype(np.int64)
-            best = np.argmax(cos6, axis=1)  # lowest index wins ties
-            yield pd.DataFrame({"__id": pdf["__id"], "list_id": ci[best]})
+            lists = ci[np.argmax(cos6, axis=1)]  # lowest index wins ties
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"],
+                    "codes": list(best.astype(np.int32)),
+                    "list_id": lists,
+                }
+            )
 
-    lists = corpus.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
-    ).mapInPandas(assign_lists, "__id long, list_id long")
-
-    # --- fine layer: shared PQ codebooks + codes, joined with list ids
-    books = pq_train_codebooks(corpus, vec_col, id_col, m=m, k=k_codes,
-                               iters=iters)
     codes = (
-        pq_encode(corpus, vec_col, id_col, books)
-        .join(lists.withColumnRenamed("__id", id_col), id_col)
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .mapInPandas(encode_and_assign,
+                     "__id long, codes array<int>, list_id long")
+        .select(F.col("__id").alias(id_col), "codes", "list_id")
     )
-
-    # --- query side: probe lists + ADC LUTs, both driver-computed
-    q_rows = queries.select(F.col(id_col).alias("qid"),
-                            F.col(vec_col).alias("qv")).collect()
-    q_ids = np.array([r.qid for r in q_rows], dtype=np.int64)
+    # --- query side: probe lists, driver-computed on the tiny query set
+    q_rows = sorted(
+        queries.select(F.col(id_col).alias("qid"),
+                       F.col(vec_col).alias("qv")).collect(),
+        key=lambda r: r.qid,
+    )
     q_mat = np.array([r.qv for r in q_rows], dtype=np.float64)
     q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
     qcos6 = np.floor((q_mat @ cent_mat.T) * 1e6).astype(np.int64)
     # n_probe nearest lists per query: (-cos6, centroid id) ascending
-    probe = np.array([
+    probes = np.array([
         cent_ids[np.lexsort((cent_ids, -row))[:n_probe]] for row in qcos6
     ])
-    dsub = books.shape[2]
-    luts = np.einsum("qmd,mkd->qmk", q_mat.reshape(len(q_mat), m, dsub), books)
-    b_l = spark.sparkContext.broadcast(luts)
-    b_q = spark.sparkContext.broadcast(q_ids)
-    b_p = spark.sparkContext.broadcast(probe)
-
-    def scan(it):
-        luts_, qids, probes = b_l.value, b_q.value, b_p.value
-        for pdf in it:
-            c = np.array(list(pdf["codes"]), dtype=np.int64)
-            nids = pdf[id_col].to_numpy()
-            lids = pdf["list_id"].to_numpy()
-            sims = np.zeros((luts_.shape[0], len(c)))
-            for j in range(m):
-                sims += luts_[:, j, c[:, j]]
-            adc6 = np.floor(sims * 1e6).astype(np.int64)
-            out_q, out_n, out_s = [], [], []
-            for qi in range(len(qids)):
-                mask = np.isin(lids, probes[qi]) & (nids != qids[qi])
-                if not mask.any():
-                    continue
-                row = adc6[qi]
-                order = np.lexsort((nids, -row))
-                kept = 0
-                for ci2 in order:
-                    if not mask[ci2]:
-                        continue
-                    out_q.append(qids[qi])
-                    out_n.append(nids[ci2])
-                    out_s.append(row[ci2])
-                    kept += 1
-                    if kept >= rerank_depth:
-                        break
-            yield pd.DataFrame({"qid": out_q, "nid": out_n, "adc6": out_s})
-
-    cand = codes.mapInPandas(scan, "qid long, nid long, adc6 long")
-    w_pre = Window.partitionBy("qid").orderBy(F.desc("adc6"), F.asc("nid"))
-    pre = (
-        cand.withColumn("__r", F.row_number().over(w_pre))
-        .filter(F.col("__r") <= rerank_depth)
-        .select("qid", "nid")
-    )
-    nv = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("__nv"))
-    qv = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv"))
-    w_final = Window.partitionBy("qid").orderBy(F.desc("cos6"), F.asc("nid"))
-    return (
-        pre.join(nv, "nid")
-        .join(F.broadcast(qv), "qid")
-        .withColumn("cos6", _cos6("__qv", "__nv"))
-        .withColumn("rank", F.row_number().over(w_final))
-        .filter(F.col("rank") <= topk)
-        .select("qid", "nid", "rank", "cos6")
-    )
+    return _adc_scan_rerank(corpus, queries, vec_col, id_col, codes, books,
+                            m, rerank_depth, topk, probes=probes)

@@ -151,7 +151,12 @@ def lang_trigram_profiles(top_k: int = 60) -> dict:
 
     profiles = {}
     for lang, text in LANG_TRIGRAM_SEEDS.items():
-        assert all(c.islower() or c == " " for c in text), lang
+        # HARD check, not assert: the trigrams are interpolated into
+        # the oracle's SQL VALUES list unescaped, and asserts vanish
+        # under python -O — a seed edited to contain an apostrophe
+        # must fail here, not corrupt the oracle SQL
+        if not all(c.islower() or c == " " for c in text):
+            raise ValueError(f"lang seed {lang!r} must be lowercase a-z + spaces")
         c = Counter(text[i:i + 3] for i in range(len(text) - 2))
         top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
         profiles[lang] = dict(top)
