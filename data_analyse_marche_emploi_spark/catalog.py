@@ -3965,6 +3965,34 @@ def dedup_image_phash_q(spark, sf_dir):
 
 
 @register(
+    "dedup_video_phash",
+    oracle="""
+    WITH keys AS (SELECT doc_id, doc_id % 10 AS tex FROM documents),
+    cl AS (
+      SELECT tex, min(doc_id) AS canonical_id, count(*) AS n_copies
+      FROM keys GROUP BY tex
+    )
+    SELECT k.doc_id, CAST(n_copies AS BIGINT) AS n_copies,
+           k.doc_id = canonical_id AS is_canonical
+    FROM keys k JOIN cl USING (tex)
+    """,
+)
+def dedup_video_phash_q(spark, sf_dir):
+    """VIDEO-level perceptual dedup — the last cell of the multimodal
+    dedup matrix (text/image/audio/video): ISO BMFF sample-table walk →
+    per-frame Motion-JPEG decode → per-frame pHash folded to one
+    64-bit video hash → cluster. The fixture's clusters share textures
+    but differ in uniform BRIGHTNESS (unit-quant JPEG preserves the
+    shift exactly in per-block DC, which pHash discards), so the
+    arithmetic oracle passes only if the whole container→codec→hash
+    chain is brightness-invariant. Video bytes never shuffle."""
+    from .operators.multimodal import dedup_video_phash, synth_mjpeg_textures
+
+    d = _docs(spark, sf_dir)
+    return dedup_video_phash(synth_mjpeg_textures(d, "doc_id"))
+
+
+@register(
     "dedup_audio_fingerprint",
     oracle="""
     WITH keys AS (SELECT doc_id, doc_id % 8 AS tone FROM documents),

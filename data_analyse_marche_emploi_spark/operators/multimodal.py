@@ -837,6 +837,93 @@ def synth_tone_sequences(docs: DataFrame, id_col: str) -> DataFrame:
     return docs.select(id_col).mapInPandas(batches, "doc_id long, media binary")
 
 
+def synth_mjpeg_textures(docs: DataFrame, id_col: str) -> DataFrame:
+    """Textured Motion-JPEG fixtures for the VIDEO pHash oracle: two
+    16×16 noise-texture frames per file, texture key a = id mod 10,
+    plus a uniform brightness offset 12·(id mod 5) that varies INSIDE
+    each cluster. Textures stay ≤ 195 so the offset never clips — a
+    pure brightness shift changes only per-block DC coefficients,
+    which unit-quantization JPEG preserves exactly, so the decoded
+    frames differ by exactly that shift and the pHash (which discards
+    DC) is IDENTICAL across the cluster."""
+    from .jpeg import encode_jpeg
+    from .mp4 import encode_mjpeg_mp4
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cache: dict[tuple, bytes] = {}
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                a, off = i % 10, 12 * (i % 5)
+                payload = cache.get((a, off))
+                if payload is None:
+                    frames = []
+                    for k in range(2):
+                        tex = np.random.default_rng(a * 100 + k).integers(
+                            0, 196, (16, 16, 1), dtype=np.uint8
+                        )
+                        frames.append(encode_jpeg(tex + off))
+                    payload = cache[(a, off)] = encode_mjpeg_mp4(
+                        frames, width=16, height=16
+                    )
+                payloads.append(payload)
+            yield pd.DataFrame({"doc_id": pdf[id_col], "media": payloads})
+
+    return docs.select(id_col).mapInPandas(batches, "doc_id long, media binary")
+
+
+def dedup_video_phash(media_df: DataFrame, id_col: str = "doc_id",
+                      n_frames: int = 2) -> DataFrame:
+    """VIDEO-level perceptual dedup — the video cell of the multimodal
+    dedup matrix: walk each ISO BMFF sample table, decode the first
+    ``n_frames`` Motion-JPEG frames, pHash each, and cluster on the
+    combined (XOR-folded) hash; the same footage at different uniform
+    brightness collapses (pHash discards DC). One shuffle of 8-byte
+    hashes; video bytes never shuffle. Corrupt/opaque-codec payloads
+    degrade per-row (null hash)."""
+    from pyspark.sql import Window
+
+    from .jpeg import decode_jpeg
+    from .mp4 import extract_video_samples
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes, tags = [], [], []
+            for doc_id, b in zip(pdf[id_col], pdf["media"]):
+                ids.append(doc_id)
+                try:
+                    out = extract_video_samples(bytes(b), max_samples=n_frames)
+                    if out["format"] != "jpeg" or not out["samples"]:
+                        raise ValueError("no decodable MJPEG frames")
+                    h = 0
+                    for k, s in enumerate(out["samples"]):
+                        # rotate per frame so reordered frames differ
+                        fh = phash64(decode_jpeg(s)["pixels"])
+                        h ^= ((fh << k) | (fh >> (63 - k))) & ((1 << 63) - 1)
+                    hashes.append(h)
+                    tags.append("vphash-v1")
+                except ValueError:
+                    hashes.append(None)
+                    tags.append("vphash-v1-invalid")
+            yield pd.DataFrame(
+                {"doc_id": ids, "vphash": pd.array(hashes, dtype="Int64"),
+                 "decoder": tags}
+            )
+
+    hashes = media_df.mapInPandas(
+        batches, "doc_id long, vphash long, decoder string"
+    ).filter(F.col("vphash").isNotNull())
+    w = Window.partitionBy("vphash")
+    return hashes.select(
+        F.col("doc_id").alias(id_col),
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+    )
+
+
 def synth_image_patterns(docs: DataFrame, id_col: str) -> DataFrame:
     """Texture-image fixtures for the pHash oracle: 32×32 gray PPMs of
     seeded white noise, texture key (a, b) = (1 + id % 13,

@@ -665,3 +665,37 @@ def test_dedup_audio_fingerprint_clusters(spark):
     for r in rows:
         assert r["n_copies"] == 3  # 24 ids / 8 tone keys
         assert r["is_canonical"] == (r["doc_id"] < 8)
+
+
+def test_dedup_video_phash_brightness_invariant_clusters(spark):
+    """Video pHash: same textures at different uniform brightness
+    cluster together (the shift lives in per-block DC, which survives
+    unit-quant JPEG exactly and pHash discards); different textures and
+    FRAME ORDER separate (per-frame hash rotation)."""
+    import numpy as np
+
+    from data_analyse_marche_emploi_spark.operators.jpeg import encode_jpeg
+    from data_analyse_marche_emploi_spark.operators.mp4 import encode_mjpeg_mp4
+    from data_analyse_marche_emploi_spark.operators.multimodal import (
+        dedup_video_phash,
+        synth_mjpeg_textures,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    rows = dedup_video_phash(synth_mjpeg_textures(docs, "doc_id")).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["n_copies"] == 2  # ids i and i+10 share the texture key
+        assert r["is_canonical"] == (r["doc_id"] < 10)
+
+    # frame-order sensitivity: swapped frames produce a different video
+    t0 = np.random.default_rng(1).integers(0, 196, (16, 16, 1), dtype=np.uint8)
+    t1 = np.random.default_rng(2).integers(0, 196, (16, 16, 1), dtype=np.uint8)
+    f0, f1 = encode_jpeg(t0), encode_jpeg(t1)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_mjpeg_mp4([f0, f1], width=16, height=16))),
+         (2, bytearray(encode_mjpeg_mp4([f1, f0], width=16, height=16)))],
+        "doc_id long, media binary",
+    )
+    out = {r["doc_id"]: r["n_copies"] for r in dedup_video_phash(df).collect()}
+    assert out == {1: 1, 2: 1}
