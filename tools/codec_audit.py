@@ -79,6 +79,13 @@ def main() -> None:
     total += audit("gif-interlaced",
                    G.encode_gif(np.repeat(g, 3, axis=2), interlace=True),
                    G.decode_gif)
+    pal = np.random.default_rng(5).integers(0, 256, (9, 3), dtype=np.uint8)
+    anim = G.encode_gif_animated(
+        [pal[np.random.default_rng(6 + k).integers(0, 9, (10, 10))]
+         for k in range(3)]
+    )
+    total += audit("gif-animated+frames",
+                   anim, lambda b: G.decode_gif_frames(b, max_frames=3))
     total += audit("wav", MC.encode_wav_pcm8(bytes(range(200)), 8000),
                    MC.decode_wav)
     total += audit("ppm", MC.encode_ppm(rgb), MC.decode_ppm)
