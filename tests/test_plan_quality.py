@@ -322,3 +322,20 @@ def test_q2_argmin_is_partial_aggregate_not_window(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_min_price_supplier")
     assert "partial_min" in plan
     assert "Window" not in plan
+
+
+@pytest.mark.parametrize(
+    "name,hash_col",
+    [("dedup_image_phash", "phash"), ("dedup_audio_fingerprint", "afp"),
+     ("dedup_video_phash", "vphash")],
+)
+def test_multimodal_dedup_shuffles_hashes_not_media(spark, sf_dir, name, hash_col):
+    """The multimodal dedup entries' content exchange must key on the
+    8-byte hash column — the `media` binary column must never appear in
+    ANY exchange (it is produced and consumed map-side; at corpus scale
+    shuffling payload bytes is the difference between feasible and
+    not)."""
+    plan = plan_of(spark, sf_dir, name)
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert any(f"hashpartitioning({hash_col}" in ln for ln in exchanges)
+    assert not any("media" in ln for ln in exchanges)
