@@ -3965,6 +3965,41 @@ def dedup_image_phash_q(spark, sf_dir):
 
 
 @register(
+    "multimodal_resize_area",
+    oracle="""
+    WITH cells AS (
+      SELECT doc_id,
+             (2 * CAST(x AS BIGINT) + 2 * CAST(y AS BIGINT) + doc_id) % 256 AS v
+      FROM documents, UNNEST(range(0, 128)) t1(x), UNNEST(range(0, 2)) t2(y)
+    ),
+    outs AS (
+      SELECT doc_id,
+             CASE WHEN v <= 253 THEN v + 1
+                  WHEN v = 254 THEN 191 ELSE 64 END AS o
+      FROM cells
+    )
+    SELECT doc_id, CAST(128 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+           round(avg(o), 6) AS mean_pixel, 'ppm-area-v1' AS decoder
+    FROM outs GROUP BY doc_id
+    """,
+)
+def multimodal_resize_area(spark, sf_dir):
+    """REAL anti-aliased resize with a cell-exact oracle: 256×4
+    gradient PPMs box-averaged 2× in both axes. Every output pixel is
+    an exact integer ({v,v+1,v+1,v+2} boxes sum ≡ 0 mod 4 even across
+    the mod-256 wrap: v=254 → 191, v=255 → 64), so the oracle replays
+    the RESIZE ARITHMETIC itself cell by cell in SQL — not just a
+    dimension contract. Nearest-neighbor thumbnails alias high
+    frequencies into vision training data; this is the correct
+    downscale filter as a first-class, hash-verified operator."""
+    from .operators.multimodal import resize_images_area, synth_gradient_ppm
+
+    d = _docs(spark, sf_dir)
+    return resize_images_area(synth_gradient_ppm(d, "doc_id"),
+                              width=128, height=2)
+
+
+@register(
     "dedup_video_phash",
     oracle="""
     WITH keys AS (SELECT doc_id, doc_id % 10 AS tex FROM documents),

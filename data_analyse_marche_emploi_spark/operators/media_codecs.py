@@ -214,3 +214,43 @@ def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
     rows = ((np.arange(height) + 0.5) * h / height).astype(np.int64).clip(0, h - 1)
     cols = ((np.arange(width) + 0.5) * w / width).astype(np.int64).clip(0, w - 1)
     return pixels[rows][:, cols]
+
+
+def resize_area(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Area-average (anti-aliased) resample — the correct DOWNSCALE
+    filter (OpenCV INTER_AREA semantics): each output pixel is the
+    mean of its exact fractional source rectangle, computed from the
+    2-D prefix-sum in float64, so the result is deterministic and —
+    when the factors divide evenly — the global mean is preserved
+    EXACTLY (disjoint equal-size boxes). Upscales fall back to
+    nearest-neighbor (area weighting degenerates there)."""
+    h, w, c = pixels.shape
+    if width >= w or height >= h:
+        return resize_nearest(pixels, width, height)
+    # prefix sums with a zero border: S[y, x] = sum over [0:y, 0:x)
+    ps = np.zeros((h + 1, w + 1, c), dtype=np.float64)
+    np.cumsum(np.cumsum(pixels.astype(np.float64), axis=0), axis=1,
+              out=ps[1:, 1:])
+    ys = np.linspace(0, h, height + 1)
+    xs = np.linspace(0, w, width + 1)
+
+    def integral(y0, y1, x0, x1):
+        # fractional-rectangle integral via bilinear interpolation of
+        # the prefix sum (exact for the piecewise-constant image)
+        def s(y, x):
+            yi, xi = int(y), int(x)
+            fy, fx = y - yi, x - xi
+            yi2, xi2 = min(yi + 1, h), min(xi + 1, w)
+            return ((1 - fy) * (1 - fx) * ps[yi, xi]
+                    + (1 - fy) * fx * ps[yi, xi2]
+                    + fy * (1 - fx) * ps[yi2, xi]
+                    + fy * fx * ps[yi2, xi2])
+
+        return s(y1, x1) - s(y0, x1) - s(y1, x0) + s(y0, x0)
+
+    out = np.empty((height, width, c), dtype=np.float64)
+    for oy in range(height):
+        for ox in range(width):
+            area = (ys[oy + 1] - ys[oy]) * (xs[ox + 1] - xs[ox])
+            out[oy, ox] = integral(ys[oy], ys[oy + 1], xs[ox], xs[ox + 1]) / area
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)

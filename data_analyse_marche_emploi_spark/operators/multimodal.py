@@ -199,6 +199,67 @@ def resize_images(media_df: DataFrame, width: int = 224, height: int = 224,
     return media_df.mapInPandas(batches, RESIZE_SCHEMA)
 
 
+def resize_images_area(media_df: DataFrame, width: int = 224,
+                       height: int = 224, id_col: str = "doc_id") -> DataFrame:
+    """Anti-aliased image resize (area average — the correct DOWNSCALE
+    filter; nearest-neighbor aliases high frequencies into the
+    thumbnail, which poisons vision training data): decode via the
+    shared dispatch, box-average via media_codecs.resize_area, and emit
+    the resized dims + mean pixel. mapInPandas, zero shuffle; corrupt
+    rows degrade per-row."""
+    from . import media_codecs as MC
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, means, tags = [], [], []
+            for doc_id, b in zip(pdf[id_col], pdf["media"]):
+                ids.append(doc_id)
+                try:
+                    pixels, kind = _decode_pixels(bytes(b))
+                    resized = MC.resize_area(pixels, width, height)
+                    means.append(float(resized.mean()))
+                    tags.append(f"{kind}-area-v1")
+                except Exception:
+                    means.append(-1.0)
+                    tags.append("fake-area-v0-invalid")
+            yield pd.DataFrame(
+                {"doc_id": ids, "width": width, "height": height,
+                 "mean_pixel": means, "decoder": tags}
+            )
+
+    return media_df.mapInPandas(
+        batches, "doc_id long, width int, height int, "
+                 "mean_pixel double, decoder string"
+    )
+
+
+def synth_gradient_ppm(docs: DataFrame, id_col: str) -> DataFrame:
+    """256×4 gray-gradient PPMs (pixel = (x + y + id) % 256) for the
+    area-resize oracle: a 2× box over the gradient covers values
+    {v, v+1, v+1, v+2} whose sum is divisible by 4 even across the
+    mod-256 wrap, so every area-averaged output pixel is an EXACT
+    integer the SQL oracle recomputes cell by cell."""
+    from . import media_codecs as MC
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cache: dict[int, bytes] = {}
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                payload = cache.get(i % 256)
+                if payload is None:
+                    g = ((np.arange(256)[None, :] + np.arange(4)[:, None] + i)
+                         % 256).astype(np.uint8)
+                    payload = cache[i % 256] = MC.encode_ppm(g[:, :, None])
+                payloads.append(payload)
+            yield pd.DataFrame({"doc_id": pdf[id_col], "media": payloads})
+
+    return docs.select(id_col).mapInPandas(batches, "doc_id long, media binary")
+
+
 def sample_frames(media_df: DataFrame, every_n_bytes: int = 1024,
                   max_frames: int = 4, id_col: str = "doc_id") -> DataFrame:
     """Video frame-sampling plumbing over mapInPandas: one payload row

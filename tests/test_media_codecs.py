@@ -208,3 +208,50 @@ def test_spectral_dominant_bin_matches_tone(spark):
         assert r["dominant_bin"] == round(f * 1024 / 8000)
         assert r["n_samples"] == 1024
         assert r["decoder"] == "wav-rfft-v1"
+
+
+def test_resize_area_exact_properties():
+    """Area resample: constants stay constant, a 0/255 checkerboard
+    downscaled 2x hits the exact box mean, the global mean is preserved
+    exactly for even factors, and upscales fall back to nearest."""
+    import numpy as np
+
+    from data_analyse_marche_emploi_spark.operators import media_codecs as MC
+
+    px = np.full((32, 32, 3), 77, np.uint8)
+    assert np.all(MC.resize_area(px, 16, 16) == 77)
+
+    cb = np.zeros((4, 4, 1), np.uint8)
+    cb[::2, 1::2] = 255
+    cb[1::2, ::2] = 255
+    assert np.all(MC.resize_area(cb, 2, 2) == 128)
+
+    g = ((np.arange(32)[:, None] + np.arange(256)[None, :]) % 256).astype(
+        np.uint8
+    )[:, :, None]
+    assert MC.resize_area(g, 128, 16).mean() == g.mean() == 127.5
+
+    up = MC.resize_area(np.full((4, 4, 1), 9, np.uint8), 8, 8)
+    assert up.shape == (8, 8, 1) and np.all(up == 9)
+
+    # fractional factors stay deterministic and in range
+    r = MC.resize_area(np.full((10, 7, 3), 50, np.uint8), 3, 4)
+    assert r.shape == (4, 3, 3) and np.all(r == 50)
+
+
+def test_resize_area_antialiases_where_nearest_aliases():
+    """The motivating property: a fine checkerboard downscaled 2x is
+    all-128 under area averaging but collapses to one phase (0 or 255)
+    under nearest-neighbor — the aliasing artifact area resampling
+    exists to prevent."""
+    import numpy as np
+
+    from data_analyse_marche_emploi_spark.operators import media_codecs as MC
+
+    cb = np.zeros((16, 16, 1), np.uint8)
+    cb[::2, 1::2] = 255
+    cb[1::2, ::2] = 255
+    area = MC.resize_area(cb, 8, 8)
+    nearest = MC.resize_nearest(cb, 8, 8)
+    assert np.all(area == 128)
+    assert set(np.unique(nearest)) <= {0, 255}
