@@ -225,7 +225,12 @@ def resize_area(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
     EXACTLY (disjoint equal-size boxes). Upscales fall back to
     nearest-neighbor (area weighting degenerates there)."""
     h, w, c = pixels.shape
-    if width >= w or height >= h:
+    if width >= w and height >= h:
+        # pure upscale on BOTH axes: every output box lies inside one
+        # source pixel, so area weighting degenerates to nearest. A
+        # mixed resize (down one axis, up the other) must NOT take
+        # this path — the downscaled axis still needs averaging or the
+        # aliasing the function exists to prevent comes back.
         return resize_nearest(pixels, width, height)
     # prefix sums with a zero border: S[y, x] = sum over [0:y, 0:x)
     ps = np.zeros((h + 1, w + 1, c), dtype=np.float64)
@@ -233,24 +238,22 @@ def resize_area(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
               out=ps[1:, 1:])
     ys = np.linspace(0, h, height + 1)
     xs = np.linspace(0, w, width + 1)
-
-    def integral(y0, y1, x0, x1):
-        # fractional-rectangle integral via bilinear interpolation of
-        # the prefix sum (exact for the piecewise-constant image)
-        def s(y, x):
-            yi, xi = int(y), int(x)
-            fy, fx = y - yi, x - xi
-            yi2, xi2 = min(yi + 1, h), min(xi + 1, w)
-            return ((1 - fy) * (1 - fx) * ps[yi, xi]
-                    + (1 - fy) * fx * ps[yi, xi2]
-                    + fy * (1 - fx) * ps[yi2, xi]
-                    + fy * fx * ps[yi2, xi2])
-
-        return s(y1, x1) - s(y0, x1) - s(y1, x0) + s(y0, x0)
-
-    out = np.empty((height, width, c), dtype=np.float64)
-    for oy in range(height):
-        for ox in range(width):
-            area = (ys[oy + 1] - ys[oy]) * (xs[ox + 1] - xs[ox])
-            out[oy, ox] = integral(ys[oy], ys[oy + 1], xs[ox], xs[ox + 1]) / area
-    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+    # Evaluate the bilinear-interpolated prefix sum at every box
+    # boundary in one vectorized gather (exact for the
+    # piecewise-constant image): G has shape (height+1, width+1, c)
+    yi = np.floor(ys).astype(np.int64)
+    fy = (ys - yi)[:, None, None]
+    yi2 = np.minimum(yi + 1, h)
+    xi = np.floor(xs).astype(np.int64)
+    fx = (xs - xi)[None, :, None]
+    xi2 = np.minimum(xi + 1, w)
+    grid = (
+        (1 - fy) * (1 - fx) * ps[yi][:, xi]
+        + (1 - fy) * fx * ps[yi][:, xi2]
+        + fy * (1 - fx) * ps[yi2][:, xi]
+        + fy * fx * ps[yi2][:, xi2]
+    )
+    # box integral = 2-D finite difference of the boundary grid
+    integ = (grid[1:, 1:] - grid[:-1, 1:] - grid[1:, :-1] + grid[:-1, :-1])
+    area = (np.diff(ys)[:, None] * np.diff(xs)[None, :])[:, :, None]
+    return np.clip(np.round(integ / area), 0, 255).astype(np.uint8)

@@ -901,12 +901,15 @@ def synth_tone_sequences(docs: DataFrame, id_col: str) -> DataFrame:
 def synth_mjpeg_textures(docs: DataFrame, id_col: str) -> DataFrame:
     """Textured Motion-JPEG fixtures for the VIDEO pHash oracle: two
     16×16 noise-texture frames per file, texture key a = id mod 10,
-    plus a uniform brightness offset 12·(id mod 5) that varies INSIDE
-    each cluster. Textures stay ≤ 195 so the offset never clips — a
-    pure brightness shift changes only per-block DC coefficients,
-    which unit-quantization JPEG preserves exactly, so the decoded
-    frames differ by exactly that shift and the pHash (which discards
-    DC) is IDENTICAL across the cluster."""
+    plus a uniform brightness offset 12·((id ÷ 10) mod 5) — keyed on
+    id ÷ 10 so it GENUINELY varies between members of one texture
+    cluster (an id-mod-5 offset would be constant inside every mod-10
+    cluster, since 5 divides 10, making the invariance claim vacuous).
+    Textures stay ≤ 195 so the offset never clips — a pure brightness
+    shift changes only per-block DC coefficients, which
+    unit-quantization JPEG preserves exactly, so the decoded frames
+    differ by exactly that shift and the pHash (which discards DC) is
+    IDENTICAL across the cluster."""
     from .jpeg import encode_jpeg
     from .mp4 import encode_mjpeg_mp4
 
@@ -918,7 +921,7 @@ def synth_mjpeg_textures(docs: DataFrame, id_col: str) -> DataFrame:
             payloads = []
             for i in pdf[id_col]:
                 i = int(i)
-                a, off = i % 10, 12 * (i % 5)
+                a, off = i % 10, 12 * ((i // 10) % 5)
                 payload = cache.get((a, off))
                 if payload is None:
                     frames = []
@@ -955,15 +958,22 @@ def dedup_video_phash(media_df: DataFrame, id_col: str = "doc_id",
             ids, hashes, tags = [], [], []
             for doc_id, b in zip(pdf[id_col], pdf["media"]):
                 ids.append(doc_id)
+                if not b:  # NULL media: bytes(None) is TypeError, not ValueError
+                    hashes.append(None)
+                    tags.append("vphash-v1-empty")
+                    continue
                 try:
                     out = extract_video_samples(bytes(b), max_samples=n_frames)
                     if out["format"] != "jpeg" or not out["samples"]:
                         raise ValueError("no decodable MJPEG frames")
                     h = 0
                     for k, s in enumerate(out["samples"]):
-                        # rotate per frame so reordered frames differ
+                        # rotate per frame so reordered frames differ;
+                        # k mod 63 keeps the 63-bit rotation legal for
+                        # any n_frames (63-k would go negative at k=64)
+                        r = k % 63
                         fh = phash64(decode_jpeg(s)["pixels"])
-                        h ^= ((fh << k) | (fh >> (63 - k))) & ((1 << 63) - 1)
+                        h ^= ((fh << r) | (fh >> (63 - r))) & ((1 << 63) - 1)
                     hashes.append(h)
                     tags.append("vphash-v1")
                 except ValueError:

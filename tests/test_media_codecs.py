@@ -255,3 +255,18 @@ def test_resize_area_antialiases_where_nearest_aliases():
     nearest = MC.resize_nearest(cb, 8, 8)
     assert np.all(area == 128)
     assert set(np.unique(nearest)) <= {0, 255}
+
+
+def test_resize_area_mixed_axis_still_averages():
+    """Regression: a resize that keeps or grows one axis while
+    downscaling the other must STILL area-average the downscaled axis
+    (an `or`-based upscale fallback aliased it to one checker phase)."""
+    import numpy as np
+
+    from data_analyse_marche_emploi_spark.operators import media_codecs as MC
+
+    cb = np.zeros((16, 16, 1), np.uint8)
+    cb[::2, 1::2] = 255
+    cb[1::2, ::2] = 255
+    assert np.all(MC.resize_area(cb, 16, 8) == 128)   # same width
+    assert np.all(MC.resize_area(cb, 32, 8) == 128)   # upscale width
