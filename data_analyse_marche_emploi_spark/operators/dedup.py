@@ -163,18 +163,24 @@ def ngram_jaccard_pairs(
         .groupBy("doc")
         .agg(F.count(F.lit(1)).alias("n_sh"))
     )
+    # Two-level explode, NOT one flattened C(df,2) array: a hot shingle
+    # in N docs would otherwise build ~N²/2 structs inside a single row
+    # — a hard failure (2³¹ array-element cap / executor OOM) that no
+    # amount of parallelism can spread. Anchoring on posexplode first
+    # bounds every intermediate row at O(df) elements; the same pair
+    # rows stream through whole-stage codegen into the groupBy. Total
+    # work is still C(df,2) per posting list — at corpus scale set
+    # max_df (stop-shingle pruning) to bound it.
     pairs = (
         per_shingle.filter(F.size("docs") >= 2)
+        .select(F.col("docs"), F.posexplode("docs").alias("pos", "x"))
         .select(
+            F.col("x").alias("i"),
             F.explode(
-                F.expr(
-                    "flatten(transform(docs, (x, i) -> "
-                    "transform(slice(docs, i + 2, size(docs) - i - 1), "
-                    "y -> struct(x AS i, y AS j))))"
-                )
-            ).alias("p")
+                F.expr("slice(docs, pos + 2, size(docs) - pos - 1)")
+            ).alias("j"),
         )
-        .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
+        .groupBy("i", "j")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     sa = sizes.alias("sa")

@@ -307,17 +307,39 @@ def _frame_indices(fr: dict) -> np.ndarray:
     return arr
 
 
+def _bg_color(screen: dict) -> np.ndarray:
+    """Logical-screen background as RGB: the background-color index
+    resolved against the global palette (clamped, as browsers do), or
+    black when no global palette exists."""
+    if screen["global_pal"] is not None:
+        return screen["global_pal"][
+            min(screen["bg"], screen["global_pal"].shape[0] - 1)
+        ]
+    return np.zeros(3, dtype=np.uint8)
+
+
 def _decode_impl(payload: bytes) -> dict:
     screen, frames = _walk(payload)
     w, h = screen["w"], screen["h"]
     fr = frames[0]
     arr = _frame_indices(fr)
     px = fr["pal"][arr]
-    if (fr["x"], fr["y"], fr["w"], fr["h"]) == (0, 0, w, h):
+    if (fr["x"], fr["y"], fr["w"], fr["h"]) == (0, 0, w, h) and fr[
+        "transparent"
+    ] is None:
         pixels = px
     else:
-        pixels = np.zeros((h, w, 3), dtype=np.uint8)
-        pixels[fr["y"]:fr["y"] + fr["h"], fr["x"]:fr["x"] + fr["w"]] = px
+        # Same compositing rules as decode_gif_frames' first frame:
+        # background-color canvas, transparent indices keep the canvas
+        # — the two APIs must report identical pixels for one file.
+        pixels = np.broadcast_to(_bg_color(screen), (h, w, 3)).copy()
+        region = pixels[fr["y"]:fr["y"] + fr["h"],
+                        fr["x"]:fr["x"] + fr["w"]]
+        if fr["transparent"] is not None:
+            opaque = arr != fr["transparent"]
+            region[opaque] = px[opaque]
+        else:
+            region[:] = px
     return {"width": w, "height": h, "channels": 3, "pixels": pixels,
             "n_frames": len(frames), "mode": "gif"}
 
@@ -334,12 +356,7 @@ def decode_gif_frames(payload: bytes, max_frames: int = 4) -> dict:
     try:
         screen, frames = _walk(payload)
         w, h = screen["w"], screen["h"]
-        if screen["global_pal"] is not None:
-            bg_color = screen["global_pal"][
-                min(screen["bg"], screen["global_pal"].shape[0] - 1)
-            ]
-        else:
-            bg_color = np.zeros(3, dtype=np.uint8)
+        bg_color = _bg_color(screen)
         canvas = np.broadcast_to(bg_color, (h, w, 3)).copy()
         out = []
         for fr in frames[:max_frames]:

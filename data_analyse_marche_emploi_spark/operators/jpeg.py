@@ -564,10 +564,11 @@ def _refine_ac_block(coef, reader, act, ss, se, al, eobrun) -> int:
         rs = reader.decode_symbol(act)
         r, s = rs >> 4, rs & 0xF
         val = 0
+        eob_mode = False
         if s == 0:
             if r < 15:
                 eobrun = (1 << r) - 1 + (reader.receive(r) if r else 0)
-                r = 64  # run past the band: only correction bits remain
+                eob_mode = True  # only correction bits remain in band
             # else ZRL: r == 15 skips 16 zero-history coefficients
         else:
             if s != 1:
@@ -575,17 +576,24 @@ def _refine_ac_block(coef, reader, act, ss, se, al, eobrun) -> int:
                     "corrupt progressive refinement: size category != 1"
                 )
             val = p1 if reader.read_bit() else -p1
+        satisfied = eob_mode
         while k <= se:
             if coef[k] != 0:
                 _refine_nonzero(coef, k, reader, p1)
-            else:
+            elif not eob_mode:
                 if r == 0:
                     if s:
                         coef[k] = val
                     k += 1
+                    satisfied = True
                     break
                 r -= 1
             k += 1
+        # A ZRL / newly-significant advance that the band cannot hold is
+        # a desync — flag it like _first_ac_block's "run past band end"
+        # instead of silently tolerating a drifted bit position.
+        if not satisfied:
+            raise ValueError("corrupt progressive refinement: advance past band end")
     return eobrun
 
 

