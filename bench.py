@@ -54,6 +54,11 @@ HEADLINE = [
     # round-5 additions: Q21-shaped self-semi/anti; lossless GIF frames
     "q_cheapest_line_supplier",
     "multimodal_gif_frames",
+    # round-6 additions: directed containment dedup; RANGE-frame moving
+    # stats and the fixed-point EWMA lag chain over events
+    "dedup_containment_pairs",
+    "ts_moving_stats",
+    "ts_ewma",
     # structured-streaming drain (availableNow → watermarked dedup)
     "stream_dedup_upsert",
 ]

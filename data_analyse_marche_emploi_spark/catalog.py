@@ -4923,6 +4923,287 @@ def agg_freq_items(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round 6: asymmetric containment dedup, multi-granularity aggregation
+# (GROUPING SETS / unpivot / mode), and deterministic time-series
+# smoothing (trailing RANGE stats, truncated EWMA).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(toks) < 3 THEN []
+                  ELSE list_transform(generate_series(1, len(toks) - 2),
+                       i -> array_to_string(toks[i:i+2], ' ')) END)) AS shingle
+           FROM d),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    directed AS (
+      SELECT i AS src, j AS dst, common, sa.n_sh AS n_src
+      FROM pairs JOIN sizes sa ON sa.doc_id = i
+      UNION ALL
+      SELECT j, i, common, sb.n_sh FROM pairs JOIN sizes sb ON sb.doc_id = j
+    )
+    SELECT src, dst, common,
+           CAST(floor(common * 1000000.0 / n_src) AS BIGINT) AS containment6
+    FROM directed
+    WHERE CAST(floor(common * 1000000.0 / n_src) AS BIGINT) >= 500000
+    """,
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """Asymmetric containment near-dup: |S_src ∩ S_dst| / |S_src| ≥ 0.5
+    over 3-gram shingle sets — catches the short-doc-quoted-inside-a-
+    long-doc class whose Jaccard stays tiny because the union is
+    dominated by the long side. Same single-content-shuffle posting-
+    list topology as the Jaccard join (O(df)-bounded intermediates, no
+    self-join of the shingle strings); scores are 1e-6-floor-bucketed
+    for a deterministic threshold."""
+    from .operators.dedup import containment_pairs
+
+    d = _docs(spark, sf_dir)
+    return containment_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           count(*) AS n,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Multi-granularity aggregation in ONE pass: detail, per-flag, and
+    grand-total rows from a single GROUPING SETS plan (Spark expands to
+    one Expand + hash aggregate — one scan, one shuffle, vs three
+    separate jobs), with GROUPING() flags disambiguating genuine NULL
+    keys from rolled-up ones. The SURVEY §2.D "absent" list called out
+    grouping sets explicitly; this is the native Spark surface for it."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+        AGG.exact_sum(F.col("l_quantity").cast(AGG.MONEY), "sum_qty", 2),
+        AGG.exact_sum(F.col("l_extendedprice").cast(AGG.MONEY), "revenue", 2),
+    )
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+    WITH m AS (
+      SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    ),
+    b AS (SELECT measure, CAST(floor(value * 1e6) AS BIGINT) AS v6 FROM m)
+    SELECT measure, count(*) AS n, CAST(sum(v6) AS BIGINT) AS sum6,
+           min(v6) AS min6, max(v6) AS max6
+    FROM b GROUP BY 1
+    """,
+)
+def unpivot_measures(spark, sf_dir):
+    """Wide→long relational melt: the four lineitem measure columns
+    unpivot to (measure, value) rows — Spark's native ``unpivot``
+    (Expand under the hood: one scan emits all four rows per input row
+    map-side, no join, no union of four scans) — then per-measure
+    profile stats. Values are 1e-6-floor-bucketed pre-aggregation so
+    every stat is exact integer arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    return (
+        li.select(*measures)
+        .unpivot([], measures, "measure", "value")
+        .select("measure", F.floor(F.col("value") * 1e6).cast("long").alias("v6"))
+        .groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v6").alias("sum6"),
+            F.min("v6").alias("min6"),
+            F.max("v6").alias("max6"),
+        )
+    )
+
+
+@register(
+    "ts_moving_stats",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tmic,
+                      CAST(floor(value * 1e6) AS BIGINT) AS v6
+               FROM events)
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_w,
+           CAST(sum(v6) OVER w AS BIGINT) AS sum6_w,
+           CAST(floor((sum(v6) OVER w)
+                      / CAST(count(*) OVER w AS DOUBLE)) AS BIGINT) AS avg6_w
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY tmic
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_moving_stats(spark, sf_dir):
+    """Trailing 1-hour moving count/sum/mean of event value per user —
+    a RANGE frame over epoch-micros (time-based, peers included; a ROWS
+    frame would silently change semantics on ties and gaps). One
+    shuffle on user_id; values floor-bucketed to integer micro-units
+    before summation so the windowed sums are engine- and order-exact."""
+    from .operators.windows import trailing_range_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return trailing_range_stats(ev, "user_id", "ts", "value", 3600).select(
+        "event_id", "user_id", "n_w", "sum6_w", "avg6_w"
+    )
+
+
+def _ewma_oracle() -> str:
+    from .operators.windows import ewma_weighted_sum_expr
+
+    lags = ",\n           ".join(
+        f"lag(v6, {j}) OVER w AS l{j}" for j in range(1, 10)
+    )
+    expr = ewma_weighted_sum_expr(
+        ["v6"] + [f"l{j}" for j in range(1, 10)], 0.3, int_div="//"
+    )
+    return f"""
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tmic,
+                      CAST(floor(value * 1e6) AS BIGINT) AS v6
+               FROM events),
+    l AS (SELECT event_id, user_id, v6,
+           {lags}
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY tmic, event_id))
+    SELECT event_id, user_id, {expr} AS ewma6
+    FROM l WHERE l9 IS NOT NULL
+    """
+
+
+@register("ts_ewma", oracle=_ewma_oracle())
+def ts_ewma(spark, sf_dir):
+    """Truncated exponentially-weighted moving average (α=0.3, depth
+    10 ⇒ 97% of the recursive EWMA's mass) per user. The recursion
+    y_t = αx_t + (1−α)y_{t−1} is sequential and FP-order-sensitive;
+    truncation turns it into a fixed lag chain — one shuffle, one
+    per-partition sort — and the arithmetic is fixed-point end to end
+    (integer micro-unit inputs × integer nano-weights, one trailing
+    integer division), so any engine computes identical integers."""
+    from .operators.windows import ewma
+
+    ev = _t(spark, sf_dir, "events")
+    return ewma(ev, "user_id", "ts", "event_id", "value", 0.3, 10).select(
+        "event_id", "user_id", "ewma6"
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+               FROM orders GROUP BY 1, 2)
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+    FROM (SELECT c.*, row_number() OVER (
+            PARTITION BY o_orderstatus
+            ORDER BY n DESC, o_orderpriority) AS rn FROM c)
+    WHERE rn = 1
+    """,
+)
+def agg_mode(spark, sf_dir):
+    """Statistical mode per group (most frequent order priority per
+    status, lexicographic tiebreak): count aggregate → top-1 window.
+    The window input is the pre-aggregated (status, priority) table —
+    group-cardinality-sized, never the fact table — so the per-status
+    funnel is bounded by the distinct-priority count, not row count."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
+    )
+
+
+@register(
+    "q_important_parts",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS pv_dec
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(pv_dec) AS total, count(*) AS n_parts FROM v)
+    SELECT l_partkey, round(CAST(pv_dec AS DOUBLE), 2) AS part_value
+    FROM v, tot WHERE pv_dec * n_parts > total * 2
+    """,
+)
+def q_important_parts(spark, sf_dir):
+    """TPC-H-Q11-shaped: parts whose revenue through one nation's
+    suppliers exceeds 2× the average per-part share — a HAVING-against-
+    scalar-subquery shape whose threshold is scale-free (a fixed
+    fraction-of-total cutoff empties as part cardinality grows). The
+    threshold aggregate is the one-row rollup OF the per-part aggregate
+    (computed once, broadcast back), and the comparison stays in exact
+    integer/DECIMAL arithmetic (pv·n_parts > 2·total) so no engine's
+    float summation order can flip a boundary row."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    v = (
+        li.join(F.broadcast(s.join(F.broadcast(n),
+                                   s["s_nationkey"] == n["n_nationkey"])),
+                li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast(AGG.MONEY)).alias("pv_dec"))
+    )
+    tot = v.agg(
+        F.sum("pv_dec").alias("total"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("pv_dec") * F.col("n_parts") > F.col("total") * 2)
+        .select(
+            "l_partkey",
+            F.round(F.col("pv_dec").cast("double"), 2).alias("part_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window
 # ---------------------------------------------------------------------------
 # The differential harness verifies registry entries in registration
@@ -4935,80 +5216,73 @@ def agg_freq_items(spark, sf_dir):
 # ROLLUP, …) register after them — they stay fully covered by pytest and
 # tools/oracle_check.py, which check ALL entries.
 
-# Round-5 rotation: every entry that was green in r4 and is unchanged
-# this round rotates OUT to the local-gate-only tier (pytest +
-# tools/oracle_check.py still check ALL 144 entries every round). The
-# window packs in the 52 entries that had never had a driver row by r4
-# (VERDICT r4 next-round #3) minus six rows-only sketch/seeded entries
-# deferred to r6, plus four carry-overs: the flagship smoke anchor and
-# the three entries whose code changed this round (TF-IDF join
-# topology, JPEG decoder hardening, window-dedup owner) so the driver
-# re-proves them on the new plans.
+# Round-6 rotation: after r5's 50/50-green sweep, the window packs the
+# 20 entries that still have no driver row from any round, the 7 new
+# round-6 entries, the smoke anchor plus the 4 entries whose code
+# changed this round (posting-list pair rewrite, GIF compositing, JPEG
+# refinement strictness), and re-proofs of the streaming family and
+# the heavy dedup/ANN/text cores last driver-checked in r3/r4. Entries
+# green in r5 and unchanged rotate OUT to the local-gate-only tier
+# (pytest + tools/oracle_check.py still check ALL 165 entries).
 _DRIVER_WINDOW = [
-    # carry-overs (changed this round or smoke anchor)
+    # carry-overs: smoke anchor + entries whose code changed this round
+    # (posting-list pair enumeration rewrite; GIF compositing fix;
+    # progressive-JPEG refinement strictness)
     "flagship_orders_by_month",
-    "text_tf_idf",
-    "multimodal_jpeg",
-    "dedup_window_exact",
-    # TPC-H-shaped analytics (never driver-checked; judge priority)
-    "q_market_share",
-    "q_large_orders",
-    "q_top_supplier",
-    "q_dormant_customers",
-    "q_local_supplier_volume",
-    "q_priority_lines",
-    "q_order_priority_exists",
-    "q_small_quantity_revenue",
-    "q_promo_revenue_share",
-    "q_nation_volume",
-    "q_customer_distribution",
-    "q_disjunctive_revenue",
-    # ordering / sampling / skew (never driver-checked)
-    "sort_global",
-    "order_limit",
-    "join_range",
-    "join_hint_shuffle_hash",
-    "salted_groupby",
-    "salted_join",
-    "sample_exact_k",
-    # exact stats, aggregates, embedding dedup (never driver-checked)
-    "agg_stats",
-    "agg_quantiles",
-    "emb_centroid",
-    "dedup_embedding_cosine",
-    "dedup_canonical_quality",
-    "funnel_conversion",
-    "cohort_retention",
-    # new this round — multimodal content dedup (the 50-slot cap is
-    # zero-sum: these took the slots of never-checked array_ops /
-    # profile_table, which rotate back in a later round)
-    "dedup_image_phash",
-    "dedup_audio_fingerprint",
-    # sources / multimodal (never driver-checked)
-    "src_rest_paged_dsv2",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
     "multimodal_gif",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_audio",
-    "multimodal_mp4_meta",
-    "multimodal_spectral",
-    # curation / packing / mixtures (never driver-checked)
-    "docs_to_chunks",
-    "chunks_to_sequences",
-    "cap_docs_per_source",
-    "mixture_stratified_sample",
-    "mixture_train_split",
-    "emb_quantize",
-    # upgraded to full value-hash oracles this round: simhash runs the
-    # md5-derived replayable family, theta overlap is checked in the
-    # sketch's sub-nominal exact regime
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "agg_theta_overlap",
-    # new this round: full Annex G progressive JPEG decode; the
-    # char-trigram LM quality gate
     "multimodal_jpeg_progressive",
+    # new this round
+    "dedup_containment_pairs",
+    "agg_grouping_sets",
+    "unpivot_measures",
+    "ts_moving_stats",
+    "ts_ewma",
+    "agg_mode",
+    "q_important_parts",
+    # the 20 entries that have never had a driver row (r1-r5)
+    "text_lang_id_ngram",
+    "multimodal_meta",
+    "q_min_price_supplier",
+    "q_part_supplier_counts",
+    "q_cheapest_line_supplier",
+    "agg_approx_quantiles",
+    "sample_seeded",
+    "array_ops",
+    "ann_ivf_pq",
+    "ann_pq",
+    "profile_table",
+    "stream_distinct_users",
+    "multimodal_resize_area",
+    "dedup_video_phash",
+    "multimodal_gif_frames",
+    "multimodal_features",
+    "bpe_encode_corpus",
+    "agg_hll_rollup",
+    "agg_kll_quantiles",
+    "agg_theta_distinct",
+    # re-proofs: streaming family + heavy dedup/ANN/text cores (last
+    # driver-checked r3/r4; keeps the highest-value plans under the
+    # driver's eye every other round)
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_stateful_totals",
+    "stream_stream_join",
+    "stream_scd2_enrich",
+    "stream_dedup_upsert",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_window_exact",
+    "dedup_lines_global",
+    "dedup_incremental",
+    "knn_brute_force",
+    "ann_lsh",
+    "ann_ivf",
+    "text_tf_idf",
     "text_perplexity",
+    "bpe_vocab",
 ]
 
 def _prioritize() -> None:

@@ -199,6 +199,99 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directed containment near-dup pairs: for every ordered doc pair,
+    ``containment(src → dst) = |S_src ∩ S_dst| / |S_src|`` over distinct
+    word ``n``-gram shingle sets, kept when ≥ ``threshold``.
+
+    Containment is the asymmetric complement of Jaccard: a short doc
+    quoted wholesale inside a long one scores containment ≈ 1 while its
+    Jaccard stays tiny (the union is dominated by the long doc) — which
+    is exactly the quote/boilerplate/subset-dup class Jaccard dedup
+    misses. Same inverted-index topology as :func:`ngram_jaccard_pairs`
+    (ONE content shuffle into posting lists, two-level explode bounding
+    every intermediate row at O(df), ``max_df`` stop-shingle pruning at
+    corpus scale); each undirected candidate then fans out into its two
+    directed rows against the per-doc set sizes.
+
+    Scores are 1e-6-floor-bucketed (``containment6``) so the ≥ filter
+    and downstream ordering are deterministic across engines.
+
+    Returns ``(src, dst, common, containment6)``.
+    """
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    shingle_expr = SHINGLE_EXPR.format(toks=f"split({text_col}, ' ')", n=n)
+    per_shingle = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(n_part)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.expr(shingle_expr)).alias("shingle"),
+        )
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+        .select("docs")
+    )
+    if max_df is not None:
+        per_shingle = per_shingle.filter(F.size("docs") <= max_df)
+    sizes = (
+        per_shingle.select(F.explode("docs").alias("doc"))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    pairs = (
+        per_shingle.filter(F.size("docs") >= 2)
+        .select(F.col("docs"), F.posexplode("docs").alias("pos", "x"))
+        .select(
+            F.col("x").alias("i"),
+            F.explode(
+                F.expr("slice(docs, pos + 2, size(docs) - pos - 1)")
+            ).alias("j"),
+        )
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    directed = (
+        pairs.join(sa, F.col("i") == F.col("sa.doc"))
+        .join(sb, F.col("j") == F.col("sb.doc"))
+        .select(
+            "common",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("i").alias("src"),
+                        F.col("j").alias("dst"),
+                        F.col("sa.n_sh").alias("n_src"),
+                    ),
+                    F.struct(
+                        F.col("j").alias("src"),
+                        F.col("i").alias("dst"),
+                        F.col("sb.n_sh").alias("n_src"),
+                    ),
+                )
+            ).alias("d"),
+        )
+        .select(
+            F.col("d.src").alias("src"),
+            F.col("d.dst").alias("dst"),
+            "common",
+            F.floor(F.col("common") * 1000000.0 / F.col("d.n_src"))
+            .cast("long")
+            .alias("containment6"),
+        )
+    )
+    return directed.filter(F.col("containment6") >= int(threshold * 1_000_000))
+
+
 # --- MinHash + LSH --------------------------------------------------------
 
 

@@ -33,6 +33,119 @@ def running_sum(df: DataFrame, part: str, order: str, val: Column, alias: str) -
     return df.withColumn(alias, F.sum(val).over(w))
 
 
+def trailing_range_stats(
+    df: DataFrame,
+    part: str,
+    ts: str,
+    val: str,
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Trailing time-window statistics per key: for every row, the
+    count / sum / mean of ``val`` over the preceding ``window_seconds``
+    (inclusive of the current row) within its ``part`` group — the
+    moving-aggregate primitive behind rate monitors and rolling KPI
+    tiles.
+
+    A RANGE frame over epoch-microsecond order (not a ROWS frame): rows
+    sharing a timestamp are frame peers, and gaps in event time shrink
+    the window naturally. One shuffle on ``part``; the frame scan is a
+    per-partition sliding aggregate, so cost is rows × O(1) amortized,
+    independent of window width.
+
+    Float discipline: ``val`` is 1e-6-floor-bucketed per row BEFORE
+    summation (``v6`` BIGINT), so the windowed sums are exact integer
+    arithmetic — identical in any engine regardless of that engine's
+    float-summation order. The mean is floor(sum/count) over those
+    micro-units. Returns the input keys plus
+    ``(n_w, sum6_w, avg6_w)``.
+    """
+    micros = F.unix_micros(F.col(ts).cast("timestamp"))
+    v6 = F.floor(F.col(val) * 1e6).cast("long")
+    w = (
+        Window.partitionBy(part)
+        .orderBy(micros)
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    return (
+        df.withColumn("n_w", F.count(F.lit(1)).over(w))
+        .withColumn("sum6_w", F.sum(v6).over(w))
+        .withColumn(
+            "avg6_w",
+            F.floor(F.col("sum6_w") / F.col("n_w").cast("double")).cast("long"),
+        )
+    )
+
+
+def ewma(
+    df: DataFrame,
+    part: str,
+    ts: str,
+    order_tiebreak: str,
+    val: str,
+    alpha: float = 0.3,
+    depth: int = 10,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average per key:
+    ``ewma6 = floor(Σ_{j<depth} α(1−α)^j · v6[t−j])`` over the last
+    ``depth`` observations in ``(ts, tiebreak)`` order, emitted only for
+    rows where all ``depth`` lags exist (the warm-up prefix carries no
+    full window and is dropped rather than silently under-weighted).
+
+    The recursive EWMA (y_t = αx_t + (1−α)y_{t−1}) is inherently
+    sequential — hostile to both distributed execution and cross-engine
+    determinism. Truncating at ``depth`` keeps >1−(1−α)^depth of the
+    mass (97% at α=0.3, depth=10) and turns the op into a fixed lag
+    chain: one shuffle on ``part``, one per-partition sort, ``depth``
+    O(1) lag lookups per row. The arithmetic is FIXED-POINT end to end
+    — inputs 1e-6-floor-bucketed (``v6`` BIGINT), weights as exact
+    integer nano-weights, one integer division at the end — so every
+    engine computes the identical integers (a float-weight form is 1-ulp
+    unstable around integer boundaries: the floor can flip on whether an
+    engine runs the literals as decimals or doubles).
+
+    Returns the input keys plus ``ewma6`` (BIGINT micro-units:
+    ``(Σ_j W_j · v6_j) div 10⁹`` with ``W_j = round(α(1−α)^j·10⁹)``).
+    """
+    micros = F.unix_micros(F.col(ts).cast("timestamp"))
+    w = Window.partitionBy(part).orderBy(micros, F.col(order_tiebreak))
+    out = df.withColumn("__v6", F.floor(F.col(val) * 1e6).cast("long"))
+    for j in range(1, depth):
+        out = out.withColumn(f"__l{j}", F.lag("__v6", j).over(w))
+    expr = ewma_weighted_sum_expr(
+        ["__v6"] + [f"__l{j}" for j in range(1, depth)], alpha, int_div="div"
+    )
+    return (
+        out.filter(F.col(f"__l{depth - 1}").isNotNull())
+        .withColumn("ewma6", F.expr(expr))
+        .drop("__v6", *[f"__l{j}" for j in range(1, depth)])
+    )
+
+
+def ewma_weight_nanos(alpha: float, depth: int) -> list[int]:
+    """Truncated-EWMA weights as exact integer nano-units:
+    ``round(α(1−α)^j · 10⁹)``."""
+    return [round(alpha * (1 - alpha) ** j * 1e9) for j in range(depth)]
+
+
+def ewma_weighted_sum_expr(cols: list[str], alpha: float, int_div: str) -> str:
+    """Left-associated fixed-point weighted-sum SQL for the truncated
+    EWMA — generated once for the Spark plan (``int_div="div"``) and
+    once for the DuckDB differential oracle (``int_div="//"``), with
+    IDENTICAL integer weights so both engines do the same pure-integer
+    arithmetic. Overflow headroom: W ≤ 10⁹ and v6 ≤ ~10⁹ give ≤ ~10¹⁸
+    per depth-10 sum — inside int64. Both ``div`` and ``//`` truncate
+    toward zero; weights and (here) inputs are non-negative, so the
+    result is a mathematical floor either way."""
+    weights = ewma_weight_nanos(alpha, len(cols))
+    terms = [
+        f"CAST({w} AS BIGINT) * {c}" for w, c in zip(weights, cols)
+    ]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = f"({acc} + {t})"
+    return f"CAST(({acc}) {int_div} 1000000000 AS BIGINT)"
+
+
 def sessionize(df: DataFrame, user: str, ts: str, gap_minutes: int) -> DataFrame:
     """Assign session ids: a new session starts when the gap to the
     previous event exceeds ``gap_minutes``. The classic lag → gap-flag →

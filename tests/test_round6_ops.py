@@ -1,0 +1,168 @@
+"""Semantic + plan tests for the round-6 operators: directed
+containment dedup, GROUPING SETS / unpivot / mode aggregation, and the
+deterministic time-series smoothers (trailing RANGE stats, truncated
+EWMA). Oracle parity for the catalog entries is covered by
+test_oracle_parity; these pin hand-computed semantics and the scale
+shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_analyse_marche_emploi_spark.operators.dedup import containment_pairs
+from data_analyse_marche_emploi_spark.operators.windows import (
+    ewma,
+    ewma_weighted_sum_expr,
+    trailing_range_stats,
+)
+
+
+def test_containment_asymmetric_quote(spark):
+    """A short doc fully quoted inside a long one: containment
+    short→long = 1.0 while long→short is far below — the class Jaccard
+    misses. 3-gram shingles."""
+    short = "alpha beta gamma delta"                      # 2 shingles
+    long_ = short + " eps zeta eta theta iota kappa lam"  # 9 shingles
+    docs = spark.createDataFrame([(1, short), (2, long_)], ["doc_id", "text"])
+    rows = {
+        (r["src"], r["dst"]): r
+        for r in containment_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.0
+        ).collect()
+    }
+    assert rows[(1, 2)]["containment6"] == 1_000_000  # fully contained
+    assert rows[(1, 2)]["common"] == 2
+    assert rows[(2, 1)]["containment6"] == 2_000_000 // 9
+    # threshold keeps only the contained direction
+    kept = containment_pairs(docs, "text", "doc_id", n=3, threshold=0.5).collect()
+    assert [(r["src"], r["dst"]) for r in kept] == [(1, 2)]
+
+
+def test_containment_no_cartesian(spark):
+    docs = spark.createDataFrame(
+        [(i, f"a b c d{i} e{i}") for i in range(10)], ["doc_id", "text"]
+    )
+    plan = (
+        containment_pairs(docs, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_trailing_range_stats_hand_case(spark):
+    """Events at t=0s, 30s, 3600s, 7201s with value 1.0 each: the 1-h
+    trailing frame holds {1}, {1,2}, {1,2,3} (0s is exactly 3600s
+    before — RANGE is inclusive), then {4} alone."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, 1.0),
+        (2, "2024-01-01 00:00:30", 7, 1.0),
+        (3, "2024-01-01 01:00:00", 7, 1.0),
+        (4, "2024-01-01 02:00:01", 7, 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["event_id"]: (r["n_w"], r["sum6_w"], r["avg6_w"])
+        for r in trailing_range_stats(df, "user_id", "ts", "value").collect()
+    }
+    assert out == {
+        1: (1, 1_000_000, 1_000_000),
+        2: (2, 2_000_000, 1_000_000),
+        3: (3, 3_000_000, 1_000_000),
+        4: (1, 1_000_000, 1_000_000),
+    }
+
+
+def test_ewma_matches_python_reference(spark):
+    """depth-3 EWMA vs an exact Python integer replay of the same
+    fixed-point sum (nano-weights, trailing integer division) — the
+    arithmetic is pure int64, so equality is exact, not ±ulp."""
+    from data_analyse_marche_emploi_spark.operators.windows import (
+        ewma_weight_nanos,
+    )
+
+    vals = [10.0, 20.0, 5.0, 40.0, 12.5]
+    rows = [
+        (i, f"2024-01-01 00:0{i}:00", 1, v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["event_id"]: r["ewma6"]
+        for r in ewma(df, "user_id", "ts", "event_id", "value", 0.3, 3).collect()
+    }
+    import math
+
+    w = ewma_weight_nanos(0.3, 3)
+    v6 = [math.floor(v * 1e6) for v in vals]
+    expected = {
+        t: (w[0] * v6[t] + w[1] * v6[t - 1] + w[2] * v6[t - 2])
+        // 1_000_000_000
+        for t in range(2, len(vals))
+    }
+    assert out == expected
+
+
+def test_ewma_drops_warmup_prefix(spark):
+    rows = [(i, f"2024-01-01 00:0{i}:00", 1, 1.0) for i in range(5)]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    got = sorted(
+        r["event_id"]
+        for r in ewma(df, "user_id", "ts", "event_id", "value", 0.3, 4).collect()
+    )
+    assert got == [3, 4]  # first 3 rows lack a full 4-lag window
+
+
+def test_ewma_expr_fixed_point_integer_weights():
+    e = ewma_weighted_sum_expr(["v", "l1", "l2"], 0.5, int_div="div")
+    assert e == (
+        "CAST((((CAST(500000000 AS BIGINT) * v"
+        " + CAST(250000000 AS BIGINT) * l1)"
+        " + CAST(125000000 AS BIGINT) * l2)) div 1000000000 AS BIGINT)"
+    )
+    # the DuckDB twin differs ONLY in the integer-division spelling
+    d = ewma_weighted_sum_expr(["v", "l1", "l2"], 0.5, int_div="//")
+    assert d == e.replace(" div 1000000000", " // 1000000000")
+
+
+def test_grouping_sets_one_expand_no_union(spark, sf_dir):
+    """GROUPING SETS must compile to a single Expand + aggregate over
+    one scan — not a union of three scans."""
+    from data_analyse_marche_emploi_spark import catalog
+
+    plan = (
+        catalog.QUERIES["agg_grouping_sets"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in plan
+    assert "Union" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_unpivot_single_scan(spark, sf_dir):
+    from data_analyse_marche_emploi_spark import catalog
+
+    plan = (
+        catalog.QUERIES["unpivot_measures"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Union" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_important_parts_broadcasts_threshold_only(spark, sf_dir):
+    """The one-row threshold aggregate rides a broadcast; the per-part
+    aggregate itself must NOT be broadcast-joined against lineitem
+    (it is part-cardinality-sized — unbounded at corpus scale)."""
+    from data_analyse_marche_emploi_spark import catalog
+
+    plan = (
+        catalog.QUERIES["q_important_parts"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan
+    # supplier∩nation dim join + one-row total both broadcast: ≥2 BHJ
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
