@@ -853,3 +853,95 @@ def ann_ivf_pq(
     ])
     return _adc_scan_rerank(corpus, queries, vec_col, id_col, codes, books,
                             m, rerank_depth, topk, probes=probes)
+
+
+# --- distributed PCA -------------------------------------------------------
+
+
+def pca_fit(vectors: DataFrame, vec_col: str, k: int = 4):
+    """Fit a PCA basis distributedly: returns ``(mean, components,
+    explained_var)`` as numpy arrays (``components`` is (k, d), rows =
+    top-k principal axes by variance).
+
+    Scale shape — the moment-aggregation pattern: each Arrow batch
+    collapses to ONE row carrying (count, Σx, flattened Σxxᵀ) — d + d²
+    doubles — so the driver reduces #batches rows regardless of corpus
+    size, then eigendecomposes the d×d covariance (d=64 ⇒ 4096 doubles;
+    O(d³) ≪ a second). Nothing row-scale ever reaches the driver, and
+    the corpus is scanned exactly once. Eigenvector sign is pinned
+    (largest-|component| entry made positive) so the basis is unique —
+    without it, runs on different partitionings could flip axes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def moments(it):
+        for pdf in it:
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [m.shape[0]],
+                    "s": [m.sum(axis=0)],
+                    "ss": [(m.T @ m).ravel()],
+                }
+            )
+
+    rows = (
+        vectors.select(vec_col)
+        .mapInPandas(moments, "n long, s array<double>, ss array<double>")
+        .collect()
+    )
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    d = s.shape[0]
+    ss = np.sum([np.asarray(r["ss"]) for r in rows], axis=0).reshape(d, d)
+    mean = s / n
+    cov = (ss - np.outer(s, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, d)
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, evals[order]
+
+
+def pca_project(
+    vectors: DataFrame, vec_col: str, id_col: str, k: int = 4
+) -> DataFrame:
+    """Project every vector onto the fitted top-``k`` PCA basis:
+    ``(id, proj)`` with ``proj[i] = (x − mean)·componentᵢ``, 1e-6-floor-
+    bucketed BIGINTs for deterministic downstream comparisons.
+
+    The basis comes from :func:`pca_fit` (driver-bounded); projection
+    is a map-side BLAS matmul per Arrow batch against the broadcast
+    (k, d) basis — zero shuffle, the same batch shape as
+    knn_brute_force's preselect."""
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    mean, comps, _ = pca_fit(vectors, vec_col, k)
+    b_mean = spark.sparkContext.broadcast(mean)
+    b_comps = spark.sparkContext.broadcast(comps)
+
+    def project(it):
+        mu, w = b_mean.value, b_comps.value
+        for pdf in it:
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            p = (m - mu) @ w.T  # (batch, k)
+            yield pd.DataFrame(
+                {
+                    "__id": pdf[id_col],
+                    "proj6": list(np.floor(p * 1e6).astype(np.int64)),
+                }
+            )
+
+    n_part = spark.sparkContext.defaultParallelism
+    return (
+        vectors.select(id_col, vec_col)
+        .repartition(n_part)
+        .mapInPandas(project, "__id long, proj6 array<long>")
+        .withColumnRenamed("__id", id_col)
+    )

@@ -59,20 +59,30 @@ def trailing_range_stats(
     micro-units. Returns the input keys plus
     ``(n_w, sum6_w, avg6_w)``.
     """
-    micros = F.unix_micros(F.col(ts).cast("timestamp"))
-    v6 = F.floor(F.col(val) * 1e6).cast("long")
+    # Pre-project the order key and bucketed value ONCE, then evaluate
+    # both aggregates over the SAME window spec in one select: separate
+    # withColumn calls alias the (identical) sort expression differently
+    # and Spark plans two Window operators with two sorts — one frame
+    # pass doubled for no reason.
+    base = df.withColumn(
+        "__tmic", F.unix_micros(F.col(ts).cast("timestamp"))
+    ).withColumn("__v6", F.floor(F.col(val) * 1e6).cast("long"))
     w = (
         Window.partitionBy(part)
-        .orderBy(micros)
+        .orderBy("__tmic")
         .rangeBetween(-window_seconds * 1_000_000, 0)
     )
     return (
-        df.withColumn("n_w", F.count(F.lit(1)).over(w))
-        .withColumn("sum6_w", F.sum(v6).over(w))
+        base.select(
+            "*",
+            F.count(F.lit(1)).over(w).alias("n_w"),
+            F.sum("__v6").over(w).alias("sum6_w"),
+        )
         .withColumn(
             "avg6_w",
             F.floor(F.col("sum6_w") / F.col("n_w").cast("double")).cast("long"),
         )
+        .drop("__tmic", "__v6")
     )
 
 
@@ -106,18 +116,29 @@ def ewma(
     Returns the input keys plus ``ewma6`` (BIGINT micro-units:
     ``(Σ_j W_j · v6_j) div 10⁹`` with ``W_j = round(α(1−α)^j·10⁹)``).
     """
-    micros = F.unix_micros(F.col(ts).cast("timestamp"))
-    w = Window.partitionBy(part).orderBy(micros, F.col(order_tiebreak))
-    out = df.withColumn("__v6", F.floor(F.col(val) * 1e6).cast("long"))
-    for j in range(1, depth):
-        out = out.withColumn(f"__l{j}", F.lag("__v6", j).over(w))
+    # One pre-projection of the order key + bucketed value, then ALL
+    # depth−1 lags over the same window spec in one select — a
+    # withColumn-per-lag loop re-aliases the sort expression each time
+    # and Spark plans depth−1 separate Window+Sort operators (measured:
+    # 9 window passes for depth 10; this form plans exactly one).
+    base = df.withColumn(
+        "__tmic", F.unix_micros(F.col(ts).cast("timestamp"))
+    ).withColumn("__v6", F.floor(F.col(val) * 1e6).cast("long"))
+    w = Window.partitionBy(part).orderBy("__tmic", F.col(order_tiebreak))
+    out = base.select(
+        "*",
+        *[
+            F.lag("__v6", j).over(w).alias(f"__l{j}")
+            for j in range(1, depth)
+        ],
+    )
     expr = ewma_weighted_sum_expr(
         ["__v6"] + [f"__l{j}" for j in range(1, depth)], alpha, int_div="div"
     )
     return (
         out.filter(F.col(f"__l{depth - 1}").isNotNull())
         .withColumn("ewma6", F.expr(expr))
-        .drop("__v6", *[f"__l{j}" for j in range(1, depth)])
+        .drop("__tmic", "__v6", *[f"__l{j}" for j in range(1, depth)])
     )
 
 

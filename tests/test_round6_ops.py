@@ -166,3 +166,48 @@ def test_important_parts_broadcasts_threshold_only(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") + plan.count(
         "BroadcastNestedLoopJoin"
     ) >= 2
+
+
+def test_pca_fit_properties(spark):
+    """Orthonormal sign-pinned basis; variances sorted descending and
+    matching numpy's full eigendecomposition on the same data."""
+    import numpy as np
+    from data_analyse_marche_emploi_spark.operators.similarity import pca_fit
+    from data_analyse_marche_emploi_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    mean, comps, var = pca_fit(e, "embedding", k=4)
+    x = np.array([r["embedding"] for r in e.select("embedding").collect()],
+                 dtype=np.float64)
+    np.testing.assert_allclose(mean, x.mean(axis=0), rtol=1e-10)
+    # orthonormality
+    np.testing.assert_allclose(comps @ comps.T, np.eye(4), atol=1e-10)
+    # descending explained variance, equal to numpy's
+    assert var[0] >= var[1] >= var[2] >= var[3] > 0
+    ref = np.linalg.eigh(np.cov(x, rowvar=False))[0][::-1][:4]
+    np.testing.assert_allclose(var, ref, rtol=1e-8)
+    # sign pin: the largest-|component| entry of each axis is positive
+    for row in comps:
+        assert row[int(np.argmax(np.abs(row)))] > 0
+
+
+def test_pca_project_matches_numpy(spark):
+    import numpy as np
+    from data_analyse_marche_emploi_spark.operators.similarity import (
+        pca_fit,
+        pca_project,
+    )
+    from data_analyse_marche_emploi_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    mean, comps, _ = pca_fit(e, "embedding", k=4)
+    got = {
+        r["vec_id"]: np.asarray(r["proj6"])
+        for r in pca_project(e, "embedding", "vec_id", k=4).collect()
+    }
+    rows = e.select("vec_id", "embedding").collect()
+    for r in rows[:50]:
+        ref = np.floor((np.asarray(r["embedding"]) - mean) @ comps.T * 1e6)
+        # same float64 math modulo summation order: buckets may sit 1
+        # apart only exactly at a boundary — allow ±1 micro-unit
+        assert np.max(np.abs(got[r["vec_id"]] - ref)) <= 1
