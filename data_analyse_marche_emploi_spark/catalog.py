@@ -5339,6 +5339,104 @@ def q_avg_yearly(spark, sf_dir):
     )
 
 
+@register(
+    "dq_outliers",
+    oracle="""
+    WITH b AS (SELECT event_id, event_type,
+                      CAST(floor(value * 1e6) AS BIGINT) AS v6 FROM events),
+    m AS (
+      SELECT event_type AS et, count(*) AS n,
+             CAST(sum(v6) AS DOUBLE) AS s,
+             CAST(sum(CAST(v6 AS DECIMAL(19,0)) * CAST(v6 AS DECIMAL(19,0)))
+                  AS DOUBLE) AS ss
+      FROM b GROUP BY 1
+    )
+    SELECT event_id, event_type, v6
+    FROM b JOIN m ON event_type = et
+    WHERE (v6 * n - s) * (v6 * n - s) * (n - 1) > 9.0 * n * (n * ss - s * s)
+    """,
+)
+def dq_outliers(spark, sf_dir):
+    """Data-quality anomaly gate: events whose value sits more than 3σ
+    from its event-type mean (the fixture's value column is heavy-
+    tailed; ~2% of rows flag). The z-score compare is algebraically
+    cross-multiplied — (x·n − s)²·(n−1) > 9·n·(n·ss − s²) — so it needs
+    no division or sqrt; moments accumulate exactly (1e-6-floor-
+    bucketed int64 values, squares in DECIMAL(38,0) to dodge int64
+    overflow) in ONE map-side-partial pass, and the per-type threshold
+    table (group-cardinality-sized) broadcasts back against the scan:
+    identical doubles into identical IEEE products in every engine, no
+    boundary row can flip. The fact table is scanned twice — the
+    unavoidable cost of an exact global threshold."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1e6).cast("long").alias("v6"),
+    )
+    vdec = F.col("v6").cast("decimal(19,0)")
+    m = b.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v6").cast("double").alias("s"),
+        F.sum(vdec * vdec).cast("double").alias("ss"),
+    )
+    dev = F.col("v6") * F.col("n") - F.col("s")
+    return (
+        b.join(F.broadcast(m), F.col("event_type") == F.col("et"))
+        .filter(
+            dev * dev * (F.col("n") - 1)
+            > 9.0 * F.col("n") * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        )
+        .select("event_id", "event_type", "v6")
+    )
+
+
+@register(
+    "q_revenue_yoy",
+    oracle="""
+    WITH y AS (
+      SELECT n_name AS nation, year(l_shipdate) AS yr,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT nation, yr, revenue,
+           lag(revenue) OVER (PARTITION BY nation ORDER BY yr) AS prev_revenue,
+           round(revenue - lag(revenue) OVER (PARTITION BY nation ORDER BY yr), 2)
+             AS delta
+    FROM y
+    """,
+)
+def q_revenue_yoy(spark, sf_dir):
+    """Year-over-year revenue movement per supplier nation: exact-
+    DECIMAL yearly rollup, then a lag window over the AGGREGATE (25
+    nations × a handful of years — the window input is group-
+    cardinality-sized, never the fact table). The delta subtracts two
+    exact-to-2-decimals doubles, so it is itself exact."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    y = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("nation", F.year("l_shipdate").alias("yr"))
+        .agg(AGG.money_sum(F.col("l_extendedprice"), "revenue"))
+    )
+    w = Window.partitionBy("nation").orderBy("yr")
+    return y.select(
+        "nation",
+        "yr",
+        "revenue",
+        F.lag("revenue").over(w).alias("prev_revenue"),
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("delta"),
+    )
+
+
 @register("emb_pca_project")  # rows-only: eigendecomposition is not
 # SQL-expressible; semantic guarantees are pinned in tests/test_round6_ops.py
 def emb_pca_project(spark, sf_dir):
@@ -5433,8 +5531,8 @@ _DRIVER_WINDOW = [
     "dedup_incremental",
     "knn_brute_force",
     "ann_ivf",
-    "text_tf_idf",
-    "text_perplexity",
+    "dq_outliers",
+    "q_revenue_yoy",
 ]
 
 def _prioritize() -> None:
