@@ -4992,7 +4992,9 @@ def agg_grouping_sets(spark, sf_dir):
     rows, exact DECIMAL accumulators), and GROUPING SETS runs on THAT —
     so the 3× Expand multiplies a 6-row table, not the fact scan. A
     single-level groupingSets over lineitem measured 4.2× at 10× data
-    (Expand tripling the fact rows); this form is 1.0×."""
+    (Expand tripling the fact rows); the two-level form halves the
+    sf0.1 absolute time and scales like its own plain group-by
+    (0.59 s → 1.06 s min-of-3, docs/SCALING.md)."""
     li = _t(spark, sf_dir, "lineitem")
     detail = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n0"),
@@ -5353,7 +5355,8 @@ def q_avg_yearly(spark, sf_dir):
     )
     SELECT event_id, event_type, v6
     FROM b JOIN m ON event_type = et
-    WHERE (v6 * n - s) * (v6 * n - s) * (n - 1) > 9.0 * n * (n * ss - s * s)
+    WHERE (CAST(v6 AS DOUBLE) * n - s) * (CAST(v6 AS DOUBLE) * n - s) * (n - 1)
+          > 9.0 * n * (n * ss - s * s)
     """,
 )
 def dq_outliers(spark, sf_dir):
@@ -5366,8 +5369,12 @@ def dq_outliers(spark, sf_dir):
     overflow) in ONE map-side-partial pass, and the per-type threshold
     table (group-cardinality-sized) broadcasts back against the scan:
     identical doubles into identical IEEE products in every engine, no
-    boundary row can flip. The fact table is scanned twice — the
-    unavoidable cost of an exact global threshold."""
+    boundary row can flip. The per-row deviation v6·n is computed in
+    DOUBLE, not int64 — at corpus scale (n ≈ 10¹⁰, v6 ≈ 10⁹) the int64
+    product wraps silently in Spark and errors in DuckDB; the double
+    product degrades by ulps identically in both engines instead. The
+    fact table is scanned twice — the unavoidable cost of an exact
+    global threshold."""
     ev = _t(spark, sf_dir, "events")
     b = ev.select(
         "event_id",
@@ -5380,7 +5387,7 @@ def dq_outliers(spark, sf_dir):
         F.sum("v6").cast("double").alias("s"),
         F.sum(vdec * vdec).cast("double").alias("ss"),
     )
-    dev = F.col("v6") * F.col("n") - F.col("s")
+    dev = F.col("v6").cast("double") * F.col("n") - F.col("s")
     return (
         b.join(F.broadcast(m), F.col("event_type") == F.col("et"))
         .filter(
@@ -5467,13 +5474,17 @@ def emb_pca_project(spark, sf_dir):
 # tools/oracle_check.py, which check ALL entries.
 
 # Round-6 rotation: after r5's 50/50-green sweep, the window packs the
-# 20 entries that still have no driver row from any round, the 7 new
-# round-6 entries, the smoke anchor plus the 4 entries whose code
-# changed this round (posting-list pair rewrite, GIF compositing, JPEG
-# refinement strictness), and re-proofs of the streaming family and
-# the heavy dedup/ANN/text cores last driver-checked in r3/r4. Entries
+# 20 entries that still had no driver row from any round (r1-r5), ALL
+# 12 entries first registered this round (dedup_containment_pairs,
+# agg_grouping_sets, unpivot_measures, ts_moving_stats, ts_ewma,
+# agg_mode, q_important_parts, agg_corr_matrix, q_avg_yearly,
+# emb_pca_project, dq_outliers, q_revenue_yoy — each needs its FIRST
+# driver row), the smoke anchor plus the 4 pre-existing entries whose
+# code changed this round (posting-list pair rewrite, GIF compositing,
+# JPEG refinement strictness), and re-proofs of the streaming family
+# and heavy dedup/ANN cores last driver-checked in r3/r4. Entries
 # green in r5 and unchanged rotate OUT to the local-gate-only tier
-# (pytest + tools/oracle_check.py still check ALL 165 entries).
+# (pytest + tools/oracle_check.py still check ALL 170 entries).
 _DRIVER_WINDOW = [
     # carry-overs: smoke anchor + entries whose code changed this round
     # (posting-list pair enumeration rewrite; GIF compositing fix;
@@ -5483,7 +5494,7 @@ _DRIVER_WINDOW = [
     "dedup_clusters",
     "multimodal_gif",
     "multimodal_jpeg_progressive",
-    # new this round
+    # the 12 entries first registered this round (first driver row)
     "dedup_containment_pairs",
     "agg_grouping_sets",
     "unpivot_measures",
@@ -5491,6 +5502,11 @@ _DRIVER_WINDOW = [
     "ts_ewma",
     "agg_mode",
     "q_important_parts",
+    "agg_corr_matrix",
+    "q_avg_yearly",
+    "emb_pca_project",
+    "dq_outliers",
+    "q_revenue_yoy",
     # the 20 entries that have never had a driver row (r1-r5)
     "text_lang_id_ngram",
     "multimodal_meta",
@@ -5512,7 +5528,7 @@ _DRIVER_WINDOW = [
     "agg_hll_rollup",
     "agg_kll_quantiles",
     "agg_theta_distinct",
-    # re-proofs: streaming family + heavy dedup/ANN/text cores (last
+    # re-proofs: streaming family + heavy dedup/ANN cores (last
     # driver-checked r3/r4; keeps the highest-value plans under the
     # driver's eye every other round)
     "stream_tumbling_window",
@@ -5522,17 +5538,12 @@ _DRIVER_WINDOW = [
     "stream_stream_join",
     "stream_scd2_enrich",
     "stream_dedup_upsert",
-    "agg_corr_matrix",
-    "q_avg_yearly",
-    "emb_pca_project",
     "dedup_minhash_lsh",
     "dedup_window_exact",
     "dedup_lines_global",
     "dedup_incremental",
     "knn_brute_force",
     "ann_ivf",
-    "dq_outliers",
-    "q_revenue_yoy",
 ]
 
 def _prioritize() -> None:

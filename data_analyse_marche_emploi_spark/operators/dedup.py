@@ -110,6 +110,64 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # --- exact n-gram Jaccard similarity join ---------------------------------
 
 
+def _posting_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_df: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared posting-list candidate machinery for the exact set-
+    similarity joins: returns ``(pairs, sizes)`` where ``pairs`` =
+    (i, j, common) for every unordered doc pair sharing ≥1 shingle and
+    ``sizes`` = (doc, n_sh) post-pruning set sizes.
+
+    ONE content shuffle: group (doc, shingle) by shingle into a sorted
+    posting list; the shingle string dies at the aggregation. The
+    shingle expression is exploded INLINE (see ngram_jaccard_pairs'
+    docstring for the InferFiltersFromGenerate hazard that rules out a
+    named column). Pair enumeration is a TWO-LEVEL explode, not one
+    flattened C(df,2) array: a hot shingle in N docs would otherwise
+    build ~N²/2 structs inside a single row — a hard failure (2³¹
+    array-element cap / executor OOM) no parallelism can spread.
+    Anchoring on posexplode bounds every intermediate row at O(df)
+    elements. Total work is still C(df,2) per posting list — at corpus
+    scale set ``max_df`` (stop-shingle pruning) to bound it."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    shingle_expr = SHINGLE_EXPR.format(toks=f"split({text_col}, ' ')", n=n)
+    per_shingle = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(n_part)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.expr(shingle_expr)).alias("shingle"),
+        )
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+        .select("docs")
+    )
+    if max_df is not None:
+        per_shingle = per_shingle.filter(F.size("docs") <= max_df)
+    sizes = (
+        per_shingle.select(F.explode("docs").alias("doc"))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    pairs = (
+        per_shingle.filter(F.size("docs") >= 2)
+        .select(F.col("docs"), F.posexplode("docs").alias("pos", "x"))
+        .select(
+            F.col("x").alias("i"),
+            F.explode(
+                F.expr("slice(docs, pos + 2, size(docs) - pos - 1)")
+            ).alias("j"),
+        )
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return pairs, sizes
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -143,46 +201,7 @@ def ngram_jaccard_pairs(
     fixture that serializes the most expensive expression of the query
     onto one task (measured 2.9 s vs 0.4 s at sf0.1; at corpus scale it
     still triples the transform work)."""
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    shingle_expr = SHINGLE_EXPR.format(toks=f"split({text_col}, ' ')", n=n)
-    per_shingle = (
-        df.select(F.col(id_col), F.col(text_col))
-        .repartition(n_part)
-        .select(
-            F.col(id_col).alias("doc"),
-            F.explode(F.expr(shingle_expr)).alias("shingle"),
-        )
-        .groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
-        .select("docs")  # the shingle string dies at the agg
-    )
-    if max_df is not None:
-        per_shingle = per_shingle.filter(F.size("docs") <= max_df)
-    sizes = (
-        per_shingle.select(F.explode("docs").alias("doc"))
-        .groupBy("doc")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
-    )
-    # Two-level explode, NOT one flattened C(df,2) array: a hot shingle
-    # in N docs would otherwise build ~N²/2 structs inside a single row
-    # — a hard failure (2³¹ array-element cap / executor OOM) that no
-    # amount of parallelism can spread. Anchoring on posexplode first
-    # bounds every intermediate row at O(df) elements; the same pair
-    # rows stream through whole-stage codegen into the groupBy. Total
-    # work is still C(df,2) per posting list — at corpus scale set
-    # max_df (stop-shingle pruning) to bound it.
-    pairs = (
-        per_shingle.filter(F.size("docs") >= 2)
-        .select(F.col("docs"), F.posexplode("docs").alias("pos", "x"))
-        .select(
-            F.col("x").alias("i"),
-            F.explode(
-                F.expr("slice(docs, pos + 2, size(docs) - pos - 1)")
-            ).alias("j"),
-        )
-        .groupBy("i", "j")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    pairs, sizes = _posting_pairs(df, text_col, id_col, n, max_df)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (
@@ -226,38 +245,7 @@ def containment_pairs(
 
     Returns ``(src, dst, common, containment6)``.
     """
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    shingle_expr = SHINGLE_EXPR.format(toks=f"split({text_col}, ' ')", n=n)
-    per_shingle = (
-        df.select(F.col(id_col), F.col(text_col))
-        .repartition(n_part)
-        .select(
-            F.col(id_col).alias("doc"),
-            F.explode(F.expr(shingle_expr)).alias("shingle"),
-        )
-        .groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
-        .select("docs")
-    )
-    if max_df is not None:
-        per_shingle = per_shingle.filter(F.size("docs") <= max_df)
-    sizes = (
-        per_shingle.select(F.explode("docs").alias("doc"))
-        .groupBy("doc")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
-    )
-    pairs = (
-        per_shingle.filter(F.size("docs") >= 2)
-        .select(F.col("docs"), F.posexplode("docs").alias("pos", "x"))
-        .select(
-            F.col("x").alias("i"),
-            F.explode(
-                F.expr("slice(docs, pos + 2, size(docs) - pos - 1)")
-            ).alias("j"),
-        )
-        .groupBy("i", "j")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    pairs, sizes = _posting_pairs(df, text_col, id_col, n, max_df)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     directed = (

@@ -892,6 +892,10 @@ def pca_fit(vectors: DataFrame, vec_col: str, k: int = 4):
         .collect()
     )
     n = sum(r["n"] for r in rows)
+    if n < 2:
+        # 0 rows would IndexError on s.shape below; 1 row divides by
+        # zero in the (n-1) covariance denominator — fail with meaning.
+        raise ValueError(f"pca_fit requires at least 2 vectors (got {n})")
     s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
     d = s.shape[0]
     ss = np.sum([np.asarray(r["ss"]) for r in rows], axis=0).reshape(d, d)

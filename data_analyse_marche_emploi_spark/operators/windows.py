@@ -116,6 +116,13 @@ def ewma(
     Returns the input keys plus ``ewma6`` (BIGINT micro-units:
     ``(Σ_j W_j · v6_j) div 10⁹`` with ``W_j = round(α(1−α)^j·10⁹)``).
     """
+    if depth < 2:
+        # depth=1 would reference a lag column the loop never builds
+        # (opaque UNRESOLVED_COLUMN at analysis time) — and a 1-term
+        # "EWMA" is just α·x; fail loudly instead.
+        raise ValueError(f"ewma depth must be >= 2 (got {depth})")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"ewma alpha must be in (0, 1) (got {alpha})")
     # One pre-projection of the order key + bucketed value, then ALL
     # depth−1 lags over the same window spec in one select — a
     # withColumn-per-lag loop re-aliases the sort expression each time

@@ -211,3 +211,28 @@ def test_pca_project_matches_numpy(spark):
         # same float64 math modulo summation order: buckets may sit 1
         # apart only exactly at a boundary — allow ±1 micro-unit
         assert np.max(np.abs(got[r["vec_id"]] - ref)) <= 1
+
+
+def test_ewma_rejects_degenerate_params(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, 1.0)],
+        ["event_id", "ts", "user_id", "value"],
+    )
+    with _pytest.raises(ValueError, match="depth"):
+        ewma(df, "user_id", "ts", "event_id", "value", 0.3, 1)
+    with _pytest.raises(ValueError, match="alpha"):
+        ewma(df, "user_id", "ts", "event_id", "value", 1.5, 3)
+
+
+def test_pca_fit_rejects_tiny_input(spark):
+    import pytest as _pytest
+
+    from data_analyse_marche_emploi_spark.operators.similarity import pca_fit
+
+    one = spark.createDataFrame([(1, [1.0, 2.0])], ["vec_id", "embedding"])
+    with _pytest.raises(ValueError, match="at least 2"):
+        pca_fit(one, "embedding", k=1)
+    with _pytest.raises(ValueError, match="at least 2"):
+        pca_fit(one.filter("vec_id < 0"), "embedding", k=1)
