@@ -3703,6 +3703,36 @@ def stream_stream_join(spark, sf_dir):
     )
 
 
+@register(
+    "stream_minhash_users",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, seed, props
+      FROM events, (SELECT unnest(range(8)) AS seed) s
+    )
+    SELECT user_id, CAST(seed AS INTEGER) AS seed,
+           min(CAST(('0x' || substring(
+                 md5(CAST(seed AS VARCHAR) || ':' || props), 1, 15))
+               AS BIGINT)) AS minhash
+    FROM t GROUP BY 1, 2
+    """,
+)
+def stream_minhash_users(spark, sf_dir):
+    """Streaming per-user MinHash sketch (8-seed, md5-derived 60-bit
+    family) held in applyInPandasWithState group state. MIN state is
+    commutative + idempotent, so the drained result is bit-equal to the
+    batch group-by-min — which upgrades a CUSTOM STATEFUL STREAMING op
+    to a full value-hash oracle (the other sketch-state entry,
+    stream_distinct_users, is rows-only because HLL is estimate-
+    valued). O(k) state per user; the behavioral-fingerprint input for
+    streaming user-similarity."""
+    from .streaming import incremental as S
+    from .streaming.stateful import stream_user_minhash
+
+    ev = S.read_events_stream(spark, sf_dir)
+    return S.run_available_now(stream_user_minhash(ev), "update")
+
+
 @register("stream_distinct_users", oracle=None)
 def stream_distinct_users(spark, sf_dir):
     """Streaming daily distinct users with HLL-sketch aggregation
@@ -5543,7 +5573,7 @@ _DRIVER_WINDOW = [
     "dedup_lines_global",
     "dedup_incremental",
     "knn_brute_force",
-    "ann_ivf",
+    "stream_minhash_users",
 ]
 
 def _prioritize() -> None:

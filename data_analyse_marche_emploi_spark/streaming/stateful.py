@@ -22,7 +22,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
+    IntegerType,
     LongType,
     StructField,
     StructType,
@@ -119,4 +121,72 @@ def stream_user_totals_tws(events: DataFrame) -> DataFrame:
         outputStructType=OUTPUT_SCHEMA,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+# --- streaming MinHash sketch state ---------------------------------------
+
+MINHASH_K = 8
+MINHASH_SENTINEL = 1 << 62  # > any 60-bit hash
+MINHASH_STATE = StructType(
+    [StructField("sig", ArrayType(LongType()))]
+)
+MINHASH_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("seed", IntegerType()),
+        StructField("minhash", LongType()),
+    ]
+)
+
+
+def _md5_60(s: str) -> int:
+    """60-bit integer from the first 15 hex chars of md5 — the same
+    engine-replayable hash family the SimHash oracle uses (DuckDB:
+    ('0x' || substring(md5(s), 1, 15))::BIGINT)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _update_minhash(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    sig = list(state.get[0]) if state.exists else [MINHASH_SENTINEL] * MINHASH_K
+    for pdf in pdfs:
+        vals = list(pdf["props"])
+        for s in range(MINHASH_K):
+            batch_min = min(_md5_60(f"{s}:{v}") for v in vals)
+            if batch_min < sig[s]:
+                sig[s] = batch_min
+    state.update((sig,))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * MINHASH_K,
+            "seed": list(range(MINHASH_K)),
+            "minhash": sig,
+        }
+    )
+
+
+def stream_user_minhash(events: DataFrame) -> DataFrame:
+    """Streaming per-user MinHash signature over the props strings each
+    user emits: k 60-bit minima held in group state. MIN is commutative
+    and idempotent, so the state is ORDER-INSENSITIVE across batches and
+    restarts — the drained result is bit-equal to the batch group-by-min,
+    which is what lets this custom stateful op carry a full value-hash
+    DuckDB oracle (unlike order-sensitive state like EWMA, which is why
+    the engine's EWMA ships as a batch lag chain instead). The per-user
+    sketch is k longs regardless of event count — the behavioral-
+    fingerprint building block for streaming user-similarity joins.
+
+    Scale shape: state is O(k) per user; updates are per-batch set
+    minima (the Python md5 here is the oracle-replayable family — a
+    production fast path swaps xxhash64, same algebra)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_minhash,
+        outputStructType=MINHASH_OUT,
+        stateStructType=MINHASH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

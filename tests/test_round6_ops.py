@@ -236,3 +236,45 @@ def test_pca_fit_rejects_tiny_input(spark):
         pca_fit(one, "embedding", k=1)
     with _pytest.raises(ValueError, match="at least 2"):
         pca_fit(one.filter("vec_id < 0"), "embedding", k=1)
+
+
+def test_stream_minhash_state_order_insensitive():
+    """MIN-merge state: feeding the same rows as one batch, two batches,
+    or two batches in reverse order must land the identical signature —
+    the property that makes the streaming entry batch-replayable."""
+    import pandas as pd
+
+    from data_analyse_marche_emploi_spark.streaming.stateful import (
+        MINHASH_K,
+        _update_minhash,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    rows = [f'{{"k": {i}}}' for i in range(17)]
+
+    def run(batches):
+        st = FakeState()
+        out = None
+        for b in batches:
+            out = list(
+                _update_minhash((7,), iter([pd.DataFrame({"props": b})]), st)
+            )[-1]
+        return list(out["minhash"])
+
+    one = run([rows])
+    two = run([rows[:5], rows[5:]])
+    rev = run([rows[5:], rows[:5]])
+    assert one == two == rev
+    assert len(one) == MINHASH_K
