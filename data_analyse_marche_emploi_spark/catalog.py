@@ -3703,22 +3703,25 @@ def stream_stream_join(spark, sf_dir):
     )
 
 
-@register(
-    "stream_minhash_users",
-    oracle="""
+def _minhash_users_oracle() -> str:
+    from .streaming.stateful import MINHASH_K
+
+    return f"""
     WITH t AS (
       SELECT user_id, seed, props
-      FROM events, (SELECT unnest(range(8)) AS seed) s
+      FROM events, (SELECT unnest(range({MINHASH_K})) AS seed) s
     )
     SELECT user_id, CAST(seed AS INTEGER) AS seed,
            min(CAST(('0x' || substring(
                  md5(CAST(seed AS VARCHAR) || ':' || props), 1, 15))
                AS BIGINT)) AS minhash
     FROM t GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@register("stream_minhash_users", oracle=_minhash_users_oracle())
 def stream_minhash_users(spark, sf_dir):
-    """Streaming per-user MinHash sketch (8-seed, md5-derived 60-bit
+    """Streaming per-user MinHash sketch (MINHASH_K-seed, md5-derived 60-bit
     family) held in applyInPandasWithState group state. MIN state is
     commutative + idempotent, so the drained result is bit-equal to the
     batch group-by-min — which upgrades a CUSTOM STATEFUL STREAMING op
@@ -5514,7 +5517,7 @@ def emb_pca_project(spark, sf_dir):
 # JPEG refinement strictness), and re-proofs of the streaming family
 # and heavy dedup/ANN cores last driver-checked in r3/r4. Entries
 # green in r5 and unchanged rotate OUT to the local-gate-only tier
-# (pytest + tools/oracle_check.py still check ALL 170 entries).
+# (pytest + tools/oracle_check.py still check ALL 171 entries).
 _DRIVER_WINDOW = [
     # carry-overs: smoke anchor + entries whose code changed this round
     # (posting-list pair enumeration rewrite; GIF compositing fix;
@@ -5569,7 +5572,7 @@ _DRIVER_WINDOW = [
     "stream_scd2_enrich",
     "stream_dedup_upsert",
     "dedup_minhash_lsh",
-    "dedup_window_exact",
+    "ann_ivf",
     "dedup_lines_global",
     "dedup_incremental",
     "knn_brute_force",

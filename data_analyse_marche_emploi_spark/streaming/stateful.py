@@ -15,6 +15,7 @@ do (decaying counters, per-key ML state, fraud windows, …).
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 from typing import Any
 
@@ -144,8 +145,6 @@ def _md5_60(s: str) -> int:
     """60-bit integer from the first 15 hex chars of md5 — the same
     engine-replayable hash family the SimHash oracle uses (DuckDB:
     ('0x' || substring(md5(s), 1, 15))::BIGINT)."""
-    import hashlib
-
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 
 
@@ -154,7 +153,14 @@ def _update_minhash(
 ) -> Iterator[pd.DataFrame]:
     sig = list(state.get[0]) if state.exists else [MINHASH_SENTINEL] * MINHASH_K
     for pdf in pdfs:
-        vals = list(pdf["props"])
+        # NULL props must be SKIPPED, not hashed as the string "None":
+        # the oracle's md5(seed || ':' || props) is NULL on those rows
+        # and min() ignores them — hashing a stringified null would
+        # silently break the bit-equal contract. An all-null / empty
+        # chunk contributes nothing (min over empty would raise).
+        vals = [v for v in pdf["props"] if v is not None and not pd.isna(v)]
+        if not vals:
+            continue
         for s in range(MINHASH_K):
             batch_min = min(_md5_60(f"{s}:{v}") for v in vals)
             if batch_min < sig[s]:
