@@ -4169,6 +4169,31 @@ def multimodal_png(spark, sf_dir):
 
 
 @register(
+    "multimodal_bmp",
+    oracle="""
+    SELECT doc_id,
+           CAST(256 AS INTEGER) AS width,
+           CAST(2 + doc_id % 3 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(127.5 AS DOUBLE) AS mean_pixel,
+           'bmp-v1' AS decoder
+    FROM documents
+    """,
+)
+def multimodal_bmp(spark, sf_dir):
+    """REAL BMP decode, driver-checkable: per-doc 8-bit paletted
+    bottom-up BMPs (operators/bmp.py — BITMAPINFOHEADER parse, palette
+    resolve, 4-byte stride, row flip) with the same exact-127.5
+    gradient oracle as the PNG/GIF entries. A wrong stride, palette
+    order, or bottom-up flip shifts the mean and fails the hash.
+    mapInPandas both ways: zero shuffle."""
+    from .operators.multimodal import extract_image_meta, synth_bmp
+
+    d = _docs(spark, sf_dir)
+    return extract_image_meta(synth_bmp(d, "doc_id"))
+
+
+@register(
     "multimodal_mp4_meta",
     oracle="""
     SELECT doc_id,
@@ -5574,7 +5599,7 @@ _DRIVER_WINDOW = [
     "dedup_minhash_lsh",
     "ann_ivf",
     "dedup_lines_global",
-    "dedup_incremental",
+    "multimodal_bmp",
     "knn_brute_force",
     "stream_minhash_users",
 ]

@@ -36,7 +36,7 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_format(payload: bytes | None) -> str:
-    """'wav' | 'ppm' | 'jpeg' | 'png' | 'gif' | 'unknown' by magic bytes."""
+    """'wav' | 'ppm' | 'jpeg' | 'png' | 'gif' | 'bmp' | 'unknown' by magic bytes."""
     if not payload:
         return "unknown"
     if payload[:4] == WAV_MAGIC and payload[8:12] == b"WAVE":
@@ -49,6 +49,8 @@ def sniff_format(payload: bytes | None) -> str:
         return "png"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:2] == b"BM" and len(payload) >= 14:
+        return "bmp"
     return "unknown"
 
 

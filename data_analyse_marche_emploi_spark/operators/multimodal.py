@@ -134,6 +134,16 @@ def _decode(payload: bytes) -> dict:
                 "fake_first": g["width"] * g["height"],
                 "decoder": "gif-v1",
             }
+        if kind == "bmp":
+            from .bmp import decode_bmp
+
+            d = decode_bmp(payload)
+            return {
+                "n_bytes": len(payload),
+                "fake_mean": float(d["pixels"].mean()),
+                "fake_first": d["width"] * d["height"],
+                "decoder": "bmp-v1",
+            }
     except Exception:
         out = _fake_decode(payload)
         if kind == "jpeg":
@@ -672,7 +682,7 @@ def synth_jpeg_progressive(docs: DataFrame, id_col: str) -> DataFrame:
 
 
 def _decode_pixels(b: bytes):
-    """Decode any supported image payload (PPM/JPEG/PNG/GIF) to
+    """Decode any supported image payload (PPM/JPEG/PNG/GIF/BMP) to
     ``(pixels, kind)`` — the ONE sniff→decoder dispatch shared by
     every pixel-level operator (pHash, resize): a new format or a
     decoder contract change lands here once. Alpha planes are dropped
@@ -695,6 +705,10 @@ def _decode_pixels(b: bytes):
         from .gif import decode_gif
 
         px = decode_gif(b)["pixels"]
+    elif kind == "bmp":
+        from .bmp import decode_bmp
+
+        px = decode_bmp(b)["pixels"]
     else:
         raise ValueError(f"not a decodable image payload ({kind})")
     px = px[..., :3] if px.shape[-1] >= 3 else px[..., :1]
@@ -1151,6 +1165,32 @@ def synth_png(docs: DataFrame, id_col: str) -> DataFrame:
     return docs.select(id_col).mapInPandas(batches, "doc_id long, media binary")
 
 
+def synth_bmp(docs: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL BMP payloads deterministically: the same
+    (x + y + id) % 256 gradient as synth_png, written as an 8-bit
+    paletted bottom-up BMP with 4-byte row padding. Every row spans
+    all 256 residues, so the decoded mean is EXACTLY 127.5 per image —
+    an arithmetic oracle that any palette, stride-padding, or row-order
+    bug shifts (bottom-up flip errors change WHICH rows hold which
+    values, caught because height varies with id)."""
+    from .bmp import encode_bmp
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                h = 2 + i % 3
+                yy, xx = np.mgrid[0:h, 0:256]
+                px = ((xx + yy + i) % 256).astype(np.uint8)[:, :, None]
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "media": payloads})
+
+    return docs.select(id_col).mapInPandas(batches, "doc_id long, media binary")
+
+
 def extract_image_meta(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Decode each image payload for real (PPM, baseline JPEG — full
     entropy decode + IDCT, operators/jpeg.py — or PNG — inflate +
@@ -1177,6 +1217,12 @@ def extract_image_meta(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame
             g = decode_gif(b)
             return (g["width"], g["height"], g["channels"],
                     float(g["pixels"].mean()), "gif-v1")
+        if kind == "bmp":
+            from .bmp import decode_bmp
+
+            d = decode_bmp(b)
+            return (d["width"], d["height"], d["channels"],
+                    float(d["pixels"].mean()), "bmp-v1")
         j = decode_jpeg(b)
         return (j["width"], j["height"], j["channels"],
                 float(j["pixels"].mean()), f"jpeg-{j['mode']}-v1")

@@ -86,6 +86,10 @@ def main() -> None:
     )
     total += audit("gif-animated+frames",
                    anim, lambda b: G.decode_gif_frames(b, max_frames=3))
+    from data_analyse_marche_emploi_spark.operators import bmp as BM
+
+    total += audit("bmp-rgb", BM.encode_bmp(rgb), BM.decode_bmp)
+    total += audit("bmp-gray-paletted", BM.encode_bmp(g), BM.decode_bmp)
     total += audit("wav", MC.encode_wav_pcm8(bytes(range(200)), 8000),
                    MC.decode_wav)
     total += audit("ppm", MC.encode_ppm(rgb), MC.decode_ppm)
