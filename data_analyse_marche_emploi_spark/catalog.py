@@ -5457,6 +5457,33 @@ def dq_outliers(spark, sf_dir):
 
 
 @register(
+    "agg_exact_median",
+    oracle="""
+    WITH b AS (SELECT event_type,
+                      CAST(floor(value * 1e6) AS BIGINT) AS v6 FROM events)
+    SELECT event_type,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v6) AS BIGINT)
+             AS median6
+    FROM b GROUP BY 1
+    """,
+)
+def agg_exact_median(spark, sf_dir):
+    """EXACT per-type median event value via two-pass bucket
+    refinement (operators/aggregates.py::exact_median_2pass): a coarse
+    value-domain histogram (bounded by domain/width, NOT row count) is
+    the only driver state, then one filtered scan + a window over a
+    single bucket's residents picks the exact rank. No global sort, no
+    whole-group aggregation buffer — the selection-problem shape that
+    survives a billion-row group where ``percentile()`` OOMs. The
+    oracle replays it with percentile_disc(0.5) over the same
+    floor-bucketed micro-units."""
+    from .operators.aggregates import exact_median_2pass
+
+    ev = _t(spark, sf_dir, "events")
+    return exact_median_2pass(ev, "event_type", "value")
+
+
+@register(
     "q_revenue_yoy",
     oracle="""
     WITH y AS (
@@ -5533,16 +5560,17 @@ def emb_pca_project(spark, sf_dir):
 
 # Round-6 rotation: after r5's 50/50-green sweep, the window packs the
 # 20 entries that still had no driver row from any round (r1-r5), ALL
-# 12 entries first registered this round (dedup_containment_pairs,
+# 15 entries first registered this round (dedup_containment_pairs,
 # agg_grouping_sets, unpivot_measures, ts_moving_stats, ts_ewma,
 # agg_mode, q_important_parts, agg_corr_matrix, q_avg_yearly,
-# emb_pca_project, dq_outliers, q_revenue_yoy — each needs its FIRST
-# driver row), the smoke anchor plus the 4 pre-existing entries whose
+# emb_pca_project, dq_outliers, q_revenue_yoy, stream_minhash_users,
+# multimodal_bmp, agg_exact_median — each needs its FIRST driver
+# row), the smoke anchor plus the 4 pre-existing entries whose
 # code changed this round (posting-list pair rewrite, GIF compositing,
 # JPEG refinement strictness), and re-proofs of the streaming family
 # and heavy dedup/ANN cores last driver-checked in r3/r4. Entries
 # green in r5 and unchanged rotate OUT to the local-gate-only tier
-# (pytest + tools/oracle_check.py still check ALL 171 entries).
+# (pytest + tools/oracle_check.py still check ALL 173 entries).
 _DRIVER_WINDOW = [
     # carry-overs: smoke anchor + entries whose code changed this round
     # (posting-list pair enumeration rewrite; GIF compositing fix;
@@ -5600,7 +5628,7 @@ _DRIVER_WINDOW = [
     "ann_ivf",
     "dedup_lines_global",
     "multimodal_bmp",
-    "knn_brute_force",
+    "agg_exact_median",
     "stream_minhash_users",
 ]
 

@@ -98,3 +98,73 @@ def agg_approx_distinct(df: DataFrame, col: str, rsd: float = 0.05) -> DataFrame
     shuffle of every key is the bottleneck. Not oracle-comparable
     (estimator differs per engine) → rows-only check."""
     return df.agg(F.approx_count_distinct(col, rsd).alias("n_distinct_approx"))
+
+
+def exact_median_2pass(
+    df: DataFrame,
+    key: str,
+    val: str,
+    bucket_width: int = 1_000_000,
+) -> DataFrame:
+    """EXACT per-group median (percentile_disc(0.5): the value at rank
+    ceil(n/2) in value order) without a global sort — the selection
+    problem done scale-right.
+
+    ``percentile()``-style exact aggregation buffers every value of a
+    group in one aggregation buffer (OOM on a billion-row group), and a
+    global sort is a full shuffle of the fact table. This is the
+    classic two-pass bucket refinement instead:
+
+    1. **Histogram pass**: values 1e-6-floor-bucket to int64 micro-units
+       (``v6``), then coarse-bucket by ``bucket_width``; one partial-
+       aggregated count per (group, bucket). The histogram is
+       ``groups × value_range/bucket_width`` rows — BOUNDED by the
+       value domain, not the row count — and is the only thing
+       collected to the driver.
+    2. **Refinement pass**: the driver walks each group's cumulative
+       histogram to find the bucket holding the target rank, then ONE
+       filtered scan keeps only rows in that bucket per group (a
+       broadcast join against a groups-sized table) and a per-group
+       window over that small slice picks the exact in-bucket rank.
+
+    Two fact scans, no sort wider than one bucket's residents, driver
+    state = the bounded histogram. Returns ``(key, median6)``.
+    """
+    spark = df.sparkSession
+    v6 = F.floor(F.col(val) * 1e6).cast("long")
+    b = df.select(F.col(key).alias("__k"), v6.alias("__v6")).withColumn(
+        "__bkt", F.floor(F.col("__v6") / bucket_width).cast("long")
+    )
+    hist = (
+        b.groupBy("__k", "__bkt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    per_key: dict = defaultdict(list)
+    for r in hist:
+        per_key[r["__k"]].append((r["__bkt"], r["c"]))
+    targets = []  # (key, bucket, rank_within_bucket)
+    for k, buckets in per_key.items():
+        buckets.sort()
+        n = sum(c for _, c in buckets)
+        rank = (n + 1) // 2  # ceil(n/2): percentile_disc lower-middle
+        cum = 0
+        for bkt, c in buckets:
+            if cum + c >= rank:
+                targets.append((k, bkt, rank - cum))
+                break
+            cum += c
+    tgt = spark.createDataFrame(
+        targets, f"__k {df.schema[key].dataType.simpleString()}, __bkt long, __r long"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__k").orderBy("__v6")
+    return (
+        b.join(F.broadcast(tgt), ["__k", "__bkt"])
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == F.col("__r"))
+        .select(F.col("__k").alias(key), F.col("__v6").alias("median6"))
+    )

@@ -278,3 +278,30 @@ def test_stream_minhash_state_order_insensitive():
     rev = run([rows[5:], rows[:5]])
     assert one == two == rev
     assert len(one) == MINHASH_K
+
+
+def test_exact_median_2pass_hand_cases(spark):
+    """Odd and even group sizes, duplicate values, and values straddling
+    bucket boundaries: the two-pass selection must return exactly the
+    percentile_disc(0.5) value (rank ceil(n/2)) in every case."""
+    from data_analyse_marche_emploi_spark.operators.aggregates import (
+        exact_median_2pass,
+    )
+
+    rows = (
+        [("odd", v) for v in [5.0, 1.0, 9.0]]                 # median 5
+        + [("even", v) for v in [4.0, 1.0, 2.0, 3.0]]         # rank 2 -> 2
+        + [("dups", v) for v in [7.0, 7.0, 7.0, 1.0, 9.0]]    # median 7
+        + [("wide", v) for v in [0.5, 1.5, 2.5, 470.0, 480.0]]  # buckets apart
+    )
+    df = spark.createDataFrame(rows, ["event_type", "value"])
+    got = {
+        r["event_type"]: r["median6"]
+        for r in exact_median_2pass(df, "event_type", "value").collect()
+    }
+    assert got == {
+        "odd": 5_000_000,
+        "even": 2_000_000,
+        "dups": 7_000_000,
+        "wide": 2_500_000,
+    }
