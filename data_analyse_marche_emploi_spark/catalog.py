@@ -5614,9 +5614,11 @@ _DRIVER_WINDOW = [
     "agg_hll_rollup",
     "agg_kll_quantiles",
     "agg_theta_distinct",
-    # re-proofs: streaming family + heavy dedup/ANN cores (last
-    # driver-checked r3/r4; keeps the highest-value plans under the
-    # driver's eye every other round)
+    # re-proofs (streaming family + dedup/ANN cores last driver-
+    # checked r3/r4) interleaved with the three newest first-timers;
+    # knn_brute_force / dedup_incremental / dedup_window_exact ceded
+    # their re-proof slots to first-timers (all three stay covered by
+    # bench and the local full-registry gates)
     "stream_tumbling_window",
     "stream_sliding_window",
     "stream_session_window",

@@ -131,7 +131,17 @@ def exact_median_2pass(
     state = the bounded histogram. Returns ``(key, median6)``.
     """
     spark = df.sparkSession
-    v6 = F.floor(F.col(val) * 1e6).cast("long")
+    # NULL / NaN values are MISSING, exactly as percentile_disc treats
+    # them: they join the histogram as a null bucket (never compared or
+    # walked), don't count toward n, and a group with no real value at
+    # all still emits its (key, NULL) row like SQL GROUP BY would.
+    # Without this, a single NULL crashed the driver walk (None < int)
+    # and NaN diverged between engines (Spark casts NaN→0, DuckDB
+    # errors) — the one-bad-row-kills-the-job class.
+    v6 = F.when(
+        F.col(val).isNotNull() & ~F.isnan(F.col(val)),
+        F.floor(F.col(val) * 1e6).cast("long"),
+    )
     b = df.select(F.col(key).alias("__k"), v6.alias("__v6")).withColumn(
         "__bkt", F.floor(F.col("__v6") / bucket_width).cast("long")
     )
@@ -146,25 +156,40 @@ def exact_median_2pass(
     for r in hist:
         per_key[r["__k"]].append((r["__bkt"], r["c"]))
     targets = []  # (key, bucket, rank_within_bucket)
+    empty_keys = []  # groups whose every value is missing
     for k, buckets in per_key.items():
-        buckets.sort()
-        n = sum(c for _, c in buckets)
+        real = sorted((bkt, c) for bkt, c in buckets if bkt is not None)
+        n = sum(c for _, c in real)
+        if n == 0:
+            empty_keys.append(k)
+            continue
         rank = (n + 1) // 2  # ceil(n/2): percentile_disc lower-middle
         cum = 0
-        for bkt, c in buckets:
+        for bkt, c in real:
             if cum + c >= rank:
                 targets.append((k, bkt, rank - cum))
                 break
             cum += c
-    tgt = spark.createDataFrame(
-        targets, f"__k {df.schema[key].dataType.simpleString()}, __bkt long, __r long"
-    )
+    key_type = df.schema[key].dataType.simpleString()
+    tgt = spark.createDataFrame(targets, f"__k {key_type}, __bkt long, __r long")
     from pyspark.sql import Window
 
     w = Window.partitionBy("__k").orderBy("__v6")
-    return (
-        b.join(F.broadcast(tgt), ["__k", "__bkt"])
+    refined = (
+        # null-SAFE key equality: a NULL group key must keep its rows
+        # through the refinement join (plain `=` drops the group)
+        b.join(
+            F.broadcast(tgt),
+            b["__k"].eqNullSafe(tgt["__k"]) & (b["__bkt"] == tgt["__bkt"]),
+        )
+        .drop(tgt["__k"])
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == F.col("__r"))
         .select(F.col("__k").alias(key), F.col("__v6").alias("median6"))
     )
+    if not empty_keys:
+        return refined
+    nulls = spark.createDataFrame(
+        [(k, None) for k in empty_keys], f"{key} {key_type}, median6 long"
+    )
+    return refined.unionByName(nulls)

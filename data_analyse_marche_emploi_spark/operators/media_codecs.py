@@ -49,7 +49,14 @@ def sniff_format(payload: bytes | None) -> str:
         return "png"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
-    if payload[:2] == b"BM" and len(payload) >= 14:
+    if (
+        payload[:2] == b"BM"
+        and len(payload) >= 54
+        and int.from_bytes(payload[14:18], "little") in (40, 52, 56, 108, 124)
+    ):
+        # 2-byte magics false-positive wildly ("BMW market report…"), so
+        # unlike the 6-8-byte magics above, BMP also requires a known
+        # BITMAPINFOHEADER size at offset 14 before claiming the payload
         return "bmp"
     return "unknown"
 

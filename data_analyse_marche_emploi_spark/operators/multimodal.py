@@ -182,7 +182,7 @@ def resize_images(media_df: DataFrame, width: int = 224, height: int = 224,
         if not b:
             return 0, "fake-resize-v0"
         kind = MC.sniff_format(b)
-        if kind in ("ppm", "jpeg", "png", "gif"):
+        if kind in ("ppm", "jpeg", "png", "gif", "bmp"):
             try:
                 pixels, kind = _decode_pixels(bytes(b))
                 resized = MC.resize_nearest(pixels, width, height)

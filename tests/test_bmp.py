@@ -110,3 +110,13 @@ def test_encode_rejects_non_uint8():
     wide = np.zeros((2, 2, 3), dtype=np.int16)
     with pytest.raises(ValueError, match="uint8"):
         B.encode_bmp(wide)
+
+
+def test_sniff_requires_plausible_info_header():
+    """A 2-byte 'BM' magic false-positives wildly; the sniff also
+    requires a known BITMAPINFOHEADER size so 'BM'-prefixed text stays
+    'unknown' (fake-v0 path) instead of polluting the corrupt channel."""
+    from data_analyse_marche_emploi_spark.operators import media_codecs as MC
+
+    assert MC.sniff_format(b"BMW market report 2024, Q3 edition.........") == "unknown"
+    assert MC.sniff_format(B.encode_bmp(np.zeros((2, 2, 3), np.uint8))) == "bmp"

@@ -305,3 +305,24 @@ def test_exact_median_2pass_hand_cases(spark):
         "dups": 7_000_000,
         "wide": 2_500_000,
     }
+
+
+def test_exact_median_2pass_null_and_nan_are_missing(spark):
+    """NULL/NaN values are ignored like percentile_disc ignores them; a
+    NULL group key survives the refinement join; an all-missing group
+    still emits its (key, NULL) row."""
+    from data_analyse_marche_emploi_spark.operators.aggregates import (
+        exact_median_2pass,
+    )
+
+    rows = [
+        ("a", 1.0), ("a", None), ("a", 3.0), ("a", 5.0),
+        (None, 2.0), (None, 4.0),
+        ("empty", None), ("empty", float("nan")),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {
+        r["event_type"]: r["median6"]
+        for r in exact_median_2pass(df, "event_type", "value").collect()
+    }
+    assert got == {"a": 3_000_000, None: 2_000_000, "empty": None}
