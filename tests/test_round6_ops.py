@@ -326,3 +326,31 @@ def test_exact_median_2pass_null_and_nan_are_missing(spark):
         for r in exact_median_2pass(df, "event_type", "value").collect()
     }
     assert got == {"a": 3_000_000, None: 2_000_000, "empty": None}
+
+
+def test_containment_dominates_jaccard(spark):
+    """Cross-operator invariant: for every doc pair, containment in
+    EITHER direction >= their Jaccard (|A∩B|/|A| >= |A∩B|/|A∪B|), and
+    the two ops agree on the intersection size — catches any silent
+    divergence between the two posting-list consumers."""
+    from data_analyse_marche_emploi_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from data_analyse_marche_emploi_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    jac = {
+        (r["i"], r["j"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.3).collect()
+    }
+    cont = {
+        (r["src"], r["dst"]): r["containment6"]
+        for r in containment_pairs(docs, "text", "doc_id", threshold=0.0).collect()
+    }
+    assert jac, "fixture should contain near-dup pairs at 0.3"
+    for (i, j), jv in jac.items():
+        ci = cont.get((i, j))
+        cj = cont.get((j, i))
+        assert ci is not None and cj is not None
+        assert ci >= int(jv * 1e6) - 1  # containment >= jaccard (1e-6 grid)
+        assert cj >= int(jv * 1e6) - 1
