@@ -5484,6 +5484,40 @@ def agg_exact_median(spark, sf_dir):
 
 
 @register(
+    "agg_exact_percentiles",
+    oracle="""
+    WITH b AS (SELECT event_type,
+                      CAST(floor(value * 1e6) AS BIGINT) AS v6 FROM events)
+    SELECT event_type, CAST(0.25 AS DOUBLE) AS p,
+           CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY v6) AS BIGINT)
+             AS value6
+    FROM b GROUP BY 1
+    UNION ALL
+    SELECT event_type, CAST(0.5 AS DOUBLE),
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v6) AS BIGINT)
+    FROM b GROUP BY 1
+    UNION ALL
+    SELECT event_type, CAST(0.75 AS DOUBLE),
+           CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY v6) AS BIGINT)
+    FROM b GROUP BY 1
+    """,
+)
+def agg_exact_percentiles(spark, sf_dir):
+    """EXACT p25/p50/p75 per event type in the SAME two passes as
+    agg_exact_median (one bounded histogram collect + one refinement
+    scan — cost independent of how many percentiles are requested; a
+    sort-based exact percentile would pay the full shuffle once per
+    list refinement strategy). Rank semantics mirror percentile_disc's
+    double cume_dist compare, so every value hash-matches the oracle."""
+    from .operators.aggregates import exact_percentiles_2pass
+
+    ev = _t(spark, sf_dir, "events")
+    return exact_percentiles_2pass(
+        ev, "event_type", "value", [0.25, 0.5, 0.75]
+    )
+
+
+@register(
     "q_revenue_yoy",
     oracle="""
     WITH y AS (
@@ -5560,17 +5594,17 @@ def emb_pca_project(spark, sf_dir):
 
 # Round-6 rotation: after r5's 50/50-green sweep, the window packs the
 # 20 entries that still had no driver row from any round (r1-r5), ALL
-# 15 entries first registered this round (dedup_containment_pairs,
+# 16 entries first registered this round (dedup_containment_pairs,
 # agg_grouping_sets, unpivot_measures, ts_moving_stats, ts_ewma,
 # agg_mode, q_important_parts, agg_corr_matrix, q_avg_yearly,
 # emb_pca_project, dq_outliers, q_revenue_yoy, stream_minhash_users,
-# multimodal_bmp, agg_exact_median — each needs its FIRST driver
-# row), the smoke anchor plus the 4 pre-existing entries whose
+# multimodal_bmp, agg_exact_median, agg_exact_percentiles — each
+# needs its FIRST driver row), the smoke anchor plus the 4 pre-existing entries whose
 # code changed this round (posting-list pair rewrite, GIF compositing,
 # JPEG refinement strictness), and re-proofs of the streaming family
 # and heavy dedup/ANN cores last driver-checked in r3/r4. Entries
 # green in r5 and unchanged rotate OUT to the local-gate-only tier
-# (pytest + tools/oracle_check.py still check ALL 173 entries).
+# (pytest + tools/oracle_check.py still check ALL 174 entries).
 _DRIVER_WINDOW = [
     # carry-overs: smoke anchor + entries whose code changed this round
     # (posting-list pair enumeration rewrite; GIF compositing fix;
@@ -5580,7 +5614,9 @@ _DRIVER_WINDOW = [
     "dedup_clusters",
     "multimodal_gif",
     "multimodal_jpeg_progressive",
-    # the 12 entries first registered this round (first driver row)
+    # entries first registered this round (first driver row); the
+    # remaining four of the 16 — stream_minhash_users, multimodal_bmp,
+    # agg_exact_median, agg_exact_percentiles — sit in the final group
     "dedup_containment_pairs",
     "agg_grouping_sets",
     "unpivot_measures",
@@ -5615,12 +5651,13 @@ _DRIVER_WINDOW = [
     "agg_kll_quantiles",
     "agg_theta_distinct",
     # re-proofs (streaming family + dedup/ANN cores last driver-
-    # checked r3/r4) interleaved with the three newest first-timers;
+    # checked r3/r4) interleaved with the four newest first-timers;
     # knn_brute_force / dedup_incremental / dedup_window_exact ceded
-    # their re-proof slots to first-timers (all three stay covered by
-    # bench and the local full-registry gates)
+    # their re-proof slots to first-timers, as did
+    # stream_sliding_window (its tumbling sibling stays); all remain
+    # covered by bench and the local full-registry gates
     "stream_tumbling_window",
-    "stream_sliding_window",
+    "agg_exact_percentiles",
     "stream_session_window",
     "stream_stateful_totals",
     "stream_stream_join",

@@ -130,6 +130,28 @@ def exact_median_2pass(
     Two fact scans, no sort wider than one bucket's residents, driver
     state = the bounded histogram. Returns ``(key, median6)``.
     """
+    out = exact_percentiles_2pass(df, key, val, [0.5], bucket_width)
+    return out.select(key, F.col("value6").alias("median6"))
+
+
+def exact_percentiles_2pass(
+    df: DataFrame,
+    key: str,
+    val: str,
+    ps: list[float],
+    bucket_width: int = 1_000_000,
+) -> DataFrame:
+    """EXACT per-group percentile_disc for a LIST of percentiles in the
+    same two passes as :func:`exact_median_2pass` (whose docstring
+    carries the full scale analysis): one bounded histogram collect,
+    then one refinement scan — every requested percentile's bucket
+    joins in the same pass, so cost is independent of ``len(ps)``.
+
+    Rank semantics mirror percentile_disc exactly: the smallest rank r
+    with ``r/n >= p`` under DOUBLE comparison (cume_dist is a double in
+    every engine, so a float-exact boundary like p=0.25, n=4 picks rank
+    1, not 2). Returns ``(key, p, value6)``.
+    """
     spark = df.sparkSession
     # NULL / NaN values are MISSING, exactly as percentile_disc treats
     # them: they join the histogram as a null bucket (never compared or
@@ -155,7 +177,18 @@ def exact_median_2pass(
     per_key: dict = defaultdict(list)
     for r in hist:
         per_key[r["__k"]].append((r["__bkt"], r["c"]))
-    targets = []  # (key, bucket, rank_within_bucket)
+    import math
+
+    def disc_rank(n: int, p: float) -> int:
+        # smallest r with r/n >= p under DOUBLE compare (cume_dist math)
+        r = max(1, math.ceil(n * p))
+        while r > 1 and (r - 1) / n >= p:
+            r -= 1
+        while r / n < p:
+            r += 1
+        return r
+
+    targets = []  # (key, p, bucket, rank_within_bucket)
     empty_keys = []  # groups whose every value is missing
     for k, buckets in per_key.items():
         real = sorted((bkt, c) for bkt, c in buckets if bkt is not None)
@@ -163,18 +196,23 @@ def exact_median_2pass(
         if n == 0:
             empty_keys.append(k)
             continue
-        rank = (n + 1) // 2  # ceil(n/2): percentile_disc lower-middle
-        cum = 0
-        for bkt, c in real:
-            if cum + c >= rank:
-                targets.append((k, bkt, rank - cum))
-                break
-            cum += c
+        for p in ps:
+            rank = disc_rank(n, p)
+            cum = 0
+            for bkt, c in real:
+                if cum + c >= rank:
+                    targets.append((k, float(p), bkt, rank - cum))
+                    break
+                cum += c
     key_type = df.schema[key].dataType.simpleString()
-    tgt = spark.createDataFrame(targets, f"__k {key_type}, __bkt long, __r long")
+    tgt = spark.createDataFrame(
+        targets, f"__k {key_type}, p double, __bkt long, __r long"
+    )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("__k").orderBy("__v6")
+    # partition includes p: two percentiles landing in the same bucket
+    # each join their own copy of the residents and rank independently
+    w = Window.partitionBy("__k", "__bkt", "p").orderBy("__v6")
     refined = (
         # null-SAFE key equality: a NULL group key must keep its rows
         # through the refinement join (plain `=` drops the group)
@@ -183,13 +221,15 @@ def exact_median_2pass(
             b["__k"].eqNullSafe(tgt["__k"]) & (b["__bkt"] == tgt["__bkt"]),
         )
         .drop(tgt["__k"])
+        .drop(tgt["__bkt"])
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == F.col("__r"))
-        .select(F.col("__k").alias(key), F.col("__v6").alias("median6"))
+        .select(F.col("__k").alias(key), "p", F.col("__v6").alias("value6"))
     )
     if not empty_keys:
         return refined
     nulls = spark.createDataFrame(
-        [(k, None) for k in empty_keys], f"{key} {key_type}, median6 long"
+        [(k, float(p), None) for k in empty_keys for p in ps],
+        f"{key} {key_type}, p double, value6 long",
     )
     return refined.unionByName(nulls)
