@@ -5505,9 +5505,9 @@ def agg_exact_median(spark, sf_dir):
 def agg_exact_percentiles(spark, sf_dir):
     """EXACT p25/p50/p75 per event type in the SAME two passes as
     agg_exact_median (one bounded histogram collect + one refinement
-    scan — cost independent of how many percentiles are requested; a
-    sort-based exact percentile would pay the full shuffle once per
-    list refinement strategy). Rank semantics mirror percentile_disc's
+    scan — cost independent of how many percentiles are requested, where a
+    sort-based exact percentile pays the full shuffle regardless and a
+    per-percentile rescan pays it once per list entry). Rank semantics mirror percentile_disc's
     double cume_dist compare, so every value hash-matches the oracle."""
     from .operators.aggregates import exact_percentiles_2pass
 

@@ -152,6 +152,16 @@ def exact_percentiles_2pass(
     every engine, so a float-exact boundary like p=0.25, n=4 picks rank
     1, not 2). Returns ``(key, p, value6)``.
     """
+    if not ps:
+        raise ValueError("ps must name at least one percentile")
+    if len(set(ps)) != len(ps):
+        # a duplicate p doubles the joined bucket residents inside one
+        # window partition and silently selects the WRONG rank
+        raise ValueError(f"duplicate percentiles in {ps}")
+    bad = [p for p in ps if not 0.0 < p <= 1.0]
+    if bad:
+        # p > 1 would walk past every bucket and silently drop the row
+        raise ValueError(f"percentiles must be in (0, 1]: {bad}")
     spark = df.sparkSession
     # NULL / NaN values are MISSING, exactly as percentile_disc treats
     # them: they join the histogram as a null bucket (never compared or

@@ -330,9 +330,9 @@ def test_exact_median_2pass_null_and_nan_are_missing(spark):
 
 def test_containment_dominates_jaccard(spark):
     """Cross-operator invariant: for every doc pair, containment in
-    EITHER direction >= their Jaccard (|A∩B|/|A| >= |A∩B|/|A∪B|), and
-    the two ops agree on the intersection size — catches any silent
-    divergence between the two posting-list consumers."""
+    EITHER direction >= their Jaccard (|A∩B|/|A| >= |A∩B|/|A∪B|) and
+    every Jaccard pair appears in the containment output — catches a
+    posting-list consumer silently dropping or under-scoring pairs."""
     from data_analyse_marche_emploi_spark.operators.dedup import (
         ngram_jaccard_pairs,
     )
@@ -354,3 +354,47 @@ def test_containment_dominates_jaccard(spark):
         assert ci is not None and cj is not None
         assert ci >= int(jv * 1e6) - 1  # containment >= jaccard (1e-6 grid)
         assert cj >= int(jv * 1e6) - 1
+
+
+def test_exact_percentiles_multi_p_and_boundaries(spark):
+    """len(ps)>1 in one pass: same-bucket percentiles rank
+    independently, and the p=0.25/n=4 double-compare boundary picks
+    rank 1 (cume_dist 1/4 >= 0.25), exactly like percentile_disc."""
+    from data_analyse_marche_emploi_spark.operators.aggregates import (
+        exact_percentiles_2pass,
+    )
+
+    rows = [("a", v) for v in [1.0, 2.0, 3.0, 4.0]] + [
+        ("b", v) for v in [0.1, 0.2, 0.3]  # all three in bucket 0
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "value"])
+    got = {
+        (r["event_type"], r["p"]): r["value6"]
+        for r in exact_percentiles_2pass(
+            df, "event_type", "value", [0.25, 0.5, 1.0]
+        ).collect()
+    }
+    assert got == {
+        ("a", 0.25): 1_000_000,  # rank 1: 1/4 >= 0.25 (boundary)
+        ("a", 0.5): 2_000_000,
+        ("a", 1.0): 4_000_000,
+        ("b", 0.25): 100_000,
+        ("b", 0.5): 200_000,   # same bucket as p=0.25/1.0 — independent
+        ("b", 1.0): 300_000,
+    }
+
+
+def test_exact_percentiles_rejects_degenerate_lists(spark):
+    import pytest as _pytest
+
+    from data_analyse_marche_emploi_spark.operators.aggregates import (
+        exact_percentiles_2pass,
+    )
+
+    df = spark.createDataFrame([("a", 1.0)], ["event_type", "value"])
+    with _pytest.raises(ValueError, match="at least one"):
+        exact_percentiles_2pass(df, "event_type", "value", [])
+    with _pytest.raises(ValueError, match="duplicate"):
+        exact_percentiles_2pass(df, "event_type", "value", [0.5, 0.5])
+    with _pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        exact_percentiles_2pass(df, "event_type", "value", [1.5])
