@@ -3736,6 +3736,30 @@ def stream_minhash_users(spark, sf_dir):
     return S.run_available_now(stream_user_minhash(ev), "update")
 
 
+@register(
+    "stream_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(CAST(floor(value * 1e6) AS BIGINT) / 50000000.0)
+             AS BIGINT) AS bucket,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_value_histogram_q(spark, sf_dir):
+    """Streaming per-type value-distribution histogram (counts per
+    coarse bucket) — mergeable aggregation state bounded by the value
+    domain, drained available-now value-equal to the batch GROUP BY
+    (full oracle). The live feed a drift monitor or the exact-
+    percentile refinement would consume."""
+    from .streaming import incremental as S
+
+    ev = S.read_events_stream(spark, sf_dir)
+    return S.run_available_now(
+        S.stream_value_histogram(ev), "complete"
+    )
+
+
 @register("stream_distinct_users", oracle=None)
 def stream_distinct_users(spark, sf_dir):
     """Streaming daily distinct users with HLL-sketch aggregation
@@ -5518,6 +5542,58 @@ def agg_exact_percentiles(spark, sf_dir):
 
 
 @register(
+    "q_nation_profit",
+    oracle="""
+    SELECT n_name AS nation, year(l_shipdate) AS yr,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                          - CAST(l_quantity AS DECIMAL(18,2))
+                            * CAST(p_retailprice AS DECIMAL(18,2)) * 0.4)
+                      AS DOUBLE), 2) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q_nation_profit(spark, sf_dir):
+    """TPC-H-Q9-shaped: per-nation / per-year profit over a part-name
+    pattern — the four-way star join with an arithmetic measure
+    (revenue minus a cost proxy; the fixture has no partsupp, so 40%
+    of retail price stands in for supply cost, in exact DECIMAL so the
+    sum is order-independent). The LIKE filter prunes at the part
+    dimension BEFORE the fact join; both dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    # the 0.4 cost factor must be DECIMAL: a bare F.lit(0.4) is a
+    # DOUBLE and silently demotes the whole measure to an order-
+    # dependent double sum (observed as a nondeterministic last-cent
+    # flip across runs); DuckDB's 0.4 literal is DECIMAL(1,1) already
+    amount = F.col("l_extendedprice").cast(AGG.MONEY) * (
+        F.lit(1) - F.col("l_discount").cast(AGG.MONEY)
+    ) - F.col("l_quantity").cast(AGG.MONEY) * F.col("p_retailprice").cast(
+        AGG.MONEY
+    ) * F.lit(0.4).cast("decimal(2,1)")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("nation", F.year("l_shipdate").alias("yr"))
+        .agg(AGG.exact_sum(amount, "profit", 2))
+    )
+
+
+@register(
     "q_revenue_yoy",
     oracle="""
     WITH y AS (
@@ -5594,17 +5670,18 @@ def emb_pca_project(spark, sf_dir):
 
 # Round-6 rotation: after r5's 50/50-green sweep, the window packs the
 # 20 entries that still had no driver row from any round (r1-r5), ALL
-# 16 entries first registered this round (dedup_containment_pairs,
+# 18 entries first registered this round (dedup_containment_pairs,
 # agg_grouping_sets, unpivot_measures, ts_moving_stats, ts_ewma,
 # agg_mode, q_important_parts, agg_corr_matrix, q_avg_yearly,
 # emb_pca_project, dq_outliers, q_revenue_yoy, stream_minhash_users,
-# multimodal_bmp, agg_exact_median, agg_exact_percentiles — each
-# needs its FIRST driver row), the smoke anchor plus the 4 pre-existing entries whose
+# multimodal_bmp, agg_exact_median, agg_exact_percentiles,
+# q_nation_profit, stream_value_histogram — each needs its FIRST
+# driver row), the smoke anchor plus the 4 pre-existing entries whose
 # code changed this round (posting-list pair rewrite, GIF compositing,
 # JPEG refinement strictness), and re-proofs of the streaming family
 # and heavy dedup/ANN cores last driver-checked in r3/r4. Entries
 # green in r5 and unchanged rotate OUT to the local-gate-only tier
-# (pytest + tools/oracle_check.py still check ALL 174 entries).
+# (pytest + tools/oracle_check.py still check ALL 176 entries).
 _DRIVER_WINDOW = [
     # carry-overs: smoke anchor + entries whose code changed this round
     # (posting-list pair enumeration rewrite; GIF compositing fix;
@@ -5651,11 +5728,12 @@ _DRIVER_WINDOW = [
     "agg_kll_quantiles",
     "agg_theta_distinct",
     # re-proofs (streaming family + dedup/ANN cores last driver-
-    # checked r3/r4) interleaved with the four newest first-timers;
-    # knn_brute_force / dedup_incremental / dedup_window_exact ceded
-    # their re-proof slots to first-timers, as did
-    # stream_sliding_window (its tumbling sibling stays); all remain
-    # covered by bench and the local full-registry gates
+    # checked r3/r4) interleaved with the six newest first-timers;
+    # knn_brute_force / dedup_incremental / dedup_window_exact /
+    # stream_sliding_window / ann_ivf / dedup_lines_global ceded their
+    # re-proof slots to first-timers (first driver rows outrank
+    # re-proofs; all remain covered by bench and the local
+    # full-registry gates, and rotate back next round)
     "stream_tumbling_window",
     "agg_exact_percentiles",
     "stream_session_window",
@@ -5664,8 +5742,8 @@ _DRIVER_WINDOW = [
     "stream_scd2_enrich",
     "stream_dedup_upsert",
     "dedup_minhash_lsh",
-    "ann_ivf",
-    "dedup_lines_global",
+    "q_nation_profit",
+    "stream_value_histogram",
     "multimodal_bmp",
     "agg_exact_median",
     "stream_minhash_users",

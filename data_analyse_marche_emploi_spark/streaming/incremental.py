@@ -139,6 +139,28 @@ def stream_tumbling_counts(events: DataFrame, size: str = "1 day",
     )
 
 
+def stream_value_histogram(events: DataFrame, bucket_width: int = 50_000_000,
+                           watermark: str = "1 day") -> DataFrame:
+    """Streaming value-distribution histogram per event type: counts per
+    (type, coarse value bucket) — the live feed for distribution-drift
+    monitors and the streaming twin of exact_percentiles_2pass's
+    histogram pass. Bucket counts are commutative/mergeable aggregation
+    state (a few hundred longs per type at any traffic volume), so the
+    available-now drain is value-equal to the batch GROUP BY and the
+    entry carries a full differential oracle. NULL/NaN values land in a
+    NULL bucket, mirroring SQL GROUP BY semantics."""
+    v6 = F.when(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value")),
+        F.floor(F.col("value") * 1e6).cast("long"),
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("bucket", F.floor(v6 / bucket_width).cast("long"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def stream_distinct_users(events: DataFrame, size: str = "1 day",
                           watermark: str = "1 day") -> DataFrame:
     """Streaming per-window distinct users via the mergeable HLL sketch
