@@ -5655,6 +5655,165 @@ def emb_pca_project(spark, sf_dir):
     return pca_project(e, "embedding", "vec_id", k=4)
 
 
+@register(
+    "q_promo_part_suppliers",
+    oracle="""
+    WITH agg AS (
+      SELECT l_suppkey,
+             sum(CASE WHEN year(l_shipdate) >= 1999
+                      THEN CAST(l_quantity AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS qty_recent,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_total
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_type = 'PROMO'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, n_name AS nation,
+           CAST(qty_recent AS DOUBLE) AS qty_recent,
+           CAST(qty_total AS DOUBLE) AS qty_total
+    FROM supplier JOIN agg ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE 9 * qty_recent > 4 * qty_total
+    """,
+)
+def q_promo_part_suppliers(spark, sf_dir):
+    """TPC-H-Q20-shaped: suppliers whose recent (1999+) shipped
+    quantity of PROMO parts exceeds 4/9 of their all-time PROMO
+    quantity — the nested-semi-join-with-correlated-agg-threshold
+    shape, decorrelated as one conditional aggregate per supplier
+    (the fixture has no partsupp, so the availqty threshold becomes
+    a recent-share threshold over the same fact).
+
+    Scale shape: part dim filters THEN broadcasts into the fact scan;
+    one groupBy(l_suppkey) with map-side partial combine; the
+    supplier/nation dims broadcast onto the (tiny) aggregate. The
+    share comparison cross-multiplies in DECIMAL — no division, no
+    doubles on the predicate path."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    qty = F.col("l_quantity").cast(AGG.MONEY)
+    zero = F.lit(0).cast(AGG.MONEY)
+    agg = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.when(F.year("l_shipdate") >= 1999, qty).otherwise(zero)
+            ).alias("qty_recent_d"),
+            F.sum(qty).alias("qty_total_d"),
+        )
+        .filter(F.lit(9) * F.col("qty_recent_d") > F.lit(4) * F.col("qty_total_d"))
+    )
+    return (
+        agg.join(F.broadcast(s), agg["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            "nation",
+            F.col("qty_recent_d").cast("double").alias("qty_recent"),
+            F.col("qty_total_d").cast("double").alias("qty_total"),
+        )
+    )
+
+
+@register(
+    "ts_ohlc",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,
+             epoch_us(ts) AS tmic, event_id,
+             CAST(floor(value * 1e6) AS BIGINT) AS v6
+      FROM events
+    ),
+    ranked AS (
+      SELECT user_id, bucket_ts, v6,
+             count(*) OVER wpk AS n,
+             max(v6) OVER wpk AS high6,
+             min(v6) OVER wpk AS low6,
+             first_value(v6) OVER wo AS open6,
+             last_value(v6) OVER wo AS close6,
+             row_number() OVER (PARTITION BY user_id, bucket_ts
+                                ORDER BY tmic, event_id) AS rn
+      FROM e
+      WINDOW wpk AS (PARTITION BY user_id, bucket_ts),
+             wo AS (PARTITION BY user_id, bucket_ts
+                    ORDER BY tmic, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket_ts, n, open6, high6, low6, close6
+    FROM ranked WHERE rn = 1
+    """,
+)
+def ts_ohlc(spark, sf_dir):
+    """Hourly OHLC resample of the event value series per user — open/
+    high/low/close as ONE groupBy with map-side partial combine (open
+    and close ride as min/max over a (time, id, value) struct; no
+    window, no per-group sort — see operators.windows.ohlc_resample).
+    The oracle spells the same semantics as first_value/last_value
+    windows, which is what the engine deliberately avoids at scale."""
+    from .operators.windows import ohlc_resample
+
+    ev = _t(spark, sf_dir, "events")
+    return ohlc_resample(ev, "user_id", "ts", "value", "event_id", bucket="hour")
+
+
+@register(
+    "window_ntile",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderstatus,
+             ntile(10) OVER (PARTITION BY o_orderstatus
+                             ORDER BY o_totalprice, o_orderkey) AS decile,
+             o_totalprice
+      FROM orders
+    )
+    SELECT o_orderstatus, decile, count(*) AS cnt,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS revenue,
+           CAST(floor(min(o_totalprice) * 1e6) AS BIGINT) AS min_price6,
+           CAST(floor(max(o_totalprice) * 1e6) AS BIGINT) AS max_price6
+    FROM d GROUP BY 1, 2
+    """,
+)
+def window_ntile(spark, sf_dir):
+    """Within-group decile banding (ntile) + per-band aggregates —
+    price-band distribution per order status. ntile's remainder
+    distribution is ANSI (first buckets get the extra row) and the
+    (price, orderkey) order key is unique, so band assignment is
+    deterministic in both engines.
+
+    Scale note: ntile needs a per-PARTITION total ordering — here the
+    partition key (status) is low-cardinality, so this is the
+    demonstrational form; for global quantile banding at corpus scale
+    use the exact-percentile cutpoint machinery (agg_exact_percentiles)
+    and a range join against the cutpoints instead."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    d = o.select(
+        "o_orderstatus",
+        F.ntile(10).over(w).alias("decile"),
+        "o_totalprice",
+    )
+    return d.groupBy("o_orderstatus", "decile").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        AGG.money_sum(F.col("o_totalprice"), "revenue"),
+        F.floor(F.min("o_totalprice") * 1e6).cast("long").alias("min_price6"),
+        F.floor(F.max("o_totalprice") * 1e6).cast("long").alias("max_price6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window
 # ---------------------------------------------------------------------------

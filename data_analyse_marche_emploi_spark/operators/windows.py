@@ -186,3 +186,46 @@ def sessionize(df: DataFrame, user: str, ts: str, gap_minutes: int) -> DataFrame
         | ((F.unix_timestamp(F.col(ts)) - F.unix_timestamp(prev_ts)) > gap_sec)
     ).cast("int")
     return df.withColumn("session_seq", F.sum(new_session).over(w))
+
+
+def ohlc_resample(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    val: str,
+    id_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """OHLC downsample: per (``key``, time ``bucket``) the open / high /
+    low / close of a value series — the classic resample behind price
+    charts and telemetry rollups.
+
+    ONE groupBy aggregation with full map-side partial combine — no
+    window function, no per-group sort. Open and close ride as
+    ``min(struct(tmic, id, v6))`` / ``max(struct(...))``: struct order
+    is lexicographic, so the extreme IS the first/last event of the
+    bucket, and the ``(tmic, id)`` prefix is unique (``id_col`` is a
+    row id), so the result is deterministic under any partitioning or
+    tie pattern. At corpus scale this shuffles only pre-combined
+    ``(key, bucket)`` rows, where a first_value/last_value window
+    would shuffle and sort every event.
+
+    Values are 1e-6-floor-bucketed (``v6`` BIGINT) so min/max/open/
+    close compare exact integers — engine-independent.
+    """
+    base = df.select(
+        F.col(key),
+        F.date_trunc(bucket, F.col(ts)).cast("timestamp").alias("bucket_ts"),
+        F.unix_micros(F.col(ts).cast("timestamp")).alias("__tmic"),
+        F.col(id_col).alias("__id"),
+        F.floor(F.col(val) * 1e6).cast("long").alias("__v6"),
+    )
+    first_struct = F.min(F.struct("__tmic", "__id", "__v6"))
+    last_struct = F.max(F.struct("__tmic", "__id", "__v6"))
+    return base.groupBy(key, "bucket_ts").agg(
+        F.count(F.lit(1)).alias("n"),
+        first_struct.getField("__v6").alias("open6"),
+        F.max("__v6").alias("high6"),
+        F.min("__v6").alias("low6"),
+        last_struct.getField("__v6").alias("close6"),
+    )

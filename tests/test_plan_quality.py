@@ -339,3 +339,23 @@ def test_multimodal_dedup_shuffles_hashes_not_media(spark, sf_dir, name, hash_co
     exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert any(f"hashpartitioning({hash_col}" in ln for ln in exchanges)
     assert not any("media" in ln for ln in exchanges)
+
+
+def test_ohlc_single_partial_aggregate_no_window(spark, sf_dir):
+    """ts_ohlc's open/close must ride min/max(struct) inside ONE
+    partially-aggregated groupBy — a first_value/last_value window
+    would shuffle and sort every event instead of pre-combined
+    (key, bucket) rows."""
+    plan = plan_of(spark, sf_dir, "ts_ohlc")
+    assert "Window" not in plan
+    assert "partial_min" in plan and "partial_max" in plan
+
+
+def test_q20_shape_broadcasts_dims_partial_aggregates(spark, sf_dir):
+    """q_promo_part_suppliers: the part filter must broadcast into the
+    fact scan and the supplier rollup must partial-aggregate; no
+    sort-merge join anywhere (every non-fact side is dim-sized)."""
+    plan = plan_of(spark, sf_dir, "q_promo_part_suppliers")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+    assert "SortMergeJoin" not in plan
