@@ -5814,6 +5814,99 @@ def window_ntile(spark, sf_dir):
     )
 
 
+@register(
+    "q_waiting_suppliers",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND n_name = 'NATION_3'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10
+    """,
+)
+def q_waiting_suppliers(spark, sf_dir):
+    """TPC-H-Q21-shaped: suppliers who were the SOLE late shipper on a
+    multi-supplier finished order — the double-correlated
+    EXISTS / NOT-EXISTS self-join, the hardest decorrelation shape in
+    the TPC-H sweep (this entry completes all 22 query shapes; the
+    fixture has no receipt/commit dates, so "late" is shipped >90 days
+    after the order date).
+
+    The oracle spells the textbook correlated form; the engine
+    decorrelates it into TWO stacked aggregates over the order's
+    lines: first per (l_orderkey, l_suppkey) — line and LATE-line
+    counts, no DISTINCT anywhere (a countDistinct pair here triggers
+    Catalyst's Expand/gid multi-distinct rewrite: 3x the fact rows
+    plus an extra fact-wide exchange) — then per l_orderkey.
+    `n_supp >= 2 AND n_late_supp = 1` IS the exists/not-exists pair,
+    and `numwait = sum(n_late_lines)` reproduces Q21's per-LINE count.
+
+    Scale shape: when the fact-fact join shuffle-merges on the order
+    key, both stacked groupBys cluster on supersets of l_orderkey, so
+    they reuse the join's partitioning (HashPartitioning(l_orderkey)
+    satisfies ClusteredDistribution(l_orderkey, l_suppkey)) — zero
+    post-join fact exchanges; locally AQE broadcasts the filtered
+    orders side instead and only pre-combined per-(order, supplier)
+    rows reach an exchange. No Expand either way (asserted in the
+    plan test); everything after is order-count-sized; supplier+
+    nation broadcast onto the tiny aggregate; the top-10 compiles to
+    TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    per_order_supp = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(late, F.lit(1)).otherwise(F.lit(0))).alias("n_late_lines")
+        )
+    )
+    is_late_supp = F.col("n_late_lines") > 0
+    per_order = (
+        per_order_supp.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.count(F.when(is_late_supp, F.lit(1))).alias("n_late_supp"),
+            F.max(F.when(is_late_supp, F.col("l_suppkey"))).alias("late_supp"),
+            F.sum("n_late_lines").alias("n_late_lines"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    per_supp = per_order.groupBy("late_supp").agg(
+        F.sum("n_late_lines").cast("long").alias("numwait")
+    )
+    return (
+        per_supp.join(F.broadcast(s), per_supp["late_supp"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window
 # ---------------------------------------------------------------------------

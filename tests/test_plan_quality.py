@@ -351,6 +351,17 @@ def test_ohlc_single_partial_aggregate_no_window(spark, sf_dir):
     assert "partial_min" in plan and "partial_max" in plan
 
 
+def test_q21_shape_no_expand_no_distinct_rewrite(spark, sf_dir):
+    """q_waiting_suppliers must decorrelate via stacked distinct-free
+    aggregates: a countDistinct pair would trigger Catalyst's
+    Expand/gid rewrite (3x fact rows + an extra fact-wide exchange).
+    The top-10 must stay a partial top-k, never a global sort."""
+    plan = plan_of(spark, sf_dir, "q_waiting_suppliers")
+    assert "Expand" not in plan
+    assert "partial_sum" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_q20_shape_broadcasts_dims_partial_aggregates(spark, sf_dir):
     """q_promo_part_suppliers: the part filter must broadcast into the
     fact scan and the supplier rollup must partial-aggregate; no
