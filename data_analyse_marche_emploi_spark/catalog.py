@@ -5815,6 +5815,159 @@ def window_ntile(spark, sf_dir):
 
 
 @register(
+    "ts_interpolate",
+    oracle="""
+    WITH known AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+             CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS v6
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value)
+      GROUP BY 1, 2
+    ),
+    b AS (SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+          FROM known GROUP BY 1),
+    spine AS (SELECT user_id,
+                     unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+              FROM b),
+    j AS (SELECT s.user_id, s.bucket_ts, k.v6
+          FROM spine s LEFT JOIN known k USING (user_id, bucket_ts)),
+    f AS (
+      SELECT user_id, bucket_ts, v6,
+             last_value(v6 IGNORE NULLS) OVER wb AS prev6,
+             last_value(CASE WHEN v6 IS NOT NULL THEN bucket_ts END
+                        IGNORE NULLS) OVER wb AS prev_ts,
+             first_value(v6 IGNORE NULLS) OVER wf AS next6,
+             first_value(CASE WHEN v6 IS NOT NULL THEN bucket_ts END
+                         IGNORE NULLS) OVER wf AS next_ts
+      FROM j
+      WINDOW wb AS (PARTITION BY user_id ORDER BY bucket_ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY bucket_ts
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket_ts,
+           CAST(v6 IS NOT NULL AS INT) AS is_known,
+           CASE WHEN v6 IS NOT NULL THEN v6
+                ELSE prev6 + CAST(floor(
+                       CAST((next6 - prev6)
+                            * date_diff('hour', prev_ts, bucket_ts) AS DOUBLE)
+                       / date_diff('hour', prev_ts, next_ts)) AS BIGINT)
+           END AS value6
+    FROM f
+    """,
+)
+def ts_interpolate(spark, sf_dir):
+    """Hourly per-user grid with LINEAR interpolation at the gaps —
+    time_bucket_gapfill + interpolate (where ts_gapfill carries
+    last-observation-forward). One window sort serves all four
+    neighbor lookups; micro-unit fixed-point keeps the drawn line
+    engine-exact (full analysis in operators/asof.py::
+    interpolate_linear)."""
+    from .operators.asof import interpolate_linear
+
+    e = _t(spark, sf_dir, "events")
+    return interpolate_linear(e, "user_id", "ts", "value", bucket="hour")
+
+
+@register(
+    "ts_rolling_distinct",
+    oracle="""
+    WITH du AS (SELECT DISTINCT user_id,
+                       CAST(date_trunc('day', ts) AS DATE) AS day
+                FROM events),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day AS wday, count(DISTINCT u.user_id) AS n_active
+    FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY 1
+    """,
+)
+def ts_rolling_distinct(spark, sf_dir):
+    """Trailing 7-day EXACT distinct active users per observed day —
+    the COUNT(DISTINCT) OVER RANGE no engine's window functions can
+    partial-aggregate, as a bucket-contribution explode over the
+    reduced (user, day) pair set (operators/windows.py::
+    rolling_distinct carries the scale analysis; the oracle spells
+    the quadratic-ish day-range join this plan avoids)."""
+    from .operators.windows import rolling_distinct
+
+    e = _t(spark, sf_dir, "events")
+    return rolling_distinct(e, "user_id", "ts", window_days=7)
+
+
+@register(
+    "global_quantile_bands",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(o_totalprice * 1e6) AS BIGINT) AS v6,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    ranked AS (
+      SELECT v6, row_number() OVER (ORDER BY v6) AS r,
+             count(*) OVER () AS n
+      FROM v
+    ),
+    cut AS (
+      SELECT min(CASE WHEN CAST(r AS DOUBLE)/n >= 0.25 THEN v6 END) AS c25,
+             min(CASE WHEN CAST(r AS DOUBLE)/n >= 0.5  THEN v6 END) AS c50,
+             min(CASE WHEN CAST(r AS DOUBLE)/n >= 0.75 THEN v6 END) AS c75
+      FROM ranked
+    )
+    SELECT 1 + CAST(v6 > c25 AS INT) + CAST(v6 > c50 AS INT)
+             + CAST(v6 > c75 AS INT) AS band,
+           count(*) AS cnt,
+           round(CAST(sum(price) AS DOUBLE), 2) AS revenue,
+           min(v6) AS min_price6, max(v6) AS max_price6
+    FROM v CROSS JOIN cut
+    GROUP BY 1
+    """,
+)
+def global_quantile_bands(spark, sf_dir):
+    """GLOBAL quartile banding of every order by price — the corpus-
+    scale path that window_ntile's docstring promises: no total
+    ordering anywhere. The exact-selection machinery
+    (operators/aggregates.py::exact_percentiles_2pass — bounded
+    histogram collect + one refinement scan) produces the three exact
+    percentile_disc cutpoints; every row then bands against the
+    broadcast 1-row cutpoint table with three integer comparisons and
+    partial-aggregates per band.
+
+    The oracle spells the same rank selection explicitly
+    (smallest rank r with r/n >= p under DOUBLE compare — the
+    machinery's documented percentile_disc semantics) via a
+    row_number window, which is exactly the per-row sort this plan
+    avoids. Band edges compare in 1e-6-floor micro-units, so boundary
+    rows are engine-exact; rows AT a cutpoint band low."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
+    from .operators.aggregates import exact_percentiles_2pass
+
+    vals = o.select(F.lit(1).alias("g"), "o_totalprice")
+    cuts = exact_percentiles_2pass(vals, "g", "o_totalprice", [0.25, 0.5, 0.75])
+    row = cuts.groupBy().agg(
+        F.max(F.when(F.col("p") == 0.25, F.col("value6"))).alias("c25"),
+        F.max(F.when(F.col("p") == 0.5, F.col("value6"))).alias("c50"),
+        F.max(F.when(F.col("p") == 0.75, F.col("value6"))).alias("c75"),
+    )
+    b = o.select(
+        F.floor(F.col("o_totalprice") * 1e6).cast("long").alias("v6"),
+        F.col("o_totalprice").cast(AGG.MONEY).alias("price"),
+    )
+    banded = b.crossJoin(F.broadcast(row)).withColumn(
+        "band",
+        F.lit(1)
+        + (F.col("v6") > F.col("c25")).cast("int")
+        + (F.col("v6") > F.col("c50")).cast("int")
+        + (F.col("v6") > F.col("c75")).cast("int"),
+    )
+    return banded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        AGG.exact_sum(F.col("price"), "revenue", 2),
+        F.min("v6").alias("min_price6"),
+        F.max("v6").alias("max_price6"),
+    )
+
+
+@register(
     "q_waiting_suppliers",
     oracle="""
     SELECT s_name, count(*) AS numwait

@@ -183,3 +183,102 @@ def gapfill_resample(
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.round(F.last("__v", ignorenulls=True).over(w), 4).alias("v_fill"),
     )
+
+
+def interpolate_linear(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Dense per-key time grid with LINEAR interpolation at the gaps —
+    the ``time_bucket_gapfill`` + ``interpolate`` surface (where
+    :func:`gapfill_resample` carries last-observation-forward, this
+    draws the line between the surrounding known points).
+
+    NOT the gapfill topology: a spine left-join would re-derive the
+    bucket aggregate on both join sides (two fact scans) and then need
+    a second window pass to find each gap's neighbors. Instead the gap
+    rows are GENERATED already knowing both endpoints: bucket-
+    aggregate once, ``lead()`` the next known point in (one window
+    over the one aggregation shuffle — partitioning reused), and
+    explode ``sequence(1, gap-1)`` into the missing offsets, each row
+    interpolating from the (prev, next) pair it was born with. One
+    fact scan, one shuffle, one sort; the explode is map-side and
+    bounded by grid size, never event count. Gap rows only ever sit
+    between two known points, so nothing extrapolates.
+
+    Exactness contract: bucket values are int64 micro-unit sums
+    (``sum(floor(v*1e6))`` — associative, order-free) and the
+    interpolated value is ``prev6 + floor((next6-prev6)*k / m)`` with
+    hour offsets 0 < k < m. The product stays well under 2^53, so the
+    DOUBLE division is exact-floored identically in any engine:
+    |Δ·k| ≤ ~1e14 and a non-integer true quotient sits ≥ 1/m ≥ 1e-4
+    from any integer — orders of magnitude beyond the ulp. NULL/NaN
+    values are missing (a bucket with only missing values is a GAP,
+    not a known NULL).
+
+    Returns (key, bucket_ts, is_known, value6).
+    """
+    step_us = {
+        "hour": 3_600_000_000,
+        "minute": 60_000_000,
+        "day": 86_400_000_000,
+    }[bucket]
+    v6 = F.when(
+        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col)),
+        F.floor(F.col(value_col) * 1e6).cast("long"),
+    )
+    known = (
+        events.groupBy(
+            F.col(key),
+            F.date_trunc(bucket, F.col(ts)).cast("timestamp").alias("bucket_ts"),
+        )
+        .agg(F.sum(v6).alias("__v6"))
+        .filter(F.col("__v6").isNotNull())
+    )
+    w = Window.partitionBy(key).orderBy("bucket_ts")
+    nb = known.select(
+        F.col(key),
+        "bucket_ts",
+        "__v6",
+        F.lead("bucket_ts").over(w).alias("__nts"),
+        F.lead("__v6").over(w).alias("__n6"),
+    )
+    known_rows = nb.select(
+        F.col(key),
+        "bucket_ts",
+        F.lit(1).alias("is_known"),
+        F.col("__v6").alias("value6"),
+    )
+    m_steps = (
+        (F.unix_micros(F.col("__nts")) - F.unix_micros(F.col("bucket_ts")))
+        / F.lit(step_us)
+    ).cast("long")
+    gaps = (
+        nb.filter(F.col("__nts").isNotNull())
+        .withColumn("__m", m_steps)
+        .filter(F.col("__m") > 1)
+        .select(
+            F.col(key),
+            "bucket_ts",
+            "__v6",
+            "__n6",
+            "__m",
+            F.explode(F.sequence(F.lit(1), F.col("__m") - 1)).alias("__k"),
+        )
+    )
+    interp = F.col("__v6") + F.floor(
+        ((F.col("__n6") - F.col("__v6")) * F.col("__k")).cast("double")
+        / F.col("__m")
+    ).cast("long")
+    gap_rows = gaps.select(
+        F.col(key),
+        F.timestamp_micros(
+            F.unix_micros(F.col("bucket_ts")) + F.col("__k") * F.lit(step_us)
+        ).alias("bucket_ts"),
+        F.lit(0).alias("is_known"),
+        interp.alias("value6"),
+    )
+    return known_rows.unionByName(gap_rows)

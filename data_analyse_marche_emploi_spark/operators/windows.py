@@ -229,3 +229,44 @@ def ohlc_resample(
         F.min("__v6").alias("low6"),
         last_struct.getField("__v6").alias("close6"),
     )
+
+
+def rolling_distinct(
+    df: DataFrame, key: str, ts: str, window_days: int = 7
+) -> DataFrame:
+    """EXACT trailing-``window_days`` distinct-``key`` count per active
+    day — "7-day active users", the classic op no engine's window
+    functions express (COUNT(DISTINCT) OVER RANGE isn't partial-
+    aggregable), done scale-right as a bucket-contribution explode:
+
+    1. reduce events to DISTINCT (key, day) pairs FIRST — the explode
+       multiplies the reduced pair set, never the raw event count;
+    2. each pair contributes to the ``window_days`` trailing windows
+       ending on day .. day+w-1 (a map-side ``sequence`` explode);
+    3. one exact countDistinct per window day (two-level hash
+       aggregate — a single distinct agg plans without Expand), then a
+       semi-join keeps only days that actually occur in the data (a
+       trailing window is only reported for observed days).
+
+    State is bounded by w x |distinct pairs|; for wide windows at
+    corpus scale swap step 3 for the mergeable HLL sketch rollup
+    (operators/sketches.py) — same topology, bounded error.
+
+    Returns (wday DATE, n_active BIGINT).
+    """
+    du = df.select(
+        F.col(key),
+        F.date_trunc("day", F.col(ts)).cast("date").alias("__day"),
+    ).distinct()
+    contrib = du.select(
+        F.col(key),
+        F.explode(
+            F.expr(f"sequence(__day, date_add(__day, {window_days - 1}), interval 1 day)")
+        ).alias("wday"),
+    )
+    days = du.select(F.col("__day").alias("wday")).distinct()
+    return (
+        contrib.join(days, "wday", "left_semi")
+        .groupBy("wday")
+        .agg(F.countDistinct(key).alias("n_active"))
+    )

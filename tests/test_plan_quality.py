@@ -351,6 +351,28 @@ def test_ohlc_single_partial_aggregate_no_window(spark, sf_dir):
     assert "partial_min" in plan and "partial_max" in plan
 
 
+def test_interpolate_generates_gaps_no_spine_join(spark, sf_dir):
+    """ts_interpolate must GENERATE gap rows from consecutive known
+    points (lead + sequence explode) — a spine left-join would
+    re-derive the bucket aggregate on both sides and need a second
+    window pass. One Window spec, no Join node anywhere."""
+    plan = plan_of(spark, sf_dir, "ts_interpolate")
+    assert "Join" not in plan
+    assert len(re.findall(r"\n[^\n]*\bWindow\b", plan)) == 1
+    assert "explode(sequence" in plan
+
+
+def test_rolling_distinct_no_window_no_expand(spark, sf_dir):
+    """ts_rolling_distinct expresses COUNT(DISTINCT) OVER RANGE as a
+    bucket-contribution explode + plain hash aggregates: no Window
+    node (not partial-aggregable) and no Expand (single distinct agg
+    plans as two-level HashAggregate)."""
+    plan = plan_of(spark, sf_dir, "ts_rolling_distinct")
+    assert "Window" not in plan
+    assert "Expand" not in plan
+    assert "explode(sequence" in plan
+
+
 def test_q21_shape_no_expand_no_distinct_rewrite(spark, sf_dir):
     """q_waiting_suppliers must decorrelate via stacked distinct-free
     aggregates: a countDistinct pair would trigger Catalyst's
