@@ -5815,6 +5815,195 @@ def window_ntile(spark, sf_dir):
 
 
 @register(
+    "merge_upsert_delete",
+    oracle="""
+    WITH t AS (SELECT o_orderkey, o_orderstatus,
+                      CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 1000)
+                           AS BIGINT) AS price3
+               FROM orders),
+    src AS (SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 11 = 5 THEN 'delete'
+                        ELSE 'upsert' END AS op,
+                   o_orderstatus,
+                   CAST(floor(CAST(o_totalprice AS DECIMAL(18,2))
+                              * CAST(1.1 AS DECIMAL(2,1)) * 1000)
+                        AS BIGINT) AS price3
+            FROM orders WHERE o_orderkey % 7 = 3 OR o_orderkey % 11 = 5)
+    SELECT t.o_orderkey, t.o_orderstatus, t.price3 FROM t
+    WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.o_orderkey = t.o_orderkey)
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, price3 FROM src WHERE op = 'upsert'
+    """,
+)
+def merge_upsert_delete(spark, sf_dir):
+    """Full MERGE statement semantics (matched-update, matched-delete,
+    unmatched-insert) over a deterministic changeset: every 7th order
+    upserts with a 10% price bump, every 11th deletes (a key hitting
+    both rules resolves to delete — one CASE per key, so source keys
+    stay unique as MERGE requires). One anti-join + union, no
+    full-outer join (operators/maintenance.py::merge_apply). Prices
+    travel as exact DECIMAL products floored to int64 milli-units —
+    the bare-1.1-literal double-vs-decimal divergence is the classic
+    cross-engine money trap."""
+    from .operators.maintenance import merge_apply
+
+    dec = F.col("o_totalprice").cast(AGG.MONEY)
+    o = _t(spark, sf_dir, "orders")
+    target = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(dec * 1000).cast("long").alias("price3"),
+    )
+    bump = dec * F.lit("1.1").cast("decimal(2,1)")
+    source = (
+        o.filter((F.col("o_orderkey") % 7 == 3) | (F.col("o_orderkey") % 11 == 5))
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 11 == 5, F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("op"),
+            "o_orderstatus",
+            F.floor(bump * 1000).cast("long").alias("price3"),
+        )
+    )
+    return merge_apply(target, source, ["o_orderkey"])
+
+
+@register(
+    "dq_outliers_mad",
+    oracle="""
+    WITH v AS (SELECT event_type, CAST(floor(value * 1e6) AS BIGINT) AS v6
+               FROM events
+               WHERE value IS NOT NULL AND NOT isnan(value)),
+    r1 AS (SELECT event_type, v6,
+                  row_number() OVER (PARTITION BY event_type ORDER BY v6) AS r,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM v),
+    med AS (SELECT event_type,
+                   min(CASE WHEN CAST(r AS DOUBLE)/n >= 0.5 THEN v6 END) AS med6
+            FROM r1 GROUP BY 1),
+    d AS (SELECT v.event_type, v6, med6, abs(v6 - med6) AS d6
+          FROM v JOIN med USING (event_type)),
+    r2 AS (SELECT event_type, d6,
+                  row_number() OVER (PARTITION BY event_type ORDER BY d6) AS r,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM d),
+    mad AS (SELECT event_type,
+                   min(CASE WHEN CAST(r AS DOUBLE)/n >= 0.5 THEN d6 END) AS mad6
+            FROM r2 GROUP BY 1)
+    SELECT d.event_type, count(*) AS n_rows,
+           CAST(sum(CASE WHEN d6 > 3 * mad6 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           min(med6) AS med6, min(mad.mad6) AS mad6
+    FROM d JOIN mad USING (event_type)
+    GROUP BY 1
+    """,
+)
+def dq_outliers_mad(spark, sf_dir):
+    """ROBUST outlier gate: per event-type counts of values more than
+    3 MADs from the median — the heavy-tail-safe complement of
+    dq_outliers' 3-sigma z-score (one far outlier inflates a mean and
+    stddev enough to mask its neighbors; it moves a median and MAD by
+    at most one rank).
+
+    Composes the exact-selection machinery twice (value median, then
+    deviation median), each a bounded-histogram two-pass — no
+    per-group sort, no value buffering (operators/aggregates.py::
+    exact_median_2pass carries the analysis); both median tables are
+    group-cardinality-sized and broadcast back against the scan. The
+    flag compare `d6 > 3*mad6` is pure int64 — no division, no float
+    constant (a 1.4826 normal-consistency factor would be the classic
+    cross-engine 1-ulp trap; 3 raw MADs ~= 2 sigma for a normal).
+    The oracle spells both selections as rank windows — the per-group
+    total ordering this plan avoids."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+    )
+    from .operators.aggregates import exact_median_2pass
+
+    v = ev.select(
+        "event_type", F.floor(F.col("value") * 1e6).cast("long").alias("v6")
+    )
+    med = exact_median_2pass(ev, "event_type", "value").select(
+        "event_type", F.col("median6").alias("med6")
+    )
+    d = v.join(F.broadcast(med), "event_type").withColumn(
+        "d6", F.abs(F.col("v6") - F.col("med6"))
+    )
+    # d6 is already int64 micro-units; /1e6 then re-floor inside the
+    # machinery round-trips exactly (d6 < 2^53)
+    dev = d.select("event_type", (F.col("d6") / 1e6).alias("dev"))
+    mad = exact_median_2pass(dev, "event_type", "dev").select(
+        "event_type", F.col("median6").alias("mad6")
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("d6") > 3 * F.col("mad6"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.min("med6").alias("med6"),
+            F.min("mad6").alias("mad6"),
+        )
+    )
+
+
+@register(
+    "text_bm25",
+    oracle="""
+    WITH dl AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS dl
+                FROM documents),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(dl) AS DOUBLE) AS t FROM dl),
+    toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+             FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+             * (CAST(tf.tf AS DOUBLE) * 2.5)
+             / (CAST(tf.tf AS DOUBLE)
+                + 1.5 * (0.25 + 0.75 * ((CAST(dl.dl AS DOUBLE) * stats.n)
+                                        / stats.t))) AS s
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    ),
+    agg AS (
+      SELECT doc_id,
+             coalesce(max(CASE WHEN term = 'spark'  THEN s END), 0.0) AS s0,
+             coalesce(max(CASE WHEN term = 'window' THEN s END), 0.0) AS s1,
+             coalesce(max(CASE WHEN term = 'merge'  THEN s END), 0.0) AS s2
+      FROM scored GROUP BY 1
+    )
+    SELECT doc_id, CAST(floor(((s0 + s1) + s2) * 1e6) AS BIGINT) AS score6
+    FROM agg ORDER BY score6 DESC, doc_id LIMIT 20
+    """,
+)
+def text_bm25(spark, sf_dir):
+    """Okapi BM25 retrieval over the document corpus for the query
+    {spark, window, merge} — top-20 by score. The query-term filter
+    lands on the raw exploded column before any shuffle; df is
+    query-bounded (broadcast-safe, unlike tf_idf's term table);
+    doubles follow the fixed-operation-tree + fixed-order-addition
+    + exact-binary-constant discipline (operators/text_analysis.py::
+    bm25_search carries the contract)."""
+    from .operators.text_analysis import bm25_search
+
+    d = _docs(spark, sf_dir)
+    return bm25_search(
+        d, "text", "doc_id", ["spark", "window", "merge"], top_n=20
+    )
+
+
+@register(
     "ts_interpolate",
     oracle="""
     WITH known AS (

@@ -182,3 +182,34 @@ def snapshot_diff(
         .filter(F.col("status") != "unchanged")
         .select(*key_cols, "status")
     )
+
+
+def merge_apply(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """ANSI ``MERGE`` semantics in one pass: ``source`` rows carry
+    ``op_col`` in {'upsert', 'delete'};
+
+    * matched + 'upsert'  -> target row REPLACED by the source row
+    * matched + 'delete'  -> target row REMOVED
+    * unmatched 'upsert'  -> source row INSERTED
+    * target rows matching no source key pass through unchanged
+
+    Plan: ONE anti-join of target against the source keys (both
+    upserts and deletes knock the old row out) plus the filtered
+    upsert rows unioned back — no window, no full-outer join, no
+    per-key sort; at scale it is a single equi-shuffle on ``keys``
+    (or a broadcast when the changeset is small, which is the common
+    shape: a big table merged with a day's delta). Contract: source
+    keys are unique (MERGE's own requirement — enforce upstream with
+    dedup_union_by_id); duplicate source keys would fan out inserts.
+
+    Output schema = target schema (``op_col`` dropped).
+    """
+    changed_keys = source.select(*keys).distinct()
+    kept = target.join(changed_keys, keys, "left_anti")
+    upserts = source.filter(F.col(op_col) == "upsert").drop(op_col)
+    return kept.unionByName(upserts.select(*target.columns))

@@ -576,3 +576,101 @@ def fingerprint_rolling(col_name: str) -> Column:
         "            t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)),"
         f"  0L, (acc, h) -> (acc * {ROLLING_BASE} + h) % {ROLLING_MOD})"
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k1: float = 1.5,
+    b: float = 0.75,
+    top_n: int = 20,
+) -> DataFrame:
+    """Rank documents for a fixed term query by Okapi BM25 — the
+    retrieval scoring behind inverted-index search, as pure DataFrame
+    algebra:
+
+        idf(t)     = ln((N - df + 0.5) / (df + 0.5) + 1)
+        score(t,d) = idf · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+    Scale shape: the exploded token stream filters to the query terms
+    BEFORE any aggregation (the hot filter is on the raw exploded
+    column — only matching (doc, term) rows ever shuffle), so tf is
+    bounded by |query| x matching docs. Document length needs no
+    explode at all (``size(split(..))``), and corpus stats (N, total
+    tokens) fold into one broadcast row. df is |query|-bounded —
+    broadcast is safe HERE, unlike tf_idf's unbounded term table. The
+    final top-N compiles to TakeOrderedAndProject.
+
+    Determinism contract: k1 and b MUST be exactly-representable
+    binary fractions (1.5, 0.75 — so 1-b folds to exact 0.25); every
+    double expression is written with a fixed operation tree mirrored
+    in the SQL oracle; per-term scores combine by FIXED-ORDER addition
+    (a float SUM over terms would be partial-aggregation-order-
+    dependent); scores 1e-6-floor-bucket for ranking. ln() is the one
+    ulp-level engine difference, absorbed by the bucket floor (same
+    precedent as tf_idf).
+
+    Returns (id_col, score6) — only documents containing at least one
+    query term, top ``top_n`` by (score6 desc, id).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must name at least one term")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError(f"duplicate query terms in {query_terms}")
+    from struct import pack
+
+    for c in (k1, b):
+        # bit-exact binary fractions only: anything else makes the
+        # folded constants parse differently as SQL decimal literals
+        if pack(">d", c) != pack(">d", float(f"{c:.2f}")) or (c * 4) != int(c * 4):
+            raise ValueError(f"k1/b must be exact quarter fractions, got {c}")
+    dl = df.select(F.col(id_col), token_count(F.col(text_col)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("dl").cast("double").alias("t"),
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(query_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    s = (
+        idf
+        * (tfd * F.lit(k1 + 1.0))
+        / (tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * ((dld * F.col("n")) / F.col("t"))))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), "term", s.alias("s"))
+    )
+    per_term = [
+        F.coalesce(
+            F.max(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0)
+        ).alias(f"__s{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    agg = scored.groupBy(id_col).agg(*per_term)
+    total = F.col("__s0")
+    for i in range(1, len(query_terms)):
+        total = total + F.col(f"__s{i}")
+    return (
+        agg.select(
+            F.col(id_col), F.floor(total * 1e6).cast("long").alias("score6")
+        )
+        .orderBy(F.desc("score6"), F.asc(id_col))
+        .limit(top_n)
+    )

@@ -1,0 +1,155 @@
+"""Semantic tests for the second round-6 operator batch: OHLC
+resample, linear interpolation, rolling distinct, MERGE semantics,
+BM25 validation. Oracle parity for the catalog entries is covered by
+test_oracle_parity; these pin hand-computed edge semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_analyse_marche_emploi_spark.operators.asof import interpolate_linear
+from data_analyse_marche_emploi_spark.operators.maintenance import merge_apply
+from data_analyse_marche_emploi_spark.operators.text_analysis import bm25_search
+from data_analyse_marche_emploi_spark.operators.windows import (
+    ohlc_resample,
+    rolling_distinct,
+)
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_interpolate_draws_exact_line(spark):
+    """Known points at hours 0 (v=1.0) and 3 (v=4.0): gap rows at
+    hours 1, 2 interpolate to 2.0, 3.0 exactly; endpoints stay known."""
+    df = spark.createDataFrame(
+        [(1, _ts(0), 1.0), (1, _ts(3), 4.0)], ["user_id", "ts", "value"]
+    )
+    rows = {
+        r["bucket_ts"].hour: r
+        for r in interpolate_linear(df, "user_id", "ts", "value").collect()
+    }
+    assert [rows[h]["value6"] for h in range(4)] == [
+        1_000_000,
+        2_000_000,
+        3_000_000,
+        4_000_000,
+    ]
+    assert [rows[h]["is_known"] for h in range(4)] == [1, 0, 0, 1]
+
+
+def test_interpolate_floor_rounds_down_and_skips_all_null_buckets(spark):
+    """Non-integer slope floors toward -inf per micro-unit; a bucket
+    whose only value is NULL is a GAP (interpolated), not a known
+    NULL."""
+    df = spark.createDataFrame(
+        [(1, _ts(0), 0.0), (1, _ts(1), None), (1, _ts(3), 1.0)],
+        "user_id int, ts timestamp, value double",
+    )
+    rows = {
+        r["bucket_ts"].hour: r
+        for r in interpolate_linear(df, "user_id", "ts", "value").collect()
+    }
+    # line 0 -> 1.0 over 3 hours: floor(1e6*k/3)
+    assert rows[1]["is_known"] == 0 and rows[1]["value6"] == 333_333
+    assert rows[2]["is_known"] == 0 and rows[2]["value6"] == 666_666
+    assert rows[3]["value6"] == 1_000_000
+
+
+def test_interpolate_single_known_point_emits_one_row(spark):
+    df = spark.createDataFrame([(1, _ts(5), 2.5)], ["user_id", "ts", "value"])
+    out = interpolate_linear(df, "user_id", "ts", "value").collect()
+    assert len(out) == 1 and out[0]["value6"] == 2_500_000
+
+
+def test_rolling_distinct_counts_trailing_window(spark):
+    """Users {a} on day 1, {a,b} on day 3: day-3 trailing-7 window sees
+    both days; only observed days are reported."""
+    d1, d3 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 3)
+    df = spark.createDataFrame(
+        [("a", d1), ("a", d3), ("b", d3), ("a", d3)], ["user_id", "ts"]
+    )
+    rows = {r["wday"].day: r["n_active"] for r in
+            rolling_distinct(df, "user_id", "ts", 7).collect()}
+    assert rows == {1: 1, 3: 2}
+
+
+def test_rolling_distinct_window_expiry(spark):
+    """An event window_days-1 days back still counts; one more day out
+    it expires."""
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            ("a", base),
+            ("b", base + dt.timedelta(days=2)),
+            ("c", base + dt.timedelta(days=3)),
+        ],
+        ["user_id", "ts"],
+    )
+    rows = {r["wday"].day: r["n_active"] for r in
+            rolling_distinct(df, "user_id", "ts", 3).collect()}
+    # day 3: a (2 days back, within 3-day window), b, c -> wait: window
+    # covers days {1,2,3}; a=day1, b=day3, c=day4 -> day-3 window sees a, b
+    assert rows[1] == 1
+    assert rows[3] == 2  # a (day 1) + b (day 3); c is day 4
+    assert rows[4] == 2  # b (day 3) + c (day 4); a expired
+
+
+def test_merge_apply_full_matrix(spark):
+    """Matched-update, matched-delete, unmatched-insert, untouched."""
+    target = spark.createDataFrame(
+        [(1, "keep"), (2, "update-me"), (3, "delete-me")], ["k", "v"]
+    )
+    source = spark.createDataFrame(
+        [(2, "updated", "upsert"), (3, None, "delete"), (9, "new", "upsert")],
+        ["k", "v", "op"],
+    )
+    out = {r["k"]: r["v"] for r in merge_apply(target, source, ["k"]).collect()}
+    assert out == {1: "keep", 2: "updated", 9: "new"}
+
+
+def test_ohlc_open_close_follow_event_time_not_value(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _ts(0, 5), 30.0, 101),
+            (1, _ts(0, 1), 10.0, 100),  # earliest -> open
+            (1, _ts(0, 9), 20.0, 102),  # latest -> close
+        ],
+        ["user_id", "ts", "value", "event_id"],
+    )
+    r = ohlc_resample(df, "user_id", "ts", "value", "event_id").collect()[0]
+    assert (r["open6"], r["high6"], r["low6"], r["close6"]) == (
+        10_000_000,
+        30_000_000,
+        10_000_000,
+        20_000_000,
+    )
+
+
+def test_bm25_rejects_bad_inputs(spark):
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one"):
+        bm25_search(df, "text", "doc_id", [])
+    with pytest.raises(ValueError, match="duplicate"):
+        bm25_search(df, "text", "doc_id", ["a", "a"])
+    with pytest.raises(ValueError, match="quarter"):
+        bm25_search(df, "text", "doc_id", ["a"], k1=1.2)
+
+
+def test_bm25_rarer_term_outranks_common_term(spark):
+    """Two docs, same length; 'rare' appears in one doc, 'common' in
+    both: the rare-term doc must outscore the common-only doc."""
+    df = spark.createDataFrame(
+        [(1, "rare pad pad pad"), (2, "common pad pad pad"),
+         (3, "common filler filler filler")],
+        ["doc_id", "text"],
+    )
+    out = bm25_search(df, "text", "doc_id", ["rare", "common"], top_n=3)
+    rows = out.collect()
+    assert rows[0]["doc_id"] == 1
+    assert {r["doc_id"] for r in rows} == {1, 2, 3}
