@@ -5815,6 +5815,45 @@ def window_ntile(spark, sf_dir):
 
 
 @register(
+    "dedup_prefix_filter",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(toks) < 3 THEN []
+                  ELSE list_transform(generate_series(1, len(toks) - 2),
+                       i -> array_to_string(toks[i:i+2], ' ')) END)) AS shingle
+           FROM d),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                 AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT i, j, common,
+           CAST(1000000 * common // (sa.n_sh + sb.n_sh - common)
+                AS BIGINT) AS jaccard6
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = i
+    JOIN sizes sb ON sb.doc_id = j
+    WHERE 2 * common >= (sa.n_sh + sb.n_sh - common)
+    """,
+)
+def dedup_prefix_filter(spark, sf_dir):
+    """EXACT Jaccard >= 1/2 similarity self-join with SSJoin/PPJoin
+    prefix filtering: candidates come only from each doc's globally-
+    rarest shingles (provably complete for the threshold), so the hot
+    posting lists that force ngram_jaccard's lossy max_df cap never
+    enumerate. Integer-exact prefix lengths and cross-multiplied
+    threshold (operators/dedup.py::prefix_filter_pairs carries the
+    theorem and the scale analysis). The oracle is the full
+    posting-list self-join — candidate pruning must not change the
+    answer, only the work."""
+    from .operators.dedup import prefix_filter_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return prefix_filter_pairs(d, "text", "doc_id", n=3, threshold=(1, 2))
+
+
+@register(
     "merge_upsert_delete",
     oracle="""
     WITH t AS (SELECT o_orderkey, o_orderstatus,

@@ -91,8 +91,6 @@ def test_rolling_distinct_window_expiry(spark):
     )
     rows = {r["wday"].day: r["n_active"] for r in
             rolling_distinct(df, "user_id", "ts", 3).collect()}
-    # day 3: a (2 days back, within 3-day window), b, c -> wait: window
-    # covers days {1,2,3}; a=day1, b=day3, c=day4 -> day-3 window sees a, b
     assert rows[1] == 1
     assert rows[3] == 2  # a (day 1) + b (day 3); c is day 4
     assert rows[4] == 2  # b (day 3) + c (day 4); a expired
@@ -153,3 +151,42 @@ def test_bm25_rarer_term_outranks_common_term(spark):
     rows = out.collect()
     assert rows[0]["doc_id"] == 1
     assert {r["doc_id"] for r in rows} == {1, 2, 3}
+
+
+def test_prefix_filter_equals_full_join(spark, sf_dir):
+    """Candidate pruning must not change the answer: prefix_filter_pairs
+    == ngram_jaccard_pairs (no max_df) on the fixture corpus, pair for
+    pair — the prefix theorem's completeness, checked empirically."""
+    from data_analyse_marche_emploi_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+    )
+    from data_analyse_marche_emploi_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    got = {
+        (r["i"], r["j"]): (r["common"], r["jaccard6"])
+        for r in prefix_filter_pairs(
+            d, "text", "doc_id", n=3, threshold=(1, 2)
+        ).collect()
+    }
+    want = {
+        (r["i"], r["j"])
+        for r in ngram_jaccard_pairs(
+            d, "text", "doc_id", n=3, threshold=0.5, max_df=None
+        ).collect()
+    }
+    assert set(got) == want and len(got) > 0
+
+
+def test_prefix_filter_rejects_bad_threshold(spark):
+    from data_analyse_marche_emploi_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="rational"):
+        prefix_filter_pairs(df, "text", "doc_id", threshold=(3, 2))
+    with pytest.raises(ValueError, match="rational"):
+        prefix_filter_pairs(df, "text", "doc_id", threshold=(0, 2))
