@@ -3760,6 +3760,56 @@ def stream_value_histogram_q(spark, sf_dir):
     )
 
 
+@register(
+    "stream_ohlc",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,
+             epoch_us(ts) AS tmic, event_id,
+             CAST(floor(value * 1e6) AS BIGINT) AS v6
+      FROM events
+    ),
+    ranked AS (
+      SELECT user_id, bucket_ts, v6,
+             count(*) OVER wpk AS n,
+             max(v6) OVER wpk AS high6,
+             min(v6) OVER wpk AS low6,
+             first_value(v6) OVER wo AS open6,
+             last_value(v6) OVER wo AS close6,
+             row_number() OVER (PARTITION BY user_id, bucket_ts
+                                ORDER BY tmic, event_id) AS rn
+      FROM e
+      WINDOW wpk AS (PARTITION BY user_id, bucket_ts),
+             wo AS (PARTITION BY user_id, bucket_ts
+                    ORDER BY tmic, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket_ts, n, open6, high6, low6, close6
+    FROM ranked WHERE rn = 1
+    """,
+)
+def stream_ohlc(spark, sf_dir):
+    """STREAMING hourly OHLC per user — the live price/telemetry chart
+    feed. Open and close ride min/max(struct(tmic, id, v6)) exactly as
+    the batch ts_ohlc, and min/max/count aggregation state is
+    commutative + arrival-order-insensitive, so the available-now
+    drain is value-equal to the batch GROUP BY and this CUSTOM
+    streaming rollup carries ts_ohlc's FULL value oracle (the
+    stream_minhash_users upgrade pattern). State per (user, hour) is
+    five fixed-width scalars + two structs — bounded at any traffic
+    volume, where a first_value/last_value formulation would buffer
+    every event."""
+    from .operators.windows import ohlc_resample
+    from .streaming import incremental as S
+
+    ev = S.read_events_stream(spark, sf_dir)
+    res = ohlc_resample(
+        ev.withWatermark("ts", "1 day"), "user_id", "ts", "value", "event_id"
+    )
+    return S.run_available_now(res, "complete")
+
+
 @register("stream_distinct_users", oracle=None)
 def stream_distinct_users(spark, sf_dir):
     """Streaming daily distinct users with HLL-sketch aggregation
@@ -5811,6 +5861,56 @@ def window_ntile(spark, sf_dir):
         AGG.money_sum(F.col("o_totalprice"), "revenue"),
         F.floor(F.min("o_totalprice") * 1e6).cast("long").alias("min_price6"),
         F.floor(F.max("o_totalprice") * 1e6).cast("long").alias("max_price6"),
+    )
+
+
+@register(
+    "q_pareto_frontier",
+    oracle="""
+    WITH pts AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 1e6) AS BIGINT) AS price6,
+             CAST(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+                  AS BIGINT) AS day_n
+      FROM orders
+    ),
+    r AS (
+      SELECT o_orderkey, price6, day_n,
+             max(day_n) OVER (ORDER BY price6
+                              RANGE BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS m1,
+             max(day_n) OVER (PARTITION BY price6) AS m2
+      FROM pts
+    )
+    SELECT o_orderkey, price6, day_n FROM r
+    WHERE (m1 IS NULL OR m1 < day_n) AND m2 = day_n
+    """,
+)
+def q_pareto_frontier(spark, sf_dir):
+    """Skyline query: the Pareto frontier of orders under (cheapest
+    price, most recent date) — no other order is both <= in price and
+    >= in date with one strict. The oracle is the textbook single-sort
+    running-max (a GLOBAL total order); the engine runs the bucketed
+    two-phase skyline instead — cross-bucket dominance collapses to a
+    cumulative max over a buckets-sized table, in-bucket dominance is
+    a window partitioned by bucket (operators/aggregates.py::
+    pareto_frontier_2d carries the decomposition). Ties on both
+    coordinates all survive, so equal-point orderkeys agree across
+    engines."""
+    from .operators.aggregates import pareto_frontier_2d
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 1e6).cast("long").alias("price6"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("day_n"),
+    )
+    return pareto_frontier_2d(o, "price6", "day_n").select(
+        "o_orderkey", "price6", "day_n"
     )
 
 

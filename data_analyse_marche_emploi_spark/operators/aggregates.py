@@ -243,3 +243,65 @@ def exact_percentiles_2pass(
         f"{key} {key_type}, p double, value6 long",
     )
     return refined.unionByName(nulls)
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    min_col: str,
+    max_col: str,
+    bucket_width: int = 1_000_000_000,
+) -> DataFrame:
+    """EXACT 2-D skyline: rows not dominated under (minimize
+    ``min_col``, maximize ``max_col``) — b dominates a iff
+    ``b.min <= a.min AND b.max >= a.max`` with one strict. Both
+    columns must be integral (pre-bucket floats to int64 units).
+
+    The textbook single-sort skyline needs a GLOBAL total order (one
+    running max over all rows — a single-partition window, dead at
+    corpus scale). This is the bucket-split form, the same move as
+    ``exact_percentiles_2pass``: coarse-bucket ``min_col``, so
+    dominance splits into (a) CROSS-BUCKET — every lower bucket's
+    price is strictly lower, so only each bucket's max(max_col)
+    matters: a buckets-sized table, cumulative-maxed over bucket order
+    (a window over rows BOUNDED by value_range/bucket_width, never by
+    row count) and broadcast back; and (b) IN-BUCKET — a running max
+    over a window PARTITIONED by bucket (both in-bucket specs share
+    one partitioning; only bucket residents sort). A row survives iff
+    no lower bucket reaches its ``max_col``, no strictly-cheaper
+    in-bucket row reaches it, and no equal-``min_col`` row exceeds it
+    (ties on BOTH coordinates all survive — neither dominates).
+
+    All comparisons are int64 — engine-exact. Passthrough columns are
+    preserved.
+    """
+    from pyspark.sql import Window
+
+    b = df.withColumn(
+        "__bkt", F.floor(F.col(min_col) / bucket_width).cast("long")
+    )
+    bmax = b.groupBy("__bkt").agg(F.max(max_col).alias("__bmax"))
+    w_cum = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = bmax.select(
+        "__bkt", F.max("__bmax").over(w_cum).alias("__lower_max")
+    )
+    w_strict = (
+        Window.partitionBy("__bkt")
+        .orderBy(min_col)
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy("__bkt", min_col)
+    flagged = (
+        b.join(F.broadcast(cum), "__bkt")
+        .withColumn("__m1", F.max(max_col).over(w_strict))
+        .withColumn("__m2", F.max(max_col).over(w_eq))
+    )
+    not_dominated = (
+        (F.col("__lower_max").isNull() | (F.col("__lower_max") < F.col(max_col)))
+        & (F.col("__m1").isNull() | (F.col("__m1") < F.col(max_col)))
+        & (F.col("__m2") == F.col(max_col))
+    )
+    return flagged.filter(not_dominated).drop(
+        "__bkt", "__lower_max", "__m1", "__m2"
+    )

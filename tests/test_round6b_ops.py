@@ -190,3 +190,49 @@ def test_prefix_filter_rejects_bad_threshold(spark):
         prefix_filter_pairs(df, "text", "doc_id", threshold=(3, 2))
     with pytest.raises(ValueError, match="rational"):
         prefix_filter_pairs(df, "text", "doc_id", threshold=(0, 2))
+
+
+def test_pareto_frontier_hand_case(spark):
+    """Dominance matrix incl. both-coordinate ties and a cross-bucket
+    pair (width=10 puts p=5 and p=15 in different buckets)."""
+    from data_analyse_marche_emploi_spark.operators.aggregates import (
+        pareto_frontier_2d,
+    )
+
+    pts = [
+        (1, 5, 100),   # frontier (cheapest)
+        (2, 15, 100),  # dominated by 1 cross-bucket (p>, d==)
+        (3, 15, 200),  # frontier (more recent than anything cheaper)
+        (4, 15, 200),  # exact tie with 3 -> both survive
+        (5, 17, 150),  # dominated in-bucket by 3 (p>, d<)
+        (6, 25, 300),  # frontier
+        (7, 5, 90),    # dominated by 1 at equal price (d<)
+    ]
+    df = spark.createDataFrame(pts, ["id", "p", "d"])
+    keep = {r["id"] for r in
+            pareto_frontier_2d(df, "p", "d", bucket_width=10).collect()}
+    assert keep == {1, 3, 4, 6}
+
+
+def test_pareto_frontier_matches_quadratic_def(spark):
+    """Bucketed two-phase == brute-force NOT EXISTS dominance on a
+    seeded random cloud (crosses many buckets)."""
+    import random
+
+    from data_analyse_marche_emploi_spark.operators.aggregates import (
+        pareto_frontier_2d,
+    )
+
+    rng = random.Random(42)
+    pts = [(i, rng.randrange(0, 1000), rng.randrange(0, 1000))
+           for i in range(300)]
+    brute = {
+        i for i, p, d in pts
+        if not any(
+            (q <= p and e >= d and (q < p or e > d)) for _, q, e in pts
+        )
+    }
+    df = spark.createDataFrame(pts, ["id", "p", "d"])
+    keep = {r["id"] for r in
+            pareto_frontier_2d(df, "p", "d", bucket_width=64).collect()}
+    assert keep == brute
