@@ -1142,8 +1142,8 @@ def prefix_filter_pairs(
     threshold: tuple[int, int] = (1, 2),
 ) -> DataFrame:
     """EXACT shingle-set Jaccard >= num/den similarity self-join via
-    global-frequency PREFIX FILTERING (the SSJoin/PPJoin candidate
-    pruning) — the third point in the design space next to
+    global-frequency PREFIX FILTERING plus the PPJoin POSITIONAL
+    filter — the third point in the design space next to
     :func:`ngram_jaccard_pairs` (exact, but C(df,2) per posting list
     unless ``max_df`` throws pairs away) and MinHash-LSH (bounded
     candidates, but probabilistic):
@@ -1157,21 +1157,32 @@ def prefix_filter_pairs(
     (exactly the C(df,2) killers) sort LAST, out of almost every
     prefix. No max_df, no lost pairs, no quadratic hot list.
 
-    Every intermediate is integer-exact: prefix length is computed as
+    Candidates then pass the POSITIONAL filter before any payload
+    joins: at the pair's FIRST shared token (every earlier token of
+    either doc is provably unshared — both docs sort by the same
+    global order), overlap <= 1 + min(remaining_a, remaining_b), and
+    Jaccard >= num/den needs overlap·(num+den) >= num·(na+nb); pairs
+    whose positional bound cannot reach the threshold die as bare id
+    pairs. On the dense synthetic corpus this prunes the verify-join
+    input by an order of magnitude at 10x docs.
+
+    Every comparison is integer-exact: prefix length is
     ``n_sh - (num·n_sh + den - 1) div den + 1`` (a float ``ceil(t·n)``
     is the classic cross-engine boundary flip — and an undersized
     prefix silently LOSES pairs, which no exact verify can recover);
     the final filter cross-multiplies ``den·common >= num·union``;
-    jaccard6 is an integer floor-division. Candidates verify exactly
+    jaccard6 is an integer floor-division. Survivors verify exactly
     against per-doc shingle arrays (array_intersect — arrays shuffle
-    only for docs that survive candidate generation; at extreme
-    candidate fan-out swap the verify for a posting-list count join).
+    only for docs that survive BOTH filters; at extreme fan-out swap
+    the verify for a posting-list count join).
 
     One content shuffle builds the ranked token table (the df join
     rides the same shingle partitioning); ONE Window node serves both
     the rank and the set size (same partition+order, mirrored
     frames); prefix posting lists enumerate pairs with the same
-    two-level bounded explode as ``_posting_pairs``.
+    two-level bounded explode as ``_posting_pairs``, carrying
+    (doc, pos, n_sh) structs so the positional filter is a plain
+    aggregate over the meetings.
 
     Returns ``(i, j, common, jaccard6)`` with i < j.
     """
@@ -1197,24 +1208,54 @@ def prefix_filter_pairs(
     pos = ranked.select(
         "doc",
         "shingle",
+        "df",
         F.row_number().over(w_rank).alias("pos"),
         F.count(F.lit(1)).over(w_all).alias("n_sh"),
     )
     keep = F.col("n_sh") - F.expr(f"div({num} * n_sh + {den - 1}, {den})") + 1
-    prefix = pos.filter(F.col("pos") <= keep).select("doc", "shingle")
-    cand = (
+    prefix = pos.filter(F.col("pos") <= keep)
+    # Meetings: every (pair, shared prefix token) — the struct sort
+    # keys posting lists by doc id, so i < j; (df, shingle) rides along
+    # to identify each pair's FIRST shared token in the global order.
+    meets = (
         prefix.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+        .agg(
+            F.first("df").alias("df"),
+            F.sort_array(
+                F.collect_list(F.struct("doc", "pos", "n_sh"))
+            ).alias("docs"),
+        )
         .filter(F.size("docs") >= 2)
-        .select(F.col("docs"), F.posexplode("docs").alias("p", "x"))
+        .select("df", "shingle", F.col("docs"), F.posexplode("docs").alias("p", "a"))
         .select(
-            F.col("x").alias("i"),
+            "df",
+            "shingle",
+            F.col("a"),
             F.explode(F.expr("slice(docs, p + 2, size(docs) - p - 1)")).alias(
-                "j"
+                "b"
             ),
         )
-        .distinct()
     )
+    first_meet = meets.groupBy(
+        F.col("a.doc").alias("i"), F.col("b.doc").alias("j")
+    ).agg(
+        F.min(
+            F.struct(
+                "df",
+                "shingle",
+                F.col("a.pos").alias("pa"),
+                F.col("b.pos").alias("pb"),
+                F.col("a.n_sh").alias("na"),
+                F.col("b.n_sh").alias("nb"),
+            )
+        ).alias("m")
+    )
+    bound = F.lit(1) + F.least(
+        F.col("m.na") - F.col("m.pa"), F.col("m.nb") - F.col("m.pb")
+    )
+    cand = first_meet.filter(
+        bound * F.lit(num + den) >= F.lit(num) * (F.col("m.na") + F.col("m.nb"))
+    ).select("i", "j")
     arrs = toks.groupBy("doc").agg(
         F.collect_set("shingle").alias("sh"), F.count(F.lit(1)).alias("n_sh")
     )
