@@ -59,6 +59,12 @@ HEADLINE = [
     "dedup_containment_pairs",
     "ts_moving_stats",
     "ts_ewma",
+    # round-6 (cont.): Q21 shape (stacked distinct-free decorrelation),
+    # exact prefix+positional similarity join, generated-gap linear
+    # interpolation
+    "q_waiting_suppliers",
+    "dedup_prefix_filter",
+    "ts_interpolate",
     # structured-streaming drain (availableNow → watermarked dedup)
     "stream_dedup_upsert",
 ]

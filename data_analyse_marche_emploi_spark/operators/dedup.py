@@ -1236,7 +1236,13 @@ def prefix_filter_pairs(
             ),
         )
     )
-    first_meet = meets.groupBy(
+    # Length filter (sound: J >= num/den forces den·min(n) >= num·max(n),
+    # since overlap <= min(n) and union >= max(n)) — kills incompatible
+    # meetings as a cheap row predicate BEFORE the pair groupBy shuffle.
+    size_ok = F.lit(den) * F.least(
+        F.col("a.n_sh"), F.col("b.n_sh")
+    ) >= F.lit(num) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+    first_meet = meets.filter(size_ok).groupBy(
         F.col("a.doc").alias("i"), F.col("b.doc").alias("j")
     ).agg(
         F.min(
