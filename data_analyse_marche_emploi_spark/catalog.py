@@ -6401,32 +6401,27 @@ def q_waiting_suppliers(spark, sf_dir):
 # ROLLUP, …) register after them — they stay fully covered by pytest and
 # tools/oracle_check.py, which check ALL entries.
 
-# Round-6 rotation: after r5's 50/50-green sweep, the window packs the
-# 20 entries that still had no driver row from any round (r1-r5), ALL
-# 18 entries first registered this round (dedup_containment_pairs,
-# agg_grouping_sets, unpivot_measures, ts_moving_stats, ts_ewma,
-# agg_mode, q_important_parts, agg_corr_matrix, q_avg_yearly,
-# emb_pca_project, dq_outliers, q_revenue_yoy, stream_minhash_users,
-# multimodal_bmp, agg_exact_median, agg_exact_percentiles,
-# q_nation_profit, stream_value_histogram — each needs its FIRST
-# driver row), the smoke anchor plus the 4 pre-existing entries whose
-# code changed this round (posting-list pair rewrite, GIF compositing,
-# JPEG refinement strictness), and re-proofs of the streaming family
-# and heavy dedup/ANN cores last driver-checked in r3/r4. Entries
-# green in r5 and unchanged rotate OUT to the local-gate-only tier
-# (pytest + tools/oracle_check.py still check ALL 176 entries).
+# Round-6 rotation (updated at round-6 end for the r6 driver pass):
+# 51 of the 189 entries have never had a driver row across r1-r5 —
+# every first-timer from both round-6 sessions plus the r1-r5 backlog.
+# The window packs the smoke anchor, re-proofs of the four pre-existing
+# entries whose code changed in round 6 (posting-list pair-enumeration
+# rewrite, GIF compositing fix, progressive-JPEG refinement
+# strictness), all 41 never-checked entries that carry FULL value
+# oracles, and the 4 most substantive rows-only never-checked ones
+# (ann_ivf_pq, ann_pq, emb_pca_project, bpe_encode_corpus). The 6
+# remaining rows-only never-checked entries (agg_approx_quantiles,
+# sample_seeded, stream_distinct_users, multimodal_features,
+# agg_hll_rollup, agg_kll_quantiles) defer to round 7 — their driver
+# check is the weaker rows-only form and all of them hold semantic
+# equality tests in pytest; tools/oracle_check.py still checks ALL
+# 189 entries at three SFs.
 _DRIVER_WINDOW = [
-    # carry-overs: smoke anchor + entries whose code changed this round
-    # (posting-list pair enumeration rewrite; GIF compositing fix;
-    # progressive-JPEG refinement strictness)
     "flagship_orders_by_month",
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "multimodal_gif",
     "multimodal_jpeg_progressive",
-    # entries first registered this round (first driver row); the
-    # remaining four of the 16 — stream_minhash_users, multimodal_bmp,
-    # agg_exact_median, agg_exact_percentiles — sit in the final group
     "dedup_containment_pairs",
     "agg_grouping_sets",
     "unpivot_measures",
@@ -6436,50 +6431,42 @@ _DRIVER_WINDOW = [
     "q_important_parts",
     "agg_corr_matrix",
     "q_avg_yearly",
-    "emb_pca_project",
     "dq_outliers",
     "q_revenue_yoy",
-    # the 20 entries that have never had a driver row (r1-r5)
     "text_lang_id_ngram",
     "multimodal_meta",
     "q_min_price_supplier",
     "q_part_supplier_counts",
     "q_cheapest_line_supplier",
-    "agg_approx_quantiles",
-    "sample_seeded",
     "array_ops",
-    "ann_ivf_pq",
-    "ann_pq",
     "profile_table",
-    "stream_distinct_users",
     "multimodal_resize_area",
     "dedup_video_phash",
     "multimodal_gif_frames",
-    "multimodal_features",
-    "bpe_encode_corpus",
-    "agg_hll_rollup",
-    "agg_kll_quantiles",
     "agg_theta_distinct",
-    # re-proofs (streaming family + dedup/ANN cores last driver-
-    # checked r3/r4) interleaved with the six newest first-timers;
-    # knn_brute_force / dedup_incremental / dedup_window_exact /
-    # stream_sliding_window / ann_ivf / dedup_lines_global ceded their
-    # re-proof slots to first-timers (first driver rows outrank
-    # re-proofs; all remain covered by bench and the local
-    # full-registry gates, and rotate back next round)
-    "stream_tumbling_window",
     "agg_exact_percentiles",
-    "stream_session_window",
-    "stream_stateful_totals",
-    "stream_stream_join",
-    "stream_scd2_enrich",
-    "stream_dedup_upsert",
-    "dedup_minhash_lsh",
     "q_nation_profit",
     "stream_value_histogram",
     "multimodal_bmp",
     "agg_exact_median",
     "stream_minhash_users",
+    "stream_ohlc",
+    "q_promo_part_suppliers",
+    "ts_ohlc",
+    "window_ntile",
+    "q_pareto_frontier",
+    "dedup_prefix_filter",
+    "merge_upsert_delete",
+    "dq_outliers_mad",
+    "text_bm25",
+    "ts_interpolate",
+    "ts_rolling_distinct",
+    "global_quantile_bands",
+    "q_waiting_suppliers",
+    "ann_ivf_pq",
+    "ann_pq",
+    "emb_pca_project",
+    "bpe_encode_corpus",
 ]
 
 def _prioritize() -> None:
