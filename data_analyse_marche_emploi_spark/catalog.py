@@ -3768,6 +3768,7 @@ def stream_value_histogram_q(spark, sf_dir):
              epoch_us(ts) AS tmic, event_id,
              CAST(floor(value * 1e6) AS BIGINT) AS v6
       FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value)
     ),
     ranked AS (
       SELECT user_id, bucket_ts, v6,
@@ -5783,6 +5784,7 @@ def q_promo_part_suppliers(spark, sf_dir):
              epoch_us(ts) AS tmic, event_id,
              CAST(floor(value * 1e6) AS BIGINT) AS v6
       FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value)
     ),
     ranked AS (
       SELECT user_id, bucket_ts, v6,
@@ -5825,7 +5827,7 @@ def ts_ohlc(spark, sf_dir):
              ntile(10) OVER (PARTITION BY o_orderstatus
                              ORDER BY o_totalprice, o_orderkey) AS decile,
              o_totalprice
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
     )
     SELECT o_orderstatus, decile, count(*) AS cnt,
            round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
@@ -5849,7 +5851,10 @@ def window_ntile(spark, sf_dir):
     and a range join against the cutpoints instead."""
     from pyspark.sql import Window
 
-    o = _t(spark, sf_dir, "orders")
+    # NULL prices are excluded BEFORE banding: Spark sorts NULLS FIRST
+    # ascending while DuckDB defaults NULLS LAST, so one NULL row would
+    # shift every decile boundary in its partition between engines.
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
     w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
     d = o.select(
         "o_orderstatus",
@@ -6069,12 +6074,13 @@ def dq_outliers_mad(spark, sf_dir):
     d = v.join(F.broadcast(med), "event_type").withColumn(
         "d6", F.abs(F.col("v6") - F.col("med6"))
     )
-    # d6 is already int64 micro-units; /1e6 then re-floor inside the
-    # machinery round-trips exactly (d6 < 2^53)
-    dev = d.select("event_type", (F.col("d6") / 1e6).alias("dev"))
-    mad = exact_median_2pass(dev, "event_type", "dev").select(
-        "event_type", F.col("median6").alias("mad6")
-    )
+    # d6 is already int64 micro-units — selected in the machinery's
+    # integer mode (dividing by 1e6 to feed the default mode does NOT
+    # round-trip: floor((249/1e6)*1e6) == 248)
+    dev = d.select("event_type", "d6")
+    mad = exact_median_2pass(
+        dev, "event_type", "d6", values_are_int=True
+    ).select("event_type", F.col("median6").alias("mad6"))
     return (
         d.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")

@@ -105,6 +105,7 @@ def exact_median_2pass(
     key: str,
     val: str,
     bucket_width: int = 1_000_000,
+    values_are_int: bool = False,
 ) -> DataFrame:
     """EXACT per-group median (percentile_disc(0.5): the value at rank
     ceil(n/2) in value order) without a global sort — the selection
@@ -129,8 +130,16 @@ def exact_median_2pass(
 
     Two fact scans, no sort wider than one bucket's residents, driver
     state = the bounded histogram. Returns ``(key, median6)``.
+
+    ``values_are_int``: the column is already an exact int64 domain
+    (e.g. micro-unit deviations) — selected AS IS, no 1e-6 scaling.
+    A caller must NOT divide such a column by 1e6 to feed the default
+    mode: ``floor((d/1e6)*1e6) != d`` for ~2% of int64 values (249 ->
+    248), which silently shifts the selected rank value by one unit.
     """
-    out = exact_percentiles_2pass(df, key, val, [0.5], bucket_width)
+    out = exact_percentiles_2pass(
+        df, key, val, [0.5], bucket_width, values_are_int=values_are_int
+    )
     return out.select(key, F.col("value6").alias("median6"))
 
 
@@ -140,6 +149,7 @@ def exact_percentiles_2pass(
     val: str,
     ps: list[float],
     bucket_width: int = 1_000_000,
+    values_are_int: bool = False,
 ) -> DataFrame:
     """EXACT per-group percentile_disc for a LIST of percentiles in the
     same two passes as :func:`exact_median_2pass` (whose docstring
@@ -170,10 +180,14 @@ def exact_percentiles_2pass(
     # Without this, a single NULL crashed the driver walk (None < int)
     # and NaN diverged between engines (Spark casts NaN→0, DuckDB
     # errors) — the one-bad-row-kills-the-job class.
-    v6 = F.when(
-        F.col(val).isNotNull() & ~F.isnan(F.col(val)),
-        F.floor(F.col(val) * 1e6).cast("long"),
-    )
+    if values_are_int:
+        # exact int64 domain: select as is (isnan() rejects longs)
+        v6 = F.when(F.col(val).isNotNull(), F.col(val).cast("long"))
+    else:
+        v6 = F.when(
+            F.col(val).isNotNull() & ~F.isnan(F.col(val)),
+            F.floor(F.col(val) * 1e6).cast("long"),
+        )
     b = df.select(F.col(key).alias("__k"), v6.alias("__v6")).withColumn(
         "__bkt", F.floor(F.col("__v6") / bucket_width).cast("long")
     )

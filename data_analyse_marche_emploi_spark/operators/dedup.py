@@ -1172,9 +1172,10 @@ def prefix_filter_pairs(
     prefix silently LOSES pairs, which no exact verify can recover);
     the final filter cross-multiplies ``den·common >= num·union``;
     jaccard6 is an integer floor-division. Survivors verify exactly
-    against per-doc shingle arrays (array_intersect — arrays shuffle
-    only for docs that survive BOTH filters; at extreme fan-out swap
-    the verify for a posting-list count join).
+    against per-doc shingle arrays (array_intersect) built AFTER a
+    semi-join on the surviving doc ids, so only those docs' sets are
+    ever collected or shuffled; at extreme candidate fan-out swap the
+    verify for a posting-list count join.
 
     One content shuffle builds the ranked token table (the df join
     rides the same shingle partitioning); ONE Window node serves both
@@ -1262,8 +1263,26 @@ def prefix_filter_pairs(
     cand = first_meet.filter(
         bound * F.lit(num + den) >= F.lit(num) * (F.col("m.na") + F.col("m.nb"))
     ).select("i", "j")
-    arrs = toks.groupBy("doc").agg(
-        F.collect_set("shingle").alias("sh"), F.count(F.lit(1)).alias("n_sh")
+    # Verify arrays are built ONLY for docs that survive both filters:
+    # without the semi-join, the collect_set aggregate shuffles every
+    # document's complete shingle set (a join does not push below an
+    # aggregate) — the exact payload shuffle the pruning exists to
+    # avoid. The candidate subtree is re-derived on each consumer
+    # branch (id-sized aggregates; AQE exchange reuse collapses the
+    # identical prefixes) — at corpus scale recomputing bare-id
+    # candidates is orders cheaper than shuffling all arrays.
+    survivors = (
+        cand.select(F.col("i").alias("doc"))
+        .union(cand.select(F.col("j").alias("doc")))
+        .distinct()
+    )
+    arrs = (
+        toks.join(survivors, "doc", "left_semi")
+        .groupBy("doc")
+        .agg(
+            F.collect_set("shingle").alias("sh"),
+            F.count(F.lit(1)).alias("n_sh"),
+        )
     )
     a = arrs.select(
         F.col("doc").alias("i"), F.col("sh").alias("sa"), F.col("n_sh").alias("na")

@@ -211,9 +211,16 @@ def ohlc_resample(
     would shuffle and sort every event.
 
     Values are 1e-6-floor-bucketed (``v6`` BIGINT) so min/max/open/
-    close compare exact integers — engine-independent.
+    close compare exact integers — engine-independent. NULL/NaN values
+    are MISSING: their events don't enter the bar at all (a NaN would
+    cast to 0 in Spark but crash a DuckDB oracle; a NULL would make
+    min/max(struct) pick a null-valued struct while plain max skips
+    it — the one-bad-row divergence class), so ``n`` counts priced
+    events and an all-missing bucket emits no bar.
     """
-    base = df.select(
+    base = df.filter(
+        F.col(val).isNotNull() & ~F.isnan(F.col(val))
+    ).select(
         F.col(key),
         F.date_trunc(bucket, F.col(ts)).cast("timestamp").alias("bucket_ts"),
         F.unix_micros(F.col(ts).cast("timestamp")).alias("__tmic"),

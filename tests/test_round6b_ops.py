@@ -170,13 +170,20 @@ def test_prefix_filter_equals_full_join(spark, sf_dir):
             d, "text", "doc_id", n=3, threshold=(1, 2)
         ).collect()
     }
+    # value exactness (common, jaccard6) is pinned by the DuckDB
+    # differential oracle; here the dual-implementation compare checks
+    # the PAIR SET plus threshold/floor-division consistency
     want = {
-        (r["i"], r["j"])
+        (r["i"], r["j"]): r["jaccard"]
         for r in ngram_jaccard_pairs(
             d, "text", "doc_id", n=3, threshold=0.5, max_df=None
         ).collect()
     }
-    assert set(got) == want and len(got) > 0
+    assert set(got) == set(want) and len(got) > 0
+    for pair, (common, j6) in got.items():
+        assert j6 >= 500_000 and common > 0
+        # integer floor-division vs the double ratio: within one unit
+        assert abs(j6 - int(want[pair] * 1_000_000)) <= 1
 
 
 def test_prefix_filter_rejects_bad_threshold(spark):
@@ -236,3 +243,36 @@ def test_pareto_frontier_matches_quadratic_def(spark):
     keep = {r["id"] for r in
             pareto_frontier_2d(df, "p", "d", bucket_width=64).collect()}
     assert keep == brute
+
+
+def test_exact_median_int_mode_no_roundtrip_loss(spark):
+    """values_are_int selects int64 domains AS IS — the float detour
+    floor((249/1e6)*1e6) == 248 must not happen."""
+    from data_analyse_marche_emploi_spark.operators.aggregates import (
+        exact_median_2pass,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 249), ("g", 249), ("g", 1000)], ["k", "d6"]
+    )
+    r = exact_median_2pass(df, "k", "d6", values_are_int=True).collect()[0]
+    assert r["median6"] == 249
+
+
+def test_ohlc_missing_values_are_missing(spark):
+    """NULL/NaN-valued events don't enter the bar: n counts priced
+    events, open/close skip them, an all-missing bucket emits no bar."""
+    df = spark.createDataFrame(
+        [
+            (1, _ts(0, 1), None, 100),
+            (1, _ts(0, 5), 5.0, 101),
+            (1, _ts(0, 9), float("nan"), 102),
+            (2, _ts(0, 0), None, 200),  # all-missing bucket
+        ],
+        "user_id int, ts timestamp, value double, event_id int",
+    )
+    rows = ohlc_resample(df, "user_id", "ts", "value", "event_id").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["user_id"] == 1 and r["n"] == 1
+    assert r["open6"] == r["close6"] == 5_000_000
