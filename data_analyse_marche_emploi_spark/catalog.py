@@ -5870,6 +5870,96 @@ def window_ntile(spark, sf_dir):
 
 
 @register(
+    "agg_weighted_median",
+    oracle="""
+    WITH v AS (SELECT l_returnflag AS k,
+                      CAST(floor(l_extendedprice * 1e6) AS BIGINT) AS v6,
+                      CAST(l_quantity AS BIGINT) AS w
+               FROM lineitem
+               WHERE l_extendedprice IS NOT NULL
+                 AND NOT isnan(l_extendedprice)),
+    r AS (SELECT k, v6, w,
+                 sum(w) OVER (PARTITION BY k ORDER BY v6
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cw,
+                 sum(w) OVER (PARTITION BY k) AS tw
+          FROM v)
+    SELECT k AS l_returnflag,
+           CAST(min(CASE WHEN CAST(cw AS DOUBLE)/CAST(tw AS DOUBLE) >= 0.5
+                         THEN v6 END) AS BIGINT) AS wmedian6
+    FROM r GROUP BY 1
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """Quantity-weighted exact median price per return flag — the
+    smallest price whose cumulative shipped-quantity share reaches
+    half. Weighted selection via the two-pass bounded-histogram
+    machinery with ranks replaced by integer weights (operators/
+    aggregates.py::exact_weighted_percentiles_2pass carries the
+    equivalence proof to the single-sort definition the oracle
+    spells)."""
+    from .operators.aggregates import exact_weighted_percentiles_2pass
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return exact_weighted_percentiles_2pass(
+        li, "l_returnflag", "l_extendedprice", "qty", [0.5]
+    ).select("l_returnflag", F.col("value6").alias("wmedian6"))
+
+
+@register(
+    "json_variant_extract",
+    oracle="""
+    SELECT o_orderstatus AS status, count(*) AS cnt,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def json_variant_extract(spark, sf_dir):
+    """Spark 4 VARIANT ingestion path: order rows serialize to nested
+    JSON, parse into the binary VARIANT type (parse_json — no schema
+    declared anywhere), and typed paths extract back out with
+    variant_get before a normal aggregate. This is the semi-structured
+    lakehouse pattern: VARIANT defers schema to read time but keeps
+    shredded binary storage (no per-row string re-parse per field,
+    unlike get_json_object chains).
+
+    The JSON detour is an identity on the data, so the oracle is the
+    straight relational aggregate — the entry proves serialize →
+    VARIANT → typed-extract loses nothing, including the double
+    round-trip (shortest-repr JSON floats reparse bit-equal). Money
+    still sums in DECIMAL after extraction."""
+    o = _t(spark, sf_dir, "orders")
+    j = o.select(
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("id"),
+                F.struct(
+                    F.col("o_totalprice").alias("price"),
+                    F.col("o_orderstatus").alias("status"),
+                ).alias("info"),
+            )
+        ).alias("j")
+    )
+    v = j.select(F.parse_json(F.col("j")).alias("v"))
+    return (
+        v.select(
+            F.expr("variant_get(v, '$.info.status', 'string')").alias("status"),
+            F.expr("variant_get(v, '$.info.price', 'double')").alias("price"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            AGG.money_sum(F.col("price"), "revenue"),
+        )
+    )
+
+
+@register(
     "q_pareto_frontier",
     oracle="""
     WITH pts AS (

@@ -319,3 +319,120 @@ def pareto_frontier_2d(
     return flagged.filter(not_dominated).drop(
         "__bkt", "__lower_max", "__m1", "__m2"
     )
+
+
+def exact_weighted_percentiles_2pass(
+    df: DataFrame,
+    key: str,
+    val: str,
+    weight: str,
+    ps: list[float],
+    bucket_width: int = 1_000_000,
+) -> DataFrame:
+    """EXACT per-group WEIGHTED percentile_disc — the smallest value v
+    whose cumulative weight fraction (in value order) reaches p — in
+    the same two bounded passes as :func:`exact_percentiles_2pass`:
+    ranks simply become weights. Histogram cells accumulate
+    ``sum(weight)`` instead of counts (still one partial-aggregated
+    row per (group, coarse bucket), still bounded by the value domain);
+    the driver walks cumulative WEIGHT to the target bucket and ships
+    (bucket, remaining-weight) pairs back; the refinement pass runs an
+    in-bucket cumulative-weight window over just that bucket's
+    residents and takes the min qualifying value (stable under any
+    tie order inside an equal-value run).
+
+    The integer target T = min{c : c/W >= p} under DOUBLE compare
+    makes {cum >= T} identical to {cum/W >= p} (minimality + integer
+    cum), so the result equals the single-sort SQL definition the
+    oracle spells — without any per-group total order.
+
+    Contract: weights are NON-NEGATIVE INTEGERS (exact, associative
+    accumulation; fractional weights would reintroduce float-sum
+    order dependence). NULL/NaN values are missing — their weight
+    never enters W. NULL weights count as 0.
+
+    Returns ``(key, p, value6)``.
+    """
+    if not ps:
+        raise ValueError("ps must name at least one percentile")
+    if len(set(ps)) != len(ps):
+        raise ValueError(f"duplicate percentiles in {ps}")
+    bad = [p for p in ps if not 0.0 < p <= 1.0]
+    if bad:
+        raise ValueError(f"percentiles must be in (0, 1]: {bad}")
+    spark = df.sparkSession
+    v6 = F.when(
+        F.col(val).isNotNull() & ~F.isnan(F.col(val)),
+        F.floor(F.col(val) * 1e6).cast("long"),
+    )
+    b = df.select(
+        F.col(key).alias("__k"),
+        v6.alias("__v6"),
+        F.coalesce(F.col(weight).cast("long"), F.lit(0)).alias("__w"),
+    ).withColumn("__bkt", F.floor(F.col("__v6") / bucket_width).cast("long"))
+    hist = (
+        b.groupBy("__k", "__bkt").agg(F.sum("__w").alias("w")).collect()
+    )
+    from collections import defaultdict
+
+    per_key: dict = defaultdict(list)
+    for r in hist:
+        per_key[r["__k"]].append((r["__bkt"], r["w"]))
+    import math
+
+    def disc_target(W: int, p: float) -> int:
+        # min integer c with c/W >= p under DOUBLE compare
+        c = max(1, math.ceil(W * p))
+        while c > 1 and (c - 1) / W >= p:
+            c -= 1
+        while c / W < p:
+            c += 1
+        return c
+
+    targets = []  # (key, p, bucket, remaining weight inside bucket)
+    empty_keys = []
+    for k, buckets in per_key.items():
+        real = sorted((bkt, w) for bkt, w in buckets if bkt is not None)
+        W = sum(w for _, w in real)
+        if W == 0:
+            empty_keys.append(k)
+            continue
+        for p in ps:
+            T = disc_target(W, p)
+            cum = 0
+            for bkt, w in real:
+                if cum + w >= T:
+                    targets.append((k, float(p), bkt, T - cum))
+                    break
+                cum += w
+    key_type = df.schema[key].dataType.simpleString()
+    tgt = spark.createDataFrame(
+        targets, f"__k {key_type}, p double, __bkt long, __rem long"
+    )
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy("__k", "__bkt", "p")
+        .orderBy("__v6")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    refined = (
+        b.join(
+            F.broadcast(tgt),
+            b["__k"].eqNullSafe(tgt["__k"]) & (b["__bkt"] == tgt["__bkt"]),
+        )
+        .drop(tgt["__k"])
+        .drop(tgt["__bkt"])
+        .withColumn("__cw", F.sum("__w").over(w_cum))
+        .filter(F.col("__cw") >= F.col("__rem"))
+        .groupBy("__k", "p")
+        .agg(F.min("__v6").alias("value6"))
+        .select(F.col("__k").alias(key), "p", "value6")
+    )
+    if not empty_keys:
+        return refined
+    nulls = spark.createDataFrame(
+        [(k, float(p), None) for k in empty_keys for p in ps],
+        f"{key} {key_type}, p double, value6 long",
+    )
+    return refined.unionByName(nulls)

@@ -276,3 +276,48 @@ def test_ohlc_missing_values_are_missing(spark):
     r = rows[0]
     assert r["user_id"] == 1 and r["n"] == 1
     assert r["open6"] == r["close6"] == 5_000_000
+
+
+def test_weighted_percentile_hand_cases(spark):
+    """Weight concentration beats row counts; zero weights never
+    selected unless the crossing lands inside their value run."""
+    from data_analyse_marche_emploi_spark.operators.aggregates import (
+        exact_weighted_percentiles_2pass,
+    )
+
+    # group a: value 1.0 carries 9 of 10 weight units -> every p<=0.9
+    # selects 1.0 even though 2.0 has more ROWS in a count world
+    rows = [("a", 1.0, 9), ("a", 2.0, 1)] + [("b", float(i), 1) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, ["k", "v", "w"])
+    out = {
+        (r["k"], r["p"]): r["value6"]
+        for r in exact_weighted_percentiles_2pass(
+            df, "k", "v", "w", [0.5, 0.9, 1.0]
+        ).collect()
+    }
+    assert out[("a", 0.5)] == 1_000_000
+    assert out[("a", 0.9)] == 1_000_000   # 9/10 >= 0.9 exactly
+    assert out[("a", 1.0)] == 2_000_000
+    # group b: uniform weights == unweighted percentile_disc
+    assert out[("b", 0.5)] == 2_000_000   # rank 2 of 4
+    assert out[("b", 1.0)] == 4_000_000
+
+
+def test_weighted_percentile_zero_weight_and_missing(spark):
+    from data_analyse_marche_emploi_spark.operators.aggregates import (
+        exact_weighted_percentiles_2pass,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 0.5, 0), ("g", 1.0, 2), ("g", None, 99), ("g", 2.0, 2)],
+        "k string, v double, w int",
+    )
+    out = {
+        r["p"]: r["value6"]
+        for r in exact_weighted_percentiles_2pass(
+            df, "k", "v", "w", [0.5, 1.0]
+        ).collect()
+    }
+    # missing value's 99 weight never enters W=4; the zero-weight 0.5
+    # row cannot absorb the crossing
+    assert out[0.5] == 1_000_000 and out[1.0] == 2_000_000
