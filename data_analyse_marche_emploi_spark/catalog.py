@@ -5870,6 +5870,136 @@ def window_ntile(spark, sf_dir):
 
 
 @register(
+    "ivm_incremental_agg",
+    oracle="""
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(*) AS cnt,
+           CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS v6sum
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+    GROUP BY 1, 2
+    """,
+)
+def ivm_incremental_agg(spark, sf_dir):
+    """Incremental view maintenance for an additive aggregate: the
+    maintained state (per-user daily count + micro-unit value sum over
+    the first 20 days) absorbs a late-arriving delta (everything
+    after) by UNIONING PARTIAL STATES and re-aggregating — count and
+    sum are commutative monoids, so merge cost is O(|state| + |delta
+    aggregate|), never a base-table rescan. This is the maintenance
+    algebra behind materialized-view refresh and the streaming
+    entries' update mode, expressed in batch; the oracle is the full
+    recompute the incremental path must equal. Missing values are
+    excluded identically on both sides."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & ~F.isnan(F.col("value")))
+        .select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.floor(F.col("value") * 1e6).cast("long").alias("v6"),
+        )
+    )
+    split = F.lit("2024-01-21").cast("date")
+
+    def partial(src):
+        return src.groupBy("user_id", "day").agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("v6").alias("v6sum")
+        )
+
+    state = partial(ev.filter(F.col("day") < split))
+    delta = partial(ev.filter(F.col("day") >= split))
+    return (
+        state.unionByName(delta)
+        .groupBy("user_id", "day")
+        .agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.sum("v6sum").cast("long").alias("v6sum"),
+        )
+    )
+
+
+@register(
+    "pipeline_gzip_ndjson_ingest",
+    oracle="""
+    SELECT o_orderstatus AS status, count(*) AS cnt,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def pipeline_gzip_ndjson_ingest(spark, sf_dir):
+    """Compressed-crawl ingestion path: orders serialize to NDJSON,
+    pack ~100 lines per gzip blob (the .json.gz file shape scraped
+    corpora actually arrive in), then the ingest side decompresses
+    per-blob in an Arrow-batched mapInPandas, explodes lines, parses
+    with an explicit schema, and aggregates. Spark never splits inside
+    a gzip stream (non-splittable codec) — parallelism comes from
+    MANY blobs, exactly as a 100 TB .gz corpus parallelizes by file;
+    the blob is one row, so no shuffle carries decompressed text. The
+    JSON detour is an identity, so the oracle is the straight
+    relational aggregate."""
+    import pandas as pd
+
+    o = _t(spark, sf_dir, "orders")
+    lines = o.select(
+        (F.col("o_orderkey") % 97).alias("file_id"),
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("id"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("price"),
+            )
+        ).alias("line"),
+    )
+    files = lines.groupBy("file_id").agg(
+        F.concat_ws("\n", F.sort_array(F.collect_list("line"))).alias("ndjson")
+    )
+
+    def gzip_blobs(batches):
+        import gzip
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "file_id": pdf["file_id"],
+                    "blob": [
+                        gzip.compress(t.encode("utf-8"), compresslevel=1)
+                        for t in pdf["ndjson"]
+                    ],
+                }
+            )
+
+    blobs = files.mapInPandas(gzip_blobs, "file_id long, blob binary")
+
+    def gunzip_blobs(batches):
+        import gzip
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "file_id": pdf["file_id"],
+                    "ndjson": [
+                        gzip.decompress(b).decode("utf-8") for b in pdf["blob"]
+                    ],
+                }
+            )
+
+    texts = blobs.mapInPandas(gunzip_blobs, "file_id long, ndjson string")
+    parsed = texts.select(
+        F.explode(F.split(F.col("ndjson"), "\n")).alias("line")
+    ).select(
+        F.from_json(
+            F.col("line"), "id bigint, status string, price double"
+        ).alias("r")
+    )
+    return parsed.groupBy(F.col("r.status").alias("status")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        AGG.money_sum(F.col("r.price"), "revenue"),
+    )
+
+
+@register(
     "agg_weighted_median",
     oracle="""
     WITH v AS (SELECT l_returnflag AS k,
