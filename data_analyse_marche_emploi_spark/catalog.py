@@ -6628,20 +6628,20 @@ def q_waiting_suppliers(spark, sf_dir):
 # tools/oracle_check.py, which check ALL entries.
 
 # Round-6 rotation (updated at round-6 end for the r6 driver pass):
-# 51 of the 189 entries have never had a driver row across r1-r5 —
+# 55 of the 193 entries have never had a driver row across r1-r5 —
 # every first-timer from both round-6 sessions plus the r1-r5 backlog.
 # The window packs the smoke anchor, re-proofs of the four pre-existing
 # entries whose code changed in round 6 (posting-list pair-enumeration
 # rewrite, GIF compositing fix, progressive-JPEG refinement
-# strictness), all 41 never-checked entries that carry FULL value
-# oracles, and the 4 most substantive rows-only never-checked ones
-# (ann_ivf_pq, ann_pq, emb_pca_project, bpe_encode_corpus). The 6
-# remaining rows-only never-checked entries (agg_approx_quantiles,
+# strictness), and all 45 never-checked entries that carry FULL value
+# oracles. The 10 rows-only never-checked entries (ann_ivf_pq, ann_pq,
+# emb_pca_project, bpe_encode_corpus, agg_approx_quantiles,
 # sample_seeded, stream_distinct_users, multimodal_features,
-# agg_hll_rollup, agg_kll_quantiles) defer to round 7 — their driver
-# check is the weaker rows-only form and all of them hold semantic
-# equality tests in pytest; tools/oracle_check.py still checks ALL
-# 189 entries at three SFs.
+# agg_hll_rollup, agg_kll_quantiles) defer to round 7 — full-oracle
+# first-timers outrank rows-only ones (hash evidence vs row counts),
+# their driver check is the weaker rows-only form anyway, and all of
+# them hold semantic equality tests in pytest; tools/oracle_check.py
+# still checks ALL 193 entries at three SFs.
 _DRIVER_WINDOW = [
     "flagship_orders_by_month",
     "dedup_ngram_jaccard",
@@ -6689,10 +6689,10 @@ _DRIVER_WINDOW = [
     "ts_rolling_distinct",
     "global_quantile_bands",
     "q_waiting_suppliers",
-    "ann_ivf_pq",
-    "ann_pq",
-    "emb_pca_project",
-    "bpe_encode_corpus",
+    "json_variant_extract",
+    "agg_weighted_median",
+    "ivm_incremental_agg",
+    "pipeline_gzip_ndjson_ingest",
 ]
 
 def _prioritize() -> None:

@@ -161,6 +161,60 @@ def exact_percentiles_2pass(
     with ``r/n >= p`` under DOUBLE comparison (cume_dist is a double in
     every engine, so a float-exact boundary like p=0.25, n=4 picks rank
     1, not 2). Returns ``(key, p, value6)``.
+
+    This is the weight ≡ 1 specialization of
+    :func:`exact_weighted_percentiles_2pass` — ONE implementation of
+    the histogram walk and refinement serves both, so a fix lands in
+    both selection paths (rank r == cumulative unit-weight r, and
+    "min qualifying value" equals "value at rank r" because every row
+    at an earlier rank has an equal-or-smaller value).
+    """
+    return exact_weighted_percentiles_2pass(
+        df, key, val, None, ps, bucket_width, values_are_int=values_are_int
+    )
+
+
+def exact_weighted_percentiles_2pass(
+    df: DataFrame,
+    key: str,
+    val: str,
+    weight: str | None,
+    ps: list[float],
+    bucket_width: int = 1_000_000,
+    values_are_int: bool = False,
+) -> DataFrame:
+    """EXACT per-group (optionally WEIGHTED) percentile_disc — the
+    smallest value v whose cumulative weight fraction (in value order)
+    reaches p — via two bounded passes, no per-group total order:
+
+    1. **Histogram pass**: values 1e-6-floor-bucket to int64 micro-
+       units (or pass through when ``values_are_int``), coarse-bucket
+       by ``bucket_width``; one partial-aggregated WEIGHT sum per
+       (group, bucket). The histogram is ``groups x value_range /
+       bucket_width`` rows — bounded by the value domain, not the row
+       count — and is the only thing collected to the driver.
+    2. **Refinement pass**: the driver walks each group's cumulative
+       weights to the bucket holding the integer target
+       ``T = min{c : c/W >= p}`` (DOUBLE compare, so the boundary
+       behavior equals SQL cume_dist) and broadcasts (bucket,
+       remaining-weight) back; an in-bucket cumulative-weight window
+       over just that bucket's residents takes the MIN qualifying
+       value — stable under any tie order inside an equal-value run,
+       and by T's minimality ``{cum >= T}`` is exactly
+       ``{cum/W >= p}``.
+
+    ``weight=None`` means unit weights (plain percentile_disc).
+    Weight contract: the column must be an INTEGRAL type (fractional
+    weights would reintroduce float-sum order dependence — rejected
+    loudly, not truncated) and NON-NEGATIVE (a negative weight makes
+    the cumulative walk non-monotone: silently dropped rows, or a
+    nonterminating driver walk on a negative group total — checked
+    from the collected histogram's per-bucket minima at zero extra
+    shuffle cost). NULL/NaN values are MISSING — their weight never
+    enters W; NULL weights count as 0; a group with no weighted value
+    mass still emits its (key, p, NULL) rows like SQL GROUP BY.
+
+    Returns ``(key, p, value6)``.
     """
     if not ps:
         raise ValueError("ps must name at least one percentile")
@@ -173,10 +227,19 @@ def exact_percentiles_2pass(
         # p > 1 would walk past every bucket and silently drop the row
         raise ValueError(f"percentiles must be in (0, 1]: {bad}")
     spark = df.sparkSession
+    if weight is None:
+        w_col = F.lit(1).cast("long")
+    else:
+        wtype = df.schema[weight].dataType.simpleString()
+        if wtype not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"weight column {weight!r} must be integral, got {wtype}"
+            )
+        w_col = F.coalesce(F.col(weight).cast("long"), F.lit(0))
     # NULL / NaN values are MISSING, exactly as percentile_disc treats
     # them: they join the histogram as a null bucket (never compared or
-    # walked), don't count toward n, and a group with no real value at
-    # all still emits its (key, NULL) row like SQL GROUP BY would.
+    # walked), don't count toward W, and a group with no real value at
+    # all still emits its (key, NULL) rows like SQL GROUP BY would.
     # Without this, a single NULL crashed the driver walk (None < int)
     # and NaN diverged between engines (Spark casts NaN→0, DuckDB
     # errors) — the one-bad-row-kills-the-job class.
@@ -188,55 +251,67 @@ def exact_percentiles_2pass(
             F.col(val).isNotNull() & ~F.isnan(F.col(val)),
             F.floor(F.col(val) * 1e6).cast("long"),
         )
-    b = df.select(F.col(key).alias("__k"), v6.alias("__v6")).withColumn(
-        "__bkt", F.floor(F.col("__v6") / bucket_width).cast("long")
-    )
+    b = df.select(
+        F.col(key).alias("__k"), v6.alias("__v6"), w_col.alias("__w")
+    ).withColumn("__bkt", F.floor(F.col("__v6") / bucket_width).cast("long"))
     hist = (
         b.groupBy("__k", "__bkt")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("__w").alias("w"), F.min("__w").alias("wmin"))
         .collect()
     )
+    neg = [r for r in hist if r["wmin"] is not None and r["wmin"] < 0]
+    if neg:
+        raise ValueError(
+            f"negative weights in {len(neg)} histogram cell(s), e.g. "
+            f"group {neg[0]['__k']!r}: weighted selection requires "
+            "non-negative weights"
+        )
     from collections import defaultdict
 
     per_key: dict = defaultdict(list)
     for r in hist:
-        per_key[r["__k"]].append((r["__bkt"], r["c"]))
+        per_key[r["__k"]].append((r["__bkt"], r["w"]))
     import math
 
-    def disc_rank(n: int, p: float) -> int:
-        # smallest r with r/n >= p under DOUBLE compare (cume_dist math)
-        r = max(1, math.ceil(n * p))
-        while r > 1 and (r - 1) / n >= p:
-            r -= 1
-        while r / n < p:
-            r += 1
-        return r
+    def disc_target(W: int, p: float) -> int:
+        # min integer c with c/W >= p under DOUBLE compare (cume_dist
+        # math; with unit weights this is exactly the rank r)
+        c = max(1, math.ceil(W * p))
+        while c > 1 and (c - 1) / W >= p:
+            c -= 1
+        while c / W < p:
+            c += 1
+        return c
 
-    targets = []  # (key, p, bucket, rank_within_bucket)
-    empty_keys = []  # groups whose every value is missing
+    targets = []  # (key, p, bucket, remaining weight inside bucket)
+    empty_keys = []  # groups whose every value is missing / weightless
     for k, buckets in per_key.items():
-        real = sorted((bkt, c) for bkt, c in buckets if bkt is not None)
-        n = sum(c for _, c in real)
-        if n == 0:
+        real = sorted((bkt, w) for bkt, w in buckets if bkt is not None)
+        W = sum(w for _, w in real)
+        if W == 0:
             empty_keys.append(k)
             continue
         for p in ps:
-            rank = disc_rank(n, p)
+            T = disc_target(W, p)
             cum = 0
-            for bkt, c in real:
-                if cum + c >= rank:
-                    targets.append((k, float(p), bkt, rank - cum))
+            for bkt, w in real:
+                if cum + w >= T:
+                    targets.append((k, float(p), bkt, T - cum))
                     break
-                cum += c
+                cum += w
     key_type = df.schema[key].dataType.simpleString()
     tgt = spark.createDataFrame(
-        targets, f"__k {key_type}, p double, __bkt long, __r long"
+        targets, f"__k {key_type}, p double, __bkt long, __rem long"
     )
     from pyspark.sql import Window
 
     # partition includes p: two percentiles landing in the same bucket
-    # each join their own copy of the residents and rank independently
-    w = Window.partitionBy("__k", "__bkt", "p").orderBy("__v6")
+    # each join their own copy of the residents and walk independently
+    w_cum = (
+        Window.partitionBy("__k", "__bkt", "p")
+        .orderBy("__v6")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     refined = (
         # null-SAFE key equality: a NULL group key must keep its rows
         # through the refinement join (plain `=` drops the group)
@@ -246,9 +321,11 @@ def exact_percentiles_2pass(
         )
         .drop(tgt["__k"])
         .drop(tgt["__bkt"])
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == F.col("__r"))
-        .select(F.col("__k").alias(key), "p", F.col("__v6").alias("value6"))
+        .withColumn("__cw", F.sum("__w").over(w_cum))
+        .filter(F.col("__cw") >= F.col("__rem"))
+        .groupBy("__k", "p")
+        .agg(F.min("__v6").alias("value6"))
+        .select(F.col("__k").alias(key), "p", "value6")
     )
     if not empty_keys:
         return refined
@@ -319,120 +396,3 @@ def pareto_frontier_2d(
     return flagged.filter(not_dominated).drop(
         "__bkt", "__lower_max", "__m1", "__m2"
     )
-
-
-def exact_weighted_percentiles_2pass(
-    df: DataFrame,
-    key: str,
-    val: str,
-    weight: str,
-    ps: list[float],
-    bucket_width: int = 1_000_000,
-) -> DataFrame:
-    """EXACT per-group WEIGHTED percentile_disc — the smallest value v
-    whose cumulative weight fraction (in value order) reaches p — in
-    the same two bounded passes as :func:`exact_percentiles_2pass`:
-    ranks simply become weights. Histogram cells accumulate
-    ``sum(weight)`` instead of counts (still one partial-aggregated
-    row per (group, coarse bucket), still bounded by the value domain);
-    the driver walks cumulative WEIGHT to the target bucket and ships
-    (bucket, remaining-weight) pairs back; the refinement pass runs an
-    in-bucket cumulative-weight window over just that bucket's
-    residents and takes the min qualifying value (stable under any
-    tie order inside an equal-value run).
-
-    The integer target T = min{c : c/W >= p} under DOUBLE compare
-    makes {cum >= T} identical to {cum/W >= p} (minimality + integer
-    cum), so the result equals the single-sort SQL definition the
-    oracle spells — without any per-group total order.
-
-    Contract: weights are NON-NEGATIVE INTEGERS (exact, associative
-    accumulation; fractional weights would reintroduce float-sum
-    order dependence). NULL/NaN values are missing — their weight
-    never enters W. NULL weights count as 0.
-
-    Returns ``(key, p, value6)``.
-    """
-    if not ps:
-        raise ValueError("ps must name at least one percentile")
-    if len(set(ps)) != len(ps):
-        raise ValueError(f"duplicate percentiles in {ps}")
-    bad = [p for p in ps if not 0.0 < p <= 1.0]
-    if bad:
-        raise ValueError(f"percentiles must be in (0, 1]: {bad}")
-    spark = df.sparkSession
-    v6 = F.when(
-        F.col(val).isNotNull() & ~F.isnan(F.col(val)),
-        F.floor(F.col(val) * 1e6).cast("long"),
-    )
-    b = df.select(
-        F.col(key).alias("__k"),
-        v6.alias("__v6"),
-        F.coalesce(F.col(weight).cast("long"), F.lit(0)).alias("__w"),
-    ).withColumn("__bkt", F.floor(F.col("__v6") / bucket_width).cast("long"))
-    hist = (
-        b.groupBy("__k", "__bkt").agg(F.sum("__w").alias("w")).collect()
-    )
-    from collections import defaultdict
-
-    per_key: dict = defaultdict(list)
-    for r in hist:
-        per_key[r["__k"]].append((r["__bkt"], r["w"]))
-    import math
-
-    def disc_target(W: int, p: float) -> int:
-        # min integer c with c/W >= p under DOUBLE compare
-        c = max(1, math.ceil(W * p))
-        while c > 1 and (c - 1) / W >= p:
-            c -= 1
-        while c / W < p:
-            c += 1
-        return c
-
-    targets = []  # (key, p, bucket, remaining weight inside bucket)
-    empty_keys = []
-    for k, buckets in per_key.items():
-        real = sorted((bkt, w) for bkt, w in buckets if bkt is not None)
-        W = sum(w for _, w in real)
-        if W == 0:
-            empty_keys.append(k)
-            continue
-        for p in ps:
-            T = disc_target(W, p)
-            cum = 0
-            for bkt, w in real:
-                if cum + w >= T:
-                    targets.append((k, float(p), bkt, T - cum))
-                    break
-                cum += w
-    key_type = df.schema[key].dataType.simpleString()
-    tgt = spark.createDataFrame(
-        targets, f"__k {key_type}, p double, __bkt long, __rem long"
-    )
-    from pyspark.sql import Window
-
-    w_cum = (
-        Window.partitionBy("__k", "__bkt", "p")
-        .orderBy("__v6")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    refined = (
-        b.join(
-            F.broadcast(tgt),
-            b["__k"].eqNullSafe(tgt["__k"]) & (b["__bkt"] == tgt["__bkt"]),
-        )
-        .drop(tgt["__k"])
-        .drop(tgt["__bkt"])
-        .withColumn("__cw", F.sum("__w").over(w_cum))
-        .filter(F.col("__cw") >= F.col("__rem"))
-        .groupBy("__k", "p")
-        .agg(F.min("__v6").alias("value6"))
-        .select(F.col("__k").alias(key), "p", "value6")
-    )
-    if not empty_keys:
-        return refined
-    nulls = spark.createDataFrame(
-        [(k, float(p), None) for k in empty_keys for p in ps],
-        f"{key} {key_type}, p double, value6 long",
-    )
-    return refined.unionByName(nulls)
