@@ -5870,6 +5870,83 @@ def window_ntile(spark, sf_dir):
 
 
 @register(
+    "q_revenue_share",
+    oracle="""
+    WITH rev AS (
+      SELECT n_name AS nation,
+             CAST(sum(CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2))
+                                 * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS total_c FROM rev)
+    SELECT nation, rev_c, 1000000 * rev_c // total_c AS share6
+    FROM rev CROSS JOIN tot
+    """,
+)
+def q_revenue_share(spark, sf_dir):
+    """Ratio-to-report: each nation's share of total supplier revenue.
+    The textbook form is `sum(rev) OVER ()` — a global single-partition
+    window. The scale form: aggregate once (group-cardinality result),
+    reduce THAT to a one-row total, and broadcast the total back —
+    the window disappears entirely and nothing ever funnels to one
+    task. Revenue accumulates as exact integer cents; the share is an
+    integer floor-division in micro-units."""
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    cents = F.floor(F.col("l_extendedprice").cast(AGG.MONEY) * 100).cast("long")
+    rev = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("nation")
+        .agg(F.sum(cents).alias("rev_c"))
+    )
+    tot = rev.agg(F.sum("rev_c").alias("total_c"))
+    return rev.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "rev_c",
+        F.expr("1000000 * rev_c div total_c").alias("share6"),
+    )
+
+
+@register(
+    "agg_string_concat",
+    oracle="""
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           count(*) AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1
+    """,
+)
+def agg_string_concat(spark, sf_dir):
+    """LISTAGG / string_agg surface: nations per region as one ordered
+    comma-joined string. Spark has no ordered string_agg aggregate;
+    the deterministic form is concat_ws over sort_array(collect_list)
+    — sort INSIDE the aggregate output, because collect_list's order
+    is partition-arrival nondeterministic. Scale note: collect_list
+    state is group-row-sized — fine for dimension rollups like this,
+    the wrong tool for fact-scale groups (cap or pre-aggregate
+    first)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
     "ivm_incremental_agg",
     oracle="""
     SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
