@@ -6705,20 +6705,23 @@ def q_waiting_suppliers(spark, sf_dir):
 # tools/oracle_check.py, which check ALL entries.
 
 # Round-6 rotation (updated at round-6 end for the r6 driver pass):
-# 55 of the 193 entries have never had a driver row across r1-r5 —
+# 57 of the 195 entries have never had a driver row across r1-r5 —
 # every first-timer from both round-6 sessions plus the r1-r5 backlog.
 # The window packs the smoke anchor, re-proofs of the four pre-existing
 # entries whose code changed in round 6 (posting-list pair-enumeration
 # rewrite, GIF compositing fix, progressive-JPEG refinement
-# strictness), and all 45 never-checked entries that carry FULL value
-# oracles. The 10 rows-only never-checked entries (ann_ivf_pq, ann_pq,
-# emb_pca_project, bpe_encode_corpus, agg_approx_quantiles,
-# sample_seeded, stream_distinct_users, multimodal_features,
-# agg_hll_rollup, agg_kll_quantiles) defer to round 7 — full-oracle
-# first-timers outrank rows-only ones (hash evidence vs row counts),
-# their driver check is the weaker rows-only form anyway, and all of
-# them hold semantic equality tests in pytest; tools/oracle_check.py
-# still checks ALL 193 entries at three SFs.
+# strictness), and 45 of the 47 never-checked entries that carry FULL
+# value oracles. Deferred to round 7: the two simple-aggregate
+# stragglers registered after the rotation (agg_string_concat,
+# q_revenue_share — changed-codec re-proofs outrank them; both hold
+# three-SF local differential evidence) and the 10 rows-only
+# never-checked entries (ann_ivf_pq, ann_pq, emb_pca_project,
+# bpe_encode_corpus, agg_approx_quantiles, sample_seeded,
+# stream_distinct_users, multimodal_features, agg_hll_rollup,
+# agg_kll_quantiles) — full-oracle first-timers outrank rows-only ones
+# (hash evidence vs row counts), and all of them hold semantic
+# equality tests in pytest; tools/oracle_check.py still checks ALL
+# 195 entries at three SFs.
 _DRIVER_WINDOW = [
     "flagship_orders_by_month",
     "dedup_ngram_jaccard",
