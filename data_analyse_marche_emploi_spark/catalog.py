@@ -6112,8 +6112,13 @@ def agg_weighted_median(spark, sf_dir):
         "l_extendedprice",
         F.col("l_quantity").cast("long").alias("qty"),
     )
+    # $1000 coarse buckets: the price domain spans ~$500k, so the
+    # default $1 width would collect a ~500k-row histogram per group —
+    # size bucket_width to the DOMAIN (a few hundred cells), which is
+    # the machinery's whole point
     return exact_weighted_percentiles_2pass(
-        li, "l_returnflag", "l_extendedprice", "qty", [0.5]
+        li, "l_returnflag", "l_extendedprice", "qty", [0.5],
+        bucket_width=1_000_000_000,
     ).select("l_returnflag", F.col("value6").alias("wmedian6"))
 
 

@@ -29,6 +29,12 @@ ENTRIES = [
     "merge_upsert_delete",
     "dedup_prefix_filter",
     "stream_ohlc",
+    "json_variant_extract",
+    "agg_weighted_median",
+    "ivm_incremental_agg",
+    "pipeline_gzip_ndjson_ingest",
+    "agg_string_concat",
+    "q_revenue_share",
 ]
 
 SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
