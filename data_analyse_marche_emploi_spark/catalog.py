@@ -232,6 +232,40 @@ def str_mutate_steps(spark, sf_dir):
 
 
 @register(
+    "str_fold_accents",
+    # Both engines synthesize the accented text with the same
+    # translate map; the FOLD side differs on purpose — the engine
+    # uses its own translate fold, the oracle DuckDB's ICU-backed
+    # strip_accents — so equality is a genuine cross-implementation
+    # semantic check, not the same code run twice.
+    oracle="""
+    SELECT doc_id,
+           translate(substring(text, 1, 48), 'aeioucn', 'àéîôüçñ')
+             AS accented,
+           strip_accents(translate(substring(text, 1, 48),
+                                   'aeioucn', 'àéîôüçñ')) AS folded
+    FROM documents
+    """,
+)
+def str_fold_accents(spark, sf_dir):
+    """Accent folding — the normalization the reference's French
+    intitule/description fields need before search or dedup
+    ('développeur' == 'developpeur'). The fixture corpus is ASCII, so
+    the entry synthesizes the accented form deterministically
+    (translate a→à …) and folds it back; the oracle folds with
+    DuckDB's strip_accents instead, pinning the engine's codepoint
+    map to ICU semantics. Pure translate both ways: JVM codegen, no
+    regex, no UDF."""
+    d = _docs(spark, sf_dir)
+    acc = F.translate(F.substring(F.col("text"), 1, 48), "aeioucn", "àéîôüçñ")
+    return d.select(
+        "doc_id",
+        acc.alias("accented"),
+        TXT.fold_accents(acc).alias("folded"),
+    )
+
+
+@register(
     "pipeline_clean_text",
     oracle=r"""
     SELECT doc_id,
@@ -4957,6 +4991,24 @@ def agg_kll_quantiles(spark, sf_dir):
     return kll_rollup_quantiles(cells, [], probs=[0.25, 0.5, 0.75, 0.95])
 
 
+@register("agg_cms_counts", oracle=None)
+def agg_cms_counts(spark, sf_dir):
+    """Count-min sketch point-frequency estimates for every event
+    type, laid next to the exact counts (``over = est - exact`` is
+    the sketch's one-sided error, >= 0 always, <= eps*N w.h.p.). The
+    shuffle carries one counter table per partial aggregate, never
+    items — the sketch answer to "how hot is this key" (skew
+    diagnosis, salting decisions) without a corpus-wide groupBy.
+    Rows-only driver check (the estimate hashes with Spark's internal
+    Murmur3 — not SQL-replayable); determinism, the one-sided bound,
+    and merge/partition-invariance are pinned in
+    tests/test_sketches.py."""
+    from .operators.sketches import cms_estimates
+
+    e = _t(spark, sf_dir, "events")
+    return cms_estimates(e, "event_type", eps=0.001, confidence=0.99, seed=42)
+
+
 @register(
     "agg_theta_overlap",
     # A theta sketch is EXACT below its nominal entry count (2^12 =
@@ -5882,7 +5934,8 @@ def window_ntile(spark, sf_dir):
       GROUP BY 1
     ),
     tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS total_c FROM rev)
-    SELECT nation, rev_c, 1000000 * rev_c // total_c AS share6
+    SELECT nation, rev_c,
+           CAST(1000000 * CAST(rev_c AS HUGEINT) // total_c AS BIGINT) AS share6
     FROM rev CROSS JOIN tot
     """,
 )
@@ -5893,7 +5946,11 @@ def q_revenue_share(spark, sf_dir):
     reduce THAT to a one-row total, and broadcast the total back —
     the window disappears entirely and nothing ever funnels to one
     task. Revenue accumulates as exact integer cents; the share is an
-    integer floor-division in micro-units."""
+    integer floor-division in micro-units. The numerator is widened to
+    DECIMAL(38,0) (HUGEINT in the oracle) before the *1e6 scale-up: a
+    nation's cents at 100 TB is ~1e16-1e17, and 1e6x that wraps int64
+    silently in Spark — the quotient (<= 1e6) is what fits in a
+    BIGINT, not the product."""
     li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").select(
@@ -5910,7 +5967,9 @@ def q_revenue_share(spark, sf_dir):
     return rev.crossJoin(F.broadcast(tot)).select(
         "nation",
         "rev_c",
-        F.expr("1000000 * rev_c div total_c").alias("share6"),
+        F.expr(
+            "CAST(1000000 * CAST(rev_c AS DECIMAL(38,0)) div total_c AS BIGINT)"
+        ).alias("share6"),
     )
 
 
@@ -6258,6 +6317,52 @@ def dedup_prefix_filter(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return prefix_filter_pairs(d, "text", "doc_id", n=3, threshold=(1, 2))
+
+
+@register(
+    "dedup_edit_distance",
+    # Candidate filter mirrors the engine's pigeonhole lemma with a
+    # looser (position-free) containment test: ed(a,b) <= 5 implies b
+    # contains one of a's 6 even segments verbatim, so the contains-
+    # join is a SUPERSET of the engine's position-windowed candidates
+    # and both reduce to the same final predicate (length band +
+    # levenshtein <= 5). The quadratic-within-band form is pinned
+    # equal in tests/test_passjoin.py at sf0.001.
+    oracle="""
+    WITH d AS (SELECT doc_id, text, length(text) AS ln
+               FROM documents WHERE length(text) >= 6),
+    segs AS (
+      SELECT doc_id, ln, text,
+             unnest(list_transform(generate_series(1, 6),
+               i -> text[1 + ((i-1)*ln)//6 : (i*ln)//6])) AS seg
+      FROM d
+    )
+    SELECT i, j, dist FROM (
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS i,
+             greatest(a.doc_id, b.doc_id) AS j,
+             levenshtein(a.text, b.text) AS dist
+      FROM segs a JOIN d b
+        ON a.doc_id <> b.doc_id
+       AND abs(a.ln - b.ln) <= 5
+       AND contains(b.text, a.seg)
+    ) WHERE dist <= 5
+    """,
+)
+def dedup_edit_distance(spark, sf_dir):
+    """EXACT edit-distance <= 5 self-join via PassJoin segment
+    blocking (Li/Deng/Feng, VLDB 2011): each doc indexes its d+1 even
+    segments, probes with the drift-windowed substrings, and the
+    pigeonhole lemma guarantees every true pair meets at an equi-join
+    on (source-length, segment-index, xxhash64) — 8-byte keys shuffle,
+    never text, and no stage is quadratic in corpus size. The
+    edit-distance sibling of dedup_prefix_filter's SSJoin family:
+    together they cover token-set AND character-level fuzzy matching
+    (record linkage, OCR/typo near-dups) exactly, with no recall
+    knob to tune."""
+    from .operators.passjoin import passjoin_pairs
+
+    d = _docs(spark, sf_dir)
+    return passjoin_pairs(d, "text", "doc_id", d=5)
 
 
 @register(
@@ -6710,23 +6815,23 @@ def q_waiting_suppliers(spark, sf_dir):
 # tools/oracle_check.py, which check ALL entries.
 
 # Round-6 rotation (updated at round-6 end for the r6 driver pass):
-# 57 of the 195 entries have never had a driver row across r1-r5 —
+# 60 of the 198 entries have never had a driver row across r1-r5 —
 # every first-timer from both round-6 sessions plus the r1-r5 backlog.
 # The window packs the smoke anchor, re-proofs of the four pre-existing
 # entries whose code changed in round 6 (posting-list pair-enumeration
 # rewrite, GIF compositing fix, progressive-JPEG refinement
-# strictness), and 45 of the 47 never-checked entries that carry FULL
-# value oracles. Deferred to round 7: the two simple-aggregate
-# stragglers registered after the rotation (agg_string_concat,
-# q_revenue_share — changed-codec re-proofs outrank them; both hold
-# three-SF local differential evidence) and the 10 rows-only
-# never-checked entries (ann_ivf_pq, ann_pq, emb_pca_project,
-# bpe_encode_corpus, agg_approx_quantiles, sample_seeded,
-# stream_distinct_users, multimodal_features, agg_hll_rollup,
-# agg_kll_quantiles) — full-oracle first-timers outrank rows-only ones
-# (hash evidence vs row counts), and all of them hold semantic
-# equality tests in pytest; tools/oracle_check.py still checks ALL
-# 195 entries at three SFs.
+# strictness), and 45 of the 49 never-checked entries that carry FULL
+# value oracles. Deferred to round 7: the four stragglers registered
+# after the rotation (agg_string_concat, q_revenue_share,
+# dedup_edit_distance, str_fold_accents — changed-codec re-proofs
+# outrank them; all hold three-SF local differential evidence) and
+# the 11 rows-only never-checked entries (ann_ivf_pq, ann_pq,
+# emb_pca_project, bpe_encode_corpus, agg_approx_quantiles,
+# sample_seeded, stream_distinct_users, multimodal_features,
+# agg_hll_rollup, agg_kll_quantiles, agg_cms_counts) — full-oracle
+# first-timers outrank rows-only ones (hash evidence vs row counts),
+# and all of them hold semantic equality tests in pytest;
+# tools/oracle_check.py still checks ALL 198 entries at three SFs.
 _DRIVER_WINDOW = [
     "flagship_orders_by_month",
     "dedup_ngram_jaccard",

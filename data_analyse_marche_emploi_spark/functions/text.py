@@ -69,6 +69,23 @@ def collapse_whitespace(col: Column) -> Column:
     return F.trim(F.regexp_replace(col, SPACE_CLASS + "+", " "))
 
 
+# French/Latin-1 accent fold map — single-codepoint folds only (œ/æ
+# need 1→2 expansion, which translate cannot express and DuckDB's
+# strip_accents keeps them unfolded too, so they are deliberately out
+# of scope; the pytest cross-check pins this set equal to DuckDB's
+# ICU-backed strip_accents character-for-character).
+ACCENTED = "àâäáãéèêëíîïìôöóòõùûüúçñÀÂÄÁÃÉÈÊËÍÎÏÌÔÖÓÒÕÙÛÜÚÇÑ"
+UNACCENTED = "aaaaaeeeeiiiiooooouuuucnAAAAAEEEEIIIIOOOOOUUUUCN"
+
+
+def fold_accents(col: Column) -> Column:
+    """Fold accented Latin letters to their ASCII base — the search /
+    dedup normalization every French corpus needs ('développeur' and
+    'developpeur' must collate). Pure ``translate`` (JVM codepoint
+    map, whole-stage codegen — no regex, no UDF)."""
+    return F.translate(col, ACCENTED, UNACCENTED)
+
+
 def collapse_ascii_space(col: Column) -> Column:
     """Logstash's ``gsub => ['\\s+', ' ']`` exactly: collapse *ASCII*
     whitespace runs to one space, no trim (gsub never trims), NBSP

@@ -233,3 +233,71 @@ def freq_items(df: DataFrame, item_col: str, k: int = 50) -> DataFrame:
         .filter(F.col("n_occurrences") * k > F.col("__n"))
         .select("item", "n_occurrences")
     )
+
+
+def cms_estimates(
+    df: DataFrame,
+    item_col: str,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+    probe_items: Sequence | None = None,
+) -> DataFrame:
+    """Count-min point-frequency estimates next to the exact truth.
+
+    Builds ONE mergeable count-min sketch of ``item_col`` with Spark's
+    built-in ``count_min_sketch`` aggregate (JVM, partial-aggregating:
+    the shuffle carries width x depth counters — ~2.7 KB * depth at
+    eps=0.001 — never items), then reads point estimates back through
+    the JVM sketch reader (``CountMinSketch.readFrom``) for the probe
+    items. CMS guarantees ``exact <= estimate <= exact + eps * N``
+    with probability ``confidence``; cell-wise counter addition makes
+    the sketch bit-identical under any partitioning, so the estimates
+    are deterministic for a fixed seed.
+
+    ``probe_items=None`` probes every distinct item — only sane for
+    bounded-cardinality columns (the driver holds the probe list);
+    pass an explicit list at corpus scale. Returns
+    ``(item, exact, est, over)`` with ``over = est - exact >= 0``.
+
+    Driver-side state: the sketch (KBs) + probe rows — bounded, no
+    corpus data. This is the sketch family's answer to "how hot is
+    THIS key?" (skew diagnosis, salting decisions) without a groupBy
+    over all keys.
+    """
+    spark = df.sparkSession
+    col = df.select(F.col(item_col).alias("item")).filter(F.col("item").isNotNull())
+    sk = col.agg(
+        F.expr(
+            f"count_min_sketch(item, CAST({eps} AS DOUBLE), "
+            f"CAST({confidence} AS DOUBLE), {seed})"
+        ).alias("sk")
+    ).collect()[0]["sk"]
+    jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sk)
+    )
+    exact = col.groupBy("item").agg(F.count(F.lit(1)).alias("exact"))
+    if probe_items is not None:
+        # Filter in Spark BEFORE collecting: with an explicit probe
+        # list the driver must hold |probe| rows, not |distinct| —
+        # the isin predicate also prunes the aggregate's shuffle.
+        exact = exact.filter(F.col("item").isin(list(probe_items)))
+    probe_rows = exact.collect()
+    out = [
+        (r["item"], r["exact"], jcms.estimateCount(r["item"]))
+        for r in probe_rows
+    ]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("item", df.schema[item_col].dataType),
+            T.StructField("exact", T.LongType()),
+            T.StructField("est", T.LongType()),
+        ]
+    )
+    return (
+        spark.createDataFrame(out, schema)
+        .withColumn("over", F.col("est") - F.col("exact"))
+        .orderBy("item")
+    )

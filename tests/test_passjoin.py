@@ -1,0 +1,87 @@
+"""PassJoin exact edit-distance self-join: parity, lemma edges, plan."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from data_analyse_marche_emploi_spark.operators.passjoin import passjoin_pairs
+
+from .conftest import SF_SMOKE
+
+
+def _quadratic(rows, d):
+    """Direct O(n^2) levenshtein ground truth via DuckDB."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    return sorted(
+        tuple(r)
+        for r in con.sql(
+            f"""
+            SELECT a.id, b.id, levenshtein(a.s, b.s)
+            FROM t a JOIN t b ON a.id < b.id
+            WHERE levenshtein(a.s, b.s) <= {d}
+              AND length(a.s) >= 6 AND length(b.s) >= 6
+            """
+        ).fetchall()
+    )
+
+
+def test_passjoin_equals_quadratic_on_fixture(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    got = sorted(
+        tuple(r) for r in passjoin_pairs(df, "text", "doc_id", d=5).collect()
+    )
+    rows = [(r.doc_id, r.text) for r in df.select("doc_id", "text").collect()]
+    assert got == _quadratic(rows, 5)
+    assert len(got) > 0, "fixture must contain near-dup pairs for the test to bite"
+
+
+@pytest.mark.parametrize("d", [1, 2, 3])
+def test_passjoin_synthetic_edits(spark, d):
+    """Strings exactly k edits apart pair iff k <= d — substitutions,
+    an insert, a delete, and an untouched far string."""
+    base = "abcdefghijklmnopqrstuvwxyz0123456789"
+    rows = [
+        (0, base),
+        (1, base[:10] + "X" + base[11:]),          # 1 substitution
+        (2, base[:5] + "XY" + base[7:]),           # 2 substitutions
+        (3, base + "Z"),                           # 1 insert (len +1)
+        (4, base[1:]),                             # 1 delete (len -1)
+        (5, "Q" * len(base)),                      # far away
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r.i, r.j): r.dist
+        for r in passjoin_pairs(df, "s", "id", d=d).collect()
+    }
+    assert got.get((0, 1)) == 1
+    assert ((0, 2) in got) == (d >= 2)
+    assert got.get((0, 3)) == 1
+    assert got.get((0, 4)) == 1
+    assert all(5 not in pair for pair in got)
+    # symmetric/dedup contract: i < j once per pair
+    assert all(i < j for (i, j) in got)
+
+
+def test_passjoin_short_strings_excluded(spark):
+    """Below min_len (= d+1) the even split would yield empty segments
+    whose hash matches everything — those rows must be excluded, not
+    silently all-paired."""
+    df = spark.createDataFrame(
+        [(0, "ab"), (1, "ac"), (2, "abcdefgh"), (3, "abcdefgX")],
+        "id long, s string",
+    )
+    got = {(r.i, r.j) for r in passjoin_pairs(df, "s", "id", d=2).collect()}
+    assert got == {(2, 3)}
+
+
+def test_passjoin_plan_no_cartesian(spark):
+    """Candidate generation must be an equi-join on the hash triple —
+    never a cartesian/nested-loop — and the shuffled join keys must be
+    the 8-byte hashes, not document text."""
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = passjoin_pairs(df, "text", "doc_id", d=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

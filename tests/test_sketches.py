@@ -190,3 +190,62 @@ def test_freq_items_nullable_long_with_nans(spark):
     # 7 occurs 50 + 1 (from range(60)) = 51 > 110/3 ~ 36.7
     got = {r["item"]: r["n_occurrences"] for r in freq_items(df, "user_id", 3).collect()}
     assert got == {7: 51}
+
+
+# --- count-min ------------------------------------------------------------
+
+
+def test_cms_one_sided_and_bounded(events):
+    """CMS never undercounts; overcount is bounded by eps * N (the
+    guarantee is probabilistic at confidence=0.99, but with 5 distinct
+    items vs width ~2719 collisions are impossible, so the bound holds
+    surely here)."""
+    from data_analyse_marche_emploi_spark.operators.sketches import cms_estimates
+
+    out = cms_estimates(events, "event_type", eps=0.001, seed=42).collect()
+    n = sum(r["exact"] for r in out)
+    assert len(out) > 1
+    for r in out:
+        assert r["over"] >= 0, "CMS must never undercount"
+        assert r["over"] <= 0.001 * n + 1
+
+
+def test_cms_partition_invariant(events):
+    """Counter addition commutes: the estimates are identical no
+    matter how the input is partitioned (merge correctness)."""
+    from data_analyse_marche_emploi_spark.operators.sketches import cms_estimates
+
+    a = sorted(
+        tuple(r) for r in cms_estimates(events, "event_type", seed=7).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in cms_estimates(
+            events.repartition(13, "user_id"), "event_type", seed=7
+        ).collect()
+    )
+    assert a == b
+
+
+def test_cms_probe_items_subset(events):
+    from data_analyse_marche_emploi_spark.operators.sketches import cms_estimates
+
+    out = cms_estimates(
+        events, "event_type", probe_items=["click", "purchase"]
+    ).collect()
+    assert sorted(r["item"] for r in out) == ["click", "purchase"]
+
+
+def test_cms_collisions_stay_one_sided(spark):
+    """Force collisions (tiny width via large eps, 2000 distinct keys):
+    estimates may exceed exact but never undercut it."""
+    from data_analyse_marche_emploi_spark.operators.sketches import cms_estimates
+
+    df = spark.range(4000).select(
+        (F.col("id") % 2000).cast("string").alias("k")
+    )
+    out = cms_estimates(df, "k", eps=0.1, confidence=0.9, seed=3).collect()
+    assert len(out) == 2000
+    assert all(r["exact"] == 2 for r in out)
+    assert all(r["est"] >= 2 for r in out)
+    assert any(r["over"] > 0 for r in out), "tiny width must actually collide"

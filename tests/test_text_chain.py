@@ -31,3 +31,29 @@ def test_clean_text_chain_fixtures(spark):
     }
     for i, (raw, expected) in enumerate(CASES):
         assert out[i] == expected, f"case {i} {raw!r}: got {out[i]!r}, want {expected!r}"
+
+
+def test_fold_accents_matches_duckdb_strip_accents(spark):
+    """The translate fold map must agree with DuckDB's ICU-backed
+    strip_accents character-for-character over the whole supported
+    set (and é-style combining sequences are out of scope: the map is
+    precomposed codepoints only, like the fixture data)."""
+    import duckdb
+
+    from data_analyse_marche_emploi_spark.functions.text import (
+        ACCENTED,
+        UNACCENTED,
+        fold_accents,
+    )
+
+    assert len(ACCENTED) == len(UNACCENTED)
+    probe = "début çà-ôù ÉLÈVE naïve " + ACCENTED
+    got = (
+        spark.createDataFrame([(probe,)], "s string")
+        .select(fold_accents(F.col("s")).alias("f"))
+        .collect()[0]["f"]
+    )
+    expected = duckdb.sql(
+        "SELECT strip_accents(?) AS f", params=[probe]
+    ).fetchone()[0]
+    assert got == expected

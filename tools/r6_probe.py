@@ -35,6 +35,9 @@ ENTRIES = [
     "pipeline_gzip_ndjson_ingest",
     "agg_string_concat",
     "q_revenue_share",
+    "dedup_edit_distance",
+    "str_fold_accents",
+    "agg_cms_counts",
 ]
 
 SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
