@@ -2810,6 +2810,95 @@ def join_hint_shuffle_hash(spark, sf_dir):
 
 
 @register(
+    "join_bucketed_no_shuffle",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_lines,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def join_bucketed_no_shuffle(spark, sf_dir):
+    """Co-located fact-fact join via bucketed tables: both sides are
+    written ONCE with bucketBy(8, orderkey) + sortBy, after which the
+    join runs with NO Exchange under the SortMergeJoin — the shuffle
+    is paid at write time and amortized over every subsequent join on
+    the key. At 100 TB this is the difference between re-shuffling
+    two fact tables nightly and zipping co-numbered bucket files
+    map-side (pinned: tests/test_plan_quality.py::
+    test_bucketed_join_has_no_exchange). The oracle is the plain
+    join — bucketing must change the plan, never the answer."""
+    from .operators.maintenance import bucketed_join_status_revenue
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return bucketed_join_status_revenue(spark, o, li)
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH o AS (SELECT nullif(o_orderpriority, '3-MEDIUM') AS pk,
+                      o_totalprice FROM orders),
+    a AS (SELECT pk, count(*) AS n_orders FROM o GROUP BY 1),
+    b AS (SELECT pk, CAST(sum(CAST(floor(CAST(o_totalprice AS DECIMAL(18,2))
+                                        * 100) AS BIGINT)) AS BIGINT) AS rev_c
+          FROM o GROUP BY 1)
+    SELECT a.pk, a.n_orders, b.rev_c
+    FROM a JOIN b ON a.pk IS NOT DISTINCT FROM b.pk
+    """,
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): a plain
+    equi-join silently DROPS every row whose key is NULL (NULL = NULL
+    is NULL, not true) — the classic silent-data-loss bug when a
+    nullable derived key feeds a join. eqNullSafe matches the NULL
+    group like a value, and stays a hash-partitionable equi-join (NULL
+    hashes to a bucket like any key — no plan degradation). The
+    fixture masks one priority to NULL on both sides; the NULL row
+    must survive into the result."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("pk"),
+        "o_totalprice",
+    )
+    cents = F.floor(F.col("o_totalprice").cast(AGG.MONEY) * 100).cast("long")
+    a = o.groupBy("pk").agg(F.count(F.lit(1)).alias("n_orders"))
+    b = o.groupBy(F.col("pk").alias("pkb")).agg(F.sum(cents).alias("rev_c"))
+    return a.join(b, a["pk"].eqNullSafe(b["pkb"])).select(
+        "pk", "n_orders", "rev_c"
+    )
+
+
+@register(
+    "agg_conditional",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_quantity > 25) AS big_qty,
+           CAST(count(*) AS BIGINT) AS n,
+           bool_or(l_discount > 0.05) AS any_deep_discount,
+           bool_and(l_tax >= 0) AS all_tax_nonneg
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_conditional(spark, sf_dir):
+    """Conditional/boolean aggregate surface: count_if (= FILTER
+    (WHERE ...) in ANSI), bool_or, bool_and — all partial-aggregating
+    built-ins, the idiomatic replacement for sum(CASE WHEN ... THEN 1
+    END) chains. Predicates compare raw doubles against constant
+    literals only — no arithmetic on the compare path — and both
+    engines resolve '0.05' to the same binary64 before comparing, so
+    the booleans are bit-identical across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("count_if(l_quantity > 25)").alias("big_qty"),
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bool_or(l_discount > 0.05)").alias("any_deep_discount"),
+        F.expr("bool_and(l_tax >= 0)").alias("all_tax_nonneg"),
+    )
+
+
+@register(
     "agg_stats",
     oracle="""
     SELECT l_returnflag,
@@ -6815,23 +6904,24 @@ def q_waiting_suppliers(spark, sf_dir):
 # tools/oracle_check.py, which check ALL entries.
 
 # Round-6 rotation (updated at round-6 end for the r6 driver pass):
-# 60 of the 198 entries have never had a driver row across r1-r5 —
+# 63 of the 201 entries have never had a driver row across r1-r5 —
 # every first-timer from both round-6 sessions plus the r1-r5 backlog.
 # The window packs the smoke anchor, re-proofs of the four pre-existing
 # entries whose code changed in round 6 (posting-list pair-enumeration
 # rewrite, GIF compositing fix, progressive-JPEG refinement
-# strictness), and 45 of the 49 never-checked entries that carry FULL
-# value oracles. Deferred to round 7: the four stragglers registered
+# strictness), and 45 of the 52 never-checked entries that carry FULL
+# value oracles. Deferred to round 7: the seven stragglers registered
 # after the rotation (agg_string_concat, q_revenue_share,
-# dedup_edit_distance, str_fold_accents — changed-codec re-proofs
-# outrank them; all hold three-SF local differential evidence) and
-# the 11 rows-only never-checked entries (ann_ivf_pq, ann_pq,
+# dedup_edit_distance, str_fold_accents, join_bucketed_no_shuffle,
+# join_null_safe, agg_conditional — changed-codec re-proofs outrank
+# them; all hold three-SF local differential evidence) and the 11
+# rows-only never-checked entries (ann_ivf_pq, ann_pq,
 # emb_pca_project, bpe_encode_corpus, agg_approx_quantiles,
 # sample_seeded, stream_distinct_users, multimodal_features,
 # agg_hll_rollup, agg_kll_quantiles, agg_cms_counts) — full-oracle
 # first-timers outrank rows-only ones (hash evidence vs row counts),
 # and all of them hold semantic equality tests in pytest;
-# tools/oracle_check.py still checks ALL 198 entries at three SFs.
+# tools/oracle_check.py still checks ALL 201 entries at three SFs.
 _DRIVER_WINDOW = [
     "flagship_orders_by_month",
     "dedup_ngram_jaccard",

@@ -10,6 +10,9 @@ OPTIMIZE on lakehouse formats.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -213,3 +216,71 @@ def merge_apply(
     kept = target.join(changed_keys, keys, "left_anti")
     upserts = source.filter(F.col(op_col) == "upsert").drop(op_col)
     return kept.unionByName(upserts.select(*target.columns))
+
+
+def write_bucketed(
+    df,
+    table: str,
+    key: str,
+    n_buckets: int = 8,
+) -> None:
+    """Persist ``df`` as a bucketed, per-file-sorted managed table.
+
+    Bucketing is the co-located-join primitive: both sides of a
+    recurring join written with the same ``bucketBy(n, key)`` hash
+    layout join WITHOUT any Exchange — the shuffle is paid once at
+    write time and amortized over every subsequent join/aggregation
+    on the key. ``sortBy`` additionally pre-sorts within each bucket
+    file, letting the sort-merge join skip or cheapen its Sort.
+
+    This is the batch answer to "this join is the nightly
+    bottleneck": at 100 TB the fact-fact shuffle dominates; a
+    bucketed layout turns it into a map-side zip of co-numbered
+    bucket files."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # A fresh metastore (each local session gets its own Derby) can
+    # find a stale location left by a previous session's write —
+    # saveAsTable refuses to adopt it (LOCATION_ALREADY_EXISTS), so
+    # clear the orphaned directory. Local-path handling only: a real
+    # deployment keeps one shared catalog and never hits this.
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    path = os.path.join(wh.removeprefix("file:"), table.lower())
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    df.write.bucketBy(n_buckets, key).sortBy(key).mode("overwrite").format(
+        "parquet"
+    ).saveAsTable(table)
+
+
+def bucketed_join_status_revenue(spark, orders, lineitem, n_buckets: int = 8):
+    """Write orders+lineitem bucketed by order key, then join them
+    shuffle-free and aggregate: the canonical co-located fact-fact
+    join. Returns the joined aggregate; the join stage must show NO
+    Exchange under the SortMergeJoin (pinned by
+    tests/test_plan_quality.py::test_bucketed_join_has_no_exchange)."""
+    from pyspark.sql import functions as F
+
+    from . import aggregates as AGG
+
+    write_bucketed(
+        orders.select("o_orderkey", "o_orderstatus"),
+        "b_orders",
+        "o_orderkey",
+        n_buckets,
+    )
+    write_bucketed(
+        lineitem.select("l_orderkey", "l_extendedprice"),
+        "b_lineitem",
+        "l_orderkey",
+        n_buckets,
+    )
+    bo = spark.table("b_orders")
+    bl = spark.table("b_lineitem")
+    joined = bl.hint("merge").join(
+        bo.hint("merge"), bl["l_orderkey"] == bo["o_orderkey"]
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        AGG.money_sum(F.col("l_extendedprice"), "revenue"),
+    )

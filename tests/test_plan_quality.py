@@ -392,3 +392,19 @@ def test_q20_shape_broadcasts_dims_partial_aggregates(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "partial_sum" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Both sides written bucketBy(8, orderkey): the sort-merge join
+    must consume the bucket layout directly — zero Exchange below the
+    join (the aggregate above it may still shuffle). A plan that
+    re-shuffles bucketed tables silently forfeits the entire point of
+    paying the write-time shuffle."""
+    plan = plan_of(spark, sf_dir, "join_bucketed_no_shuffle")
+    m = re.search(r"SortMergeJoin.*", plan, re.DOTALL)
+    assert m, f"expected a SortMergeJoin over the bucketed tables:\n{plan}"
+    below_join = m.group(0)
+    assert "Exchange" not in below_join, (
+        "bucketed join must not re-shuffle either side:\n" + below_join
+    )
+    assert plan.count("Bucketed: true") == 2, plan

@@ -38,6 +38,9 @@ ENTRIES = [
     "dedup_edit_distance",
     "str_fold_accents",
     "agg_cms_counts",
+    "join_bucketed_no_shuffle",
+    "join_null_safe",
+    "agg_conditional",
 ]
 
 SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
