@@ -74,8 +74,8 @@ def collapse_whitespace(col: Column) -> Column:
 # strip_accents keeps them unfolded too, so they are deliberately out
 # of scope; the pytest cross-check pins this set equal to DuckDB's
 # ICU-backed strip_accents character-for-character).
-ACCENTED = "àâäáãéèêëíîïìôöóòõùûüúçñÀÂÄÁÃÉÈÊËÍÎÏÌÔÖÓÒÕÙÛÜÚÇÑ"
-UNACCENTED = "aaaaaeeeeiiiiooooouuuucnAAAAAEEEEIIIIOOOOOUUUUCN"
+ACCENTED = "àâäáãéèêëíîïìôöóòõùûüúçñÿýÀÂÄÁÃÉÈÊËÍÎÏÌÔÖÓÒÕÙÛÜÚÇÑŸÝ"
+UNACCENTED = "aaaaaeeeeiiiiooooouuuucnyyAAAAAEEEEIIIIOOOOOUUUUCNYY"
 
 
 def fold_accents(col: Column) -> Column:

@@ -258,25 +258,33 @@ def bucketed_join_status_revenue(spark, orders, lineitem, n_buckets: int = 8):
     shuffle-free and aggregate: the canonical co-located fact-fact
     join. Returns the joined aggregate; the join stage must show NO
     Exchange under the SortMergeJoin (pinned by
-    tests/test_plan_quality.py::test_bucketed_join_has_no_exchange)."""
-    from pyspark.sql import functions as F
+    tests/test_plan_quality.py::test_bucketed_join_has_no_exchange).
+
+    Table names carry a digest of the orders input's logical plan so
+    entries built against different source dirs (sf0.01 vs sf0.1)
+    never alias each other's tables — a lazy DataFrame from an
+    earlier build must not silently re-read a later build's data."""
+    import hashlib
 
     from . import aggregates as AGG
 
+    tag = hashlib.md5(
+        orders._jdf.queryExecution().logical().toString().encode()
+    ).hexdigest()[:8]
     write_bucketed(
         orders.select("o_orderkey", "o_orderstatus"),
-        "b_orders",
+        f"b_orders_{tag}",
         "o_orderkey",
         n_buckets,
     )
     write_bucketed(
         lineitem.select("l_orderkey", "l_extendedprice"),
-        "b_lineitem",
+        f"b_lineitem_{tag}",
         "l_orderkey",
         n_buckets,
     )
-    bo = spark.table("b_orders")
-    bl = spark.table("b_lineitem")
+    bo = spark.table(f"b_orders_{tag}")
+    bl = spark.table(f"b_lineitem_{tag}")
     joined = bl.hint("merge").join(
         bo.hint("merge"), bl["l_orderkey"] == bo["o_orderkey"]
     )

@@ -80,6 +80,12 @@ def passjoin_pairs(
     """
     if min_len is None:
         min_len = d + 1
+    elif min_len < d + 1:
+        # Below d+1 the even split yields zero-length segments whose
+        # hash matches every zero-length probe window — the blocking
+        # degrades to an all-pairs bucket among short strings. Loud
+        # beats silently quadratic.
+        raise ValueError(f"min_len must be >= d + 1 = {d + 1}, got {min_len}")
     base = df.select(
         F.col(id_col).alias("__pid"),
         F.col(text_col).alias("__ptext"),

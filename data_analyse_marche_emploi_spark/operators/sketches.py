@@ -282,10 +282,18 @@ def cms_estimates(
         # list the driver must hold |probe| rows, not |distinct| —
         # the isin predicate also prunes the aggregate's shuffle.
         exact = exact.filter(F.col("item").isin(list(probe_items)))
-    probe_rows = exact.collect()
+    counts = {r["item"]: r["exact"] for r in exact.collect()}
+    # Absent probe keys still get a row (exact=0): a cold key vs a
+    # typo'd one must be distinguishable, and the sketch's overcount
+    # on an absent key is exactly the collision signal a skew probe
+    # wants to see.
+    items = (
+        list(dict.fromkeys(probe_items))
+        if probe_items is not None
+        else list(counts)
+    )
     out = [
-        (r["item"], r["exact"], jcms.estimateCount(r["item"]))
-        for r in probe_rows
+        (item, counts.get(item, 0), jcms.estimateCount(item)) for item in items
     ]
     from pyspark.sql import types as T
 

@@ -85,3 +85,9 @@ def test_passjoin_plan_no_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_passjoin_rejects_sub_floor_min_len(spark):
+    df = spark.createDataFrame([(0, "abcdef")], "id long, s string")
+    with pytest.raises(ValueError, match="min_len"):
+        passjoin_pairs(df, "s", "id", d=5, min_len=2)

@@ -249,3 +249,21 @@ def test_cms_collisions_stay_one_sided(spark):
     assert all(r["exact"] == 2 for r in out)
     assert all(r["est"] >= 2 for r in out)
     assert any(r["over"] > 0 for r in out), "tiny width must actually collide"
+
+
+def test_cms_absent_probe_key_gets_zero_row(events):
+    """A probed key with no occurrences must still get a row
+    (exact=0) — a cold key and a typo'd key must be distinguishable,
+    and the sketch's overcount on an absent key is the collision
+    signal."""
+    from data_analyse_marche_emploi_spark.operators.sketches import cms_estimates
+
+    out = {
+        r["item"]: r
+        for r in cms_estimates(
+            events, "event_type", probe_items=["click", "no_such_event"]
+        ).collect()
+    }
+    assert set(out) == {"click", "no_such_event"}
+    assert out["no_such_event"]["exact"] == 0
+    assert out["no_such_event"]["est"] >= 0
