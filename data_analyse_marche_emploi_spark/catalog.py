@@ -2871,6 +2871,57 @@ def join_null_safe(spark, sf_dir):
 
 
 @register(
+    "agg_arg_max",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice DESC,
+                                         l_orderkey DESC,
+                                         l_linenumber DESC) AS rn_max,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice ASC,
+                                         l_orderkey ASC,
+                                         l_linenumber ASC) AS rn_min
+      FROM lineitem
+    )
+    SELECT m.l_returnflag,
+           m.l_orderkey AS top_orderkey,
+           m.l_extendedprice AS max_price,
+           n.l_orderkey AS bottom_orderkey,
+           n.l_extendedprice AS min_price
+    FROM (SELECT * FROM r WHERE rn_max = 1) m
+    JOIN (SELECT * FROM r WHERE rn_min = 1) n USING (l_returnflag)
+    """,
+)
+def agg_arg_max(spark, sf_dir):
+    """max_by / min_by (argmax) as partial-aggregating built-ins: the
+    WHICH-row-holds-the-extreme question answered in ONE pass with
+    per-group constant state — no window, no sort, no second join.
+    The textbook window form (row_number() = 1) sorts every group;
+    the oracle uses exactly that form to prove equivalence. Ties are
+    broken deterministically by maximizing/minimizing the full
+    (price, orderkey, linenumber) struct lexicographically — a bare
+    max_by(key, price) is tie-nondeterministic and would flip between
+    engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    mx = F.expr(
+        "max_by(struct(l_orderkey, l_extendedprice), "
+        "struct(l_extendedprice, l_orderkey, l_linenumber))"
+    )
+    mn = F.expr(
+        "min_by(struct(l_orderkey, l_extendedprice), "
+        "struct(l_extendedprice, l_orderkey, l_linenumber))"
+    )
+    return li.groupBy("l_returnflag").agg(
+        mx["l_orderkey"].alias("top_orderkey"),
+        mx["l_extendedprice"].alias("max_price"),
+        mn["l_orderkey"].alias("bottom_orderkey"),
+        mn["l_extendedprice"].alias("min_price"),
+    )
+
+
+@register(
     "agg_conditional",
     oracle="""
     SELECT l_returnflag,
@@ -4444,10 +4495,38 @@ def multimodal_spectral(spark, sf_dir):
     return extract_audio_spectral(synth_wav_tone(d, "doc_id"))
 
 
-@register("multimodal_features")  # decoder dispatch (wav/ppm/jpeg/png real, else stub)
+@register(
+    "multimodal_features",
+    # The payloads are the documents' UTF-8 bytes: pure ASCII at every
+    # SF (pinned below by the length=octet_length equality) and none
+    # sniffs as a media magic (no 'P6'/'P5'/'BM'/'GIF'/'RIFF'/JPEG/PNG
+    # prefix exists in the corpus), so every row takes the deterministic
+    # fallback-decoder path — whose stats are plain byte arithmetic.
+    # If fixture drift ever introduced a sniff-positive or non-ASCII
+    # doc the differential fails LOUDLY (the oracle encodes the
+    # invariant; it cannot silently diverge).
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           list_sum(list_transform(
+               generate_series(1, least(length(text), 64)),
+               i -> ascii(text[i:i])))
+             / CAST(least(length(text), 64) AS DOUBLE) AS fake_mean,
+           CAST(ascii(text[1:1]) AS BIGINT) AS fake_first,
+           'fake-v0' AS decoder
+    FROM documents
+    WHERE length(text) = octet_length(encode(text))
+    """,
+)
 def multimodal_features(spark, sf_dir):
     """Arrow-batched mapInPandas decode/feature-extract plumbing over
-    binary payloads (decoder stubbed — no codecs in this environment)."""
+    binary payloads: real decoders for wav/ppm/jpeg/png/gif/bmp magics,
+    deterministic byte-stat fallback for opaque formats. The fixture
+    payloads (UTF-8 text bytes) all route to the fallback, so the
+    whole mapInPandas path — Arrow batching, schema contract, per-row
+    dispatch — carries a full byte-arithmetic SQL oracle; the real
+    decoder paths are oracle-checked by their own entries
+    (multimodal_jpeg/png/gif/bmp/wav_roundtrip)."""
     from .operators.multimodal import attach_media, extract_features
 
     d = _docs(spark, sf_dir)
@@ -6904,24 +6983,26 @@ def q_waiting_suppliers(spark, sf_dir):
 # tools/oracle_check.py, which check ALL entries.
 
 # Round-6 rotation (updated at round-6 end for the r6 driver pass):
-# 63 of the 201 entries have never had a driver row across r1-r5 —
+# 64 of the 202 entries have never had a driver row across r1-r5 —
 # every first-timer from both round-6 sessions plus the r1-r5 backlog.
 # The window packs the smoke anchor, re-proofs of the four pre-existing
 # entries whose code changed in round 6 (posting-list pair-enumeration
 # rewrite, GIF compositing fix, progressive-JPEG refinement
-# strictness), and 45 of the 52 never-checked entries that carry FULL
-# value oracles. Deferred to round 7: the seven stragglers registered
+# strictness), and 45 of the 54 never-checked entries that carry FULL
+# value oracles. Deferred to round 7: the nine stragglers registered
 # after the rotation (agg_string_concat, q_revenue_share,
 # dedup_edit_distance, str_fold_accents, join_bucketed_no_shuffle,
-# join_null_safe, agg_conditional — changed-codec re-proofs outrank
-# them; all hold three-SF local differential evidence) and the 11
-# rows-only never-checked entries (ann_ivf_pq, ann_pq,
-# emb_pca_project, bpe_encode_corpus, agg_approx_quantiles,
-# sample_seeded, stream_distinct_users, multimodal_features,
-# agg_hll_rollup, agg_kll_quantiles, agg_cms_counts) — full-oracle
-# first-timers outrank rows-only ones (hash evidence vs row counts),
-# and all of them hold semantic equality tests in pytest;
-# tools/oracle_check.py still checks ALL 201 entries at three SFs.
+# join_null_safe, agg_conditional, agg_arg_max, multimodal_features —
+# the last upgraded this round from rows-only to a full
+# byte-arithmetic oracle; changed-codec re-proofs outrank them; all
+# hold three-SF local differential evidence) and the 10 rows-only
+# never-checked entries (ann_ivf_pq, ann_pq, emb_pca_project,
+# bpe_encode_corpus, agg_approx_quantiles, sample_seeded,
+# stream_distinct_users, agg_hll_rollup, agg_kll_quantiles,
+# agg_cms_counts) — full-oracle first-timers outrank rows-only ones
+# (hash evidence vs row counts), and all of them hold semantic
+# equality tests in pytest; tools/oracle_check.py still checks ALL
+# 202 entries at three SFs.
 _DRIVER_WINDOW = [
     "flagship_orders_by_month",
     "dedup_ngram_jaccard",

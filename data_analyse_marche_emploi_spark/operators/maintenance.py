@@ -11,7 +11,6 @@ OPTIMIZE on lakehouse formats.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -218,41 +217,6 @@ def merge_apply(
     return kept.unionByName(upserts.select(*target.columns))
 
 
-def write_bucketed(
-    df,
-    table: str,
-    key: str,
-    n_buckets: int = 8,
-) -> None:
-    """Persist ``df`` as a bucketed, per-file-sorted managed table.
-
-    Bucketing is the co-located-join primitive: both sides of a
-    recurring join written with the same ``bucketBy(n, key)`` hash
-    layout join WITHOUT any Exchange — the shuffle is paid once at
-    write time and amortized over every subsequent join/aggregation
-    on the key. ``sortBy`` additionally pre-sorts within each bucket
-    file, letting the sort-merge join skip or cheapen its Sort.
-
-    This is the batch answer to "this join is the nightly
-    bottleneck": at 100 TB the fact-fact shuffle dominates; a
-    bucketed layout turns it into a map-side zip of co-numbered
-    bucket files."""
-    spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # A fresh metastore (each local session gets its own Derby) can
-    # find a stale location left by a previous session's write —
-    # saveAsTable refuses to adopt it (LOCATION_ALREADY_EXISTS), so
-    # clear the orphaned directory. Local-path handling only: a real
-    # deployment keeps one shared catalog and never hits this.
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    path = os.path.join(wh.removeprefix("file:"), table.lower())
-    if os.path.isdir(path):
-        shutil.rmtree(path)
-    df.write.bucketBy(n_buckets, key).sortBy(key).mode("overwrite").format(
-        "parquet"
-    ).saveAsTable(table)
-
-
 def bucketed_join_status_revenue(spark, orders, lineitem, n_buckets: int = 8):
     """Write orders+lineitem bucketed by order key, then join them
     shuffle-free and aggregate: the canonical co-located fact-fact
@@ -265,6 +229,8 @@ def bucketed_join_status_revenue(spark, orders, lineitem, n_buckets: int = 8):
     never alias each other's tables — a lazy DataFrame from an
     earlier build must not silently re-read a later build's data."""
     import hashlib
+
+    from ..sources.bucketing import write_bucketed
 
     from . import aggregates as AGG
 

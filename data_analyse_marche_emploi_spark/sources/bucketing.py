@@ -17,6 +17,9 @@ executor core's memory — at 100 TB of lineitem, O(10k) buckets.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -30,6 +33,19 @@ def write_bucketed(
 ) -> None:
     """Persist ``df`` as a bucketed managed table (bucket pruning +
     shuffle-free joins/aggregations on ``bucket_col``)."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # A fresh metastore (each local session gets its own Derby)
+        # can find a stale location left by a previous session's
+        # write — saveAsTable refuses to adopt it
+        # (LOCATION_ALREADY_EXISTS), so clear the orphaned directory.
+        # Local-path handling only: a real deployment keeps one
+        # shared catalog and never hits this.
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        path = os.path.join(wh.removeprefix("file:"), table.lower())
+        if os.path.isdir(path):
+            shutil.rmtree(path)
     w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort:
         w = w.sortBy(bucket_col)
