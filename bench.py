@@ -65,6 +65,11 @@ HEADLINE = [
     "q_waiting_suppliers",
     "dedup_prefix_filter",
     "ts_interpolate",
+    # round-6 (cont. 2): exact PassJoin edit-distance self-join,
+    # co-bucketed exchange-free fact-fact join, XML reparse path
+    "dedup_edit_distance",
+    "join_bucketed_no_shuffle",
+    "xml_extract",
     # structured-streaming drain (availableNow → watermarked dedup)
     "stream_dedup_upsert",
 ]

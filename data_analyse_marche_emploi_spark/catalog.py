@@ -6399,6 +6399,51 @@ def json_variant_extract(spark, sf_dir):
 
 
 @register(
+    "xml_extract",
+    oracle="""
+    SELECT o_orderstatus AS status, count(*) AS cnt,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def xml_extract(spark, sf_dir):
+    """Spark 4 XML ingestion path, the sibling of
+    json_variant_extract: order rows serialize to nested XML (to_xml),
+    reparse against a declared schema (from_xml — the
+    legacy-feed/SOAP/sitemap format no crawl pipeline escapes), and
+    aggregate the extracted fields. The XML detour is an identity on
+    the data, so the oracle is the straight relational aggregate —
+    proving serialize → parse → typed-extract loses nothing,
+    including the double round-trip (shortest-repr XML floats reparse
+    bit-equal). Per-row parse CPU scales linearly and shuffles
+    nothing extra."""
+    o = _t(spark, sf_dir, "orders")
+    x = o.select(
+        F.expr(
+            "to_xml(struct(o_orderkey AS id, "
+            "struct(o_totalprice AS price, o_orderstatus AS status) AS info))"
+        ).alias("x")
+    )
+    r = x.select(
+        F.expr(
+            "from_xml(x, 'id LONG, info STRUCT<price: DOUBLE, status: STRING>')"
+        ).alias("r")
+    )
+    return (
+        r.select(
+            F.col("r.info.status").alias("status"),
+            F.col("r.info.price").alias("price"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            AGG.money_sum(F.col("price"), "revenue"),
+        )
+    )
+
+
+@register(
     "q_pareto_frontier",
     oracle="""
     WITH pts AS (
@@ -6983,16 +7028,17 @@ def q_waiting_suppliers(spark, sf_dir):
 # tools/oracle_check.py, which check ALL entries.
 
 # Round-6 rotation (updated at round-6 end for the r6 driver pass):
-# 64 of the 202 entries have never had a driver row across r1-r5 —
+# 65 of the 203 entries have never had a driver row across r1-r5 —
 # every first-timer from both round-6 sessions plus the r1-r5 backlog.
 # The window packs the smoke anchor, re-proofs of the four pre-existing
 # entries whose code changed in round 6 (posting-list pair-enumeration
 # rewrite, GIF compositing fix, progressive-JPEG refinement
-# strictness), and 45 of the 54 never-checked entries that carry FULL
-# value oracles. Deferred to round 7: the nine stragglers registered
+# strictness), and 45 of the 55 never-checked entries that carry FULL
+# value oracles. Deferred to round 7: the ten stragglers registered
 # after the rotation (agg_string_concat, q_revenue_share,
 # dedup_edit_distance, str_fold_accents, join_bucketed_no_shuffle,
-# join_null_safe, agg_conditional, agg_arg_max, multimodal_features —
+# join_null_safe, agg_conditional, agg_arg_max, xml_extract,
+# multimodal_features —
 # the last upgraded this round from rows-only to a full
 # byte-arithmetic oracle; changed-codec re-proofs outrank them; all
 # hold three-SF local differential evidence) and the 10 rows-only

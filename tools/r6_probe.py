@@ -41,6 +41,9 @@ ENTRIES = [
     "join_bucketed_no_shuffle",
     "join_null_safe",
     "agg_conditional",
+    "agg_arg_max",
+    "xml_extract",
+    "multimodal_features",
 ]
 
 SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
