@@ -7048,7 +7048,7 @@ def q_waiting_suppliers(spark, sf_dir):
 # agg_cms_counts) — full-oracle first-timers outrank rows-only ones
 # (hash evidence vs row counts), and all of them hold semantic
 # equality tests in pytest; tools/oracle_check.py still checks ALL
-# 202 entries at three SFs.
+# 203 entries at three SFs.
 _DRIVER_WINDOW = [
     "flagship_orders_by_month",
     "dedup_ngram_jaccard",

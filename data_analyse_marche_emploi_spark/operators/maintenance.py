@@ -224,10 +224,13 @@ def bucketed_join_status_revenue(spark, orders, lineitem, n_buckets: int = 8):
     Exchange under the SortMergeJoin (pinned by
     tests/test_plan_quality.py::test_bucketed_join_has_no_exchange).
 
-    Table names carry a digest of the orders input's logical plan so
+    Table names carry a digest of BOTH inputs' source files so
     entries built against different source dirs (sf0.01 vs sf0.1)
     never alias each other's tables — a lazy DataFrame from an
-    earlier build must not silently re-read a later build's data."""
+    earlier build must not silently re-read a later build's data.
+    (The logical-plan string is NOT a usable identity here: for a
+    parquet read it renders path-free, so every build would hash to
+    the same tag.)"""
     import hashlib
 
     from ..sources.bucketing import write_bucketed
@@ -235,7 +238,7 @@ def bucketed_join_status_revenue(spark, orders, lineitem, n_buckets: int = 8):
     from . import aggregates as AGG
 
     tag = hashlib.md5(
-        orders._jdf.queryExecution().logical().toString().encode()
+        ";".join(sorted(orders.inputFiles()) + sorted(lineitem.inputFiles())).encode()
     ).hexdigest()[:8]
     write_bucketed(
         orders.select("o_orderkey", "o_orderstatus"),
