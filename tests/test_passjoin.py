@@ -91,3 +91,52 @@ def test_passjoin_rejects_sub_floor_min_len(spark):
     df = spark.createDataFrame([(0, "abcdef")], "id long, s string")
     with pytest.raises(ValueError, match="min_len"):
         passjoin_pairs(df, "s", "id", d=5, min_len=2)
+
+
+def test_passjoin_random_corpus_equals_quadratic(spark):
+    """Seeded random corpus from a 4-letter alphabet (dense collisions,
+    many borderline distances): PassJoin must equal the quadratic
+    ground truth exactly — segments, windows, hashing, verification
+    all exercised off the structured fixture distribution."""
+    import random
+
+    rng = random.Random(20260815)
+    rows = []
+    rid = 0
+    for _ in range(20):
+        base = "".join(rng.choice("abcd") for _ in range(rng.randint(8, 24)))
+        rows.append((rid, base))
+        rid += 1
+        for _ in range(2):  # mutated copies: 1-4 random edits each
+            s = list(base)
+            for _ in range(rng.randint(1, 4)):
+                op = rng.choice("sid")
+                p = rng.randrange(len(s))
+                if op == "s":
+                    s[p] = rng.choice("abcd")
+                elif op == "i":
+                    s.insert(p, rng.choice("abcd"))
+                elif len(s) > 8:
+                    del s[p]
+            rows.append((rid, "".join(s)))
+            rid += 1
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = sorted(
+        tuple(r) for r in passjoin_pairs(df, "s", "id", d=3).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    exp = sorted(
+        tuple(r)
+        for r in con.sql(
+            """
+            SELECT a.id, b.id, levenshtein(a.s, b.s)
+            FROM t a JOIN t b ON a.id < b.id
+            WHERE levenshtein(a.s, b.s) <= 3
+              AND length(a.s) >= 4 AND length(b.s) >= 4
+            """
+        ).fetchall()
+    )
+    assert got == exp
+    assert len(got) > 0
