@@ -696,6 +696,91 @@ def scd2_apply(spark, sf_dir):
 
 
 @register(
+    "join_scd2_point_in_time",
+    oracle="""
+    WITH o AS (SELECT user_id, event_type, ts, event_id,
+                      lag(event_type) OVER w AS prev,
+                      row_number() OVER w AS rn
+               FROM events WHERE event_type <> 'purchase'
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    chg AS (SELECT user_id, event_type, ts, event_id FROM o
+            WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+    dim AS (SELECT user_id, event_type AS status, ts AS valid_from,
+                   lead(ts) OVER w2 AS valid_to
+            FROM chg WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    f AS (SELECT user_id, ts,
+                 CAST(floor(value * 1e6) AS BIGINT) AS v6
+          FROM events
+          WHERE event_type = 'purchase' AND value IS NOT NULL
+            AND NOT isnan(value))
+    SELECT d.status, count(*) AS n_purchases,
+           CAST(sum(f.v6) AS BIGINT) AS value6
+    FROM f JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    GROUP BY 1
+    """,
+)
+def join_scd2_point_in_time(spark, sf_dir):
+    """Point-in-time (bi-temporal) join: each purchase enriches with
+    the SCD2 status row VALID AT ITS OWN EVENT TIME — the warehouse
+    temporal pattern behind 'what plan was the customer on when they
+    bought'. A naive join to is_current silently rewrites history;
+    the PIT predicate (valid_from <= ts < valid_to, open current
+    interval) is the correct semantics, and every fact matches at
+    most one interval because SCD2 intervals partition each key's
+    timeline.
+
+    Scale shape: the equi-key (user_id) carries the one shuffle; the
+    interval predicate evaluates inside each hash bucket, and SCD2
+    dimensions hold few intervals per key by construction, so the
+    join stays linear — no range-bucketing machinery needed (compare
+    join_range for the arbitrary-interval case). Values aggregate as
+    floored int64 micro-units (a double sum is partition-order-
+    dependent)."""
+    from .operators.ingest import scd2_history
+
+    e = _t(spark, sf_dir, "events")
+    # The dimension tracks the user's NON-purchase activity state; the
+    # facts are the purchases — dimension and fact streams must be
+    # disjoint or every fact trivially matches the interval its own
+    # event opened.
+    dim = scd2_history(
+        e.filter(F.col("event_type") != "purchase"),
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+    ).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("status"),
+        "valid_from",
+        "valid_to",
+    )
+    f = e.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+    ).select(
+        "user_id", "ts", F.floor(F.col("value") * 1e6).cast("long").alias("v6")
+    )
+    return (
+        f.join(
+            dim,
+            (f["user_id"] == dim["d_user"])
+            & (f["ts"] >= dim["valid_from"])
+            & (dim["valid_to"].isNull() | (f["ts"] < dim["valid_to"])),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("v6").alias("value6"),
+        )
+    )
+
+
+@register(
     "snk_run_metrics",
     oracle="""
     SELECT 'fin de l''execution du programme' AS message,
@@ -7028,17 +7113,17 @@ def q_waiting_suppliers(spark, sf_dir):
 # tools/oracle_check.py, which check ALL entries.
 
 # Round-6 rotation (updated at round-6 end for the r6 driver pass):
-# 65 of the 203 entries have never had a driver row across r1-r5 —
+# 66 of the 204 entries have never had a driver row across r1-r5 —
 # every first-timer from both round-6 sessions plus the r1-r5 backlog.
 # The window packs the smoke anchor, re-proofs of the four pre-existing
 # entries whose code changed in round 6 (posting-list pair-enumeration
 # rewrite, GIF compositing fix, progressive-JPEG refinement
-# strictness), and 45 of the 55 never-checked entries that carry FULL
-# value oracles. Deferred to round 7: the ten stragglers registered
+# strictness), and 45 of the 56 never-checked entries that carry FULL
+# value oracles. Deferred to round 7: the eleven stragglers registered
 # after the rotation (agg_string_concat, q_revenue_share,
 # dedup_edit_distance, str_fold_accents, join_bucketed_no_shuffle,
 # join_null_safe, agg_conditional, agg_arg_max, xml_extract,
-# multimodal_features —
+# join_scd2_point_in_time, multimodal_features —
 # the last upgraded this round from rows-only to a full
 # byte-arithmetic oracle; changed-codec re-proofs outrank them; all
 # hold three-SF local differential evidence) and the 10 rows-only
@@ -7048,7 +7133,7 @@ def q_waiting_suppliers(spark, sf_dir):
 # agg_cms_counts) — full-oracle first-timers outrank rows-only ones
 # (hash evidence vs row counts), and all of them hold semantic
 # equality tests in pytest; tools/oracle_check.py still checks ALL
-# 203 entries at three SFs.
+# 204 entries at three SFs.
 _DRIVER_WINDOW = [
     "flagship_orders_by_month",
     "dedup_ngram_jaccard",

@@ -44,6 +44,7 @@ ENTRIES = [
     "agg_arg_max",
     "xml_extract",
     "multimodal_features",
+    "join_scd2_point_in_time",
 ]
 
 SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
