@@ -2982,9 +2982,13 @@ def join_null_safe(spark, sf_dir):
 def agg_arg_max(spark, sf_dir):
     """max_by / min_by (argmax) as partial-aggregating built-ins: the
     WHICH-row-holds-the-extreme question answered in ONE pass with
-    per-group constant state — no window, no sort, no second join.
-    The textbook window form (row_number() = 1) sorts every group;
-    the oracle uses exactly that form to prove equivalence. Ties are
+    per-group constant state — no window, no per-group full sort, no
+    second join. (Struct-ordered max_by lacks a codegen'd hash
+    implementation, so the physical plan is SortAggregate — a sort on
+    the FEW-valued group key only, still constant state per group; see
+    docs/PLANS.md. The window form it replaces sorts every group by
+    the full struct AND materializes row numbers.) The textbook window
+    form (row_number() = 1) is the oracle, proving equivalence. Ties are
     broken deterministically by maximizing/minimizing the full
     (price, orderkey, linenumber) struct lexicographically — a bare
     max_by(key, price) is tie-nondeterministic and would flip between

@@ -237,8 +237,15 @@ def bucketed_join_status_revenue(spark, orders, lineitem, n_buckets: int = 8):
 
     from . import aggregates as AGG
 
+    o_files, l_files = orders.inputFiles(), lineitem.inputFiles()
+    if not o_files or not l_files:
+        raise ValueError(
+            "bucketed join requires file-backed inputs: inputFiles() is "
+            "empty, so the table tag would collapse to a constant and "
+            "different datasets would alias each other's bucketed tables"
+        )
     tag = hashlib.md5(
-        ";".join(sorted(orders.inputFiles()) + sorted(lineitem.inputFiles())).encode()
+        ("|".join(sorted(o_files)) + "||" + "|".join(sorted(l_files))).encode()
     ).hexdigest()[:8]
     write_bucketed(
         orders.select("o_orderkey", "o_orderstatus"),

@@ -111,13 +111,17 @@ def test_passjoin_random_corpus_equals_quadratic(spark):
             s = list(base)
             for _ in range(rng.randint(1, 4)):
                 op = rng.choice("sid")
-                p = rng.randrange(len(s))
-                if op == "s":
+                if op == "d" and len(s) <= 8:
+                    op = "s"  # keep the edit count honest on short strings
+                if op == "i":
+                    # len(s)+1 so end-of-string appends (the last
+                    # PassJoin segment's right drift edge) are reachable
+                    s.insert(rng.randrange(len(s) + 1), rng.choice("abcd"))
+                elif op == "s":
+                    p = rng.randrange(len(s))
                     s[p] = rng.choice("abcd")
-                elif op == "i":
-                    s.insert(p, rng.choice("abcd"))
-                elif len(s) > 8:
-                    del s[p]
+                else:
+                    del s[rng.randrange(len(s))]
             rows.append((rid, "".join(s)))
             rid += 1
     df = spark.createDataFrame(rows, "id long, s string")
