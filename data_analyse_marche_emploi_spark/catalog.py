@@ -6393,6 +6393,145 @@ def pipeline_gzip_ndjson_ingest(spark, sf_dir):
 
 
 @register(
+    "pipeline_partitioned_write_prune",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, count(*) AS cnt,
+           CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS value6
+    FROM events
+    WHERE event_type = 'purchase' AND value IS NOT NULL AND NOT isnan(value)
+    GROUP BY 1
+    """,
+)
+def pipeline_partitioned_write_prune(spark, sf_dir):
+    """Hive-style partitioned layout + partition-pruned read: events
+    land partitioned BY event_type (partitionBy write), and a reader
+    filtering one type touches ONLY that type's directory — the scan
+    lists k/N directories, not k/N rows of every file. At 100 TB this
+    is the difference between a metadata-only prune and a full-corpus
+    scan; the layout choice (low-cardinality, always-filtered column)
+    is the schema-design half of the engine. tests/test_plan_quality
+    pins the prune: every file the pruned scan reads lives under
+    event_type=purchase/. The write tags its directory with a digest
+    of the input files (same discipline as the bucketed-join tables)
+    so different SFs never alias, and overwrite keeps re-runs
+    idempotent. Oracle = the straight filtered aggregate on the
+    original table (the roundtrip is an identity)."""
+    import hashlib
+    import os
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    files = ev.inputFiles()
+    if not files:
+        raise ValueError("partitioned-write entry requires a file-backed input")
+    tag = hashlib.md5("|".join(sorted(files)).encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"part_prune_{tag}")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    return (
+        back.filter(F.col("value").isNotNull() & ~F.isnan(F.col("value")))
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.floor(F.col("value") * 1e6).cast("long"))
+            .cast("long")
+            .alias("value6"),
+        )
+    )
+
+
+@register(
+    "pipeline_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),
+                 2) AS revenue,
+           count(*) AS cnt
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY 1, 2
+    """,
+)
+def pipeline_orc_roundtrip(spark, sf_dir):
+    """Second columnar format: lineitem round-trips through ORC (the
+    other splittable, predicate-pushdown-capable warehouse format
+    Spark ships natively) and the read-back runs the pricing-summary
+    aggregate with the date filter applied AFTER the ORC scan — so
+    the plan must push it INTO the scan (ORC row-group min/max
+    skipping), same contract as the parquet entries. An engine
+    claiming 'any warehouse can switch to it' needs both columnar
+    dialects; values survive the trip bit-exactly (doubles and
+    strings map 1:1), so the oracle is the aggregate on the original
+    parquet. Tagged output dir + overwrite, as the other write
+    entries."""
+    import hashlib
+    import os
+    import tempfile
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_shipdate",
+    )
+    files = li.inputFiles()
+    if not files:
+        raise ValueError("ORC roundtrip entry requires a file-backed input")
+    tag = hashlib.md5("|".join(sorted(files)).encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"orc_rt_{tag}")
+    li.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out).filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+        AGG.money_sum(F.col("l_extendedprice"), "revenue"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "seq_transition_matrix",
+    oracle="""
+    WITH s AS (SELECT user_id, event_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+               FROM events)
+    SELECT prev, event_type AS cur, count(*) AS cnt
+    FROM s WHERE prev IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def seq_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    streams: counts of (previous event type -> event type) bigrams,
+    the building block of next-action models, funnel discovery, and
+    bot detection (a user whose transitions concentrate on one edge
+    is a scraper). One lag() over the per-user time order — (ts,
+    event_id) is a deterministic total order within a user — then a
+    partial-aggregating groupBy on the (prev, cur) pair.
+
+    Scale shape: the window shuffles once on user_id (each user's
+    stream sorts independently — no global sort), and the bigram
+    count re-shuffles only the (prev, cur, partial-count) pairs,
+    whose cardinality is |event types|^2, not |events|. Both stages
+    stay whole-stage-codegen'd builtins."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        F.col("event_type").alias("cur"),
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    return (
+        s.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
     "agg_weighted_median",
     oracle="""
     WITH v AS (SELECT l_returnflag AS k,

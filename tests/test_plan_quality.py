@@ -408,3 +408,19 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         "bucketed join must not re-shuffle either side:\n" + below_join
     )
     assert plan.count("Bucketed: true") == 2, plan
+
+
+def test_partitioned_write_prunes_directories(spark, sf_dir):
+    """Hive-layout write + filtered read-back: the scan must prune at
+    the DIRECTORY level — PartitionFilters carries the event_type
+    predicate and every file the plan touches lives under
+    event_type=purchase/. A scan reading sibling partitions means the
+    layout bought nothing."""
+    plan = plan_of(spark, sf_dir, "pipeline_partitioned_write_prune")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan
+    # the partition predicate must NOT degrade into a data filter
+    # (df.inputFiles() can't verify pruning — it lists the relation
+    # pre-pruning — so the plan string is the contract)
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and "event_type" not in pushed.group(1), plan
