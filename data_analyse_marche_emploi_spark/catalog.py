@@ -7242,6 +7242,112 @@ def q_waiting_suppliers(spark, sf_dir):
     )
 
 
+@register(
+    "sql_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE walk(suppkey, node, depth) AS (
+      SELECT s_suppkey, s_suppkey, 0 FROM supplier
+      UNION ALL
+      SELECT suppkey, CAST(floor(node / 2.0) AS BIGINT), depth + 1
+      FROM walk WHERE node > 0
+    ),
+    d AS (SELECT suppkey, depth FROM walk WHERE node = 0)
+    SELECT d.depth AS root_distance, count(*) AS cnt,
+           CAST(sum(CAST(floor(s.s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM d JOIN supplier s ON s.s_suppkey = d.suppkey
+    GROUP BY 1
+    """,
+)
+def sql_recursive_hierarchy(spark, sf_dir):
+    """Recursive CTE (Spark 4 WITH RECURSIVE) walking an implicit
+    binary hierarchy over suppliers — parent(k) = floor(k/2), root 0 —
+    to each node's root distance, then counting suppliers and exact
+    account-balance cents per depth. The hierarchy walk is the one SQL
+    shape plain joins cannot express (unbounded-depth ancestor
+    traversal: org charts, category trees, thread parents).
+
+    Scale shape: each recursion step is a shuffle-free narrow map
+    (node/2 on the previous step's output) and the iteration count is
+    the TREE DEPTH — O(log N) steps for N suppliers — not the row
+    count; the final depth rollup is one partial-aggregating groupBy.
+    floor(node / 2.0) instead of integer `/`: DuckDB CASTs doubles by
+    rounding while Spark truncates, so the explicit floor is what
+    keeps the two engines on the same parent chain."""
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        WITH RECURSIVE walk(suppkey, node, depth) AS (
+          SELECT s_suppkey, s_suppkey, 0 FROM supplier
+          UNION ALL
+          SELECT suppkey, CAST(floor(node / 2.0) AS BIGINT), depth + 1
+          FROM walk WHERE node > 0
+        ),
+        d AS (SELECT suppkey, depth FROM walk WHERE node = 0)
+        SELECT d.depth AS root_distance, count(*) AS cnt,
+               CAST(sum(CAST(floor(s.s_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 AS acctbal_cents
+        FROM d JOIN supplier s ON s.s_suppkey = d.suppkey
+        GROUP BY 1
+    """)
+
+
+@register(
+    "udtf_chunk_overlap",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    s AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks), 16)) AS start
+          FROM d)
+    SELECT doc_id,
+           CAST((start - 1) / 16 AS INT) AS chunk_id,
+           CAST(least(32, len(toks) - start + 1) AS INT) AS n_toks,
+           array_to_string(toks[start:least(start + 31, len(toks))], ' ')
+             AS chunk
+    FROM s
+    """,
+)
+def udtf_chunk_overlap(spark, sf_dir):
+    """Overlapping context windows (32 tokens, stride 16) through a
+    Python UDTF in a LATERAL join — the table-function API surface:
+    one input row fans out into a variable number of typed rows, the
+    shape Spark's built-in generators (explode over a precomputed
+    array) only reach by materializing the whole fanout as an array
+    first. Overlapping windows are the standard training-context
+    chunking (each boundary appears in two windows so no span is ever
+    split away from its context).
+
+    Scale shape: the UDTF is Arrow-batched (useArrow) and evaluates
+    per partition with NO shuffle — the plan is scan -> Python fanout,
+    and the 2x token fanout streams out batch by batch instead of
+    sitting in one per-doc array. Token split is on the literal ' '
+    (Python str.split(' ') == DuckDB string_split) so empty texts and
+    runs of spaces stay engine-identical."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, n_toks int, chunk string",
+          useArrow=True)
+    class ChunkWindows:
+        def eval(self, text):
+            if text is None:
+                return
+            toks = text.split(" ")
+            for ci, start in enumerate(range(0, len(toks), 16)):
+                w = toks[start:start + 32]
+                yield ci, len(w), " ".join(w)
+
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("chunk_windows", ChunkWindows)
+    return spark.sql("""
+        SELECT d.doc_id, c.chunk_id, c.n_toks, c.chunk
+        FROM documents d, LATERAL chunk_windows(d.text) c
+    """)
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window
 # ---------------------------------------------------------------------------
