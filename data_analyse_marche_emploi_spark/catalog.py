@@ -7348,6 +7348,88 @@ def udtf_chunk_overlap(spark, sf_dir):
     """)
 
 
+@register(
+    "assoc_basket_pairs",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+               FROM lineitem),
+    n AS (SELECT count(DISTINCT ok) AS n_baskets FROM b),
+    ic AS (SELECT pk, count(*) AS cnt FROM b GROUP BY 1),
+    p AS (SELECT x.pk AS item_a, y.pk AS item_b, count(*) AS pair_cnt
+          FROM b x JOIN b y ON x.ok = y.ok AND x.pk < y.pk
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT p.item_a, p.item_b, p.pair_cnt, ia.cnt AS cnt_a, ib.cnt AS cnt_b,
+           (p.pair_cnt * n.n_baskets * 1000000) // (ia.cnt * ib.cnt) AS lift6
+    FROM p, n
+    JOIN ic ia ON ia.pk = p.item_a
+    JOIN ic ib ON ib.pk = p.item_b
+    """,
+)
+def assoc_basket_pairs(spark, sf_dir):
+    """Market-basket association pairs over order baskets: every part
+    pair co-purchased in >= 2 orders, with per-part order counts and
+    exact integer lift (x10^6) — the "bought together" primitive
+    behind recommendations and assortment planning.
+
+    Scale shape: ONE content shuffle builds sorted deduped baskets
+    (partial collect_set), pair fanout is the two-level posexplode
+    (O(basket) per row, C(n,2) only as streamed rows), support pruning
+    folds into the pair aggregation, and the lift join touches only
+    item-cardinality tables. The oracle enumerates the same pairs via
+    a basket self-join — the semantics the DataFrame plan avoids
+    shuffling twice. Lift stays in int64 (pair_cnt * n_baskets * 10^6
+    fits to ~10^5 baskets x 10^6 pairs; DECIMAL(38,0) at warehouse
+    scale)."""
+    from .operators import baskets as B
+
+    li = _t(spark, sf_dir, "lineitem")
+    bk = B.basket_items(li, "l_orderkey", "l_partkey")
+    pairs = B.pair_counts(bk, min_support=2)
+    return B.association_metrics(bk, pairs)
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+               FROM lineitem),
+    e AS (SELECT x.pk AS src, y.pk AS dst
+          FROM b x JOIN b y ON x.ok = y.ok AND x.pk < y.pk
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+    tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+            FROM e e1
+            JOIN e e2 ON e2.src = e1.dst
+            JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+    corners AS (SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri)
+    SELECT node, count(*) AS tri_cnt FROM corners GROUP BY 1
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Per-node triangle participation in the co-purchase affinity
+    graph (parts co-ordered >= 2 times): triangles are the unit of
+    clustering coefficient, community seeding, and link-spam
+    detection. Wedge-close algorithm — canonical x<y<z edges join on
+    the shared corner, then the closing (x, z) edge is verified by a
+    third equi-join; each triangle counts exactly once.
+
+    Scale shape: three node-keyed equi-joins and one corner rollup —
+    no cartesian anywhere (plan-tested); wedge cardinality is
+    sum-of-degree-squared, which the support threshold on the edge
+    list bounds exactly the way max_df bounds posting lists. The
+    edge-building stage reuses the basket machinery's single content
+    shuffle + two-level pair explode."""
+    from .operators import baskets as B
+
+    li = _t(spark, sf_dir, "lineitem")
+    bk = B.basket_items(li, "l_orderkey", "l_partkey")
+    edges = B.pair_counts(bk, min_support=2).select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    )
+    return B.triangle_counts(edges)
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window
 # ---------------------------------------------------------------------------

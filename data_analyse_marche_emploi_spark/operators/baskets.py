@@ -1,0 +1,112 @@
+"""Market-basket and co-occurrence-graph operators.
+
+Association mining and graph analytics over (basket, item) pairs —
+the "customers who bought X also bought Y" family and the triangle
+structure of the resulting affinity graph. Same candidate-enumeration
+discipline as the set-similarity joins (operators/dedup.py): baskets
+aggregate ONCE into sorted item arrays, pair fanout is a two-level
+posexplode (every intermediate row bounded at O(basket size), never
+a flattened C(n,2) array in one row), and all downstream joins are
+item-cardinality, not pair-cardinality, equi-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def basket_items(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+    """One sorted, deduplicated item array per basket — the single
+    content shuffle of the whole family (partial collect_set dedups
+    map-side, so repeated items never cross the wire twice)."""
+    return df.groupBy(F.col(basket_col).alias("basket")).agg(
+        F.sort_array(F.collect_set(F.col(item_col))).alias("items")
+    )
+
+
+def pair_counts(baskets: DataFrame, min_support: int = 1) -> DataFrame:
+    """Co-occurrence counts for every unordered item pair sharing a
+    basket: (item_a < item_b, pair_cnt). Two-level explode — anchor on
+    posexplode, then explode the remaining slice — so a hot basket of
+    n items streams C(n,2) ROWS instead of building one C(n,2)-element
+    array (the 2^31 single-row cap). At corpus scale, cap basket size
+    upstream the way max_df caps posting lists: a degenerate basket
+    holding half the catalog is a stop-basket, not a signal."""
+    return (
+        baskets.filter(F.size("items") >= 2)
+        .select(F.col("items"), F.posexplode("items").alias("pos", "item_a"))
+        .select(
+            "item_a",
+            F.explode(
+                F.expr("slice(items, pos + 2, size(items) - pos - 1)")
+            ).alias("item_b"),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= int(min_support))
+    )
+
+
+def association_metrics(
+    baskets: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Attach per-item basket counts and exact integer lift to each
+    pair: lift6 = floor(pair_cnt * n_baskets * 10^6 / (cnt_a * cnt_b))
+    — pure int64 arithmetic (no float division on the compare path; at
+    petabyte basket counts promote the product to DECIMAL(38,0), the
+    topology is unchanged). Item counts re-derive from the basket
+    arrays (item-cardinality shuffle); the scalar basket count is the
+    only broadcast, one row by construction."""
+    ic = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    return (
+        pairs.join(
+            ic.select(F.col("item").alias("item_a"), F.col("cnt").alias("cnt_a")),
+            "item_a",
+        )
+        .join(
+            ic.select(F.col("item").alias("item_b"), F.col("cnt").alias("cnt_b")),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_cnt",
+            "cnt_a",
+            "cnt_b",
+            F.expr(
+                "(pair_cnt * n_baskets * 1000000) div (cnt_a * cnt_b)"
+            ).alias("lift6"),
+        )
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over an undirected graph given
+    as canonical edges (src < dst): the classic wedge-close — join
+    edges to edges on dst = src to enumerate wedges x<y<z, then
+    semi-close each wedge against the (x, z) edge. Every step is an
+    equi-join on node keys (shuffle-partitionable; no cartesian), each
+    triangle materializes exactly once thanks to the canonical order,
+    and the final rollup explodes the three corners into node rows.
+    Skew knob at scale: degree-cap or support-threshold the edge list
+    first — a celebrity node's wedge count is quadratic in its degree,
+    which is the measured reason the catalog entry builds the graph
+    from support-pruned co-purchase pairs."""
+    e1 = edges.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    e2 = edges.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    e3 = edges.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    return (
+        tri.select(
+            F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri_cnt"))
+    )

@@ -66,7 +66,16 @@ def test_nested_projection_prunes(spark, sf_dir):
     assert len(cols) == 3
 
 
-@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_simhash_pairs", "ann_lsh"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_minhash_lsh",
+        "dedup_simhash_pairs",
+        "ann_lsh",
+        "assoc_basket_pairs",
+        "graph_triangle_count",
+    ],
+)
 def test_similarity_paths_have_no_cartesian(spark, sf_dir, name):
     """The scale paths must never plan an all-pairs (corpus x corpus)
     product. ann_lsh is allowed its two deliberate broadcast products
@@ -76,7 +85,17 @@ def test_similarity_paths_have_no_cartesian(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     assert "CartesianProduct" not in plan
     nlj = plan.count("BroadcastNestedLoopJoin")
-    assert nlj <= (2 if name == "ann_lsh" else 0)
+    # assoc_basket_pairs broadcasts ONE row (the scalar basket count) —
+    # a constant-size product, verified single-row by the aggregate
+    # feeding the exchange
+    allowed = {"ann_lsh": 2, "assoc_basket_pairs": 1}
+    assert nlj <= allowed.get(name, 0)
+    if name == "assoc_basket_pairs" and nlj:
+        assert re.search(
+            r"BroadcastExchange IdentityBroadcastMode(?:.*\n){1,6}?.*"
+            r"HashAggregate.*functions=\[count",
+            plan,
+        ), plan
     if name == "ann_lsh" and nlj:
         # counting alone would let a corpus×corpus BNLJ hide behind the
         # allowance: pin that every broadcast-product build side IS the
