@@ -7430,6 +7430,149 @@ def graph_triangle_count(spark, sf_dir):
     return B.triangle_counts(edges)
 
 
+@register(
+    "pipeline_schema_evolution",
+    oracle="""
+    SELECT event_type, count(*) AS cnt,
+           count(CASE WHEN event_id % 2 = 1 THEN props END) AS props_cnt,
+           count(CASE WHEN event_id % 2 = 0 THEN 1 END) AS gen1_cnt
+    FROM events
+    GROUP BY 1
+    """,
+)
+def pipeline_schema_evolution(spark, sf_dir):
+    """Schema evolution across table generations: generation 1 landed
+    WITHOUT the later `props` column (even event_ids), generation 2
+    with it (odd event_ids); a single mergeSchema read unions the two
+    footprints and fills the missing column with NULL — how a
+    years-old warehouse table keeps reading after columns were added,
+    without rewriting old data. The aggregate proves both that no row
+    was lost across generations and that `props` is populated exactly
+    where generation 2 wrote it.
+
+    Scale shape: mergeSchema reconciles FOOTERS (per-file metadata),
+    not data — the scan itself stays columnar with pruning intact; at
+    100 TB the reconciliation cost is file-count-bound, which is why
+    production tables pin a merged schema in the catalog once instead
+    of re-merging per query (documented trade-off; the read here
+    exercises the merge path itself)."""
+    import hashlib
+    import os
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    files = ev.inputFiles()
+    if not files:
+        raise ValueError("schema-evolution entry requires a file-backed input")
+    tag = hashlib.md5("|".join(sorted(files)).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"schema_evo_{tag}")
+    gen1 = ev.filter(F.col("event_id") % 2 == 0).drop("props")
+    gen2 = ev.filter(F.col("event_id") % 2 == 1)
+    gen1.write.mode("overwrite").parquet(os.path.join(root, "gen=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(root, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "gen=1"), os.path.join(root, "gen=2")
+    )
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count("props").alias("props_cnt"),
+        F.count(F.when(F.col("event_id") % 2 == 0, F.lit(1))).alias("gen1_cnt"),
+    )
+
+
+@register(
+    "maintenance_compact_files",
+    oracle="""
+    SELECT event_type, count(*) AS cnt,
+           CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS value6
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+    GROUP BY 1
+    """,
+)
+def maintenance_compact_files(spark, sf_dir):
+    """Small-files compaction — the maintenance job every streaming or
+    per-batch ingest needs: a fragmented landing zone (64 shards here,
+    the write pattern of 64 parallel ingest tasks) is rewritten into
+    ceil(bytes / 32 MiB) right-sized files via coalesce, which MERGES
+    partitions into right-sized shards (operators/maintenance.py
+    compact_parquet, the tested primitive — here with a ts sort so the
+    rewritten footers' min/max stats turn time predicates into
+    row-group skips). Small files are a pure metadata tax at scale: a
+    100 TB table in 10 MB shards is 10^7 footer reads and task
+    launches per scan. The returned aggregate runs on the compacted
+    output, so the oracle (same aggregate on the source) also proves
+    the rewrite lost and duplicated nothing;
+    tests/test_maintenance.py pins the file-count contract."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .operators.maintenance import compact_parquet
+
+    ev = _t(spark, sf_dir, "events")
+    files = ev.inputFiles()
+    if not files:
+        raise ValueError("compaction entry requires a file-backed input")
+    tag = hashlib.md5("|".join(sorted(files)).encode()).hexdigest()[:8]
+    frag = os.path.join(tempfile.gettempdir(), f"compact_in_{tag}")
+    out = os.path.join(tempfile.gettempdir(), f"compact_out_{tag}")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    compact_parquet(
+        spark, frag, out, target_file_bytes=32 * 1024 * 1024, sort_cols=["ts"]
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("value").isNotNull() & ~F.isnan(F.col("value")))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.floor(F.col("value") * 1e6).cast("long"))
+            .cast("long")
+            .alias("value6"),
+        )
+    )
+
+
+@register(
+    "dq_skew_report",
+    oracle="""
+    WITH n AS (SELECT count(*) AS total FROM lineitem),
+    k AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1)
+    SELECT k.l_suppkey, k.cnt,
+           (k.cnt * 1000000) // n.total AS share6
+    FROM k, n
+    ORDER BY k.cnt DESC, k.l_suppkey ASC
+    LIMIT 20
+    """,
+)
+def dq_skew_report(spark, sf_dir):
+    """Partition-skew diagnostic: the 20 heaviest join/agg keys of the
+    fact table with their exact millionth-share of all rows — the
+    report you run BEFORE deciding whether a key needs salting or an
+    AQE skew hint (rule of thumb: a single key above ~1/shuffle-partitions of
+    the table means one straggler task). Deterministic order: count
+    desc, key asc tie-break.
+
+    Scale shape: partial-aggregating groupBy on the key, scalar total
+    broadcast (one row), and the top-20 plans as TakeOrderedAndProject
+    (per-partition heads, no global sort). Share is exact integer
+    millionths — no float on the compare path."""
+    li = _t(spark, sf_dir, "lineitem")
+    n = li.agg(F.count(F.lit(1)).alias("total"))
+    k = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        k.crossJoin(F.broadcast(n))
+        .select(
+            "l_suppkey",
+            "cnt",
+            F.expr("(cnt * 1000000) div total").alias("share6"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("l_suppkey"))
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window
 # ---------------------------------------------------------------------------

@@ -54,7 +54,7 @@ def test_anti_join_broadcast(spark, sf_dir):
 def test_topk_is_partial(spark, sf_dir):
     """Top-k must plan as TakeOrderedAndProject (per-partition heads),
     never a global sort."""
-    for name in ("agg_topk", "order_limit"):
+    for name in ("agg_topk", "order_limit", "dq_skew_report"):
         plan = plan_of(spark, sf_dir, name)
         assert "TakeOrderedAndProject" in plan, name
 
