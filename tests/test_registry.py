@@ -34,3 +34,33 @@ def test_driver_window_is_50_registered_entries():
     which dict semantics guarantee — vacuous)."""
     assert len(catalog._DRIVER_WINDOW) == 50
     assert list(catalog.QUERIES)[:50] == catalog._DRIVER_WINDOW
+
+
+def test_rotation_covers_never_checked():
+    """The rotation comment above ``_DRIVER_WINDOW`` states how many
+    registry entries exist and how many never had a driver
+    CORRECTNESS row — both drifted silently in r4 (README) and r6
+    (the comment itself said 204 against a 214 registry).  Recompute
+    the never-checked set from the CORRECTNESS_r0*.json files that
+    existed when the rotation was written (rounds strictly before the
+    comment's own round number) and pin the comment's counts and the
+    window's coverage against it."""
+    import json
+
+    src = Path(catalog.__file__).read_text()
+    round_no = int(re.search(r"# Round-(\d+) rotation", src).group(1))
+    claimed_total = int(re.search(r"registry holds (\d+) entries", src).group(1))
+    m = re.search(r"(\d+) of those (\d+) have never", src)
+    claimed_never, claimed_total2 = int(m.group(1)), int(m.group(2))
+
+    checked = set()
+    for p in sorted(README.parent.glob("CORRECTNESS_r*.json")):
+        r = int(re.search(r"_r(\d+)", p.name).group(1))
+        if r < round_no:
+            checked.update(json.load(p.open()).keys())
+    never = [n for n in catalog.QUERIES if n not in checked]
+
+    assert claimed_total == claimed_total2 == len(catalog.QUERIES)
+    assert claimed_never == len(never)
+    missing_from_window = [n for n in never if n not in catalog._DRIVER_WINDOW]
+    assert missing_from_window == []
