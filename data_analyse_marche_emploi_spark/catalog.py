@@ -5375,11 +5375,20 @@ def agg_freq_items(spark, sf_dir):
     "dedup_containment_pairs",
     oracle="""
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    sh AS (SELECT doc_id, unnest(list_distinct(
+    sh0 AS (SELECT doc_id, unnest(list_distinct(
              CASE WHEN len(toks) < 3 THEN []
                   ELSE list_transform(generate_series(1, len(toks) - 2),
                        i -> array_to_string(toks[i:i+2], ' ')) END)) AS shingle
            FROM d),
+    -- stop-shingle pruning (the operator's max_df=1000 DEFAULT);
+    -- sizes are computed post-pruning so containment stays
+    -- consistent within the pruned shingle space.
+    sh AS (
+      SELECT * FROM sh0
+      WHERE shingle NOT IN (
+        SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) > 1000
+      )
+    ),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
     pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -5402,8 +5411,9 @@ def dedup_containment_pairs(spark, sf_dir):
     long-doc class whose Jaccard stays tiny because the union is
     dominated by the long side. Same single-content-shuffle posting-
     list topology as the Jaccard join (O(df)-bounded intermediates, no
-    self-join of the shingle strings); scores are 1e-6-floor-bucketed
-    for a deterministic threshold."""
+    self-join of the shingle strings); stop-shingle pruning rides the
+    operator's max_df=1000 default (mirrored in the oracle); scores
+    are 1e-6-floor-bucketed for a deterministic threshold."""
     from .operators.dedup import containment_pairs
 
     d = _docs(spark, sf_dir)

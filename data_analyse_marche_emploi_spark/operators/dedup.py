@@ -174,13 +174,21 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold, via the inverted
     index. ``max_df`` drops shingles appearing in more than max_df docs
     (stop-shingle pruning — at corpus scale a shingle in 10⁶ docs would
     generate 10¹² candidate pairs; dropping it loses only pairs whose
-    entire similarity rides on ubiquitous text).
+    entire similarity rides on ubiquitous text). The DEFAULT is 1000:
+    per-list pair enumeration is then bounded at C(1000, 2) ≈ 5·10⁵
+    rows per stop-shingle, so no corpus can make the named operator
+    quadratic by accident. Pass ``max_df=None`` to opt into the
+    unpruned exact join — documented as C(df, 2) WORK per hot shingle
+    (rows stay O(df)-bounded, but a 10⁶-doc shingle still costs 10¹²
+    counted pairs); when you need exact no-loss pairs at scale, use
+    :func:`prefix_filter_pairs` instead, whose SSJoin/PPJoin prefix
+    ordering eliminates ubiquitous shingles without dropping pairs.
 
     ONE content shuffle: group (doc, shingle) by shingle into a sorted
     posting list, then enumerate each list's C(df, 2) pairs in-place
@@ -224,7 +232,7 @@ def containment_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Directed containment near-dup pairs: for every ordered doc pair,
     ``containment(src → dst) = |S_src ∩ S_dst| / |S_src|`` over distinct
@@ -236,8 +244,9 @@ def containment_pairs(
     is exactly the quote/boilerplate/subset-dup class Jaccard dedup
     misses. Same inverted-index topology as :func:`ngram_jaccard_pairs`
     (ONE content shuffle into posting lists, two-level explode bounding
-    every intermediate row at O(df), ``max_df`` stop-shingle pruning at
-    corpus scale); each undirected candidate then fans out into its two
+    every intermediate row at O(df), ``max_df`` stop-shingle pruning ON
+    by default at 1000 — ``None`` opts into C(df, 2) work per hot
+    shingle); each undirected candidate then fans out into its two
     directed rows against the per-doc set sizes.
 
     Scores are 1e-6-floor-bucketed (``containment6``) so the ≥ filter
