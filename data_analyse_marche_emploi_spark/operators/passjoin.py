@@ -18,9 +18,11 @@ most ``d``. So:
   ``(len(s), i, xxhash64(seg))`` — O(d) rows per doc;
 * probe side: each doc emits, for every candidate source length
   ``m in [len(r)-d, len(r)+d]`` and segment ``i``, the substrings of
-  the scheme's segment length starting inside the drift window —
-  O(d^3) rows per doc (the multi-match-aware windows of the paper
-  shrink this to O(d^2); documented, not needed at this d);
+  the scheme's segment length starting inside the paper's
+  MULTI-MATCH-AWARE window (default) — the O(d^2)-per-length
+  tightening of the plain +/-d shift window, which stays available
+  as ``multi_match=False`` and serves as the differential twin in
+  tests (identical pairs, ~3x more probe keys at d=5);
 * candidates = equi-join on the key triple (8-byte hashes shuffle,
   never text); verification joins texts back and keeps
   ``levenshtein(a, b) <= d``.
@@ -52,12 +54,65 @@ def _segments_expr(text: str, ln: str, d: int) -> str:
     )
 
 
+def _probe_keys(
+    base: DataFrame, d: int, min_len: int, multi_match: bool
+) -> DataFrame:
+    """Probe-side key rows ``(rid, m, i, h)``: for each plausible
+    source length ``m`` and segment ``i``, the xxhash64 of each
+    substring of the scheme's segment length starting inside the
+    drift window.  seg_len(m, i) = (i*m) div (d+1) - ((i-1)*m) div
+    (d+1); start p_i(m) = 1 + ((i-1)*m) div (d+1).  The window around
+    p_i is the multi-match-aware intersection (default) or the plain
+    ``[p_i - d, p_i + d]`` shift window — both clamped to
+    ``[1, len(r) - seg_len + 1]``.  Split out so tests can count the
+    two modes' key fan-out directly."""
+    n = d + 1
+    probe_expr = (
+        f"transform(sequence(greatest(__plen - {d}, {min_len}), __plen + {d}), "
+        f"m -> transform(sequence(1, {n}), i -> struct(m AS m, i AS i, "
+        f"  CAST(1 + ((i-1)*m) div {n} AS INT) AS p, "
+        f"  CAST((i*m) div {n} - ((i-1)*m) div {n} AS INT) AS sl)))"
+    )
+    if multi_match:
+        # Multi-match-aware drift bounds relative to w.p, with
+        # delta = __plen - w.m (probe minus source length).
+        lo_rel = f"greatest(-(w.i - 1), (__plen - w.m) - ({n} - w.i))"
+        hi_rel = f"least(w.i - 1, (__plen - w.m) + ({n} - w.i))"
+    else:
+        lo_rel, hi_rel = f"-{d}", f"{d}"
+    lo = f"greatest(w.p + ({lo_rel}), 1)"
+    hi = f"least(w.p + ({hi_rel}), __plen - w.sl + 1)"
+    # sequence(lo, hi) DESCENDS when lo > hi (step defaults to -1) —
+    # an empty window must yield an empty array, not reversed starts.
+    window_expr = (
+        f"CASE WHEN ({lo}) > ({hi}) THEN array() ELSE "
+        f"array_distinct(transform(sequence({lo}, {hi}), "
+        f"q -> xxhash64(substring(__ptext, q, w.sl)))) END"
+    )
+    return (
+        base.select(
+            "__pid",
+            "__plen",
+            "__ptext",
+            F.explode(F.flatten(F.expr(probe_expr))).alias("w"),
+        )
+        .select(
+            F.col("__pid").alias("rid"),
+            F.col("w.m").alias("m"),
+            F.col("w.i").alias("i"),
+            F.explode(F.expr(window_expr)).alias("h"),
+        )
+        .filter(F.col("h").isNotNull())
+    )
+
+
 def passjoin_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     d: int = 5,
     min_len: int | None = None,
+    multi_match: bool = True,
 ) -> DataFrame:
     """All pairs (i, j, dist) with ``levenshtein <= d``, exactly.
 
@@ -68,15 +123,33 @@ def passjoin_pairs(
     needs them pairs the sub-``d+1`` band quadratically — it is a
     fixed-size length class, so that residue is corpus-bounded.
 
+    ``multi_match=True`` (default) uses the paper's multi-match-aware
+    substring selection (VLDB 2011 §4.2): for probe ``r`` against
+    source length ``m`` (``delta = len(r) - m``), segment ``i``'s
+    substring start is confined to
+    ``[p_i + max(-(i-1), delta - (d+1-i)),
+       p_i + min(i-1, delta + (d+1-i))]``
+    instead of the plain shift window ``[p_i - d, p_i + d]``.  Left
+    half: if segment ``i`` is the FIRST untouched segment under the
+    optimal alignment, each of segments ``1..i-1`` consumed >= 1 edit,
+    so net drift before ``p_i`` is at most ``i-1``; right half: the
+    ``d+1-i`` segments after ``i`` must absorb the remaining length
+    difference, bounding drift by ``delta ± (d+1-i)``.  Windows sum to
+    O(d^2) keys per (probe, m) instead of O(d^2) per segment — ~3x
+    fewer probe rows at d=5, measured and pinned in test_passjoin.py;
+    the pair SET is provably (and differentially) identical because
+    only non-first matching segments are skipped.  ``False`` keeps the
+    plain shift window as the oracle/differential twin.
+
     Scale shape: the only shuffles are the (len, segment-index,
-    segment-hash) equi-join — probe side carries
-    ``(2d+1)^2 * (d+1)/2`` 8-byte keys per doc worst case (~360 at
-    d=5, deduplicated per key triple before the join) — and the
-    two id->text verification joins.  Nothing is quadratic in corpus
-    size; per-bucket occupancy is bounded by true near-dup density
-    because a shared 1/(d+1) segment of a long string is itself a
-    near-dup signal.  Verification cost is one levenshtein per
-    candidate pair, driven by Spark's built-in (JVM codegen).
+    segment-hash) equi-join — probe side carries O(d^2) 8-byte keys
+    per doc (~120 at d=5 multi-match, ~360 plain, deduplicated per
+    key triple before the join) — and the two id->text verification
+    joins.  Nothing is quadratic in corpus size; per-bucket occupancy
+    is bounded by true near-dup density because a shared 1/(d+1)
+    segment of a long string is itself a near-dup signal.
+    Verification cost is one levenshtein per candidate pair, driven
+    by Spark's built-in (JVM codegen).
     """
     if min_len is None:
         min_len = d + 1
@@ -104,40 +177,7 @@ def passjoin_pairs(
         F.xxhash64(F.col("s.seg")).alias("h"),
     )
 
-    # Probe side: for each plausible source length m and segment i,
-    # the substrings inside the +/-d drift window around the scheme's
-    # segment start.  seg_len(m, i) = (i*m) div (d+1) - ((i-1)*m) div
-    # (d+1); start p_i(m) = 1 + ((i-1)*m) div (d+1); window q in
-    # [p_i - d, p_i + d] clamped to [1, len(r) - seg_len + 1].
-    n = d + 1
-    probe_expr = (
-        f"transform(sequence(greatest(__plen - {d}, {min_len}), __plen + {d}), "
-        f"m -> transform(sequence(1, {n}), i -> struct(m AS m, i AS i, "
-        f"  CAST(1 + ((i-1)*m) div {n} AS INT) AS p, "
-        f"  CAST((i*m) div {n} - ((i-1)*m) div {n} AS INT) AS sl)))"
-    )
-    probe = (
-        base.select(
-            "__pid",
-            "__plen",
-            "__ptext",
-            F.explode(F.flatten(F.expr(probe_expr))).alias("w"),
-        )
-        .select(
-            F.col("__pid").alias("rid"),
-            F.col("w.m").alias("m"),
-            F.col("w.i").alias("i"),
-            F.explode(
-                F.expr(
-                    f"array_distinct(transform("
-                    f"sequence(greatest(w.p - {d}, 1), "
-                    f"          least(w.p + {d}, __plen - w.sl + 1)), "
-                    f"q -> xxhash64(substring(__ptext, q, w.sl))))"
-                )
-            ).alias("h"),
-        )
-        .filter(F.col("h").isNotNull())
-    )
+    probe = _probe_keys(base, d, min_len, multi_match)
 
     cand = (
         idx.join(probe, ["m", "i", "h"])
