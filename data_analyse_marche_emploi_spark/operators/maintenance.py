@@ -38,16 +38,29 @@ def compact_parquet(
     out_path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_cols: list[str] | None = None,
+    row_group_bytes: int | None = None,
 ) -> int:
     """Rewrite a parquet table to ~target-sized files. ``sort_cols``
-    additionally sorts within output files so parquet min/max stats
-    become selective for those columns (cheap Z-order stand-in for a
-    single sort dimension). Returns the output file count."""
+    range-partitions AND sorts the rewrite on those columns, so both
+    file-level and row-group-level parquet min/max stats become
+    selective for them (cheap Z-order stand-in for a single sort
+    dimension; round-robin placement would leave every FILE spanning
+    the full key range and only tighten row groups within files).
+    ``row_group_bytes`` overrides the writer's row-group size
+    (``parquet.block.size``) — smaller row groups mean finer skipping
+    granularity at the cost of footer size and compression ratio.
+    Returns the output file count."""
     df, n_files = plan_compaction(spark, path, target_file_bytes)
-    out = df.repartition(n_files)
     if sort_cols:
-        out = out.sortWithinPartitions(*sort_cols)
-    out.write.mode("overwrite").parquet(out_path)
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_files)
+    writer = out.write.mode("overwrite")
+    if row_group_bytes is not None:
+        writer = writer.option("parquet.block.size", row_group_bytes)
+    writer.parquet(out_path)
     return n_files
 
 
