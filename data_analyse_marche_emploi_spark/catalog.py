@@ -7441,6 +7441,48 @@ def graph_triangle_count(spark, sf_dir):
 
 
 @register(
+    "graph_clustering_coefficient",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+               FROM lineitem),
+    e AS (SELECT x.pk AS src, y.pk AS dst
+          FROM b x JOIN b y ON x.ok = y.ok AND x.pk < y.pk
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+    ends AS (SELECT src AS node FROM e UNION ALL SELECT dst FROM e),
+    deg AS (SELECT node, count(*) AS deg FROM ends GROUP BY 1),
+    tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+            FROM e e1
+            JOIN e e2 ON e2.src = e1.dst
+            JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+    corners AS (SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri),
+    t AS (SELECT node, count(*) AS tri_cnt FROM corners GROUP BY 1)
+    SELECT d.node, d.deg, coalesce(t.tri_cnt, 0) AS tri_cnt,
+           (coalesce(t.tri_cnt, 0) * 2000000) // (d.deg * (d.deg - 1))
+             AS coef6
+    FROM deg d LEFT JOIN t ON t.node = d.node
+    WHERE d.deg >= 2
+    """,
+)
+def graph_clustering_coefficient(spark, sf_dir):
+    """Per-node local clustering coefficient of the co-purchase graph:
+    triangles / C(degree, 2) — one degree rollup and one
+    node-cardinality join above graph_triangle_count's wedge-close
+    machinery (operators/baskets.py clustering_coefficient). coef6 is
+    exact int64 arithmetic; degree-<2 nodes (zero wedges) are excluded
+    rather than reported as 0."""
+    from .operators import baskets as B
+
+    li = _t(spark, sf_dir, "lineitem")
+    bk = B.basket_items(li, "l_orderkey", "l_partkey")
+    edges = B.pair_counts(bk, min_support=2).select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    )
+    return B.clustering_coefficient(edges)
+
+
+@register(
     "pipeline_schema_evolution",
     oracle="""
     SELECT event_type, count(*) AS cnt,
@@ -7597,9 +7639,11 @@ def dq_skew_report(spark, sf_dir):
 # tools/oracle_check.py, which check ALL entries.
 
 # Round-7 rotation (updated at round-7 start for the r7 driver pass):
-# the registry holds 214 entries carried over from round 6; across
-# rounds r1-r6, 31 of those 214 have never had a driver CORRECTNESS
-# row. This window packs ALL of them: the smoke anchor, then the 21
+# the registry holds 215 entries (214 carried over from round 6
+# plus this round's additions); across
+# rounds r1-r6, 32 of those 215 have never had a driver CORRECTNESS
+# row (31 from round 6 plus each new round-7 entry, which joins
+# this window on registration). This window packs ALL of them: the smoke anchor, then the 21
 # never-checked entries that carry FULL value oracles (the 11 r6
 # deferred stragglers + the 10 late-batch round-6 additions), then
 # the 10 never-checked rows-only entries (sketches, PQ/ANN, seeded
@@ -7668,7 +7712,7 @@ _DRIVER_WINDOW = [
     "text_bm25",
     "stream_dedup_upsert",
     "dedup_clusters",
-    "docs_to_chunks",
+    "graph_clustering_coefficient",
     "mixture_stratified_sample",
 ]
 

@@ -110,3 +110,38 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("tri_cnt"))
     )
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Per-node LOCAL clustering coefficient over canonical (src < dst)
+    undirected edges: triangles(node) / wedges(node), where
+    wedges(node) = C(degree, 2) — how close the node's neighborhood is
+    to a clique, the standard community-density signal one aggregate
+    above :func:`triangle_counts`.
+
+    Exact integer arithmetic on the compare path: ``coef6 =
+    (tri_cnt * 2 * 10^6) div (deg * (deg - 1))`` — no float ratio to
+    flip across engines. Nodes of degree < 2 have zero wedges (the
+    ratio is undefined) and are excluded rather than faked as 0.
+
+    Scale shape: degree is one node-keyed rollup of the edge list
+    (each edge explodes into its two endpoints map-side), triangles
+    come from the wedge-close equi-joins, and the final join is
+    node-cardinality. Nothing new shuffles beyond triangle_counts."""
+    deg = (
+        edges.select(F.explode(F.array("src", "dst")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(triangle_counts(edges), "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("tri_cnt"), F.lit(0)).alias("tri_cnt"),
+            F.expr(
+                "(coalesce(tri_cnt, 0) * 2000000) div (deg * (deg - 1))"
+            ).alias("coef6"),
+        )
+    )
