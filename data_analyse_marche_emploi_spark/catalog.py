@@ -4197,6 +4197,36 @@ def src_rest_paged_dsv2(spark, sf_dir):
 
 
 @register(
+    "stream_src_rest_paged",
+    oracle="SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+)
+def stream_src_rest_paged(spark, sf_dir):
+    """The paged-REST connector as a Python STREAMING data source
+    (spark.readStream.format('paged_rest')): offsets are row cursors
+    into the API's stable ordering, each micro-batch reads only the
+    pages past the committed cursor, and a checkpointed restart
+    re-reads nothing — the reference's nightly re-collection loop
+    (SURVEY.md §2.F) made incremental end-to-end.
+    tests/test_round7_ops.py proves the delta semantics: grow the
+    collection between two same-checkpoint drains and only the new
+    rows arrive. Here the full drain is hash-checked against the
+    source-of-truth table."""
+    import os
+
+    from .sources import datasource as DS
+    from .streaming.incremental import run_available_now
+
+    DS.register(spark)
+    sdf = (
+        spark.readStream.format("paged_rest")
+        .option("path", os.path.join(sf_dir, "orders.parquet"))
+        .option("order_col", "o_orderkey")
+        .load()
+    )
+    return run_available_now(sdf, "append")
+
+
+@register(
     "multimodal_audio",
     oracle="""
     SELECT doc_id,
@@ -7639,9 +7669,9 @@ def dq_skew_report(spark, sf_dir):
 # tools/oracle_check.py, which check ALL entries.
 
 # Round-7 rotation (updated at round-7 start for the r7 driver pass):
-# the registry holds 215 entries (214 carried over from round 6
+# the registry holds 216 entries (214 carried over from round 6
 # plus this round's additions); across
-# rounds r1-r6, 32 of those 215 have never had a driver CORRECTNESS
+# rounds r1-r6, 33 of those 216 have never had a driver CORRECTNESS
 # row (31 from round 6 plus each new round-7 entry, which joins
 # this window on registration). This window packs ALL of them: the smoke anchor, then the 21
 # never-checked entries that carry FULL value oracles (the 11 r6
@@ -7713,7 +7743,7 @@ _DRIVER_WINDOW = [
     "stream_dedup_upsert",
     "dedup_clusters",
     "graph_clustering_coefficient",
-    "mixture_stratified_sample",
+    "stream_src_rest_paged",
 ]
 
 def _prioritize() -> None:

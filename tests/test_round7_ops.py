@@ -50,3 +50,114 @@ def test_clustering_coefficient_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _write_single_parquet(rows, path):
+    """The fixture transport reads ONE parquet file (duckdb
+    read_parquet on a path), not a Spark output directory."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "o_orderkey": [r["o_orderkey"] for r in rows],
+            "o_orderstatus": [r["o_orderstatus"] for r in rows],
+            "o_totalprice": [r["o_totalprice"] for r in rows],
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def _drain_paged_rest(spark, api_path, ck, out):
+    from data_analyse_marche_emploi_spark.sources import datasource as DS
+
+    DS.register(spark)
+    sdf = (
+        spark.readStream.format("paged_rest")
+        .option("path", api_path)
+        .option("order_col", "o_orderkey")
+        .option("page_size", "37")
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_stream_paged_rest_resumes_from_cursor(spark, tmp_path):
+    """The streaming connector's whole point: drain, grow the
+    collection, drain again off the SAME checkpoint — the second run
+    must deliver exactly the delta (no re-reads, no gaps). Cursor
+    offsets live in the checkpoint; the API ordering is append-stable
+    by o_orderkey."""
+    api = str(tmp_path / "api.parquet")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    full = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+    rows = full.collect()
+    head, tail = rows[:100], rows[100:140]
+
+    _write_single_parquet(head, api)
+    _drain_paged_rest(spark, api, ck, out)
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 100
+
+    # the collection grows: 40 new orders, all with HIGHER keys
+    _write_single_parquet(head + tail, api)
+    _drain_paged_rest(spark, api, ck, out)
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 140  # delta only: 100 + 40, no duplicates
+    assert got2.select("o_orderkey").distinct().count() == 140
+    want = {r["o_orderkey"] for r in head + tail}
+    assert {r["o_orderkey"] for r in got2.collect()} == want
+
+
+def test_stream_paged_rest_max_rows_per_batch(spark, tmp_path):
+    """Admission control: maxRowsPerBatch bounds each micro-batch, and
+    repeated availableNow drains still converge to the full
+    collection (each run advances the cursor by at most the budget)."""
+    from data_analyse_marche_emploi_spark.sources import datasource as DS
+
+    DS.register(spark)
+    api = str(tmp_path / "api.parquet")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    full = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(90)
+    )
+    _write_single_parquet(full.collect(), api)
+
+    def drain_once():
+        sdf = (
+            spark.readStream.format("paged_rest")
+            .option("path", api)
+            .option("order_col", "o_orderkey")
+            .option("page_size", "25")
+            .option("maxRowsPerBatch", "40")
+            .load()
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(out).count()
+
+    counts = [drain_once() for _ in range(3)]
+    assert counts[-1] == 90, counts
+    assert counts[0] < 90  # the budget actually bit on the first run
