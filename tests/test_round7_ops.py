@@ -161,3 +161,17 @@ def test_stream_paged_rest_max_rows_per_batch(spark, tmp_path):
     counts = [drain_once() for _ in range(3)]
     assert counts[-1] == 90, counts
     assert counts[0] < 90  # the budget actually bit on the first run
+
+
+def test_clustering_coefficient_reuses_edge_exchange(spark, sf_dir):
+    """The edge list feeds the degree branch plus the three wedge-close
+    branches; the duplicate edge-building subtrees must collapse to
+    ReusedExchange in the AQE final plan (SCALING.md's round-7 claim),
+    or the op would pay the basket shuffle four times."""
+    from data_analyse_marche_emploi_spark import catalog
+
+    df = catalog.QUERIES["graph_clustering_coefficient"](spark, sf_dir)
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 3
