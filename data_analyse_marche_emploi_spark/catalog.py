@@ -7513,6 +7513,150 @@ def graph_clustering_coefficient(spark, sf_dir):
 
 
 @register(
+    "graph_pagerank",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+               FROM lineitem),
+    e AS (SELECT x.pk AS src, y.pk AS dst
+          FROM b x JOIN b y ON x.ok = y.ok AND x.pk < y.pk
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+    sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1),
+    r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM deg),
+    c1 AS (SELECT s.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS got
+           FROM sym s JOIN r0 r ON r.node = s.src
+                      JOIN deg d ON d.node = s.src
+           GROUP BY 1),
+    r1 AS (SELECT d.node,
+                  CAST(150000000 + (85 * coalesce(c.got, 0)) // 100
+                       AS BIGINT) AS rank
+           FROM deg d LEFT JOIN c1 c ON c.node = d.node),
+    c2 AS (SELECT s.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS got
+           FROM sym s JOIN r1 r ON r.node = s.src
+                      JOIN deg d ON d.node = s.src
+           GROUP BY 1),
+    r2 AS (SELECT d.node,
+                  CAST(150000000 + (85 * coalesce(c.got, 0)) // 100
+                       AS BIGINT) AS rank
+           FROM deg d LEFT JOIN c2 c ON c.node = d.node),
+    c3 AS (SELECT s.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS got
+           FROM sym s JOIN r2 r ON r.node = s.src
+                      JOIN deg d ON d.node = s.src
+           GROUP BY 1),
+    r3 AS (SELECT d.node,
+                  CAST(150000000 + (85 * coalesce(c.got, 0)) // 100
+                       AS BIGINT) AS rank
+           FROM deg d LEFT JOIN c3 c ON c.node = d.node)
+    SELECT node, rank AS rank9 FROM r3
+    """,
+)
+def graph_pagerank(spark, sf_dir):
+    """Fixed-point integer PageRank (3 power iterations, damping
+    85/100, ranks scaled 1e9) over the co-purchase graph — the
+    distributed iterative-algorithm shape: per round, one node-keyed
+    join of (rank div degree) onto edge sources and one destination
+    rollup, O(edges) int64 shuffle rows, bit-identical across engines
+    because no float ever appears (operators/baskets.py pagerank; the
+    oracle replays the identical integer recurrence as chained CTEs)."""
+    from .operators import baskets as B
+
+    li = _t(spark, sf_dir, "lineitem")
+    bk = B.basket_items(li, "l_orderkey", "l_partkey")
+    edges = B.pair_counts(bk, min_support=2).select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    )
+    return B.pagerank(edges, iterations=3)
+
+
+@register(
+    "graph_connected_components",
+    oracle="""
+    WITH RECURSIVE
+    b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+          FROM lineitem),
+    e AS (SELECT x.pk AS src, y.pk AS dst
+          FROM b x JOIN b y ON x.ok = y.ok AND x.pk < y.pk
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+    sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    reach(node, lab) AS (
+      SELECT DISTINCT l_partkey, l_partkey FROM lineitem
+      UNION
+      SELECT s.dst, reach.lab FROM reach JOIN sym s ON reach.node = s.src
+    )
+    SELECT node, min(lab) AS comp FROM reach GROUP BY node
+    """,
+)
+def graph_connected_components(spark, sf_dir):
+    """Connected components of the co-purchase graph via the
+    DISTRIBUTED iterative path (min-label propagation + pointer
+    jumping, driver_threshold=0 so the union-find shortcut is bypassed
+    — dedup_clusters already driver-proves that path): every part maps
+    to the least part id reachable through support->=2 co-purchase
+    edges; isolated parts map to themselves. The oracle is the same
+    transitive closure as a recursive CTE. Per iteration: one edge
+    join + one min rollup + a pointer-jump join, lineage cut by eager
+    localCheckpoint (at cluster scale: reliable checkpoint)."""
+    from .operators.dedup import connected_components
+
+    li = _t(spark, sf_dir, "lineitem")
+    from .operators import baskets as B
+
+    bk = B.basket_items(li, "l_orderkey", "l_partkey")
+    edges = B.pair_counts(bk, min_support=2).select(
+        F.col("item_a").alias("i"), F.col("item_b").alias("j")
+    )
+    nodes = li.select(F.col("l_partkey").alias("id")).distinct()
+    return connected_components(nodes, edges, driver_threshold=0).select(
+        F.col("id").alias("node"), "comp"
+    )
+
+
+@register(
+    "q_forecast_revenue",
+    oracle="""
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(l_discount AS DECIMAL(18,2)))
+                      AS DOUBLE), 4) AS revenue,
+           count(*) AS cnt
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount >= 0.045 AND l_discount <= 0.075
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H-Q6-shaped revenue-change forecast: pure filter + global
+    aggregate, the canonical predicate-pushdown showcase — all four
+    predicates reach the parquet scan (date range, discount band,
+    quantity cap), no join, no shuffle beyond the single partial/final
+    agg exchange. Discount band uses 0.045/0.075 bounds so no fixture
+    value (hundredths stored as doubles) sits on a comparison
+    boundary; the sum is exact DECIMAL, divided/rounded once at the
+    end."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.045)
+            & (F.col("l_discount") <= 0.075)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast(AGG.MONEY)
+                    * F.col("l_discount").cast(AGG.MONEY)
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@register(
     "pipeline_schema_evolution",
     oracle="""
     SELECT event_type, count(*) AS cnt,
@@ -7669,9 +7813,9 @@ def dq_skew_report(spark, sf_dir):
 # tools/oracle_check.py, which check ALL entries.
 
 # Round-7 rotation (updated at round-7 start for the r7 driver pass):
-# the registry holds 216 entries (214 carried over from round 6
+# the registry holds 219 entries (214 carried over from round 6
 # plus this round's additions); across
-# rounds r1-r6, 33 of those 216 have never had a driver CORRECTNESS
+# rounds r1-r6, 36 of those 219 have never had a driver CORRECTNESS
 # row (31 from round 6 plus each new round-7 entry, which joins
 # this window on registration). This window packs ALL of them: the smoke anchor, then the 21
 # never-checked entries that carry FULL value oracles (the 11 r6
@@ -7733,9 +7877,9 @@ _DRIVER_WINDOW = [
     "knn_brute_force",
     "ann_ivf",
     "text_perplexity",
-    "dedup_exact",
-    "dedup_simhash_pairs",
-    "pipeline_clean_text",
+    "graph_pagerank",
+    "graph_connected_components",
+    "q_forecast_revenue",
     "agg_date_histogram",
     "dedup_lines_global",
     "dedup_window_exact",

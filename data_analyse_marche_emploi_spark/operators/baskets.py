@@ -145,3 +145,65 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
             ).alias("coef6"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank over canonical undirected edges, in
+    EXACT int64 fixed-point (ranks scaled by ``scale``): each round
+    ``r'(v) = base + (damping_num * sum_{u~v} (r(u) div deg(u)))
+    div damping_den`` with ``base = scale*(den-num) div den`` — every
+    operation is an integer join/aggregate/division, so any engine
+    computes bit-identical ranks (a float power iteration is the
+    classic cross-engine hash-flip). Per-edge truncation of
+    ``r div deg`` loses < deg ulps of mass per node per round —
+    irrelevant for ranking, essential for determinism.
+
+    Scale shape: one symmetric edge table, then per iteration ONE
+    node-keyed join (rank+degree onto edge sources) and ONE
+    destination rollup — shuffle volume is O(edges) int64 rows per
+    round, the textbook distributed power iteration. Iteration count
+    is fixed and small (rank ordering stabilizes long before values);
+    lineage stays shallow so no checkpoint is needed. Dangling nodes
+    cannot exist here (an undirected edge gives both endpoints
+    degree >= 1); isolated nodes are out of the edge set by
+    definition and score base + nothing = base."""
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    base = scale * (damping_den - damping_num) // damping_den
+    ranks = deg.select("node", F.lit(int(scale)).alias("rank"))
+    for _ in range(int(iterations)):
+        contrib = (
+            sym.join(
+                ranks.join(deg, "node").select(
+                    F.col("node").alias("src"),
+                    F.expr("rank div deg").alias("give"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("give").alias("got"))
+        )
+        ranks = (
+            deg.select("node")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(int(base))
+                    + F.expr(
+                        f"({damping_num} * coalesce(got, 0)) div {damping_den}"
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", F.col("rank").alias("rank9"))

@@ -175,3 +175,42 @@ def test_clustering_coefficient_reuses_edge_exchange(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert plan.count("ReusedExchange") >= 3
+
+
+def test_pagerank_hand_graph(spark):
+    """Path graph 1-2-3, 2 iterations, closed form (int fixed-point):
+    r1 = (575000000, 1850000000, 575000000),
+    r2 = (936250000, 1127500000, 936250000)."""
+    from data_analyse_marche_emploi_spark.operators.baskets import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {
+        r["node"]: r["rank9"]
+        for r in pagerank(edges, iterations=2).collect()
+    }
+    assert got == {1: 936250000, 2: 1127500000, 3: 936250000}
+
+
+def test_pagerank_conserves_rank_order_vs_degree(spark):
+    """Star graph: the hub must outrank every leaf."""
+    from data_analyse_marche_emploi_spark.operators.baskets import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    got = {r["node"]: r["rank9"] for r in pagerank(edges, iterations=3).collect()}
+    hub = got[0]
+    assert all(hub > v for n, v in got.items() if n != 0)
+
+
+def test_q6_predicates_reach_the_scan(spark, sf_dir):
+    """TPC-H Q6 is the pushdown showcase: all predicates must appear
+    as PushedFilters on the parquet scan."""
+    from data_analyse_marche_emploi_spark import catalog
+
+    df = catalog.QUERIES["q_forecast_revenue"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
