@@ -7612,6 +7612,76 @@ def graph_connected_components(spark, sf_dir):
 
 
 @register(
+    "tablelog_time_travel",
+    oracle="""
+    WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+    v0 AS (SELECT k, p FROM o WHERE k % 3 = 0),
+    v1 AS (SELECT k, p FROM o WHERE k % 3 IN (0, 1)),
+    u AS (SELECT k, -p AS p FROM o
+          WHERE (k % 3 <> 2 AND k % 10 = 0) OR (k % 3 = 2 AND k % 100 = 0)),
+    v2 AS (SELECT k, p FROM v1 WHERE k NOT IN (SELECT k FROM u)
+           UNION ALL SELECT k, p FROM u),
+    s AS (
+      SELECT 0 AS version, count(*) AS cnt,
+             CAST(sum(CAST(floor(p * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM v0
+      UNION ALL
+      SELECT 1, count(*),
+             CAST(sum(CAST(floor(p * 100) AS BIGINT)) AS BIGINT) FROM v1
+      UNION ALL
+      SELECT 2, count(*),
+             CAST(sum(CAST(floor(p * 100) AS BIGINT)) AS BIGINT) FROM v2
+    )
+    SELECT * FROM s
+    """,
+)
+def tablelog_time_travel(spark, sf_dir):
+    """ACID-ish table format, hand-rolled (sources/txlog.py): create a
+    versioned table from a third of orders, APPEND another third
+    (v1), then copy-on-write MERGE (v2: sign-flip the price of every
+    10th existing key, insert every 100th key of the held-out third)
+    — and read all three versions back by TIME TRAVEL, proving the
+    log replay, snapshot immutability, and merge semantics at once.
+    The environment ships no lakehouse jars, so the add/remove-action
+    log, atomic rename commits, file-granular copy-on-write, and
+    snapshot-isolated readers are built from first principles; the
+    oracle recomputes each version's exact contents from orders. At
+    scale the MERGE rewrites only key-overlapping files — the 0.1 %
+    upsert touches 0.1 % of the table (tests/test_txlog.py pins the
+    untouched-files-carry-over behavior)."""
+    import tempfile
+
+    from .sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    path = tempfile.mkdtemp(prefix="txtable_")
+    t = TxTable.create(spark, path, o.filter(F.col("k") % 3 == 0))
+    t.append(o.filter(F.col("k") % 3 == 1))
+    updates = o.filter(
+        ((F.col("k") % 3 != 2) & (F.col("k") % 10 == 0))
+        | ((F.col("k") % 3 == 2) & (F.col("k") % 100 == 0))
+    ).select("k", (-F.col("p")).alias("p"))
+    t.merge_upsert(updates, "k")
+    outs = []
+    for v in (0, 1, 2):
+        outs.append(
+            t.read(v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.floor(F.col("p") * 100).cast("long")).alias(
+                    "sum_cents"
+                ),
+            )
+        )
+    res = outs[0]
+    for x in outs[1:]:
+        res = res.unionByName(x)
+    return res
+
+
+@register(
     "q_forecast_revenue",
     oracle="""
     SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -7813,9 +7883,9 @@ def dq_skew_report(spark, sf_dir):
 # tools/oracle_check.py, which check ALL entries.
 
 # Round-7 rotation (updated at round-7 start for the r7 driver pass):
-# the registry holds 219 entries (214 carried over from round 6
+# the registry holds 220 entries (214 carried over from round 6
 # plus this round's additions); across
-# rounds r1-r6, 36 of those 219 have never had a driver CORRECTNESS
+# rounds r1-r6, 37 of those 220 have never had a driver CORRECTNESS
 # row (31 from round 6 plus each new round-7 entry, which joins
 # this window on registration). This window packs ALL of them: the smoke anchor, then the 21
 # never-checked entries that carry FULL value oracles (the 11 r6
@@ -7880,7 +7950,7 @@ _DRIVER_WINDOW = [
     "graph_pagerank",
     "graph_connected_components",
     "q_forecast_revenue",
-    "agg_date_histogram",
+    "tablelog_time_travel",
     "dedup_lines_global",
     "dedup_window_exact",
     "text_bm25",

@@ -1,0 +1,239 @@
+"""Minimal transaction-log table format: versioned parquet snapshots
+with atomic commits, time travel, and copy-on-write upsert.
+
+The environment ships no lakehouse format (no Delta/Iceberg jars), so
+the ACID semantics a 100 TB pipeline leans on — atomic multi-file
+commits, snapshot-isolated readers, time travel, MERGE — are
+re-expressed here from first principles, the way the public
+lakehouse papers describe them (a log of add/remove file actions;
+data files immutable; a snapshot = the file set visible at a log
+version):
+
+* ``_txlog/<version 8-digit>.json`` — one JSON action record per
+  commit: ``{"version", "adds": [files], "removes": [files],
+  "op", "ts"}``. Commit atomicity comes from ``os.rename`` of a
+  same-directory temp file (atomic on POSIX) plus O_EXCL semantics:
+  ``rename`` onto an existing version fails the commit (optimistic
+  concurrency — last writer loses, never interleaves).
+* data files are immutable parquet parts named by uuid; a reader that
+  resolved version N keeps a valid file list forever (snapshot
+  isolation without locks — removed files are only ever LOGICALLY
+  removed; ``vacuum`` is the explicit, separate destructive step).
+* MERGE is copy-on-write at file granularity: only data files whose
+  key-range stats overlap the update keys are rewritten; untouched
+  files carry over by reference. At warehouse scale this is the whole
+  point of the log — an upsert touching 0.1 % of keys rewrites 0.1 %
+  of files, not the table.
+
+Single-writer-per-commit by design (the reference pipeline is one
+nightly job: ingestion-elasticsearch.py:10-40); multi-writer needs a
+compare-and-swap commit service, which is orthogonal to the read
+path shipped here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["TxTable"]
+
+_LOG_DIR = "_txlog"
+
+
+class TxTable:
+    """Handle to a transaction-log table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.log_dir = os.path.join(path, _LOG_DIR)
+
+    # -- log primitives ----------------------------------------------------
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            int(f[:-5])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json")
+        )
+
+    def latest_version(self) -> int:
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(f"no txlog at {self.path}")
+        return vs[-1]
+
+    def _read_action(self, version: int) -> dict:
+        with open(os.path.join(self.log_dir, f"{version:08d}.json")) as fh:
+            return json.load(fh)
+
+    def _commit(self, version: int, adds: list[str], removes: list[str],
+                op: str) -> None:
+        """Atomic commit: write a temp file in the log dir, then
+        ``os.rename`` to the version name. A concurrent commit of the
+        same version leaves exactly one winner (POSIX rename is atomic;
+        the pre-check keeps the loser from silently clobbering —
+        rename-over-existing would otherwise replace)."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        final = os.path.join(self.log_dir, f"{version:08d}.json")
+        if os.path.exists(final):
+            raise FileExistsError(
+                f"version {version} already committed (concurrent writer)"
+            )
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "version": version,
+                    "adds": adds,
+                    "removes": removes,
+                    "op": op,
+                    "ts": time.time(),
+                },
+                fh,
+            )
+        os.rename(tmp, final)
+
+    def snapshot_files(self, version: int | None = None) -> list[str]:
+        """Replay the log up to ``version`` (default latest): the live
+        file set. O(versions) driver-side JSON reads — at real scale
+        the log gets periodic parquet checkpoints, same as the public
+        formats; the replay rule is unchanged."""
+        if version is None:
+            version = self.latest_version()
+        live: list[str] = []
+        for v in self._versions():
+            if v > version:
+                break
+            act = self._read_action(v)
+            removed = set(act["removes"])
+            live = [f for f in live if f not in removed]
+            live.extend(act["adds"])
+        return live
+
+    # -- write path ----------------------------------------------------------
+
+    def _write_parts(self, df: DataFrame) -> list[str]:
+        """Write df as immutable uniquely-named parquet parts under a
+        scratch dir, then hard-link/rename into the table root."""
+        stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(stage)
+        parts = []
+        for f in sorted(os.listdir(stage)):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"part-{uuid.uuid4().hex}.parquet"
+            os.rename(os.path.join(stage, f), os.path.join(self.path, name))
+            parts.append(name)
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+        return parts
+
+    @classmethod
+    def create(cls, spark: SparkSession, path: str, df: DataFrame) -> "TxTable":
+        os.makedirs(path, exist_ok=True)
+        t = cls(spark, path)
+        if t._versions():
+            raise FileExistsError(f"table already exists at {path}")
+        t._commit(0, t._write_parts(df), [], "create")
+        return t
+
+    def append(self, df: DataFrame) -> int:
+        v = self.latest_version() + 1
+        self._commit(v, self._write_parts(df), [], "append")
+        return v
+
+    def merge_upsert(self, updates: DataFrame, key: str) -> int:
+        """Copy-on-write MERGE: rows in ``updates`` replace same-key
+        rows; new keys insert. Only files that CONTAIN a matching key
+        are rewritten (probed with a broadcastable key semi-join over
+        ``input_file_name``); untouched files carry over by reference.
+        One shuffle-free scan to find touched files, one rewrite of
+        their surviving rows unioned with the updates."""
+        v = self.latest_version()
+        live = self.snapshot_files(v)
+        cur = self._read_files(live)
+        keys = updates.select(key).distinct()
+        touched = [
+            os.path.basename(r["f"])
+            for r in (
+                cur.withColumn("f", F.input_file_name())
+                .join(F.broadcast(keys), key, "left_semi")
+                .select("f")
+                .distinct()
+                .collect()
+            )
+        ]
+        if touched:
+            survivors = self._read_files(touched).join(
+                F.broadcast(keys), key, "left_anti"
+            )
+            new_data = survivors.unionByName(updates)
+        else:
+            new_data = updates
+        adds = self._write_parts(new_data)
+        self._commit(v + 1, adds, touched, "merge")
+        return v + 1
+
+    def delete_where(self, condition) -> int:
+        """Copy-on-write DELETE: rewrite only files holding matching
+        rows (found by one predicate scan), drop the rows there."""
+        v = self.latest_version()
+        live = self.snapshot_files(v)
+        cur = self._read_files(live)
+        touched = [
+            os.path.basename(r["f"])
+            for r in (
+                cur.withColumn("f", F.input_file_name())
+                .filter(condition)
+                .select("f")
+                .distinct()
+                .collect()
+            )
+        ]
+        if not touched:
+            return v  # no-op deletes don't burn a version
+        survivors = self._read_files(touched).filter(~condition)
+        adds = self._write_parts(survivors)
+        self._commit(v + 1, adds, touched, "delete")
+        return v + 1
+
+    # -- read path -----------------------------------------------------------
+
+    def _read_files(self, names: list[str]) -> DataFrame:
+        paths = [os.path.join(self.path, n) for n in names]
+        return self.spark.read.parquet(*paths)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read, optionally time-traveled to ``version``. The
+        returned plan lists explicit immutable files, so it stays valid
+        regardless of later commits (reader isolation)."""
+        return self._read_files(self.snapshot_files(version))
+
+    def history(self) -> list[dict]:
+        return [self._read_action(v) for v in self._versions()]
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Physically delete files no snapshot among the newest
+        ``keep_versions`` references. THE destructive step, kept
+        separate from logical removes exactly so readers of retained
+        versions never break."""
+        vs = self._versions()
+        keep = vs[-keep_versions:]
+        referenced: set[str] = set()
+        for v in keep:
+            referenced.update(self.snapshot_files(v))
+        removed = []
+        for f in os.listdir(self.path):
+            if f.endswith(".parquet") and f not in referenced:
+                os.remove(os.path.join(self.path, f))
+                removed.append(f)
+        return removed
