@@ -7682,6 +7682,38 @@ def tablelog_time_travel(spark, sf_dir):
 
 
 @register(
+    "stream_txlog_merge_sink",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+)
+def stream_txlog_merge_sink(spark, sf_dir):
+    """Streaming MERGE into the versioned txlog table: bootstrap the
+    table with half the events (a batch backfill), then drain the live
+    feed — consumed TWICE, the reference's overlapping-scan shape —
+    through foreachBatch TxTable.merge_upsert (streaming/
+    incremental.py foreach_batch_merge_txlog). Each micro-batch is one
+    atomic copy-on-write commit rewriting only key-touched files;
+    replays are idempotent, so the final snapshot is exactly the
+    distinct event set regardless of batch boundaries or the doubled
+    feed."""
+    import tempfile
+
+    from .sources.txlog import TxTable
+    from .streaming import incremental as S
+
+    cols = ["event_id", "user_id", "event_type", "ts"]
+    seed = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 2 == 0)
+        .select(*cols)
+    )
+    t = TxTable.create(spark, tempfile.mkdtemp(prefix="txstream_"), seed)
+    feed = S.read_events_stream(spark, sf_dir).select(*cols)
+    doubled = feed.unionByName(S.read_events_stream(spark, sf_dir).select(*cols))
+    S.foreach_batch_merge_txlog(doubled, t, "event_id", "ts")
+    return t.read().select("event_id", "user_id", "event_type")
+
+
+@register(
     "q_forecast_revenue",
     oracle="""
     SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -7883,9 +7915,9 @@ def dq_skew_report(spark, sf_dir):
 # tools/oracle_check.py, which check ALL entries.
 
 # Round-7 rotation (updated at round-7 start for the r7 driver pass):
-# the registry holds 220 entries (214 carried over from round 6
+# the registry holds 221 entries (214 carried over from round 6
 # plus this round's additions); across
-# rounds r1-r6, 37 of those 220 have never had a driver CORRECTNESS
+# rounds r1-r6, 38 of those 221 have never had a driver CORRECTNESS
 # row (31 from round 6 plus each new round-7 entry, which joins
 # this window on registration). This window packs ALL of them: the smoke anchor, then the 21
 # never-checked entries that carry FULL value oracles (the 11 r6
@@ -7951,7 +7983,7 @@ _DRIVER_WINDOW = [
     "graph_connected_components",
     "q_forecast_revenue",
     "tablelog_time_travel",
-    "dedup_lines_global",
+    "stream_txlog_merge_sink",
     "dedup_window_exact",
     "text_bm25",
     "stream_dedup_upsert",

@@ -317,6 +317,38 @@ def foreach_batch_upsert(
         q.awaitTermination()
 
 
+def foreach_batch_merge_txlog(
+    stream_df: DataFrame, table, key: str, recency: str
+) -> None:
+    """Streaming MERGE into the transaction-log table format
+    (sources/txlog.py) — the lakehouse-shaped sink the plain-parquet
+    ``foreach_batch_upsert`` docstring promises: each micro-batch
+    dedups within itself (last-writer-wins on ``recency``), then
+    ``TxTable.merge_upsert`` rewrites ONLY the data files whose keys
+    the batch touches — O(touched files) per batch instead of the
+    read-union-overwrite's O(table). Every batch is one atomic
+    versioned commit, so a crash between batches leaves a readable
+    snapshot and the checkpoint replays the rest; replaying a batch
+    is idempotent (same keys → same replacement rows).
+    """
+    from ..operators.ingest import upsert_dedup
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        batch = upsert_dedup(batch_df, key, recency=recency)
+        # merge_upsert plans against the CURRENT snapshot lazily; the
+        # local checkpoint pins the batch rows before any file swap
+        table.merge_upsert(batch.localCheckpoint(eager=True), key)
+
+    with tempfile.TemporaryDirectory(prefix="ckpt_txlog_") as ckpt:
+        q = (
+            stream_df.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
 # append-mode drains write to per-call parquet sink dirs; keep the most
 # recent few (callers materialize promptly) and reap the rest eagerly,
 # with a process-exit sweep as the backstop

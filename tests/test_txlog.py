@@ -109,3 +109,50 @@ def test_history_records_operations(spark, tmp_path):
     t.append(_df(spark, [(2, "b")]))
     t.merge_upsert(_df(spark, [(2, "B")]), "k")
     assert [h["op"] for h in t.history()] == ["create", "append", "merge"]
+
+
+def test_merge_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch may replay a batch after a crash: merging the same
+    update set twice must leave identical content (a new version, same
+    rows) — the property the streaming txlog sink's exactly-once story
+    stands on."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a"), (2, "b")]))
+    upd = _df(spark, [(2, "B"), (5, "e")])
+    t.merge_upsert(upd, "k")
+    first = sorted((r["k"], r["v"]) for r in t.read().collect())
+    t.merge_upsert(upd, "k")  # the replay
+    second = sorted((r["k"], r["v"]) for r in t.read().collect())
+    assert first == second == [(1, "a"), (2, "B"), (5, "e")]
+
+
+def test_streaming_merge_sink_multi_batch(spark, tmp_path):
+    """Drive the streaming txlog sink over a MULTI-batch availableNow
+    drain (maxFilesPerTrigger=1 over several files): each batch is one
+    atomic commit; the final snapshot is the keyed last-writer set."""
+    from data_analyse_marche_emploi_spark.sources.txlog import TxTable
+    from data_analyse_marche_emploi_spark.streaming.incremental import (
+        foreach_batch_merge_txlog,
+    )
+
+    src = str(tmp_path / "src")
+    rows = [(i, f"v{i % 3}", i) for i in range(60)]
+    df = spark.createDataFrame(rows, "k long, v string, ts long")
+    df.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(0, "seed")]).withColumn(
+            "ts", F.lit(-1).cast("long")
+        )
+    )
+    stream = (
+        spark.readStream.schema("k long, v string, ts long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    foreach_batch_merge_txlog(stream, t, "k", "ts")
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(got) == 60 and got[0] == "v0"  # seed row replaced
+    # one create + one commit per non-empty micro-batch
+    assert len(t.history()) >= 3
+    assert {h["op"] for h in t.history()} == {"create", "merge"}
