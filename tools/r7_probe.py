@@ -29,6 +29,11 @@ ENTRIES = [
     "pipeline_orc_roundtrip",
     "seq_transition_matrix",
     "stream_src_rest_paged",
+    "graph_pagerank",
+    "graph_connected_components",
+    "q_forecast_revenue",
+    "tablelog_time_travel",
+    "stream_txlog_merge_sink",
 ]
 
 SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
