@@ -75,7 +75,7 @@ class TxTable:
             return json.load(fh)
 
     def _commit(self, version: int, adds: list[str], removes: list[str],
-                op: str) -> None:
+                op: str, stats: dict | None = None) -> None:
         """Atomic commit: write a temp file in the log dir, then
         ``os.rename`` to the version name. A concurrent commit of the
         same version leaves exactly one winner (POSIX rename is atomic;
@@ -96,6 +96,7 @@ class TxTable:
                     "removes": removes,
                     "op": op,
                     "ts": time.time(),
+                    "stats": stats or {},
                 },
                 fh,
             )
@@ -106,17 +107,42 @@ class TxTable:
         file set. O(versions) driver-side JSON reads — at real scale
         the log gets periodic parquet checkpoints, same as the public
         formats; the replay rule is unchanged."""
+        return [n for n, _ in self._snapshot_entries(version)]
+
+    def _snapshot_entries(
+        self, version: int | None = None
+    ) -> list[tuple[str, dict]]:
+        """(file, column-stats) pairs live at ``version`` — the stats
+        ride along from each file's add action."""
         if version is None:
             version = self.latest_version()
-        live: list[str] = []
+        live: list[tuple[str, dict]] = []
         for v in self._versions():
             if v > version:
                 break
             act = self._read_action(v)
             removed = set(act["removes"])
-            live = [f for f in live if f not in removed]
-            live.extend(act["adds"])
+            stats = act.get("stats", {})
+            live = [(f, s) for f, s in live if f not in removed]
+            live.extend((f, stats.get(f, {})) for f in act["adds"])
         return live
+
+    def _candidate_files(
+        self, version: int, key: str, kmin, kmax
+    ) -> list[str]:
+        """Data skipping: live files whose logged [min, max] for
+        ``key`` overlaps [kmin, kmax] — files with stats entirely
+        outside the update-key range are pruned WITHOUT being opened
+        (a 0.1 % upsert on a key-clustered 100 TB table probes 0.1 %
+        of files); files lacking stats for the key stay candidates
+        (skipping must never lose a match)."""
+        out = []
+        for name, stats in self._snapshot_entries(version):
+            rng = stats.get(key)
+            if rng is not None and (rng[1] < kmin or rng[0] > kmax):
+                continue
+            out.append(name)
+        return out
 
     # -- write path ----------------------------------------------------------
 
@@ -137,41 +163,80 @@ class TxTable:
         shutil.rmtree(stage, ignore_errors=True)
         return parts
 
+    def _file_stats(self, names: list[str]) -> dict[str, dict]:
+        """Per-file min/max column stats lifted from the parquet
+        footers at commit time — the log-side data-skipping index the
+        public lakehouse formats carry. Only JSON-portable scalar
+        types (int/float/str/bool) are recorded; anything else simply
+        doesn't prune."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for name in names:
+            md = pq.ParquetFile(os.path.join(self.path, name)).metadata
+            cols: dict[str, list] = {}
+            for ci, cname in enumerate(md.schema.names):
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if lo is not None and isinstance(lo, (int, float, str, bool)):
+                    cols[cname] = [lo, hi]
+            out[name] = cols
+        return out
+
     @classmethod
     def create(cls, spark: SparkSession, path: str, df: DataFrame) -> "TxTable":
         os.makedirs(path, exist_ok=True)
         t = cls(spark, path)
         if t._versions():
             raise FileExistsError(f"table already exists at {path}")
-        t._commit(0, t._write_parts(df), [], "create")
+        adds = t._write_parts(df)
+        t._commit(0, adds, [], "create", stats=t._file_stats(adds))
         return t
 
     def append(self, df: DataFrame) -> int:
         v = self.latest_version() + 1
-        self._commit(v, self._write_parts(df), [], "append")
+        adds = self._write_parts(df)
+        self._commit(v, adds, [], "append", stats=self._file_stats(adds))
         return v
 
     def merge_upsert(self, updates: DataFrame, key: str) -> int:
         """Copy-on-write MERGE: rows in ``updates`` replace same-key
-        rows; new keys insert. Only files that CONTAIN a matching key
-        are rewritten (probed with a broadcastable key semi-join over
-        ``input_file_name``); untouched files carry over by reference.
-        One shuffle-free scan to find touched files, one rewrite of
-        their surviving rows unioned with the updates."""
+        rows; new keys insert. Two pruning layers find the rewrite
+        set: (1) DATA SKIPPING over the log's per-file [min, max] key
+        stats — files whose range misses the update-key range are
+        never opened; (2) an exact broadcastable key semi-join over
+        ``input_file_name`` on the surviving candidates. Untouched
+        files carry over by reference; one rewrite of the touched
+        files' surviving rows unioned with the updates."""
         v = self.latest_version()
-        live = self.snapshot_files(v)
-        cur = self._read_files(live)
+        bounds = updates.agg(
+            F.min(key).alias("lo"), F.max(key).alias("hi")
+        ).first()
+        if bounds["lo"] is None:
+            return v  # empty update set: no-op, no version burned
+        candidates = self._candidate_files(v, key, bounds["lo"], bounds["hi"])
         keys = updates.select(key).distinct()
-        touched = [
-            os.path.basename(r["f"])
-            for r in (
-                cur.withColumn("f", F.input_file_name())
-                .join(F.broadcast(keys), key, "left_semi")
-                .select("f")
-                .distinct()
-                .collect()
-            )
-        ]
+        touched = (
+            [
+                os.path.basename(r["f"])
+                for r in (
+                    self._read_files(candidates)
+                    .withColumn("f", F.input_file_name())
+                    .join(F.broadcast(keys), key, "left_semi")
+                    .select("f")
+                    .distinct()
+                    .collect()
+                )
+            ]
+            if candidates
+            else []
+        )
         if touched:
             survivors = self._read_files(touched).join(
                 F.broadcast(keys), key, "left_anti"
@@ -180,7 +245,8 @@ class TxTable:
         else:
             new_data = updates
         adds = self._write_parts(new_data)
-        self._commit(v + 1, adds, touched, "merge")
+        self._commit(v + 1, adds, touched, "merge",
+                     stats=self._file_stats(adds))
         return v + 1
 
     def delete_where(self, condition) -> int:
@@ -203,7 +269,8 @@ class TxTable:
             return v  # no-op deletes don't burn a version
         survivors = self._read_files(touched).filter(~condition)
         adds = self._write_parts(survivors)
-        self._commit(v + 1, adds, touched, "delete")
+        self._commit(v + 1, adds, touched, "delete",
+                     stats=self._file_stats(adds))
         return v + 1
 
     # -- read path -----------------------------------------------------------

@@ -156,3 +156,43 @@ def test_streaming_merge_sink_multi_batch(spark, tmp_path):
     # one create + one commit per non-empty micro-batch
     assert len(t.history()) >= 3
     assert {h["op"] for h in t.history()} == {"create", "merge"}
+
+
+def test_merge_data_skipping_prunes_by_log_stats(spark, tmp_path):
+    """The log carries per-file [min, max] column stats from the
+    parquet footers; a merge whose update-key range misses a file's
+    range must prune that file from the candidate set WITHOUT opening
+    it — the log-side data-skipping layer above the exact semi-join
+    probe."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    t.append(_df(spark, [(100, "x"), (101, "y")]).coalesce(1))
+    v = t.latest_version()
+    cands = t._candidate_files(v, "k", 100, 100)
+    all_files = t.snapshot_files(v)
+    assert len(all_files) == 2
+    assert len(cands) == 1, (cands, all_files)
+    # and the pruned merge still produces the right table
+    t.merge_upsert(_df(spark, [(100, "X")]), "k")
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {1: "a", 2: "b", 100: "X", 101: "y"}
+
+
+def test_merge_empty_update_set_is_noop(spark, tmp_path):
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a")]))
+    v = t.merge_upsert(_df(spark, []).limit(0), "k")
+    assert v == 0 and t.latest_version() == 0
+
+
+def test_stats_survive_for_string_keys(spark, tmp_path):
+    """Skipping must work on string keys too (footer stats are typed);
+    a file of 'a*' ids is pruned for a 'z' update."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame([("aa", 1), ("ab", 2)], "k string, n long")
+    t = TxTable.create(spark, p, df.coalesce(1))
+    t.append(
+        spark.createDataFrame([("zz", 3)], "k string, n long").coalesce(1)
+    )
+    cands = t._candidate_files(t.latest_version(), "k", "zz", "zz")
+    assert len(cands) == 1
