@@ -62,6 +62,8 @@ class TxTable:
             int(f[:-5])
             for f in os.listdir(self.log_dir)
             if f.endswith(".json")
+            and not f.endswith(".checkpoint.json")
+            and not f.startswith(".tmp-")
         )
 
     def latest_version(self) -> int:
@@ -113,11 +115,22 @@ class TxTable:
         self, version: int | None = None
     ) -> list[tuple[str, dict]]:
         """(file, column-stats) pairs live at ``version`` — the stats
-        ride along from each file's add action."""
+        ride along from each file's add action. Replay starts from the
+        newest checkpoint at or below ``version`` (if any), so log
+        reads stay O(commits since checkpoint) instead of O(all
+        commits) — the same consolidation rule the public formats use."""
         if version is None:
             version = self.latest_version()
         live: list[tuple[str, dict]] = []
+        start = 0
+        ck = self._latest_checkpoint(version)
+        if ck is not None:
+            ck_version, entries = ck
+            live = [(f, s) for f, s in entries]
+            start = ck_version + 1
         for v in self._versions():
+            if v < start:
+                continue
             if v > version:
                 break
             act = self._read_action(v)
@@ -126,6 +139,46 @@ class TxTable:
             live = [(f, s) for f, s in live if f not in removed]
             live.extend((f, stats.get(f, {})) for f in act["adds"])
         return live
+
+    def _latest_checkpoint(
+        self, version: int
+    ) -> tuple[int, list[tuple[str, dict]]] | None:
+        if not os.path.isdir(self.log_dir):
+            return None
+        cks = sorted(
+            int(f[: -len(".checkpoint.json")])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".checkpoint.json")
+        )
+        usable = [v for v in cks if v <= version]
+        if not usable:
+            return None
+        v = usable[-1]
+        with open(
+            os.path.join(self.log_dir, f"{v:08d}.checkpoint.json")
+        ) as fh:
+            data = json.load(fh)
+        return v, [(e["file"], e.get("stats", {})) for e in data["live"]]
+
+    def checkpoint(self) -> int:
+        """Consolidate the current snapshot's live-file list (with
+        stats) into one checkpoint record, bounding future replays.
+        Written with the same atomic-rename discipline; versions and
+        action files are untouched, so time travel below the
+        checkpoint still replays from genesis."""
+        v = self.latest_version()
+        entries = self._snapshot_entries(v)
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "version": v,
+                    "live": [{"file": f, "stats": s} for f, s in entries],
+                },
+                fh,
+            )
+        os.rename(tmp, os.path.join(self.log_dir, f"{v:08d}.checkpoint.json"))
+        return v
 
     def _candidate_files(
         self, version: int, key: str, kmin, kmax
@@ -275,15 +328,26 @@ class TxTable:
 
     # -- read path -----------------------------------------------------------
 
-    def _read_files(self, names: list[str]) -> DataFrame:
+    def _read_files(
+        self, names: list[str], merge_schema: bool = False
+    ) -> DataFrame:
         paths = [os.path.join(self.path, n) for n in names]
-        return self.spark.read.parquet(*paths)
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self, version: int | None = None, merge_schema: bool = False
+    ) -> DataFrame:
         """Snapshot read, optionally time-traveled to ``version``. The
         returned plan lists explicit immutable files, so it stays valid
-        regardless of later commits (reader isolation)."""
-        return self._read_files(self.snapshot_files(version))
+        regardless of later commits (reader isolation).
+        ``merge_schema=True`` unions column sets across generations
+        (appends may add columns; old files read them as null) — the
+        schema-evolution read the pipeline_schema_evolution entry
+        exercises on raw parquet, available on versioned tables too."""
+        return self._read_files(self.snapshot_files(version), merge_schema)
 
     def history(self) -> list[dict]:
         return [self._read_action(v) for v in self._versions()]

@@ -196,3 +196,37 @@ def test_stats_survive_for_string_keys(spark, tmp_path):
     )
     cands = t._candidate_files(t.latest_version(), "k", "zz", "zz")
     assert len(cands) == 1
+
+
+def test_checkpoint_bounds_replay_and_preserves_snapshots(spark, tmp_path):
+    """checkpoint() consolidates the live set; snapshots before AND
+    after it read identically, data skipping still sees the stats,
+    and a post-checkpoint commit replays from the checkpoint."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    t.merge_upsert(_df(spark, [(1, "A")]), "k")
+    before = sorted((r["k"], r["v"]) for r in t.read().collect())
+    ck_v = t.checkpoint()
+    assert ck_v == 2
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == before
+    # time travel BELOW the checkpoint still replays from genesis
+    assert {r["v"] for r in t.read(0).collect()} == {"a"}
+    # post-checkpoint commit: replay = checkpoint + tail
+    t.append(_df(spark, [(3, "c")]))
+    got = sorted((r["k"], r["v"]) for r in t.read().collect())
+    assert got == [(1, "A"), (2, "b"), (3, "c")]
+    # stats survived consolidation (skipping still prunes)
+    cands = t._candidate_files(t.latest_version(), "k", 3, 3)
+    assert len(cands) < len(t.snapshot_files())
+
+
+def test_read_merge_schema_across_generations(spark, tmp_path):
+    """An append may add columns; merge_schema=True reads old files
+    with nulls there — schema evolution on the versioned table."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a")]))
+    gen2 = spark.createDataFrame([(2, "b", 7.5)], "k long, v string, score double")
+    t.append(gen2)
+    got = {r["k"]: r["score"] for r in t.read(merge_schema=True).collect()}
+    assert got == {1: None, 2: 7.5}
