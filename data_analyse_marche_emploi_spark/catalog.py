@@ -7714,6 +7714,50 @@ def stream_txlog_merge_sink(spark, sf_dir):
 
 
 @register(
+    "txlog_change_feed",
+    oracle="""
+    WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)
+    SELECT k, p, 'insert' AS _change_op, CAST(1 AS INT) AS _change_version
+    FROM o WHERE k % 3 = 1
+    UNION ALL
+    SELECT k, -p, 'update', CAST(2 AS INT)
+    FROM o WHERE k % 3 <> 2 AND k % 10 = 0
+    UNION ALL
+    SELECT k, -p, 'insert', CAST(2 AS INT)
+    FROM o WHERE k % 3 = 2 AND k % 100 = 0
+    """,
+)
+def txlog_change_feed(spark, sf_dir):
+    """CHANGE DATA FEED off the transaction log: replay the same
+    deterministic create/append/merge history as tablelog_time_travel,
+    then extract row-level changes for versions (0, 2] — v1's appended
+    rows surface as inserts, v2's merge surfaces sign-flipped prices
+    as updates and the held-out-third keys as inserts, and every
+    UNCHANGED row the copy-on-write rewrite carried through is
+    correctly absent (pre/post row-hash equality). CDC reads only the
+    files each commit touched — O(changed files), the contract that
+    makes downstream incremental view maintenance cheaper than
+    recompute (sources/txlog.py read_changes)."""
+    import tempfile
+
+    from .sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    t = TxTable.create(
+        spark, tempfile.mkdtemp(prefix="txcdf_"), o.filter(F.col("k") % 3 == 0)
+    )
+    t.append(o.filter(F.col("k") % 3 == 1))
+    updates = o.filter(
+        ((F.col("k") % 3 != 2) & (F.col("k") % 10 == 0))
+        | ((F.col("k") % 3 == 2) & (F.col("k") % 100 == 0))
+    ).select("k", (-F.col("p")).alias("p"))
+    t.merge_upsert(updates, "k")
+    return t.read_changes("k", 0)
+
+
+@register(
     "q_forecast_revenue",
     oracle="""
     SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -7915,9 +7959,9 @@ def dq_skew_report(spark, sf_dir):
 # tools/oracle_check.py, which check ALL entries.
 
 # Round-7 rotation (updated at round-7 start for the r7 driver pass):
-# the registry holds 221 entries (214 carried over from round 6
+# the registry holds 222 entries (214 carried over from round 6
 # plus this round's additions); across
-# rounds r1-r6, 38 of those 221 have never had a driver CORRECTNESS
+# rounds r1-r6, 39 of those 222 have never had a driver CORRECTNESS
 # row (31 from round 6 plus each new round-7 entry, which joins
 # this window on registration). This window packs ALL of them: the smoke anchor, then the 21
 # never-checked entries that carry FULL value oracles (the 11 r6
@@ -7984,7 +8028,7 @@ _DRIVER_WINDOW = [
     "q_forecast_revenue",
     "tablelog_time_travel",
     "stream_txlog_merge_sink",
-    "dedup_window_exact",
+    "txlog_change_feed",
     "text_bm25",
     "stream_dedup_upsert",
     "dedup_clusters",

@@ -352,6 +352,100 @@ class TxTable:
     def history(self) -> list[dict]:
         return [self._read_action(v) for v in self._versions()]
 
+    def read_changes(
+        self, key: str, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """CHANGE DATA FEED: row-level changes per commit in
+        ``(from_version, to_version]``, derived from the copy-on-write
+        log — each commit's removed files hold the pre-image, its
+        added files the post-image, so a keyed full-outer join of just
+        those files yields ``insert`` (key only in adds), ``update``
+        (key in both with a different row), and ``delete`` (key only
+        in removes). Files untouched by a commit are never read: CDC
+        cost is O(changed files), the property that makes downstream
+        incremental view maintenance cheaper than recomputation.
+        Returns the post-image columns (pre-image for deletes) plus
+        ``_change_version`` and ``_change_op``."""
+        if to_version is None:
+            to_version = self.latest_version()
+        spark = self.spark
+        feeds = []
+        for v in self._versions():
+            if v <= from_version or v > to_version:
+                continue
+            act = self._read_action(v)
+            if not act["adds"] and not act["removes"]:
+                continue
+            post = (
+                self._read_files(act["adds"]) if act["adds"] else None
+            )
+            pre = (
+                self._read_files(act["removes"]) if act["removes"] else None
+            )
+            if pre is None:
+                changed = post.withColumn("_change_op", F.lit("insert"))
+            elif post is None:
+                changed = pre.withColumn("_change_op", F.lit("delete"))
+            else:
+                cols = post.columns
+                h = F.xxhash64(*[F.col(c) for c in cols])
+                a = post.select(key, h.alias("__post_h"), F.struct(*cols).alias("__post"))
+                b = pre.select(key, F.xxhash64(*[F.col(c) for c in cols]).alias("__pre_h"),
+                               F.struct(*cols).alias("__pre"))
+                j = a.join(b, key, "full_outer")
+                changed = (
+                    j.select(
+                        F.when(F.col("__post_h").isNotNull(), F.col("__post"))
+                        .otherwise(F.col("__pre"))
+                        .alias("__row"),
+                        F.when(F.col("__pre_h").isNull(), F.lit("insert"))
+                        .when(F.col("__post_h").isNull(), F.lit("delete"))
+                        .when(
+                            F.col("__pre_h") != F.col("__post_h"),
+                            F.lit("update"),
+                        )
+                        .alias("_change_op"),
+                    )
+                    .filter(F.col("_change_op").isNotNull())
+                    .select("__row.*", "_change_op")
+                )
+            feeds.append(
+                changed.withColumn("_change_version", F.lit(v))
+            )
+        if not feeds:
+            raise ValueError(
+                f"no commits in ({from_version}, {to_version}]"
+            )
+        out = feeds[0]
+        for f in feeds[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def optimize(self, sort_cols: list[str] | None = None,
+                 target_file_bytes: int = 128 * 1024 * 1024) -> int:
+        """OPTIMIZE: rewrite the live snapshot into right-sized
+        (optionally range-sorted) files as ONE atomic commit replacing
+        the whole file list — the txlog form of
+        operators/maintenance.py's compaction, with the same row-group
+        skipping payoff; readers of old versions are untouched."""
+        v = self.latest_version()
+        live = self.snapshot_files(v)
+        total = sum(
+            os.path.getsize(os.path.join(self.path, f)) for f in live
+        )
+        n_files = max(1, (total + target_file_bytes - 1) // target_file_bytes)
+        df = self._read_files(live)
+        if sort_cols:
+            df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+                *sort_cols
+            )
+        else:
+            df = df.repartition(n_files)
+        adds = self._write_parts(df)
+        self._commit(v + 1, adds, live, "optimize",
+                     stats=self._file_stats(adds))
+        return v + 1
+
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Physically delete files no snapshot among the newest
         ``keep_versions`` references. THE destructive step, kept

@@ -230,3 +230,35 @@ def test_read_merge_schema_across_generations(spark, tmp_path):
     t.append(gen2)
     got = {r["k"]: r["score"] for r in t.read(merge_schema=True).collect()}
     assert got == {1: None, 2: 7.5}
+
+
+def test_change_feed_ops_and_optimize_is_silent(spark, tmp_path):
+    """CDC classifies insert/update/delete per commit; an OPTIMIZE
+    commit (pure rewrite, identical rows) must contribute NOTHING to
+    the feed."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a"), (2, "b")]))
+    t.merge_upsert(_df(spark, [(2, "B"), (3, "c")]), "k")     # v1
+    t.delete_where(F.col("k") == 1)                            # v2
+    t.optimize(sort_cols=["k"])                                # v3
+    feed = t.read_changes("k", 0).collect()
+    got = sorted(
+        (r["_change_version"], r["_change_op"], r["k"], r["v"]) for r in feed
+    )
+    assert got == [
+        (1, "insert", 3, "c"),
+        (1, "update", 2, "B"),
+        (2, "delete", 1, "a"),
+    ]
+    # and optimize preserved content + produced a sorted single commit
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {2: "B", 3: "c"}
+    assert t.history()[-1]["op"] == "optimize"
+
+
+def test_change_feed_version_range(spark, tmp_path):
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))   # v1
+    t.append(_df(spark, [(3, "c")]))   # v2
+    only_v2 = t.read_changes("k", 1, 2).collect()
+    assert [(r["k"], r["_change_op"]) for r in only_v2] == [(3, "insert")]
