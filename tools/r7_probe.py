@@ -34,6 +34,8 @@ ENTRIES = [
     "q_forecast_revenue",
     "tablelog_time_travel",
     "stream_txlog_merge_sink",
+    "txlog_change_feed",
+    "graph_clustering_coefficient",
 ]
 
 SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
