@@ -214,3 +214,19 @@ def test_q6_predicates_reach_the_scan(spark, sf_dir):
     pushed = plan.split("PushedFilters:")[1].split("]")[0]
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in pushed, (col, pushed)
+
+
+def test_round7_entries_no_cartesian(spark, sf_dir):
+    """Candidate generation in the round-7 graph/txlog entries must be
+    keyed joins end-to-end — never a cartesian/nested-loop."""
+    from data_analyse_marche_emploi_spark import catalog
+
+    for name in ("graph_pagerank", "txlog_change_feed"):
+        plan = (
+            catalog.QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
