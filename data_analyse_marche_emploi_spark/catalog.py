@@ -7758,6 +7758,145 @@ def txlog_change_feed(spark, sf_dir):
 
 
 @register(
+    "text_html_strip",
+    oracle="""
+    SELECT doc_id,
+           'Doc ' || doc_id || ' ' ||
+           trim(regexp_replace(text, '\\s+', ' ', 'g')) || ' & more'
+             AS clean_text
+    FROM documents
+    """,
+)
+def text_html_strip(spark, sf_dir):
+    """HTML boilerplate stripping (functions/web.py html_strip): wrap
+    each document in a deterministic HTML shell — style/script
+    subtrees, tags, comments, and entities (&amp;) included — strip
+    it back to text, and hash-compare against the closed-form
+    expected string. Any bug in subtree removal, tag stripping,
+    entity decode ORDER (&amp;lt; must yield &lt;), or whitespace
+    collapse flips the hash. Pure JVM regexp chain, zero shuffle."""
+    from .functions.web import html_strip
+
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit("<html><head><style>p{color:red}</style>"
+              "<script>var a='<tag>';</script></head><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(" &amp; more</p><!-- tracker --></body></html>"),
+    )
+    return d.select("doc_id", html_strip(html).alias("clean_text"))
+
+
+@register(
+    "dedup_url_normalized",
+    oracle="""
+    SELECT 'http://example.com/docs/' || doc_id || '?a=1&b=2' AS url,
+           CAST(2 AS BIGINT) AS n_variants
+    FROM documents
+    """,
+)
+def dedup_url_normalized(spark, sf_dir):
+    """URL-canonicalization dedup (functions/web.py url_normalize) —
+    the first dedup any crawl runs: two per-doc fetch variants
+    (uppercase host + default port + trailing slash + utm params +
+    shuffled query order vs the bare form) must collapse to ONE
+    closed-form canonical URL, so the oracle is the exact expected
+    string with count 2. Scale shape: normalization is a per-row
+    expression chain; the dedup groupBy shuffles only the canonical
+    string."""
+    from .functions.web import url_normalize
+
+    d = _docs(spark, sf_dir)
+    v1 = F.concat(
+        F.lit("HTTP://Example.COM:80/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=feed&b=2&a=1#frag"),
+    )
+    v2 = F.concat(
+        F.lit("http://example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?a=1&b=2"),
+    )
+    urls = d.select(F.explode(F.array(v1, v2)).alias("raw"))
+    return (
+        urls.select(url_normalize(F.col("raw")).alias("url"))
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_variants"))
+    )
+
+
+@register(
+    "text_ngram_counts",
+    oracle="""
+    WITH d AS (SELECT string_split(lower(text), ' ') AS toks
+               FROM documents),
+    grams AS (
+      SELECT unnest(toks) AS gram FROM d
+      UNION ALL
+      SELECT unnest(CASE WHEN len(toks) < 2 THEN []
+               ELSE list_transform(generate_series(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+1], ' ')) END)
+      FROM d
+      UNION ALL
+      SELECT unnest(CASE WHEN len(toks) < 3 THEN []
+               ELSE list_transform(generate_series(1, len(toks) - 2),
+                    i -> array_to_string(toks[i:i+2], ' ')) END)
+      FROM d
+    )
+    SELECT gram, count(*) AS cnt,
+           CAST(len(string_split(gram, ' ')) AS INT) AS n
+    FROM grams GROUP BY 1 HAVING count(*) >= 5
+    """,
+)
+def text_ngram_counts(spark, sf_dir):
+    """Corpus n-gram statistics (1-3 grams, min_count=5) — the LM
+    count-collection job: one explode of per-doc gram arrays, one
+    partial-aggregating groupBy; the HAVING prune folds into the
+    final aggregate. At 100 TB the explode streams (no per-doc
+    materialized C(n) array beyond the token array itself) and only
+    (gram, partial-count) rows shuffle — the same one-content-shuffle
+    discipline as the posting-list family. Stop-gram explosion is the
+    min_count's problem domain inverse: high-df grams are KEPT here
+    (they are the signal), so the output is vocabulary-sized, which
+    min_count bounds."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.col("text")), " ")
+    grams = d.select(
+        F.explode(
+            F.flatten(
+                F.array(
+                    toks,
+                    F.expr(
+                        "CASE WHEN size(split(lower(text), ' ')) < 2 THEN "
+                        "array() ELSE transform("
+                        "sequence(0, size(split(lower(text), ' ')) - 2), "
+                        "i -> concat_ws(' ', slice(split(lower(text), ' '), "
+                        "i + 1, 2))) END"
+                    ),
+                    F.expr(
+                        "CASE WHEN size(split(lower(text), ' ')) < 3 THEN "
+                        "array() ELSE transform("
+                        "sequence(0, size(split(lower(text), ' ')) - 3), "
+                        "i -> concat_ws(' ', slice(split(lower(text), ' '), "
+                        "i + 1, 3))) END"
+                    ),
+                )
+            )
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+        .select(
+            "gram", "cnt", F.size(F.split(F.col("gram"), " ")).alias("n")
+        )
+    )
+
+
+@register(
     "q_forecast_revenue",
     oracle="""
     SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -7959,9 +8098,9 @@ def dq_skew_report(spark, sf_dir):
 # tools/oracle_check.py, which check ALL entries.
 
 # Round-7 rotation (updated at round-7 start for the r7 driver pass):
-# the registry holds 222 entries (214 carried over from round 6
+# the registry holds 225 entries (214 carried over from round 6
 # plus this round's additions); across
-# rounds r1-r6, 39 of those 222 have never had a driver CORRECTNESS
+# rounds r1-r6, 42 of those 225 have never had a driver CORRECTNESS
 # row (31 from round 6 plus each new round-7 entry, which joins
 # this window on registration). This window packs ALL of them: the smoke anchor, then the 21
 # never-checked entries that carry FULL value oracles (the 11 r6
@@ -8019,9 +8158,9 @@ _DRIVER_WINDOW = [
     "dedup_ngram_jaccard",
     "dedup_prefix_filter",
     "dedup_minhash_lsh",
-    "text_tf_idf",
-    "knn_brute_force",
-    "ann_ivf",
+    "text_html_strip",
+    "dedup_url_normalized",
+    "text_ngram_counts",
     "text_perplexity",
     "graph_pagerank",
     "graph_connected_components",

@@ -230,3 +230,43 @@ def test_round7_entries_no_cartesian(spark, sf_dir):
         )
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_html_strip_edge_cases(spark):
+    """Nested angle text in scripts, entity decode order, comments,
+    whitespace collapse."""
+    from data_analyse_marche_emploi_spark.functions.web import html_strip
+
+    rows = [
+        ("<script>if(a<b){x='<div>'}</script>ok", "ok"),
+        ("<style>p>a{}</style>kept", "kept"),
+        ("a &amp;lt; b", "a &lt; b"),       # decode ORDER: amp last
+        ("x<!-- <b>no</b> -->y", "x y"),
+        ("a\t\n  b", "a b"),
+        ("<p class='x'>t</p>", "t"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "h string")
+    import pyspark.sql.functions as F
+
+    got = [r[0] for r in df.select(html_strip(F.col("h"))).collect()]
+    assert got == [want for _, want in rows]
+
+
+def test_url_normalize_edge_cases(spark):
+    from data_analyse_marche_emploi_spark.functions.web import url_normalize
+
+    rows = [
+        ("HTTP://Example.COM:80/a/?utm_source=x&b=1&a=2#f",
+         "http://example.com/a?a=2&b=1"),
+        ("https://Host.io:443/", "https://host.io/"),
+        ("http://h.com", "http://h.com/"),
+        ("http://h.com/p?fbclid=z&gclid=q&utm_medium=m",
+         "http://h.com/p"),
+        ("http://h.com:8080/x/", "http://h.com:8080/x"),  # non-default port kept
+        ("http://h.com/p?b=2&a=1&a=0", "http://h.com/p?a=0&a=1&b=2"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in rows], "u string")
+    import pyspark.sql.functions as F
+
+    got = [r[0] for r in df.select(url_normalize(F.col("u"))).collect()]
+    assert got == [want for _, want in rows]
