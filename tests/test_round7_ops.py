@@ -270,3 +270,60 @@ def test_url_normalize_edge_cases(spark):
 
     got = [r[0] for r in df.select(url_normalize(F.col("u"))).collect()]
     assert got == [want for _, want in rows]
+
+
+def _py_url_normalize(u: str) -> str:
+    """Independent pure-Python reference for url_normalize's spec."""
+    import re
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^#]*)", u)
+    scheme, host, rest = m.group(1).lower(), m.group(2).lower(), m.group(3)
+    host = re.sub(r":80$", "", host)
+    host = re.sub(r":443$", "", host)
+    path = rest.split("?", 1)[0] or "/"
+    if len(path) > 1 and path.endswith("/"):
+        path = path[:-1]
+    query = rest.split("?", 1)[1] if "?" in rest else ""
+    params = [
+        p
+        for p in query.split("&")
+        if p and not re.match(r"^(utm_[^=]*|fbclid|gclid)(=|$)", p)
+    ]
+    q = "&".join(sorted(params))
+    return f"{scheme}://{host}{path}" + (f"?{q}" if q else "")
+
+
+def test_url_normalize_random_differential(spark):
+    """300 seeded random URLs (case, ports, utm noise, fragments,
+    duplicate params, trailing slashes) — Spark column chain must
+    equal the independent Python reference on every one."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from data_analyse_marche_emploi_spark.functions.web import url_normalize
+
+    rng = random.Random(1_2026)
+    urls = []
+    for _ in range(300):
+        scheme = rng.choice(["http", "HTTP", "https", "HtTpS"])
+        host = rng.choice(["Example.com", "a.B.c", "HOST.io"])
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        segs = "/".join(
+            "".join(rng.choice("abcXYZ09") for _ in range(rng.randint(1, 5)))
+            for _ in range(rng.randint(0, 3))
+        )
+        path = ("/" + segs if segs else "") + rng.choice(["", "/"])
+        nq = rng.randint(0, 5)
+        parts = []
+        for _ in range(nq):
+            k = rng.choice(["a", "b", "zz", "utm_source", "utm_x", "fbclid", "gclid"])
+            parts.append(f"{k}={rng.randint(0, 9)}" if rng.random() < 0.8 else k)
+        query = ("?" + "&".join(parts)) if parts else ""
+        frag = rng.choice(["", "#f", "#x/y?z"])
+        urls.append(f"{scheme}://{host}{port}{path}{query}{frag}")
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    got = [r[0] for r in df.select(url_normalize(F.col("u"))).collect()]
+    want = [_py_url_normalize(u) for u in urls]
+    mismatches = [(u, g, w) for u, g, w in zip(urls, got, want) if g != w]
+    assert mismatches == [], mismatches[:5]
