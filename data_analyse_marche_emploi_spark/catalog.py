@@ -7720,7 +7720,10 @@ def stream_txlog_merge_sink(spark, sf_dir):
     SELECT k, p, 'insert' AS _change_op, CAST(1 AS INT) AS _change_version
     FROM o WHERE k % 3 = 1
     UNION ALL
-    SELECT k, -p, 'update', CAST(2 AS INT)
+    SELECT k, p, 'update_preimage', CAST(2 AS INT)
+    FROM o WHERE k % 3 <> 2 AND k % 10 = 0
+    UNION ALL
+    SELECT k, -p, 'update_postimage', CAST(2 AS INT)
     FROM o WHERE k % 3 <> 2 AND k % 10 = 0
     UNION ALL
     SELECT k, -p, 'insert', CAST(2 AS INT)
@@ -7731,8 +7734,9 @@ def txlog_change_feed(spark, sf_dir):
     """CHANGE DATA FEED off the transaction log: replay the same
     deterministic create/append/merge history as tablelog_time_travel,
     then extract row-level changes for versions (0, 2] — v1's appended
-    rows surface as inserts, v2's merge surfaces sign-flipped prices
-    as updates and the held-out-third keys as inserts, and every
+    rows surface as inserts, v2's merge surfaces each sign-flipped
+    price as an update_preimage/update_postimage PAIR (the retraction
+    stream IVM needs) and the held-out-third keys as inserts, and every
     UNCHANGED row the copy-on-write rewrite carried through is
     correctly absent (pre/post row-hash equality). CDC reads only the
     files each commit touched — O(changed files), the contract that
@@ -7755,6 +7759,77 @@ def txlog_change_feed(spark, sf_dir):
     ).select("k", (-F.col("p")).alias("p"))
     t.merge_upsert(updates, "k")
     return t.read_changes("k", 0)
+
+
+@register(
+    "txlog_ivm_from_cdf",
+    oracle="""
+    WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+    v1 AS (SELECT k, p FROM o WHERE k % 3 IN (0, 1)),
+    u AS (SELECT k, -p AS p FROM o
+          WHERE (k % 3 <> 2 AND k % 10 = 0) OR (k % 3 = 2 AND k % 100 = 0)),
+    v2 AS (SELECT k, p FROM v1 WHERE k NOT IN (SELECT k FROM u)
+           UNION ALL SELECT k, p FROM u)
+    SELECT k % 7 AS bucket, count(*) AS cnt,
+           CAST(sum(CAST(floor(p * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM v2 GROUP BY 1
+    """,
+)
+def txlog_ivm_from_cdf(spark, sf_dir):
+    """Incremental view maintenance driven by the change feed: an
+    aggregate materialized at version 0 is brought current by applying
+    ONLY the CDF deltas — inserts and update_postimages add, deletes
+    and update_preimages retract — never rescanning the table. The
+    oracle recomputes the same aggregate directly from the final
+    contents, so any missing retraction or double-applied image flips
+    the hash. This is why read_changes emits preimage rows: without
+    them the updated buckets could not subtract the old values. At
+    scale: the view refresh costs O(changed rows), the whole point of
+    pairing CDF with the versioned table."""
+    import tempfile
+
+    from .sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    t = TxTable.create(
+        spark, tempfile.mkdtemp(prefix="txivm_"), o.filter(F.col("k") % 3 == 0)
+    )
+    t.append(o.filter(F.col("k") % 3 == 1))
+    updates = o.filter(
+        ((F.col("k") % 3 != 2) & (F.col("k") % 10 == 0))
+        | ((F.col("k") % 3 == 2) & (F.col("k") % 100 == 0))
+    ).select("k", (-F.col("p")).alias("p"))
+    t.merge_upsert(updates, "k")
+
+    cents = F.floor(F.col("p") * 100).cast("long")
+    bucket = (F.col("k") % 7).alias("bucket")
+    base = (
+        t.read(0)
+        .groupBy(bucket)
+        .agg(F.count(F.lit(1)).alias("b_cnt"), F.sum(cents).alias("b_sum"))
+    )
+    ch = t.read_changes("k", 0)
+    sign = F.when(
+        F.col("_change_op").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        ch.groupBy(bucket)
+        .agg(
+            F.sum(sign).alias("d_cnt"),
+            F.sum(sign * cents).alias("d_sum"),
+        )
+    )
+    return (
+        base.join(delta, "bucket", "full_outer")
+        .select(
+            "bucket",
+            (F.coalesce("b_cnt", F.lit(0)) + F.coalesce("d_cnt", F.lit(0))).alias("cnt"),
+            (F.coalesce("b_sum", F.lit(0)) + F.coalesce("d_sum", F.lit(0))).alias("sum_cents"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
 
 
 @register(
@@ -8098,9 +8173,9 @@ def dq_skew_report(spark, sf_dir):
 # tools/oracle_check.py, which check ALL entries.
 
 # Round-7 rotation (updated at round-7 start for the r7 driver pass):
-# the registry holds 225 entries (214 carried over from round 6
+# the registry holds 226 entries (214 carried over from round 6
 # plus this round's additions); across
-# rounds r1-r6, 42 of those 225 have never had a driver CORRECTNESS
+# rounds r1-r6, 43 of those 226 have never had a driver CORRECTNESS
 # row (31 from round 6 plus each new round-7 entry, which joins
 # this window on registration). This window packs ALL of them: the smoke anchor, then the 21
 # never-checked entries that carry FULL value oracles (the 11 r6
@@ -8161,7 +8236,7 @@ _DRIVER_WINDOW = [
     "text_html_strip",
     "dedup_url_normalized",
     "text_ngram_counts",
-    "text_perplexity",
+    "txlog_ivm_from_cdf",
     "graph_pagerank",
     "graph_connected_components",
     "q_forecast_revenue",

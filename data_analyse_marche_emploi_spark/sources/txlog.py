@@ -359,12 +359,15 @@ class TxTable:
         ``(from_version, to_version]``, derived from the copy-on-write
         log — each commit's removed files hold the pre-image, its
         added files the post-image, so a keyed full-outer join of just
-        those files yields ``insert`` (key only in adds), ``update``
+        those files yields ``insert`` (key only in adds), updates
         (key in both with a different row), and ``delete`` (key only
-        in removes). Files untouched by a commit are never read: CDC
-        cost is O(changed files), the property that makes downstream
-        incremental view maintenance cheaper than recomputation.
-        Returns the post-image columns (pre-image for deletes) plus
+        in removes). An update emits BOTH sides — ``update_preimage``
+        and ``update_postimage`` rows — because incremental view
+        maintenance needs the retracted values, not just the new ones
+        (the contract the public lakehouse change feeds expose). Files
+        untouched by a commit are never read: CDC cost is O(changed
+        files), the property that makes IVM cheaper than
+        recomputation. Returns the row columns plus
         ``_change_version`` and ``_change_op``."""
         if to_version is None:
             to_version = self.latest_version()
@@ -393,21 +396,46 @@ class TxTable:
                 b = pre.select(key, F.xxhash64(*[F.col(c) for c in cols]).alias("__pre_h"),
                                F.struct(*cols).alias("__pre"))
                 j = a.join(b, key, "full_outer")
+                # updates fan out into (preimage, postimage) row pairs;
+                # unchanged rewrites (pre_h == post_h) emit nothing
                 changed = (
                     j.select(
-                        F.when(F.col("__post_h").isNotNull(), F.col("__post"))
-                        .otherwise(F.col("__pre"))
-                        .alias("__row"),
-                        F.when(F.col("__pre_h").isNull(), F.lit("insert"))
-                        .when(F.col("__post_h").isNull(), F.lit("delete"))
-                        .when(
-                            F.col("__pre_h") != F.col("__post_h"),
-                            F.lit("update"),
-                        )
-                        .alias("_change_op"),
+                        F.explode(
+                            F.when(
+                                F.col("__pre_h").isNull(),
+                                F.array(
+                                    F.struct(
+                                        F.col("__post").alias("row"),
+                                        F.lit("insert").alias("op"),
+                                    )
+                                ),
+                            )
+                            .when(
+                                F.col("__post_h").isNull(),
+                                F.array(
+                                    F.struct(
+                                        F.col("__pre").alias("row"),
+                                        F.lit("delete").alias("op"),
+                                    )
+                                ),
+                            )
+                            .when(
+                                F.col("__pre_h") != F.col("__post_h"),
+                                F.array(
+                                    F.struct(
+                                        F.col("__pre").alias("row"),
+                                        F.lit("update_preimage").alias("op"),
+                                    ),
+                                    F.struct(
+                                        F.col("__post").alias("row"),
+                                        F.lit("update_postimage").alias("op"),
+                                    ),
+                                ),
+                            )
+                            .otherwise(F.array())
+                        ).alias("__chg")
                     )
-                    .filter(F.col("_change_op").isNotNull())
-                    .select("__row.*", "_change_op")
+                    .select("__chg.row.*", F.col("__chg.op").alias("_change_op"))
                 )
             feeds.append(
                 changed.withColumn("_change_version", F.lit(v))

@@ -247,7 +247,8 @@ def test_change_feed_ops_and_optimize_is_silent(spark, tmp_path):
     )
     assert got == [
         (1, "insert", 3, "c"),
-        (1, "update", 2, "B"),
+        (1, "update_postimage", 2, "B"),
+        (1, "update_preimage", 2, "b"),
         (2, "delete", 1, "a"),
     ]
     # and optimize preserved content + produced a sorted single commit
