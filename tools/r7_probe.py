@@ -36,6 +36,10 @@ ENTRIES = [
     "stream_txlog_merge_sink",
     "txlog_change_feed",
     "graph_clustering_coefficient",
+    "text_html_strip",
+    "dedup_url_normalized",
+    "text_ngram_counts",
+    "txlog_ivm_from_cdf",
 ]
 
 SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
