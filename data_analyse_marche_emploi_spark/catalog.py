@@ -7972,6 +7972,73 @@ def text_ngram_counts(spark, sf_dir):
 
 
 @register(
+    "pipeline_crawl_to_training",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             'http://example.com/docs/' || doc_id || '?a=1&b=2' AS url,
+             string_split(lower('doc ' || doc_id || ' ' ||
+               trim(regexp_replace(text, '\\s+', ' ', 'g')) || ' & more'),
+               ' ') AS toks
+      FROM documents),
+    q AS (SELECT * FROM d WHERE len(toks) >= 12),
+    s AS (SELECT url, toks,
+                 unnest(generate_series(1, len(toks), 48)) AS start
+          FROM q)
+    SELECT url, CAST((start - 1) / 48 AS INT) AS chunk_id,
+           array_to_string(toks[start:start+63], ' ') AS chunk_text,
+           len(toks[start:start+63]) AS n_chunk_tokens
+    FROM s
+    """,
+)
+def pipeline_crawl_to_training(spark, sf_dir):
+    """The crawl front door composed end-to-end: every document
+    arrives as TWO fetch records (noisy URL variant + bare variant,
+    same HTML shell) → url_normalize dedup collapses the double fetch
+    → html_strip recovers the text → a token-count quality gate →
+    64/48 overlapping chunking, keyed by canonical URL. The oracle is
+    the closed-form composition of each stage's own oracle, so a
+    regression in ANY stage (normalizer, stripper, gate boundary,
+    window arithmetic) flips the hash. Scale shape: stages 1-3 are
+    per-row expression chains; the only shuffles are the canonical-URL
+    dedup groupBy and the chunker's tokenize barrier."""
+    from .functions.web import html_strip, url_normalize
+    from .operators.text_analysis import chunk_tokens
+
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit("<html><head><style>p{color:red}</style>"
+              "<script>var a='<tag>';</script></head><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(" &amp; more</p><!-- tracker --></body></html>"),
+    )
+    v1 = F.concat(
+        F.lit("HTTP://Example.COM:80/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=feed&b=2&a=1#frag"),
+    )
+    v2 = F.concat(
+        F.lit("http://example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?a=1&b=2"),
+    )
+    crawl = d.select(
+        F.explode(F.array(v1, v2)).alias("raw_url"), html.alias("html")
+    )
+    fetched_once = (
+        crawl.select(url_normalize(F.col("raw_url")).alias("url"), "html")
+        .groupBy("url")
+        .agg(F.first("html").alias("html"))  # identical per group
+    )
+    cleaned = fetched_once.select(
+        "url", html_strip(F.col("html")).alias("clean")
+    ).filter(F.size(F.split(F.col("clean"), " ")) >= 12)
+    return chunk_tokens(cleaned, "clean", "url", window=64, stride=48)
+
+
+@register(
     "q_forecast_revenue",
     oracle="""
     SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -8173,9 +8240,9 @@ def dq_skew_report(spark, sf_dir):
 # tools/oracle_check.py, which check ALL entries.
 
 # Round-7 rotation (updated at round-7 start for the r7 driver pass):
-# the registry holds 226 entries (214 carried over from round 6
+# the registry holds 227 entries (214 carried over from round 6
 # plus this round's additions); across
-# rounds r1-r6, 43 of those 226 have never had a driver CORRECTNESS
+# rounds r1-r6, 44 of those 227 have never had a driver CORRECTNESS
 # row (31 from round 6 plus each new round-7 entry, which joins
 # this window on registration). This window packs ALL of them: the smoke anchor, then the 21
 # never-checked entries that carry FULL value oracles (the 11 r6
@@ -8243,7 +8310,7 @@ _DRIVER_WINDOW = [
     "tablelog_time_travel",
     "stream_txlog_merge_sink",
     "txlog_change_feed",
-    "text_bm25",
+    "pipeline_crawl_to_training",
     "stream_dedup_upsert",
     "dedup_clusters",
     "graph_clustering_coefficient",
