@@ -7972,6 +7972,41 @@ def text_ngram_counts(spark, sf_dir):
 
 
 @register(
+    "stream_txlog_source",
+    oracle="""
+    SELECT o_orderkey AS k, o_orderstatus AS s
+    FROM orders WHERE o_orderkey % 4 < 3
+    """,
+)
+def stream_txlog_source(spark, sf_dir):
+    """STREAMING READS of the versioned table (the read-side symmetry
+    of the txlog merge sink): `readStream.format("txlog")` turns each
+    committed version into a micro-batch — offsets ARE log versions,
+    so a checkpointed restart consumes only commits it hasn't seen
+    (tests/test_round7_ops.py proves the delta). Append-only contract:
+    a CoW merge in the consumed range raises unless ignoreChanges is
+    set, the same caveat the public lakehouse streaming reads
+    document. Here: three append generations drained through the
+    source and hash-checked against the union of the slices."""
+    import tempfile
+
+    from .sources.txlog import TxTable, register_txlog_source
+    from .streaming.incremental import run_available_now
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("s")
+    )
+    t = TxTable.create(
+        spark, tempfile.mkdtemp(prefix="txsrc_"), o.filter(F.col("k") % 4 == 0)
+    )
+    t.append(o.filter(F.col("k") % 4 == 1))
+    t.append(o.filter(F.col("k") % 4 == 2))
+    register_txlog_source(spark)
+    sdf = spark.readStream.format("txlog").option("path", t.path).load()
+    return run_available_now(sdf, "append")
+
+
+@register(
     "pipeline_crawl_to_training",
     oracle="""
     WITH d AS (
@@ -8240,9 +8275,9 @@ def dq_skew_report(spark, sf_dir):
 # tools/oracle_check.py, which check ALL entries.
 
 # Round-7 rotation (updated at round-7 start for the r7 driver pass):
-# the registry holds 227 entries (214 carried over from round 6
+# the registry holds 228 entries (214 carried over from round 6
 # plus this round's additions); across
-# rounds r1-r6, 44 of those 227 have never had a driver CORRECTNESS
+# rounds r1-r6, 45 of those 228 have never had a driver CORRECTNESS
 # row (31 from round 6 plus each new round-7 entry, which joins
 # this window on registration). This window packs ALL of them: the smoke anchor, then the 21
 # never-checked entries that carry FULL value oracles (the 11 r6
@@ -8311,7 +8346,7 @@ _DRIVER_WINDOW = [
     "stream_txlog_merge_sink",
     "txlog_change_feed",
     "pipeline_crawl_to_training",
-    "stream_dedup_upsert",
+    "stream_txlog_source",
     "dedup_clusters",
     "graph_clustering_coefficient",
     "stream_src_rest_paged",

@@ -490,3 +490,111 @@ class TxTable:
                 os.remove(os.path.join(self.path, f))
                 removed.append(f)
         return removed
+
+
+# ---------------------------------------------------------------------------
+# Streaming SOURCE over the transaction log: version-offset micro-batches.
+# ---------------------------------------------------------------------------
+# The read-side symmetry of foreach_batch_merge_txlog's write side:
+# `spark.readStream.format("txlog").option("path", ...)` turns every
+# committed version into (at most) one micro-batch — the engine-side
+# analog of the public lakehouse streaming reads. Offsets are just log
+# versions, so the checkpoint story is the log itself.
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+class _TxFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class TxLogDataSource(DataSource):
+    """Options: ``path`` (table root). APPEND-ONLY streaming contract:
+    a merge/delete/optimize commit in the consumed range raises unless
+    ``ignoreChanges`` is set (then only its added files stream —
+    rewritten carried-over rows WILL reappear, exactly the caveat the
+    public formats document for the same option)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txlog"
+
+    def schema(self):
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        files = sorted(
+            _glob.glob(os.path.join(self.options["path"], "*.parquet"))
+        )
+        if not files:
+            raise FileNotFoundError(
+                f"no data files under {self.options['path']}"
+            )
+        return from_arrow_schema(pq.ParquetFile(files[0]).schema_arrow)
+
+    def streamReader(self, schema: T.StructType) -> "TxLogStreamReader":
+        return TxLogStreamReader(schema, self.options)
+
+
+class TxLogStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: T.StructType, options: dict):
+        self.schema = schema
+        self.path = options["path"]
+        self.ignore_changes = str(
+            options.get("ignorechanges", "false")
+        ).lower() in ("true", "1")
+
+    def _table(self):
+        # SparkSession isn't available on the reader; TxTable is only
+        # used for its driver-side log walk here.
+        return TxTable(None, self.path)
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        return {"version": self._table().latest_version()}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[_TxFilePartition]:
+        t = self._table()
+        parts: list[_TxFilePartition] = []
+        for v in t._versions():
+            if v <= int(start["version"]) or v > int(end["version"]):
+                continue
+            act = t._read_action(v)
+            if act["removes"] and not self.ignore_changes:
+                raise ValueError(
+                    f"txlog stream hit a non-append commit (version {v}, "
+                    f"op={act['op']}); set ignoreChanges=true to stream "
+                    "its added files anyway (rewritten rows will repeat)"
+                )
+            parts.extend(
+                _TxFilePartition(os.path.join(self.path, f))
+                for f in act["adds"]
+            )
+        return parts
+
+    def read(self, partition: _TxFilePartition) -> Iterator[tuple]:
+        import pyarrow.parquet as pq
+
+        cols = [f.name for f in self.schema.fields]
+        tbl = pq.read_table(partition.path, columns=cols)
+        for batch in tbl.to_batches():
+            yield from zip(*[batch.column(c).to_pylist() for c in cols])
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+def register_txlog_source(spark: SparkSession) -> None:
+    spark.dataSource.register(TxLogDataSource)

@@ -263,3 +263,46 @@ def test_change_feed_version_range(spark, tmp_path):
     t.append(_df(spark, [(3, "c")]))   # v2
     only_v2 = t.read_changes("k", 1, 2).collect()
     assert [(r["k"], r["_change_op"]) for r in only_v2] == [(3, "insert")]
+
+
+def test_txlog_stream_source_resumes_and_guards_changes(spark, tmp_path):
+    """Version-offset streaming reads: same-checkpoint second drain
+    delivers only new commits; a CoW merge in range raises without
+    ignoreChanges and streams its added files with it."""
+    import pytest as _pytest
+
+    from data_analyse_marche_emploi_spark.sources.txlog import (
+        register_txlog_source,
+    )
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a")]))
+    register_txlog_source(spark)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def drain(**opts):
+        sdf = spark.readStream.format("txlog").option("path", p)
+        for k, v in opts.items():
+            sdf = sdf.option(k, v)
+        q = (
+            sdf.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted((r.k, r.v) for r in spark.read.parquet(out).collect())
+
+    assert drain() == [(1, "a")]
+    t.append(_df(spark, [(2, "b")]))
+    assert drain() == [(1, "a"), (2, "b")]  # delta only, no re-reads
+
+    t.merge_upsert(_df(spark, [(1, "A")]), "k")
+    with _pytest.raises(Exception, match="non-append|ignoreChanges"):
+        drain()
+    got = drain(ignoreChanges="true")
+    # rewritten file streams whole: the carried-over key 1 reappears
+    # alongside its update — exactly the documented caveat
+    assert (1, "A") in got and (2, "b") in got
