@@ -78,6 +78,10 @@ HEADLINE = [
     "graph_clustering_coefficient",
     "graph_pagerank",
     "q_forecast_revenue",
+    # round-7 (cont.): the composed crawl front door and the versioned
+    # table's write+read round trip
+    "pipeline_crawl_to_training",
+    "tablelog_time_travel",
 ]
 
 

@@ -40,6 +40,8 @@ ENTRIES = [
     "dedup_url_normalized",
     "text_ngram_counts",
     "txlog_ivm_from_cdf",
+    "pipeline_crawl_to_training",
+    "stream_txlog_source",
 ]
 
 SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
