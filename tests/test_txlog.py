@@ -306,3 +306,59 @@ def test_txlog_stream_source_resumes_and_guards_changes(spark, tmp_path):
     # rewritten file streams whole: the carried-over key 1 reappears
     # alongside its update — exactly the documented caveat
     assert (1, "A") in got and (2, "b") in got
+
+
+def test_txlog_random_ops_match_model(spark, tmp_path):
+    """Model-based check: random create/append/merge/delete/optimize/
+    checkpoint sequences against a driver-side dict model — read()
+    must equal the model at EVERY version (time travel over the whole
+    history), after every sequence. The strongest correctness harness
+    for the log-replay + CoW machinery."""
+    import random
+
+    rng = random.Random(9_2026)
+    for seq in range(3):
+        p = str(tmp_path / f"t{seq}")
+        model_hist = []  # model snapshot per version
+        model = {k: f"s{k}" for k in rng.sample(range(50), 8)}
+        t = TxTable.create(
+            spark, p, _df(spark, sorted(model.items()))
+        )
+        model_hist.append(dict(model))
+        for _ in range(7):
+            op = rng.choice(["append", "merge", "delete", "optimize", "checkpoint"])
+            if op == "append":
+                new = {
+                    k: f"a{k}"
+                    for k in rng.sample(range(50, 100), rng.randint(1, 5))
+                    if k not in model
+                }
+                if not new:
+                    continue
+                t.append(_df(spark, sorted(new.items())))
+                model.update(new)
+            elif op == "merge":
+                upd = {
+                    k: f"m{k}{rng.randint(0, 9)}"
+                    for k in rng.sample(range(100), rng.randint(1, 6))
+                }
+                t.merge_upsert(_df(spark, sorted(upd.items())), "k")
+                model.update(upd)
+            elif op == "delete":
+                if not model:
+                    continue
+                kill = rng.choice(sorted(model))
+                v_before = t.latest_version()
+                v_after = t.delete_where(F.col("k") == kill)
+                if v_after == v_before:
+                    continue  # no-op delete burns no version
+                model.pop(kill)
+            elif op == "optimize":
+                t.optimize(sort_cols=["k"])
+            else:
+                t.checkpoint()
+                continue  # checkpoint burns no version
+            model_hist.append(dict(model))
+        for v, want in enumerate(model_hist):
+            got = {r["k"]: r["v"] for r in t.read(v).collect()}
+            assert got == want, f"seq {seq} version {v}"
