@@ -98,22 +98,21 @@ def zvalue(a16: Column, b16: Column) -> Column:
     return _spread_bits(a16).bitwiseOR(F.shiftleft(_spread_bits(b16), 1))
 
 
-def zorder_write(
+def zorder_cluster(
     df: DataFrame,
-    out_path: str,
     col_a: str,
     col_b: str,
     n_files: int,
-) -> None:
-    """Write ``df`` as ``n_files`` z-ordered parquet files clustered on
-    (col_a, col_b).
+) -> DataFrame:
+    """Return ``df`` re-laid-out as ``n_files`` z-ordered partitions
+    clustered on (col_a, col_b) — the write-free core shared by
+    :func:`zorder_write` and the txlog table's ``optimize(zorder=...)``.
 
     Buckets each key to 16 bits by min/max normalization — two scalar
     aggregates (one broadcast row), no global rank/window — so the
     layout step costs one range shuffle regardless of scale. Skew in the
     value distribution degrades bucket balance, not correctness; for
     heavily skewed keys substitute approx-quantile bucket boundaries."""
-    spark = df.sparkSession
     stats = df.agg(
         F.min(col_a).alias("a_min"), F.max(col_a).alias("a_max"),
         F.min(col_b).alias("b_min"), F.max(col_b).alias("b_max"),
@@ -137,12 +136,24 @@ def zorder_write(
         )
         .drop("a_min", "a_max", "b_min", "b_max")
     )
-    (
+    return (
         with_z.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")
-        .write.mode("overwrite")
-        .parquet(out_path)
+    )
+
+
+def zorder_write(
+    df: DataFrame,
+    out_path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+) -> None:
+    """Write ``df`` as ``n_files`` z-ordered parquet files clustered on
+    (col_a, col_b) — see :func:`zorder_cluster` for the layout rules."""
+    zorder_cluster(df, col_a, col_b, n_files).write.mode("overwrite").parquet(
+        out_path
     )
 
 

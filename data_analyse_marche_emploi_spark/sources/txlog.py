@@ -450,12 +450,18 @@ class TxTable:
         return out
 
     def optimize(self, sort_cols: list[str] | None = None,
-                 target_file_bytes: int = 128 * 1024 * 1024) -> int:
-        """OPTIMIZE: rewrite the live snapshot into right-sized
-        (optionally range-sorted) files as ONE atomic commit replacing
-        the whole file list — the txlog form of
-        operators/maintenance.py's compaction, with the same row-group
-        skipping payoff; readers of old versions are untouched."""
+                 target_file_bytes: int = 128 * 1024 * 1024,
+                 zorder: tuple[str, str] | None = None) -> int:
+        """OPTIMIZE: rewrite the live snapshot into right-sized files
+        as ONE atomic commit replacing the whole file list — the txlog
+        form of operators/maintenance.py's compaction, with the same
+        row-group skipping payoff; readers of old versions are
+        untouched. ``sort_cols`` range-clusters one dimension;
+        ``zorder=(a, b)`` Morton-interleaves TWO so the logged min/max
+        stats (and the merge probe's data skipping) become selective
+        on EITHER column — OPTIMIZE ZORDER BY on the hand-rolled log."""
+        if sort_cols and zorder:
+            raise ValueError("sort_cols and zorder are mutually exclusive")
         v = self.latest_version()
         live = self.snapshot_files(v)
         total = sum(
@@ -463,7 +469,11 @@ class TxTable:
         )
         n_files = max(1, (total + target_file_bytes - 1) // target_file_bytes)
         df = self._read_files(live)
-        if sort_cols:
+        if zorder:
+            from ..operators.maintenance import zorder_cluster
+
+            df = zorder_cluster(df, zorder[0], zorder[1], n_files)
+        elif sort_cols:
             df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
                 *sort_cols
             )

@@ -362,3 +362,30 @@ def test_txlog_random_ops_match_model(spark, tmp_path):
         for v, want in enumerate(model_hist):
             got = {r["k"]: r["v"] for r in t.read(v).collect()}
             assert got == want, f"seq {seq} version {v}"
+
+
+def test_optimize_zorder_tightens_both_columns(spark, tmp_path):
+    """optimize(zorder=(a, b)) must leave the LOGGED per-file stats
+    selective on BOTH columns: for a uniform 2-D grid split into 4
+    files, each file's logged span on each key is well under the full
+    range, so the merge probe's data skipping prunes on either key."""
+    p = str(tmp_path / "t")
+    rows = [(i % 32, i // 32, i) for i in range(1024)]
+    df = spark.createDataFrame(rows, "a long, b long, payload long")
+    t = TxTable.create(spark, p, df.repartition(8))
+    t.optimize(zorder=("a", "b"), target_file_bytes=2 * 1024)
+    entries = t._snapshot_entries()
+    assert len(entries) >= 4
+    spans_a, spans_b = [], []
+    for _, stats in entries:
+        assert "a" in stats and "b" in stats
+        spans_a.append(stats["a"][1] - stats["a"][0])
+        spans_b.append(stats["b"][1] - stats["b"][0])
+    # average span well under the full 31-range on BOTH keys (a single
+    # sort would leave one key's spans at ~full range)
+    assert sum(spans_a) / len(spans_a) <= 24
+    assert sum(spans_b) / len(spans_b) <= 24
+    # and content is untouched
+    assert t.read().count() == 1024
+    got = t.read().agg(F.sum("payload")).first()[0]
+    assert got == sum(r[2] for r in rows)
