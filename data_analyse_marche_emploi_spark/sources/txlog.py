@@ -484,6 +484,32 @@ class TxTable:
                      stats=self._file_stats(adds))
         return v + 1
 
+    def restore(self, version: int) -> int:
+        """RESTORE: make ``version``'s snapshot current again as a NEW
+        commit (removes = the current live set, adds = the target
+        version's files) — nothing is rewritten because data files are
+        immutable, so rollback is O(log) regardless of table size. The
+        restored-over commits stay in history (time travel still sees
+        them); fails loudly if the target's files were already
+        vacuumed."""
+        cur = self.latest_version()
+        target = self.snapshot_files(version)
+        missing = [
+            f for f in target
+            if not os.path.exists(os.path.join(self.path, f))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore to version {version}: vacuumed files "
+                f"{missing[:3]}..."
+            )
+        live = self.snapshot_files(cur)
+        stats = {
+            f: s for f, s in self._snapshot_entries(version)
+        }
+        self._commit(cur + 1, target, live, "restore", stats=stats)
+        return cur + 1
+
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Physically delete files no snapshot among the newest
         ``keep_versions`` references. THE destructive step, kept

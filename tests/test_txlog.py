@@ -389,3 +389,35 @@ def test_optimize_zorder_tightens_both_columns(spark, tmp_path):
     assert t.read().count() == 1024
     got = t.read().agg(F.sum("payload")).first()[0]
     assert got == sum(r[2] for r in rows)
+
+
+def test_restore_rolls_back_without_rewrite(spark, tmp_path):
+    """RESTORE re-activates an old snapshot as a new commit: no data
+    rewrite (the restored files are the ORIGINAL part files), history
+    preserved, and CDC across the restore shows the rollback."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a"), (2, "b")]))
+    v0_files = set(t.snapshot_files(0))
+    t.merge_upsert(_df(spark, [(1, "X"), (9, "z")]), "k")
+    v = t.restore(0)
+    assert v == 2 and t.history()[-1]["op"] == "restore"
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {1: "a", 2: "b"}
+    assert set(t.snapshot_files()) == v0_files  # same bytes, no rewrite
+    # the bad version is still time-travelable
+    assert {r["k"]: r["v"] for r in t.read(1).collect()} == {
+        1: "X", 2: "b", 9: "z"
+    }
+    # restore target protected from vacuum-by-retention of only-latest
+    t.vacuum(keep_versions=1)
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {1: "a", 2: "b"}
+
+
+def test_restore_refuses_vacuumed_target(spark, tmp_path):
+    import pytest as _pytest
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a")]))
+    t.merge_upsert(_df(spark, [(1, "B")]), "k")
+    t.vacuum(keep_versions=1)  # v0's file physically gone
+    with _pytest.raises(FileNotFoundError, match="restore"):
+        t.restore(0)
