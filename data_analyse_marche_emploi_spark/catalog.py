@@ -2736,6 +2736,42 @@ def join_asof(spark, sf_dir):
 
 
 @register(
+    "join_asof_forward",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN c.ts IS NOT NULL
+                 AND epoch_us(c.ts) - epoch_us(p.ts) <= 172800000000
+                THEN c.event_id END AS next_click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def join_asof_forward(spark, sf_dir):
+    """FORWARD as-of join with a 48 h tolerance: each purchase attached
+    to the user's NEXT click, nulled when it comes later than two days
+    — the what-happened-after analytic (and pandas merge_asof
+    direction='forward' parity). Same union-and-window plan as the
+    backward form over the reversed timeline; tolerance is one
+    comparison after the carry, never a second join. The oracle uses
+    the native ASOF JOIN with the inequality flipped plus the same
+    tolerance null-out."""
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("next_click_id")
+    )
+    return asof_join(
+        purchases, clicks, "user_id", "ts", ["next_click_id"],
+        direction="forward", tolerance_seconds=48 * 3600,
+    )
+
+
+@register(
     "join_range",
     oracle="""
     SELECT a.user_id, a.event_id AS err_id, b.event_id AS near_id
@@ -8275,9 +8311,9 @@ def dq_skew_report(spark, sf_dir):
 # tools/oracle_check.py, which check ALL entries.
 
 # Round-7 rotation (updated at round-7 start for the r7 driver pass):
-# the registry holds 228 entries (214 carried over from round 6
+# the registry holds 229 entries (214 carried over from round 6
 # plus this round's additions); across
-# rounds r1-r6, 45 of those 228 have never had a driver CORRECTNESS
+# rounds r1-r6, 46 of those 229 have never had a driver CORRECTNESS
 # row (31 from round 6 plus each new round-7 entry, which joins
 # this window on registration). This window packs ALL of them: the smoke anchor, then the 21
 # never-checked entries that carry FULL value oracles (the 11 r6
@@ -8334,7 +8370,7 @@ _DRIVER_WINDOW = [
     #    swapped for new round-7 entries as they land --
     "dedup_ngram_jaccard",
     "dedup_prefix_filter",
-    "dedup_minhash_lsh",
+    "join_asof_forward",
     "text_html_strip",
     "dedup_url_normalized",
     "text_ngram_counts",

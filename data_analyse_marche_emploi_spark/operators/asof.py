@@ -31,16 +31,24 @@ def asof_join(
     ts: str,
     right_cols: list[str],
     direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
-    """For every left row, attach ``right_cols`` from the most recent
-    right row with the same ``key`` and ``right.ts <= left.ts``
-    (``backward``; ties match). All left columns are preserved.
+    """For every left row, attach ``right_cols`` from the nearest right
+    row with the same ``key``: the most recent with ``right.ts <=
+    left.ts`` (``backward``) or the next with ``right.ts >= left.ts``
+    (``forward``); ties match either way. All left columns are
+    preserved; unmatched left rows keep NULLs (left-join semantics).
+    ``tolerance_seconds`` nulls the attachment when the matched row is
+    further than the bound — pandas ``merge_asof`` parity, and the
+    practical form (an as-of quote from last year is not a quote).
 
-    Single shuffle on ``key``; per-key chronological sort; a
-    last-value-ignore-nulls window carries the right row forward.
+    Single shuffle on ``key``; per-key chronological sort (reversed
+    for ``forward``); a last-value-ignore-nulls window carries the
+    nearest right row across. Tolerance is a post-window null-out, so
+    it costs one comparison, not a second join.
     """
-    if direction != "backward":
-        raise ValueError("only backward as-of is implemented")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     from pyspark.sql.types import StructField, StructType
 
     lcols = left.columns
@@ -51,7 +59,8 @@ def asof_join(
     # from the SAME right row (per-column ignorenulls lasts can mix
     # fields across different right rows).
     rstruct = StructType(
-        [StructField(c, right.schema[c].dataType) for c in right_cols]
+        [StructField("__rts", right.schema[ts].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in right_cols]
     )
     tagged_l = (
         left.withColumn("__side", F.lit(1))
@@ -62,7 +71,9 @@ def asof_join(
         F.col(key),
         F.col(ts),
         F.lit(0).alias("__side"),
-        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
+        F.struct(
+            F.col(ts).alias("__rts"), *[F.col(c) for c in right_cols]
+        ).alias("__r"),
     )
     # Align schemas: right side gets NULL for left-only columns.
     for c in lcols:
@@ -71,15 +82,32 @@ def asof_join(
     tagged_r = tagged_r.select(*lcols, "__side", "__r")
     u = tagged_l.unionByName(tagged_r)
     # Right rows sort before left rows at equal ts, so ties match.
+    # Forward as-of is the same carry over the REVERSED timeline.
+    ts_order = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
         *lcols, "__side", F.last(F.col("__r"), ignorenulls=True).over(w).alias("__r")
     )
-    return carried.filter(F.col("__side") == 1).select(
+    matched = carried.filter(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        # The nearest match is the ONLY candidate that could be within
+        # tolerance, so nulling a too-far nearest equals "nearest
+        # within tolerance".
+        gap = F.abs(
+            F.unix_micros(F.col("__r")["__rts"].cast("timestamp"))
+            - F.unix_micros(F.col(ts).cast("timestamp"))
+        )
+        matched = matched.withColumn(
+            "__r",
+            F.when(
+                gap <= F.lit(int(tolerance_seconds) * 1_000_000), F.col("__r")
+            ),
+        )
+    return matched.select(
         *lcols, *[F.col("__r")[c].alias(c) for c in right_cols]
     )
 

@@ -327,3 +327,43 @@ def test_url_normalize_random_differential(spark):
     want = [_py_url_normalize(u) for u in urls]
     mismatches = [(u, g, w) for u, g, w in zip(urls, got, want) if g != w]
     assert mismatches == [], mismatches[:5]
+
+
+def test_asof_forward_and_tolerance_hand_case(spark):
+    """Closed-form: left at ts 10 and 50; rights at 20, 40, 60.
+    forward: 10->20, 50->60. backward+tol 15: 10->None (no earlier),
+    50->40. forward+tol 5: both None except none within 5 -> 10->None?
+    10->20 gap 10 > 5 -> None; 50->60 gap 10 > 5 -> None."""
+    import datetime as dt
+
+    from data_analyse_marche_emploi_spark.operators.asof import asof_join
+
+    def t(s):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(1, t(10), "L10"), (1, t(50), "L50")], "k long, ts timestamp, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, t(20), "R20"), (1, t(40), "R40"), (1, t(60), "R60")],
+        "k long, ts timestamp, rv string",
+    )
+    fwd = {
+        r["lv"]: r["rv"]
+        for r in asof_join(left, right, "k", "ts", ["rv"], "forward").collect()
+    }
+    assert fwd == {"L10": "R20", "L50": "R60"}
+    back_tol = {
+        r["lv"]: r["rv"]
+        for r in asof_join(
+            left, right, "k", "ts", ["rv"], "backward", tolerance_seconds=15
+        ).collect()
+    }
+    assert back_tol == {"L10": None, "L50": "R40"}
+    fwd_tol = {
+        r["lv"]: r["rv"]
+        for r in asof_join(
+            left, right, "k", "ts", ["rv"], "forward", tolerance_seconds=5
+        ).collect()
+    }
+    assert fwd_tol == {"L10": None, "L50": None}
