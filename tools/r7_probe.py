@@ -42,6 +42,7 @@ ENTRIES = [
     "txlog_ivm_from_cdf",
     "pipeline_crawl_to_training",
     "stream_txlog_source",
+    "join_asof_forward",
 ]
 
 SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
