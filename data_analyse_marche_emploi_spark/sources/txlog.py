@@ -331,6 +331,20 @@ class TxTable:
     def _read_files(
         self, names: list[str], merge_schema: bool = False
     ) -> DataFrame:
+        if not names:
+            # An all-rows delete can leave a snapshot with ZERO files
+            # (an empty rewrite may write no parts under AQE
+            # coalescing). Derive the schema from any data file still
+            # on disk — logically-removed files serve fine, they are
+            # only ever physically dropped by vacuum.
+            for f in sorted(os.listdir(self.path)):
+                if f.endswith(".parquet"):
+                    return self.spark.read.parquet(
+                        os.path.join(self.path, f)
+                    ).limit(0)
+            raise FileNotFoundError(
+                f"empty snapshot and no schema-bearing files at {self.path}"
+            )
         paths = [os.path.join(self.path, n) for n in names]
         reader = self.spark.read
         if merge_schema:

@@ -421,3 +421,18 @@ def test_restore_refuses_vacuumed_target(spark, tmp_path):
     t.vacuum(keep_versions=1)  # v0's file physically gone
     with _pytest.raises(FileNotFoundError, match="restore"):
         t.restore(0)
+
+
+def test_read_of_zero_file_snapshot_is_empty_not_crash(spark, tmp_path):
+    """A snapshot whose live set is empty (or whose rewrite produced
+    no part files) must read as ZERO ROWS with the right schema."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a")]))
+    t.delete_where(F.col("k") >= 0)  # delete everything
+    got = t.read()
+    assert got.count() == 0
+    assert set(got.columns) == {"k", "v"}
+    # simulate the zero-file commit directly
+    t._commit(t.latest_version() + 1, [], t.snapshot_files(), "delete")
+    got2 = t.read()
+    assert got2.count() == 0 and set(got2.columns) == {"k", "v"}
