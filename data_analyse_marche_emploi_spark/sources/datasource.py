@@ -141,7 +141,11 @@ class PagedRestStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[PageRange]:
         lo, hi = int(start["row"]), int(end["row"])
-        self._last_planned = max(self._last_planned, hi)
+        # Track BOTH bounds: after a checkpoint restart the committed
+        # cursor (lo) can exceed everything this fresh reader instance
+        # has planned, and a budgeted latestOffset below it would walk
+        # the offset backwards on the next batch.
+        self._last_planned = max(self._last_planned, lo, hi)
         return [
             PageRange(s, min(s + self.page_size - 1, hi - 1))
             for s in range(lo, hi, self.page_size)

@@ -367,3 +367,39 @@ def test_asof_forward_and_tolerance_hand_case(spark):
         ).collect()
     }
     assert fwd_tol == {"L10": None, "L50": None}
+
+
+def test_stream_reader_budget_survives_checkpoint_restart(tmp_path):
+    """A fresh reader instance (checkpoint restart) whose committed
+    cursor exceeds maxRowsPerBatch must not propose an offset BELOW
+    the committed one — driver-side unit check, no Spark session."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from data_analyse_marche_emploi_spark.sources.datasource import (
+        PagedRestStreamReader,
+    )
+
+    api = str(tmp_path / "api.parquet")
+    pq.write_table(
+        pa.table({"o_orderkey": list(range(100)),
+                  "o_orderstatus": ["O"] * 100,
+                  "o_totalprice": [1.0] * 100}),
+        api,
+    )
+    schema = T.StructType(
+        [T.StructField("o_orderkey", T.LongType()),
+         T.StructField("o_orderstatus", T.StringType()),
+         T.StructField("o_totalprice", T.DoubleType())]
+    )
+    r = PagedRestStreamReader(
+        schema, {"path": api, "order_col": "o_orderkey",
+                 "page_size": "25", "maxrowsperbatch": "40"}
+    )
+    # restart: Spark replans the committed batch (80, 80] on the new
+    # instance before asking for a new latest offset
+    assert r.partitions({"row": 80}, {"row": 80}) == []
+    nxt = r.latestOffset()
+    assert nxt["row"] >= 80, nxt  # never walks backwards
+    assert nxt["row"] <= 100
