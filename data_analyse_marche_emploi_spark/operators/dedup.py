@@ -645,6 +645,7 @@ def connected_components(
         )
         new_labels = labels.join(neighbor, "id", "left").select(
             "id",
+            F.col("comp").alias("__old"),
             F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias(
                 "comp"
             ),
@@ -658,20 +659,21 @@ def connected_components(
         )
         new_labels = new_labels.join(
             jump, new_labels["comp"] == jump["__jid"], "left"
-        ).select("id", F.coalesce("__jcomp", "comp").alias("comp"))
+        ).select(
+            "id", "__old", F.coalesce("__jcomp", "comp").alias("comp")
+        )
         # Break lineage each round: without this, iteration i's plan
         # contains all i-1 previous joins (classic iterative-algorithm
         # plan blowup; at scale use reliable checkpoint instead).
         new_labels = new_labels.localCheckpoint(eager=True)
+        # Convergence probe reads the CHECKPOINTED rows (the old label
+        # rides along as __old), so it costs a scan, not the extra
+        # labels-to-labels join a separate old-vs-new compare would.
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("comp") != F.col("__old")).limit(1).count()
         )
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.select("id", "comp")
         if changed == 0:
             break
     sym.unpersist()
