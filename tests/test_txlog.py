@@ -326,7 +326,9 @@ def test_txlog_random_ops_match_model(spark, tmp_path):
         )
         model_hist.append(dict(model))
         for _ in range(7):
-            op = rng.choice(["append", "merge", "delete", "optimize", "checkpoint"])
+            op = rng.choice(
+                ["append", "merge", "delete", "optimize", "checkpoint", "restore"]
+            )
             if op == "append":
                 new = {
                     k: f"a{k}"
@@ -355,9 +357,13 @@ def test_txlog_random_ops_match_model(spark, tmp_path):
                 model.pop(kill)
             elif op == "optimize":
                 t.optimize(sort_cols=["k"])
-            else:
+            elif op == "checkpoint":
                 t.checkpoint()
                 continue  # checkpoint burns no version
+            else:
+                target = rng.randrange(len(model_hist))
+                t.restore(target)
+                model = dict(model_hist[target])
             model_hist.append(dict(model))
         for v, want in enumerate(model_hist):
             got = {r["k"]: r["v"] for r in t.read(v).collect()}
