@@ -6084,11 +6084,19 @@ def emb_pca_project(spark, sf_dir):
     driver state; d=64), then every vector projects map-side onto the
     broadcast top-4 basis. Sign-pinned eigenvectors make the basis
     unique; projections are 1e-6-floor-bucketed. One corpus scan to
-    fit + one to project, zero shuffles."""
+    fit + one to project, zero shuffles.
+
+    The driver's pandas canonicalizer sorts every output column and
+    crashes on list cells (r7: `unhashable type: 'list'`), so the
+    array<long> projection is posexploded to scalar
+    (vec_id, component, proj6) rows — k×N rows, still map-side."""
     from .operators.similarity import pca_project
 
     e = _t(spark, sf_dir, "embeddings")
-    return pca_project(e, "embedding", "vec_id", k=4)
+    proj = pca_project(e, "embedding", "vec_id", k=4)
+    return proj.select(
+        "vec_id", F.posexplode("proj6").alias("component", "proj6")
+    )
 
 
 @register(

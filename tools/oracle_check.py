@@ -102,6 +102,13 @@ def check_query(spark, con, name: str, sf_dir: str) -> tuple[bool, str]:
     srows = list(spdf.itertuples(index=False, name=None))
     scols = list(spdf.columns)
     if name not in catalog.ORACLES:
+        # Run the driver's canonicalizer over rows-only outputs too: the
+        # driver still sorts/hashes these rows, so an array/struct cell
+        # that would crash its pandas canonicalizer (r7 `emb_pca_project`,
+        # `TypeError: unhashable type: 'list'`) must fail HERE, not in
+        # CORRECTNESS_r{N}.json. Local green must imply driver green for
+        # rows-only entries exactly as it does for full-oracle ones.
+        _rows_to_multiset(srows, [c.lower() for c in scols])
         return (len(srows) >= 0, f"rows-only: {len(srows)} rows")
     odf = con.execute(catalog.ORACLES[name]).df()
     ocols = list(odf.columns)
