@@ -11,10 +11,13 @@ version):
 
 * ``_txlog/<version 8-digit>.json`` — one JSON action record per
   commit: ``{"version", "adds": [files], "removes": [files],
-  "op", "ts"}``. Commit atomicity comes from ``os.rename`` of a
-  same-directory temp file (atomic on POSIX) plus O_EXCL semantics:
-  ``rename`` onto an existing version fails the commit (optimistic
-  concurrency — last writer loses, never interleaves).
+  "op", "ts"}``. Commit atomicity comes from the injected
+  :class:`LogStore`'s ``publish_exclusive`` primitive — on POSIX,
+  ``link(2)`` of a same-directory temp file onto the version name
+  (hard-link creation is atomic and fails with ``EEXIST``), so of two
+  racing writers of one version exactly one wins and the loser raises
+  (optimistic concurrency — last writer loses, never interleaves,
+  never silently clobbers).
 * data files are immutable parquet parts named by uuid; a reader that
   resolved version N keeps a valid file list forever (snapshot
   isolation without locks — removed files are only ever LOGICALLY
@@ -26,9 +29,11 @@ version):
   of files, not the table.
 
 Single-writer-per-commit by design (the reference pipeline is one
-nightly job: ingestion-elasticsearch.py:10-40); multi-writer needs a
-compare-and-swap commit service, which is orthogonal to the read
-path shipped here.
+nightly job: ingestion-elasticsearch.py:10-40); concurrent commits of
+the SAME version are still safe — exactly one wins (see
+:class:`LogStore`) — but there is no retry/rebase loop, so the loser
+surfaces ``FileExistsError`` instead of transparently re-reading and
+re-committing.
 """
 
 from __future__ import annotations
@@ -40,27 +45,99 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["TxTable"]
+__all__ = ["LogStore", "PosixLogStore", "TxTable"]
 
 _LOG_DIR = "_txlog"
+
+
+class LogStore:
+    """The filesystem-semantics-dependent slice of the table format,
+    isolated behind one small interface (the analog of the public
+    Delta Lake ``LogStore`` SPI). Everything else in this module is
+    plain immutable-file I/O; table-format correctness rests on a
+    single primitive:
+
+    ``publish_exclusive(tmp, final)`` must make the commit record
+    visible at ``final`` atomically AND fail with ``FileExistsError``
+    if ``final`` already exists — so of two racing writers of the same
+    version exactly one wins, and the loser can never silently clobber
+    the winner or leave a torn/interleaved record.
+
+    * POSIX / HDFS-like filesystems: hard-link creation gives exactly
+      this (``link(2)`` is atomic and fails ``EEXIST``) —
+      :class:`PosixLogStore`.
+    * Object stores (S3 and friends) have NO atomic exclusive rename;
+      a deployment there must implement this method with a conditional
+      write (S3 ``PUT`` with ``If-None-Match: *``) or an external
+      compare-and-swap (the commit-service design the public lakehouse
+      docs describe). That implementation is deployment-specific and
+      not shipped in this sandbox, but no other txlog code path
+      assumes rename atomicity — implementing this one method is the
+      entire port.
+
+    ``list_log``/``read_json`` are included so a non-filesystem store
+    (or a consistent-listing wrapper over an eventually-consistent
+    one) can own the read side of the log too.
+    """
+
+    def list_log(self, log_dir: str) -> list[str]:
+        raise NotImplementedError
+
+    def read_json(self, path: str) -> dict:
+        raise NotImplementedError
+
+    def publish_exclusive(self, tmp: str, final: str) -> None:
+        raise NotImplementedError
+
+
+class PosixLogStore(LogStore):
+    """Default store: local / POSIX-rename filesystems."""
+
+    def list_log(self, log_dir: str) -> list[str]:
+        if not os.path.isdir(log_dir):
+            return []
+        return os.listdir(log_dir)
+
+    def read_json(self, path: str) -> dict:
+        with open(path) as fh:
+            return json.load(fh)
+
+    def publish_exclusive(self, tmp: str, final: str) -> None:
+        """Atomic-exclusive publish via ``link(2)``: creation either
+        installs ``final`` whole or raises ``FileExistsError`` —
+        unlike ``os.rename``, which on POSIX silently REPLACES an
+        existing destination (a pre-publish ``exists`` check would be
+        a TOCTOU race, not a guard; the r7 advisor flagged exactly
+        that)."""
+        try:
+            os.link(tmp, final)
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
 
 class TxTable:
     """Handle to a transaction-log table rooted at ``path``."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        log_store: LogStore | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.log_dir = os.path.join(path, _LOG_DIR)
+        self.log_store = log_store or PosixLogStore()
 
     # -- log primitives ----------------------------------------------------
 
     def _versions(self) -> list[int]:
-        if not os.path.isdir(self.log_dir):
-            return []
         return sorted(
             int(f[:-5])
-            for f in os.listdir(self.log_dir)
+            for f in self.log_store.list_log(self.log_dir)
             if f.endswith(".json")
             and not f.endswith(".checkpoint.json")
             and not f.startswith(".tmp-")
@@ -73,22 +150,20 @@ class TxTable:
         return vs[-1]
 
     def _read_action(self, version: int) -> dict:
-        with open(os.path.join(self.log_dir, f"{version:08d}.json")) as fh:
-            return json.load(fh)
+        return self.log_store.read_json(
+            os.path.join(self.log_dir, f"{version:08d}.json")
+        )
 
     def _commit(self, version: int, adds: list[str], removes: list[str],
                 op: str, stats: dict | None = None) -> None:
         """Atomic commit: write a temp file in the log dir, then
-        ``os.rename`` to the version name. A concurrent commit of the
-        same version leaves exactly one winner (POSIX rename is atomic;
-        the pre-check keeps the loser from silently clobbering —
-        rename-over-existing would otherwise replace)."""
+        ``log_store.publish_exclusive`` it onto the version name. The
+        store primitive is what makes a same-version race safe —
+        exactly one writer's record lands, the other raises
+        ``FileExistsError`` (tests/test_txlog.py proves the collision
+        path with a racing store injected in the publish window)."""
         os.makedirs(self.log_dir, exist_ok=True)
         final = os.path.join(self.log_dir, f"{version:08d}.json")
-        if os.path.exists(final):
-            raise FileExistsError(
-                f"version {version} already committed (concurrent writer)"
-            )
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
             json.dump(
@@ -102,7 +177,7 @@ class TxTable:
                 },
                 fh,
             )
-        os.rename(tmp, final)
+        self.log_store.publish_exclusive(tmp, final)
 
     def snapshot_files(self, version: int | None = None) -> list[str]:
         """Replay the log up to ``version`` (default latest): the live
@@ -143,29 +218,29 @@ class TxTable:
     def _latest_checkpoint(
         self, version: int
     ) -> tuple[int, list[tuple[str, dict]]] | None:
-        if not os.path.isdir(self.log_dir):
-            return None
         cks = sorted(
             int(f[: -len(".checkpoint.json")])
-            for f in os.listdir(self.log_dir)
+            for f in self.log_store.list_log(self.log_dir)
             if f.endswith(".checkpoint.json")
         )
         usable = [v for v in cks if v <= version]
         if not usable:
             return None
         v = usable[-1]
-        with open(
+        data = self.log_store.read_json(
             os.path.join(self.log_dir, f"{v:08d}.checkpoint.json")
-        ) as fh:
-            data = json.load(fh)
+        )
         return v, [(e["file"], e.get("stats", {})) for e in data["live"]]
 
     def checkpoint(self) -> int:
         """Consolidate the current snapshot's live-file list (with
         stats) into one checkpoint record, bounding future replays.
-        Written with the same atomic-rename discipline; versions and
-        action files are untouched, so time travel below the
-        checkpoint still replays from genesis."""
+        Published through the same exclusive store primitive as
+        commits; a concurrent checkpoint of the same version is
+        harmless (both writers derive identical content from the same
+        immutable log prefix), so a publish collision is swallowed.
+        Versions and action files are untouched, so time travel below
+        the checkpoint still replays from genesis."""
         v = self.latest_version()
         entries = self._snapshot_entries(v)
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
@@ -177,7 +252,12 @@ class TxTable:
                 },
                 fh,
             )
-        os.rename(tmp, os.path.join(self.log_dir, f"{v:08d}.checkpoint.json"))
+        try:
+            self.log_store.publish_exclusive(
+                tmp, os.path.join(self.log_dir, f"{v:08d}.checkpoint.json")
+            )
+        except FileExistsError:
+            pass  # same-version checkpoints are content-identical
         return v
 
     def _candidate_files(
@@ -269,8 +349,23 @@ class TxTable:
         files' surviving rows unioned with the updates."""
         v = self.latest_version()
         bounds = updates.agg(
-            F.min(key).alias("lo"), F.max(key).alias("hi")
+            F.min(key).alias("lo"),
+            F.max(key).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(key).alias("n_keyed"),
         ).first()
+        if bounds["n_keyed"] < bounds["n"]:
+            # NULL merge keys can never match (semi/anti equi-joins
+            # skip nulls), so such rows would silently re-insert on
+            # EVERY merge and never be updatable or dedupable — and an
+            # all-null update set would read as empty below. Refuse
+            # loudly, like the public formats' MERGE does.
+            raise ValueError(
+                f"merge_upsert: {bounds['n'] - bounds['n_keyed']} update "
+                f"row(s) have NULL merge key '{key}' — null keys never "
+                "match and would duplicate on every merge; filter or "
+                "fill them before merging"
+            )
         if bounds["lo"] is None:
             return v  # empty update set: no-op, no version burned
         candidates = self._candidate_files(v, key, bounds["lo"], bounds["hi"])
@@ -578,19 +673,37 @@ class TxLogDataSource(DataSource):
         return "txlog"
 
     def schema(self):
-        import glob as _glob
-
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        files = sorted(
-            _glob.glob(os.path.join(self.options["path"], "*.parquet"))
+        # Bind to the LATEST SNAPSHOT's newest file, not an arbitrary
+        # *.parquet in the table root: the root also holds
+        # logically-removed pre-merge/pre-optimize files, and a
+        # uuid-sorted glob could pick an old schema generation after
+        # schema-evolving appends (r7 advisor finding). The newest ADD
+        # still live is the current write schema by construction.
+        t = TxTable(None, self.options["path"])
+        live = t.snapshot_files()
+        if live:
+            last_live = set(live)
+            newest = None
+            for v in reversed(t._versions()):
+                adds = [f for f in t._read_action(v)["adds"] if f in last_live]
+                if adds:
+                    newest = adds[-1]
+                    break
+            f = os.path.join(self.options["path"], newest or live[-1])
+            return from_arrow_schema(pq.ParquetFile(f).schema_arrow)
+        # Zero-file snapshot (all rows deleted): fall back to any
+        # schema-bearing file still on disk, same rule as
+        # TxTable._read_files.
+        for name in sorted(os.listdir(self.options["path"])):
+            if name.endswith(".parquet"):
+                f = os.path.join(self.options["path"], name)
+                return from_arrow_schema(pq.ParquetFile(f).schema_arrow)
+        raise FileNotFoundError(
+            f"no schema-bearing data files under {self.options['path']}"
         )
-        if not files:
-            raise FileNotFoundError(
-                f"no data files under {self.options['path']}"
-            )
-        return from_arrow_schema(pq.ParquetFile(files[0]).schema_arrow)
 
     def streamReader(self, schema: T.StructType) -> "TxLogStreamReader":
         return TxLogStreamReader(schema, self.options)

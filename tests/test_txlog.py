@@ -87,6 +87,77 @@ def test_concurrent_commit_collision_raises(spark, tmp_path):
     t._commit(1, [], [], "noop")
     with pytest.raises(FileExistsError):
         t._commit(1, [], [], "racer")
+    # and the winner's record is intact, not clobbered
+    assert t._read_action(1)["op"] == "noop"
+    # the loser's temp file was cleaned up
+    assert not [f for f in os.listdir(t.log_dir) if f.startswith(".tmp-")]
+
+
+def test_commit_race_inside_publish_window(spark, tmp_path):
+    """The atomicity guarantee must come from the LogStore publish
+    primitive itself, NOT from a pre-publish exists() check (which
+    would be a TOCTOU race — os.rename silently replaces on POSIX, the
+    r7 advisor's finding). Inject a store that lands a competing
+    commit of the same version BETWEEN the temp write and the publish:
+    the publish must still fail loudly and the competitor's record
+    must survive byte-for-byte."""
+    import json
+
+    from data_analyse_marche_emploi_spark.sources.txlog import PosixLogStore
+
+    class RacingStore(PosixLogStore):
+        def publish_exclusive(self, tmp, final):
+            if not os.path.exists(final):  # the competitor sneaks in
+                with open(final + ".competitor", "w") as fh:
+                    json.dump({"version": -1, "adds": [], "removes": [],
+                               "op": "competitor", "ts": 0, "stats": {}}, fh)
+                os.replace(final + ".competitor", final)
+            super().publish_exclusive(tmp, final)
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a")]))
+    racing = TxTable(spark, p, log_store=RacingStore())
+    with pytest.raises(FileExistsError):
+        racing._commit(1, [], [], "loser")
+    assert t._read_action(1)["op"] == "competitor"
+    assert not [f for f in os.listdir(t.log_dir) if f.startswith(".tmp-")]
+
+
+def test_merge_upsert_rejects_null_keys(spark, tmp_path):
+    """NULL merge keys never match an equi-join, so such update rows
+    would re-insert on EVERY merge and never be updatable; an all-null
+    set would silently read as empty. Both must refuse loudly."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a")]))
+    mixed = spark.createDataFrame([(None, "x"), (1, "A")], "k long, v string")
+    with pytest.raises(ValueError, match="NULL merge key"):
+        t.merge_upsert(mixed, "k")
+    all_null = spark.createDataFrame([(None, "x")], "k long, v string")
+    with pytest.raises(ValueError, match="NULL merge key"):
+        t.merge_upsert(all_null, "k")
+    # table unchanged, no version burned
+    assert t.latest_version() == 0
+    assert [r.v for r in t.read().collect()] == ["a"]
+
+
+def test_stream_schema_binds_latest_generation(spark, tmp_path):
+    """TxLogDataSource.schema() must bind the LATEST snapshot's write
+    schema, not an arbitrary (uuid-sorted) file in the table root —
+    after a merge, logically-removed pre-merge files still sit on disk
+    and must not win (r7 advisor finding)."""
+    from data_analyse_marche_emploi_spark.sources.txlog import (
+        TxLogDataSource,
+    )
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a"), (2, "b")]))
+    # schema-evolving append: new column w (mergeSchema read path)
+    t.append(
+        spark.createDataFrame([(3, "c", 7.5)], "k long, v string, w double")
+    )
+    ds = TxLogDataSource(options={"path": p})
+    names = [f.name for f in ds.schema().fields]
+    assert names == ["k", "v", "w"], names
 
 
 def test_vacuum_keeps_retained_versions_readable(spark, tmp_path):
