@@ -124,6 +124,7 @@ class PagedRestStreamReader(DataSourceStreamReader):
         max_rows = options.get("maxRowsPerBatch".lower())
         self.max_rows_per_batch = int(max_rows) if max_rows else None
         self._last_planned = 0
+        self._last_committed = 0
 
     def _make_transport(self) -> ParquetPagedTransport:
         return ParquetPagedTransport(self.path, self.columns, self.order_col)
@@ -135,9 +136,18 @@ class PagedRestStreamReader(DataSourceStreamReader):
         fetch = self._make_transport()
         _, headers, _ = fetch("plan", {"range": "0-5"})
         total = parse_content_range(headers["Content-Range"])[2]
+        # Cursor floor: the highest bound this instance has seen from
+        # EITHER the planner (partitions) or the commit path. After a
+        # checkpoint restart, _last_planned being seeded via Spark's
+        # replay of the last committed batch is engine behavior, not
+        # contract (verified on pyspark 4.1.2, pinned by test) — so
+        # commit(end) also feeds the floor, and the budgeted proposal
+        # below can never walk backwards even if a future engine calls
+        # latestOffset first (r7 advisor hardening).
+        floor = max(self._last_planned, self._last_committed)
         if self.max_rows_per_batch is not None:
-            total = min(total, self._last_planned + self.max_rows_per_batch)
-        return {"row": total}
+            total = min(total, floor + self.max_rows_per_batch)
+        return {"row": max(total, floor)}
 
     def partitions(self, start: dict, end: dict) -> Sequence[PageRange]:
         lo, hi = int(start["row"]), int(end["row"])
@@ -162,9 +172,10 @@ class PagedRestStreamReader(DataSourceStreamReader):
             yield tuple(rec.get(c) for c in self.columns)
 
     def commit(self, end: dict) -> None:
-        # The fixture API is stateless; a live deployment would ack
-        # the cursor here (or trim a server-side continuation token).
-        pass
+        # The fixture API is stateless (a live deployment would ack
+        # the cursor here), but the committed bound still feeds the
+        # latestOffset floor — see the restart note there.
+        self._last_committed = max(self._last_committed, int(end["row"]))
 
 
 def register(spark: SparkSession) -> None:
