@@ -270,6 +270,7 @@ def ann_lsh(
     k: int = 10,
     bits: int = 12,
     n_tables: int = 1,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: anchor-pair LSH bucket join. Bit ``b`` of a
     signature is whether the vector is cosine-closer to anchor ``2b``
@@ -288,12 +289,84 @@ def ann_lsh(
     per-plane agreement p; more tables buy recall while candidate
     generation stays an equi-join (shuffle key = (table, bucket)).
 
+    ``n_probes`` is the multi-probe knob (the standard public recall
+    fix at fixed table count): per query and table, besides its own
+    bucket, probe the ``n_probes − 1`` next buckets in the classic
+    probe sequence — flip sets of one or two bits ranked by the SUM of
+    the flipped bits' margins ascending (margin = |cos6(v, va) −
+    cos6(v, vb)|, how close the query sat to that plane's bisector —
+    the planes a true neighbor most plausibly crossed). The probe
+    buckets are extra QUERY-side signature rows only: the corpus
+    signature, the equi-join shape, and candidate-set soundness
+    (probing is a superset) are unchanged, and queries are the
+    broadcast side, so the margin ranking costs nothing at corpus
+    scale. Budget intuition: Hamming≤1 coverage needs
+    ``n_probes = bits + 1``; Hamming≤2 needs ``1 + bits +
+    C(bits, 2)`` — on this synthetic near-random corpus that is what
+    lifts recall@5 from ~0.2 (single-probe) past 0.95
+    (tests/test_dedup_similarity.py pins the curve).
+
     Scale shape: see anchor_planes / anchor_signatures — the plane
     product is linear in the corpus, and candidates join back to the
     corpus by id for exact rescoring."""
     planes = anchor_planes(vectors, vec_col, id_col, bits, n_tables)
     v = anchor_signatures(vectors, planes, vec_col, id_col, "nid", "tbl", "bucket")
     q = anchor_signatures(queries, planes, vec_col, id_col, "qid", "qtbl", "qbucket")
+    if n_probes > 1:
+        qbits = (
+            queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("__v"))
+            .join(F.broadcast(planes))
+            .select(
+                "qid",
+                F.col("tbl").alias("qtbl"),
+                "bit",
+                F.when(
+                    _cos6("__v", "va") > _cos6("__v", "vb"),
+                    F.expr("shiftleft(1L, bit)"),
+                )
+                .otherwise(F.lit(0).cast("long"))
+                .alias("bitval"),
+                F.abs(_cos6("__v", "va") - _cos6("__v", "vb")).alias("margin"),
+            )
+        )
+        singles = qbits.select(
+            "qid",
+            "qtbl",
+            F.expr("shiftleft(1L, bit)").alias("mask"),
+            F.col("margin").alias("score"),
+        )
+        a, b = qbits.alias("a"), qbits.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.qid") == F.col("b.qid"))
+                & (F.col("a.qtbl") == F.col("b.qtbl"))
+                & (F.col("a.bit") < F.col("b.bit")),
+            )
+            .select(
+                F.col("a.qid").alias("qid"),
+                F.col("a.qtbl").alias("qtbl"),
+                F.expr("shiftleft(1L, a.bit) | shiftleft(1L, b.bit)").alias(
+                    "mask"
+                ),
+                (F.col("a.margin") + F.col("b.margin")).alias("score"),
+            )
+        )
+        wm = Window.partitionBy("qid", "qtbl").orderBy(
+            F.asc("score"), F.asc("mask")
+        )
+        flips = (
+            singles.unionByName(pairs)
+            .withColumn("__mrn", F.row_number().over(wm))
+            .filter(F.col("__mrn") <= n_probes - 1)
+            .join(q, ["qid", "qtbl"])
+            .select(
+                "qid",
+                "qtbl",
+                F.expr("qbucket ^ mask").alias("qbucket"),
+            )
+        )
+        q = q.unionByName(flips)
     cand = (
         v.join(
             F.broadcast(q),

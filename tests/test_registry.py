@@ -36,31 +36,49 @@ def test_driver_window_is_50_registered_entries():
     assert list(catalog.QUERIES)[:50] == catalog._DRIVER_WINDOW
 
 
-def test_rotation_covers_never_checked():
-    """The rotation comment above ``_DRIVER_WINDOW`` states how many
-    registry entries exist and how many never had a driver
-    CORRECTNESS row — both drifted silently in r4 (README) and r6
-    (the comment itself said 204 against a 214 registry).  Recompute
-    the never-checked set from the CORRECTNESS_r0*.json files that
-    existed when the rotation was written (rounds strictly before the
-    comment's own round number) and pin the comment's counts and the
-    window's coverage against it."""
+def test_rotation_is_staleness_driven():
+    """r8+ rotation policy (VERDICT r7 ask #5): rank every non-anchor
+    entry by the round of its most recent green driver row (full
+    rows+schema+hash pass, or a clean rows-only pass for no-oracle
+    entries; never-green ranks stalest of all, which also auto-enrolls
+    entries registered this round), tie-break by registration order,
+    and require the window to be exactly the anchor plus the 49
+    stalest. Recomputed from the CORRECTNESS_r0*.json files of rounds
+    strictly before the rotation comment's own round number, so the
+    pin can't drift when a new round's results land — the same drift
+    class the r4/r6 judges flagged on README and on the rotation
+    comment itself."""
     import json
 
     src = Path(catalog.__file__).read_text()
     round_no = int(re.search(r"# Round-(\d+) rotation", src).group(1))
-    claimed_total = int(re.search(r"registry holds (\d+) entries", src).group(1))
-    m = re.search(r"(\d+) of those (\d+) have never", src)
-    claimed_never, claimed_total2 = int(m.group(1)), int(m.group(2))
 
-    checked = set()
+    latest: dict[str, int] = {}
     for p in sorted(README.parent.glob("CORRECTNESS_r*.json")):
         r = int(re.search(r"_r(\d+)", p.name).group(1))
-        if r < round_no:
-            checked.update(json.load(p.open()).keys())
-    never = [n for n in catalog.QUERIES if n not in checked]
+        if r >= round_no:
+            continue
+        for q, res in json.load(p.open()).items():
+            full_green = (
+                res.get("rows_match")
+                and res.get("schema_match")
+                and res.get("hash_match")
+            )
+            rows_only_green = (
+                res.get("err") == "no_oracle" and res.get("spark_rows") is not None
+            )
+            if full_green or rows_only_green:
+                latest[q] = max(latest.get(q, -1), r)
 
-    assert claimed_total == claimed_total2 == len(catalog.QUERIES)
-    assert claimed_never == len(never)
-    missing_from_window = [n for n in never if n not in catalog._DRIVER_WINDOW]
-    assert missing_from_window == []
+    anchor = catalog._DRIVER_WINDOW[0]
+    reg_index = {n: i for i, n in enumerate(catalog.QUERIES)}
+    ranked = sorted(
+        (n for n in catalog.QUERIES if n != anchor),
+        key=lambda n: (latest.get(n, -1), reg_index[n]),
+    )
+    expected = {anchor, *ranked[:49]}
+    assert set(catalog._DRIVER_WINDOW) == expected, (
+        f"window drifted from staleness policy: "
+        f"extra={sorted(set(catalog._DRIVER_WINDOW) - expected)} "
+        f"missing={sorted(expected - set(catalog._DRIVER_WINDOW))}"
+    )
