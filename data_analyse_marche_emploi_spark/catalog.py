@@ -8175,17 +8175,46 @@ def stream_txlog_source(spark, sf_dir):
     return run_available_now(sdf, "append")
 
 
-@register(
-    "pipeline_crawl_to_training",
-    oracle="""
+def _crawl_pipeline_oracle() -> str:
+    from .operators.text_analysis import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+    )
+
+    return (
+        """
     WITH d AS (
       SELECT doc_id,
              'http://example.com/docs/' || doc_id || '?a=1&b=2' AS url,
-             string_split(lower('doc ' || doc_id || ' ' ||
-               trim(regexp_replace(text, '\\s+', ' ', 'g')) || ' & more'),
-               ' ') AS toks
+             'Doc ' || doc_id || ' ' ||
+               trim(regexp_replace(text, '\\s+', ' ', 'g')) || ' & more'
+               AS clean
       FROM documents),
-    q AS (SELECT * FROM d WHERE len(toks) >= 12),
+    t AS (SELECT doc_id, url, clean, string_split(clean, ' ') AS toks FROM d),
+    corpus AS (SELECT * FROM t WHERE doc_id % 45 <> 8),
+    bench AS (SELECT * FROM t WHERE doc_id % 45 = 8),
+    bs AS (SELECT DISTINCT unnest(list_distinct(CASE WHEN len(toks) < 8
+             THEN [] ELSE list_transform(generate_series(1, len(toks) - 7),
+                  i -> array_to_string(toks[i:i+7], ' ')) END)) AS shingle
+           FROM bench),
+    cs AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 8
+             THEN [] ELSE list_transform(generate_series(1, len(toks) - 7),
+                  i -> array_to_string(toks[i:i+7], ' ')) END)) AS shingle
+           FROM corpus),
+    contam AS (SELECT DISTINCT cs.doc_id FROM cs JOIN bs USING (shingle)),
+    surv AS (SELECT c.* FROM corpus c LEFT JOIN contam x USING (doc_id)
+             WHERE x.doc_id IS NULL),
+    pii0 AS (SELECT url, clean || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com tel +33 1 23 45 67 89 host 10.0.'
+               || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t FROM surv),
+    p1 AS (SELECT url, regexp_replace(t, '__EMAIL__', '<EMAIL>', 'g') AS t
+           FROM pii0),
+    p2 AS (SELECT url, regexp_replace(t, '__IP__', '<IP>', 'g') AS t FROM p1),
+    p3 AS (SELECT url, regexp_replace(t, '__PHONE__', '<PHONE>', 'g') AS t
+           FROM p2),
+    q AS (SELECT url, string_split(lower(t), ' ') AS toks FROM p3
+          WHERE len(string_split(lower(t), ' ')) >= 12),
     s AS (SELECT url, toks,
                  unnest(generate_series(1, len(toks), 48)) AS start
           FROM q)
@@ -8193,21 +8222,41 @@ def stream_txlog_source(spark, sf_dir):
            array_to_string(toks[start:start+63], ' ') AS chunk_text,
            len(toks[start:start+63]) AS n_chunk_tokens
     FROM s
-    """,
-)
+    """.replace("__EMAIL__", PII_EMAIL_RE)
+        .replace("__IP__", PII_IPV4_RE)
+        .replace("__PHONE__", PII_PHONE_RE)
+    )
+
+
+@register("pipeline_crawl_to_training", oracle=_crawl_pipeline_oracle())
 def pipeline_crawl_to_training(spark, sf_dir):
-    """The crawl front door composed end-to-end: every document
-    arrives as TWO fetch records (noisy URL variant + bare variant,
-    same HTML shell) → url_normalize dedup collapses the double fetch
-    → html_strip recovers the text → a token-count quality gate →
-    64/48 overlapping chunking, keyed by canonical URL. The oracle is
-    the closed-form composition of each stage's own oracle, so a
-    regression in ANY stage (normalizer, stripper, gate boundary,
-    window arithmetic) flips the hash. Scale shape: stages 1-3 are
-    per-row expression chains; the only shuffles are the canonical-URL
-    dedup groupBy and the chunker's tokenize barrier."""
+    """The crawl front door composed end-to-end — the full public
+    curation recipe (r7 verdict ask #8): every document arrives as TWO
+    fetch records (noisy URL variant + bare variant, same HTML shell)
+    → url_normalize dedup collapses the double fetch → html_strip
+    recovers the text → benchmark DECONTAMINATION (docs with
+    crawl id ≡ 8 mod 45 play the eval set; any corpus doc sharing an
+    8-gram with them is dropped, and the eval docs themselves never
+    reach training) → PII REDACTION (deterministic contact blob
+    appended first, as in pii_redact, since the fixture carries no
+    PII) → a token-count quality gate → 64/48 overlapping chunking,
+    keyed by canonical URL. Decontamination runs BEFORE the blob
+    append: redaction collapses every doc's contact tail to the same
+    '<EMAIL> tel <PHONE> host <IP>' tokens, which would otherwise be a
+    corpus-wide shared 8-gram and flag everything. The oracle is the
+    closed-form composition of each stage's own oracle, so a
+    regression in ANY stage (normalizer, stripper, shingle rule,
+    redaction order, gate boundary, window arithmetic) flips the hash.
+    Scale shape: per-row expression chains + the canonical-URL dedup
+    groupBy + a broadcast of the eval shingle set (eval-sized) + the
+    chunker's tokenize barrier — the corpus never shuffles on
+    content."""
     from .functions.web import html_strip, url_normalize
-    from .operators.text_analysis import chunk_tokens
+    from .operators.text_analysis import (
+        chunk_tokens,
+        decontaminate,
+        pii_redact,
+    )
 
     d = _docs(spark, sf_dir)
     html = F.concat(
@@ -8237,9 +8286,33 @@ def pipeline_crawl_to_training(spark, sf_dir):
         .agg(F.first("html").alias("html"))  # identical per group
     )
     cleaned = fetched_once.select(
-        "url", html_strip(F.col("html")).alias("clean")
-    ).filter(F.size(F.split(F.col("clean"), " ")) >= 12)
-    return chunk_tokens(cleaned, "clean", "url", window=64, stride=48)
+        "url",
+        html_strip(F.col("html")).alias("clean"),
+        F.regexp_extract(F.col("url"), r"docs/(\d+)", 1)
+        .cast("long")
+        .alias("crawl_id"),
+    )
+    corpus = cleaned.filter(F.col("crawl_id") % 45 != 8)
+    bench = cleaned.filter(F.col("crawl_id") % 45 == 8)
+    dec = decontaminate(corpus, bench, "clean", "url", n=8)
+    survivors = corpus.join(
+        dec.filter(~F.col("contaminated")).select("url"), "url"
+    )
+    with_blob = survivors.select(
+        "url",
+        F.concat(
+            F.col("clean"),
+            F.lit(" contact user"),
+            F.col("crawl_id").cast("string"),
+            F.lit("@example.com tel +33 1 23 45 67 89 host 10.0."),
+            (F.col("crawl_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("clean"),
+    )
+    red = pii_redact(with_blob, "clean", "url").filter(
+        F.size(F.split(F.col("text_redacted"), " ")) >= 12
+    )
+    return chunk_tokens(red, "text_redacted", "url", window=64, stride=48)
 
 
 @register(
