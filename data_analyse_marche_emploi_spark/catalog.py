@@ -2014,6 +2014,59 @@ def ann_lsh_multiprobe_q(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_semantic",
+    # SemDeDup's quantizer here is deterministic (16 lowest-id
+    # centroids, argmax cos6 with cid-asc tie-break), so the oracle
+    # replays the whole recipe: assignment, within-cluster smaller-id
+    # neighbor search at the 1e-6-bucketed threshold, and the kept set.
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    asg AS (
+      SELECT vec_id, cid AS cluster_id FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 CAST(floor(list_cosine_similarity(
+                      CAST(v.embedding AS DOUBLE[]), c.cv) * 1e6) AS BIGINT)
+                 DESC, c.cid ASC) AS rn
+        FROM embeddings v CROSS JOIN cent c)
+      WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM asg a
+      JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id > b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE CAST(floor(list_cosine_similarity(
+              CAST(ea.embedding AS DOUBLE[]),
+              CAST(eb.embedding AS DOUBLE[])) * 1e6) AS BIGINT) >= 400000
+    )
+    SELECT a.vec_id, a.cluster_id, d.vec_id IS NULL AS is_kept
+    FROM asg a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+    """,
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup over the embedding corpus
+    (operators/similarity.semantic_dedup): coarse-quantize into 16
+    clusters, drop any vector with a smaller-id cluster-mate at
+    cos6 ≥ 0.4 — the published cluster-blocked recipe for pruning
+    semantically redundant training docs, with the deterministic
+    quantizer standing in for the k-means fit (emb_kmeans is the
+    fitted variant). Scale shape: broadcast argmax assignment + ONE
+    cluster_id shuffle; per-cluster pairwise is the algorithm's cost
+    model, bounded by cluster count."""
+    from .operators.similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, "embedding", "vec_id", n_clusters=16, threshold6=400_000
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star extensions: multimodal columns (documents as payload carrier)
 # ---------------------------------------------------------------------------
@@ -8591,9 +8644,9 @@ _DRIVER_WINDOW = [
     "join_enrich",
     "join_anti",
     "dedup_union_by_id",
-    "scd2_apply",
     # -- new round-8 entries (never-checked = stalest by policy) --
     "ann_lsh_multiprobe",
+    "dedup_semantic",
 ]
 
 def _prioritize() -> None:

@@ -1022,3 +1022,78 @@ def pca_project(
         .mapInPandas(project, "__id long, proj6 array<long>")
         .withColumnRenamed("__id", id_col)
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_clusters: int = 16,
+    threshold6: int = 400_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (the published
+    cluster-blocked recipe: partition the corpus by a coarse embedding
+    quantizer, then compare pairs only WITHIN a cluster and drop every
+    vector that has a strictly-smaller-id cluster-mate with cosine at
+    or above the threshold). Returns one row per input vector:
+    ``(id, cluster_id, is_kept)`` — the kept set is the semantically
+    deduplicated corpus.
+
+    Determinism: centroids are the ``n_clusters`` lowest-id vectors
+    (the same deterministic quantizer ann_ivf uses — a k-means fit
+    slots in identically; see emb_kmeans), assignment is argmax cos6
+    with centroid-id ascending as the tie-break, and the threshold
+    compares 1e-6-floor-bucketed cosines, so any engine with a cosine
+    replays the exact kept set (the DuckDB oracle does).
+
+    Scale shape: assignment is a map-side broadcast argmax
+    (n_clusters×d doubles); the only content shuffle is the cluster_id
+    exchange feeding the within-cluster self-join. Per-cluster work is
+    quadratic in cluster size — that is SemDeDup's actual cost model;
+    size ``n_clusters ≈ N/target_cluster_size`` to bound it, and AQE's
+    skew split shares a hot cluster across tasks.
+    """
+    cent = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.asc(id_col))  # TakeOrderedAndProject, no global sort
+        .limit(n_clusters)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    )
+    assigned = (
+        vectors.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .join(F.broadcast(cent))
+        .withColumn("__ccos", _cos6("__v", "cv"))
+        .groupBy("__id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("__v").alias("v"), F.col("cid").alias("c")),
+                F.struct((-F.col("__ccos")).alias("ns"), F.col("cid")),
+            ).alias("m")
+        )
+        .select(
+            F.col("__id"),
+            F.col("m.v").alias("__v"),
+            F.col("m.c").alias("cluster_id"),
+        )
+    )
+    a = assigned.select(
+        F.col("cluster_id"), F.col("__id").alias("i"), F.col("__v").alias("av")
+    )
+    b = assigned.select(
+        F.col("cluster_id"), F.col("__id").alias("j"), F.col("__v").alias("bv")
+    )
+    dropped = (
+        a.join(b, ["cluster_id"])
+        .filter(F.col("i") > F.col("j"))
+        .filter(_cos6("av", "bv") >= F.lit(threshold6))
+        .select(F.col("i"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, assigned["__id"] == dropped["i"], "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "cluster_id",
+            F.col("i").isNull().alias("is_kept"),
+        )
+    )

@@ -778,3 +778,50 @@ def test_jaccard_family_defaults_are_scale_safe():
     for fn in (ngram_jaccard_pairs, containment_pairs):
         default = inspect.signature(fn).parameters["max_df"].default
         assert default is not None and default <= 10_000, fn.__name__
+
+
+def test_semantic_dedup_invariants(emb):
+    """SemDeDup contract on the fixture corpus: (a) every vector gets
+    exactly one row and a cluster led by one of the 16 centroid ids;
+    (b) a dropped vector really has a smaller-id cluster-mate at
+    cos6 >= threshold (witness check via exact pairs); (c) kept-set
+    minimality — the smallest id of every cluster is always kept."""
+    from pyspark.sql import functions as F
+
+    from data_analyse_marche_emploi_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    out = semantic_dedup(emb, "embedding", "vec_id", n_clusters=16,
+                         threshold6=400_000)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    cent_ids = {r.vec_id for r in
+                emb.orderBy("vec_id").limit(16).collect()}
+    assert {r.cluster_id for r in rows} <= cent_ids
+
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for members in by_cluster.values():
+        smallest = min(m.vec_id for m in members)
+        assert next(m for m in members if m.vec_id == smallest).is_kept
+
+    # witness check on a sample of dropped ids: exact cosine against
+    # all smaller-id cluster-mates must clear the threshold somewhere
+    dropped = [r for r in rows if not r.is_kept][:5]
+    vecs = {r.vec_id: r.embedding for r in
+            emb.select("vec_id", "embedding").collect()}
+    import math
+
+    def cos6(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(y) ** 2 for y in b))
+        return math.floor(dot / (na * nb) * 1e6)
+
+    cluster_of = {r.vec_id: r.cluster_id for r in rows}
+    for d in dropped:
+        mates = [v for v in cluster_of
+                 if cluster_of[v] == d.cluster_id and v < d.vec_id]
+        assert any(cos6(vecs[d.vec_id], vecs[m]) >= 400_000 for m in mates), d
