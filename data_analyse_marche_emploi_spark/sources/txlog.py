@@ -28,12 +28,17 @@ version):
   point of the log — an upsert touching 0.1 % of keys rewrites 0.1 %
   of files, not the table.
 
-Single-writer-per-commit by design (the reference pipeline is one
-nightly job: ingestion-elasticsearch.py:10-40); concurrent commits of
-the SAME version are still safe — exactly one wins (see
-:class:`LogStore`) — but there is no retry/rebase loop, so the loser
-surfaces ``FileExistsError`` instead of transparently re-reading and
-re-committing.
+Concurrency scope: concurrent commits of the SAME version are always
+safe — exactly one wins (see :class:`LogStore`). ``append`` goes
+further and AUTO-REBASES on a lost race (blind appends commute — see
+its docstring), so any number of concurrent appenders compose.
+``merge_upsert`` / ``delete_where`` remain single-writer-at-a-time by
+design (the reference pipeline is one nightly job:
+ingestion-elasticsearch.py:10-40): their remove sets are computed
+against a snapshot a concurrent commit may invalidate, so a lost race
+surfaces ``FileExistsError`` for the caller to re-run — semantic
+conflict detection (the public formats' WriteSerializable matrix) is
+out of scope.
 """
 
 from __future__ import annotations
@@ -332,11 +337,30 @@ class TxTable:
         t._commit(0, adds, [], "create", stats=t._file_stats(adds))
         return t
 
-    def append(self, df: DataFrame) -> int:
-        v = self.latest_version() + 1
+    def append(self, df: DataFrame, max_commit_retries: int = 10) -> int:
+        """Append with optimistic-concurrency RETRY: a blind append
+        commutes with ANY concurrent commit (it only adds immutable
+        new files and reads nothing), so losing the version race is
+        not a conflict — re-read the latest version and re-commit the
+        already-written files at the next one, the same auto-rebase
+        rule the public lakehouse formats apply to AppendOnly
+        transactions. Data files are written ONCE; only the (tiny)
+        commit-record publish retries. merge_upsert/delete_where stay
+        fail-loud on collision: their remove sets are computed against
+        a snapshot a concurrent commit may have invalidated, and
+        semantic conflict resolution is out of scope (txlog module
+        docstring)."""
         adds = self._write_parts(df)
-        self._commit(v, adds, [], "append", stats=self._file_stats(adds))
-        return v
+        stats = self._file_stats(adds)
+        v = self.latest_version() + 1
+        for attempt in range(max_commit_retries + 1):
+            try:
+                self._commit(v, adds, [], "append", stats=stats)
+                return v
+            except FileExistsError:
+                if attempt == max_commit_retries:
+                    raise
+                v = max(v + 1, self.latest_version() + 1)
 
     def merge_upsert(self, updates: DataFrame, key: str) -> int:
         """Copy-on-write MERGE: rows in ``updates`` replace same-key

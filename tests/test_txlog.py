@@ -123,6 +123,39 @@ def test_commit_race_inside_publish_window(spark, tmp_path):
     assert not [f for f in os.listdir(t.log_dir) if f.startswith(".tmp-")]
 
 
+def test_append_auto_rebases_on_lost_race(spark, tmp_path):
+    """Blind appends commute: an appender that loses the version race
+    must transparently re-commit at the next free version (data files
+    written once), so concurrent appenders compose — no rows lost, no
+    error surfaced."""
+    import json
+
+    from data_analyse_marche_emploi_spark.sources.txlog import PosixLogStore
+
+    class RaceOnceStore(PosixLogStore):
+        def __init__(self):
+            self.raced = False
+
+        def publish_exclusive(self, tmp, final):
+            if not self.raced:
+                self.raced = True
+                with open(final + ".competitor", "w") as fh:
+                    json.dump({"version": -1, "adds": [], "removes": [],
+                               "op": "competitor", "ts": 0, "stats": {}}, fh)
+                os.replace(final + ".competitor", final)
+            super().publish_exclusive(tmp, final)
+
+    p = str(tmp_path / "t")
+    TxTable.create(spark, p, _df(spark, [(1, "a")]))
+    racer = TxTable(spark, p, log_store=RaceOnceStore())
+    v = racer.append(_df(spark, [(2, "b")]))
+    assert v == 2  # lost v1 to the competitor, landed on v2
+    t = TxTable(spark, p)
+    assert t._read_action(1)["op"] == "competitor"
+    assert t._read_action(2)["op"] == "append"
+    assert sorted(r.k for r in t.read().collect()) == [1, 2]
+
+
 def test_merge_upsert_rejects_null_keys(spark, tmp_path):
     """NULL merge keys never match an equi-join, so such update rows
     would re-insert on EVERY merge and never be updatable; an all-null
