@@ -311,8 +311,19 @@ def ann_lsh(
     corpus by id for exact rescoring."""
     planes = anchor_planes(vectors, vec_col, id_col, bits, n_tables)
     v = anchor_signatures(vectors, planes, vec_col, id_col, "nid", "tbl", "bucket")
-    q = anchor_signatures(queries, planes, vec_col, id_col, "qid", "qtbl", "qbucket")
-    if n_probes > 1:
+    if n_probes == 1:
+        q = anchor_signatures(
+            queries, planes, vec_col, id_col, "qid", "qtbl", "qbucket"
+        )
+    else:
+        # The per-bit margin rows feed the base buckets, the singles,
+        # the pairs, AND the flips join — four consumers that would
+        # each replay the query×planes product. The set is
+        # query-count-sized (|Q|·bits·n_tables rows), so one eager
+        # localCheckpoint materializes it once and every consumer
+        # reads the checkpointed rows; the derived base buckets
+        # replace a second anchor_signatures pass over the queries.
+        # (tests/test_plan_quality.py pins the product count.)
         qbits = (
             queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("__v"))
             .join(F.broadcast(planes))
@@ -328,6 +339,10 @@ def ann_lsh(
                 .alias("bitval"),
                 F.abs(_cos6("__v", "va") - _cos6("__v", "vb")).alias("margin"),
             )
+            .localCheckpoint(eager=True)
+        )
+        q = qbits.groupBy("qid", "qtbl").agg(
+            F.sum("bitval").alias("qbucket")
         )
         singles = qbits.select(
             "qid",
@@ -1075,6 +1090,13 @@ def semantic_dedup(
             F.col("m.v").alias("__v"),
             F.col("m.c").alias("cluster_id"),
         )
+        # Three consumers follow (both self-join sides + the output
+        # rows); without a barrier each replays the corpus scan and
+        # the broadcast-argmax product. One eager localCheckpoint
+        # materializes the assignment once — the same
+        # iterative-algorithm discipline connected_components uses
+        # (tests/test_plan_quality.py pins the product count at 1).
+        .localCheckpoint(eager=True)
     )
     a = assigned.select(
         F.col("cluster_id"), F.col("__id").alias("i"), F.col("__v").alias("av")

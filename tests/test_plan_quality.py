@@ -72,6 +72,8 @@ def test_nested_projection_prunes(spark, sf_dir):
         "dedup_minhash_lsh",
         "dedup_simhash_pairs",
         "ann_lsh",
+        "ann_lsh_multiprobe",
+        "dedup_semantic",
         "assoc_basket_pairs",
         "graph_triangle_count",
     ],
@@ -88,7 +90,17 @@ def test_similarity_paths_have_no_cartesian(spark, sf_dir, name):
     # assoc_basket_pairs broadcasts ONE row (the scalar basket count) —
     # a constant-size product, verified single-row by the aggregate
     # feeding the exchange
-    allowed = {"ann_lsh": 2, "assoc_basket_pairs": 1}
+    # ann_lsh_multiprobe adds a third plane-table product (the per-bit
+    # margin rows feeding the probe sequence — still bits*n_tables
+    # rows, query side only). dedup_semantic's single product is the
+    # n_clusters-row centroid table (a TakeOrderedAndProject of the
+    # corpus), broadcast for the map-side assignment argmax.
+    allowed = {
+        "ann_lsh": 2,
+        "ann_lsh_multiprobe": 3,
+        "dedup_semantic": 1,
+        "assoc_basket_pairs": 1,
+    }
     assert nlj <= allowed.get(name, 0)
     if name == "assoc_basket_pairs" and nlj:
         assert re.search(
@@ -96,6 +108,22 @@ def test_similarity_paths_have_no_cartesian(spark, sf_dir, name):
             r"HashAggregate.*functions=\[count",
             plan,
         ), plan
+    if name == "ann_lsh_multiprobe" and nlj:
+        # every broadcast-product build side must be the fixed-size
+        # plane table, same rule as ann_lsh below
+        idents = re.findall(
+            r"BroadcastExchange IdentityBroadcastMode(?:.*\n){1,4}", plan
+        )
+        assert len(idents) == nlj
+        for block in idents:
+            assert "ExistingRDD[tbl" in block
+    if name == "dedup_semantic" and nlj:
+        # the one product's build side is the n_clusters-row limit of
+        # the corpus scan, never vectors×vectors
+        m = re.search(
+            r"BroadcastExchange IdentityBroadcastMode(?:.*\n){1,8}", plan
+        )
+        assert m and "TakeOrderedAndProject" in m.group(0), plan
     if name == "ann_lsh" and nlj:
         # counting alone would let a corpus×corpus BNLJ hide behind the
         # allowance: pin that every broadcast-product build side IS the
