@@ -5308,6 +5308,69 @@ def sample_weighted_q(spark, sf_dir):
 
 
 @register(
+    "mixture_temperature",
+    # Float discipline: ONE pow per language on an exact integer token
+    # count (nudged +1e-6 then 1e-6-floor-bucketed, the dq_drift
+    # precedent); everything after — the normalizing denominator, the
+    # shares, the epoch factors — is exact BIGINT arithmetic, so no
+    # cross-engine float-summation-order can flip a bucket.
+    oracle="""
+    WITH g AS (
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1),
+    w AS (SELECT lang, n_docs, n_tokens,
+                 CAST(floor(pow(CAST(n_tokens AS DOUBLE), 0.3) * 1e6 + 1e-6)
+                      AS BIGINT) AS w6
+          FROM g),
+    t AS (SELECT CAST(sum(w6) AS BIGINT) AS tw,
+                 CAST(sum(n_tokens) AS BIGINT) AS tt FROM w)
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+           (w6 * 1000000) // tw AS weight6,
+           ((w6 * 1000000) // tw) * tt // n_tokens AS epochs6
+    FROM w, t
+    """,
+)
+def mixture_temperature(spark, sf_dir):
+    """Temperature-scaled domain mixture (the published multilingual /
+    domain-balancing recipe: sample domain i with probability
+    ∝ n_i^α, α = 1/T — here α = 0.3, the upsample-the-tail setting):
+    per-language token counts → exponentiated sampling weights →
+    normalized million-share ``weight6`` and the per-domain repetition
+    factor ``epochs6`` (how many passes over that domain one epoch of
+    the mixed stream implies — >1e6 means the tail domain repeats,
+    the known memorization-vs-coverage dial).
+
+    Scale shape: one partial-aggregated groupBy on lang (the only
+    content shuffle), then a domain-cardinality table crossJoined with
+    a broadcast ONE-ROW total — the same scalar-join pattern as
+    dq_skew_report. Exact-integer normalization keeps it
+    engine-replayable (see oracle comment)."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens"),
+    )
+    w = g.withColumn(
+        "w6",
+        F.floor(
+            F.pow(F.col("n_tokens").cast("double"), F.lit(0.3)) * 1e6 + 1e-6
+        ).cast("long"),
+    )
+    tot = w.agg(
+        F.sum("w6").cast("long").alias("tw"),
+        F.sum("n_tokens").cast("long").alias("tt"),
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.expr("(w6 * 1000000) div tw").alias("weight6"),
+        F.expr("((w6 * 1000000) div tw) * tt div n_tokens").alias("epochs6"),
+    )
+
+
+@register(
     "mixture_train_split",
     oracle="""
     SELECT doc_id, lang,
@@ -8643,10 +8706,10 @@ _DRIVER_WINDOW = [
     "agg_pricing_summary",
     "join_enrich",
     "join_anti",
-    "dedup_union_by_id",
     # -- new round-8 entries (never-checked = stalest by policy) --
     "ann_lsh_multiprobe",
     "dedup_semantic",
+    "mixture_temperature",
 ]
 
 def _prioritize() -> None:
