@@ -825,3 +825,55 @@ def test_semantic_dedup_invariants(emb):
         mates = [v for v in cluster_of
                  if cluster_of[v] == d.cluster_id and v < d.vec_id]
         assert any(cos6(vecs[d.vec_id], vecs[m]) >= 400_000 for m in mates), d
+
+
+def test_semantic_dedup_equals_python_reference(spark):
+    """Exact-equality differential on a seeded random corpus: the
+    distributed SemDeDup (broadcast argmax + cluster self-join +
+    checkpointed assignment) must reproduce a 20-line sequential
+    reference bit-for-bit — assignment tie-breaks, the 1e-6 floor
+    bucketing, and the smaller-id drop rule included."""
+    import math
+    import random
+
+    from data_analyse_marche_emploi_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = random.Random(8)
+    n, d, k, thr = 60, 8, 4, 400_000
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(d)] for i in range(n)}
+    # plant near-dups: copy some vectors with tiny jitter
+    for src, dst in [(3, 41), (7, 52), (10, 55)]:
+        vecs[dst] = [x + rng.uniform(-1e-3, 1e-3) for x in vecs[src]]
+
+    def cos6(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return math.floor(dot / (na * nb) * 1e6)
+
+    cents = {cid: vecs[cid] for cid in range(k)}  # k lowest ids
+    assign = {
+        i: max(cents, key=lambda c: (cos6(v, cents[c]), -c))
+        for i, v in vecs.items()
+    }
+    expected = {}
+    for i, v in vecs.items():
+        dropped = any(
+            assign[j] == assign[i] and j < i and cos6(v, vecs[j]) >= thr
+            for j in vecs
+        )
+        expected[i] = (assign[i], not dropped)
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: (r.cluster_id, r.is_kept)
+        for r in semantic_dedup(
+            df, "embedding", "vec_id", n_clusters=k, threshold6=thr
+        ).collect()
+    }
+    assert got == expected
