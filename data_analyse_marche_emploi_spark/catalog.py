@@ -7975,6 +7975,85 @@ def tablelog_time_travel(spark, sf_dir):
 
 
 @register(
+    "tablelog_merge_on_read",
+    oracle="""
+    WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+    v0 AS (SELECT k, p FROM o WHERE k % 3 = 0),
+    u1 AS (SELECT k, CASE WHEN k % 3 = 0 THEN -p ELSE p END AS p FROM o
+           WHERE (k % 3 = 0 AND k % 10 = 0) OR (k % 3 = 1 AND k % 50 = 0)),
+    s1 AS (SELECT k, p FROM v0 WHERE k NOT IN (SELECT k FROM u1)
+           UNION ALL SELECT k, p FROM u1),
+    u2 AS (SELECT k, p * 3 AS p FROM o
+           WHERE (k % 3 = 0 AND k % 20 = 0) OR (k % 3 = 1 AND k % 100 = 0)),
+    s2 AS (SELECT k, p FROM s1 WHERE k NOT IN (SELECT k FROM u2)
+           UNION ALL SELECT k, p FROM u2),
+    s AS (
+      SELECT 1 AS version, count(*) AS cnt,
+             CAST(sum(CAST(floor(p * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM s1
+      UNION ALL
+      SELECT 2, count(*),
+             CAST(sum(CAST(floor(p * 100) AS BIGINT)) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 3, count(*),
+             CAST(sum(CAST(floor(p * 100) AS BIGINT)) AS BIGINT) FROM s2
+    )
+    SELECT * FROM s
+    """,
+)
+def tablelog_merge_on_read(spark, sf_dir):
+    """MERGE-ON-READ on the versioned table (sources/txlog.py, the
+    write-fast half of the public formats' CoW/MoR pair): two STACKED
+    equality-delete merges — the second re-touches keys the first
+    updated, so the version-scoped delete rule (a delete erases only
+    rows from files added strictly before it) is what makes the
+    resolved read correct — then OPTIMIZE folds the pending deletes
+    into clean files. Emitted proof rows: the resolved state after
+    merge 1 (version 1), after merge 2 (version 2), and after the
+    fold (version 3, value-identical to version 2 — a lossy compaction
+    flips the hash). Write cost of each merge is O(update rows) with
+    ZERO files rewritten (tests/test_txlog.py pins removes == []);
+    read cost is one broadcast anti-join per pending delete
+    generation; the oracle recomputes every state from orders."""
+    from .sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    t = TxTable.create(spark, _txtmp("txmor_"), o.filter(F.col("k") % 3 == 0))
+    u1 = o.filter(
+        ((F.col("k") % 3 == 0) & (F.col("k") % 10 == 0))
+        | ((F.col("k") % 3 == 1) & (F.col("k") % 50 == 0))
+    ).select(
+        "k",
+        F.when(F.col("k") % 3 == 0, -F.col("p"))
+        .otherwise(F.col("p"))
+        .alias("p"),
+    )
+    t.merge_upsert(u1, "k", mode="mor")
+    u2 = o.filter(
+        ((F.col("k") % 3 == 0) & (F.col("k") % 20 == 0))
+        | ((F.col("k") % 3 == 1) & (F.col("k") % 100 == 0))
+    ).select("k", (F.col("p") * 3).alias("p"))
+    t.merge_upsert(u2, "k", mode="mor")
+
+    def summary(df, v):
+        return df.agg(
+            F.lit(v).alias("version"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.floor(F.col("p") * 100).cast("long")).alias("sum_cents"),
+        )
+
+    outs = [summary(t.read(1), 1), summary(t.read(2), 2)]
+    v3 = t.optimize()
+    outs.append(summary(t.read(v3), 3))
+    res = outs[0]
+    for x in outs[1:]:
+        res = res.unionByName(x)
+    return res
+
+
+@register(
     "stream_txlog_merge_sink",
     oracle="SELECT event_id, user_id, event_type FROM events",
 )
@@ -8705,11 +8784,11 @@ _DRIVER_WINDOW = [
     "pipeline_clean_text",
     "agg_pricing_summary",
     "join_enrich",
-    "join_anti",
     # -- new round-8 entries (never-checked = stalest by policy) --
     "ann_lsh_multiprobe",
     "dedup_semantic",
     "mixture_temperature",
+    "tablelog_merge_on_read",
 ]
 
 def _prioritize() -> None:

@@ -160,13 +160,16 @@ class TxTable:
         )
 
     def _commit(self, version: int, adds: list[str], removes: list[str],
-                op: str, stats: dict | None = None) -> None:
+                op: str, stats: dict | None = None,
+                extra: dict | None = None) -> None:
         """Atomic commit: write a temp file in the log dir, then
         ``log_store.publish_exclusive`` it onto the version name. The
         store primitive is what makes a same-version race safe —
         exactly one writer's record lands, the other raises
         ``FileExistsError`` (tests/test_txlog.py proves the collision
-        path with a racing store injected in the publish window)."""
+        path with a racing store injected in the publish window).
+        ``extra`` carries op-specific fields (merge-on-read's
+        ``delete_adds``/``delete_key``)."""
         os.makedirs(self.log_dir, exist_ok=True)
         final = os.path.join(self.log_dir, f"{version:08d}.json")
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
@@ -179,6 +182,7 @@ class TxTable:
                     "op": op,
                     "ts": time.time(),
                     "stats": stats or {},
+                    **(extra or {}),
                 },
                 fh,
             )
@@ -220,6 +224,60 @@ class TxTable:
             live.extend((f, stats.get(f, {})) for f in act["adds"])
         return live
 
+    def _snapshot_mor(
+        self, version: int | None = None
+    ) -> tuple[list[tuple[str, dict, int]], list[tuple[str, int, str]]]:
+        """Merge-on-read replay: ``([(data_file, stats, added_at)],
+        [(delete_file, delete_version, key)])`` live at ``version``.
+        The added_at version is what scopes equality deletes — a
+        delete file at version v erases matching keys ONLY from data
+        files added at versions < v (a later merge's own adds carry
+        the fresh rows for the same keys). Files consolidated into a
+        checkpoint count as added_at = the checkpoint version: every
+        live delete is strictly newer (checkpoint() refuses while
+        deletes are pending), so the scoping stays exact."""
+        if version is None:
+            version = self.latest_version()
+        entries: list[tuple[str, dict, int]] = []
+        deletes: list[tuple[str, int, str]] = []
+        start = 0
+        ck = self._latest_checkpoint(version)
+        if ck is not None:
+            ck_version, ck_entries = ck
+            entries = [(f, s, ck_version) for f, s in ck_entries]
+            start = ck_version + 1
+        for v in self._versions():
+            if v < start:
+                continue
+            if v > version:
+                break
+            act = self._read_action(v)
+            removed = set(act["removes"])
+            stats = act.get("stats", {})
+            entries = [e for e in entries if e[0] not in removed]
+            deletes = [d for d in deletes if d[0] not in removed]
+            entries.extend((f, stats.get(f, {}), v) for f in act["adds"])
+            deletes.extend(
+                (f, v, act["delete_key"])
+                for f in act.get("delete_adds", [])
+            )
+        return entries, deletes
+
+    def _require_no_pending_deletes(self, op: str) -> None:
+        """Ops whose semantics read or rewrite raw data files are only
+        correct on a fully-resolved table: live equality-delete files
+        would resurrect erased rows (CoW merge candidates, change-feed
+        pre-images) or be silently lost (checkpoint consolidation).
+        ``optimize()`` is the sanctioned resolver — it folds deletes
+        into rewritten files."""
+        _, deletes = self._snapshot_mor()
+        if deletes:
+            raise ValueError(
+                f"{op} requires a table without pending merge-on-read "
+                f"delete files ({len(deletes)} live) — run optimize() "
+                "to fold them first"
+            )
+
     def _latest_checkpoint(
         self, version: int
     ) -> tuple[int, list[tuple[str, dict]]] | None:
@@ -246,6 +304,7 @@ class TxTable:
         immutable log prefix), so a publish collision is swallowed.
         Versions and action files are untouched, so time travel below
         the checkpoint still replays from genesis."""
+        self._require_no_pending_deletes("checkpoint")
         v = self.latest_version()
         entries = self._snapshot_entries(v)
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
@@ -284,16 +343,18 @@ class TxTable:
 
     # -- write path ----------------------------------------------------------
 
-    def _write_parts(self, df: DataFrame) -> list[str]:
+    def _write_parts(self, df: DataFrame, prefix: str = "part-") -> list[str]:
         """Write df as immutable uniquely-named parquet parts under a
-        scratch dir, then hard-link/rename into the table root."""
+        scratch dir, then hard-link/rename into the table root.
+        ``prefix="delete-"`` names merge-on-read equality-delete key
+        files so schema fallbacks never mistake one for data."""
         stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(stage)
         parts = []
         for f in sorted(os.listdir(stage)):
             if not f.endswith(".parquet"):
                 continue
-            name = f"part-{uuid.uuid4().hex}.parquet"
+            name = f"{prefix}{uuid.uuid4().hex}.parquet"
             os.rename(os.path.join(stage, f), os.path.join(self.path, name))
             parts.append(name)
         import shutil
@@ -362,15 +423,36 @@ class TxTable:
                     raise
                 v = max(v + 1, self.latest_version() + 1)
 
-    def merge_upsert(self, updates: DataFrame, key: str) -> int:
-        """Copy-on-write MERGE: rows in ``updates`` replace same-key
-        rows; new keys insert. Two pruning layers find the rewrite
-        set: (1) DATA SKIPPING over the log's per-file [min, max] key
-        stats — files whose range misses the update-key range are
-        never opened; (2) an exact broadcastable key semi-join over
-        ``input_file_name`` on the surviving candidates. Untouched
-        files carry over by reference; one rewrite of the touched
-        files' surviving rows unioned with the updates."""
+    def merge_upsert(self, updates: DataFrame, key: str,
+                     mode: str = "cow") -> int:
+        """MERGE: rows in ``updates`` replace same-key rows; new keys
+        insert. Two write strategies, the same public-format pair:
+
+        * ``mode="cow"`` (copy-on-write, default): two pruning layers
+          find the rewrite set — (1) DATA SKIPPING over the log's
+          per-file [min, max] key stats (files whose range misses the
+          update-key range are never opened), (2) an exact
+          broadcastable key semi-join over ``input_file_name`` on the
+          surviving candidates. Untouched files carry over by
+          reference; one rewrite of the touched files' surviving rows
+          unioned with the updates. Write cost O(touched files), read
+          cost zero extra.
+        * ``mode="mor"`` (merge-on-read, equality deletes): write the
+          update rows as NEW data files plus one small delete-key file
+          — no data file is opened or rewritten, write cost
+          O(update rows) regardless of how many files the keys touch.
+          Readers apply the delete keys as an anti-join scoped to data
+          files OLDER than the delete (see ``read``); ``optimize()``
+          folds pending deletes back into clean files. The
+          high-frequency-writer half of the public formats' CoW/MoR
+          pair.
+        """
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown merge mode {mode!r}")
+        if mode == "cow":
+            # CoW candidate reads open raw data files; pending equality
+            # deletes would resurrect erased rows in the rewrite.
+            self._require_no_pending_deletes("merge_upsert(mode='cow')")
         v = self.latest_version()
         bounds = updates.agg(
             F.min(key).alias("lo"),
@@ -392,6 +474,17 @@ class TxTable:
             )
         if bounds["lo"] is None:
             return v  # empty update set: no-op, no version burned
+        if mode == "mor":
+            adds = self._write_parts(updates)
+            dels = self._write_parts(
+                updates.select(key).distinct(), prefix="delete-"
+            )
+            self._commit(
+                v + 1, adds, [], "merge-mor",
+                stats=self._file_stats(adds),
+                extra={"delete_adds": dels, "delete_key": key},
+            )
+            return v + 1
         candidates = self._candidate_files(v, key, bounds["lo"], bounds["hi"])
         keys = updates.select(key).distinct()
         touched = (
@@ -424,6 +517,7 @@ class TxTable:
     def delete_where(self, condition) -> int:
         """Copy-on-write DELETE: rewrite only files holding matching
         rows (found by one predicate scan), drop the rows there."""
+        self._require_no_pending_deletes("delete_where")
         v = self.latest_version()
         live = self.snapshot_files(v)
         cur = self._read_files(live)
@@ -457,7 +551,7 @@ class TxTable:
             # on disk — logically-removed files serve fine, they are
             # only ever physically dropped by vacuum.
             for f in sorted(os.listdir(self.path)):
-                if f.endswith(".parquet"):
+                if f.endswith(".parquet") and not f.startswith("delete-"):
                     return self.spark.read.parquet(
                         os.path.join(self.path, f)
                     ).limit(0)
@@ -479,8 +573,51 @@ class TxTable:
         ``merge_schema=True`` unions column sets across generations
         (appends may add columns; old files read them as null) — the
         schema-evolution read the pipeline_schema_evolution entry
-        exercises on raw parquet, available on versioned tables too."""
-        return self._read_files(self.snapshot_files(version), merge_schema)
+        exercises on raw parquet, available on versioned tables too.
+
+        Merge-on-read resolution: if the snapshot carries live
+        equality-delete files, data files are read grouped by their
+        add version (one multi-path parquet scan per commit
+        generation, NOT per file) and anti-joined against the delete
+        keys with the scoping rule ``delete_version > added_at`` —
+        a delete never touches rows its own merge (or a later one)
+        added. Extra read cost: one broadcastable-key anti join;
+        ``optimize()`` folds the deletes away."""
+        entries, deletes = self._snapshot_mor(version)
+        if not deletes:
+            return self._read_files([f for f, _, _ in entries], merge_schema)
+        by_version: dict[int, list[str]] = {}
+        for f, _, va in entries:
+            by_version.setdefault(va, []).append(f)
+        base = None
+        for va, names in sorted(by_version.items()):
+            part = self._read_files(names, merge_schema).withColumn(
+                "__added_at", F.lit(va)
+            )
+            base = part if base is None else base.unionByName(
+                part, allowMissingColumns=merge_schema
+            )
+        if base is None:
+            return self._read_files([], merge_schema)
+        # one anti join per distinct merge key (usually exactly one)
+        for key in sorted({k for _, _, k in deletes}):
+            dk = None
+            for f, dv, k in deletes:
+                if k != key:
+                    continue
+                d = self.spark.read.parquet(
+                    os.path.join(self.path, f)
+                ).select(
+                    F.col(key).alias("__dk"), F.lit(dv).alias("__dv")
+                )
+                dk = d if dk is None else dk.unionByName(d)
+            base = base.join(
+                F.broadcast(dk),
+                (base[key] == F.col("__dk"))
+                & (F.col("__dv") > base["__added_at"]),
+                "left_anti",
+            )
+        return base.drop("__added_at")
 
     def history(self) -> list[dict]:
         return [self._read_action(v) for v in self._versions()]
@@ -510,6 +647,13 @@ class TxTable:
             if v <= from_version or v > to_version:
                 continue
             act = self._read_action(v)
+            if act.get("delete_adds"):
+                raise ValueError(
+                    f"change feed over a merge-on-read commit (version "
+                    f"{v}) is not supported — its pre-images live in "
+                    "unrewritten files; run optimize() (which folds "
+                    "deletes) and consume the feed from there"
+                )
             if not act["adds"] and not act["removes"]:
                 continue
             post = (
@@ -596,12 +740,17 @@ class TxTable:
         if sort_cols and zorder:
             raise ValueError("sort_cols and zorder are mutually exclusive")
         v = self.latest_version()
-        live = self.snapshot_files(v)
+        entries, dels = self._snapshot_mor(v)
+        live = [f for f, _, _ in entries]
         total = sum(
             os.path.getsize(os.path.join(self.path, f)) for f in live
         )
         n_files = max(1, (total + target_file_bytes - 1) // target_file_bytes)
-        df = self._read_files(live)
+        # the delete-aware snapshot read: OPTIMIZE is the sanctioned
+        # resolver for pending merge-on-read deletes — the rewrite
+        # applies them, and the commit removes the delete files along
+        # with the replaced data files
+        df = self.read(v)
         if zorder:
             from ..operators.maintenance import zorder_cluster
 
@@ -613,8 +762,8 @@ class TxTable:
         else:
             df = df.repartition(n_files)
         adds = self._write_parts(df)
-        self._commit(v + 1, adds, live, "optimize",
-                     stats=self._file_stats(adds))
+        self._commit(v + 1, adds, live + [f for f, _, _ in dels],
+                     "optimize", stats=self._file_stats(adds))
         return v + 1
 
     def restore(self, version: int) -> int:
@@ -626,6 +775,13 @@ class TxTable:
         them); fails loudly if the target's files were already
         vacuumed."""
         cur = self.latest_version()
+        for v_check, label in ((cur, "current"), (version, "target")):
+            if self._snapshot_mor(v_check)[1]:
+                raise ValueError(
+                    f"restore with pending merge-on-read deletes at the "
+                    f"{label} version is not supported — run optimize() "
+                    "first"
+                )
         target = self.snapshot_files(version)
         missing = [
             f for f in target
@@ -652,7 +808,9 @@ class TxTable:
         keep = vs[-keep_versions:]
         referenced: set[str] = set()
         for v in keep:
-            referenced.update(self.snapshot_files(v))
+            entries, dels = self._snapshot_mor(v)
+            referenced.update(f for f, _, _ in entries)
+            referenced.update(f for f, _, _ in dels)
         removed = []
         for f in os.listdir(self.path):
             if f.endswith(".parquet") and f not in referenced:
@@ -759,7 +917,7 @@ class TxLogStreamReader(DataSourceStreamReader):
             if v <= int(start["version"]) or v > int(end["version"]):
                 continue
             act = t._read_action(v)
-            if act["removes"] and not self.ignore_changes:
+            if (act["removes"] or act.get("delete_adds")) and not self.ignore_changes:
                 raise ValueError(
                     f"txlog stream hit a non-append commit (version {v}, "
                     f"op={act['op']}); set ignoreChanges=true to stream "

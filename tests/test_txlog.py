@@ -546,3 +546,83 @@ def test_read_of_zero_file_snapshot_is_empty_not_crash(spark, tmp_path):
     t._commit(t.latest_version() + 1, [], t.snapshot_files(), "delete")
     got2 = t.read()
     assert got2.count() == 0 and set(got2.columns) == {"k", "v"}
+
+
+# -- merge-on-read (equality deletes) ---------------------------------------
+
+
+def test_mor_merge_equals_cow_result(spark, tmp_path):
+    """The two write strategies must converge to the same table: a MoR
+    merge (new files + delete keys, nothing rewritten) reads back
+    exactly what the CoW merge of the same updates produces."""
+    rows = [(i, f"v{i}") for i in range(10)]
+    upd = [(2, "B"), (7, "G"), (100, "new")]
+    pc = str(tmp_path / "cow")
+    pm = str(tmp_path / "mor")
+    tc = TxTable.create(spark, pc, _df(spark, rows))
+    tm = TxTable.create(spark, pm, _df(spark, rows))
+    tc.merge_upsert(_df(spark, upd), "k")
+    tm.merge_upsert(_df(spark, upd), "k", mode="mor")
+    got_c = sorted((r.k, r.v) for r in tc.read().collect())
+    got_m = sorted((r.k, r.v) for r in tm.read().collect())
+    assert got_m == got_c
+    # write amplification: the MoR commit rewrote NOTHING
+    act = tm._read_action(1)
+    assert act["op"] == "merge-mor" and act["removes"] == []
+    assert act["delete_adds"] and act["delete_key"] == "k"
+
+
+def test_mor_stacked_merges_scope_deletes_by_version(spark, tmp_path):
+    """Two MoR merges updating the SAME key: the second merge's delete
+    file must not erase the second merge's own fresh row (deletes
+    apply only to files added strictly before them), and the survivor
+    is the latest value."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a"), (2, "b")]))
+    t.merge_upsert(_df(spark, [(2, "B1")]), "k", mode="mor")
+    t.merge_upsert(_df(spark, [(2, "B2"), (3, "c")]), "k", mode="mor")
+    got = sorted((r.k, r.v) for r in t.read().collect())
+    assert got == [(1, "a"), (2, "B2"), (3, "c")]
+    # time travel still resolves each intermediate state
+    assert sorted((r.k, r.v) for r in t.read(1).collect()) == [
+        (1, "a"), (2, "B1")]
+    assert sorted((r.k, r.v) for r in t.read(0).collect()) == [
+        (1, "a"), (2, "b")]
+
+
+def test_mor_optimize_folds_deletes(spark, tmp_path):
+    """OPTIMIZE is the sanctioned resolver: it rewrites the resolved
+    rows, drops the delete files from the live set, and the table goes
+    back to a clean CoW-compatible state (checkpoint/merge-cow work
+    again)."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a"), (2, "b")]))
+    t.merge_upsert(_df(spark, [(2, "B")]), "k", mode="mor")
+    # dirty-table guards are on while the delete is pending
+    with pytest.raises(ValueError, match="optimize"):
+        t.merge_upsert(_df(spark, [(1, "A")]), "k")
+    with pytest.raises(ValueError, match="optimize"):
+        t.checkpoint()
+    with pytest.raises(ValueError, match="optimize"):
+        t.read_changes("k", 0)
+    v = t.optimize()
+    _, dels = t._snapshot_mor(v)
+    assert dels == []
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [
+        (1, "a"), (2, "B")]
+    # clean again: CoW merge and checkpoint both work
+    t.merge_upsert(_df(spark, [(1, "A")]), "k")
+    t.checkpoint()
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [
+        (1, "A"), (2, "B")]
+
+
+def test_mor_vacuum_retains_delete_files(spark, tmp_path):
+    """vacuum must treat live delete files as referenced — removing
+    one would silently resurrect erased rows."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a"), (2, "b")]))
+    t.merge_upsert(_df(spark, [(2, "B")]), "k", mode="mor")
+    t.vacuum(keep_versions=1)
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [
+        (1, "a"), (2, "B")]
