@@ -87,6 +87,7 @@ HEADLINE = [
     "dedup_semantic",
     "ann_lsh_multiprobe",
     "mixture_temperature",
+    "tablelog_merge_on_read",
 ]
 
 
