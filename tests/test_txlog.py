@@ -420,18 +420,24 @@ def test_txlog_random_ops_match_model(spark, tmp_path):
     for the log-replay + CoW machinery."""
     import random
 
+    import pytest as _pytest
+
     rng = random.Random(9_2026)
     for seq in range(3):
         p = str(tmp_path / f"t{seq}")
         model_hist = []  # model snapshot per version
+        dirty_hist = []  # pending-MoR-deletes flag per version
+        dirty = False
         model = {k: f"s{k}" for k in rng.sample(range(50), 8)}
         t = TxTable.create(
             spark, p, _df(spark, sorted(model.items()))
         )
         model_hist.append(dict(model))
-        for _ in range(7):
+        dirty_hist.append(False)
+        for _ in range(8):
             op = rng.choice(
-                ["append", "merge", "delete", "optimize", "checkpoint", "restore"]
+                ["append", "merge", "merge_mor", "delete", "optimize",
+                 "checkpoint", "restore"]
             )
             if op == "append":
                 new = {
@@ -448,12 +454,31 @@ def test_txlog_random_ops_match_model(spark, tmp_path):
                     k: f"m{k}{rng.randint(0, 9)}"
                     for k in rng.sample(range(100), rng.randint(1, 6))
                 }
+                if dirty:
+                    # the dirty-table guard is part of the contract
+                    with _pytest.raises(ValueError, match="optimize"):
+                        t.merge_upsert(_df(spark, sorted(upd.items())), "k")
+                    continue
                 t.merge_upsert(_df(spark, sorted(upd.items())), "k")
                 model.update(upd)
+            elif op == "merge_mor":
+                upd = {
+                    k: f"r{k}{rng.randint(0, 9)}"
+                    for k in rng.sample(range(100), rng.randint(1, 6))
+                }
+                # MoR merges stack freely, dirty or clean
+                t.merge_upsert(_df(spark, sorted(upd.items())), "k",
+                               mode="mor")
+                model.update(upd)
+                dirty = True
             elif op == "delete":
                 if not model:
                     continue
                 kill = rng.choice(sorted(model))
+                if dirty:
+                    with _pytest.raises(ValueError, match="optimize"):
+                        t.delete_where(F.col("k") == kill)
+                    continue
                 v_before = t.latest_version()
                 v_after = t.delete_where(F.col("k") == kill)
                 if v_after == v_before:
@@ -461,14 +486,24 @@ def test_txlog_random_ops_match_model(spark, tmp_path):
                 model.pop(kill)
             elif op == "optimize":
                 t.optimize(sort_cols=["k"])
+                dirty = False  # the fold resolves pending deletes
             elif op == "checkpoint":
-                t.checkpoint()
+                if dirty:
+                    with _pytest.raises(ValueError, match="optimize"):
+                        t.checkpoint()
+                else:
+                    t.checkpoint()
                 continue  # checkpoint burns no version
             else:
                 target = rng.randrange(len(model_hist))
+                if dirty or dirty_hist[target]:
+                    with _pytest.raises(ValueError, match="optimize"):
+                        t.restore(target)
+                    continue
                 t.restore(target)
                 model = dict(model_hist[target])
             model_hist.append(dict(model))
+            dirty_hist.append(dirty)
         for v, want in enumerate(model_hist):
             got = {r["k"]: r["v"] for r in t.read(v).collect()}
             assert got == want, f"seq {seq} version {v}"
