@@ -412,6 +412,13 @@ class TxTable:
         semantic conflict resolution is out of scope (txlog module
         docstring)."""
         adds = self._write_parts(df)
+        return self._commit_append(adds, max_commit_retries)
+
+    def _commit_append(self, adds: list[str],
+                       max_commit_retries: int = 10) -> int:
+        """The append commit protocol (rebase loop) for already-written
+        part files — shared by :meth:`append` and the registered Spark
+        batch writer (``df.write.format("txlog")``)."""
         stats = self._file_stats(adds)
         v = self.latest_version() + 1
         for attempt in range(max_commit_retries + 1):
@@ -833,8 +840,10 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -843,12 +852,84 @@ class _TxFilePartition(InputPartition):
         self.path = path
 
 
+class _TxWriteMessage(WriterCommitMessage):
+    """Per-task commit message: the part files the task wrote."""
+
+    def __init__(self, files: list[str]):
+        self.files = files
+
+
+class TxLogBatchWriter(DataSourceArrowWriter):
+    """Batch WRITE path for ``df.write.format("txlog")``: each task
+    streams its Arrow batches into one uuid-named parquet part inside
+    the table root (invisible until committed — readers resolve files
+    through the log, never by listing), and the DRIVER commit turns
+    the collected part names into ONE atomic log commit:
+
+    * ``mode("append")`` on an existing table → an append commit via
+      the same auto-rebase loop ``TxTable.append`` uses;
+    * first write at a path → the ``create`` commit (version 0);
+    * ``mode("overwrite")`` → one commit removing the whole live set
+      (data AND pending merge-on-read delete files) and adding the new
+      parts — the truncate-recreate DDL analog, time travel intact.
+
+    A failed job calls ``abort``, which deletes the written parts —
+    nothing was committed, so readers never saw them (the all-or-
+    nothing property the log gives every multi-file write)."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> "_TxWriteMessage":
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _TxWriteMessage([])
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        pq.write_table(
+            pa.Table.from_batches(batches), os.path.join(self.path, name)
+        )
+        return _TxWriteMessage([name])
+
+    def commit(self, messages) -> None:
+        adds = [f for m in messages if m is not None for f in m.files]
+        t = TxTable(None, self.path)
+        if not t._versions():
+            os.makedirs(self.path, exist_ok=True)
+            t._commit(0, adds, [], "create", stats=t._file_stats(adds))
+        elif self.overwrite:
+            entries, dels = t._snapshot_mor()
+            removes = [f for f, _, _ in entries] + [f for f, _, _ in dels]
+            t._commit(
+                t.latest_version() + 1, adds, removes, "overwrite",
+                stats=t._file_stats(adds),
+            )
+        else:
+            t._commit_append(adds)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            for f in (m.files if m is not None else []):
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except OSError:
+                    pass
+
+
 class TxLogDataSource(DataSource):
     """Options: ``path`` (table root). APPEND-ONLY streaming contract:
     a merge/delete/optimize commit in the consumed range raises unless
     ``ignoreChanges`` is set (then only its added files stream —
     rewritten carried-over rows WILL reappear, exactly the caveat the
-    public formats document for the same option)."""
+    public formats document for the same option).
+
+    Registered for BOTH directions: ``spark.readStream.format("txlog")``
+    (version-offset micro-batches) and ``df.write.format("txlog")``
+    (atomic batch append/create/overwrite — :class:`TxLogBatchWriter`)."""
 
     @classmethod
     def name(cls) -> str:
@@ -889,6 +970,9 @@ class TxLogDataSource(DataSource):
 
     def streamReader(self, schema: T.StructType) -> "TxLogStreamReader":
         return TxLogStreamReader(schema, self.options)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> TxLogBatchWriter:
+        return TxLogBatchWriter(self.options, overwrite)
 
 
 class TxLogStreamReader(DataSourceStreamReader):

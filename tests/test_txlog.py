@@ -661,3 +661,64 @@ def test_mor_vacuum_retains_delete_files(spark, tmp_path):
     t.vacuum(keep_versions=1)
     assert sorted((r.k, r.v) for r in t.read().collect()) == [
         (1, "a"), (2, "B")]
+
+
+def test_spark_writer_creates_appends_overwrites(spark, tmp_path):
+    """df.write.format('txlog'): first save creates version 0, append
+    mode commits ONE atomic version per save regardless of task count,
+    overwrite replaces the live set — and time travel still resolves
+    every prior state."""
+    from data_analyse_marche_emploi_spark.sources.txlog import (
+        register_txlog_source,
+    )
+
+    register_txlog_source(spark)
+    p = str(tmp_path / "t")
+    # Python data sources accept only Append/Overwrite; the first
+    # append at a fresh path IS the create commit
+    _df(spark, [(1, "a"), (2, "b")]).repartition(3).write.format(
+        "txlog"
+    ).option("path", p).mode("append").save()
+    t = TxTable(spark, p)
+    assert t.latest_version() == 0
+    assert t._read_action(0)["op"] == "create"
+
+    _df(spark, [(3, "c"), (4, "d")]).repartition(4).write.format(
+        "txlog"
+    ).option("path", p).mode("append").save()
+    assert t.latest_version() == 1  # one commit, not one per task
+    assert t._read_action(1)["op"] == "append"
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 3, 4]
+
+    _df(spark, [(9, "z")]).write.format("txlog").option("path", p).mode(
+        "overwrite"
+    ).save()
+    assert t.latest_version() == 2
+    assert t._read_action(2)["op"] == "overwrite"
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [(9, "z")]
+    # time travel over writer-produced history
+    assert sorted(r.k for r in t.read(1).collect()) == [1, 2, 3, 4]
+    assert sorted(r.k for r in t.read(0).collect()) == [1, 2]
+
+
+def test_spark_writer_overwrite_resolves_mor_deletes(spark, tmp_path):
+    """Overwrite on a dirty (pending-MoR-deletes) table is fine — all
+    rows are replaced, so the commit drops the delete files along with
+    the data files."""
+    from data_analyse_marche_emploi_spark.sources.txlog import (
+        register_txlog_source,
+    )
+
+    register_txlog_source(spark)
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a"), (2, "b")]))
+    t.merge_upsert(_df(spark, [(2, "B")]), "k", mode="mor")
+    _df(spark, [(5, "e")]).write.format("txlog").option("path", p).mode(
+        "overwrite"
+    ).save()
+    entries, dels = t._snapshot_mor()
+    assert dels == []
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [(5, "e")]
+    # the pre-overwrite dirty state still time-travels correctly
+    assert sorted((r.k, r.v) for r in t.read(1).collect()) == [
+        (1, "a"), (2, "B")]
