@@ -8054,6 +8054,40 @@ def tablelog_merge_on_read(spark, sf_dir):
 
 
 @register(
+    "snk_txlog_writer",
+    oracle="""
+    SELECT o_orderkey AS k, o_orderstatus AS s
+    FROM orders WHERE o_orderkey % 5 < 2
+    """,
+)
+def snk_txlog_writer(spark, sf_dir):
+    """The registered Spark batch writer for the versioned table:
+    ``df.write.format("txlog")`` — first append at a fresh path is the
+    CREATE commit, the second save lands ONE atomic append version
+    regardless of task count (per-task Arrow→parquet parts stay
+    invisible until the driver commit), and the read-back resolves
+    through the log. The oracle recomputes the union of the two
+    written slices; a torn or double commit would change the version
+    count and the row multiset."""
+    from .sources.txlog import TxTable, register_txlog_source
+
+    register_txlog_source(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("s")
+    )
+    path = _txtmp("txwrite_")
+    o.filter(F.col("k") % 5 == 0).write.format("txlog").option(
+        "path", path
+    ).mode("append").save()
+    o.filter(F.col("k") % 5 == 1).write.format("txlog").option(
+        "path", path
+    ).mode("append").save()
+    t = TxTable(spark, path)
+    assert t.latest_version() == 1  # exactly one commit per save
+    return t.read()
+
+
+@register(
     "stream_txlog_merge_sink",
     oracle="SELECT event_id, user_id, event_type FROM events",
 )
@@ -8783,12 +8817,12 @@ _DRIVER_WINDOW = [
     #    as they land (a new entry is never-checked = stalest) --
     "pipeline_clean_text",
     "agg_pricing_summary",
-    "join_enrich",
     # -- new round-8 entries (never-checked = stalest by policy) --
     "ann_lsh_multiprobe",
     "dedup_semantic",
     "mixture_temperature",
     "tablelog_merge_on_read",
+    "snk_txlog_writer",
 ]
 
 def _prioritize() -> None:
