@@ -8758,8 +8758,10 @@ def dq_skew_report(spark, sf_dir):
 # array<long> cell and is now posexploded to scalars; sql_api_flagship,
 # whose r1/r2 hash-fail predates the r3 decimal canon policy and which
 # passes the local gate today), the 23 entries last proven in r2, the
-# 17 last proven in r3, and the 7 freshest slots from the r4 cohort —
-# so every driver proof stays ≤ ~3 rounds old as the window sweeps.
+# 17 last proven in r3, and the remaining slots from the r4 cohort —
+# displaced one-for-one as round-8 registrations (never-checked =
+# stalest) joined — so every driver proof stays ≤ ~3 rounds old as the
+# window sweeps.
 # The policy (window set == anchor + 49 stalest, recomputed from
 # CORRECTNESS_r0*.json files of rounds strictly before this comment's
 # round number) is pinned by
