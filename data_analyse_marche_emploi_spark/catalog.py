@@ -140,6 +140,47 @@ def sql_api_flagship(spark, sf_dir):
     """)
 
 
+@register(
+    "sql_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, o.cents
+    FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') c,
+    LATERAL (
+      SELECT o_orderkey, o_orderdate,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_orderdate DESC, o_orderkey LIMIT 2
+    ) o
+    """,
+)
+def sql_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery with per-row ORDER BY ... LIMIT —
+    the "top-k related rows per driving row" SQL idiom (here: each
+    BUILDING customer's 2 most recent orders, fully tie-broken).
+    Catalyst decorrelates the lateral into a window-rank over a join
+    rather than executing the subquery per row, so the plan is one
+    shuffle on the correlation key — per-row re-execution would be a
+    driving-row-count multiplier at scale. Identical SQL runs on
+    DuckDB (true per-row LATERAL execution), making this a
+    decorrelation-correctness differential, not just a parity check."""
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, o.cents
+        FROM (SELECT c_custkey FROM customer
+              WHERE c_mktsegment = 'BUILDING') c,
+        LATERAL (
+          SELECT o_orderkey, o_orderdate,
+                 CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_orderdate DESC, o_orderkey LIMIT 2
+        ) o
+    """)
+
+
 # ---------------------------------------------------------------------------
 # §2.B scan / projection / filter
 # ---------------------------------------------------------------------------
@@ -8818,13 +8859,13 @@ _DRIVER_WINDOW = [
     # -- 7 slots from the r4 cohort; swapped for new round-8 entries
     #    as they land (a new entry is never-checked = stalest) --
     "pipeline_clean_text",
-    "agg_pricing_summary",
     # -- new round-8 entries (never-checked = stalest by policy) --
     "ann_lsh_multiprobe",
     "dedup_semantic",
     "mixture_temperature",
     "tablelog_merge_on_read",
     "snk_txlog_writer",
+    "sql_lateral_topk",
 ]
 
 def _prioritize() -> None:
