@@ -471,3 +471,18 @@ def test_partitioned_write_prunes_directories(spark, sf_dir):
     # pre-pruning — so the plan string is the contract)
     pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert pushed and "event_type" not in pushed.group(1), plan
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf_dir):
+    """The correlated LATERAL ORDER BY/LIMIT must decorrelate: no
+    per-driving-row re-execution (no nested-loop/cartesian over the
+    correlation), a hash/broadcast join on the correlation key, and
+    Spark 4's WindowGroupLimit partial+final so each task keeps only
+    its per-key top-2 before the window exchange — the map-side
+    combine of the top-k-per-group world."""
+    plan = plan_of(spark, sf_dir, "sql_lateral_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
+    assert "row_number()" in plan
