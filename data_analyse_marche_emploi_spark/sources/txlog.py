@@ -54,6 +54,12 @@ __all__ = ["LogStore", "PosixLogStore", "TxTable"]
 
 _LOG_DIR = "_txlog"
 
+# Log-format revision this engine reads and writes. Every commit is
+# stamped with it; readers refuse logs from a NEWER revision (see
+# TxTable._read_action) — the minReaderVersion discipline the public
+# formats use so old engines can never misread new action semantics.
+_PROTOCOL = 1
+
 
 class LogStore:
     """The filesystem-semantics-dependent slice of the table format,
@@ -155,9 +161,20 @@ class TxTable:
         return vs[-1]
 
     def _read_action(self, version: int) -> dict:
-        return self.log_store.read_json(
+        act = self.log_store.read_json(
             os.path.join(self.log_dir, f"{version:08d}.json")
         )
+        # Protocol guard (the public formats' minReaderVersion idea):
+        # a log written by a future format revision must fail loudly
+        # here, not be half-understood — silently ignoring unknown
+        # action fields could mean resurrecting deleted rows.
+        if act.get("protocol", 1) > _PROTOCOL:
+            raise ValueError(
+                f"txlog version {version} uses protocol "
+                f"{act['protocol']} > supported {_PROTOCOL}; upgrade "
+                "the engine to read this table"
+            )
+        return act
 
     def _commit(self, version: int, adds: list[str], removes: list[str],
                 op: str, stats: dict | None = None,
@@ -177,6 +194,7 @@ class TxTable:
             json.dump(
                 {
                     "version": version,
+                    "protocol": _PROTOCOL,
                     "adds": adds,
                     "removes": removes,
                     "op": op,
@@ -411,6 +429,7 @@ class TxTable:
         a snapshot a concurrent commit may have invalidated, and
         semantic conflict resolution is out of scope (txlog module
         docstring)."""
+        self._enforce_constraints(df, "append")
         adds = self._write_parts(df)
         return self._commit_append(adds, max_commit_retries)
 
@@ -429,6 +448,77 @@ class TxTable:
                 if attempt == max_commit_retries:
                     raise
                 v = max(v + 1, self.latest_version() + 1)
+
+    # -- CHECK constraints ---------------------------------------------------
+
+    def constraints(self, version: int | None = None) -> dict[str, str]:
+        """Active CHECK constraints at ``version``: name → SQL boolean
+        expression. Constraint actions are metadata-only commits, so
+        the walk reads every action record from genesis (metadata is
+        tiny and checkpoints deliberately do NOT consolidate it)."""
+        if version is None:
+            version = self.latest_version()
+        out: dict[str, str] = {}
+        for v in self._versions():
+            if v > version:
+                break
+            act = self._read_action(v)
+            if act["op"] == "add-constraint":
+                out[act["constraint"]["name"]] = act["constraint"]["expr"]
+            elif act["op"] == "drop-constraint":
+                out.pop(act["constraint"]["name"], None)
+        return out
+
+    def _violations(self, df: DataFrame, exprs: dict[str, str]):
+        """First violated constraint name for ``df``, or None. SQL
+        CHECK semantics: NULL evaluations PASS (only a definite FALSE
+        violates) — coalesce(expr, true)."""
+        for name, expr in exprs.items():
+            bad = df.filter(
+                ~F.coalesce(F.expr(expr), F.lit(True))
+            ).limit(1).count()
+            if bad:
+                return name
+        return None
+
+    def _enforce_constraints(self, df: DataFrame, what: str) -> None:
+        exprs = self.constraints()
+        if not exprs:
+            return
+        name = self._violations(df, exprs)
+        if name is not None:
+            raise ValueError(
+                f"{what} violates CHECK constraint '{name}' "
+                f"({self.constraints()[name]}); no commit was made"
+            )
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """Add a CHECK constraint (Delta-style write-time enforcement):
+        the CURRENT snapshot must already satisfy it, and every
+        subsequent append / merge (both modes) / registered-writer
+        save validates its incoming rows BEFORE committing — a
+        violating write raises and burns nothing. Enforcement is
+        engine-side (one extra predicate pass over the new rows),
+        exactly where the public formats put it."""
+        if name in self.constraints():
+            raise ValueError(f"constraint '{name}' already exists")
+        if self._violations(self.read(), {name: expr}) is not None:
+            raise ValueError(
+                f"existing rows violate CHECK constraint '{name}' "
+                f"({expr}); constraint not added"
+            )
+        v = self.latest_version() + 1
+        self._commit(v, [], [], "add-constraint",
+                     extra={"constraint": {"name": name, "expr": expr}})
+        return v
+
+    def drop_constraint(self, name: str) -> int:
+        if name not in self.constraints():
+            raise ValueError(f"no such constraint '{name}'")
+        v = self.latest_version() + 1
+        self._commit(v, [], [], "drop-constraint",
+                     extra={"constraint": {"name": name}})
+        return v
 
     def merge_upsert(self, updates: DataFrame, key: str,
                      mode: str = "cow") -> int:
@@ -481,6 +571,7 @@ class TxTable:
             )
         if bounds["lo"] is None:
             return v  # empty update set: no-op, no version burned
+        self._enforce_constraints(updates, f"merge_upsert(mode={mode!r})")
         if mode == "mor":
             adds = self._write_parts(updates)
             dels = self._write_parts(
@@ -521,9 +612,53 @@ class TxTable:
                      stats=self._file_stats(adds))
         return v + 1
 
-    def delete_where(self, condition) -> int:
-        """Copy-on-write DELETE: rewrite only files holding matching
-        rows (found by one predicate scan), drop the rows there."""
+    def delete_where(self, condition, mode: str = "cow",
+                     key: str | None = None) -> int:
+        """DELETE rows matching ``condition``.
+
+        * ``mode="cow"`` (default): rewrite only files holding matching
+          rows (found by one predicate scan), drop the rows there.
+        * ``mode="mor"`` (requires ``key``): one predicate scan finds
+          the matching KEYS, which land as an equality-delete file —
+          zero rewrites, same read-side resolution and OPTIMIZE fold
+          as merge-on-read merges. Correct only when ``key`` uniquely
+          identifies rows (the merge_upsert key contract — otherwise
+          an equality delete would erase a key's non-matching rows
+          too, so a uniqueness violation among matched keys raises).
+        """
+        if mode == "mor":
+            if key is None:
+                raise ValueError("delete_where(mode='mor') requires key=")
+            v = self.latest_version()
+            snapshot = self.read(v)
+            matched = snapshot.filter(condition)
+            mk = matched.groupBy(key).agg(F.count(F.lit(1)).alias("__nm"))
+            if mk.limit(1).count() == 0:
+                return v  # no-op deletes don't burn a version
+            # Over-delete guard: every matched key's TOTAL row count in
+            # the snapshot must equal its matched count — a key with an
+            # unmatched sibling row would lose that sibling to the
+            # equality delete.
+            tot = (
+                snapshot.join(F.broadcast(mk), key)
+                .groupBy(key, "__nm")
+                .agg(F.count(F.lit(1)).alias("__nt"))
+            )
+            if tot.filter(F.col("__nt") > F.col("__nm")).limit(1).count():
+                raise ValueError(
+                    f"delete_where(mode='mor'): a matched key in "
+                    f"'{key}' also has rows NOT matching the predicate "
+                    "— an equality delete would erase them too; use "
+                    "mode='cow'"
+                )
+            dels = self._write_parts(
+                matched.select(key).distinct(), prefix="delete-"
+            )
+            self._commit(
+                v + 1, [], [], "delete-mor",
+                extra={"delete_adds": dels, "delete_key": key},
+            )
+            return v + 1
         self._require_no_pending_deletes("delete_where")
         v = self.latest_version()
         live = self.snapshot_files(v)
@@ -898,6 +1033,34 @@ class TxLogBatchWriter(DataSourceArrowWriter):
     def commit(self, messages) -> None:
         adds = [f for m in messages if m is not None for f in m.files]
         t = TxTable(None, self.path)
+        # CHECK constraints hold for writer saves too: the parts are on
+        # disk but uncommitted, so validating them here (driver side,
+        # active session) still makes a violating save burn nothing.
+        if t._versions() and adds:
+            exprs = t.constraints()
+            if exprs:
+                # The data source commit() runs in a Python worker with
+                # no SparkSession, so validate the written parts with
+                # DuckDB — constraint expressions are ANSI-portable by
+                # the same discipline as the oracles, and the parts are
+                # plain parquet on local disk.
+                import duckdb
+
+                paths = [os.path.join(self.path, f) for f in adds]
+                con = duckdb.connect()
+                for name, expr in exprs.items():
+                    bad = con.execute(
+                        f"SELECT count(*) FROM read_parquet(?) "
+                        f"WHERE NOT coalesce(({expr}), true)",
+                        [paths],
+                    ).fetchone()[0]
+                    if bad:
+                        self.abort(messages)
+                        raise ValueError(
+                            f"write.format('txlog') violates CHECK "
+                            f"constraint '{name}' ({expr}); "
+                            "no commit was made"
+                        )
         if not t._versions():
             os.makedirs(self.path, exist_ok=True)
             t._commit(0, adds, [], "create", stats=t._file_stats(adds))

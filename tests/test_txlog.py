@@ -722,3 +722,96 @@ def test_spark_writer_overwrite_resolves_mor_deletes(spark, tmp_path):
     # the pre-overwrite dirty state still time-travels correctly
     assert sorted((r.k, r.v) for r in t.read(1).collect()) == [
         (1, "a"), (2, "B")]
+
+
+def test_delete_where_mor_zero_rewrites_and_over_delete_guard(spark, tmp_path):
+    """Predicate DELETE at merge-on-read cost: matching keys land as an
+    equality-delete file with ZERO rewrites; a key whose rows only
+    partially match must refuse (the equality delete would erase the
+    unmatched sibling)."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, p, _df(spark, [(1, "a"), (2, "drop"), (3, "drop"), (4, "d")])
+    )
+    v = t.delete_where(F.col("v") == "drop", mode="mor", key="k")
+    act = t._read_action(v)
+    assert act["op"] == "delete-mor"
+    assert act["adds"] == [] and act["removes"] == []
+    assert sorted(r.k for r in t.read().collect()) == [1, 4]
+    # no-op burns no version
+    assert t.delete_where(F.col("v") == "absent", mode="mor", key="k") == v
+    # fold works and preserves the deletion
+    t.optimize()
+    assert sorted(r.k for r in t.read().collect()) == [1, 4]
+
+    # over-delete guard: duplicate key 7, only one row matches
+    p2 = str(tmp_path / "t2")
+    t2 = TxTable.create(
+        spark, p2, _df(spark, [(7, "keep"), (7, "drop"), (8, "x")])
+    )
+    with pytest.raises(ValueError, match="NOT matching"):
+        t2.delete_where(F.col("v") == "drop", mode="mor", key="k")
+
+
+def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
+    """Delta-style CHECK constraints: adding validates existing rows;
+    append, both merge modes, and the registered Spark writer all
+    refuse violating rows BEFORE committing (nothing burned); NULL
+    evaluations pass (SQL CHECK semantics); drop re-opens the gate."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a"), (2, "b")]))
+    t.add_constraint("k_positive", "k > 0")
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_constraint("k_positive", "k > 0")
+    with pytest.raises(ValueError, match="existing rows violate"):
+        t.add_constraint("k_small", "k < 2")
+    v = t.latest_version()
+
+    bad = _df(spark, [(-5, "x")])
+    with pytest.raises(ValueError, match="k_positive"):
+        t.append(bad)
+    with pytest.raises(ValueError, match="k_positive"):
+        t.merge_upsert(bad, "k")
+    with pytest.raises(ValueError, match="k_positive"):
+        t.merge_upsert(bad, "k", mode="mor")
+    from data_analyse_marche_emploi_spark.sources.txlog import (
+        register_txlog_source,
+    )
+
+    register_txlog_source(spark)
+    with pytest.raises(Exception, match="k_positive"):
+        bad.write.format("txlog").option("path", p).mode("append").save()
+    assert t.latest_version() == v  # nothing burned by any refusal
+
+    # NULL k passes (SQL CHECK: only definite FALSE violates)
+    nullk = spark.createDataFrame([(None, "n")], "k long, v string")
+    t.append(nullk)
+    # good rows flow through every path
+    t.merge_upsert(_df(spark, [(3, "c")]), "k")
+    _df(spark, [(4, "d")]).write.format("txlog").option("path", p).mode(
+        "append"
+    ).save()
+    assert sorted(r.v for r in t.read().collect()) == [
+        "a", "b", "c", "d", "n"]
+
+    t.drop_constraint("k_positive")
+    t.append(bad)  # gate open again
+    assert (-5, "x") in [(r.k, r.v) for r in t.read().collect()]
+
+
+def test_protocol_guard_refuses_future_logs(spark, tmp_path):
+    """A commit stamped with a future protocol revision must fail the
+    read loudly — silently half-understanding new action semantics
+    could resurrect deleted rows."""
+    import json
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a")]))
+    act = t._read_action(0)
+    assert act["protocol"] == 1
+    future = os.path.join(t.log_dir, "00000001.json")
+    with open(future, "w") as fh:
+        json.dump({"version": 1, "protocol": 99, "adds": [],
+                   "removes": [], "op": "future", "ts": 0, "stats": {}}, fh)
+    with pytest.raises(ValueError, match="protocol 99"):
+        t.read()
