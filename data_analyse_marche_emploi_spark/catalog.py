@@ -8129,6 +8129,47 @@ def snk_txlog_writer(spark, sf_dir):
 
 
 @register(
+    "txlog_constraints",
+    oracle="""
+    SELECT 'price_positive' AS constraint_name,
+           count(*) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def txlog_constraints(spark, sf_dir):
+    """Write-time CHECK enforcement through the driver gate: create a
+    versioned table from a seventh of orders, add a CHECK constraint
+    (existing rows validated), then attempt an append that VIOLATES it
+    — the engine must refuse BEFORE committing, so the read-back count
+    and cents-sum equal the clean slice exactly (a leaked violating
+    row or a burned partial commit flips the hash). The refusal is
+    asserted in-entry; the oracle recomputes the clean slice from
+    orders."""
+    from .sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    t = TxTable.create(
+        spark, _txtmp("txck_"), o.filter(F.col("k") % 7 == 0)
+    )
+    t.add_constraint("price_positive", "p > 0")
+    bad = o.filter(F.col("k") % 7 == 1).select("k", (-F.col("p")).alias("p"))
+    try:
+        t.append(bad)
+        raise AssertionError("violating append must refuse")
+    except ValueError:
+        pass
+    return t.read().agg(
+        F.lit("price_positive").alias("constraint_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("p") * 100).cast("long")).alias("sum_cents"),
+    )
+
+
+@register(
     "stream_txlog_merge_sink",
     oracle="SELECT event_id, user_id, event_type FROM events",
 )
@@ -8858,7 +8899,6 @@ _DRIVER_WINDOW = [
     "src_rest_paged",
     # -- 7 slots from the r4 cohort; swapped for new round-8 entries
     #    as they land (a new entry is never-checked = stalest) --
-    "pipeline_clean_text",
     # -- new round-8 entries (never-checked = stalest by policy) --
     "ann_lsh_multiprobe",
     "dedup_semantic",
@@ -8866,6 +8906,7 @@ _DRIVER_WINDOW = [
     "tablelog_merge_on_read",
     "snk_txlog_writer",
     "sql_lateral_topk",
+    "txlog_constraints",
 ]
 
 def _prioritize() -> None:
