@@ -47,12 +47,16 @@ def _t(spark, sf_dir, name):
 # The txlog catalog entries each build a throwaway versioned table
 # under /tmp whose RETURNED DataFrame still scans it lazily, so the
 # dir can't be removed inside the entry. Same retention contract as
-# streaming/incremental._SINK_DIRS: keep the most recent few (every
-# harness materializes promptly), reap older eagerly, sweep the rest
-# at process exit — repeated bench/driver/parity runs no longer
-# accumulate orphaned parquet copies (r7 advisor finding).
+# streaming/incremental._SINK_DIRS: keep the most recent few, reap
+# older eagerly, sweep the rest at process exit — repeated
+# bench/driver/parity runs no longer accumulate orphaned parquet
+# copies (r7 advisor finding). _TXTMP_KEEP must stay ABOVE the count
+# of txlog-backed entries one harness sweep can build before
+# materializing (currently ~10 call sites): a keep smaller than that
+# would rmtree a dir an earlier entry's still-lazy DataFrame scans
+# (r8 advisor finding) — 32 leaves 3× headroom at a few MB per dir.
 _TXTMP_DIRS: list[str] = []
-_TXTMP_KEEP = 8
+_TXTMP_KEEP = 32
 
 
 def _txtmp(prefix: str) -> str:
