@@ -1849,6 +1849,98 @@ def dedup_embedding_lsh(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_embedding_lsh_multiprobe",
+    # Same engine-replayable plane family as dedup_embedding_lsh; the
+    # oracle additionally replays the margin-ranked probe sequence on
+    # the LEFT side of the self-join (n_probes=3 → the 2 lowest-
+    # summed-margin flip sets of 1-2 bits per (vector, table), mask
+    # ascending as the tie-break) — exactly
+    # operators/dedup.embedding_lsh_pairs(n_probes=3). Integer-exact
+    # on both engines via the 1e-6-floor cos6 BIGINTs.
+    oracle="""
+    WITH anchors AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS av,
+             row_number() OVER (ORDER BY vec_id) - 1 AS idx
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 96)
+    ),
+    planes AS (
+      SELECT CAST((e.idx // 2) // 4 AS INT) AS tbl,
+             CAST((e.idx // 2) % 4 AS INT) AS bit,
+             e.av AS va, o.av AS vb
+      FROM anchors e JOIN anchors o ON o.idx = e.idx + 1
+      WHERE e.idx % 2 = 0
+    ),
+    pcos AS (
+      SELECT v.vec_id AS id, p.tbl, p.bit,
+             CAST(floor(list_cosine_similarity(
+                  CAST(v.embedding AS DOUBLE[]), p.va) * 1e6) AS BIGINT) AS ca,
+             CAST(floor(list_cosine_similarity(
+                  CAST(v.embedding AS DOUBLE[]), p.vb) * 1e6) AS BIGINT) AS cb
+      FROM embeddings v CROSS JOIN planes p
+    ),
+    sig AS (
+      SELECT id, tbl,
+             CAST(sum(CASE WHEN ca > cb THEN (CAST(1 AS BIGINT) << bit)
+                      ELSE 0 END) AS BIGINT) AS bucket
+      FROM pcos GROUP BY 1, 2
+    ),
+    fl AS (
+      SELECT id, tbl, (CAST(1 AS BIGINT) << bit) AS mask,
+             abs(ca - cb) AS score
+      FROM pcos
+      UNION ALL
+      SELECT a.id, a.tbl,
+             (CAST(1 AS BIGINT) << a.bit) | (CAST(1 AS BIGINT) << b.bit) AS mask,
+             abs(a.ca - a.cb) + abs(b.ca - b.cb) AS score
+      FROM pcos a JOIN pcos b
+        ON a.id = b.id AND a.tbl = b.tbl AND a.bit < b.bit
+    ),
+    probe AS (
+      SELECT id, tbl, bucket FROM sig
+      UNION
+      SELECT f.id, f.tbl, xor(s.bucket, f.mask) AS bucket
+      FROM (SELECT id, tbl, mask,
+                   row_number() OVER (PARTITION BY id, tbl
+                                      ORDER BY score ASC, mask ASC) AS rn
+            FROM fl) f
+      JOIN sig s ON s.id = f.id AND s.tbl = f.tbl
+      WHERE f.rn <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT l.id AS i, r.id AS j
+      FROM probe l JOIN sig r
+        ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.id < r.id
+    )
+    SELECT i, j, cos6 FROM (
+      SELECT c.i, c.j,
+             CAST(floor(list_cosine_similarity(CAST(vi.embedding AS DOUBLE[]),
+                                               CAST(vj.embedding AS DOUBLE[]))
+                        * 1e6) AS BIGINT) AS cos6
+      FROM cand c
+      JOIN embeddings vi ON vi.vec_id = c.i
+      JOIN embeddings vj ON vj.vec_id = c.j
+    ) WHERE cos6 >= 400000
+    """,
+)
+def dedup_embedding_lsh_multiprobe(spark, sf_dir):
+    """dedup_embedding_lsh with the margin-ranked multi-probe knob on
+    one side of the self-join (VERDICT r8 ask #6): per (vector, table)
+    the left side also claims its 2 most-plausible neighboring buckets
+    (lowest summed flipped-bit margins), lifting recall vs the exact
+    verifier from ~0.88 to ≥0.95 at UNCHANGED soundness — every
+    candidate still pays the exact cos6 rescore, and probe rows are a
+    constant ×3 on one join side, never a pair blow-up
+    (tests/test_dedup_similarity.py pins recall and soundness)."""
+    from .operators.dedup import embedding_lsh_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_lsh_pairs(
+        e, "embedding", "vec_id", threshold=0.4, bits=4, n_tables=12,
+        n_probes=3,
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star extensions: similarity search (embeddings table)
 # ---------------------------------------------------------------------------
@@ -2100,10 +2192,14 @@ def dedup_semantic(spark, sf_dir):
     clusters, drop any vector with a smaller-id cluster-mate at
     cos6 ≥ 0.4 — the published cluster-blocked recipe for pruning
     semantically redundant training docs, with the deterministic
-    quantizer standing in for the k-means fit (emb_kmeans is the
-    fitted variant). Scale shape: broadcast argmax assignment + ONE
-    cluster_id shuffle; per-cluster pairwise is the algorithm's cost
-    model, bounded by cluster count."""
+    quantizer standing in for the k-means fit
+    (semantic_dedup(centroids=kmeans_centroids(...)) is the fitted
+    variant). n_clusters is pinned here for oracle replay; left to the
+    default the operator AUTO-SIZES it as max(16, ceil(N/target)) so
+    the quadratic within-cluster stage stays bounded as the corpus
+    grows (tests pin <= 2x target at sf0.1). Scale shape: broadcast
+    argmax assignment + ONE cluster_id shuffle; per-cluster pairwise
+    is the algorithm's cost model, bounded by cluster count."""
     from .operators.similarity import semantic_dedup
 
     e = _t(spark, sf_dir, "embeddings")
@@ -8099,6 +8195,64 @@ def tablelog_merge_on_read(spark, sf_dir):
 
 
 @register(
+    "tablelog_concurrent_merge",
+    # Serial-equivalent final state of two RACING merges: the updater
+    # sign-flips every 30th key of the base third; the racing inserter
+    # (landing first, INSIDE the updater's publish window) adds every
+    # 100th key of the held-out second third. Disjoint keys + disjoint
+    # rewrite sets → the loser rebases and BOTH land; the oracle
+    # recomputes the composed state straight from orders.
+    oracle="""
+    WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)
+    SELECT k, CASE WHEN k % 30 = 0 THEN -p ELSE p END AS p
+    FROM o WHERE k % 3 = 0
+    UNION ALL
+    SELECT k, p FROM o WHERE k % 3 = 1 AND k % 100 = 0
+    """,
+)
+def tablelog_concurrent_merge(spark, sf_dir):
+    """CONFLICT-SCOPED optimistic concurrency on the versioned table
+    (sources/txlog.py, the public formats' WriteSerializable recipe):
+    two copy-on-write merges race — a store hook lands an insert-only
+    merge INSIDE the updating merge's publish window, so the updater
+    loses the version race, re-reads the intervening commit, proves
+    commutativity (no shared rewrite files; an exact stats-pruned
+    probe of the winner's added files finds none of its keys), and
+    REBASES onto the new head. Both transactions land as separate
+    versions and the final state equals serial execution — the oracle
+    recomputes it from orders. Retry cost is O(the winner's added
+    files), never the table; the loser's data parts are written once
+    (only the tiny commit record replays). Overlapping keys keep
+    failing loud (tests/test_txlog.py pins both sides)."""
+    from .sources.txlog import PosixLogStore, TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    path = _txtmp("txrace_")
+    TxTable.create(spark, path, o.filter(F.col("k") % 3 == 0))
+    inserter = TxTable(spark, path)
+    inserts = o.filter((F.col("k") % 3 == 1) & (F.col("k") % 100 == 0))
+
+    class _RaceOnce(PosixLogStore):
+        done = False
+
+        def publish_exclusive(self, tmp, final):
+            if not _RaceOnce.done:
+                _RaceOnce.done = True
+                inserter.merge_upsert(inserts, "k")
+            super().publish_exclusive(tmp, final)
+
+    updater = TxTable(spark, path, log_store=_RaceOnce())
+    updates = o.filter(F.col("k") % 30 == 0).select("k", (-F.col("p")).alias("p"))
+    v = updater.merge_upsert(updates, "k")
+    assert v == 2 and [h["op"] for h in inserter.history()] == [
+        "create", "merge", "merge",
+    ], "rebase did not land both merges"
+    return inserter.read()
+
+
+@register(
     "snk_txlog_writer",
     oracle="""
     SELECT o_orderkey AS k, o_orderstatus AS s
@@ -8831,23 +8985,18 @@ def dq_skew_report(spark, sf_dir):
 # ROLLUP, …) register after them — they stay fully covered by pytest and
 # tools/oracle_check.py, which check ALL entries.
 
-# Round-8 rotation (updated at round-8 start for the r8 driver pass):
-# the registry holds 229 entries at rotation time (round-8 additions
-# join the window on registration, displacing the freshest tail
-# entries). After r7, every entry has at least one driver CORRECTNESS
-# row, so the window policy moves from "never-checked first" to
-# STALENESS: rank every non-anchor entry by the round of its most
-# recent full-green (or clean rows-only) driver row — never-green
-# entries rank stalest of all — and pack the 49 stalest after the
-# smoke anchor. At rotation time that is: the 2 never-green entries
-# (emb_pca_project, which crashed the r7 canonicalizer on an
-# array<long> cell and is now posexploded to scalars; sql_api_flagship,
-# whose r1/r2 hash-fail predates the r3 decimal canon policy and which
-# passes the local gate today), the 23 entries last proven in r2, the
-# 17 last proven in r3, and the remaining slots from the r4 cohort —
-# displaced one-for-one as round-8 registrations (never-checked =
-# stalest) joined — so every driver proof stays ≤ ~3 rounds old as the
-# window sweeps.
+# Round-9 rotation (updated at round-9 start for the r9 driver pass):
+# STALENESS policy, unchanged since r8 — rank every non-anchor entry
+# by the round of its most recent full-green (or clean rows-only)
+# driver row, never-green ranking stalest of all (which auto-enrolls
+# this round's registrations), and pack the 49 stalest after the
+# smoke anchor. After r8 closed out the r2/r3 cohorts, the oldest
+# proofs are the r4 cohort: at rotation time the window is the 1
+# never-checked round-9 registration (dedup_embedding_lsh_multiprobe),
+# 45 of the 48 entries last proven in r4 (registration order breaks
+# the tie; the 3 displaced r4 entries rotate in next round), and 3
+# from the r5 cohort — so every driver proof keeps to ~4 rounds old as
+# the window sweeps.
 # The policy (window set == anchor + 49 stalest, recomputed from
 # CORRECTNESS_r0*.json files of rounds strictly before this comment's
 # round number) is pinned by
@@ -8856,61 +9005,58 @@ def dq_skew_report(spark, sf_dir):
 # comment. tools/oracle_check.py still checks ALL entries at three SFs.
 _DRIVER_WINDOW = [
     "flagship_orders_by_month",
-    # -- the only 2 entries (of 229) never driver-proven green --
-    "emb_pca_project",
-    "sql_api_flagship",
-    # -- 23 stalest: last driver-proven in r2 --
-    "filter_single_term",
-    "col_rename_flatten",
-    "str_lower",
-    "str_mutate_steps",
-    "agg_distinct",
-    "agg_approx_distinct",
-    "json_parse",
-    "json_serialize",
-    "str_split_parse",
-    "json_map_explode",
-    "regex_extract_groups",
-    "emb_norms",
-    "date_fmt_fr",
-    "duration_hhmm",
-    "window_analytics",
-    "set_intersect",
-    "set_except",
-    "agg_cube",
-    "text_token_count",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_fingerprint_rolling",
-    # -- 17 next-stalest: last driver-proven in r3 --
-    "scan_match_all",
-    "proj_source_fields",
-    "filter_terms_in",
-    "agg_count_total",
-    "agg_groupby_count",
-    "agg_date_histogram",
-    "agg_topk",
-    "join_dim_containment",
-    "snk_run_metrics",
-    "pipeline_export_offres",
-    "sessionize",
-    "pivot_status",
-    "dedup_exact",
-    "q_shipping_priority",
-    "q_returned_items",
-    "stream_sliding_window",
-    "src_rest_paged",
-    # -- 7 slots from the r4 cohort; swapped for new round-8 entries
-    #    as they land (a new entry is never-checked = stalest) --
-    # -- new round-8 entries (never-checked = stalest by policy) --
-    "ann_lsh_multiprobe",
-    "dedup_semantic",
-    "mixture_temperature",
-    "tablelog_merge_on_read",
-    "snk_txlog_writer",
-    "sql_lateral_topk",
-    "txlog_constraints",
+    # -- never driver-checked: new round-9 registrations --
+    "dedup_embedding_lsh_multiprobe",
+    "tablelog_concurrent_merge",
+    # -- 45 stalest: last driver-proven in r4 --
+    "pipeline_clean_text",
+    "agg_pricing_summary",
+    "join_enrich",
+    "join_anti",
+    "dedup_union_by_id",
+    "scd2_apply",
+    "pipeline_csv_tech",
+    "window_topk_per_group",
+    "window_running_sum",
+    "agg_rollup",
+    "join_fact_fact",
+    "text_fr_nlp_tokens",
+    "dedup_minhash_lsh",
+    "dedup_lines_global",
+    "dedup_embedding_lsh",
+    "knn_brute_force",
+    "ann_lsh",
+    "join_asof",
+    "ts_gapfill",
+    "snapshot_diff",
+    "ann_ivf",
+    "pipeline_multimodal_training",
+    "pipeline_training_data",
+    "pipeline_training_sequences",
+    "stream_tumbling_window",
+    "stream_dedup_upsert",
+    "stream_scd2_enrich",
+    "stream_session_window",
+    "stream_stateful_totals",
+    "stream_stream_join",
+    "multimodal_wav_roundtrip",
+    "multimodal_png",
+    "text_repetition",
+    "text_decontaminate",
+    "pii_redact",
+    "dq_report",
+    "dq_drift",
+    "bpe_vocab",
+    "chunks_to_sequences_by_lang",
+    "shuffle_training_order",
+    "sample_weighted",
+    "mixture_token_budget",
+    "dedup_incremental",
+    "emb_kmeans",
+    "agg_freq_items",
+    # -- 2 next-stalest: last driver-proven in r5 --
+    "text_perplexity",
+    "dedup_window_exact",
 ]
 
 def _prioritize() -> None:

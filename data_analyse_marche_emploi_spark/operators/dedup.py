@@ -1095,6 +1095,7 @@ def embedding_lsh_pairs(
     threshold: float = 0.9,
     bits: int = 12,
     n_tables: int = 4,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ threshold — the LSH-bucketed
     scale path (embedding_cosine_pairs is the bounded all-pairs
@@ -1112,9 +1113,25 @@ def embedding_lsh_pairs(
     thresholds; a pathological hot bucket degrades to that bucket's
     pair count only (cf. max_df in the Jaccard join).
 
+    ``n_probes`` is the same margin-ranked multi-probe knob as
+    ann_lsh's (similarity.multiprobe_signatures), applied to ONE side
+    of the self-join: a pair whose signatures differ only by a probed
+    bit set is recovered through the left row's extra bucket claims,
+    while the right side stays the base signature — candidates remain
+    a superset (soundness untouched, every pair still pays the exact
+    rescore) and the probe rows are a constant ×n_probes multiplier on
+    one side of the (table, bucket) equi-join, never a pair blow-up.
+    On the fixture corpus it lifts recall vs the exact verifier from
+    ~0.88 (single-probe) past 0.95 (tests pin the curve).
+
     Returns (i, j, cos6) with i < j, distinct across tables.
     """
-    from .similarity import _cos6, anchor_planes, anchor_signatures
+    from .similarity import (
+        _cos6,
+        anchor_planes,
+        anchor_signatures,
+        multiprobe_signatures,
+    )
 
     planes = anchor_planes(vectors, vec_col, id_col, bits, n_tables)
 
@@ -1122,7 +1139,14 @@ def embedding_lsh_pairs(
     # cross-table dedup — vectors rejoin only for the once-per-pair
     # rescore. (Carrying both 64-dim vectors through the distinct()
     # multiplied shuffle bytes ~50x: measured 92 s -> 8 s at sf0.1.)
-    left = anchor_signatures(vectors, planes, vec_col, id_col, "i", "__ti", "__bi")
+    if n_probes == 1:
+        left = anchor_signatures(
+            vectors, planes, vec_col, id_col, "i", "__ti", "__bi"
+        )
+    else:
+        left = multiprobe_signatures(
+            vectors, planes, vec_col, id_col, "i", "__ti", "__bi", n_probes
+        )
     right = anchor_signatures(vectors, planes, vec_col, id_col, "j", "__tj", "__bj")
     cand = (
         left.join(

@@ -27,7 +27,7 @@ from pyspark.sql.datasource import (
 )
 
 from .fixture_transport import ParquetPagedTransport
-from .rest_paged import parse_content_range
+from .rest_paged import fetch_page_with_retry, parse_content_range
 
 DEFAULT_SCHEMA = T.StructType(
     [
@@ -77,7 +77,7 @@ class PagedRestReader(DataSourceReader):
         """Planning: one count probe, then one InputPartition per page —
         the reference's pagination loop becomes the scan plan."""
         fetch = self._make_transport()
-        status, headers, _ = fetch("plan", {"range": "0-5"})
+        headers, _ = fetch_page_with_retry(fetch, "plan", {"range": "0-5"})
         total = parse_content_range(headers["Content-Range"])[2]
         return [
             PageRange(s, min(s + self.page_size - 1, total - 1))
@@ -85,13 +85,12 @@ class PagedRestReader(DataSourceReader):
         ]
 
     def read(self, partition: PageRange) -> Iterator[tuple]:
-        """Execution: each task fetches exactly its page."""
+        """Execution: each task fetches exactly its page, through the
+        shared 429-backoff / 401-token-refresh retry seam."""
         fetch = self._make_transport()
-        status, _, body = fetch(
-            "read", {"range": f"{partition.start}-{partition.end}"}
+        _, body = fetch_page_with_retry(
+            fetch, "read", {"range": f"{partition.start}-{partition.end}"}
         )
-        if status not in (200, 206):
-            raise RuntimeError(f"HTTP {status} for page {partition.start}")
         for rec in json.loads(body)["resultats"]:
             yield tuple(rec.get(c) for c in self.columns)
 
@@ -134,7 +133,7 @@ class PagedRestStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         fetch = self._make_transport()
-        _, headers, _ = fetch("plan", {"range": "0-5"})
+        headers, _ = fetch_page_with_retry(fetch, "plan", {"range": "0-5"})
         total = parse_content_range(headers["Content-Range"])[2]
         # Cursor floor: the highest bound this instance has seen from
         # EITHER the planner (partitions) or the commit path. After a
@@ -162,12 +161,14 @@ class PagedRestStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: PageRange) -> Iterator[tuple]:
+        # Same retry seam as the batch reader: transient 429/401 are
+        # absorbed here (a stream has no error channel to shunt a page
+        # into without breaking its exactly-once row contract);
+        # permanent failures fail the task loudly.
         fetch = self._make_transport()
-        status, _, body = fetch(
-            "read", {"range": f"{partition.start}-{partition.end}"}
+        _, body = fetch_page_with_retry(
+            fetch, "read", {"range": f"{partition.start}-{partition.end}"}
         )
-        if status not in (200, 206):
-            raise RuntimeError(f"HTTP {status} for page {partition.start}")
         for rec in json.loads(body)["resultats"]:
             yield tuple(rec.get(c) for c in self.columns)
 

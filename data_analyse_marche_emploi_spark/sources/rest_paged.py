@@ -131,16 +131,46 @@ def parse_content_range(header: str) -> tuple[int, int, int]:
     return int(start), int(end), int(total)
 
 
+def fetch_page_with_retry(fetch: Fetch, url: str, params: dict,
+                          max_retries: int = 5) -> tuple[dict, str]:
+    """ONE request through the engine's full transport-failure policy —
+    the shared seam between the transports (fixture or live HTTPS) and
+    every reader built on them: a 429 sleeps the server's Retry-After
+    and retries (reference: ingestion-elasticsearch.py:79-83); a 401
+    retries immediately because the transport has already marked the
+    drawn token expired (live_transport.HttpPagedTransport), so the
+    pool's next draw is a FRESH credential (reference token refresh,
+    ingestion-elasticsearch.py:10-25); any other non-2xx — or retry
+    exhaustion — raises. Returns ``(headers, body)``.
+
+    Used by fetch_pages (mapInPandas path, where the raise becomes an
+    error-channel row) and by both DSv2 readers (batch and streaming,
+    where the raise fails the task: a STREAM cannot shunt a page to an
+    error channel without silently breaking its exactly-once row
+    contract, so transient failures must be absorbed here and
+    permanent ones must be loud)."""
+    status = None
+    for attempt in range(max_retries + 1):
+        status, headers, body = fetch(url, params)
+        if status in (200, 206):
+            return headers, body
+        if attempt == max_retries:
+            break
+        if status == 429:
+            time.sleep(float(headers.get("Retry-After", "1")))
+        elif status != 401:
+            break
+    raise RuntimeError(f"HTTP {status} for range={params.get('range', '?')}")
+
+
 def probe_total(fetch: Fetch, url: str, params: dict | None = None) -> int:
     """Cheap total-count probe via a 1-page request's Content-Range
     (reference: get_nb_total_offres, ingestion-elasticsearch.py:57-64)."""
-    for _ in range(6):
-        status, headers, _ = fetch(url, {**(params or {}), "range": "0-5"})
-        if status != 429:
-            break
-        time.sleep(float(headers.get("Retry-After", "1")))
-    if status not in (200, 206) or "Content-Range" not in headers:
-        raise RuntimeError(f"probe failed: HTTP {status}")
+    headers, _ = fetch_page_with_retry(
+        fetch, url, {**(params or {}), "range": "0-5"}
+    )
+    if "Content-Range" not in headers:
+        raise RuntimeError("probe failed: no Content-Range header")
     return parse_content_range(headers["Content-Range"])[2]
 
 
@@ -185,17 +215,12 @@ def fetch_pages(
             for start, end in zip(batch["page_start"], batch["page_end"]):
                 rng = f"{int(start)}-{int(end)}"
                 try:
-                    attempts = 0
-                    while True:
-                        status, headers, body = fetch(url, {**base_params, "range": rng})
-                        # 429 backoff (reference: ingestion-elasticsearch.py:79-83)
-                        if status == 429 and attempts < max_retries:
-                            time.sleep(float(headers.get("Retry-After", "1")))
-                            attempts += 1
-                            continue
-                        break
-                    if status not in (200, 206):
-                        raise RuntimeError(f"HTTP {status}")
+                    # 429 backoff + 401 fresh-token retry live in the
+                    # shared helper; only a permanent failure reaches
+                    # the error channel below.
+                    _, body = fetch_page_with_retry(
+                        fetch, url, {**base_params, "range": rng}, max_retries
+                    )
                     for rec in json.loads(body)["resultats"]:
                         rows.append(
                             {**{k: rec.get(k) for k in field_names}, "_error": None}

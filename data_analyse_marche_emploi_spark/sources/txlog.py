@@ -376,9 +376,7 @@ class TxTable:
                 "to fold them first"
             )
 
-    def _latest_checkpoint(
-        self, version: int
-    ) -> tuple[int, list[tuple[str, dict]]] | None:
+    def _latest_checkpoint_raw(self, version: int) -> tuple[int, dict] | None:
         cks = sorted(
             int(f[: -len(".checkpoint.json")])
             for f in self.log_store.list_log(self.log_dir)
@@ -391,6 +389,15 @@ class TxTable:
         data = self.log_store.read_json(
             os.path.join(self.log_dir, f"{v:08d}.checkpoint.json")
         )
+        return v, data
+
+    def _latest_checkpoint(
+        self, version: int
+    ) -> tuple[int, list[tuple[str, dict]]] | None:
+        ck = self._latest_checkpoint_raw(version)
+        if ck is None:
+            return None
+        v, data = ck
         return v, [(e["file"], e.get("stats", {})) for e in data["live"]]
 
     def checkpoint(self) -> int:
@@ -411,6 +418,12 @@ class TxTable:
                 {
                     "version": v,
                     "live": [{"file": f, "stats": s} for f, s in entries],
+                    # Active CHECK constraints ride along so the
+                    # constraints() walk — which EVERY write path runs —
+                    # also replays O(commits since checkpoint) instead
+                    # of O(all commits): without this, a long-lived
+                    # table pays a full-genesis JSON walk per append.
+                    "constraints": self.constraints(v),
                 },
                 fh,
             )
@@ -579,13 +592,23 @@ class TxTable:
 
     def constraints(self, version: int | None = None) -> dict[str, str]:
         """Active CHECK constraints at ``version``: name → SQL boolean
-        expression. Constraint actions are metadata-only commits, so
-        the walk reads every action record from genesis (metadata is
-        tiny and checkpoints deliberately do NOT consolidate it)."""
+        expression. Replay starts from the newest checkpoint at or
+        below ``version`` when it carries a consolidated constraint
+        map (checkpoints written before round 9 don't — those fall
+        back to the genesis walk), so the per-write metadata read is
+        O(commits since checkpoint), the same bound snapshot replay
+        gets."""
         if version is None:
             version = self.latest_version()
         out: dict[str, str] = {}
+        start = 0
+        ck = self._latest_checkpoint_raw(version)
+        if ck is not None and "constraints" in ck[1]:
+            out = dict(ck[1]["constraints"])
+            start = ck[0] + 1
         for v in self._versions():
+            if v < start:
+                continue
             if v > version:
                 break
             act = self._read_action(v)

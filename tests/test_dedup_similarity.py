@@ -377,6 +377,39 @@ def test_embedding_lsh_pairs_sound_and_recall(emb):
     assert fewer <= pairs
 
 
+def test_embedding_lsh_multiprobe_recall(emb):
+    """VERDICT r8 ask #6: multi-probe on one side of the self-join
+    lifts embedding-LSH dedup recall from ~0.88 to >= 0.95 with
+    soundness untouched — candidates stay a superset (monotone in
+    n_probes) and every emitted pair carries its true exact cosine."""
+    from data_analyse_marche_emploi_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        embedding_lsh_pairs,
+    )
+
+    exact = {
+        (r["i"], r["j"])
+        for r in embedding_cosine_pairs(emb, "embedding", "vec_id", 0.4).collect()
+    }
+    single = {
+        (r["i"], r["j"])
+        for r in embedding_lsh_pairs(
+            emb, "embedding", "vec_id", threshold=0.4, bits=4, n_tables=12
+        ).collect()
+    }
+    got = embedding_lsh_pairs(
+        emb, "embedding", "vec_id", threshold=0.4, bits=4, n_tables=12,
+        n_probes=3,
+    ).collect()
+    pairs = {(r["i"], r["j"]) for r in got}
+    assert pairs <= exact  # soundness: exact rescore gates every pair
+    assert all(r["i"] < r["j"] and r["cos6"] >= 400000 for r in got)
+    assert single <= pairs  # probing only ever ADDS candidates
+    assert len(pairs) / len(exact) >= 0.95, (
+        f"multi-probe recall {len(pairs) / len(exact):.3f} < 0.95"
+    )
+
+
 def test_emb_kmeans_improves_and_deterministic(emb):
     from data_analyse_marche_emploi_spark.operators.similarity import emb_kmeans
 
@@ -825,6 +858,57 @@ def test_semantic_dedup_invariants(emb):
         mates = [v for v in cluster_of
                  if cluster_of[v] == d.cluster_id and v < d.vec_id]
         assert any(cos6(vecs[d.vec_id], vecs[m]) >= 400_000 for m in mates), d
+
+
+def test_semantic_dedup_autosizes_quantizer(spark):
+    """VERDICT r8 ask #4: the quantizer auto-sizes with the corpus —
+    n_clusters = max(16, ceil(N / target_cluster_size)) — so the
+    quadratic within-cluster stage stays bounded as data grows: at
+    sf0.1 every cluster holds <= 2x the target under BOTH the
+    deterministic lowest-id default and a kmeans_centroids-trained
+    codebook (the wired-in emb_kmeans slot)."""
+    import collections
+
+    from data_analyse_marche_emploi_spark.operators.similarity import (
+        kmeans_centroids,
+        semantic_dedup,
+    )
+    from data_analyse_marche_emploi_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings").cache()
+    try:
+        n = emb.count()
+        target = 100
+        k_expected = max(16, -(-n // target))
+
+        out = semantic_dedup(
+            emb, "embedding", "vec_id", target_cluster_size=target
+        ).collect()
+        assert len(out) == n
+        sizes = collections.Counter(r.cluster_id for r in out)
+        assert len(sizes) == k_expected
+        assert max(sizes.values()) <= 2 * target, max(sizes.values())
+
+        cents = kmeans_centroids(
+            emb, "embedding", "vec_id", k=k_expected, iters=3
+        )
+        out2 = semantic_dedup(
+            emb, "embedding", "vec_id", centroids=cents
+        ).collect()
+        assert len(out2) == n
+        sizes2 = collections.Counter(r.cluster_id for r in out2)
+        assert max(sizes2.values()) <= 2 * target, max(sizes2.values())
+        # kept-set minimality holds under a trained quantizer too
+        by_cluster = {}
+        for r in out2:
+            by_cluster.setdefault(r.cluster_id, []).append(r)
+        for members in by_cluster.values():
+            smallest = min(m.vec_id for m in members)
+            assert next(
+                m for m in members if m.vec_id == smallest
+            ).is_kept
+    finally:
+        emb.unpersist()
 
 
 def test_semantic_dedup_equals_python_reference(spark):

@@ -446,3 +446,130 @@ def test_bulk_ndjson_reads_legacy_single_manifest(tmp_path):
     assert union["rows"] == 3
     assert legacy_file in union["files"]
     assert len(union["files"]) == 2
+
+
+def test_stream_reader_soak_429_401_and_restart(tmp_path):
+    """VERDICT r8 ask #7 — the last untested seam between the live
+    transport and the streaming source: drive PagedRestStreamReader
+    through the Spark micro-batch protocol (latestOffset → partitions
+    → read → commit) over an HttpPagedTransport whose fake network
+    throttles with 429s throughout and revokes the bearer token
+    mid-stream (401 → pool refresh), then restart from the committed
+    cursor after the collection grows. The committed floor must hold
+    (no offset walks backwards) and every row must arrive exactly once
+    — transient failures are absorbed by the shared retry seam, never
+    traded for lost or doubled pages."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from data_analyse_marche_emploi_spark.sources.datasource import (
+        PagedRestStreamReader,
+    )
+    from data_analyse_marche_emploi_spark.sources.live_transport import (
+        HttpPagedTransport,
+    )
+    from data_analyse_marche_emploi_spark.sources.rest_paged import TokenPool
+    from tests.test_live_transport import FakeResponse
+
+    class FlakySession:
+        """Growable collection served in ranges with real Content-Range
+        headers; every 4th request is throttled (429, Retry-After: 0);
+        requests bearing a revoked token get 401."""
+
+        def __init__(self):
+            self.total = 100
+            self.revoked: set[str] = set()
+            self.last_token = None
+            self.n_429 = 0
+            self.n_401 = 0
+            self._calls = 0
+
+        def get(self, url, params=None, headers=None, timeout=None):
+            self._calls += 1
+            token = (headers or {}).get("Authorization", "").removeprefix(
+                "Bearer "
+            )
+            if token in self.revoked:
+                self.n_401 += 1
+                return FakeResponse(401, {}, "expired")
+            self.last_token = token
+            if self._calls % 4 == 0:
+                self.n_429 += 1
+                return FakeResponse(429, {"Retry-After": "0"}, "throttled")
+            start, end = map(int, params["range"].split("-"))
+            rows = [
+                {"o_orderkey": i, "o_orderstatus": "O", "o_totalprice": float(i)}
+                for i in range(start, min(end + 1, self.total))
+            ]
+            return FakeResponse(
+                206,
+                {"Content-Range": f"offres {start}-{end}/{self.total}"},
+                _json.dumps({"resultats": rows}),
+            )
+
+    session = FlakySession()
+    pool = TokenPool(
+        [("a", "sa"), ("b", "sb")], lambda cid, sec: f"tok-{cid}-{id(object())}"
+    )
+    transport = HttpPagedTransport(token_pool=pool)
+    transport._session = session
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    options = {
+        "path": "unused-fake-network",
+        "order_col": "o_orderkey",
+        "page_size": "10",
+        "maxrowsperbatch": "30",
+    }
+
+    class SoakReader(PagedRestStreamReader):
+        def _make_transport(self):
+            return transport
+
+    def drain(reader, start):
+        keys = []
+        while True:
+            end = reader.latestOffset()
+            assert end["row"] >= start["row"], "offset walked backwards"
+            if end["row"] <= start["row"]:
+                return keys, start
+            for p in reader.partitions(start, end):
+                keys.extend(r[0] for r in reader.read(p))
+            reader.commit(end)
+            start = end
+
+    reader = SoakReader(schema, options)
+    start = reader.initialOffset()
+
+    # first micro-batch, then revoke the live token MID-STREAM
+    end1 = reader.latestOffset()
+    assert end1 == {"row": 30}  # maxRowsPerBatch admission control
+    got1 = [r[0] for p in reader.partitions(start, end1) for r in reader.read(p)]
+    reader.commit(end1)
+    session.revoked = {session.last_token}
+
+    keys, committed = drain(reader, end1)
+    keys = got1 + keys
+    assert sorted(keys) == list(range(100)), "rows lost or doubled pre-restart"
+    assert committed == {"row": 100}
+    assert session.n_429 >= 5, "throttling never exercised"
+    assert session.n_401 >= 1, "token expiry never exercised"
+
+    # the collection grows, the job restarts from the checkpointed
+    # cursor on a FRESH reader instance (Spark replays the committed
+    # batch first, then asks for new offsets)
+    session.total = 120
+    reader2 = SoakReader(schema, options)
+    assert reader2.partitions(committed, committed) == []  # replay
+    nxt = reader2.latestOffset()
+    assert nxt["row"] >= committed["row"], "committed cursor floor broken"
+    keys2, committed2 = drain(reader2, committed)
+    assert sorted(keys2) == list(range(100, 120)), "restart re-read or skipped"
+    assert committed2 == {"row": 120}

@@ -1251,3 +1251,47 @@ def test_cas_store_publish_is_conditional_put(tmp_path):
     with pytest.raises(FileExistsError):
         put({"op": "late"}, final="00000002.json")
     assert store.read_json(os.path.join(log_dir, "00000002.json"))["op"] == "sneaked"
+
+
+def test_checkpoint_consolidates_constraint_metadata(spark, tmp_path):
+    """The constraints() walk — run by EVERY write — must replay from
+    the newest checkpoint like the snapshot walk does, not from
+    genesis: a store that refuses to serve pre-checkpoint action
+    records proves a post-checkpoint append never touches them, while
+    enforcement still sees the consolidated constraint set (including
+    a drop)."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a")]))
+    t.add_constraint("k_positive", "k > 0")
+    t.add_constraint("k_small", "k < 10000")
+    t.drop_constraint("k_small")
+    t.append(_df(spark, [(2, "b")]))
+    ck = t.checkpoint()
+
+    inner = t.log_store
+
+    class NoGenesisReads(LogStore):
+        def list_log(self, d):
+            return inner.list_log(d)
+
+        def publish_exclusive(self, tmp, final):
+            inner.publish_exclusive(tmp, final)
+
+        def read_json(self, path):
+            # the O(1) protocol guard legitimately reads the LATEST
+            # action before each commit; everything strictly below the
+            # checkpoint must stay untouched
+            name = os.path.basename(path)
+            if not name.endswith(".checkpoint.json") and int(name[:8]) < ck:
+                raise AssertionError(
+                    f"pre-checkpoint action {name} was read — the "
+                    "metadata walk is not consolidated"
+                )
+            return inner.read_json(path)
+
+    guarded = TxTable(spark, p, log_store=NoGenesisReads())
+    assert guarded.constraints() == {"k_positive": "k > 0"}
+    with pytest.raises(ValueError, match="k_positive"):
+        guarded.append(_df(spark, [(-3, "bad")]))
+    guarded.append(_df(spark, [(10_000, "ok — k_small was dropped")]))
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 10_000]
