@@ -5427,6 +5427,76 @@ def shuffle_training_order(spark, sf_dir):
 
 
 @register(
+    "curation_dsir_select",
+    # The oracle replays the whole recipe: unigram+bigram features
+    # hashed through the md5-derived 32-bit family, add-1-smoothed
+    # bucket distributions for target (fr docs) and raw (the rest),
+    # floor-bucketed per-bucket log-ratios, exact-integer per-doc
+    # scores, deterministic top-50.
+    oracle="""
+    WITH raw AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents WHERE lang <> 'fr'),
+    tgt AS (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE lang = 'fr'),
+    rg AS (SELECT doc_id,
+                  CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 4096 AS b
+           FROM (SELECT doc_id, unnest(toks ||
+                   CASE WHEN len(toks) >= 2 THEN
+                     list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i + 1])
+                   ELSE [] END) AS g
+                 FROM raw)),
+    tg AS (SELECT CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 4096 AS b
+           FROM (SELECT unnest(toks ||
+                   CASE WHEN len(toks) >= 2 THEN
+                     list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i + 1])
+                   ELSE [] END) AS g
+                 FROM tgt)),
+    rc AS (SELECT b, count(*) AS cs FROM rg GROUP BY 1),
+    tc AS (SELECT b, count(*) AS ct FROM tg GROUP BY 1),
+    tots AS (SELECT (SELECT sum(cs) FROM rc) AS cs_total,
+                    (SELECT sum(ct) FROM tc) AS ct_total),
+    llr AS (SELECT coalesce(rc.b, tc.b) AS b,
+                   CAST(floor(ln(
+                     CAST((coalesce(tc.ct, 0) + 1) * (cs_total + 4096) AS DOUBLE)
+                     / CAST((coalesce(rc.cs, 0) + 1) * (ct_total + 4096) AS DOUBLE)
+                   ) * 1e6) AS BIGINT) AS llr6
+            FROM rc FULL OUTER JOIN tc ON rc.b = tc.b CROSS JOIN tots),
+    per_doc AS (SELECT doc_id, b, count(*) AS n FROM rg GROUP BY 1, 2),
+    scored AS (SELECT doc_id, CAST(sum(n * llr6) AS BIGINT) AS score6
+               FROM per_doc JOIN llr USING (b) GROUP BY 1)
+    SELECT doc_id, score6 FROM scored
+    ORDER BY score6 DESC, doc_id ASC LIMIT 50
+    """,
+)
+def curation_dsir_select(spark, sf_dir):
+    """DSIR-style data selection (operators/sampling.dsir_select —
+    the published hashed-n-gram importance-resampling recipe): fit
+    add-1-smoothed hashed unigram+bigram distributions on the TARGET
+    slice (French docs) and the RAW rest, score every raw doc by the
+    exact-integer sum of floor-bucketed per-bucket log-likelihood
+    ratios, keep the deterministic top-50 most-target-like (Gumbel
+    resampling is a seeded-noise swap on the same weights). Scale
+    shape: both fits partial-aggregate to ≤4096 rows and broadcast;
+    the only corpus-sized shuffle is the per-(doc, bucket) count;
+    top-k plans as TakeOrderedAndProject. The md5-derived hash family
+    makes the whole ranking engine-replayable — this is the same
+    full-oracle upgrade the SimHash entry uses."""
+    from .operators.sampling import dsir_select
+
+    d = _docs(spark, sf_dir)
+    return dsir_select(
+        d.filter(F.col("lang") != "fr"),
+        d.filter(F.col("lang") == "fr"),
+        "text",
+        "doc_id",
+        k=50,
+        n_buckets=4096,
+    )
+
+
+@register(
     "sample_weighted",
     oracle="""
     WITH tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS W FROM documents)
@@ -9008,6 +9078,7 @@ _DRIVER_WINDOW = [
     # -- never driver-checked: new round-9 registrations --
     "dedup_embedding_lsh_multiprobe",
     "tablelog_concurrent_merge",
+    "curation_dsir_select",
     # -- 45 stalest: last driver-proven in r4 --
     "pipeline_clean_text",
     "agg_pricing_summary",
@@ -9054,9 +9125,8 @@ _DRIVER_WINDOW = [
     "dedup_incremental",
     "emb_kmeans",
     "agg_freq_items",
-    # -- 2 next-stalest: last driver-proven in r5 --
+    # -- 1 next-stalest: last driver-proven in r5 --
     "text_perplexity",
-    "dedup_window_exact",
 ]
 
 def _prioritize() -> None:

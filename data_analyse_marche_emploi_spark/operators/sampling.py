@@ -259,3 +259,108 @@ def sample_exact_k(
         .limit(k)
         .drop("__rank")
     )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR-style data selection (the published Data Selection via
+    Importance Resampling recipe: hashed n-gram bag-of-features
+    importance weights): score every RAW document by how much more
+    likely its unigram+bigram features are under the TARGET
+    distribution than under the raw one, and keep the top ``k``.
+    Returns ``(id, score6)`` — score6 is the exact-integer importance
+    weight ``Σ_b n_d(b) · llr6(b)`` where ``llr6(b) = floor(1e6 ·
+    ln(p_target(b) / p_raw(b)))`` with add-1 smoothing over the
+    ``n_buckets`` hashed-feature domain.
+
+    Determinism / oracle replay: features hash through the md5-derived
+    32-bit family (the same engine-portable trick the SimHash entry
+    rides), the per-BUCKET log-ratio is floor-bucketed once at 1e-6
+    (4096 transcendental evaluations total — the only float in the
+    op), and the per-document score is an exact integer sum of
+    integer products, so any engine with md5 and ln replays the
+    ranking bit-for-bit. Selection is deterministic top-k by
+    (score desc, id asc) — the published Gumbel-noise resampling is a
+    seeded-noise swap on the same weights.
+
+    Scale shape: feature extraction is a map-side explode; the two
+    distribution fits partial-aggregate to ≤ ``n_buckets`` rows each
+    (constant, independent of corpus size) and broadcast back onto the
+    per-(doc, bucket) counts; the score is one groupBy(id); top-k
+    plans as TakeOrderedAndProject (per-partition heads, no global
+    sort). Nothing corpus-sized ever reaches the driver."""
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = F.split(F.col(text_col), " ")
+        bigrams = F.when(
+            F.size(toks) >= 2,
+            F.expr(
+                f"transform(slice(split({text_col}, ' '), 1, "
+                f"size(split({text_col}, ' ')) - 1), "
+                f"(x, i) -> concat(x, ' ', element_at(split({text_col}, ' '), i + 2)))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.concat(toks, bigrams)).alias("g"),
+        ).select(
+            "__id",
+            (
+                F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10)
+                .cast("long") % n_buckets
+            ).alias("b"),
+        )
+
+    raw_g = grams(raw)
+    tgt_g = grams(target)
+
+    def dist(g: DataFrame) -> DataFrame:
+        # ≤ n_buckets rows after the partial agg — constant-size
+        return g.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+
+    raw_c = dist(raw_g).withColumnRenamed("c", "csum")
+    tgt_c = dist(tgt_g).withColumnRenamed("c", "ctum")
+    raw_tot = raw_c.agg(F.sum("csum").alias("cs_total"))
+    tgt_tot = tgt_c.agg(F.sum("ctum").alias("ct_total"))
+    # llr6 per observed bucket: ln of one exact rational — the integer
+    # cross-products stay < 2^53, so both engines divide the SAME two
+    # doubles; unobserved buckets never join a document row.
+    llr = (
+        raw_c.join(tgt_c, "b", "full_outer")
+        .select(
+            "b",
+            F.coalesce(F.col("csum"), F.lit(0)).alias("cs"),
+            F.coalesce(F.col("ctum"), F.lit(0)).alias("ct"),
+        )
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "b",
+            F.floor(
+                F.log(
+                    ((F.col("ct") + 1) * (F.col("cs_total") + n_buckets)).cast("double")
+                    / ((F.col("cs") + 1) * (F.col("ct_total") + n_buckets)).cast("double")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("llr6"),
+        )
+    )
+    per_doc = raw_g.groupBy("__id", "b").agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        per_doc.join(F.broadcast(llr), "b")
+        .groupBy("__id")
+        .agg(F.sum(F.col("n") * F.col("llr6")).alias("score6"))
+    )
+    return (
+        scored.orderBy(F.desc("score6"), F.asc("__id"))
+        .limit(k)
+        .select(F.col("__id").alias(id_col), "score6")
+    )

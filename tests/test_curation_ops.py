@@ -461,3 +461,98 @@ def test_lang_id_ngram_classifies_planted_languages(spark):
     assert got[4] == "es"
     assert got[5] == "und"
     assert got[6] == "und"
+
+
+def test_dsir_select_matches_python_reference(spark):
+    """Exact-equality differential on a seeded corpus: the distributed
+    DSIR scorer (hashed unigram+bigram features, add-1-smoothed
+    target/raw distributions, floor-bucketed per-bucket log-ratios,
+    exact-integer doc scores, deterministic top-k) must reproduce a
+    sequential Python reference bit-for-bit — including the md5 hash
+    family and the tie-breaks."""
+    import hashlib
+    import math
+    import random
+
+    from data_analyse_marche_emploi_spark.operators.sampling import (
+        dsir_select,
+    )
+
+    rng = random.Random(9)
+    target_vocab = ["paris", "emploi", "offre", "contrat", "salaire"]
+    noise_vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+    def doc(n, vocab, mix=0.0):
+        words = [
+            rng.choice(target_vocab) if rng.random() < mix else rng.choice(vocab)
+            for _ in range(n)
+        ]
+        return " ".join(words)
+
+    target = {i: doc(12, target_vocab, mix=1.0) for i in range(10)}
+    # raw docs with varying target-likeness; a couple of 1-token docs
+    # exercise the empty-bigram guard
+    raw = {100 + i: doc(10, noise_vocab, mix=i / 30.0) for i in range(30)}
+    raw[200] = "paris"
+    raw[201] = "zeta"
+
+    B, K = 256, 8
+
+    def grams(text):
+        toks = text.split(" ")
+        return toks + [
+            f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+        ]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    rc, tc = {}, {}
+    per_doc = {}
+    for i, t in raw.items():
+        for g in grams(t):
+            b = bucket(g)
+            rc[b] = rc.get(b, 0) + 1
+            per_doc.setdefault(i, {})
+            per_doc[i][b] = per_doc[i].get(b, 0) + 1
+    for t in target.values():
+        for g in grams(t):
+            b = bucket(g)
+            tc[b] = tc.get(b, 0) + 1
+    Cs, Ct = sum(rc.values()), sum(tc.values())
+    llr6 = {
+        b: math.floor(
+            math.log(
+                ((tc.get(b, 0) + 1) * (Cs + B))
+                / ((rc.get(b, 0) + 1) * (Ct + B))
+            )
+            * 1e6
+        )
+        for b in set(rc) | set(tc)
+    }
+    scores = {
+        i: sum(n * llr6[b] for b, n in bs.items())
+        for i, bs in per_doc.items()
+    }
+    expected = sorted(
+        scores.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:K]
+
+    raw_df = spark.createDataFrame(
+        list(raw.items()), "doc_id long, text string"
+    )
+    tgt_df = spark.createDataFrame(
+        list(target.items()), "doc_id long, text string"
+    )
+    got = [
+        (r.doc_id, r.score6)
+        for r in dsir_select(
+            raw_df, tgt_df, "text", "doc_id", k=K, n_buckets=B
+        )
+        .orderBy(F.desc("score6"), F.asc("doc_id"))
+        .collect()
+    ]
+    assert got == expected
+    # semantic sanity: the pure-target one-token doc must rank above
+    # every pure-noise doc
+    assert 200 in {i for i, _ in got}

@@ -76,6 +76,7 @@ def test_nested_projection_prunes(spark, sf_dir):
         "dedup_semantic",
         "assoc_basket_pairs",
         "graph_triangle_count",
+        "curation_dsir_select",
     ],
 )
 def test_similarity_paths_have_no_cartesian(spark, sf_dir, name):
@@ -95,13 +96,26 @@ def test_similarity_paths_have_no_cartesian(spark, sf_dir, name):
     # rows, query side only). dedup_semantic's single product is the
     # n_clusters-row centroid table (a TakeOrderedAndProject of the
     # corpus), broadcast for the map-side assignment argmax.
+    # curation_dsir_select broadcasts its two 1-row corpus-total
+    # aggregates (Cs, Ct) — constant-size products feeding the
+    # bucket-domain log-ratio table, never vectors x vectors
     allowed = {
         "ann_lsh": 2,
         "ann_lsh_multiprobe": 3,
         "dedup_semantic": 1,
         "assoc_basket_pairs": 1,
+        "curation_dsir_select": 2,
     }
     assert nlj <= allowed.get(name, 0)
+    if name == "curation_dsir_select" and nlj:
+        # both product build sides must be the single-row total
+        # aggregates (sum over the bucket counts)
+        idents = re.findall(
+            r"BroadcastExchange IdentityBroadcastMode(?:.*\n){1,6}", plan
+        )
+        assert len(idents) == nlj
+        for block in idents:
+            assert re.search(r"HashAggregate.*functions=\[sum", block), block
     if name == "assoc_basket_pairs" and nlj:
         assert re.search(
             r"BroadcastExchange IdentityBroadcastMode(?:.*\n){1,6}?.*"
