@@ -1291,9 +1291,17 @@ class TxTable:
         else:
             df = df.repartition(n_files)
         adds = self._write_parts(df)
-        self._commit(v + 1, adds, live + [f for f, _, _ in dels],
-                     "optimize", stats=self._file_stats(adds))
-        return v + 1
+        # OPTIMIZE commutes with concurrent appends (their files simply
+        # stay uncompacted until the next pass) — rebase those; any
+        # commit that rewrote or deleted a file this pass compacted
+        # conflicts via the remove-overlap / delete-adds checks, and
+        # add-constraint is irrelevant (a row-preserving rewrite of
+        # already-validated rows).
+        return self._commit_rebase(
+            v, adds, live + [f for f, _, _ in dels], "optimize",
+            stats=self._file_stats(adds),
+            probe=None, ignore_new_constraints=True, what="optimize",
+        )
 
     def restore(self, version: int) -> int:
         """RESTORE: make ``version``'s snapshot current again as a NEW
@@ -1328,11 +1336,22 @@ class TxTable:
         self._commit(cur + 1, target, live, "restore", stats=stats)
         return cur + 1
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(self, keep_versions: int = 1,
+               min_age_seconds: float = 0.0) -> list[str]:
         """Physically delete files no snapshot among the newest
         ``keep_versions`` references. THE destructive step, kept
         separate from logical removes exactly so readers of retained
-        versions never break."""
+        versions never break.
+
+        ``min_age_seconds`` is the in-flight-writer guard (the public
+        formats' retention-window discipline): a concurrent writer's
+        data parts sit in the table root UNREFERENCED until its commit
+        lands, so a vacuum racing it would delete files the imminent
+        commit is about to reference. Files younger than the threshold
+        are spared; a production deployment sets it comfortably above
+        the longest write job (the same reasoning as Delta's default
+        7-day retention check). 0 keeps the historical eager behavior
+        for single-writer maintenance windows."""
         vs = self._versions()
         keep = vs[-keep_versions:]
         referenced: set[str] = set()
@@ -1341,10 +1360,15 @@ class TxTable:
             referenced.update(f for f, _, _ in entries)
             referenced.update(f for f, _, _ in dels)
         removed = []
+        cutoff = time.time() - min_age_seconds
         for f in os.listdir(self.path):
-            if f.endswith(".parquet") and f not in referenced:
-                os.remove(os.path.join(self.path, f))
-                removed.append(f)
+            if not f.endswith(".parquet") or f in referenced:
+                continue
+            full = os.path.join(self.path, f)
+            if min_age_seconds > 0 and os.path.getmtime(full) > cutoff:
+                continue  # possibly an in-flight writer's part
+            os.remove(full)
+            removed.append(f)
         return removed
 
 

@@ -1295,3 +1295,62 @@ def test_checkpoint_consolidates_constraint_metadata(spark, tmp_path):
         guarded.append(_df(spark, [(-3, "bad")]))
     guarded.append(_df(spark, [(10_000, "ok — k_small was dropped")]))
     assert sorted(r.k for r in t.read().collect()) == [1, 2, 10_000]
+
+
+def test_optimize_rebases_past_concurrent_append(spark, tmp_path):
+    """OPTIMIZE commutes with a concurrent append — the appended file
+    simply stays uncompacted — so the loser rebases and both land;
+    a concurrent commit that REWROTE a compacted file conflicts."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a")]).coalesce(1))
+    t.append(_df(spark, [(2, "b")]).coalesce(1))
+    t2 = TxTable(spark, p)
+
+    racer = TxTable(
+        spark, p,
+        log_store=InjectOnce(t.log_store, lambda: t2.append(_df(spark, [(3, "c")]))),
+    )
+    v = racer.optimize()
+    assert v == 3  # lost v2 to the append, rebased onto v3
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [
+        (1, "a"), (2, "b"), (3, "c")]
+    # the appended file carried through uncompacted
+    act = t._read_action(3)
+    assert act["op"] == "optimize"
+    appended = t._read_action(2)["adds"]
+    assert not set(act["removes"]) & set(appended)
+
+    # racing merge that rewrites a file optimize compacts -> conflict
+    racer2 = TxTable(
+        spark, p,
+        log_store=InjectOnce(
+            t.log_store, lambda: t2.merge_upsert(_df(spark, [(1, "A")]), "k")
+        ),
+    )
+    with pytest.raises(ValueError, match="both rewrite"):
+        racer2.optimize()
+    assert {r.k: r.v for r in t.read().collect()} == {1: "A", 2: "b", 3: "c"}
+
+
+def test_vacuum_min_age_spares_inflight_writer_parts(spark, tmp_path):
+    """The retention-window guard: an unreferenced part YOUNGER than
+    min_age_seconds survives vacuum (it may belong to an in-flight
+    writer whose commit is about to reference it); an OLD orphan goes.
+    min_age_seconds=0 keeps the historical eager behavior."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a")]))
+    young = os.path.join(p, "part-inflight.parquet")
+    with open(young, "wb") as fh:
+        fh.write(b"not yet committed")
+    old = os.path.join(p, "part-orphan.parquet")
+    with open(old, "wb") as fh:
+        fh.write(b"long dead")
+    os.utime(old, (1, 1))  # ancient mtime
+
+    removed = t.vacuum(keep_versions=1, min_age_seconds=3600)
+    assert "part-orphan.parquet" in removed
+    assert "part-inflight.parquet" not in removed
+    assert os.path.exists(young)
+    # eager mode reclaims it
+    assert "part-inflight.parquet" in t.vacuum(keep_versions=1)
+    assert not os.path.exists(young)
