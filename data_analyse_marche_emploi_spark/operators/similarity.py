@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import cosine_expr
+from .dedup import cosine_expr, dot_expr, norm_expr
 
 
 def knn_brute_force(
@@ -85,16 +85,20 @@ def knn_brute_force(
     ).repartition(n_part)
     cand = v.mapInPandas(preselect, "qid long, nid long")
     # per-task candidates → global per-query top-depth is a superset of
-    # the true top-k; rescore exactly and rank
+    # the true top-k; rescore exactly and rank (norms pre-folded per
+    # vector — cosine_expr docstring)
     rescored = (
-        cand.join(v, "nid")
+        cand.join(v.withColumn("__nn", norm_expr("nv")), "nid")
         .join(
             F.broadcast(
-                queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+                queries.select(
+                    F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
+                    norm_expr(vec_col).alias("__nq"),
+                )
             ),
             "qid",
         )
-        .withColumn("cos6", _cos6("qv", "nv"))
+        .withColumn("cos6", _cos6n("qv", "nv", "__nq", "__nn"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos6"), F.asc("nid"))
     return (
@@ -137,11 +141,34 @@ def anchor_planes(
             T.StructField("bit", T.IntegerType()),
             T.StructField("va", vec_type),
             T.StructField("vb", vec_type),
+            T.StructField("na", T.DoubleType()),
+            T.StructField("nb", T.DoubleType()),
         ]
     )
+
+    def _norm(vec) -> float:
+        # The exact sequential double fold norm_expr performs (left
+        # fold, IEEE double adds, correctly-rounded sqrt) — so the
+        # anchor norms carried on the plane table are bit-identical to
+        # engine-side recomputation and every floor-bucketed oracle
+        # stays exact.
+        import math
+
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
     return spark.createDataFrame(
         [
-            (p // bits, p % bits, anchors[2 * p][vec_col], anchors[2 * p + 1][vec_col])
+            (
+                p // bits,
+                p % bits,
+                anchors[2 * p][vec_col],
+                anchors[2 * p + 1][vec_col],
+                _norm(anchors[2 * p][vec_col]),
+                _norm(anchors[2 * p + 1][vec_col]),
+            )
             for p in range(bits * n_tables)
         ],
         plane_schema,
@@ -152,6 +179,16 @@ def _cos6(a: str, b: str) -> F.Column:
     """The 1e-6-bucketed cosine every similarity op ranks by — floor +
     long keeps comparisons integer-exact across engines."""
     return F.floor(cosine_expr(a, b) * 1e6).cast("long")
+
+
+def _cos6n(a: str, b: str, na: str, nb: str) -> F.Column:
+    """_cos6 with PRE-FOLDED norm columns: one dot fold per evaluation
+    instead of three, bit-identical double arithmetic (the norms are
+    the same sequential folds, just computed once per vector in a
+    projection instead of once per pair — cosine_expr docstring)."""
+    return F.floor(
+        dot_expr(a, b) / (F.col(na) * F.col(nb)) * 1e6
+    ).cast("long")
 
 
 def anchor_signatures(
@@ -169,15 +206,23 @@ def anchor_signatures(
     corpus (constant ``bits·n_tables`` multiplier) and partial-
     aggregates to one bucket row per (id, table) before the only
     corpus-sized exchange — the sum of distinct powers of two IS the
-    signature's bit-OR."""
+    signature's bit-OR. The vector's norm is folded ONCE in the
+    pre-join projection and the anchors' ride on the plane table, so
+    each (vector, plane) row pays two dot folds instead of six
+    (bit-identical doubles — cosine_expr docstring)."""
     return (
-        df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias("__v"))
+        df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias("__v"),
+            norm_expr(vec_col).alias("__vn"),
+        )
         .join(F.broadcast(planes))
         .groupBy(F.col(id_alias), F.col("tbl").alias(t_alias))
         .agg(
             F.sum(
                 F.when(
-                    _cos6("__v", "va") > _cos6("__v", "vb"),
+                    _cos6n("__v", "va", "__vn", "na")
+                    > _cos6n("__v", "vb", "__vn", "nb"),
                     F.expr("shiftleft(1L, bit)"),
                 ).otherwise(F.lit(0).cast("long"))
             ).alias(b_alias)
@@ -215,20 +260,23 @@ def multiprobe_signatures(
     checkpointed rows; the derived base buckets replace a second
     anchor_signatures pass. (tests/test_plan_quality.py pins the
     product count.)"""
+    ca = _cos6n("__v", "va", "__vn", "na")
+    cb = _cos6n("__v", "vb", "__vn", "nb")
     bits_df = (
-        df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias("__v"))
+        df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias("__v"),
+            norm_expr(vec_col).alias("__vn"),
+        )
         .join(F.broadcast(planes))
         .select(
             id_alias,
             F.col("tbl").alias(t_alias),
             "bit",
-            F.when(
-                _cos6("__v", "va") > _cos6("__v", "vb"),
-                F.expr("shiftleft(1L, bit)"),
-            )
+            F.when(ca > cb, F.expr("shiftleft(1L, bit)"))
             .otherwise(F.lit(0).cast("long"))
             .alias("bitval"),
-            F.abs(_cos6("__v", "va") - _cos6("__v", "vb")).alias("margin"),
+            F.abs(ca - cb).alias("margin"),
         )
         .localCheckpoint(eager=True)
     )
@@ -302,8 +350,14 @@ def ann_ivf(
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
     )
 
+    cent = cent.withColumn("__cn", norm_expr("cv"))
+
     def nearest_lists(df: DataFrame, idc: str, vc: str, n: int, out: str) -> DataFrame:
-        scored = df.join(F.broadcast(cent)).withColumn("__ccos", _cos6(vc, "cv"))
+        scored = (
+            df.withColumn("__vnorm", norm_expr(vc))
+            .join(F.broadcast(cent))
+            .withColumn("__ccos", _cos6n(vc, "cv", "__vnorm", "__cn"))
+        )
         if n == 1:
             # Corpus-side assignment: a per-id window would shuffle the
             # corpus ×n_centroids (vectors included) through an
@@ -340,10 +394,10 @@ def ann_ivf(
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
         "qid", "qv", n_probe, "qlist_id",
     )
-    cand = v.join(
-        F.broadcast(q),
+    cand = v.withColumn("__nn", norm_expr("nv")).join(
+        F.broadcast(q.withColumn("__nq", norm_expr("qv"))),
         (F.col("list_id") == F.col("qlist_id")) & (F.col("qid") != F.col("nid")),
-    ).withColumn("cos6", _cos6("qv", "nv"))
+    ).withColumn("cos6", _cos6n("qv", "nv", "__nq", "__nn"))
     w = Window.partitionBy("qid").orderBy(F.desc("cos6"), F.asc("nid"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -422,16 +476,22 @@ def ann_lsh(
     )
     scored = (
         cand.join(
-            vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),
+            vectors.select(
+                F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
+                norm_expr(vec_col).alias("__nn"),
+            ),
             "nid",
         )
         .join(
             F.broadcast(
-                queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+                queries.select(
+                    F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
+                    norm_expr(vec_col).alias("__nq"),
+                )
             ),
             "qid",
         )
-        .withColumn("cos6", _cos6("qv", "nv"))
+        .withColumn("cos6", _cos6n("qv", "nv", "__nq", "__nn"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos6"), F.asc("nid"))
     return (
@@ -855,13 +915,19 @@ def _adc_scan_rerank(corpus, queries, vec_col, id_col, codes, books,
     # ... then exact rescore of the survivors only (depth · n_queries
     # rows — the corpus embeddings are probed via an equi-join, the
     # tiny query side broadcasts)
-    nv = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("__nv"))
-    qv = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv"))
+    nv = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("__nv"),
+        norm_expr(vec_col).alias("__nn"),
+    )
+    qv = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv"),
+        norm_expr(vec_col).alias("__nq"),
+    )
     w_final = Window.partitionBy("qid").orderBy(F.desc("cos6"), F.asc("nid"))
     return (
         pre.join(nv, "nid")
         .join(F.broadcast(qv), "qid")
-        .withColumn("cos6", _cos6("__qv", "__nv"))
+        .withColumn("cos6", _cos6n("__qv", "__nv", "__nq", "__nn"))
         .withColumn("rank", F.row_number().over(w_final))
         .filter(F.col("rank") <= topk)
         .select("qid", "nid", "rank", "cos6")
@@ -1155,20 +1221,29 @@ def semantic_dedup(
             .limit(n_clusters)
             .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
         )
+    cent = cent.withColumn("__cn", norm_expr("cv"))
     assigned = (
-        vectors.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        vectors.select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+            norm_expr(vec_col).alias("__vn"),
+        )
         .join(F.broadcast(cent))
-        .withColumn("__ccos", _cos6("__v", "cv"))
+        .withColumn("__ccos", _cos6n("__v", "cv", "__vn", "__cn"))
         .groupBy("__id")
         .agg(
             F.min_by(
-                F.struct(F.col("__v").alias("v"), F.col("cid").alias("c")),
+                F.struct(
+                    F.col("__v").alias("v"),
+                    F.col("cid").alias("c"),
+                    F.col("__vn").alias("n"),
+                ),
                 F.struct((-F.col("__ccos")).alias("ns"), F.col("cid")),
             ).alias("m")
         )
         .select(
             F.col("__id"),
             F.col("m.v").alias("__v"),
+            F.col("m.n").alias("__vn"),
             F.col("m.c").alias("cluster_id"),
         )
         # Three consumers follow (both self-join sides + the output
@@ -1180,15 +1255,19 @@ def semantic_dedup(
         .localCheckpoint(eager=True)
     )
     a = assigned.select(
-        F.col("cluster_id"), F.col("__id").alias("i"), F.col("__v").alias("av")
+        F.col("cluster_id"), F.col("__id").alias("i"),
+        F.col("__v").alias("av"), F.col("__vn").alias("an"),
     )
     b = assigned.select(
-        F.col("cluster_id"), F.col("__id").alias("j"), F.col("__v").alias("bv")
+        F.col("cluster_id"), F.col("__id").alias("j"),
+        F.col("__v").alias("bv"), F.col("__vn").alias("bn"),
     )
     dropped = (
         a.join(b, ["cluster_id"])
         .filter(F.col("i") > F.col("j"))
-        .filter(_cos6("av", "bv") >= F.lit(threshold6))
+        # quadratic stage: the carried norms make each pair one dot
+        # fold (cosine_expr docstring — bit-identical doubles)
+        .filter(_cos6n("av", "bv", "an", "bn") >= F.lit(threshold6))
         .select(F.col("i"))
         .distinct()
     )
