@@ -1354,3 +1354,87 @@ def test_vacuum_min_age_spares_inflight_writer_parts(spark, tmp_path):
     # eager mode reclaims it
     assert "part-inflight.parquet" in t.vacuum(keep_versions=1)
     assert not os.path.exists(young)
+
+
+def test_random_races_are_serializable(spark, tmp_path):
+    """Randomized model check of the conflict-scoped rebase (the race
+    sibling of test_txlog_random_ops_match_model): a seeded stream of
+    append/merge/delete ops, each with a coin-flip competing op landed
+    INSIDE its publish window. Whatever the engine decides — rebase or
+    conflict — the table must equal the serial composition of the
+    commits that actually landed (winner first, rebased loser second;
+    winner only on a conflict). The dict model is the serializability
+    oracle; divergence at ANY step fails."""
+    import random
+
+    rng = random.Random(777)
+    p = str(tmp_path / "t")
+    model = {k: f"v{k}" for k in range(8)}
+    t = TxTable.create(spark, p, _df(spark, list(model.items())))
+    plain = TxTable(spark, p)
+    next_key = 100
+
+    def mk_df(d):
+        return _df(spark, list(d.items()))
+
+    def apply_model(op, arg):
+        if op in ("append", "merge"):
+            model.update(arg)
+        else:  # delete by value marker
+            for k in [k for k, v in model.items() if v == arg]:
+                del model[k]
+
+    def run_op(table, op, arg):
+        if op == "append":
+            table.append(mk_df(arg))
+        elif op == "merge":
+            table.merge_upsert(mk_df(arg), "k")
+        else:
+            table.delete_where(F.col("v") == arg)
+
+    def rand_op():
+        nonlocal next_key
+        kind = rng.choice(["append", "merge", "merge", "delete"])
+        if kind == "delete" and not model:
+            kind = "append"
+        if kind == "append":
+            arg = {next_key + i: f"n{next_key + i}" for i in range(2)}
+            next_key += 2
+        elif kind == "merge":
+            pool = sorted(model) or [next_key]
+            keys = rng.sample(pool, k=min(2, len(pool)))
+            arg = {k: f"m{rng.randrange(10_000)}" for k in keys}
+            if rng.random() < 0.5:
+                arg[next_key] = f"i{next_key}"
+                next_key += 1
+        else:
+            arg = model[rng.choice(sorted(model))]
+        return kind, arg
+
+    outcomes = {"rebase": 0, "conflict": 0}
+    for step in range(10):
+        op_a = rand_op()
+        if rng.random() < 0.6:
+            op_b = rand_op()
+            racer = TxTable(
+                spark, p,
+                log_store=InjectOnce(t.log_store, lambda b=op_b: run_op(plain, *b)),
+            )
+            try:
+                run_op(racer, *op_a)
+                outcomes["rebase"] += 1
+                apply_model(*op_b)  # serial order: winner first...
+                apply_model(*op_a)  # ...then the rebased loser
+            except ValueError:
+                outcomes["conflict"] += 1
+                apply_model(*op_b)  # conflict: only the winner landed
+        else:
+            run_op(plain, *op_a)
+            apply_model(*op_a)
+        got = {r.k: r.v for r in plain.read().collect()}
+        assert got == model, (
+            f"step {step} ({op_a}): table diverged from the serial model"
+        )
+    # the seed must exercise BOTH decision paths (777 → 7 rebases,
+    # 1 conflict) or the check proves less than it claims
+    assert outcomes["rebase"] >= 1 and outcomes["conflict"] >= 1, outcomes
