@@ -5497,6 +5497,80 @@ def curation_dsir_select(spark, sf_dir):
 
 
 @register(
+    "curation_dsir_gumbel",
+    # Same DSIR scoring CTEs as curation_dsir_select, plus the seeded
+    # Gumbel-top-k resample: u from 52 md5 bits of '9:doc_id',
+    # g = -ln(-ln(u)), integer key = score6 + floor(1e6*T*g) at T=2.
+    oracle="""
+    WITH raw AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents WHERE lang <> 'fr'),
+    tgt AS (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE lang = 'fr'),
+    rg AS (SELECT doc_id,
+                  CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 4096 AS b
+           FROM (SELECT doc_id, unnest(toks ||
+                   CASE WHEN len(toks) >= 2 THEN
+                     list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i + 1])
+                   ELSE [] END) AS g
+                 FROM raw)),
+    tg AS (SELECT CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 4096 AS b
+           FROM (SELECT unnest(toks ||
+                   CASE WHEN len(toks) >= 2 THEN
+                     list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i + 1])
+                   ELSE [] END) AS g
+                 FROM tgt)),
+    rc AS (SELECT b, count(*) AS cs FROM rg GROUP BY 1),
+    tc AS (SELECT b, count(*) AS ct FROM tg GROUP BY 1),
+    tots AS (SELECT (SELECT sum(cs) FROM rc) AS cs_total,
+                    (SELECT sum(ct) FROM tc) AS ct_total),
+    llr AS (SELECT coalesce(rc.b, tc.b) AS b,
+                   CAST(floor(ln(
+                     CAST((coalesce(tc.ct, 0) + 1) * (cs_total + 4096) AS DOUBLE)
+                     / CAST((coalesce(rc.cs, 0) + 1) * (ct_total + 4096) AS DOUBLE)
+                   ) * 1e6) AS BIGINT) AS llr6
+            FROM rc FULL OUTER JOIN tc ON rc.b = tc.b CROSS JOIN tots),
+    per_doc AS (SELECT doc_id, b, count(*) AS n FROM rg GROUP BY 1, 2),
+    scored AS (SELECT doc_id, CAST(sum(n * llr6) AS BIGINT) AS score6
+               FROM per_doc JOIN llr USING (b) GROUP BY 1),
+    keyed AS (SELECT doc_id, score6,
+                     score6 + CAST(floor(2000000.0 * (
+                       -ln(-ln((CAST(('0x' || substring(
+                            md5('9:' || CAST(doc_id AS VARCHAR)), 1, 13))
+                            AS BIGINT) + 0.5) / 4503599627370496.0))
+                     )) AS BIGINT) AS key6
+              FROM scored)
+    SELECT doc_id, score6, key6 FROM keyed
+    ORDER BY key6 DESC, doc_id ASC LIMIT 50
+    """,
+)
+def curation_dsir_gumbel(spark, sf_dir):
+    """DSIR with the paper's ACTUAL resampler: seeded Gumbel-top-k
+    over the importance weights (sample without replacement with
+    probability ∝ exp(score/T), T=2) — the noise's uniform comes from
+    52 md5 bits of ``seed:doc_id``, so the sample is rerun-stable and
+    the oracle replays it exactly (one floor-bucketed float term per
+    doc on top of the integer score). Same scale shape as
+    curation_dsir_select; the Gumbel key is a map-side expression on
+    the ≤corpus-sized scored rows and top-k stays
+    TakeOrderedAndProject."""
+    from .operators.sampling import dsir_select
+
+    d = _docs(spark, sf_dir)
+    return dsir_select(
+        d.filter(F.col("lang") != "fr"),
+        d.filter(F.col("lang") == "fr"),
+        "text",
+        "doc_id",
+        k=50,
+        n_buckets=4096,
+        temperature=2.0,
+        seed=9,
+    )
+
+
+@register(
     "sample_weighted",
     oracle="""
     WITH tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS W FROM documents)
@@ -9079,6 +9153,7 @@ _DRIVER_WINDOW = [
     "dedup_embedding_lsh_multiprobe",
     "tablelog_concurrent_merge",
     "curation_dsir_select",
+    "curation_dsir_gumbel",
     # -- 45 stalest: last driver-proven in r4 --
     "pipeline_clean_text",
     "agg_pricing_summary",
@@ -9125,8 +9200,6 @@ _DRIVER_WINDOW = [
     "dedup_incremental",
     "emb_kmeans",
     "agg_freq_items",
-    # -- 1 next-stalest: last driver-proven in r5 --
-    "text_perplexity",
 ]
 
 def _prioritize() -> None:

@@ -268,6 +268,8 @@ def dsir_select(
     id_col: str,
     k: int,
     n_buckets: int = 4096,
+    temperature: float | None = None,
+    seed: int = 0,
 ) -> DataFrame:
     """DSIR-style data selection (the published Data Selection via
     Importance Resampling recipe: hashed n-gram bag-of-features
@@ -286,8 +288,16 @@ def dsir_select(
     op), and the per-document score is an exact integer sum of
     integer products, so any engine with md5 and ln replays the
     ranking bit-for-bit. Selection is deterministic top-k by
-    (score desc, id asc) — the published Gumbel-noise resampling is a
-    seeded-noise swap on the same weights.
+    (score desc, id asc); with ``temperature`` set it becomes the
+    published IMPORTANCE RESAMPLING itself via the Gumbel-top-k trick
+    — top-k by ``key = score + T·g`` samples WITHOUT replacement with
+    probability ∝ exp(score/T) — where the Gumbel noise
+    ``g = −ln(−ln(u))`` draws its uniform from the md5 hash of
+    ``seed:id`` (52 mantissa bits), so the sample is seeded,
+    rerun-stable, and replayable by any engine with md5 and ln (the
+    per-doc key is the integer score plus ONE floor-bucketed float
+    term). T → 0 recovers the deterministic ranking; larger T trades
+    target-likeness for diversity, exactly the paper's knob.
 
     Scale shape: feature extraction is a map-side explode; the two
     distribution fits partial-aggregate to ≤ ``n_buckets`` rows each
@@ -359,8 +369,34 @@ def dsir_select(
         .groupBy("__id")
         .agg(F.sum(F.col("n") * F.col("llr6")).alias("score6"))
     )
+    if temperature is None:
+        return (
+            scored.orderBy(F.desc("score6"), F.asc("__id"))
+            .limit(k)
+            .select(F.col("__id").alias(id_col), "score6")
+        )
+    # Gumbel-top-k: u ∈ (0,1) from 52 md5 bits of seed:id (the +0.5
+    # keeps u strictly inside the open interval), g = −ln(−ln(u)),
+    # integer key = score6 + floor(1e6·T·g). Map-side per doc.
+    m = float(1 << 52)
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col("__id").cast("string"))),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("long")
+    )
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(m)
+    g = -F.log(-F.log(u))
+    keyed = scored.withColumn(
+        "key6",
+        F.col("score6")
+        + F.floor(F.lit(1e6 * temperature) * g).cast("long"),
+    )
     return (
-        scored.orderBy(F.desc("score6"), F.asc("__id"))
+        keyed.orderBy(F.desc("key6"), F.asc("__id"))
         .limit(k)
-        .select(F.col("__id").alias(id_col), "score6")
+        .select(F.col("__id").alias(id_col), "score6", "key6")
     )

@@ -556,3 +556,27 @@ def test_dsir_select_matches_python_reference(spark):
     # semantic sanity: the pure-target one-token doc must rank above
     # every pure-noise doc
     assert 200 in {i for i, _ in got}
+
+    # Gumbel-top-k path (the paper's actual resampler), bit-exact too:
+    # key = score + floor(1e6*T*(-ln(-ln(u)))), u from 52 md5 bits of
+    # seed:id
+    T, SEED = 25.0, 4
+    def key6(i):
+        h = int(hashlib.md5(f"{SEED}:{i}".encode()).hexdigest()[:13], 16)
+        u = (h + 0.5) / float(1 << 52)
+        return scores[i] + math.floor(1e6 * T * -math.log(-math.log(u)))
+    expected_g = sorted(
+        ((i, scores[i], key6(i)) for i in scores),
+        key=lambda t: (-t[2], t[0]),
+    )[:K]
+    got_g = [
+        (r.doc_id, r.score6, r.key6)
+        for r in dsir_select(
+            raw_df, tgt_df, "text", "doc_id", k=K, n_buckets=B,
+            temperature=T, seed=SEED,
+        ).orderBy(F.desc("key6"), F.asc("doc_id")).collect()
+    ]
+    assert got_g == expected_g
+    # the noise changes the pick vs the deterministic ranking at this
+    # temperature (otherwise the knob proves nothing here)
+    assert {i for i, _, _ in got_g} != {i for i, _ in got}
