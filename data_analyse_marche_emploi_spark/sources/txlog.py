@@ -1475,18 +1475,40 @@ class TxLogBatchWriter(DataSourceArrowWriter):
                 )
 
     def write(self, iterator) -> "_TxWriteMessage":
+        """Stream the task's Arrow batches straight into the part file
+        — O(batch) task memory, not O(partition) (a 100 TB save's
+        tasks must not buffer their whole split). Each batch is
+        constraint-validated BEFORE its rows are written; a mid-stream
+        violation unlinks the partial part and raises, so a failed
+        task leaves nothing — committed or visible — behind (parts are
+        only ever referenced by a commit that never happens here)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        batches = [b for b in iterator if b.num_rows]
-        if not batches:
-            return _TxWriteMessage([])
-        table = pa.Table.from_batches(batches)
-        if self._constraints:
-            self._validate(table)
         os.makedirs(self.path, exist_ok=True)
         name = f"part-{uuid.uuid4().hex}.parquet"
-        pq.write_table(table, os.path.join(self.path, name))
+        full = os.path.join(self.path, name)
+        writer = None
+        try:
+            for batch in iterator:
+                if not batch.num_rows:
+                    continue
+                if self._constraints:
+                    self._validate(pa.Table.from_batches([batch]))
+                if writer is None:
+                    writer = pq.ParquetWriter(full, batch.schema)
+                writer.write_batch(batch)
+        except Exception:
+            if writer is not None:
+                writer.close()
+                try:
+                    os.remove(full)
+                except OSError:
+                    pass
+            raise
+        if writer is None:
+            return _TxWriteMessage([])
+        writer.close()
         return _TxWriteMessage([name])
 
     def commit(self, messages) -> None:

@@ -1157,6 +1157,16 @@ def test_writer_validates_per_task_and_commit_reads_no_data(spark, tmp_path):
         w.write(iter(bad))
     assert set(os.listdir(p)) == before, "violating task wrote nothing"
 
+    # mid-stream violation: a clean first batch followed by a bad one
+    # must unlink the partial part — nothing visible, nothing leaked
+    two = [
+        pa.record_batch({"k": [8], "v": ["ok"]}),
+        pa.record_batch({"k": [-9], "v": ["bad"]}),
+    ]
+    with pytest.raises(ValueError, match="k_positive"):
+        w.write(iter(two))
+    assert set(os.listdir(p)) == before, "partial part survived a violation"
+
     msg = w.write(iter(pa.table({"k": [7], "v": ["ok"]}).to_batches()))
     part = os.path.join(p, msg.files[0])
     size = os.path.getsize(part)
