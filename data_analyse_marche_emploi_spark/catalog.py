@@ -9135,12 +9135,12 @@ def dq_skew_report(spark, sf_dir):
 # driver row, never-green ranking stalest of all (which auto-enrolls
 # this round's registrations), and pack the 49 stalest after the
 # smoke anchor. After r8 closed out the r2/r3 cohorts, the oldest
-# proofs are the r4 cohort: at rotation time the window is the 1
-# never-checked round-9 registration (dedup_embedding_lsh_multiprobe),
-# 45 of the 48 entries last proven in r4 (registration order breaks
-# the tie; the 3 displaced r4 entries rotate in next round), and 3
-# from the r5 cohort — so every driver proof keeps to ~4 rounds old as
-# the window sweeps.
+# proofs are the r4 cohort: at rotation time the window is the 4
+# never-checked round-9 registrations (each new entry displaces the
+# freshest tail member on registration, per policy) plus 45 of the 48
+# entries last proven in r4 (registration order breaks the tie; the 3
+# displaced r4 entries and the r5 cohort rotate in next round) — so
+# every driver proof keeps to ~4 rounds old as the window sweeps.
 # The policy (window set == anchor + 49 stalest, recomputed from
 # CORRECTNESS_r0*.json files of rounds strictly before this comment's
 # round number) is pinned by
