@@ -5570,6 +5570,27 @@ def curation_dsir_gumbel(spark, sf_dir):
     )
 
 
+@register("curation_quality_classifier")
+def curation_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering (operators/classifier.py — the
+    GPT-3/CCNet distant-supervision recipe): label a deterministic
+    target slice (every 5th vector) 1 and the rest 0, train a
+    logistic regression with one partial-aggregated gradient pass per
+    iteration (driver state = d+1 weights), then score the whole
+    corpus map-side. Rows-only by nature — float gradient folds are
+    not cross-engine-replayable (same class as emb_kmeans/pca) — with
+    the semantics pinned by tests/test_classifier.py: >= 0.97
+    separation on planted clusters, monotone convex-loss curve,
+    partitioning-stable determinism."""
+    from .operators.classifier import quality_filter
+
+    e = _t(spark, sf_dir, "embeddings")
+    target = e.filter(F.col("vec_id") % 5 == 0)
+    return quality_filter(
+        e, target, "embedding", "vec_id", iters=10, lr=1.0
+    ).select("vec_id", "keep")
+
+
 @register(
     "sample_weighted",
     oracle="""
@@ -9154,6 +9175,7 @@ _DRIVER_WINDOW = [
     "tablelog_concurrent_merge",
     "curation_dsir_select",
     "curation_dsir_gumbel",
+    "curation_quality_classifier",
     # -- 45 stalest: last driver-proven in r4 --
     "pipeline_clean_text",
     "agg_pricing_summary",
@@ -9199,7 +9221,6 @@ _DRIVER_WINDOW = [
     "mixture_token_budget",
     "dedup_incremental",
     "emb_kmeans",
-    "agg_freq_items",
 ]
 
 def _prioritize() -> None:
