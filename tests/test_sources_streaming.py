@@ -573,3 +573,50 @@ def test_stream_reader_soak_429_401_and_restart(tmp_path):
     keys2, committed2 = drain(reader2, committed)
     assert sorted(keys2) == list(range(100, 120)), "restart re-read or skipped"
     assert committed2 == {"row": 120}
+
+
+def test_fetch_page_with_retry_policy_matrix():
+    """The shared transport-failure seam, unit-level: 429 honors
+    Retry-After then succeeds; 401 retries immediately (fresh-token
+    draw) and raises only on exhaustion; any other non-2xx fails fast
+    with no retry."""
+    import pytest as _pytest
+
+    from data_analyse_marche_emploi_spark.sources.rest_paged import (
+        fetch_page_with_retry,
+    )
+
+    def scripted(responses):
+        calls = []
+
+        def fetch(url, params):
+            calls.append(params)
+            status, headers, body = responses[min(len(calls) - 1, len(responses) - 1)]
+            return status, headers, body
+
+        return fetch, calls
+
+    # 429 -> backoff -> 206
+    fetch, calls = scripted([
+        (429, {"Retry-After": "0"}, ""),
+        (206, {"Content-Range": "x 0-1/2"}, "ok"),
+    ])
+    headers, body = fetch_page_with_retry(fetch, "u", {"range": "0-1"})
+    assert body == "ok" and len(calls) == 2
+
+    # 401 -> immediate retry -> 200
+    fetch, calls = scripted([(401, {}, ""), (200, {}, "fresh")])
+    assert fetch_page_with_retry(fetch, "u", {})[1] == "fresh"
+    assert len(calls) == 2
+
+    # persistent 401 exhausts the budget and raises
+    fetch, calls = scripted([(401, {}, "")])
+    with _pytest.raises(RuntimeError, match="HTTP 401"):
+        fetch_page_with_retry(fetch, "u", {}, max_retries=3)
+    assert len(calls) == 4  # initial + 3 retries
+
+    # a 500 fails FAST: retrying a permanent error would just stall
+    fetch, calls = scripted([(500, {}, "")])
+    with _pytest.raises(RuntimeError, match="HTTP 500"):
+        fetch_page_with_retry(fetch, "u", {})
+    assert len(calls) == 1
