@@ -307,18 +307,25 @@ def dsir_select(
     sort). Nothing corpus-sized ever reaches the driver."""
 
     def grams(df: DataFrame) -> DataFrame:
-        toks = F.split(F.col(text_col), " ")
+        # Tokenize ONCE into a projected column; unigrams, the size
+        # guard, and the bigram lambda all read __toks (the r9 advisor
+        # found split() re-evaluated four times per row here — split
+        # is non-cheap, so CollapseProject keeps the projection and
+        # the analyzed plan carries exactly one split).
+        toked = df.select(
+            F.col(id_col).alias("__id"),
+            F.split(F.col(text_col), " ").alias("__toks"),
+        )
         bigrams = F.when(
-            F.size(toks) >= 2,
+            F.size(F.col("__toks")) >= 2,
             F.expr(
-                f"transform(slice(split({text_col}, ' '), 1, "
-                f"size(split({text_col}, ' ')) - 1), "
-                f"(x, i) -> concat(x, ' ', element_at(split({text_col}, ' '), i + 2)))"
+                "transform(slice(__toks, 1, size(__toks) - 1), "
+                "(x, i) -> concat(x, ' ', element_at(__toks, i + 2)))"
             ),
         ).otherwise(F.array().cast("array<string>"))
-        return df.select(
-            F.col(id_col).alias("__id"),
-            F.explode(F.concat(toks, bigrams)).alias("g"),
+        return toked.select(
+            "__id",
+            F.explode(F.concat(F.col("__toks"), bigrams)).alias("g"),
         ).select(
             "__id",
             (

@@ -162,17 +162,23 @@ class InMemoryCASLogStore(LogStore):
 
     def list_log(self, log_dir: str) -> list[str]:
         prefix = log_dir.rstrip("/") + "/"
+        # Snapshot under the lock: a genuinely concurrent writer's CAS
+        # mutates self._records, and iterating an unlocked dict across
+        # that is a "changed size during iteration" crash (r9 advisor).
+        with self._lock:
+            paths = list(self._records)
         return [
             p[len(prefix):]
-            for p in self._records
+            for p in paths
             if p.startswith(prefix) and "/" not in p[len(prefix):]
         ]
 
     def read_json(self, path: str) -> dict:
-        try:
-            return json.loads(self._records[path])
-        except KeyError:
-            raise FileNotFoundError(path) from None
+        with self._lock:
+            payload = self._records.get(path)
+        if payload is None:
+            raise FileNotFoundError(path)
+        return json.loads(payload)
 
     def publish_exclusive(self, tmp: str, final: str) -> None:
         # The commit payload is handed over as a local scratch file

@@ -580,3 +580,22 @@ def test_dsir_select_matches_python_reference(spark):
     # the noise changes the pick vs the deterministic ranking at this
     # temperature (otherwise the knob proves nothing here)
     assert {i for i, _, _ in got_g} != {i for i, _ in got}
+
+
+def test_dsir_tokenizes_once_per_gram_subtree(spark):
+    """r9 advisor: the bigram lambda re-evaluated split(text, ' ')
+    three times per row (plus once for unigrams). The tokens are now
+    projected ONCE into __toks, so every grams() subtree in the
+    analyzed plan carries exactly one split() — pinned by counting one
+    split per explode (each explode node is one tokenize site)."""
+    from data_analyse_marche_emploi_spark.operators.sampling import (
+        dsir_select,
+    )
+
+    raw = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e")], "doc_id long, text string"
+    )
+    tgt = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
+    out = dsir_select(raw, tgt, "text", "doc_id", k=1, n_buckets=16)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("split(") == analyzed.count("explode(")

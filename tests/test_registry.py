@@ -20,6 +20,11 @@ def test_readme_counts_match_registry():
     assert m and n, "README registry count lines went missing"
     assert int(m.group(1)) == len(catalog.QUERIES)
     assert int(n.group(1)) == len(catalog.ORACLES)
+    # The sweep-note sentence carries the same total; it drifted once
+    # (r9 advisor: said 240 while the registry held 241) — pin it too.
+    s = re.search(r"all (\d+) registered entries pass", text)
+    assert s, "README sweep-note sentence went missing"
+    assert int(s.group(1)) == len(catalog.QUERIES)
 
 
 def test_every_oracle_has_a_query():
