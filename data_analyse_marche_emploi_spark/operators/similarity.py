@@ -625,8 +625,18 @@ def _kmeans_fit(vectors: DataFrame, vec_col: str, id_col: str,
     emb_kmeans for the determinism and scale contract."""
     import numpy as np
 
+    from pyspark import StorageLevel
+
     spark = vectors.sparkSession
-    base = vectors.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    # Persist the projected vectors for the Lloyd loop: each iteration
+    # reads base twice (assignment pass + centroid join), and before
+    # r10 every one of those reads re-scanned the source lineage —
+    # iters x 2 full input passes (the r9 advisor's uncached-iteration
+    # finding, same fix as logreg_train). Unpersisted after the loop;
+    # the callers' single final pass re-reads the source once.
+    base = vectors.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     init = (
         base.orderBy(F.asc("__id")).limit(k).collect()
     )  # TakeOrderedAndProject: k rows to the driver
@@ -658,37 +668,39 @@ def _kmeans_fit(vectors: DataFrame, vec_col: str, id_col: str,
 
         return assign
 
-    assigned = None
-    for _ in range(iters):
-        assigned = base.mapInPandas(make_assign(cent), assign_schema).join(
-            base, "__id"
-        )
-        # centroid update: k x d partial-aggregated sums — the shuffle
-        # carries one (cluster, dim) cell per task, the driver k x d
-        sums = (
-            assigned.select(
-                "cluster",
-                F.posexplode(F.col("__v").cast("array<double>")).alias("d", "x"),
+    try:
+        for _ in range(iters):
+            assigned = base.mapInPandas(make_assign(cent), assign_schema).join(
+                base, "__id"
             )
-            .groupBy("cluster", "d")
-            .agg(F.sum("x").alias("s"), F.count("x").alias("n"))
-            .collect()
-        )
-        new_cent = cent.copy()
-        dim = cent.shape[1]
-        acc = np.zeros((k, dim))
-        # per-(cluster, dim) NON-NULL counts: a vector with a null
-        # element contributes to count(lit(1)) but not to sum(x), so a
-        # scalar per-cluster count would bias that dimension's mean —
-        # divide each cell by exactly the rows that fed its sum
-        cnt = np.zeros((k, dim))
-        for r in sums:
-            acc[r["cluster"], r["d"]] += r["s"] if r["s"] is not None else 0.0
-            cnt[r["cluster"], r["d"]] += r["n"]
-        nonempty = cnt > 0
-        new_cent[nonempty] = acc[nonempty] / cnt[nonempty]
-        norms = np.maximum(np.linalg.norm(new_cent, axis=1, keepdims=True), 1e-12)
-        cent = new_cent / norms
+            # centroid update: k x d partial-aggregated sums — the shuffle
+            # carries one (cluster, dim) cell per task, the driver k x d
+            sums = (
+                assigned.select(
+                    "cluster",
+                    F.posexplode(F.col("__v").cast("array<double>")).alias("d", "x"),
+                )
+                .groupBy("cluster", "d")
+                .agg(F.sum("x").alias("s"), F.count("x").alias("n"))
+                .collect()
+            )
+            new_cent = cent.copy()
+            dim = cent.shape[1]
+            acc = np.zeros((k, dim))
+            # per-(cluster, dim) NON-NULL counts: a vector with a null
+            # element contributes to count(lit(1)) but not to sum(x), so a
+            # scalar per-cluster count would bias that dimension's mean —
+            # divide each cell by exactly the rows that fed its sum
+            cnt = np.zeros((k, dim))
+            for r in sums:
+                acc[r["cluster"], r["d"]] += r["s"] if r["s"] is not None else 0.0
+                cnt[r["cluster"], r["d"]] += r["n"]
+            nonempty = cnt > 0
+            new_cent[nonempty] = acc[nonempty] / cnt[nonempty]
+            norms = np.maximum(np.linalg.norm(new_cent, axis=1, keepdims=True), 1e-12)
+            cent = new_cent / norms
+    finally:
+        base.unpersist()
     return base, cent, make_assign, assign_schema
 
 
