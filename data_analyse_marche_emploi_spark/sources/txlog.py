@@ -56,7 +56,15 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["LogStore", "PosixLogStore", "InMemoryCASLogStore", "TxTable"]
+__all__ = [
+    "LogStore",
+    "PosixLogStore",
+    "InMemoryCASLogStore",
+    "FileStore",
+    "PosixFileStore",
+    "InMemoryFileStore",
+    "TxTable",
+]
 
 _LOG_DIR = "_txlog"
 
@@ -198,6 +206,162 @@ class InMemoryCASLogStore(LogStore):
             self._records[final] = payload
 
 
+class FileStore:
+    """The DATA-PART half of the portability story (:class:`LogStore`
+    owns the commit records): publish / list / delete / stat immutable
+    part files, and resolve names to paths an engine (Spark, pyarrow)
+    can open. Every driver-side data-part touch in :class:`TxTable`
+    routes through this seam — nothing outside it assumes parts live
+    at ``os.path.join(table_root, name)`` — so an object-store port
+    implements exactly two classes: a conditional-PUT ``LogStore`` and
+    a ``FileStore`` whose ``put`` uploads, ``read_path`` returns
+    ``s3://...`` URIs (or a local cache), and ``delete``/``list``/
+    ``stat`` wrap the store API. Parts are immutable and uuid-named:
+    no overwrite, no rename-after-publish, so NO atomicity is required
+    of ``put`` — visibility is controlled entirely by the log, which
+    is why the data side ports trivially once the log does.
+
+    The one part-write this seam does NOT cover is the registered
+    Spark batch writer's task-side ``write()`` (TxLogBatchWriter):
+    DSv2 options are strings, so a store OBJECT cannot ride them; a
+    deployment registers its store class there. Everything
+    :class:`TxTable` itself does — create/append/merge/delete/
+    optimize/restore/vacuum/checkpoint/read — is store-routed and
+    proven over the dict-backed fake by the tests/test_txlog.py
+    matrix."""
+
+    def put(self, table_path: str, name: str, local_src: str) -> None:
+        """Publish the locally-staged file ``local_src`` as part
+        ``name`` of the table. Consumes (moves or deletes) the
+        source."""
+        raise NotImplementedError
+
+    def delete(self, table_path: str, name: str) -> None:
+        raise NotImplementedError
+
+    def list(self, table_path: str) -> list[str]:
+        """All part names present in the store for this table
+        (committed or not — vacuum's input)."""
+        raise NotImplementedError
+
+    def exists(self, table_path: str, name: str) -> bool:
+        raise NotImplementedError
+
+    def size(self, table_path: str, name: str) -> int:
+        raise NotImplementedError
+
+    def mtime(self, table_path: str, name: str) -> float:
+        """Publish time — vacuum's in-flight-writer age guard."""
+        raise NotImplementedError
+
+    def read_path(self, table_path: str, name: str) -> str:
+        """A path/URI the reading engine can open for this part."""
+        raise NotImplementedError
+
+
+class PosixFileStore(FileStore):
+    """Default store: parts live directly in the table root (the
+    historical layout) — ``put`` is one same-filesystem rename, reads
+    are zero-copy."""
+
+    def put(self, table_path: str, name: str, local_src: str) -> None:
+        os.replace(local_src, os.path.join(table_path, name))
+
+    def delete(self, table_path: str, name: str) -> None:
+        os.remove(os.path.join(table_path, name))
+
+    def list(self, table_path: str) -> list[str]:
+        return [
+            f for f in os.listdir(table_path) if f.endswith(".parquet")
+        ]
+
+    def exists(self, table_path: str, name: str) -> bool:
+        return os.path.exists(os.path.join(table_path, name))
+
+    def size(self, table_path: str, name: str) -> int:
+        return os.path.getsize(os.path.join(table_path, name))
+
+    def mtime(self, table_path: str, name: str) -> float:
+        return os.path.getmtime(os.path.join(table_path, name))
+
+    def read_path(self, table_path: str, name: str) -> str:
+        return os.path.join(table_path, name)
+
+
+class InMemoryFileStore(FileStore):
+    """Object-store-shaped :class:`FileStore` fake: part bytes live in
+    a process-local dict keyed by ``table_path/name`` — the table root
+    on disk holds ONLY the log. ``read_path`` materializes the
+    requested blob into a private cache directory (the local-cache
+    shape a real object-store reader takes; parts are immutable, so
+    cache-once is exact) and hands that path to the engine. Like
+    :class:`InMemoryCASLogStore`, it is process-local by construction
+    — the honest sandbox substitute is running the whole TxTable
+    matrix over it (tests/test_txlog.py ``memfs`` mode), which proves
+    every driver-side part touch goes through the seam; the task-side
+    DSv2 writer path stays POSIX there (see :class:`FileStore`)."""
+
+    def __init__(self):
+        import tempfile
+        import threading
+
+        self._lock = threading.Lock()
+        self._blobs: dict[str, tuple[bytes, float]] = {}
+        self._cache = tempfile.mkdtemp(prefix="memfs_cache_")
+
+    def _key(self, table_path: str, name: str) -> str:
+        return f"{table_path.rstrip('/')}/{name}"
+
+    def put(self, table_path: str, name: str, local_src: str) -> None:
+        with open(local_src, "rb") as fh:
+            payload = fh.read()
+        os.remove(local_src)
+        with self._lock:
+            self._blobs[self._key(table_path, name)] = (payload, time.time())
+
+    def delete(self, table_path: str, name: str) -> None:
+        with self._lock:
+            if self._blobs.pop(self._key(table_path, name), None) is None:
+                raise FileNotFoundError(name)
+
+    def list(self, table_path: str) -> list[str]:
+        prefix = table_path.rstrip("/") + "/"
+        with self._lock:
+            keys = list(self._blobs)
+        return [
+            k[len(prefix):]
+            for k in keys
+            if k.startswith(prefix)
+            and "/" not in k[len(prefix):]
+            and k.endswith(".parquet")
+        ]
+
+    def exists(self, table_path: str, name: str) -> bool:
+        with self._lock:
+            return self._key(table_path, name) in self._blobs
+
+    def size(self, table_path: str, name: str) -> int:
+        with self._lock:
+            return len(self._blobs[self._key(table_path, name)][0])
+
+    def mtime(self, table_path: str, name: str) -> float:
+        with self._lock:
+            return self._blobs[self._key(table_path, name)][1]
+
+    def read_path(self, table_path: str, name: str) -> str:
+        with self._lock:
+            payload = self._blobs[self._key(table_path, name)][0]
+        # one flat cache file per uuid-named part; names are unique
+        # across tables by construction (uuid4 per part)
+        cached = os.path.join(self._cache, name)
+        if not os.path.exists(cached):
+            tmp = f"{cached}.tmp-{uuid.uuid4().hex}"
+            with open(tmp, "wb") as fh:
+                fh.write(payload)
+            os.replace(tmp, cached)
+        return cached
+
+
 class TxTable:
     """Handle to a transaction-log table rooted at ``path``."""
 
@@ -206,11 +370,13 @@ class TxTable:
         spark: SparkSession,
         path: str,
         log_store: LogStore | None = None,
+        file_store: FileStore | None = None,
     ):
         self.spark = spark
         self.path = path
         self.log_dir = os.path.join(path, _LOG_DIR)
         self.log_store = log_store or PosixLogStore()
+        self.file_store = file_store or PosixFileStore()
 
     # -- log primitives ----------------------------------------------------
 
@@ -461,10 +627,12 @@ class TxTable:
     # -- write path ----------------------------------------------------------
 
     def _write_parts(self, df: DataFrame, prefix: str = "part-") -> list[str]:
-        """Write df as immutable uniquely-named parquet parts under a
-        scratch dir, then hard-link/rename into the table root.
-        ``prefix="delete-"`` names merge-on-read equality-delete key
-        files so schema fallbacks never mistake one for data."""
+        """Write df as immutable uniquely-named parquet parts: Spark
+        stages them under a local scratch dir, then each is PUBLISHED
+        through the :class:`FileStore` seam (POSIX: one rename into
+        the table root; object store: an upload). ``prefix="delete-"``
+        names merge-on-read equality-delete key files so schema
+        fallbacks never mistake one for data."""
         stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(stage)
         parts = []
@@ -472,7 +640,7 @@ class TxTable:
             if not f.endswith(".parquet"):
                 continue
             name = f"{prefix}{uuid.uuid4().hex}.parquet"
-            os.rename(os.path.join(stage, f), os.path.join(self.path, name))
+            self.file_store.put(self.path, name, os.path.join(stage, f))
             parts.append(name)
         import shutil
 
@@ -489,7 +657,9 @@ class TxTable:
 
         out: dict[str, dict] = {}
         for name in names:
-            md = pq.ParquetFile(os.path.join(self.path, name)).metadata
+            md = pq.ParquetFile(
+                self.file_store.read_path(self.path, name)
+            ).metadata
             cols: dict[str, list] = {}
             for ci, cname in enumerate(md.schema.names):
                 lo = hi = None
@@ -512,9 +682,10 @@ class TxTable:
         path: str,
         df: DataFrame,
         log_store: LogStore | None = None,
+        file_store: FileStore | None = None,
     ) -> "TxTable":
         os.makedirs(path, exist_ok=True)
-        t = cls(spark, path, log_store=log_store)
+        t = cls(spark, path, log_store=log_store, file_store=file_store)
         if t._versions():
             raise FileExistsError(f"table already exists at {path}")
         adds = t._write_parts(df)
@@ -1066,17 +1237,17 @@ class TxTable:
             # An all-rows delete can leave a snapshot with ZERO files
             # (an empty rewrite may write no parts under AQE
             # coalescing). Derive the schema from any data file still
-            # on disk — logically-removed files serve fine, they are
-            # only ever physically dropped by vacuum.
-            for f in sorted(os.listdir(self.path)):
-                if f.endswith(".parquet") and not f.startswith("delete-"):
+            # in the store — logically-removed files serve fine, they
+            # are only ever physically dropped by vacuum.
+            for f in sorted(self.file_store.list(self.path)):
+                if not f.startswith("delete-"):
                     return self.spark.read.parquet(
-                        os.path.join(self.path, f)
+                        self.file_store.read_path(self.path, f)
                     ).limit(0)
             raise FileNotFoundError(
                 f"empty snapshot and no schema-bearing files at {self.path}"
             )
-        paths = [os.path.join(self.path, n) for n in names]
+        paths = [self.file_store.read_path(self.path, n) for n in names]
         reader = self.spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
@@ -1124,7 +1295,7 @@ class TxTable:
                 if k != key:
                     continue
                 d = self.spark.read.parquet(
-                    os.path.join(self.path, f)
+                    self.file_store.read_path(self.path, f)
                 ).select(
                     F.col(key).alias("__dk"), F.lit(dv).alias("__dv")
                 )
@@ -1277,9 +1448,7 @@ class TxTable:
         v = self.latest_version()
         entries, dels = self._snapshot_mor(v)
         live = [f for f, _, _ in entries]
-        total = sum(
-            os.path.getsize(os.path.join(self.path, f)) for f in live
-        )
+        total = sum(self.file_store.size(self.path, f) for f in live)
         n_files = max(1, (total + target_file_bytes - 1) // target_file_bytes)
         # the delete-aware snapshot read: OPTIMIZE is the sanctioned
         # resolver for pending merge-on-read deletes — the rewrite
@@ -1327,8 +1496,7 @@ class TxTable:
                 )
         target = self.snapshot_files(version)
         missing = [
-            f for f in target
-            if not os.path.exists(os.path.join(self.path, f))
+            f for f in target if not self.file_store.exists(self.path, f)
         ]
         if missing:
             raise FileNotFoundError(
@@ -1367,14 +1535,29 @@ class TxTable:
             referenced.update(f for f, _, _ in dels)
         removed = []
         cutoff = time.time() - min_age_seconds
-        for f in os.listdir(self.path):
-            if not f.endswith(".parquet") or f in referenced:
+        for f in self.file_store.list(self.path):
+            if f in referenced:
                 continue
-            full = os.path.join(self.path, f)
-            if min_age_seconds > 0 and os.path.getmtime(full) > cutoff:
+            if (
+                min_age_seconds > 0
+                and self.file_store.mtime(self.path, f) > cutoff
+            ):
                 continue  # possibly an in-flight writer's part
-            os.remove(full)
+            self.file_store.delete(self.path, f)
             removed.append(f)
+        # Crashed DSv2 writer tasks can leave .wtmp- scratch files in
+        # the table root (the task-local stage before store.put); they
+        # are POSIX-protocol artifacts outside the store's part
+        # namespace, swept here under the same age guard.
+        if os.path.isdir(self.path):
+            for f in os.listdir(self.path):
+                if not f.startswith(".wtmp-"):
+                    continue
+                full = os.path.join(self.path, f)
+                if min_age_seconds > 0 and os.path.getmtime(full) > cutoff:
+                    continue
+                os.remove(full)
+                removed.append(f)
         return removed
 
 
@@ -1491,9 +1674,17 @@ class TxLogBatchWriter(DataSourceArrowWriter):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        # Task-side part IO uses the POSIX store directly (a store
+        # OBJECT cannot ride DSv2's string-only options; see the
+        # FileStore docstring): stream into a task-local scratch file,
+        # publish through store.put once complete — the same
+        # stage-then-publish shape TxTable._write_parts has, so an
+        # object-store deployment swaps the store class here and
+        # nothing else about the task protocol changes.
+        store = PosixFileStore()
         os.makedirs(self.path, exist_ok=True)
         name = f"part-{uuid.uuid4().hex}.parquet"
-        full = os.path.join(self.path, name)
+        scratch = os.path.join(self.path, f".wtmp-{uuid.uuid4().hex}")
         writer = None
         try:
             for batch in iterator:
@@ -1502,19 +1693,20 @@ class TxLogBatchWriter(DataSourceArrowWriter):
                 if self._constraints:
                     self._validate(pa.Table.from_batches([batch]))
                 if writer is None:
-                    writer = pq.ParquetWriter(full, batch.schema)
+                    writer = pq.ParquetWriter(scratch, batch.schema)
                 writer.write_batch(batch)
         except Exception:
             if writer is not None:
                 writer.close()
                 try:
-                    os.remove(full)
+                    os.remove(scratch)
                 except OSError:
                     pass
             raise
         if writer is None:
             return _TxWriteMessage([])
         writer.close()
+        store.put(self.path, name, scratch)
         return _TxWriteMessage([name])
 
     def commit(self, messages) -> None:
@@ -1552,10 +1744,11 @@ class TxLogBatchWriter(DataSourceArrowWriter):
             raise
 
     def abort(self, messages) -> None:
+        store = PosixFileStore()
         for m in messages:
             for f in (m.files if m is not None else []):
                 try:
-                    os.remove(os.path.join(self.path, f))
+                    store.delete(self.path, f)
                 except OSError:
                     pass
 
@@ -1595,15 +1788,14 @@ class TxLogDataSource(DataSource):
                 if adds:
                     newest = adds[-1]
                     break
-            f = os.path.join(self.options["path"], newest or live[-1])
+            f = t.file_store.read_path(self.options["path"], newest or live[-1])
             return from_arrow_schema(pq.ParquetFile(f).schema_arrow)
         # Zero-file snapshot (all rows deleted): fall back to any
-        # schema-bearing file still on disk, same rule as
+        # schema-bearing file still in the store, same rule as
         # TxTable._read_files.
-        for name in sorted(os.listdir(self.options["path"])):
-            if name.endswith(".parquet"):
-                f = os.path.join(self.options["path"], name)
-                return from_arrow_schema(pq.ParquetFile(f).schema_arrow)
+        for name in sorted(t.file_store.list(self.options["path"])):
+            f = t.file_store.read_path(self.options["path"], name)
+            return from_arrow_schema(pq.ParquetFile(f).schema_arrow)
         raise FileNotFoundError(
             f"no schema-bearing data files under {self.options['path']}"
         )
@@ -1648,7 +1840,7 @@ class TxLogStreamReader(DataSourceStreamReader):
                     "its added files anyway (rewritten rows will repeat)"
                 )
             parts.extend(
-                _TxFilePartition(os.path.join(self.path, f))
+                _TxFilePartition(t.file_store.read_path(self.path, f))
                 for f in act["adds"]
             )
         return parts
