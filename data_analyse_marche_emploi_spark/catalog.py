@@ -8418,6 +8418,62 @@ def tablelog_concurrent_merge(spark, sf_dir):
 
 
 @register(
+    "tablelog_partitioned",
+    # Final state after: create PARTITIONED BY lang from the fr/en
+    # docs, append the rest, a partition-scoped delete of every 3rd
+    # en doc, then two partition-pruned reads unioned. The oracle
+    # recomputes it straight from documents.
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE lang = 'fr' OR (lang = 'en' AND doc_id % 3 <> 0)
+    """,
+)
+def tablelog_partitioned(spark, sf_dir):
+    """PARTITION COLUMNS on the versioned table (sources/txlog.py,
+    VERDICT r9 ask #3 — the Delta partitionValues analog): the create
+    commit records ``partition_by=["lang"]``, every write stages
+    through partitionBy on duplicated columns (parts single-valued in
+    lang, original columns kept IN the files), and each add action
+    carries its partition values. ``read(partition_filter=...)``
+    prunes non-matching partitions' files from the plan WITHOUT
+    opening them — asserted here on the plan's input-file list — and
+    ``delete_where(partition_filter=...)`` conjoins the partition
+    predicate and scans only that partition's files. At 100 TB this
+    is the first pruning layer: a lang/date-partitioned table drops
+    orders of magnitude more IO here than stats skipping alone,
+    exactly why every public format leads with it."""
+    from .sources.txlog import TxTable
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    t = TxTable.create(
+        spark,
+        _txtmp("txpart_"),
+        d.filter(F.col("lang").isin("fr", "en")),
+        partition_by=["lang"],
+    )
+    t.append(d.filter(~F.col("lang").isin("fr", "en")))
+    t.delete_where(
+        F.col("doc_id") % 3 == 0, partition_filter={"lang": "en"}
+    )
+    fr = t.read(partition_filter={"lang": "fr"})
+    en = t.read(partition_filter={"lang": "en"})
+    import os as _os
+
+    fr_files = {
+        _os.path.realpath(t.file_store.read_path(t.path, f))
+        for f, s in t._snapshot_entries()
+        if s.get("__partition__", {}).get("lang") == "fr"
+    }
+    opened = {
+        _os.path.realpath(f.removeprefix("file:")) for f in fr.inputFiles()
+    }
+    assert opened and opened <= fr_files, (
+        "partition pruning opened out-of-partition files"
+    )
+    return fr.unionByName(en)
+
+
+@register(
     "snk_txlog_writer",
     oracle="""
     SELECT o_orderkey AS k, o_orderstatus AS s
@@ -9150,18 +9206,17 @@ def dq_skew_report(spark, sf_dir):
 # ROLLUP, …) register after them — they stay fully covered by pytest and
 # tools/oracle_check.py, which check ALL entries.
 
-# Round-9 rotation (updated at round-9 start for the r9 driver pass):
+# Round-10 rotation (updated at round-10 start for the r10 driver pass):
 # STALENESS policy, unchanged since r8 — rank every non-anchor entry
 # by the round of its most recent full-green (or clean rows-only)
 # driver row, never-green ranking stalest of all (which auto-enrolls
 # this round's registrations), and pack the 49 stalest after the
-# smoke anchor. After r8 closed out the r2/r3 cohorts, the oldest
-# proofs are the r4 cohort: at rotation time the window is the 4
-# never-checked round-9 registrations (each new entry displaces the
-# freshest tail member on registration, per policy) plus 45 of the 48
-# entries last proven in r4 (registration order breaks the tie; the 3
-# displaced r4 entries and the r5 cohort rotate in next round) — so
-# every driver proof keeps to ~4 rounds old as the window sweeps.
+# smoke anchor. After r9 re-proved 45 of the 48 r4-stale entries, the
+# window is this round's 1 new registration (tablelog_partitioned),
+# the 1 r4 entry r9's rotation displaced (agg_freq_items; the other
+# two displaced entries were re-proven inside CORRECTNESS_r09), and
+# 47 of the r5 cohort in registration order — so every driver proof
+# keeps to ~5 rounds old as the window sweeps.
 # The policy (window set == anchor + 49 stalest, recomputed from
 # CORRECTNESS_r0*.json files of rounds strictly before this comment's
 # round number) is pinned by
@@ -9170,57 +9225,55 @@ def dq_skew_report(spark, sf_dir):
 # comment. tools/oracle_check.py still checks ALL entries at three SFs.
 _DRIVER_WINDOW = [
     "flagship_orders_by_month",
-    # -- never driver-checked: new round-9 registrations --
-    "dedup_embedding_lsh_multiprobe",
-    "tablelog_concurrent_merge",
-    "curation_dsir_select",
-    "curation_dsir_gumbel",
-    "curation_quality_classifier",
-    # -- 45 stalest: last driver-proven in r4 --
-    "pipeline_clean_text",
-    "agg_pricing_summary",
-    "join_enrich",
-    "join_anti",
-    "dedup_union_by_id",
-    "scd2_apply",
-    "pipeline_csv_tech",
-    "window_topk_per_group",
-    "window_running_sum",
-    "agg_rollup",
-    "join_fact_fact",
-    "text_fr_nlp_tokens",
-    "dedup_minhash_lsh",
-    "dedup_lines_global",
-    "dedup_embedding_lsh",
-    "knn_brute_force",
-    "ann_lsh",
-    "join_asof",
-    "ts_gapfill",
-    "snapshot_diff",
-    "ann_ivf",
-    "pipeline_multimodal_training",
-    "pipeline_training_data",
-    "pipeline_training_sequences",
-    "stream_tumbling_window",
-    "stream_dedup_upsert",
-    "stream_scd2_enrich",
-    "stream_session_window",
-    "stream_stateful_totals",
-    "stream_stream_join",
-    "multimodal_wav_roundtrip",
-    "multimodal_png",
-    "text_repetition",
-    "text_decontaminate",
-    "pii_redact",
-    "dq_report",
-    "dq_drift",
-    "bpe_vocab",
-    "chunks_to_sequences_by_lang",
-    "shuffle_training_order",
-    "sample_weighted",
-    "mixture_token_budget",
-    "dedup_incremental",
-    "emb_kmeans",
+    "tablelog_partitioned",
+    "agg_freq_items",
+    "text_perplexity",
+    "dedup_window_exact",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "salted_groupby",
+    "salted_join",
+    "q_local_supplier_volume",
+    "q_priority_lines",
+    "q_order_priority_exists",
+    "q_small_quantity_revenue",
+    "q_promo_revenue_share",
+    "q_nation_volume",
+    "q_market_share",
+    "q_customer_distribution",
+    "q_top_supplier",
+    "q_large_orders",
+    "q_disjunctive_revenue",
+    "q_dormant_customers",
+    "join_range",
+    "order_limit",
+    "sort_global",
+    "join_hint_shuffle_hash",
+    "agg_stats",
+    "agg_quantiles",
+    "sample_exact_k",
+    "text_tf_idf",
+    "emb_centroid",
+    "dedup_canonical_quality",
+    "funnel_conversion",
+    "cohort_retention",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "src_rest_paged_dsv2",
+    "multimodal_audio",
+    "multimodal_jpeg",
+    "dedup_image_phash",
+    "dedup_audio_fingerprint",
+    "multimodal_mp4_meta",
+    "multimodal_spectral",
+    "docs_to_chunks",
+    "chunks_to_sequences",
+    "cap_docs_per_source",
+    "mixture_stratified_sample",
+    "mixture_train_split",
+    "emb_quantize",
+    "agg_theta_overlap",
 ]
 
 def _prioritize() -> None:

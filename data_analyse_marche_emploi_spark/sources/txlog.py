@@ -377,6 +377,27 @@ class TxTable:
         self.log_dir = os.path.join(path, _LOG_DIR)
         self.log_store = log_store or PosixLogStore()
         self.file_store = file_store or PosixFileStore()
+        self._partition_cols: list[str] | None = None
+        # partition values of parts THIS handle staged, keyed by part
+        # name (uuid — globally unique), consumed by _file_stats at
+        # commit time; accumulated, not reset, because a MoR merge
+        # stages its delete-key files between the data write and the
+        # stats call
+        self._last_partition_values: dict[str, dict] = {}
+
+    def partition_by(self) -> list[str]:
+        """The table's partition columns, recorded once in the create
+        commit (Delta's metaData.partitionColumns analog); [] for an
+        unpartitioned table. Memoized — the create record is
+        immutable."""
+        if self._partition_cols is None:
+            try:
+                self._partition_cols = self._read_action(0).get(
+                    "partition_by", []
+                )
+            except FileNotFoundError:
+                return []
+        return self._partition_cols
 
     # -- log primitives ----------------------------------------------------
 
@@ -607,6 +628,30 @@ class TxTable:
             pass  # same-version checkpoints are content-identical
         return v
 
+    @staticmethod
+    def _partition_match(stats: dict, pfilter: dict) -> bool:
+        """False iff the file's RECORDED partition values prove it
+        cannot hold a row matching ``pfilter`` (exact equality on the
+        Hive-canonical string form — the same form the stage-dir
+        parse recorded). Files without recorded values (pre-
+        partitioning appends, DSv2 writer saves) stay candidates:
+        pruning must never lose a match; the read-side row filter
+        keeps them exact."""
+        pv = stats.get("__partition__")
+        if not pv:
+            return True
+        for col, want in pfilter.items():
+            if col not in pv:
+                continue
+            have = pv[col]
+            if have is None or want is None:
+                if (have is None) != (want is None):
+                    return False
+                continue
+            if str(want) != have:
+                return False
+        return True
+
     def _candidate_files(
         self, version: int, key: str, kmin, kmax
     ) -> list[str]:
@@ -615,7 +660,11 @@ class TxTable:
         outside the update-key range are pruned WITHOUT being opened
         (a 0.1 % upsert on a key-clustered 100 TB table probes 0.1 %
         of files); files lacking stats for the key stay candidates
-        (skipping must never lose a match)."""
+        (skipping must never lose a match). On a partitioned table a
+        merge keyed on a partition column prunes to exactly the
+        touched partitions through this same check: every partitioned
+        part is single-valued in its partition columns, so its footer
+        [min, max] is the exact point range."""
         out = []
         for name, stats in self._snapshot_entries(version):
             rng = stats.get(key)
@@ -632,16 +681,57 @@ class TxTable:
         through the :class:`FileStore` seam (POSIX: one rename into
         the table root; object store: an upload). ``prefix="delete-"``
         names merge-on-read equality-delete key files so schema
-        fallbacks never mistake one for data."""
+        fallbacks never mistake one for data.
+
+        On a PARTITIONED table (create(partition_by=[...])) the stage
+        write goes through ``partitionBy`` on DUPLICATED columns, so
+        every part holds exactly one partition value per partition
+        column while the original columns stay IN the data files (no
+        read-side value injection needed); the values — parsed back
+        from the Hive-style stage dirs — are recorded per add action
+        and returned via :attr:`_last_partition_values` for the commit
+        to fold into the per-file stats (see :meth:`_file_stats`).
+        Relations missing the partition columns (merge-on-read
+        delete-key files) stage unpartitioned."""
         stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(stage)
+        # delete-key files are key lists, not table rows: never
+        # partition-split them (a delete keyed ON the partition column
+        # would shatter into one file per key value)
+        pcols = (
+            []
+            if prefix == "delete-"
+            else [c for c in self.partition_by() if c in df.columns]
+        )
+        if pcols:
+            staged = df
+            for c in pcols:
+                staged = staged.withColumn(f"__pv_{c}", F.col(c))
+            staged.write.partitionBy(
+                *[f"__pv_{c}" for c in pcols]
+            ).mode("overwrite").parquet(stage)
+        else:
+            df.write.mode("overwrite").parquet(stage)
+        from urllib.parse import unquote
+
         parts = []
-        for f in sorted(os.listdir(stage)):
-            if not f.endswith(".parquet"):
-                continue
-            name = f"{prefix}{uuid.uuid4().hex}.parquet"
-            self.file_store.put(self.path, name, os.path.join(stage, f))
-            parts.append(name)
+        for root, _dirs, files in os.walk(stage):
+            _dirs.sort()
+            for f in sorted(files):
+                if not f.endswith(".parquet"):
+                    continue
+                values: dict[str, str | None] = {}
+                rel = os.path.relpath(root, stage)
+                for seg in () if rel == "." else rel.split(os.sep):
+                    k, _, raw = seg.partition("=")
+                    v = unquote(raw)
+                    values[k.removeprefix("__pv_")] = (
+                        None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                    )
+                name = f"{prefix}{uuid.uuid4().hex}.parquet"
+                self.file_store.put(self.path, name, os.path.join(root, f))
+                parts.append(name)
+                if pcols:
+                    self._last_partition_values[name] = values
         import shutil
 
         shutil.rmtree(stage, ignore_errors=True)
@@ -652,9 +742,14 @@ class TxTable:
         footers at commit time — the log-side data-skipping index the
         public lakehouse formats carry. Only JSON-portable scalar
         types (int/float/str/bool) are recorded; anything else simply
-        doesn't prune."""
+        doesn't prune. On a partitioned table each file's partition
+        values (from the staged write that produced it) ride along
+        under the reserved ``__partition__`` key — the Delta
+        add-action ``partitionValues`` analog, which prunes even where
+        footer stats can't (non-portable types, NULL partitions)."""
         import pyarrow.parquet as pq
 
+        pvals = self._last_partition_values
         out: dict[str, dict] = {}
         for name in names:
             md = pq.ParquetFile(
@@ -672,6 +767,8 @@ class TxTable:
                     hi = st.max if hi is None else max(hi, st.max)
                 if lo is not None and isinstance(lo, (int, float, str, bool)):
                     cols[cname] = [lo, hi]
+            if name in pvals:
+                cols["__partition__"] = pvals[name]
             out[name] = cols
         return out
 
@@ -683,13 +780,31 @@ class TxTable:
         df: DataFrame,
         log_store: LogStore | None = None,
         file_store: FileStore | None = None,
+        partition_by: list[str] | None = None,
     ) -> "TxTable":
+        """``partition_by=[col, ...]`` declares PARTITION COLUMNS at
+        table birth (the only place the public formats allow it
+        either): every subsequent write lays its parts out
+        single-valued in those columns and records the values in its
+        add actions, and reads/deletes prune on them (see
+        :meth:`read`). Columns must exist in ``df``."""
         os.makedirs(path, exist_ok=True)
         t = cls(spark, path, log_store=log_store, file_store=file_store)
         if t._versions():
             raise FileExistsError(f"table already exists at {path}")
+        if partition_by:
+            missing = [c for c in partition_by if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"partition_by columns {missing} not in the "
+                    "create relation"
+                )
+        # memoize BEFORE the first write — _write_parts consults it,
+        # and the create record it normally reads doesn't exist yet
+        t._partition_cols = list(partition_by or [])
         adds = t._write_parts(df)
-        t._commit(0, adds, [], "create", stats=t._file_stats(adds))
+        t._commit(0, adds, [], "create", stats=t._file_stats(adds),
+                  extra={"partition_by": t._partition_cols})
         return t
 
     def append(self, df: DataFrame, max_commit_retries: int = 10) -> int:
@@ -1110,7 +1225,8 @@ class TxTable:
         )
 
     def delete_where(self, condition, mode: str = "cow",
-                     key: str | None = None) -> int:
+                     key: str | None = None,
+                     partition_filter: dict | None = None) -> int:
         """DELETE rows matching ``condition``.
 
         * ``mode="cow"`` (default): rewrite only files holding matching
@@ -1122,13 +1238,35 @@ class TxTable:
           identifies rows (the merge_upsert key contract — otherwise
           an equality delete would erase a key's non-matching rows
           too, so a uniqueness violation among matched keys raises).
-        """
+
+        ``partition_filter={col: value}`` scopes the delete to the
+        named partitions AND prunes the predicate scan to their files
+        (sound by construction: the filter is conjoined into the
+        delete predicate, so rows in pruned files cannot match by
+        definition — the Delta ``replaceWhere``-shaped contract,
+        minus the trust-the-caller part). MoR's safety guards still
+        scan the full snapshot: an equality delete erases its keys
+        from EVERY partition, so sibling rows elsewhere must be
+        checked, not assumed absent."""
+        if partition_filter:
+            cond = (
+                F.expr(condition) if isinstance(condition, str) else condition
+            )
+            for c, pv in partition_filter.items():
+                cond = cond & (
+                    F.col(c).isNull()
+                    if pv is None
+                    else F.col(c).eqNullSafe(F.lit(pv))
+                )
+            condition = cond
         if mode == "mor":
             if key is None:
                 raise ValueError("delete_where(mode='mor') requires key=")
             v = self.latest_version()
             snapshot = self.read(v)
-            matched = snapshot.filter(condition)
+            matched = self.read(
+                v, partition_filter=partition_filter
+            ).filter(condition)
             mk = matched.groupBy(key).agg(F.count(F.lit(1)).alias("__nm"))
             if mk.limit(1).count() == 0:
                 return v  # no-op deletes don't burn a version
@@ -1194,7 +1332,13 @@ class TxTable:
             )
         self._require_no_pending_deletes("delete_where")
         v = self.latest_version()
-        live = self.snapshot_files(v)
+        entries = self._snapshot_entries(v)
+        if partition_filter:
+            entries = [
+                e for e in entries
+                if self._partition_match(e[1], partition_filter)
+            ]
+        live = [f for f, _ in entries]
         cur = self._read_files(live)
         touched = [
             os.path.basename(r["f"])
@@ -1254,7 +1398,10 @@ class TxTable:
         return reader.parquet(*paths)
 
     def read(
-        self, version: int | None = None, merge_schema: bool = False
+        self,
+        version: int | None = None,
+        merge_schema: bool = False,
+        partition_filter: dict | None = None,
     ) -> DataFrame:
         """Snapshot read, optionally time-traveled to ``version``. The
         returned plan lists explicit immutable files, so it stays valid
@@ -1264,6 +1411,16 @@ class TxTable:
         schema-evolution read the pipeline_schema_evolution entry
         exercises on raw parquet, available on versioned tables too.
 
+        ``partition_filter={col: value}`` is PARTITION PRUNING on the
+        log's recorded per-file partition values: files of
+        non-matching partitions are dropped from the plan without
+        being opened (the orders-of-magnitude IO win a date/lang-
+        partitioned 100 TB table gets before stats skipping even
+        runs). Exactness does not depend on the metadata: the matching
+        predicate is also applied as a row filter, so files lacking
+        recorded values (pre-partitioning generations, DSv2 writer
+        saves) read correctly — they just don't prune.
+
         Merge-on-read resolution: if the snapshot carries live
         equality-delete files, data files are read grouped by their
         add version (one multi-path parquet scan per commit
@@ -1272,9 +1429,27 @@ class TxTable:
         a delete never touches rows its own merge (or a later one)
         added. Extra read cost: one broadcastable-key anti join;
         ``optimize()`` folds the deletes away."""
+
+        def _row_filter(df: DataFrame) -> DataFrame:
+            for c, v in (partition_filter or {}).items():
+                df = df.filter(
+                    F.col(c).isNull()
+                    if v is None
+                    else F.col(c).eqNullSafe(F.lit(v))
+                )
+            return df
+
         entries, deletes = self._snapshot_mor(version)
+        if partition_filter:
+            entries = [
+                e
+                for e in entries
+                if self._partition_match(e[1], partition_filter)
+            ]
         if not deletes:
-            return self._read_files([f for f, _, _ in entries], merge_schema)
+            return _row_filter(
+                self._read_files([f for f, _, _ in entries], merge_schema)
+            )
         by_version: dict[int, list[str]] = {}
         for f, _, va in entries:
             by_version.setdefault(va, []).append(f)
@@ -1306,7 +1481,7 @@ class TxTable:
                 & (F.col("__dv") > base["__added_at"]),
                 "left_anti",
             )
-        return base.drop("__added_at")
+        return _row_filter(base.drop("__added_at"))
 
     def history(self) -> list[dict]:
         return [self._read_action(v) for v in self._versions()]

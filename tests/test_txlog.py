@@ -1512,3 +1512,169 @@ def test_memfs_table_root_holds_no_parts(spark, tmp_path, log_store_mode):
     ]
     assert on_disk == []
     assert len(t.file_store.list(p)) >= 3
+
+
+# -- partition columns (VERDICT r9 ask #3) ----------------------------------
+
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, "k long, lang string, v string")
+
+
+def test_partitioned_read_prunes_files_without_opening_them(spark, tmp_path):
+    """Partition pruning is an IO property, not a row property: a
+    partition_filter read's plan must list ONLY files whose recorded
+    partition values match — proven on the plan's input-file list,
+    which is exactly the set of files the scan can open."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, p,
+        _pdf(spark, [(1, "fr", "a"), (2, "en", "b"), (3, "de", "c")]),
+        partition_by=["lang"],
+    )
+    t.append(_pdf(spark, [(4, "fr", "d"), (5, "en", "e")]))
+    got = t.read(partition_filter={"lang": "fr"})
+    assert {(r.k, r.v) for r in got.collect()} == {(1, "a"), (4, "d")}
+    # the IO assertion: every planned input file is a recorded-fr part
+    fr_files = {
+        os.path.realpath(t.file_store.read_path(p, f))
+        for f, s in t._snapshot_entries()
+        if s.get("__partition__", {}).get("lang") == "fr"
+    }
+    opened = {
+        os.path.realpath(f.removeprefix("file:")) for f in got.inputFiles()
+    }
+    assert opened, "plan lists no files"
+    assert opened <= fr_files, opened - fr_files
+    # and pruning actually pruned: non-fr partitions exist and are absent
+    all_files = {
+        os.path.realpath(t.file_store.read_path(p, f))
+        for f, _ in t._snapshot_entries()
+    }
+    assert len(all_files) > len(fr_files)
+
+
+def test_partitioned_null_partition_roundtrip(spark, tmp_path):
+    """NULL partition values (Hive's __HIVE_DEFAULT_PARTITION__) are
+    recorded as None and prunable: filter {col: None} returns exactly
+    the null-partition rows — the case footer min/max stats can never
+    prune (NULL never has stats)."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, p,
+        _pdf(spark, [(1, "fr", "a"), (2, None, "b"), (3, None, "c")]),
+        partition_by=["lang"],
+    )
+    got = t.read(partition_filter={"lang": None})
+    assert {(r.k, r.v) for r in got.collect()} == {(2, "b"), (3, "c")}
+    nul_files = [
+        f for f, s in t._snapshot_entries()
+        if "__partition__" in s and s["__partition__"].get("lang") is None
+    ]
+    assert nul_files
+    assert {
+        os.path.realpath(f.removeprefix("file:"))
+        for f in got.inputFiles()
+    } <= {os.path.realpath(t.file_store.read_path(p, f)) for f in nul_files}
+
+
+def test_partitioned_merge_rewrites_only_touched_partition(spark, tmp_path):
+    """CoW merge keyed on the partition column: every partitioned part
+    is single-valued, so its footer [min, max] is a point range and
+    the existing stats skipping prunes to exactly the touched
+    partitions — the commit's removes must all be fr-partition files."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, p,
+        _pdf(spark, [(1, "fr", "a"), (2, "en", "b"), (3, "de", "c")]),
+        partition_by=["lang"],
+    )
+    before = {
+        f: s.get("__partition__", {}).get("lang")
+        for f, s in t._snapshot_entries()
+    }
+    v = t.merge_upsert(
+        _pdf(spark, [(1, "fr", "A"), (9, "fr", "z")]), "lang"
+    )
+    act = t._read_action(v)
+    assert act["removes"], "merge rewrote nothing"
+    assert all(before[f] == "fr" for f in act["removes"]), act["removes"]
+    assert {(r.k, r.lang, r.v) for r in t.read().collect()} == {
+        (1, "fr", "A"), (9, "fr", "z"), (2, "en", "b"), (3, "de", "c")
+    }
+
+
+def test_partitioned_delete_where_scoped_and_pruned(spark, tmp_path):
+    """delete_where(partition_filter=...) conjoins the partition
+    predicate (rows outside the named partitions survive even if they
+    match the raw condition) and its rewrite set stays inside the
+    partition."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, p,
+        _pdf(
+            spark,
+            [(1, "fr", "x"), (2, "fr", "keep"), (3, "en", "x"), (4, "de", "x")],
+        ),
+        partition_by=["lang"],
+    )
+    before = {
+        f: s.get("__partition__", {}).get("lang")
+        for f, s in t._snapshot_entries()
+    }
+    v = t.delete_where(
+        F.col("v") == "x", partition_filter={"lang": "fr"}
+    )
+    act = t._read_action(v)
+    assert act["removes"] and all(
+        before[f] == "fr" for f in act["removes"]
+    ), act["removes"]
+    assert {(r.k, r.lang, r.v) for r in t.read().collect()} == {
+        (2, "fr", "keep"), (3, "en", "x"), (4, "de", "x")
+    }
+    # MoR flavor: scoped equality delete, full-snapshot guards intact
+    v2 = t.delete_where(
+        F.col("v") == "x", mode="mor", key="k",
+        partition_filter={"lang": "en"},
+    )
+    assert t._read_action(v2)["op"] == "delete-mor"
+    assert {(r.k, r.lang, r.v) for r in t.read().collect()} == {
+        (2, "fr", "keep"), (4, "de", "x")
+    }
+
+
+def test_partition_metadata_survives_checkpoint_and_restore(spark, tmp_path):
+    """Recorded partition values ride the checkpoint's consolidated
+    stats and restore's stats passthrough — pruning still works when
+    snapshot replay starts from a checkpoint, and after a rollback."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, p,
+        _pdf(spark, [(1, "fr", "a"), (2, "en", "b")]),
+        partition_by=["lang"],
+    )
+    t.append(_pdf(spark, [(3, "fr", "c")]))            # v1
+    t.checkpoint()
+    t.append(_pdf(spark, [(4, "en", "d")]))            # v2
+    got = t.read(partition_filter={"lang": "fr"})
+    assert {r.k for r in got.collect()} == {1, 3}
+    fr_files = {
+        os.path.realpath(t.file_store.read_path(p, f))
+        for f, s in t._snapshot_entries()
+        if s.get("__partition__", {}).get("lang") == "fr"
+    }
+    assert {
+        os.path.realpath(f.removeprefix("file:")) for f in got.inputFiles()
+    } <= fr_files
+    t.restore(1)
+    got = t.read(partition_filter={"lang": "fr"})
+    assert {r.k for r in got.collect()} == {1, 3}
+
+
+def test_partitioned_create_rejects_missing_column(spark, tmp_path):
+    with pytest.raises(ValueError, match="partition_by columns"):
+        TxTable.create(
+            spark, str(tmp_path / "t"),
+            _pdf(spark, [(1, "fr", "a")]),
+            partition_by=["nope"],
+        )
