@@ -8558,10 +8558,12 @@ def stream_txlog_merge_sink(spark, sf_dir):
     feed — consumed TWICE, the reference's overlapping-scan shape —
     through foreachBatch TxTable.merge_upsert (streaming/
     incremental.py foreach_batch_merge_txlog). Each micro-batch is one
-    atomic copy-on-write commit rewriting only key-touched files;
-    replays are idempotent, so the final snapshot is exactly the
-    distinct event set regardless of batch boundaries or the doubled
-    feed."""
+    atomic copy-on-write commit rewriting only key-touched files and
+    (r10) records its ``(app_id, batch_id)`` streaming-transaction id,
+    so a REPLAYED micro-batch is recognized and skipped by recorded id
+    (TxTable.txns, the public formats' txnVersion recipe) — the final
+    snapshot is exactly the distinct event set regardless of batch
+    boundaries, the doubled feed, or replays."""
     from .sources.txlog import TxTable
     from .streaming import incremental as S
 
@@ -8574,7 +8576,9 @@ def stream_txlog_merge_sink(spark, sf_dir):
     t = TxTable.create(spark, _txtmp("txstream_"), seed)
     feed = S.read_events_stream(spark, sf_dir).select(*cols)
     doubled = feed.unionByName(S.read_events_stream(spark, sf_dir).select(*cols))
-    S.foreach_batch_merge_txlog(doubled, t, "event_id", "ts")
+    S.foreach_batch_merge_txlog(
+        doubled, t, "event_id", "ts", app_id="stream_txlog_merge_sink"
+    )
     return t.read().select("event_id", "user_id", "event_type")
 
 

@@ -617,6 +617,9 @@ class TxTable:
                     # of O(all commits): without this, a long-lived
                     # table pays a full-genesis JSON walk per append.
                     "constraints": self.constraints(v),
+                    # Streaming-transaction watermarks too: a long-lived
+                    # streaming sink calls last_txn() every micro-batch.
+                    "txns": self.txns(v),
                 },
                 fh,
             )
@@ -910,6 +913,42 @@ class TxTable:
                 out.pop(act["constraint"]["name"], None)
         return out
 
+    # -- streaming-writer transaction ids --------------------------------------
+
+    def txns(self, version: int | None = None) -> dict[str, int]:
+        """Latest recorded streaming-transaction id per application at
+        ``version`` — the public formats' setTransaction/txnVersion
+        idempotence recipe: a streaming writer stamps each commit with
+        its ``(app_id, batch_id)``, and on micro-batch REPLAY (crash
+        between the sink commit and the engine checkpoint advancing)
+        consults this map and skips batch ids it already committed —
+        exactly-once by recorded id, not by hoping the merge is
+        idempotent. Replay starts from the newest checkpoint's
+        consolidated map when present (checkpoints older than r10
+        fall back to the genesis walk, same rule as constraints())."""
+        if version is None:
+            version = self.latest_version()
+        out: dict[str, int] = {}
+        start = 0
+        ck = self._latest_checkpoint_raw(version)
+        if ck is not None and "txns" in ck[1]:
+            out = dict(ck[1]["txns"])
+            start = ck[0] + 1
+        for v in self._versions():
+            if v < start:
+                continue
+            if v > version:
+                break
+            txn = self._read_action(v).get("txn")
+            if txn:
+                prev = out.get(txn["app"], -1)
+                out[txn["app"]] = max(prev, int(txn["batch"]))
+        return out
+
+    def last_txn(self, app: str) -> int | None:
+        """The newest committed batch id for ``app``, or None."""
+        return self.txns().get(app)
+
     def _violations(self, df: DataFrame, exprs: dict[str, str]):
         """First violated constraint name for ``df``, or None. SQL
         CHECK semantics: NULL evaluations PASS (only a definite FALSE
@@ -1098,7 +1137,8 @@ class TxTable:
                 )
 
     def merge_upsert(self, updates: DataFrame, key: str,
-                     mode: str = "cow") -> int:
+                     mode: str = "cow",
+                     txn: tuple[str, int] | None = None) -> int:
         """MERGE: rows in ``updates`` replace same-key rows; new keys
         insert. Two write strategies, the same public-format pair:
 
@@ -1120,7 +1160,16 @@ class TxTable:
           folds pending deletes back into clean files. The
           high-frequency-writer half of the public formats' CoW/MoR
           pair.
+
+        ``txn=(app_id, batch_id)`` stamps the commit with a streaming-
+        transaction id (see :meth:`txns`): the id rides any rebase, so
+        whichever version the merge eventually lands at records it,
+        and a replayed micro-batch can be recognized and skipped by
+        the sink (streaming/incremental.py foreach_batch_merge_txlog).
         """
+        txn_extra = (
+            {"txn": {"app": txn[0], "batch": int(txn[1])}} if txn else {}
+        )
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown merge mode {mode!r}")
         if mode == "cow":
@@ -1165,7 +1214,7 @@ class TxTable:
             return self._commit_rebase(
                 v, adds, [], "merge-mor",
                 stats=self._file_stats(adds),
-                extra={"delete_adds": dels, "delete_key": key},
+                extra={"delete_adds": dels, "delete_key": key, **txn_extra},
                 probe=None, updates=updates,
                 what=f"merge_upsert(mode='mor', key={key!r})",
             )
@@ -1220,6 +1269,7 @@ class TxTable:
         return self._commit_rebase(
             v, adds, touched, "merge",
             stats=self._file_stats(adds),
+            extra=txn_extra or None,
             probe=probe, updates=updates,
             what=f"merge_upsert(mode='cow', key={key!r})",
         )

@@ -1678,3 +1678,74 @@ def test_partitioned_create_rejects_missing_column(spark, tmp_path):
             _pdf(spark, [(1, "fr", "a")]),
             partition_by=["nope"],
         )
+
+
+# -- streaming batch-id idempotence (VERDICT r9 ask #5) ----------------------
+
+
+def test_streaming_sink_skips_replayed_batch_by_recorded_id(spark, tmp_path):
+    """Restart replay: a micro-batch whose id is already recorded in
+    the table's txn map lands NO new version and NO duplicate rows —
+    exactly-once by recorded (app_id, batch_id), the crash window
+    between sink commit and engine checkpoint advance covered. A NEW
+    batch id from the same app still lands, and a different app's
+    ids don't collide."""
+    from data_analyse_marche_emploi_spark.streaming.incremental import (
+        make_txlog_merge_batch_fn,
+    )
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, p, spark.createDataFrame([(1, "a", 0)], "k long, v string, ts long")
+    )
+    merge = make_txlog_merge_batch_fn(t, "k", "ts", app_id="q1")
+    b0 = spark.createDataFrame([(2, "b", 1), (3, "c", 1)], "k long, v string, ts long")
+    merge(b0, 0)
+    v_after = t.latest_version()
+    assert t.last_txn("q1") == 0
+    state = sorted((r.k, r.v) for r in t.read().collect())
+
+    merge(b0, 0)  # the restart replays the committed batch
+    assert t.latest_version() == v_after, "replay burned a version"
+    assert sorted((r.k, r.v) for r in t.read().collect()) == state
+
+    b1 = spark.createDataFrame([(3, "C", 2)], "k long, v string, ts long")
+    merge(b1, 1)  # the next batch still lands
+    assert t.latest_version() == v_after + 1
+    assert t.last_txn("q1") == 1
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [
+        (1, "a"), (2, "b"), (3, "C")
+    ]
+
+    # a different logical query has its own watermark
+    other = make_txlog_merge_batch_fn(t, "k", "ts", app_id="q2")
+    other(spark.createDataFrame([(9, "z", 3)], "k long, v string, ts long"), 0)
+    assert t.last_txn("q2") == 0 and t.last_txn("q1") == 1
+
+
+def test_txn_watermark_rides_checkpoint_and_rebase(spark, tmp_path):
+    """The txn map consolidates into checkpoints (last_txn stays
+    O(commits since checkpoint)) and a txn-stamped merge that LOSES a
+    commit race records its id at whatever version the rebase lands."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a"), (2, "b")]))
+    t.merge_upsert(_df(spark, [(2, "B")]), "k", txn=("q", 4))
+    t.checkpoint()
+    assert t.last_txn("q") == 4  # read through the checkpoint map
+    ck = t._latest_checkpoint_raw(t.latest_version())
+    assert ck is not None and ck[1].get("txns") == {"q": 4}
+
+    # racing append lands inside the merge's publish window; the merge
+    # rebases and its txn id must still be recorded
+    t2 = TxTable(spark, p)
+    racer = TxTable(
+        spark, p,
+        log_store=InjectOnce(
+            t.log_store, lambda: t2.append(_df(spark, [(7, "g")]))
+        ),
+    )
+    racer.merge_upsert(_df(spark, [(1, "A")]), "k", txn=("q", 5))
+    assert t.last_txn("q") == 5
+    assert {r.k: r.v for r in t.read().collect()} == {
+        1: "A", 2: "B", 7: "g"
+    }
