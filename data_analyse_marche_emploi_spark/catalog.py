@@ -8908,7 +8908,8 @@ def _crawl_pipeline_oracle() -> str:
     p3 AS (SELECT url, regexp_replace(t, '__PHONE__', '<PHONE>', 'g') AS t
            FROM p2),
     q AS (SELECT url, string_split(lower(t), ' ') AS toks FROM p3
-          WHERE len(string_split(lower(t), ' ')) >= 12),
+          WHERE len(string_split(lower(t), ' ')) >= 12
+            AND 181 * len(string_split(t, ' ')) - 32 * length(t) > 0),
     s AS (SELECT url, toks,
                  unnest(generate_series(1, len(toks), 48)) AS start
           FROM q)
@@ -8933,8 +8934,18 @@ def pipeline_crawl_to_training(spark, sf_dir):
     8-gram with them is dropped, and the eval docs themselves never
     reach training) → PII REDACTION (deterministic contact blob
     appended first, as in pii_redact, since the fixture carries no
-    PII) → a token-count quality gate → 64/48 overlapping chunking,
-    keyed by canonical URL. Decontamination runs BEFORE the blob
+    PII) → a token-count quality gate → a MODEL QUALITY GATE (r10,
+    VERDICT r9 ask #6): logreg_score under fixed literal weights over
+    a (token-count, char-count) feature vector — keep iff
+    181·T − 32·C > 0, i.e. mean chars/token below 181/32 ≈ 5.66
+    (drops ~10 % of fixture docs, so the gate is exercised at every
+    SF). Integer features × integer weights keep the dot product
+    EXACT in IEEE doubles, so the learned-gate plumbing (the
+    classifier's scoring path, operators/classifier.py) joins the
+    closed-form oracle with no float-replay caveat; training runs
+    offline (quality_filter) and hands weights in, exactly how a
+    production gate deploys a fitted model → 64/48 overlapping
+    chunking, keyed by canonical URL. Decontamination runs BEFORE the blob
     append: redaction collapses every doc's contact tail to the same
     '<EMAIL> tel <PHONE> host <IP>' tokens, which would otherwise be a
     corpus-wide shared 8-gram and flag everything. The oracle is the
@@ -9006,7 +9017,25 @@ def pipeline_crawl_to_training(spark, sf_dir):
     red = pii_redact(with_blob, "clean", "url").filter(
         F.size(F.split(F.col("text_redacted"), " ")) >= 12
     )
-    return chunk_tokens(red, "text_redacted", "url", window=64, stride=48)
+    from .operators.classifier import logreg_score
+
+    feat = F.array(
+        F.size(F.split(F.col("text_redacted"), " ")).cast("double"),
+        F.length(F.col("text_redacted")).cast("double"),
+    )
+    gated = (
+        logreg_score(
+            red.withColumn("__feat", feat),
+            "__feat",
+            "url",
+            w=[181.0, -32.0],
+            b=0.0,
+            passthrough=("text_redacted",),
+        )
+        .filter(F.col("keep"))
+        .drop("logit", "keep")
+    )
+    return chunk_tokens(gated, "text_redacted", "url", window=64, stride=48)
 
 
 @register(

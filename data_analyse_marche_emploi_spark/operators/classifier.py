@@ -119,32 +119,53 @@ def logreg_train(
 
 
 def logreg_score(
-    df: DataFrame, vec_col: str, id_col: str, w, b: float
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    w,
+    b: float,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Score every row with the trained model: ``(id, logit,
-    keep)`` where ``keep = logit > 0`` (probability > 0.5). Map-side
-    broadcast dot product over Arrow batches — zero shuffle."""
+    """Score every row with the trained model: ``(id, logit, keep,
+    *passthrough)`` where ``keep = logit > 0`` (probability > 0.5).
+    Map-side broadcast dot product over Arrow batches — zero shuffle.
+    The id column keeps its own type; ``passthrough`` columns ride the
+    scoring pass unchanged (so a filter-then-continue pipeline never
+    needs a corpus-sized join back onto the scores)."""
     import numpy as np
     import pandas as pd
+    from pyspark.sql import types as T
 
     spark = df.sparkSession
     bw = spark.sparkContext.broadcast((np.asarray(w, dtype=np.float64), float(b)))
+    out_schema = T.StructType(
+        [
+            T.StructField("__id", df.schema[id_col].dataType),
+            T.StructField("logit", T.DoubleType()),
+            T.StructField("keep", T.BooleanType()),
+        ]
+        + [df.schema[c] for c in passthrough]
+    )
 
     def score(it):
         cw, cb = bw.value
         for pdf in it:
+            if not len(pdf):
+                continue
             x = np.array(list(pdf["__x"]), dtype=np.float64)
             z = x @ cw + cb
-            yield pd.DataFrame(
-                {"__id": pdf["__id"], "logit": z, "keep": z > 0}
-            )
+            data = {"__id": pdf["__id"], "logit": z, "keep": z > 0}
+            for c in passthrough:
+                data[c] = pdf[c]
+            yield pd.DataFrame(data)
 
     return (
         df.select(
             F.col(id_col).alias("__id"),
             F.col(vec_col).cast("array<double>").alias("__x"),
+            *[F.col(c) for c in passthrough],
         )
-        .mapInPandas(score, "__id long, logit double, keep boolean")
+        .mapInPandas(score, out_schema)
         .withColumnRenamed("__id", id_col)
     )
 

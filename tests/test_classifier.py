@@ -152,3 +152,22 @@ def test_training_set_sample_is_deterministic(spark):
             {(tuple(r["__v"]), r["__label"]) for r in t.collect()}
         )
     assert sets[0] == sets[1]
+
+
+def test_logreg_score_passthrough_and_string_ids(spark):
+    """The scoring pass keeps the id column's own type and carries
+    passthrough columns unchanged — the crawl pipeline's model gate
+    (url string keys + the text column riding through) needs both; and
+    integer features x integer weights make keep exactly replayable
+    (181*T - 32*C > 0, no float-fold caveat)."""
+    rows = [("u1", [10.0, 50.0], "a"), ("u2", [10.0, 60.0], "b")]
+    df = spark.createDataFrame(rows, "url string, vec array<double>, txt string")
+    out = logreg_score(
+        df, "vec", "url", w=[181.0, -32.0], b=0.0, passthrough=("txt",)
+    )
+    assert dict(out.dtypes)["url"] == "string"
+    got = {r.url: (r.keep, r.txt, r.logit) for r in out.collect()}
+    assert got == {
+        "u1": (True, "a", 181.0 * 10 - 32 * 50),
+        "u2": (False, "b", 181.0 * 10 - 32 * 60),
+    }
