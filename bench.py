@@ -88,6 +88,17 @@ HEADLINE = [
     "ann_lsh_multiprobe",
     "mixture_temperature",
     "tablelog_merge_on_read",
+    # round-9 additions: multi-probe embedding-LSH dedup, DSIR
+    # importance resampling, racing-merge rebase, the distant-
+    # supervision quality classifier
+    "dedup_embedding_lsh_multiprobe",
+    "curation_dsir_select",
+    "tablelog_concurrent_merge",
+    "curation_quality_classifier",
+    # round-10 additions: ExactSubstr rewrite (overlapping-window span
+    # removal), partition-pruned txlog reads
+    "dedup_substring_rewrite",
+    "tablelog_partitioned",
 ]
 
 

@@ -1699,6 +1699,51 @@ def dedup_lines_global(spark, sf_dir):
     return line_dedup_global(d, "text", "doc_id", segment_tokens=8)
 
 
+@register(
+    "dedup_substring_rewrite",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    w AS (SELECT doc_id, i AS p, array_to_string(t[i:i+15], ' ') AS g
+          FROM toks, UNNEST(CASE WHEN len(t) < 16 THEN []
+               ELSE generate_series(1, len(t) - 15) END) AS u(i)),
+    -- non-first occurrences of any duplicated 16-gram; the engine
+    -- computes first-occurrence as a collision-free groupBy min over a
+    -- (doc, position) struct keyed on a 128-bit window hash
+    spans AS (SELECT doc_id, p FROM (
+        SELECT doc_id, p,
+               row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+        FROM w) WHERE rn > 1),
+    rem AS (SELECT doc_id, list(DISTINCT i) AS ri
+            FROM spans, UNNEST(generate_series(p, p + 15)) AS r(i)
+            GROUP BY doc_id)
+    SELECT toks.doc_id,
+      -- DuckDB's array_to_string([]) is NULL; fully-removed docs are ''
+      coalesce(array_to_string(list_transform(
+          list_filter(generate_series(1, len(t)),
+                      i -> NOT list_contains(coalesce(ri, []), i)),
+          i -> t[i]), ' '), '') AS clean_text,
+      CAST(len(t) AS BIGINT) AS n_tokens,
+      CAST(coalesce(len(ri), 0) AS BIGINT) AS n_removed
+    FROM toks LEFT JOIN rem USING (doc_id)
+    """,
+)
+def dedup_substring_rewrite(spark, sf_dir):
+    """ExactSubstr REWRITE (the removal half of the suffix-array
+    recipe; dedup_window_exact is the flag-only twin): every verbatim
+    16-token span occurring more than once corpus-wide survives only at
+    its first (doc, position) occurrence — every other occurrence's
+    tokens are cut and documents reassembled. Overlapping windows make
+    the cut boundary-precise for any copied span >= 16 tokens, which
+    dedup_lines_global's non-overlapping segments cannot do. Text never
+    shuffles: (id, pos, 128-bit hash) rows feed a partial-agg owner
+    min, only duplicated windows join back (exchange-reuse, no extra
+    shuffle), spans fold into disjoint intervals per doc."""
+    from .operators.dedup import substring_span_rewrite
+
+    d = _t(spark, sf_dir, "documents")
+    return substring_span_rewrite(d, "text", "doc_id", k=16)
+
+
 _SIMHASH_ORACLE_CTE = """
     WITH tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
@@ -9259,6 +9304,7 @@ def dq_skew_report(spark, sf_dir):
 _DRIVER_WINDOW = [
     "flagship_orders_by_month",
     "tablelog_partitioned",
+    "dedup_substring_rewrite",
     "agg_freq_items",
     "text_perplexity",
     "dedup_window_exact",
@@ -9306,7 +9352,6 @@ _DRIVER_WINDOW = [
     "mixture_stratified_sample",
     "mixture_train_split",
     "emb_quantize",
-    "agg_theta_overlap",
 ]
 
 def _prioritize() -> None:

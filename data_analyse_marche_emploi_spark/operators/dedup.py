@@ -1099,6 +1099,123 @@ def line_dedup_global(
     )
 
 
+def substring_span_rewrite(
+    docs: DataFrame, text_col: str, id_col: str, k: int = 16
+) -> DataFrame:
+    """Exact substring dedup, REWRITE form (the removal half of the
+    "Deduplicating Training Data Makes Language Models Better"
+    ExactSubstr recipe): every verbatim ``k``-token span that occurs
+    more than once in the corpus survives only at its first
+    ``(doc, position)`` occurrence; every other occurrence's tokens are
+    cut from their documents and each document is reassembled from its
+    surviving tokens in order.
+
+    Semantics (the exact spec the differential oracle replays): a token
+    is removed iff it is covered by at least one ``k``-token window
+    whose content also occurs at a strictly smaller ``(doc, position)``
+    somewhere in the corpus. Because OVERLAPPING windows are used
+    (unlike :func:`line_dedup_global`'s non-overlapping segments), a
+    copied span of length L >= k yields L-k+1 duplicated windows whose
+    token union is exactly the L copied tokens — the cut is
+    boundary-precise regardless of where the copy lands, which is the
+    property the suffix-array recipe buys and segment dedup cannot.
+    Intra-document repetition is handled by the same rule (the later
+    in-doc occurrence is cut). :func:`window_exact_dedup` is the
+    flag-only twin; this one rewrites the text.
+
+    Scale shape: document text never shuffles on content. Tokens hash
+    once behind the :func:`hashed_tokens` barrier; the window stream is
+    ``(id, pos, h1, h2)`` — 24 bytes a row, a 128-bit salted-xxhash64
+    composite per window, no window string ever built (~rows²/2¹²⁸
+    collision odds are the accepted trade; the oracle keys on the gram
+    string and is the collision-free reference). Ownership is a
+    partial-aggregating groupBy ``min`` over (h1, h2) — a boilerplate
+    window shared by 10^7 docs collapses to one row per task before the
+    shuffle — and only windows with count > 1 join back against the
+    stream (both sides already hash-partitioned by (h1, h2), so AQE
+    reuses the exchange and the join adds no shuffle; the dup side is
+    usually small enough to broadcast and AQE may do so). Removal spans
+    roll up to one sorted int array per doc, overlapping spans merge
+    into disjoint intervals with a single ``aggregate`` fold (a fully
+    duplicated doc collapses to ONE interval, so the rebuild filter's
+    ``exists`` probe stays O(tokens × merged-intervals), not
+    O(tokens × windows)), and the rebuild is map-side on the original
+    text after one id-keyed join of the interval arrays.
+
+    Returns one row per input doc: ``(id, clean_text, n_tokens,
+    n_removed)``; docs shorter than ``k`` tokens pass through unchanged.
+    """
+    th = hashed_tokens(
+        docs.select(F.col(id_col).alias("__id"), text_col), text_col
+    )
+    # Positions are 1-based (sequence(1, ..)) to mirror SQL slice
+    # semantics; the salt-FIRST second hash is the independence rule
+    # documented at line_dedup_global.
+    wins = (
+        f"CASE WHEN size(__th) < {k} THEN "
+        "CAST(array() AS array<struct<p:int,h1:bigint,h2:bigint>>) "
+        f"ELSE transform(sequence(1, size(__th) - {k} + 1), "
+        f"i -> struct(i AS p, xxhash64(slice(__th, i, {k})) AS h1, "
+        f"xxhash64(1, slice(__th, i, {k})) AS h2)) END"
+    )
+    # Explode the expression, never a named column (the
+    # InferFiltersFromGenerate re-derivation trap documented at
+    # explode_window_hashes).
+    w = th.select("__id", F.explode(F.expr(wins)).alias("__w")).select(
+        "__id", "__w.p", "__w.h1", "__w.h2"
+    )
+    dup = (
+        w.groupBy("h1", "h2")
+        .agg(
+            F.min(F.struct("__id", "p")).alias("__keep"),
+            F.count(F.lit(1)).alias("__c"),
+        )
+        .filter(F.col("__c") > 1)
+        .select("h1", "h2", "__keep")
+    )
+    spans = (
+        w.join(dup, ["h1", "h2"])
+        .where(
+            ~(
+                (F.col("__id") == F.col("__keep.__id"))
+                & (F.col("p") == F.col("__keep.p"))
+            )
+        )
+        .select("__id", "p")
+    )
+    rem = spans.groupBy("__id").agg(
+        F.sort_array(F.collect_list("p")).alias("__starts")
+    )
+    # Fold sorted span starts into disjoint half-open [s, e) intervals:
+    # starts are ascending, so each new span either extends the last
+    # interval (x <= last.e, covering adjacency) or opens a new one.
+    merged = (
+        "aggregate(coalesce(__starts, CAST(array() AS array<int>)), "
+        "CAST(array() AS array<struct<s:int,e:int>>), "
+        "(acc, x) -> CASE WHEN size(acc) > 0 AND x <= element_at(acc, -1).e "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), "
+        f"array(struct(element_at(acc, -1).s AS s, x + {k} AS e))) "
+        f"ELSE concat(acc, array(struct(x AS s, x + {k} AS e))) END)"
+    )
+    toks = f"split({text_col}, ' ')"
+    kept = (
+        f"filter({toks}, (t, i) -> "
+        "NOT exists(__iv, iv -> i + 1 >= iv.s AND i + 1 < iv.e))"
+    )
+    return (
+        docs.join(rem, docs[id_col] == rem["__id"], "left")
+        .withColumn("__iv", F.expr(merged))
+        .select(
+            F.col(id_col),
+            F.expr(f"concat_ws(' ', {kept})").alias("clean_text"),
+            F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens"),
+            F.expr(f"CAST(size({toks}) - size({kept}) AS BIGINT)").alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
 def embedding_lsh_pairs(
     vectors: DataFrame,
     vec_col: str,

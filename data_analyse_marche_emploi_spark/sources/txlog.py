@@ -389,14 +389,26 @@ class TxTable:
         """The table's partition columns, recorded once in the create
         commit (Delta's metaData.partitionColumns analog); [] for an
         unpartitioned table. Memoized — the create record is
-        immutable."""
+        immutable. Served from the newest checkpoint when one exists
+        (checkpoints consolidate ALL per-write metadata walks; reading
+        genesis here would break the O(commits-since-checkpoint)
+        replay bound every write path relies on); checkpoints written
+        before the field existed imply a pre-partitioning table, but
+        fall back to the genesis read rather than assume."""
         if self._partition_cols is None:
             try:
-                self._partition_cols = self._read_action(0).get(
-                    "partition_by", []
-                )
+                ck = self._latest_checkpoint_raw(self.latest_version())
             except FileNotFoundError:
                 return []
+            if ck is not None and "partition_by" in ck[1]:
+                self._partition_cols = ck[1]["partition_by"]
+            else:
+                try:
+                    self._partition_cols = self._read_action(0).get(
+                        "partition_by", []
+                    )
+                except FileNotFoundError:
+                    return []
         return self._partition_cols
 
     # -- log primitives ----------------------------------------------------
@@ -620,6 +632,10 @@ class TxTable:
                     # Streaming-transaction watermarks too: a long-lived
                     # streaming sink calls last_txn() every micro-batch.
                     "txns": self.txns(v),
+                    # Partition columns ride along for the same reason:
+                    # partition_by() runs on every write and must not
+                    # walk below the checkpoint to genesis.
+                    "partition_by": self.partition_by(),
                 },
                 fh,
             )

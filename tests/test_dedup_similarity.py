@@ -484,6 +484,98 @@ def test_line_dedup_hash_and_text_modes_agree(spark):
     assert h == t
 
 
+def test_substring_span_rewrite_semantics(spark):
+    """ExactSubstr rewrite: a copied span >= k tokens is cut
+    boundary-precisely from every occurrence but the first
+    (doc, position) one — including a later copy inside the SAME doc —
+    while docs shorter than k pass through untouched."""
+    from data_analyse_marche_emploi_spark.operators.dedup import (
+        substring_span_rewrite,
+    )
+
+    span = " ".join(f"w{i}" for i in range(20))  # 20-token span, k=16
+    docs = spark.createDataFrame(
+        [
+            (1, span + " unique1 tail one"),           # owner: untouched
+            (2, "head two " + span + " suffix here"),  # copy cut, edges kept
+            (3, "short doc under k tokens"),           # < k: no windows
+            (4, span + " middle filler " + span),      # both copies cut
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in substring_span_rewrite(docs, "text", "doc_id", k=16).collect()
+    }
+    assert out[1]["clean_text"] == span + " unique1 tail one"
+    assert (out[1]["n_tokens"], out[1]["n_removed"]) == (23, 0)
+    # the cut is exactly the 20 copied tokens; both edges survive
+    assert out[2]["clean_text"] == "head two suffix here"
+    assert (out[2]["n_tokens"], out[2]["n_removed"]) == (24, 20)
+    assert out[3]["clean_text"] == "short doc under k tokens"
+    assert out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "middle filler"
+    assert (out[4]["n_tokens"], out[4]["n_removed"]) == (42, 40)
+
+
+def test_substring_span_rewrite_matches_python_reference(spark):
+    """Randomized differential against a direct Python implementation
+    of the token-membership spec (a token is removed iff covered by a
+    k-window whose content occurs at a smaller (doc, position)):
+    overlapping copies, partial overlaps, self-repetition, and
+    interval-merge edge cases all come out of the generator."""
+    import random
+
+    from data_analyse_marche_emploi_spark.operators.dedup import (
+        substring_span_rewrite,
+    )
+
+    k = 8
+    rng = random.Random(77)
+    vocab = [f"t{i}" for i in range(30)]  # small vocab → organic repeats
+    chunks = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(k, 2 * k)))
+        for _ in range(6)
+    ]
+    rows = []
+    for i in range(40):
+        parts = [
+            rng.choice(chunks)
+            if rng.random() < 0.5
+            else " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12)))
+            for _ in range(rng.randint(1, 4))
+        ]
+        rows.append((i, " ".join(parts)))
+
+    def ref(docs):
+        toks = {i: t.split(" ") for i, t in docs}
+        occ: dict[str, list[tuple[int, int]]] = {}
+        for i in sorted(toks):
+            tk = toks[i]
+            for p in range(len(tk) - k + 1):
+                occ.setdefault(" ".join(tk[p : p + k]), []).append((i, p))
+        removed: dict[int, set[int]] = {i: set() for i in toks}
+        for lst in occ.values():
+            for (i, p) in lst[1:]:
+                removed[i].update(range(p, p + k))
+        return {
+            i: (
+                " ".join(t for j, t in enumerate(tk) if j not in removed[i]),
+                len(tk),
+                len(removed[i]),
+            )
+            for i, tk in toks.items()
+        }
+
+    expected = ref(rows)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in substring_span_rewrite(df, "text", "doc_id", k=k).collect()
+    }
+    assert got == expected
+
+
 def test_band_buckets_rejects_non_dividing_bands(spark):
     """bands > k degenerates every band to the hash of an EMPTY slice
     (one global bucket, O(n²) candidates); non-dividing bands silently

@@ -314,6 +314,18 @@ def test_line_dedup_owner_partial_aggregates_no_cartesian(spark, sf_dir):
     assert "Window" not in plan
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
 
+def test_substring_rewrite_owner_partial_aggregates_no_cartesian(spark, sf_dir):
+    """dedup_substring_rewrite's window ownership must partial-aggregate
+    map-side over the (h1, h2) composite (a boilerplate window shared by
+    10^7 docs collapses to one row per task before the shuffle), never a
+    partition-window rank, and the dup join-back must stay an equi-join
+    — no cartesian, no nested-loop."""
+    plan = plan_of(spark, sf_dir, "dedup_substring_rewrite")
+    assert "partial_min" in plan
+    assert "Window" not in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_tf_idf_never_broadcasts_term_table(spark, sf_dir):
     """The tf⋈dfreq join must be a ShuffledHashJoin on term: the
     doc-frequency side is term-cardinality sized (10⁸-10⁹ distinct
