@@ -8519,6 +8519,44 @@ def tablelog_partitioned(spark, sf_dir):
 
 
 @register(
+    "tablelog_update_where",
+    # Final state after: create from the k % 7 < 5 slice of orders,
+    # one partition-blind CoW UPDATE flipping every 10th key's price
+    # sign and stamping its status. The oracle replays the assignment
+    # as a CASE over the same slice.
+    oracle="""
+    SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 10 = 3 THEN -o_totalprice
+                ELSE o_totalprice END AS p,
+           CASE WHEN o_orderkey % 10 = 3 THEN 'U'
+                ELSE o_orderstatus END AS s
+    FROM orders WHERE o_orderkey % 7 < 5
+    """,
+)
+def tablelog_update_where(spark, sf_dir):
+    """SQL-style UPDATE on the versioned table (sources/txlog.py
+    update_where — the public formats' copy-on-write UPDATE,
+    completing the MERGE/DELETE/UPDATE DML triad): one predicate scan
+    finds the files holding matching rows, only those are rewritten
+    (matched rows take the SET expressions evaluated over PRE-update
+    values, neighbors carry verbatim), untouched files carry over by
+    reference, updated rows re-validate CHECK constraints, and a
+    racing append commutes through the same conflict-scoped rebase as
+    merge/delete. At 100 TB the cost is O(files holding matches) —
+    partition_filter and stats keep that a sliver of the table."""
+    from .sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("p"),
+        F.col("o_orderstatus").alias("s"),
+    )
+    t = TxTable.create(spark, _txtmp("txupd_"), o.filter(F.col("k") % 7 < 5))
+    t.update_where("k % 10 = 3", {"p": "-p", "s": "'U'"})
+    return t.read()
+
+
+@register(
     "snk_txlog_writer",
     oracle="""
     SELECT o_orderkey AS k, o_orderstatus AS s
@@ -9305,6 +9343,7 @@ _DRIVER_WINDOW = [
     "flagship_orders_by_month",
     "tablelog_partitioned",
     "dedup_substring_rewrite",
+    "tablelog_update_where",
     "agg_freq_items",
     "text_perplexity",
     "dedup_window_exact",
@@ -9351,7 +9390,6 @@ _DRIVER_WINDOW = [
     "cap_docs_per_source",
     "mixture_stratified_sample",
     "mixture_train_split",
-    "emb_quantize",
 ]
 
 def _prioritize() -> None:

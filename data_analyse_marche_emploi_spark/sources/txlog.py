@@ -1045,7 +1045,8 @@ class TxTable:
     # -- conflict-scoped optimistic concurrency --------------------------------
 
     _REBASABLE_OPS = frozenset(
-        {"append", "merge", "merge-mor", "delete", "delete-mor", "optimize"}
+        {"append", "merge", "merge-mor", "delete", "delete-mor", "update",
+         "optimize"}
     )
 
     def _rebase_version(self, bound: int, my_removes: list[str], probe,
@@ -1436,6 +1437,117 @@ class TxTable:
             stats=self._file_stats(adds),
             probe=probe_cow, ignore_new_constraints=True,
             what="delete_where(mode='cow')",
+        )
+
+    def update_where(self, condition, set_exprs: dict[str, str],
+                     partition_filter: dict | None = None) -> int:
+        """UPDATE rows matching ``condition``: for each matched row,
+        every ``set_exprs`` column is replaced by its SQL expression
+        evaluated over the row's PRE-update values (all assignments see
+        the old row, standard SQL UPDATE semantics — one projection,
+        never a chain). Completes the DML triad next to
+        :meth:`merge_upsert` and :meth:`delete_where`; the public
+        formats' copy-on-write UPDATE.
+
+        Copy-on-write: one predicate scan finds the files holding
+        matching rows (``partition_filter`` prunes that scan and is
+        conjoined into the predicate, the same replaceWhere-shaped
+        contract as delete_where); only those files are rewritten —
+        matched rows transformed, unmatched neighbors carried verbatim
+        — and untouched files carry over by reference, so write cost is
+        O(touched files). Updated rows are re-validated against the
+        active CHECK constraints (an update CAN create a violation,
+        unlike a delete), and a raced ``add_constraint`` re-validates
+        them again through the rebase path. The rebase conflict probe
+        mirrors delete's: a concurrently added row matching the
+        predicate means serial execution would have updated it, so the
+        retry must re-scan rather than silently miss it.
+
+        Updating a partition column is allowed — the rewrite re-stages
+        rows under their new partition directories, so recorded
+        partition values stay exact."""
+        bad = [c for c in set_exprs if c in (partition_filter or {})]
+        if bad:
+            raise ValueError(
+                f"update_where: SET touches partition_filter column(s) "
+                f"{bad} — the filter would contradict the assignment"
+            )
+        if partition_filter:
+            cond = (
+                F.expr(condition) if isinstance(condition, str) else condition
+            )
+            for c, pv in partition_filter.items():
+                cond = cond & (
+                    F.col(c).isNull()
+                    if pv is None
+                    else F.col(c).eqNullSafe(F.lit(pv))
+                )
+            condition = cond
+        self._require_no_pending_deletes("update_where")
+        v = self.latest_version()
+        entries = self._snapshot_entries(v)
+        if partition_filter:
+            entries = [
+                e for e in entries
+                if self._partition_match(e[1], partition_filter)
+            ]
+        live = [f for f, _ in entries]
+        cur = self._read_files(live)
+        unknown = [c for c in set_exprs if c not in cur.columns]
+        if unknown:
+            raise ValueError(
+                f"update_where: SET column(s) {unknown} not in table "
+                f"schema {cur.columns}"
+            )
+        touched = [
+            os.path.basename(r["f"])
+            for r in (
+                cur.withColumn("f", F.input_file_name())
+                .filter(condition)
+                .select("f")
+                .distinct()
+                .collect()
+            )
+        ]
+        if not touched:
+            return v  # no-op updates don't burn a version
+        marked = self._read_files(touched).withColumn(
+            "__upd",
+            F.expr(condition) if isinstance(condition, str) else condition,
+        )
+        rewritten = marked.select(
+            *[
+                F.when(F.col("__upd"), F.expr(set_exprs[c]))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in marked.columns
+                if c != "__upd"
+            ],
+            "__upd",
+        )
+        self._enforce_constraints(
+            rewritten.filter("__upd").drop("__upd"), "update_where"
+        )
+        adds = self._write_parts(rewritten.drop("__upd"))
+
+        def probe_update(entries: list[tuple[str, dict]]) -> bool:
+            # A concurrently added row matching the predicate would
+            # escape an update serial execution would have applied.
+            names = [f for f, _ in entries]
+            if not names:
+                return False
+            return bool(
+                self._read_files(names).filter(condition).limit(1).count()
+            )
+
+        return self._commit_rebase(
+            v, adds, touched, "update",
+            stats=self._file_stats(adds),
+            probe=probe_update,
+            updates=rewritten.filter("__upd").drop("__upd"),
+            what="update_where",
         )
 
     # -- read path -----------------------------------------------------------

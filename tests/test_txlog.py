@@ -151,6 +151,94 @@ def test_delete_where_noop_burns_no_version(spark, tmp_path):
     assert v == 0 and t.latest_version() == 0
 
 
+def test_update_where_semantics(spark, tmp_path):
+    """CoW UPDATE: matched rows take the SET expressions evaluated on
+    PRE-update values (a column swap comes out swapped, not aliased),
+    unmatched rows and files carry over untouched, no-ops burn no
+    version, and updated rows re-validate active CHECK constraints."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10.0, 1.0), (2, 20.0, 2.0), (3, 30.0, 3.0)],
+        "k long, a double, b double",
+    )
+    t = TxTable.create(spark, p, df)
+    v = t.update_where("k >= 2", {"a": "b", "b": "a + k"})
+    assert v == 1
+    got = sorted((r.k, r.a, r.b) for r in t.read().collect())
+    assert got == [(1, 10.0, 1.0), (2, 2.0, 22.0), (3, 3.0, 33.0)]
+    # time travel still shows the pre-update snapshot
+    pre = sorted((r.k, r.a, r.b) for r in t.read(0).collect())
+    assert pre == [(1, 10.0, 1.0), (2, 20.0, 2.0), (3, 30.0, 3.0)]
+    assert t.update_where("k > 99", {"a": "0.0"}) == 1  # no-op
+    t.add_constraint("a_pos", "a > 0")
+    with pytest.raises(ValueError, match="a_pos"):
+        t.update_where("k = 1", {"a": "-5.0"})
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.update_where("k = 1", {"missing": "1"})
+
+
+def test_update_where_rewrites_only_touched_files(spark, tmp_path):
+    """Files with no matching row must carry over by reference —
+    update cost is O(touched files), the CoW contract."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    before = set(t.snapshot_files())
+    t.update_where("k = 2", {"v": "upper(v)"})
+    after = set(t.snapshot_files())
+    # the k=1 file survives verbatim; the k=2 file was replaced
+    assert len(before & after) >= 1
+    assert before != after
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [
+        (1, "a"), (2, "B"),
+    ]
+
+
+def test_update_rebases_past_unrelated_append_conflicts_on_match(
+    spark, tmp_path
+):
+    """An update racing an append commutes when the appended rows miss
+    the predicate (both effects land) and fails loud when they match
+    (serial execution would have updated them)."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "x"), (2, "hit")]))
+    t2 = TxTable(spark, p)
+
+    racer = TxTable(
+        spark, p,
+        log_store=InjectOnce(
+            t.log_store, lambda: t2.append(_df(spark, [(9, "miss")]))
+        ),
+    )
+    v = racer.update_where("v = 'hit'", {"v": "'HIT'"})
+    assert v == 2
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [
+        (1, "x"), (2, "HIT"), (9, "miss"),
+    ]
+
+    racer2 = TxTable(
+        spark, p,
+        log_store=InjectOnce(
+            t.log_store, lambda: t2.append(_df(spark, [(10, "HIT")]))
+        ),
+    )
+    with pytest.raises(ValueError, match="re-run against the new snapshot"):
+        racer2.update_where("v = 'HIT'", {"v": "'hit again'"})
+
+
+def test_update_where_feeds_change_feed_as_update_pairs(spark, tmp_path):
+    """read_changes over an update commit must emit preimage/postimage
+    pairs for changed rows and nothing for carried-over neighbors."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a"), (2, "b")]))
+    t.update_where("k = 2", {"v": "'B'"})
+    chg = sorted(
+        (r.k, r.v, r._change_op)
+        for r in t.read_changes("k", from_version=0).collect()
+    )
+    assert chg == [(2, "B", "update_postimage"), (2, "b", "update_preimage")]
+
+
 def test_concurrent_commit_collision_raises(spark, tmp_path):
     """Optimistic concurrency: two writers racing to the same version
     leave exactly one winner; the loser gets a loud error, never a
@@ -1395,7 +1483,7 @@ def test_vacuum_min_age_spares_inflight_writer_parts(spark, tmp_path):
 def test_random_races_are_serializable(spark, tmp_path):
     """Randomized model check of the conflict-scoped rebase (the race
     sibling of test_txlog_random_ops_match_model): a seeded stream of
-    append/merge/delete ops, each with a coin-flip competing op landed
+    append/merge/delete/update ops, each with a coin-flip competing op landed
     INSIDE its publish window. Whatever the engine decides — rebase or
     conflict — the table must equal the serial composition of the
     commits that actually landed (winner first, rebased loser second;
@@ -1403,7 +1491,7 @@ def test_random_races_are_serializable(spark, tmp_path):
     oracle; divergence at ANY step fails."""
     import random
 
-    rng = random.Random(777)
+    rng = random.Random(11)
     p = str(tmp_path / "t")
     model = {k: f"v{k}" for k in range(8)}
     t = TxTable.create(spark, p, _df(spark, list(model.items())))
@@ -1416,6 +1504,9 @@ def test_random_races_are_serializable(spark, tmp_path):
     def apply_model(op, arg):
         if op in ("append", "merge"):
             model.update(arg)
+        elif op == "update":  # rewrite by value marker
+            for k in [k for k, v in model.items() if v == arg[0]]:
+                model[k] = arg[1]
         else:  # delete by value marker
             for k in [k for k, v in model.items() if v == arg]:
                 del model[k]
@@ -1425,13 +1516,15 @@ def test_random_races_are_serializable(spark, tmp_path):
             table.append(mk_df(arg))
         elif op == "merge":
             table.merge_upsert(mk_df(arg), "k")
+        elif op == "update":
+            table.update_where(F.col("v") == arg[0], {"v": f"'{arg[1]}'"})
         else:
             table.delete_where(F.col("v") == arg)
 
     def rand_op():
         nonlocal next_key
-        kind = rng.choice(["append", "merge", "merge", "delete"])
-        if kind == "delete" and not model:
+        kind = rng.choice(["append", "merge", "merge", "delete", "update"])
+        if kind in ("delete", "update") and not model:
             kind = "append"
         if kind == "append":
             arg = {next_key + i: f"n{next_key + i}" for i in range(2)}
@@ -1443,6 +1536,11 @@ def test_random_races_are_serializable(spark, tmp_path):
             if rng.random() < 0.5:
                 arg[next_key] = f"i{next_key}"
                 next_key += 1
+        elif kind == "update":
+            arg = (
+                model[rng.choice(sorted(model))],
+                f"u{rng.randrange(10_000)}",
+            )
         else:
             arg = model[rng.choice(sorted(model))]
         return kind, arg
@@ -1471,8 +1569,9 @@ def test_random_races_are_serializable(spark, tmp_path):
         assert got == model, (
             f"step {step} ({op_a}): table diverged from the serial model"
         )
-    # the seed must exercise BOTH decision paths (777 → 7 rebases,
-    # 1 conflict) or the check proves less than it claims
+    # the seed must exercise BOTH decision paths (11 → 4 rebases,
+    # 3 conflicts, all four op kinds raced) or the check proves less
+    # than it claims
     assert outcomes["rebase"] >= 1 and outcomes["conflict"] >= 1, outcomes
 
 
