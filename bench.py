@@ -96,9 +96,12 @@ HEADLINE = [
     "tablelog_concurrent_merge",
     "curation_quality_classifier",
     # round-10 additions: ExactSubstr rewrite (overlapping-window span
-    # removal), partition-pruned txlog reads
+    # removal), partition-pruned txlog reads, CoW UPDATE, bloom-filter
+    # point-lookup skipping
     "dedup_substring_rewrite",
     "tablelog_partitioned",
+    "tablelog_update_where",
+    "tablelog_bloom_lookup",
 ]
 
 

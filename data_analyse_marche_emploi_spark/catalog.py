@@ -8557,6 +8557,54 @@ def tablelog_update_where(spark, sf_dir):
 
 
 @register(
+    "tablelog_bloom_lookup",
+    # Point lookup of one key out of a 3-file table whose per-file key
+    # RANGES fully overlap (files split by k % 3, each spanning the
+    # whole keyspace) — min/max stats cannot prune, the logged bloom
+    # filters must. The oracle replays the lookup straight off orders.
+    oracle="""
+    SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+    WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders
+                        WHERE o_orderkey % 3 = 1)
+    """,
+)
+def tablelog_bloom_lookup(spark, sf_dir):
+    """BLOOM-FILTER FILE SKIPPING on the versioned table (sources/
+    txlog.py bloom_by — the Delta bloom-filter-index analog): each
+    write records a ~10-bits-per-value bloom bitset per (file,
+    indexed column) in its add action, and read(eq_filter=...) drops
+    files the bloom proves valueless WITHOUT opening them. The entry
+    constructs the adversarial-for-stats case — every file spans the
+    full key range, so footer min/max prunes nothing — and asserts
+    the probe opened exactly one file. At 100 TB this is the id-probe
+    path: a point lookup on a non-clustered high-cardinality column
+    opens a handful of files instead of the table; a bloom false
+    positive costs one extra file, never a wrong answer (the equality
+    predicate is conjoined as a row filter)."""
+    from .sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    t = TxTable.create(
+        spark,
+        _txtmp("txbloom_"),
+        o.filter(F.col("k") % 3 == 0).coalesce(1),
+        bloom_by=["k"],
+    )
+    t.append(o.filter(F.col("k") % 3 == 1).coalesce(1))
+    t.append(o.filter(F.col("k") % 3 == 2).coalesce(1))
+    probe = o.filter(F.col("k") % 3 == 1).agg(F.max("k")).first()[0]
+    r = t.read(eq_filter={"k": probe})
+    # strict ==1 is pinned at controlled scale in tests/test_txlog.py;
+    # here a bloom false positive may legitimately open one extra file
+    assert len(r.inputFiles()) < len(t.snapshot_files()), (
+        "bloom skipping pruned nothing for a single-file key"
+    )
+    return r
+
+
+@register(
     "snk_txlog_writer",
     oracle="""
     SELECT o_orderkey AS k, o_orderstatus AS s
@@ -9344,6 +9392,7 @@ _DRIVER_WINDOW = [
     "tablelog_partitioned",
     "dedup_substring_rewrite",
     "tablelog_update_where",
+    "tablelog_bloom_lookup",
     "agg_freq_items",
     "text_perplexity",
     "dedup_window_exact",
@@ -9389,7 +9438,6 @@ _DRIVER_WINDOW = [
     "chunks_to_sequences",
     "cap_docs_per_source",
     "mixture_stratified_sample",
-    "mixture_train_split",
 ]
 
 def _prioritize() -> None:

@@ -362,6 +362,68 @@ class InMemoryFileStore(FileStore):
         return cached
 
 
+def _bloom_hashes(value, m: int, k: int) -> list[int]:
+    """The ``k`` bit positions for ``value`` in an ``m``-bit bloom —
+    double hashing (h1 + i*h2 mod m) over the two 64-bit halves of an
+    md5 of the value's canonical string form (the same Hive-canonical
+    ``str()`` the partition values use, so int 5 and the probe 5 agree
+    regardless of which writer built the filter)."""
+    import hashlib
+
+    d = hashlib.md5(str(value).encode()).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1  # odd → full-cycle stride
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+_BLOOM_K = 7  # optimal for ~10 bits/key (FPR ≈ 0.8 %)
+# 128 KiB bitset cap per (file, column): full 10-bits-per-value sizing
+# up to ~100k distinct values per part; beyond that the filter degrades
+# to a higher FPR (sound, just less pruning). Real-scale parts (~10⁶
+# rows) would move the bitsets to sidecar index files like the public
+# formats do — the add-action stats ride is the single-medium log's
+# documented trade.
+_BLOOM_MAX_BITS = 1 << 20
+
+
+def _bloom_build(values) -> dict:
+    """Build the JSON-portable bloom record ``{"m", "k", "b"}`` (bit
+    count, hash count, base64 bitset) over an iterable of non-null
+    values. Sized at ~10 bits per value, power-of-two, capped at
+    ``_BLOOM_MAX_BITS`` (a capped filter degrades to a higher FPR,
+    never to a wrong answer — skipping stays sound). At real scale
+    the bitsets would live in sidecar index files like the public
+    formats'; riding the add-action stats keeps this log
+    single-medium and costs ~2 KiB per default-sized part."""
+    import base64
+
+    vals = list(values)
+    n = max(1, len(vals))
+    m = 64
+    while m < 10 * n and m < _BLOOM_MAX_BITS:
+        m <<= 1
+    bits = bytearray(m // 8)
+    for v in vals:
+        for pos in _bloom_hashes(v, m, _BLOOM_K):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return {"m": m, "k": _BLOOM_K, "b": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_might_contain(bloom: dict, value) -> bool:
+    """Probe: False proves ``value`` is absent from the file; True
+    means maybe-present (open the file). NULL never enters a bloom, so
+    a None probe is always maybe."""
+    import base64
+
+    if value is None:
+        return True
+    bits = base64.b64decode(bloom["b"])
+    return all(
+        bits[pos >> 3] & (1 << (pos & 7))
+        for pos in _bloom_hashes(value, bloom["m"], bloom["k"])
+    )
+
+
 class TxTable:
     """Handle to a transaction-log table rooted at ``path``."""
 
@@ -378,6 +440,7 @@ class TxTable:
         self.log_store = log_store or PosixLogStore()
         self.file_store = file_store or PosixFileStore()
         self._partition_cols: list[str] | None = None
+        self._bloom_cols: list[str] | None = None
         # partition values of parts THIS handle staged, keyed by part
         # name (uuid — globally unique), consumed by _file_stats at
         # commit time; accumulated, not reset, because a MoR merge
@@ -410,6 +473,28 @@ class TxTable:
                 except FileNotFoundError:
                     return []
         return self._partition_cols
+
+    def bloom_by(self) -> list[str]:
+        """The table's bloom-indexed columns, recorded once in the
+        create commit (the Delta bloom-filter-index analog); [] when
+        none. Same memoization and checkpoint-consolidation rule as
+        :meth:`partition_by` — every write consults this, so it must
+        never walk below a checkpoint to genesis."""
+        if self._bloom_cols is None:
+            try:
+                ck = self._latest_checkpoint_raw(self.latest_version())
+            except FileNotFoundError:
+                return []
+            if ck is not None and "bloom_by" in ck[1]:
+                self._bloom_cols = ck[1]["bloom_by"]
+            else:
+                try:
+                    self._bloom_cols = self._read_action(0).get(
+                        "bloom_by", []
+                    )
+                except FileNotFoundError:
+                    return []
+        return self._bloom_cols
 
     # -- log primitives ----------------------------------------------------
 
@@ -636,6 +721,9 @@ class TxTable:
                     # partition_by() runs on every write and must not
                     # walk below the checkpoint to genesis.
                     "partition_by": self.partition_by(),
+                    # Bloom-indexed columns likewise (consulted by
+                    # _file_stats on every write).
+                    "bloom_by": self.bloom_by(),
                 },
                 fh,
             )
@@ -769,11 +857,11 @@ class TxTable:
         import pyarrow.parquet as pq
 
         pvals = self._last_partition_values
+        bloom_cols = self.bloom_by()
         out: dict[str, dict] = {}
         for name in names:
-            md = pq.ParquetFile(
-                self.file_store.read_path(self.path, name)
-            ).metadata
+            local = self.file_store.read_path(self.path, name)
+            md = pq.ParquetFile(local).metadata
             cols: dict[str, list] = {}
             for ci, cname in enumerate(md.schema.names):
                 lo = hi = None
@@ -788,6 +876,19 @@ class TxTable:
                     cols[cname] = [lo, hi]
             if name in pvals:
                 cols["__partition__"] = pvals[name]
+            want = [c for c in bloom_cols if c in md.schema.names]
+            if want:
+                # One column-pruned pass over the staged part to build
+                # the point-lookup skipping index — the write-side cost
+                # of bloom_by (footer stats alone can't prune equality
+                # probes on non-clustered high-cardinality columns).
+                tbl = pq.read_table(local, columns=want)
+                cols["__bloom__"] = {
+                    c: _bloom_build(
+                        {v for v in tbl.column(c).to_pylist() if v is not None}
+                    )
+                    for c in want
+                }
             out[name] = cols
         return out
 
@@ -800,30 +901,42 @@ class TxTable:
         log_store: LogStore | None = None,
         file_store: FileStore | None = None,
         partition_by: list[str] | None = None,
+        bloom_by: list[str] | None = None,
     ) -> "TxTable":
         """``partition_by=[col, ...]`` declares PARTITION COLUMNS at
         table birth (the only place the public formats allow it
         either): every subsequent write lays its parts out
         single-valued in those columns and records the values in its
         add actions, and reads/deletes prune on them (see
-        :meth:`read`). Columns must exist in ``df``."""
+        :meth:`read`). Columns must exist in ``df``.
+
+        ``bloom_by=[col, ...]`` declares BLOOM-INDEXED columns (the
+        Delta bloom-filter-index analog): every write records a ~10-
+        bits-per-value bloom bitset per (file, column) in its add
+        action, and ``read(eq_filter=...)`` point lookups skip files
+        the filter proves cannot hold the value — the pruning layer
+        for equality probes on high-cardinality columns that min/max
+        stats can't serve unless the table happens to be clustered on
+        them."""
         os.makedirs(path, exist_ok=True)
         t = cls(spark, path, log_store=log_store, file_store=file_store)
         if t._versions():
             raise FileExistsError(f"table already exists at {path}")
-        if partition_by:
-            missing = [c for c in partition_by if c not in df.columns]
+        for arg, cols in (("partition_by", partition_by), ("bloom_by", bloom_by)):
+            missing = [c for c in cols or [] if c not in df.columns]
             if missing:
                 raise ValueError(
-                    f"partition_by columns {missing} not in the "
-                    "create relation"
+                    f"{arg} columns {missing} not in the create relation"
                 )
-        # memoize BEFORE the first write — _write_parts consults it,
-        # and the create record it normally reads doesn't exist yet
+        # memoize BEFORE the first write — _write_parts and
+        # _file_stats consult these, and the create record they
+        # normally read doesn't exist yet
         t._partition_cols = list(partition_by or [])
+        t._bloom_cols = list(bloom_by or [])
         adds = t._write_parts(df)
         t._commit(0, adds, [], "create", stats=t._file_stats(adds),
-                  extra={"partition_by": t._partition_cols})
+                  extra={"partition_by": t._partition_cols,
+                         "bloom_by": t._bloom_cols})
         return t
 
     def append(self, df: DataFrame, max_commit_retries: int = 10) -> int:
@@ -1580,6 +1693,7 @@ class TxTable:
         version: int | None = None,
         merge_schema: bool = False,
         partition_filter: dict | None = None,
+        eq_filter: dict | None = None,
     ) -> DataFrame:
         """Snapshot read, optionally time-traveled to ``version``. The
         returned plan lists explicit immutable files, so it stays valid
@@ -1599,6 +1713,18 @@ class TxTable:
         recorded values (pre-partitioning generations, DSv2 writer
         saves) read correctly — they just don't prune.
 
+        ``eq_filter={col: value}`` is POINT-LOOKUP file skipping: a
+        file is dropped from the plan without being opened when its
+        logged bloom filter (``bloom_by`` tables) proves the value
+        absent, or its min/max stats exclude it. Blooms are what make
+        this work on high-cardinality columns the table is NOT
+        clustered on — an id probe into a 100 TB table opens a
+        handful of files instead of all of them. Same exactness rule:
+        the equality predicate is conjoined as a row filter, a bloom
+        false-positive just opens one extra file, and files lacking
+        both index forms stay candidates — skipping never loses a
+        match.
+
         Merge-on-read resolution: if the snapshot carries live
         equality-delete files, data files are read grouped by their
         add version (one multi-path parquet scan per commit
@@ -1609,7 +1735,8 @@ class TxTable:
         ``optimize()`` folds the deletes away."""
 
         def _row_filter(df: DataFrame) -> DataFrame:
-            for c, v in (partition_filter or {}).items():
+            for c, v in {**(partition_filter or {}),
+                         **(eq_filter or {})}.items():
                 df = df.filter(
                     F.col(c).isNull()
                     if v is None
@@ -1617,7 +1744,28 @@ class TxTable:
                 )
             return df
 
+        def _eq_match(stats: dict) -> bool:
+            # False iff the file's bloom or min/max PROVES every
+            # eq_filter value absent; NULL probes never prune (blooms
+            # and footer stats both exclude nulls).
+            for c, v in (eq_filter or {}).items():
+                if v is None:
+                    continue
+                bloom = stats.get("__bloom__", {}).get(c)
+                if bloom is not None and not _bloom_might_contain(bloom, v):
+                    return False
+                rng = stats.get(c)
+                if rng is not None:
+                    try:
+                        if v < rng[0] or v > rng[1]:
+                            return False
+                    except TypeError:
+                        pass  # probe/stat types aren't comparable
+            return True
+
         entries, deletes = self._snapshot_mor(version)
+        if eq_filter:
+            entries = [e for e in entries if _eq_match(e[1])]
         if partition_filter:
             entries = [
                 e

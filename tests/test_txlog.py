@@ -151,6 +151,60 @@ def test_delete_where_noop_burns_no_version(spark, tmp_path):
     assert v == 0 and t.latest_version() == 0
 
 
+def _bloom_tbl(spark, tmp_path):
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, f"row{i}") for i in range(lo, hi)], "k long, v string"
+    ).coalesce(1)
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), mk(0, 100), bloom_by=["k", "v"]
+    )
+    t.append(mk(100, 200))
+    t.append(mk(200, 300))
+    return t
+
+
+def test_bloom_point_lookup_skips_files(spark, tmp_path):
+    """read(eq_filter=...) must open only files whose bloom admits the
+    probe. The string probe is the load-bearing case: per-file v
+    min/max ranges OVERLAP lexicographically (row0 < row250 < row99),
+    so only the bloom can prune — exactly the non-clustered
+    high-cardinality column the feature exists for."""
+    t = _bloom_tbl(spark, tmp_path)
+    assert len(t.snapshot_files()) == 3
+    r = t.read(eq_filter={"v": "row250"})
+    assert len(r.inputFiles()) == 1
+    assert [(x.k, x.v) for x in r.collect()] == [(250, "row250")]
+    # absent value: zero files opened, empty-but-typed result
+    gone = t.read(eq_filter={"v": "nowhere"})
+    assert len(gone.inputFiles()) == 0
+    assert gone.count() == 0 and gone.columns == ["k", "v"]
+
+
+def test_bloom_skipping_never_loses_matches(spark, tmp_path):
+    """Soundness: every point read equals the full-scan filter — a
+    bloom false positive may open an extra file, never drop a row.
+    Covers present/absent/negative probes and a post-update probe
+    (rewritten files get fresh blooms through the shared stats path)."""
+    t = _bloom_tbl(spark, tmp_path)
+    t.update_where("k = 150", {"v": "'rewritten'"})
+    full = t.read()
+    for col, probe in [
+        ("k", 0), ("k", 150), ("k", 299), ("k", -5), ("k", 12345),
+        ("v", "row0"), ("v", "rewritten"), ("v", "row150"), ("v", "zzz"),
+    ]:
+        got = sorted(
+            (x.k, x.v) for x in t.read(eq_filter={col: probe}).collect()
+        )
+        want = sorted(
+            (x.k, x.v)
+            for x in full.filter(F.col(col) == probe).collect()
+        )
+        assert got == want, (col, probe)
+    # NULL probe: blooms can't prove null absence — falls back to a
+    # row filter over all files and returns the null-match semantics
+    assert t.read(eq_filter={"v": None}).count() == 0
+
+
 def test_update_where_semantics(spark, tmp_path):
     """CoW UPDATE: matched rows take the SET expressions evaluated on
     PRE-update values (a column swap comes out swapped, not aliased),
