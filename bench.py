@@ -102,6 +102,7 @@ HEADLINE = [
     "tablelog_partitioned",
     "tablelog_update_where",
     "tablelog_bloom_lookup",
+    "tablelog_metadata_agg",
 ]
 
 

@@ -8605,6 +8605,55 @@ def tablelog_bloom_lookup(spark, sf_dir):
 
 
 @register(
+    "tablelog_metadata_agg",
+    # count/min/max of the table after create + append + CoW delete,
+    # answered WITHOUT opening any data file (a guard store raises if
+    # one is) — the oracle recomputes the same aggregate from orders.
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS cnt,
+           min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
+    FROM orders WHERE o_orderkey % 10 <> 7
+    """,
+)
+def tablelog_metadata_agg(spark, sf_dir):
+    """METADATA-ONLY aggregates on the versioned table (sources/
+    txlog.py count/column_range — the public formats' metadata-only
+    count(*)): every add action logs its file's row count and numeric
+    bounds, so count/min/max over a clean snapshot is a driver-side
+    sum/extremum over O(live files) log entries — zero data IO, the
+    100 TB `SELECT count(*)` that returns in milliseconds. Proven
+    here, not claimed: the aggregates are computed through a FileStore
+    that RAISES on any data-file open. Exactness guards: pending
+    equality deletes or a stat-less file fall back to the real
+    distributed aggregate, and string bounds always do (parquet
+    writers may truncate string stats to valid-but-inexact bounds)."""
+    from .sources.txlog import FileStore, TxTable
+
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    path = _txtmp("txmeta_")
+    t = TxTable.create(spark, path, o.filter(F.col("k") % 4 != 3))
+    t.append(o.filter(F.col("k") % 4 == 3))
+    t.delete_where("k % 10 = 7")
+
+    class _NoPartReads(FileStore):
+        def __init__(self, inner):
+            self._i = inner
+
+        def list(self, tp):
+            return self._i.list(tp)
+
+        def read_path(self, tp, n):
+            raise AssertionError(f"metadata agg opened data file {n}")
+
+    guarded = TxTable(spark, path, file_store=_NoPartReads(t.file_store))
+    cnt = guarded.count()
+    lo, hi = guarded.column_range("k")
+    return spark.createDataFrame(
+        [(cnt, lo, hi)], "cnt long, min_k long, max_k long"
+    )
+
+
+@register(
     "snk_txlog_writer",
     oracle="""
     SELECT o_orderkey AS k, o_orderstatus AS s
@@ -9376,11 +9425,15 @@ def dq_skew_report(spark, sf_dir):
 # driver row, never-green ranking stalest of all (which auto-enrolls
 # this round's registrations), and pack the 49 stalest after the
 # smoke anchor. After r9 re-proved 45 of the 48 r4-stale entries, the
-# window is this round's 1 new registration (tablelog_partitioned),
-# the 1 r4 entry r9's rotation displaced (agg_freq_items; the other
-# two displaced entries were re-proven inside CORRECTNESS_r09), and
-# 47 of the r5 cohort in registration order — so every driver proof
-# keeps to ~5 rounds old as the window sweeps.
+# window is this round's 5 new registrations (tablelog_partitioned,
+# dedup_substring_rewrite, tablelog_update_where, tablelog_bloom_lookup,
+# tablelog_metadata_agg; stream_txlog_merge_sink is an UPGRADE of an
+# r7-green entry, so it keeps its rank), the 1 r4 entry r9's rotation
+# displaced (agg_freq_items; the other two displaced entries were
+# re-proven inside CORRECTNESS_r09), and 43 of the r5 cohort in
+# registration order — so every driver proof keeps to ~5 rounds old
+# as the window sweeps. (tools/rotate_window.py regenerates this list
+# from the pinned policy after new registrations.)
 # The policy (window set == anchor + 49 stalest, recomputed from
 # CORRECTNESS_r0*.json files of rounds strictly before this comment's
 # round number) is pinned by
@@ -9393,6 +9446,7 @@ _DRIVER_WINDOW = [
     "dedup_substring_rewrite",
     "tablelog_update_where",
     "tablelog_bloom_lookup",
+    "tablelog_metadata_agg",
     "agg_freq_items",
     "text_perplexity",
     "dedup_window_exact",
@@ -9437,7 +9491,6 @@ _DRIVER_WINDOW = [
     "docs_to_chunks",
     "chunks_to_sequences",
     "cap_docs_per_source",
-    "mixture_stratified_sample",
 ]
 
 def _prioritize() -> None:

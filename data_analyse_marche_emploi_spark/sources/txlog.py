@@ -583,6 +583,48 @@ class TxTable:
         formats; the replay rule is unchanged."""
         return [n for n, _ in self._snapshot_entries(version)]
 
+    def count(self, version: int | None = None) -> int:
+        """Exact row count, METADATA-ONLY when provable (the public
+        formats' metadata-only ``count(*)``): with no pending
+        equality deletes and every live file carrying its logged
+        ``__rows__``, the answer is a sum over add-action stats — no
+        data file is opened, O(live files) driver work instead of a
+        100 TB scan. Any file lacking the stat (pre-r10 commits, DSv2
+        writer saves) or any pending MoR delete falls back to the
+        real distributed count; never an approximation either way."""
+        entries, deletes = self._snapshot_mor(version)
+        if not deletes:
+            ns = [s.get("__rows__") for _, s, _ in entries]
+            if all(n is not None for n in ns):
+                return int(sum(ns))
+        return self.read(version).count()
+
+    def column_range(self, col: str, version: int | None = None) -> tuple:
+        """Exact ``(min, max)`` of a column, metadata-only when
+        provable: no pending deletes (a delete can vacate the extreme
+        value, making footer bounds stale-wide) and every live file
+        logs numeric bounds for ``col``. Strings stay on the fallback
+        path — parquet writers may truncate string statistics to
+        VALID-but-inexact bounds, fine for pruning, wrong for an
+        answer. Falls back to the real distributed aggregate."""
+        entries, deletes = self._snapshot_mor(version)
+        if not deletes and entries:
+            # a logged-zero-row file (an empty CoW rewrite part) has no
+            # footer bounds and can't hold an extreme — skip it soundly
+            rngs = [
+                s.get(col)
+                for _, s, _ in entries
+                if s.get("__rows__") != 0
+            ]
+            if rngs and all(
+                r is not None and isinstance(r[0], (int, float))
+                and not isinstance(r[0], bool)
+                for r in rngs
+            ):
+                return (min(r[0] for r in rngs), max(r[1] for r in rngs))
+        row = self.read(version).agg(F.min(col), F.max(col)).first()
+        return (row[0], row[1])
+
     def _snapshot_entries(
         self, version: int | None = None
     ) -> list[tuple[str, dict]]:
@@ -862,7 +904,9 @@ class TxTable:
         for name in names:
             local = self.file_store.read_path(self.path, name)
             md = pq.ParquetFile(local).metadata
-            cols: dict[str, list] = {}
+            # Reserved key: per-file row count (Delta's add.stats
+            # numRecords analog) — what makes count() metadata-only.
+            cols: dict = {"__rows__": md.num_rows}
             for ci, cname in enumerate(md.schema.names):
                 lo = hi = None
                 for rg in range(md.num_row_groups):
@@ -1428,10 +1472,12 @@ class TxTable:
         scan the full snapshot: an equality delete erases its keys
         from EVERY partition, so sibling rows elsewhere must be
         checked, not assumed absent."""
+        if isinstance(condition, str):
+            # SQL-string predicates are first-class (update_where and
+            # the CoW survivor rewrite's ~condition need a Column)
+            condition = F.expr(condition)
         if partition_filter:
-            cond = (
-                F.expr(condition) if isinstance(condition, str) else condition
-            )
+            cond = condition
             for c, pv in partition_filter.items():
                 cond = cond & (
                     F.col(c).isNull()

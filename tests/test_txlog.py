@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from data_analyse_marche_emploi_spark.sources.txlog import (
+    FileStore,
     InMemoryCASLogStore,
     InMemoryFileStore,
     LogStore,
@@ -203,6 +204,65 @@ def test_bloom_skipping_never_loses_matches(spark, tmp_path):
     # NULL probe: blooms can't prove null absence — falls back to a
     # row filter over all files and returns the null-match semantics
     assert t.read(eq_filter={"v": None}).count() == 0
+
+
+def test_metadata_only_count_and_range(spark, tmp_path):
+    """count() and numeric column_range() must answer from add-action
+    stats without opening ANY data file (proven by a store that
+    refuses part reads), stay exact through append/CoW-delete/update,
+    and fall back to a real scan — not a stale metadata answer — when
+    equality deletes are pending or the column is a string."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i), f"s{i}") for i in range(50)], "k long, x double, s string"
+    )
+    t = TxTable.create(spark, p, df)
+    t.append(
+        spark.createDataFrame([(99, 99.0, "s99")], "k long, x double, s string")
+    )
+    t.delete_where("k >= 40 and k < 50")
+    t.update_where("k = 0", {"x": "-7.0"})
+
+    inner = t.file_store
+
+    class NoPartReads(FileStore):
+        def list(self, tp):
+            return inner.list(tp)
+
+        def put(self, tp, n, src):
+            inner.put(tp, n, src)
+
+        def delete(self, tp, n):
+            inner.delete(tp, n)
+
+        def exists(self, tp, n):
+            return inner.exists(tp, n)
+
+        def size(self, tp, n):
+            return inner.size(tp, n)
+
+        def mtime(self, tp, n):
+            return inner.mtime(tp, n)
+
+        def read_path(self, tp, n):
+            raise AssertionError(f"data file {n} was opened")
+
+    guarded = TxTable(spark, p, file_store=NoPartReads())
+    assert guarded.count() == 41
+    assert guarded.column_range("k") == (0, 99)
+    assert guarded.column_range("x") == (-7.0, 99.0)
+    # string bounds may be writer-truncated: must fall back (= scan)
+    with pytest.raises(AssertionError, match="was opened"):
+        guarded.column_range("s")
+    assert t.column_range("s") == ("s0", "s99")
+    # pending equality deletes invalidate the metadata path
+    t.delete_where(F.col("k") == 99, mode="mor", key="k")
+    with pytest.raises(AssertionError, match="was opened"):
+        TxTable(spark, p, file_store=NoPartReads()).count()
+    assert t.count() == 40
+    assert t.column_range("k") == (0, 39)
+    # time travel: metadata count at the pre-delete version
+    assert guarded.count(1) == 51
 
 
 def test_update_where_semantics(spark, tmp_path):
