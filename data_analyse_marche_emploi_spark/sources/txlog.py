@@ -362,17 +362,26 @@ class InMemoryFileStore(FileStore):
         return cached
 
 
-def _bloom_hashes(value, m: int, k: int) -> list[int]:
-    """The ``k`` bit positions for ``value`` in an ``m``-bit bloom —
-    double hashing (h1 + i*h2 mod m) over the two 64-bit halves of an
-    md5 of the value's canonical string form (the same Hive-canonical
-    ``str()`` the partition values use, so int 5 and the probe 5 agree
-    regardless of which writer built the filter)."""
+def _bloom_digest(value) -> tuple[int, int]:
+    """The two 64-bit double-hashing bases for ``value`` — md5 over its
+    canonical string form (the same Hive-canonical ``str()`` the
+    partition values use, so int 5 and the probe 5 agree regardless of
+    which writer built the filter). Computed ONCE per value; the
+    per-filter bit positions derive from (m, k) cheaply, which is what
+    lets a multi-key probe sweep many files without rehashing."""
     import hashlib
 
     d = hashlib.md5(str(value).encode()).digest()
-    h1 = int.from_bytes(d[:8], "big")
-    h2 = int.from_bytes(d[8:], "big") | 1  # odd → full-cycle stride
+    return (
+        int.from_bytes(d[:8], "big"),
+        int.from_bytes(d[8:], "big") | 1,  # odd → full-cycle stride
+    )
+
+
+def _bloom_hashes(value, m: int, k: int) -> list[int]:
+    """The ``k`` bit positions for ``value`` in an ``m``-bit bloom —
+    double hashing (h1 + i*h2 mod m)."""
+    h1, h2 = _bloom_digest(value)
     return [(h1 + i * h2) % m for i in range(k)]
 
 
@@ -407,6 +416,23 @@ def _bloom_build(values) -> dict:
         for pos in _bloom_hashes(v, m, _BLOOM_K):
             bits[pos >> 3] |= 1 << (pos & 7)
     return {"m": m, "k": _BLOOM_K, "b": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_admits_any(bloom: dict, digests: list[tuple[int, int]]) -> bool:
+    """True iff the bloom maybe-contains AT LEAST one of the digested
+    values — the multi-key file probe (bitset decoded once per file,
+    not once per value)."""
+    import base64
+
+    bits = base64.b64decode(bloom["b"])
+    m, k = bloom["m"], bloom["k"]
+    return any(
+        all(
+            bits[pos >> 3] & (1 << (pos & 7))
+            for pos in ((h1 + i * h2) % m for i in range(k))
+        )
+        for h1, h2 in digests
+    )
 
 
 def _bloom_might_contain(bloom: dict, value) -> bool:
@@ -802,7 +828,8 @@ class TxTable:
         return True
 
     def _candidate_files(
-        self, version: int, key: str, kmin, kmax
+        self, version: int, key: str, kmin, kmax,
+        bloom_digests: list[tuple[int, int]] | None = None,
     ) -> list[str]:
         """Data skipping: live files whose logged [min, max] for
         ``key`` overlaps [kmin, kmax] — files with stats entirely
@@ -819,6 +846,17 @@ class TxTable:
             rng = stats.get(key)
             if rng is not None and (rng[1] < kmin or rng[0] > kmax):
                 continue
+            if bloom_digests:
+                # Second skipping layer (bloom_by tables): a file whose
+                # bloom rejects EVERY update key provably holds none of
+                # them — pruned without being opened, even when its
+                # [min, max] overlaps the whole key range (the
+                # non-clustered-table case range stats can't serve).
+                bloom = stats.get("__bloom__", {}).get(key)
+                if bloom is not None and not _bloom_admits_any(
+                    bloom, bloom_digests
+                ):
+                    continue
             out.append(name)
         return out
 
@@ -1319,7 +1357,10 @@ class TxTable:
         * ``mode="cow"`` (copy-on-write, default): two pruning layers
           find the rewrite set — (1) DATA SKIPPING over the log's
           per-file [min, max] key stats (files whose range misses the
-          update-key range are never opened), (2) an exact
+          update-key range are never opened; on ``bloom_by`` tables a
+          small update set — ≤4096 keys, collected bounded — also
+          probes each file's logged bloom, pruning range-overlapping
+          files that provably hold none of the keys), (2) an exact
           broadcastable key semi-join over ``input_file_name`` on the
           surviving candidates. Untouched files carry over by
           reference; one rewrite of the touched files' surviving rows
@@ -1392,7 +1433,19 @@ class TxTable:
                 probe=None, updates=updates,
                 what=f"merge_upsert(mode='mor', key={key!r})",
             )
-        candidates = self._candidate_files(v, key, bounds["lo"], bounds["hi"])
+        digs = None
+        if bounds["n"] <= 4096 and key in self.bloom_by():
+            # BOUNDED collect (≤4096 keys by the guard — the small-
+            # upsert case where per-file bloom probes beat opening
+            # range-overlapping files; larger update sets already
+            # amortize the probe scan they must pay anyway).
+            digs = [
+                _bloom_digest(r[0])
+                for r in updates.select(key).distinct().collect()
+            ]
+        candidates = self._candidate_files(
+            v, key, bounds["lo"], bounds["hi"], bloom_digests=digs
+        )
         keys = updates.select(key).distinct()
         touched = (
             [

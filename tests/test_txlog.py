@@ -265,6 +265,60 @@ def test_metadata_only_count_and_range(spark, tmp_path):
     assert guarded.count(1) == 51
 
 
+def test_merge_bloom_pruning_skips_unopened_files(spark, tmp_path):
+    """A small CoW merge on a bloom_by table must never OPEN files the
+    key blooms reject — even when every file's [min, max] overlaps the
+    whole key range (k % 3 layout) so range skipping alone prunes
+    nothing. Proven by recording part opens through the FileStore; the
+    merge result itself stays exact."""
+    mk = lambda rem: spark.createDataFrame(
+        [(i, f"row{i}") for i in range(300) if i % 3 == rem],
+        "k long, v string",
+    ).coalesce(1)
+    t = TxTable.create(spark, str(tmp_path / "t"), mk(0), bloom_by=["k"])
+    t.append(mk(1))
+    t.append(mk(2))  # 3 files, each spanning ~the full [0, 300) range
+    pre = set(t.snapshot_files())
+    inner = t.file_store
+    opened: list[str] = []
+
+    class Recorder(FileStore):
+        def list(self, tp):
+            return inner.list(tp)
+
+        def put(self, tp, n, src):
+            inner.put(tp, n, src)
+
+        def delete(self, tp, n):
+            inner.delete(tp, n)
+
+        def exists(self, tp, n):
+            return inner.exists(tp, n)
+
+        def size(self, tp, n):
+            return inner.size(tp, n)
+
+        def mtime(self, tp, n):
+            return inner.mtime(tp, n)
+
+        def read_path(self, tp, n):
+            opened.append(n)
+            return inner.read_path(tp, n)
+
+    m = TxTable(spark, str(tmp_path / "t"), file_store=Recorder())
+    upd = spark.createDataFrame(
+        [(150, "merged150"), (153, "merged153")], "k long, v string"
+    )
+    m.merge_upsert(upd, "k")  # both keys ≡ 0 mod 3 → one file holds them
+    holders = {n for n in pre if n not in set(m.snapshot_files())}
+    assert len(holders) == 1  # exactly one file was rewritten
+    stray = [n for n in opened if n in pre and n not in holders]
+    assert not stray, f"bloom-rejected files were opened: {stray}"
+    got = {r.k: r.v for r in m.read().collect()}
+    assert got[150] == "merged150" and got[153] == "merged153"
+    assert got[151] == "row151" and len(got) == 300
+
+
 def test_update_where_semantics(spark, tmp_path):
     """CoW UPDATE: matched rows take the SET expressions evaluated on
     PRE-update values (a column swap comes out swapped, not aliased),
