@@ -609,6 +609,31 @@ class TxTable:
         formats; the replay rule is unchanged."""
         return [n for n, _ in self._snapshot_entries(version)]
 
+    def version_at_timestamp(self, ts: float) -> int:
+        """The newest version committed at or before wall-clock ``ts``
+        (epoch seconds) — Delta's ``timestampAsOf`` resolution rule.
+        Commit timestamps come from each winner's publish-time clock;
+        they are monotone per table in practice (one winner per
+        version) but this walks the log rather than bisecting so a
+        skewed clock can't silently hide a commit. Raises if ``ts``
+        predates the table."""
+        best = None
+        for v in self._versions():
+            if self._read_action(v).get("ts", 0.0) <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no commit at or before timestamp {ts}; table history "
+                f"starts after it"
+            )
+        return best
+
+    def read_at_timestamp(self, ts: float, **kwargs) -> DataFrame:
+        """Timestamp time travel: :meth:`read` at
+        :meth:`version_at_timestamp`. Keyword args pass through
+        (merge_schema / partition_filter / eq_filter)."""
+        return self.read(self.version_at_timestamp(ts), **kwargs)
+
     def count(self, version: int | None = None) -> int:
         """Exact row count, METADATA-ONLY when provable (the public
         formats' metadata-only ``count(*)``): with no pending
@@ -2408,12 +2433,37 @@ class TxLogDataSource(DataSource):
 
 
 class TxLogStreamReader(DataSourceStreamReader):
+    """Extra options beyond ``path``/``ignoreChanges``:
+
+    * ``startingVersion=N`` — begin the stream at commit N instead of
+      genesis (the public formats' option of the same name): a fresh
+      checkpoint skips the table's history and consumes only commits
+      ``>= N``. Ignored on restart (the checkpointed offset wins, as
+      it must for exactly-once).
+    * ``maxVersionsPerTrigger=N`` — steady-state rate limit: each
+      micro-batch advances the offset by at most N commits, so a
+      backlog drains in bounded increments instead of one giant batch
+      (the maxFilesPerTrigger idea at this source's natural version
+      granularity). The FIRST batch of a run is unbounded — the
+      engine plans its end offset before the reader can see the
+      start (latestOffset precedes initialOffset/partitions, traced),
+      and bounding blind risks planning an end BELOW the checkpointed
+      start, which would rewind the offset log and replay commits.
+      From the second batch on, the cursor is real progress and every
+      batch advances by at most N versions. Sound either way.
+    """
+
     def __init__(self, schema: T.StructType, options: dict):
         self.schema = schema
         self.path = options["path"]
         self.ignore_changes = str(
             options.get("ignorechanges", "false")
         ).lower() in ("true", "1")
+        self.starting_version = int(options.get("startingversion", 0))
+        self.max_versions = int(options.get("maxversionspertrigger", 0))
+        if self.max_versions < 0:
+            raise ValueError("maxVersionsPerTrigger must be >= 0")
+        self._last_end: int | None = None
 
     def _table(self):
         # SparkSession isn't available on the reader; TxTable is only
@@ -2421,12 +2471,24 @@ class TxLogStreamReader(DataSourceStreamReader):
         return TxTable(None, self.path)
 
     def initialOffset(self) -> dict:
-        return {"version": -1}
+        # also binds the rate-limit cursor, for engines that ask for
+        # the initial offset before the first latestOffset (the
+        # current engine does not — see the class docstring)
+        self._last_end = self.starting_version - 1
+        return {"version": self.starting_version - 1}
 
     def latestOffset(self) -> dict:
-        return {"version": self._table().latest_version()}
+        head = self._table().latest_version()
+        if self.max_versions and self._last_end is not None:
+            head = min(head, self._last_end + self.max_versions)
+        self._last_end = head
+        return {"version": head}
 
     def partitions(self, start: dict, end: dict) -> Sequence[_TxFilePartition]:
+        # the authoritative cursor for the rate limit: after a restart
+        # the checkpointed start arrives here first, so the SECOND
+        # batch onward is bounded relative to real progress
+        self._last_end = int(end["version"])
         t = self._table()
         parts: list[_TxFilePartition] = []
         for v in t._versions():

@@ -206,6 +206,27 @@ def test_bloom_skipping_never_loses_matches(spark, tmp_path):
     assert t.read(eq_filter={"v": None}).count() == 0
 
 
+def test_timestamp_time_travel(spark, tmp_path):
+    """read_at_timestamp resolves to the newest commit at or before
+    the instant — between-commit timestamps see the earlier snapshot,
+    pre-history timestamps fail loudly."""
+    import time
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a")]))
+    ts0 = t._read_action(0)["ts"]
+    time.sleep(0.05)
+    mid = time.time()
+    time.sleep(0.05)
+    t.append(_df(spark, [(2, "b")]))
+    assert t.version_at_timestamp(mid) == 0
+    assert {r.k for r in t.read_at_timestamp(mid).collect()} == {1}
+    assert t.version_at_timestamp(time.time()) == 1
+    assert {r.k for r in t.read_at_timestamp(time.time()).collect()} == {1, 2}
+    with pytest.raises(ValueError, match="history starts after"):
+        t.version_at_timestamp(ts0 - 60)
+
+
 def test_metadata_only_count_and_range(spark, tmp_path):
     """count() and numeric column_range() must answer from add-action
     stats without opening ANY data file (proven by a store that
@@ -743,6 +764,64 @@ def test_txlog_stream_source_resumes_and_guards_changes(spark, tmp_path):
     # rewritten file streams whole: the carried-over key 1 reappears
     # alongside its update — exactly the documented caveat
     assert (1, "A") in got and (2, "b") in got
+
+
+@posix_only
+def test_txlog_stream_starting_version_and_rate_limit(spark, tmp_path):
+    """startingVersion skips history on a fresh checkpoint (only
+    commits >= N stream); maxVersionsPerTrigger bounds every batch
+    after the documented catch-up batch to at most N commits while
+    losing nothing."""
+    import time
+
+    from data_analyse_marche_emploi_spark.sources.txlog import (
+        register_txlog_source,
+    )
+
+    register_txlog_source(spark)
+    p = str(tmp_path / "t")
+    mk = lambda k: _df(spark, [(k, f"v{k}")])
+    t = TxTable.create(spark, p, mk(0))
+    for i in range(1, 5):
+        t.append(mk(i))
+
+    batches: list[list[int]] = []
+
+    def drain(ck, **opts):
+        sdf = spark.readStream.format("txlog").option("path", p)
+        for k, v in opts.items():
+            sdf = sdf.option(k, v)
+        q = (
+            sdf.load()
+            .writeStream.foreachBatch(
+                lambda df, bid: batches.append(sorted(r.k for r in df.collect()))
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain(str(tmp_path / "ck1"), startingVersion=3)
+    assert batches == [[3, 4]]  # history below version 3 never streams
+
+    # rate limit: the first batch of a run catches up (documented),
+    # every later batch advances <= 2 versions; nothing lost, nothing
+    # replayed across restarts of the same checkpoint
+    batches.clear()
+    ck = str(tmp_path / "ck2")
+    drain(ck, maxVersionsPerTrigger=2)
+    assert batches == [[0, 1, 2, 3, 4]]  # catch-up batch
+    for i in range(5, 11):
+        t.append(mk(i))
+    seen = [r for b in batches for r in b]
+    deadline = time.time() + 180
+    while len(seen) < 11 and time.time() < deadline:
+        drain(ck, maxVersionsPerTrigger=2)
+        seen = [r for b in batches for r in b]
+    later = batches[1:]
+    assert later and all(len(b) <= 2 for b in later), later
+    assert sorted(seen) == list(range(11))  # exactly once, in total
 
 
 def test_txlog_random_ops_match_model(spark, tmp_path):
