@@ -103,6 +103,8 @@ HEADLINE = [
     "tablelog_update_where",
     "tablelog_bloom_lookup",
     "tablelog_metadata_agg",
+    "text_gopher_gate",
+    "search_hybrid_rrf",
 ]
 
 

@@ -1266,6 +1266,61 @@ def text_quality(spark, sf_dir):
 
 
 @register(
+    "text_gopher_gate",
+    # Published Gopher doc-level rules with fixture-tuned thresholds
+    # (min_words=30, min_stopwords=1 — the synthetic docs span 10-99
+    # words with 0-2 distinct stopwords, so both verdicts occur); the
+    # oracle replays every rule verbatim.
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             string_split(lower(text), ' ') AS toks,
+             length(text) AS n_chars
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             (n_chars - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE)
+               AS mean_word_len,
+             len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+               / CAST(len(toks) AS DOUBLE) AS alpha_word_ratio,
+             len(list_intersect(list_distinct(toks),
+                 ['the','of','and','a','to','in','is'])) AS n_stopwords,
+             len(list_filter(toks,
+                 t -> contains(t, '#') OR contains(t, '...')))
+               / CAST(len(toks) AS DOUBLE) AS symbol_ratio
+      FROM s
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_word_ratio,
+           n_stopwords, symbol_ratio,
+           (n_words >= 30 AND n_words <= 100000) AS r_word_count,
+           (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_len,
+           (alpha_word_ratio >= 0.9) AS r_alpha,
+           (n_stopwords >= 1) AS r_stopwords,
+           (symbol_ratio <= 0.1) AS r_symbols,
+           ((n_words >= 30 AND n_words <= 100000)
+            AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+            AND alpha_word_ratio >= 0.9 AND n_stopwords >= 1
+            AND symbol_ratio <= 0.1) AS keep
+    FROM f
+    """,
+)
+def text_gopher_gate(spark, sf_dir):
+    """The Gopher paper's doc-level quality RULE GATE (word-count
+    band, mean-word-length band, alphabetic-word ratio, stopword
+    presence, symbol ratio) — each rule's verdict emitted alongside
+    the composite keep so a curation run can report WHY docs dropped.
+    One map-side projection, no shuffle, no UDF; the repetition half
+    of the paper's rules is text_repetition, composed downstream."""
+    from .operators.text_analysis import gopher_quality_gate
+
+    d = _docs(spark, sf_dir)
+    return gopher_quality_gate(
+        d, "text", "doc_id", min_words=30, min_stopwords=1
+    )
+
+
+@register(
     "text_perplexity",
     oracle="""
     WITH tris AS (
@@ -7682,6 +7737,85 @@ def text_bm25(spark, sf_dir):
     )
 
 
+_SEARCH_HYBRID_ORACLE = """
+    WITH dl AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS dl
+                FROM documents),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(dl) AS DOUBLE) AS t FROM dl),
+    toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+             FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+             * (CAST(tf.tf AS DOUBLE) * 2.5)
+             / (CAST(tf.tf AS DOUBLE)
+                + 1.5 * (0.25 + 0.75 * ((CAST(dl.dl AS DOUBLE) * stats.n)
+                                        / stats.t))) AS s
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    ),
+    agg AS (
+      SELECT doc_id,
+             coalesce(max(CASE WHEN term = 'spark'  THEN s END), 0.0) AS s0,
+             coalesce(max(CASE WHEN term = 'window' THEN s END), 0.0) AS s1,
+             coalesce(max(CASE WHEN term = 'merge'  THEN s END), 0.0) AS s2
+      FROM scored GROUP BY 1
+    ),
+    bm AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score6 DESC, doc_id ASC)
+               AS r_bm25
+      FROM (SELECT doc_id,
+                   CAST(floor(((s0 + s1) + s2) * 1e6) AS BIGINT) AS score6
+            FROM agg ORDER BY score6 DESC, doc_id LIMIT 20)
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = 0),
+    vec AS (
+      SELECT nid, ROW_NUMBER() OVER (ORDER BY cos6 DESC, nid ASC) AS r_vec
+      FROM (
+        SELECT v.vec_id AS nid,
+               CAST(floor(list_cosine_similarity(q.qv,
+                          CAST(v.embedding AS DOUBLE[])) * 1e6) AS BIGINT)
+                 AS cos6
+        FROM embeddings v CROSS JOIN q WHERE v.vec_id <> 0
+        ORDER BY cos6 DESC, nid ASC LIMIT 20
+      )
+    ),
+    fused AS (
+      SELECT coalesce(bm.doc_id, vec.nid) AS doc_id, r_bm25, r_vec,
+             CAST(floor((coalesce(1.0 / (60.0 + r_bm25), 0.0)
+                         + coalesce(1.0 / (60.0 + r_vec), 0.0)) * 1e6)
+                  AS BIGINT) AS rrf6
+      FROM bm FULL OUTER JOIN vec ON bm.doc_id = vec.nid
+    )
+    SELECT doc_id, r_bm25, r_vec, rrf6 FROM fused
+    ORDER BY rrf6 DESC, doc_id ASC LIMIT 10
+"""
+@register("search_hybrid_rrf", oracle=_SEARCH_HYBRID_ORACLE)
+def search_hybrid_rrf(spark, sf_dir):
+    """HYBRID retrieval: BM25 over {spark, window, merge} fused with
+    cosine-kNN around embedding 0 by Reciprocal Rank Fusion (k0=60,
+    the RRF paper's constant) — the lexical+dense combination modern
+    search stacks run. Both input ranks are integer positions under
+    floor-bucketed scores with id tiebreaks, the fusion is two IEEE
+    divisions and one fixed-order addition floor-bucketed to rrf6, so
+    the oracle replays the ENTIRE pipeline value-exactly. Fusion cost
+    is a full-outer join of two <=20-row rankings — each side keeps
+    its own scale shape (query-filtered token stream; matmul preselect
+    + bounded rescore)."""
+    from .operators.similarity import hybrid_search_rrf
+
+    d = _docs(spark, sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
+    return hybrid_search_rrf(
+        d, e, "text", "doc_id", "embedding", "vec_id",
+        ["spark", "window", "merge"], query_vec_id=0,
+    )
+
+
 @register(
     "ts_interpolate",
     oracle="""
@@ -9425,12 +9559,13 @@ def dq_skew_report(spark, sf_dir):
 # driver row, never-green ranking stalest of all (which auto-enrolls
 # this round's registrations), and pack the 49 stalest after the
 # smoke anchor. After r9 re-proved 45 of the 48 r4-stale entries, the
-# window is this round's 5 new registrations (tablelog_partitioned,
+# window is this round's 7 new registrations (tablelog_partitioned,
 # dedup_substring_rewrite, tablelog_update_where, tablelog_bloom_lookup,
-# tablelog_metadata_agg; stream_txlog_merge_sink is an UPGRADE of an
+# tablelog_metadata_agg, text_gopher_gate, search_hybrid_rrf;
+# stream_txlog_merge_sink is an UPGRADE of an
 # r7-green entry, so it keeps its rank), the 1 r4 entry r9's rotation
 # displaced (agg_freq_items; the other two displaced entries were
-# re-proven inside CORRECTNESS_r09), and 43 of the r5 cohort in
+# re-proven inside CORRECTNESS_r09), and 41 of the r5 cohort in
 # registration order — so every driver proof keeps to ~5 rounds old
 # as the window sweeps. (tools/rotate_window.py regenerates this list
 # from the pinned policy after new registrations.)
@@ -9447,6 +9582,8 @@ _DRIVER_WINDOW = [
     "tablelog_update_where",
     "tablelog_bloom_lookup",
     "tablelog_metadata_agg",
+    "text_gopher_gate",
+    "search_hybrid_rrf",
     "agg_freq_items",
     "text_perplexity",
     "dedup_window_exact",
@@ -9489,8 +9626,6 @@ _DRIVER_WINDOW = [
     "multimodal_mp4_meta",
     "multimodal_spectral",
     "docs_to_chunks",
-    "chunks_to_sequences",
-    "cap_docs_per_source",
 ]
 
 def _prioritize() -> None:

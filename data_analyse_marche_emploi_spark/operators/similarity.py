@@ -1291,3 +1291,75 @@ def semantic_dedup(
             F.col("i").isNull().alias("is_kept"),
         )
     )
+
+
+def hybrid_search_rrf(
+    docs: DataFrame,
+    vectors: DataFrame,
+    text_col: str,
+    doc_id_col: str,
+    vec_col: str,
+    vec_id_col: str,
+    query_terms: list[str],
+    query_vec_id: int,
+    k0: int = 60,
+    top_each: int = 20,
+    top_n: int = 10,
+) -> DataFrame:
+    """HYBRID retrieval: fuse a lexical BM25 ranking and a dense
+    cosine-kNN ranking by Reciprocal Rank Fusion — the standard
+    recipe modern search stacks use to combine an inverted index with
+    a vector index (rrf = Σ 1/(k0 + rank), k0=60 per the original
+    RRF paper; a doc absent from one ranking contributes 0 from it).
+
+    Determinism contract (what lets a float-fusing ranker carry a
+    full value-hash oracle): both input ranks are integer positions
+    under floor-bucketed scores with id tiebreaks (bm25's score6,
+    knn's cos6), the two reciprocals are each ONE IEEE double
+    division, their sum is ONE fixed-order addition, and the fused
+    score is floor-bucketed to rrf6 with an id tiebreak before the
+    final top-n.
+
+    Scale shape: each side is its own already-scale-shaped operator —
+    BM25 filters the exploded token stream to |query| terms before
+    any shuffle; kNN is one broadcast-matmul preselect + bounded
+    rescore. The fusion then touches at most 2·top_each rows: a
+    full-outer join of two tiny rankings, driver-free."""
+    from .text_analysis import bm25_search
+
+    lex = bm25_search(
+        docs, text_col, doc_id_col, query_terms, top_n=top_each
+    ).select(
+        F.col(doc_id_col).alias("__id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("score6"), F.asc(doc_id_col)))
+        .alias("r_bm25"),
+    )
+    q = vectors.filter(F.col(vec_id_col) == query_vec_id)
+    dense = knn_brute_force(
+        vectors, q, vec_col, vec_id_col, k=top_each
+    ).select(F.col("nid").alias("__id"), F.col("rank").alias("r_vec"))
+    fused = (
+        lex.join(dense, "__id", "full_outer")
+        .select(
+            F.col("__id").alias(doc_id_col),
+            "r_bm25",
+            "r_vec",
+            F.floor(
+                (
+                    F.coalesce(
+                        F.lit(1.0) / (F.lit(float(k0)) + F.col("r_bm25")),
+                        F.lit(0.0),
+                    )
+                    + F.coalesce(
+                        F.lit(1.0) / (F.lit(float(k0)) + F.col("r_vec")),
+                        F.lit(0.0),
+                    )
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("rrf6"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf6"), F.asc(doc_id_col)).limit(top_n)

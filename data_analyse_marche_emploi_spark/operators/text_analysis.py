@@ -265,6 +265,76 @@ def tf_idf_top_terms(
     )
 
 
+def gopher_quality_gate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_alpha_ratio: float = 0.9,
+    min_stopwords: int = 2,
+    max_symbol_ratio: float = 0.1,
+) -> DataFrame:
+    """The Gopher paper's doc-level quality RULES as one gate: a doc
+    is kept iff it passes every rule; each rule's verdict is emitted
+    as its own boolean so a curation pipeline can report WHY docs
+    dropped (the published recipe's defaults are the parameter
+    defaults — a corpus tunes them, the rule set stays). Covered
+    rules: word count in [min, max]; mean word length in [min, max];
+    >= min_alpha_ratio of words contain an alphabetic character;
+    >= min_stopwords distinct common stopwords present; symbol-to-word
+    ratio (# and ellipsis) <= max. The paper's remaining rules are the
+    repetition family (:func:`repetition_signals`) and line-shape
+    rules (:func:`~..operators.dedup.line_dedup_global`'s segment
+    machinery), composed downstream — this gate owns the scalar ones.
+
+    Scale shape: one map-side projection, no shuffle, no UDF — every
+    signal is a built-in expression over the token array (mean word
+    length uses the exact (chars − (n−1))/n identity so no second
+    pass over token lengths is needed)."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    mean_len = (n_chars - (n_tok - F.lit(1))) / n_tok
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    n_stop_distinct = F.size(
+        F.array_intersect(F.array_distinct(toks), stop_arr)
+    )
+    n_sym = F.size(
+        F.filter(toks, lambda t: t.contains("#") | t.contains("..."))
+    )
+    out = df.select(
+        F.col(id_col),
+        n_tok.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        (n_alpha / n_tok).alias("alpha_word_ratio"),
+        n_stop_distinct.alias("n_stopwords"),
+        (n_sym / n_tok).alias("symbol_ratio"),
+    )
+    rules = {
+        "r_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "r_mean_len": (F.col("mean_word_len") >= min_mean_len)
+        & (F.col("mean_word_len") <= max_mean_len),
+        "r_alpha": F.col("alpha_word_ratio") >= min_alpha_ratio,
+        "r_stopwords": F.col("n_stopwords") >= min_stopwords,
+        "r_symbols": F.col("symbol_ratio") <= max_symbol_ratio,
+    }
+    for name, expr in rules.items():
+        out = out.withColumn(name, expr)
+    return out.withColumn(
+        "keep",
+        rules["r_word_count"]
+        & rules["r_mean_len"]
+        & rules["r_alpha"]
+        & rules["r_stopwords"]
+        & rules["r_symbols"],
+    )
+
+
 def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Gopher/RefinedWeb-style repetition quality signals per document:
     distinct-token ratio, most-frequent-token fraction, duplicate-2-gram

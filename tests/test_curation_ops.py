@@ -599,3 +599,40 @@ def test_dsir_tokenizes_once_per_gram_subtree(spark):
     out = dsir_select(raw, tgt, "text", "doc_id", k=1, n_buckets=16)
     analyzed = out._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("split(") == analyzed.count("explode(")
+
+
+def test_gopher_gate_rules_and_composite(spark):
+    """Each Gopher rule fails exactly the doc constructed to fail it,
+    the composite keep is the conjunction, and a clean doc passes all
+    five."""
+    from data_analyse_marche_emploi_spark.operators.text_analysis import (
+        gopher_quality_gate,
+    )
+
+    good = "the quick brown fox jumps over a lazy dog " * 6  # 60 words+stops
+    docs = spark.createDataFrame(
+        [
+            (1, good.strip()),
+            (2, "the of a to in is"),                    # too few words
+            (3, " ".join(["a"] * 60)),                   # mean len < 3
+            (4, " ".join(["12345"] * 60)),               # no alpha, no stops
+            (5, " ".join(["wordy"] * 60)),               # no stopwords
+            (6, good.strip() + " " + " ".join(["#"] * 30)),  # symbols
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_gate(
+            docs, "text", "doc_id", min_words=50, min_stopwords=2
+        ).collect()
+    }
+    assert out[1]["keep"] and all(
+        out[1][c] for c in ("r_word_count", "r_mean_len", "r_alpha",
+                            "r_stopwords", "r_symbols")
+    )
+    assert not out[2]["r_word_count"] and not out[2]["keep"]
+    assert not out[3]["r_mean_len"] and not out[3]["keep"]
+    assert not out[4]["r_alpha"] and not out[4]["r_stopwords"]
+    assert not out[5]["r_stopwords"] and out[5]["r_word_count"]
+    assert not out[6]["r_symbols"] and not out[6]["keep"]
