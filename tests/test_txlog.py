@@ -415,6 +415,49 @@ def test_update_rebases_past_unrelated_append_conflicts_on_match(
         racer2.update_where("v = 'HIT'", {"v": "'hit again'"})
 
 
+def test_update_where_moves_rows_across_partitions(spark, tmp_path):
+    """Updating a partition column re-stages matched rows under their
+    NEW partition directories (the docstring's claim): recorded
+    partition values stay exact, so a partition-pruned read finds the
+    moved rows without opening the old partition's files."""
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "fr")], "k long, lang string"
+    )
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), df, partition_by=["lang"]
+    )
+    t.update_where("k = 2", {"lang": "'fr'"})
+    fr = t.read(partition_filter={"lang": "fr"})
+    assert sorted(r.k for r in fr.collect()) == [2, 3]
+    assert sorted(r.k for r in t.read(partition_filter={"lang": "en"}).collect()) == [1]
+    # the moved row's file is RECORDED as lang=fr — pruning, not just
+    # the row filter, is what found it
+    import os as _os
+
+    fr_files = {
+        _os.path.realpath(t.file_store.read_path(t.path, f))
+        for f, s in t._snapshot_entries()
+        if s.get("__partition__", {}).get("lang") == "fr"
+    }
+    opened = {
+        _os.path.realpath(f.removeprefix("file:")) for f in fr.inputFiles()
+    }
+    assert opened and opened <= fr_files
+
+
+def test_bloom_survives_optimize(spark, tmp_path):
+    """OPTIMIZE rewrites the live file set — the rewritten files must
+    carry fresh blooms so point-lookup skipping keeps working on the
+    compacted table."""
+    t = _bloom_tbl(spark, tmp_path)
+    t.optimize()
+    entries = t._snapshot_entries()
+    assert all("__bloom__" in s and "v" in s["__bloom__"] for _, s in entries)
+    r = t.read(eq_filter={"v": "row250"})
+    assert [(x.k, x.v) for x in r.collect()] == [(250, "row250")]
+    assert t.read(eq_filter={"v": "nowhere"}).count() == 0
+
+
 def test_update_where_feeds_change_feed_as_update_pairs(spark, tmp_path):
     """read_changes over an update commit must emit preimage/postimage
     pairs for changed rows and nothing for carried-over neighbors."""
