@@ -105,6 +105,7 @@ HEADLINE = [
     "tablelog_metadata_agg",
     "text_gopher_gate",
     "search_hybrid_rrf",
+    "src_txlog_reader",
 ]
 
 

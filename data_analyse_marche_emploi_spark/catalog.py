@@ -8822,6 +8822,50 @@ def snk_txlog_writer(spark, sf_dir):
 
 
 @register(
+    "src_txlog_reader",
+    # write two generations through TxTable, batch-read version 0 via
+    # the registered DataSource and the latest via default — the union
+    # distinguishes them by a literal tag the oracle recomputes.
+    oracle="""
+    SELECT o_orderkey AS k, 'v0' AS gen FROM orders
+    WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT o_orderkey AS k, 'latest' AS gen FROM orders
+    WHERE o_orderkey % 5 IN (0, 1)
+    """,
+)
+def src_txlog_reader(spark, sf_dir):
+    """The registered Spark batch READER for the versioned table —
+    ``spark.read.format("txlog")`` with Delta-style ``versionAsOf``
+    time travel — completing the DataSource matrix (batch read/write +
+    stream read/sink). One input partition per live file, file list
+    bound at plan time (snapshot isolation); dirty MoR snapshots are
+    refused loudly (tests pin it). The oracle recomputes both
+    generations from orders."""
+    from .sources.txlog import TxTable, register_txlog_source
+
+    register_txlog_source(spark)
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    path = _txtmp("txread_")
+    t = TxTable.create(spark, path, o.filter(F.col("k") % 5 == 0))
+    t.append(o.filter(F.col("k") % 5 == 1))
+    v0 = (
+        spark.read.format("txlog")
+        .option("path", path)
+        .option("versionAsOf", 0)
+        .load()
+        .select("k", F.lit("v0").alias("gen"))
+    )
+    latest = (
+        spark.read.format("txlog")
+        .option("path", path)
+        .load()
+        .select("k", F.lit("latest").alias("gen"))
+    )
+    return v0.unionByName(latest)
+
+
+@register(
     "txlog_constraints",
     oracle="""
     SELECT 'price_positive' AS constraint_name,
@@ -9559,13 +9603,14 @@ def dq_skew_report(spark, sf_dir):
 # driver row, never-green ranking stalest of all (which auto-enrolls
 # this round's registrations), and pack the 49 stalest after the
 # smoke anchor. After r9 re-proved 45 of the 48 r4-stale entries, the
-# window is this round's 7 new registrations (tablelog_partitioned,
+# window is this round's 8 new registrations (tablelog_partitioned,
 # dedup_substring_rewrite, tablelog_update_where, tablelog_bloom_lookup,
-# tablelog_metadata_agg, text_gopher_gate, search_hybrid_rrf;
+# tablelog_metadata_agg, text_gopher_gate, search_hybrid_rrf,
+# src_txlog_reader;
 # stream_txlog_merge_sink is an UPGRADE of an
 # r7-green entry, so it keeps its rank), the 1 r4 entry r9's rotation
 # displaced (agg_freq_items; the other two displaced entries were
-# re-proven inside CORRECTNESS_r09), and 41 of the r5 cohort in
+# re-proven inside CORRECTNESS_r09), and 40 of the r5 cohort in
 # registration order — so every driver proof keeps to ~5 rounds old
 # as the window sweeps. (tools/rotate_window.py regenerates this list
 # from the pinned policy after new registrations.)
@@ -9584,6 +9629,7 @@ _DRIVER_WINDOW = [
     "tablelog_metadata_agg",
     "text_gopher_gate",
     "search_hybrid_rrf",
+    "src_txlog_reader",
     "agg_freq_items",
     "text_perplexity",
     "dedup_window_exact",
@@ -9625,7 +9671,6 @@ _DRIVER_WINDOW = [
     "dedup_audio_fingerprint",
     "multimodal_mp4_meta",
     "multimodal_spectral",
-    "docs_to_chunks",
 ]
 
 def _prioritize() -> None:

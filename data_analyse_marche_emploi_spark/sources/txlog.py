@@ -2201,6 +2201,7 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
@@ -2378,6 +2379,68 @@ class TxLogBatchWriter(DataSourceArrowWriter):
                     pass
 
 
+def _resolve_asof_version(t: "TxTable", options: dict) -> int | None:
+    """Resolve the Delta-style time-travel options (``versionAsOf`` /
+    ``timestampAsOf``, mutually exclusive; None = latest). Spark
+    lowercases option keys."""
+    v = options.get("versionasof")
+    ts = options.get("timestampasof")
+    if v is not None and ts is not None:
+        raise ValueError(
+            "versionAsOf and timestampAsOf are mutually exclusive"
+        )
+    if v is not None:
+        return int(v)
+    if ts is not None:
+        return t.version_at_timestamp(float(ts))
+    return None
+
+
+class TxLogBatchReader(DataSourceReader):
+    """Batch read of a snapshot: one input partition per live data
+    file at the resolved version, so the scan parallelizes per file
+    and the plan's file list is immutable (snapshot isolation — later
+    commits can't change a running read). ``versionAsOf`` /
+    ``timestampAsOf`` time-travel like the public formats.
+
+    Pending merge-on-read equality deletes are REFUSED loudly: this
+    reader hands Spark raw file partitions and has no join stage to
+    apply delete keys with — reading through them would resurrect
+    logically-erased rows. ``TxTable.read`` (which resolves MoR) or an
+    ``optimize()`` fold is the sanctioned path for dirty tables."""
+
+    def __init__(self, schema: T.StructType, options: dict):
+        self.schema = schema
+        self.path = options["path"]
+        self.options = options
+
+    def partitions(self) -> Sequence[_TxFilePartition]:
+        t = TxTable(None, self.path)
+        v = _resolve_asof_version(t, self.options)
+        entries, deletes = t._snapshot_mor(
+            t.latest_version() if v is None else v
+        )
+        if deletes:
+            raise ValueError(
+                "read.format('txlog'): snapshot carries pending "
+                "merge-on-read equality deletes, which this raw-file "
+                "reader cannot apply; read via TxTable.read() or run "
+                "optimize() to fold them first"
+            )
+        return [
+            _TxFilePartition(t.file_store.read_path(self.path, f))
+            for f, _, _ in entries
+        ]
+
+    def read(self, partition: _TxFilePartition) -> Iterator[tuple]:
+        import pyarrow.parquet as pq
+
+        cols = [f.name for f in self.schema.fields]
+        tbl = pq.read_table(partition.path, columns=cols)
+        for batch in tbl.to_batches():
+            yield from zip(*[batch.column(c).to_pylist() for c in cols])
+
+
 class TxLogDataSource(DataSource):
     """Options: ``path`` (table root). APPEND-ONLY streaming contract:
     a merge/delete/optimize commit in the consumed range raises unless
@@ -2385,9 +2448,13 @@ class TxLogDataSource(DataSource):
     rewritten carried-over rows WILL reappear, exactly the caveat the
     public formats document for the same option).
 
-    Registered for BOTH directions: ``spark.readStream.format("txlog")``
-    (version-offset micro-batches) and ``df.write.format("txlog")``
-    (atomic batch append/create/overwrite — :class:`TxLogBatchWriter`)."""
+    Registered for ALL FOUR directions:
+    ``spark.read.format("txlog")`` (snapshot batch read with
+    ``versionAsOf``/``timestampAsOf`` — :class:`TxLogBatchReader`),
+    ``spark.readStream.format("txlog")`` (version-offset
+    micro-batches), ``df.write.format("txlog")`` (atomic batch
+    append/create/overwrite — :class:`TxLogBatchWriter`), and the
+    foreachBatch merge sink (streaming/incremental.py)."""
 
     @classmethod
     def name(cls) -> str:
@@ -2404,11 +2471,14 @@ class TxLogDataSource(DataSource):
         # schema-evolving appends (r7 advisor finding). The newest ADD
         # still live is the current write schema by construction.
         t = TxTable(None, self.options["path"])
-        live = t.snapshot_files()
+        asof = _resolve_asof_version(t, self.options)
+        live = t.snapshot_files(asof)
         if live:
             last_live = set(live)
             newest = None
             for v in reversed(t._versions()):
+                if asof is not None and v > asof:
+                    continue
                 adds = [f for f in t._read_action(v)["adds"] if f in last_live]
                 if adds:
                     newest = adds[-1]
@@ -2424,6 +2494,9 @@ class TxLogDataSource(DataSource):
         raise FileNotFoundError(
             f"no schema-bearing data files under {self.options['path']}"
         )
+
+    def reader(self, schema: T.StructType) -> TxLogBatchReader:
+        return TxLogBatchReader(schema, self.options)
 
     def streamReader(self, schema: T.StructType) -> "TxLogStreamReader":
         return TxLogStreamReader(schema, self.options)

@@ -867,6 +867,44 @@ def test_txlog_stream_starting_version_and_rate_limit(spark, tmp_path):
     assert sorted(seen) == list(range(11))  # exactly once, in total
 
 
+@posix_only
+def test_txlog_batch_reader_time_travels_and_refuses_dirty(spark, tmp_path):
+    """spark.read.format("txlog") reads the snapshot with one input
+    partition per live file, time-travels via versionAsOf /
+    timestampAsOf, and REFUSES a snapshot with pending merge-on-read
+    deletes (this raw-file reader has no join stage to apply them —
+    reading through would resurrect erased rows)."""
+    import time
+
+    from data_analyse_marche_emploi_spark.sources.txlog import (
+        register_txlog_source,
+    )
+
+    register_txlog_source(spark)
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a"), (2, "b")]))
+    mid = time.time()
+    t.append(_df(spark, [(3, "c")]))
+    t.merge_upsert(_df(spark, [(2, "B")]), "k")
+
+    def rd(**opts):
+        r = spark.read.format("txlog").option("path", p)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return sorted((x.k, x.v) for x in r.load().collect())
+
+    assert rd() == [(1, "a"), (2, "B"), (3, "c")]
+    assert rd(versionAsOf=0) == [(1, "a"), (2, "b")]
+    assert rd(timestampAsOf=mid) == [(1, "a"), (2, "b")]
+    with pytest.raises(Exception, match="mutually exclusive"):
+        rd(versionAsOf=0, timestampAsOf=mid)
+    t.delete_where(F.col("k") == 1, mode="mor", key="k")
+    with pytest.raises(Exception, match="equality deletes"):
+        rd()
+    # TxTable.read remains the sanctioned dirty-snapshot path
+    assert sorted(r.k for r in t.read().collect()) == [2, 3]
+
+
 def test_txlog_random_ops_match_model(spark, tmp_path):
     """Model-based check: random create/append/merge/delete/optimize/
     checkpoint sequences against a driver-side dict model — read()
