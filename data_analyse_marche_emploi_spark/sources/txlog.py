@@ -2103,6 +2103,12 @@ class TxTable:
             probe=None, ignore_new_constraints=True, what="optimize",
         )
 
+    def restore_to_timestamp(self, ts: float) -> int:
+        """RESTORE to the newest version committed at or before ``ts``
+        — :meth:`restore` at :meth:`version_at_timestamp` (the public
+        formats' RESTORE ... TIMESTAMP AS OF)."""
+        return self.restore(self.version_at_timestamp(ts))
+
     def restore(self, version: int) -> int:
         """RESTORE: make ``version``'s snapshot current again as a NEW
         commit (removes = the current live set, adds = the target

@@ -225,6 +225,12 @@ def test_timestamp_time_travel(spark, tmp_path):
     assert {r.k for r in t.read_at_timestamp(time.time()).collect()} == {1, 2}
     with pytest.raises(ValueError, match="history starts after"):
         t.version_at_timestamp(ts0 - 60)
+    # RESTORE TIMESTAMP AS OF: rolls back to the pre-append snapshot
+    # as a new commit, history preserved
+    v = t.restore_to_timestamp(mid)
+    assert v == 2
+    assert {r.k for r in t.read().collect()} == {1}
+    assert {r.k for r in t.read(1).collect()} == {1, 2}
 
 
 def test_metadata_only_count_and_range(spark, tmp_path):
