@@ -2220,10 +2220,13 @@ class _TxFilePartition(InputPartition):
 
 
 class _TxWriteMessage(WriterCommitMessage):
-    """Per-task commit message: the part files the task wrote."""
+    """Per-task commit message: the part files the task wrote, plus
+    each file's partition values when the write was partition-split
+    (``{name: {col: canonical-string | None}}``)."""
 
-    def __init__(self, files: list[str]):
+    def __init__(self, files: list[str], values: dict | None = None):
         self.files = files
+        self.values = values or {}
 
 
 class TxLogBatchWriter(DataSourceArrowWriter):
@@ -2261,6 +2264,20 @@ class TxLogBatchWriter(DataSourceArrowWriter):
         vs = t._versions()
         self._bound_version = vs[-1] if vs else -1
         self._constraints = t.constraints() if vs else {}
+        # Partition columns: option("partitionBy", "a,b") on CREATE
+        # declares them (recorded in the genesis commit, like
+        # TxTable.create); appends to a partitioned table inherit the
+        # table's columns automatically so their parts keep pruning.
+        # A conflicting redeclaration fails loudly.
+        opt = options.get("partitionby")
+        declared = [c for c in (opt or "").split(",") if c]
+        existing = t.partition_by() if vs else []
+        if vs and declared and declared != existing:
+            raise ValueError(
+                f"write.format('txlog') partitionBy={declared} conflicts "
+                f"with the table's recorded partition columns {existing}"
+            )
+        self._pcols = declared or existing
 
     def _validate(self, table) -> None:
         """Per-TASK constraint check over the task's own in-memory
@@ -2315,35 +2332,82 @@ class TxLogBatchWriter(DataSourceArrowWriter):
         # nothing else about the task protocol changes.
         store = PosixFileStore()
         os.makedirs(self.path, exist_ok=True)
-        name = f"part-{uuid.uuid4().hex}.parquet"
-        scratch = os.path.join(self.path, f".wtmp-{uuid.uuid4().hex}")
-        writer = None
+        # On a partitioned table each task splits its batches by the
+        # partition tuple and streams one part PER VALUE GROUP, so
+        # every part stays single-valued in the partition columns and
+        # its values ride the commit message into the add-action stats
+        # — the same pruning contract TxTable._write_parts' staged
+        # partitionBy gives. Values canonicalize as str() (the
+        # _partition_match probe form); None stays None.
+        writers: dict[tuple, tuple] = {}  # key -> (writer, scratch, name, values)
+
+        def sink_for(key: tuple, schema) -> tuple:
+            if key not in writers:
+                name = f"part-{uuid.uuid4().hex}.parquet"
+                scratch = os.path.join(self.path, f".wtmp-{uuid.uuid4().hex}")
+                values = {
+                    c: (None if v is None else str(v))
+                    for c, v in zip(self._pcols, key)
+                }
+                writers[key] = (
+                    pq.ParquetWriter(scratch, schema), scratch, name, values,
+                )
+            return writers[key]
+
         try:
             for batch in iterator:
                 if not batch.num_rows:
                     continue
                 if self._constraints:
                     self._validate(pa.Table.from_batches([batch]))
-                if writer is None:
-                    writer = pq.ParquetWriter(scratch, batch.schema)
-                writer.write_batch(batch)
+                if not self._pcols:
+                    w, *_ = sink_for((), batch.schema)
+                    w.write_batch(batch)
+                    continue
+                missing = [
+                    c for c in self._pcols if c not in batch.schema.names
+                ]
+                if missing:
+                    raise ValueError(
+                        f"write.format('txlog'): partition column(s) "
+                        f"{missing} not in the written schema"
+                    )
+                cols = [batch.column(c).to_pylist() for c in self._pcols]
+                tuples = list(zip(*cols))
+                for key in sorted(set(tuples), key=repr):
+                    mask = pa.array([t == key for t in tuples])
+                    sub = batch.filter(mask)
+                    if sub.num_rows:
+                        w, *_ = sink_for(key, batch.schema)
+                        w.write_batch(sub)
         except Exception:
-            if writer is not None:
-                writer.close()
+            for w, scratch, _n, _v in writers.values():
+                w.close()
                 try:
                     os.remove(scratch)
                 except OSError:
                     pass
             raise
-        if writer is None:
+        if not writers:
             return _TxWriteMessage([])
-        writer.close()
-        store.put(self.path, name, scratch)
-        return _TxWriteMessage([name])
+        files, values = [], {}
+        for w, scratch, name, vals in writers.values():
+            w.close()
+            store.put(self.path, name, scratch)
+            files.append(name)
+            if self._pcols:
+                values[name] = vals
+        return _TxWriteMessage(files, values)
 
     def commit(self, messages) -> None:
         adds = [f for m in messages if m is not None for f in m.files]
         t = TxTable(None, self.path)
+        # partition values collected from the tasks ride into
+        # _file_stats exactly as TxTable._write_parts' staged values do
+        for m in messages:
+            if m is not None:
+                t._last_partition_values.update(getattr(m, "values", {}))
+        t._partition_cols = list(self._pcols)
         # Metadata-only work from here on: _file_stats reads parquet
         # FOOTERS, the log walk reads JSON. Row validation already
         # happened inside each task's write(); if it raced an
@@ -2354,7 +2418,8 @@ class TxLogBatchWriter(DataSourceArrowWriter):
         try:
             if not t._versions():
                 os.makedirs(self.path, exist_ok=True)
-                t._commit(0, adds, [], "create", stats=t._file_stats(adds))
+                t._commit(0, adds, [], "create", stats=t._file_stats(adds),
+                          extra={"partition_by": list(self._pcols)})
             elif self.overwrite:
                 v = t.latest_version() + 1
                 news = t._constraints_added_in(self._bound_version, v)

@@ -911,6 +911,48 @@ def test_txlog_batch_reader_time_travels_and_refuses_dirty(spark, tmp_path):
     assert sorted(r.k for r in t.read().collect()) == [2, 3]
 
 
+@posix_only
+def test_spark_writer_partition_by(spark, tmp_path):
+    """df.write.format("txlog").option("partitionBy", ...) creates a
+    PARTITIONED table: each task splits its batches per partition
+    tuple (one single-valued part per value group, NULLs included),
+    recorded values prune partition-filtered reads, appends inherit
+    the table's columns without re-declaring, and a conflicting
+    redeclaration fails loudly."""
+    from data_analyse_marche_emploi_spark.sources.txlog import (
+        register_txlog_source,
+    )
+
+    register_txlog_source(spark)
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "fr"), (3, "en"), (4, None)], "k long, lang string"
+    )
+    df.write.format("txlog").option("path", p).option(
+        "partitionBy", "lang"
+    ).mode("append").save()
+    t = TxTable(spark, p)
+    assert t.partition_by() == ["lang"]
+    vals = [s.get("__partition__") for _, s in t._snapshot_entries()]
+    assert all(v is not None and "lang" in v for v in vals)
+    fr = t.read(partition_filter={"lang": "fr"})
+    assert [r.k for r in fr.collect()] == [2]
+    assert len(fr.inputFiles()) < len(t.snapshot_files())
+    # append inherits the partition columns from the table
+    spark.createDataFrame([(5, "fr")], "k long, lang string").write.format(
+        "txlog"
+    ).option("path", p).mode("append").save()
+    t2 = TxTable(spark, p)
+    assert sorted(
+        r.k for r in t2.read(partition_filter={"lang": "fr"}).collect()
+    ) == [2, 5]
+    assert [r.k for r in t2.read(partition_filter={"lang": None}).collect()] == [4]
+    with pytest.raises(Exception, match="conflicts"):
+        spark.createDataFrame([(9, "de")], "k long, lang string").write.format(
+            "txlog"
+        ).option("path", p).option("partitionBy", "k").mode("append").save()
+
+
 def test_txlog_random_ops_match_model(spark, tmp_path):
     """Model-based check: random create/append/merge/delete/optimize/
     checkpoint sequences against a driver-side dict model — read()
