@@ -362,16 +362,38 @@ class InMemoryFileStore(FileStore):
         return cached
 
 
+def _partition_canon(value) -> str:
+    """Hive-canonical string form of a partition value, matching what
+    Spark's staged ``partitionBy`` writes into the directory names the
+    add actions record: booleans lowercase, everything else str()."""
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    return str(value)
+
+
+def _bloom_canon(value) -> str:
+    """Canonical string form hashed into blooms, applied on BUILD and
+    PROBE alike so numerically-equal values of different Python types
+    agree: bools get a Hive-style lowercase form (distinct from the
+    ints they subclass), integral floats collapse to their int form
+    (a probe of int 5 must find a double column's 5.0 — parquet
+    to_pylist hands the builder floats), everything else is str()."""
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, float) and value.is_integer():
+        return str(int(value))
+    return str(value)
+
+
 def _bloom_digest(value) -> tuple[int, int]:
-    """The two 64-bit double-hashing bases for ``value`` — md5 over its
-    canonical string form (the same Hive-canonical ``str()`` the
-    partition values use, so int 5 and the probe 5 agree regardless of
-    which writer built the filter). Computed ONCE per value; the
-    per-filter bit positions derive from (m, k) cheaply, which is what
-    lets a multi-key probe sweep many files without rehashing."""
+    """The two 64-bit double-hashing bases for ``value`` — md5 over
+    :func:`_bloom_canon`'s type-bridging string form. Computed ONCE per
+    value; the per-filter bit positions derive from (m, k) cheaply,
+    which is what lets a multi-key probe sweep many files without
+    rehashing."""
     import hashlib
 
-    d = hashlib.md5(str(value).encode()).digest()
+    d = hashlib.md5(_bloom_canon(value).encode()).digest()
     return (
         int.from_bytes(d[:8], "big"),
         int.from_bytes(d[8:], "big") | 1,  # odd → full-cycle stride
@@ -474,53 +496,43 @@ class TxTable:
         # stats call
         self._last_partition_values: dict[str, dict] = {}
 
-    def partition_by(self) -> list[str]:
-        """The table's partition columns, recorded once in the create
-        commit (Delta's metaData.partitionColumns analog); [] for an
-        unpartitioned table. Memoized — the create record is
-        immutable. Served from the newest checkpoint when one exists
-        (checkpoints consolidate ALL per-write metadata walks; reading
-        genesis here would break the O(commits-since-checkpoint)
-        replay bound every write path relies on); checkpoints written
-        before the field existed imply a pre-partitioning table, but
-        fall back to the genesis read rather than assume."""
-        if self._partition_cols is None:
+    def _birth_meta(self, field: str, attr: str) -> list[str]:
+        """Shared lookup for table-birth metadata fields (partition /
+        bloom columns): memoized, served from the newest checkpoint
+        when one carries the field (checkpoints consolidate ALL
+        per-write metadata walks; reading genesis here would break the
+        O(commits-since-checkpoint) replay bound every write path
+        relies on), genesis-read fallback for checkpoints written
+        before the field existed — falling back rather than assuming
+        []."""
+        if getattr(self, attr) is None:
             try:
                 ck = self._latest_checkpoint_raw(self.latest_version())
             except FileNotFoundError:
                 return []
-            if ck is not None and "partition_by" in ck[1]:
-                self._partition_cols = ck[1]["partition_by"]
+            if ck is not None and field in ck[1]:
+                setattr(self, attr, ck[1][field])
             else:
                 try:
-                    self._partition_cols = self._read_action(0).get(
-                        "partition_by", []
+                    setattr(
+                        self, attr, self._read_action(0).get(field, [])
                     )
                 except FileNotFoundError:
                     return []
-        return self._partition_cols
+        return getattr(self, attr)
+
+    def partition_by(self) -> list[str]:
+        """The table's partition columns, recorded once in the create
+        commit (Delta's metaData.partitionColumns analog); [] for an
+        unpartitioned table. The create record is immutable — see
+        :meth:`_birth_meta` for the memoize/checkpoint rule."""
+        return self._birth_meta("partition_by", "_partition_cols")
 
     def bloom_by(self) -> list[str]:
         """The table's bloom-indexed columns, recorded once in the
         create commit (the Delta bloom-filter-index analog); [] when
-        none. Same memoization and checkpoint-consolidation rule as
-        :meth:`partition_by` — every write consults this, so it must
-        never walk below a checkpoint to genesis."""
-        if self._bloom_cols is None:
-            try:
-                ck = self._latest_checkpoint_raw(self.latest_version())
-            except FileNotFoundError:
-                return []
-            if ck is not None and "bloom_by" in ck[1]:
-                self._bloom_cols = ck[1]["bloom_by"]
-            else:
-                try:
-                    self._bloom_cols = self._read_action(0).get(
-                        "bloom_by", []
-                    )
-                except FileNotFoundError:
-                    return []
-        return self._bloom_cols
+        none. Same rule as :meth:`partition_by`."""
+        return self._birth_meta("bloom_by", "_bloom_cols")
 
     # -- log primitives ----------------------------------------------------
 
@@ -616,7 +628,11 @@ class TxTable:
         they are monotone per table in practice (one winner per
         version) but this walks the log rather than bisecting so a
         skewed clock can't silently hide a commit. Raises if ``ts``
-        predates the table."""
+        predates the table. Cost: O(all commits) driver-side JSON
+        reads — timestamps don't ride checkpoints (consolidating them
+        would fix the walk but not the can't-bisect rule); acceptable
+        because timestamp travel is an interactive operation, not a
+        per-write path like the _birth_meta walks."""
         best = None
         for v in self._versions():
             if self._read_action(v).get("ts", 0.0) <= ts:
@@ -833,10 +849,16 @@ class TxTable:
         """False iff the file's RECORDED partition values prove it
         cannot hold a row matching ``pfilter`` (exact equality on the
         Hive-canonical string form — the same form the stage-dir
-        parse recorded). Files without recorded values (pre-
-        partitioning appends, DSv2 writer saves) stay candidates:
+        parse recorded: booleans lowercase, everything else str()).
+        Files without recorded values (pre-partitioning appends)
+        stay candidates, a recorded None (Hive's default-partition
+        token — a NULL *or* empty-string value) is only ever pruned
+        by a None probe, and an empty-string probe never prunes:
         pruning must never lose a match; the read-side row filter
-        keeps them exact."""
+        keeps every kept file exact. Numeric probes bridge type drift
+        (an int 3 probe matches a double column's recorded '3.0' —
+        Spark's coercing row equality would match those rows, so
+        pruning them would lose matches)."""
         pv = stats.get("__partition__")
         if not pv:
             return True
@@ -844,11 +866,22 @@ class TxTable:
             if col not in pv:
                 continue
             have = pv[col]
-            if have is None or want is None:
-                if (have is None) != (want is None):
+            if want is None:
+                if have is not None:
                     return False
                 continue
-            if str(want) != have:
+            if have is None:
+                # recorded None covers both NULL and '' values; only
+                # the ''-probe must stay a candidate
+                if want == "":
+                    continue
+                return False
+            if _partition_canon(want) != have:
+                try:
+                    if float(want) == float(have):
+                        continue
+                except (TypeError, ValueError):
+                    pass
                 return False
         return True
 
@@ -982,7 +1015,11 @@ class TxTable:
                 if lo is not None and isinstance(lo, (int, float, str, bool)):
                     cols[cname] = [lo, hi]
             if name in pvals:
-                cols["__partition__"] = pvals[name]
+                # pop: consumed exactly once per commit (stats for an
+                # add set are computed once, before any retry loop), so
+                # a long-lived handle doesn't accumulate per-part
+                # entries forever
+                cols["__partition__"] = pvals.pop(name)
             want = [c for c in bloom_cols if c in md.schema.names]
             if want:
                 # One column-pruned pass over the staged part to build
@@ -1656,7 +1693,12 @@ class TxTable:
         ]
         if not touched:
             return v  # no-op deletes don't burn a version
-        survivors = self._read_files(touched).filter(~condition)
+        # SQL DELETE semantics: only definite-TRUE rows go; a NULL
+        # predicate keeps its row (plain ~condition would drop it —
+        # update_where's when/otherwise already gets this right)
+        survivors = self._read_files(touched).filter(
+            ~F.coalesce(condition, F.lit(False))
+        )
         adds = self._write_parts(survivors)
 
         def probe_cow(entries: list[tuple[str, dict]]) -> bool:
@@ -2252,7 +2294,8 @@ class TxLogBatchWriter(DataSourceArrowWriter):
     from the log, with the standard log-format orphan story for
     failed jobs."""
 
-    def __init__(self, options: dict, overwrite: bool):
+    def __init__(self, options: dict, overwrite: bool,
+                 schema: T.StructType | None = None):
         self.path = options["path"]
         self.overwrite = overwrite
         # Bind the CHECK-constraint set ONCE, at job start on the
@@ -2270,7 +2313,7 @@ class TxLogBatchWriter(DataSourceArrowWriter):
         # table's columns automatically so their parts keep pruning.
         # A conflicting redeclaration fails loudly.
         opt = options.get("partitionby")
-        declared = [c for c in (opt or "").split(",") if c]
+        declared = [c.strip() for c in (opt or "").split(",") if c.strip()]
         existing = t.partition_by() if vs else []
         if vs and declared and declared != existing:
             raise ValueError(
@@ -2278,6 +2321,19 @@ class TxLogBatchWriter(DataSourceArrowWriter):
                 f"with the table's recorded partition columns {existing}"
             )
         self._pcols = declared or existing
+        if schema is not None and self._pcols:
+            # fail at PLAN time, on the driver — a typo'd partition
+            # column recorded in the immutable genesis commit is
+            # unrepairable (partition columns are declare-at-birth)
+            missing = [
+                c for c in self._pcols if c not in schema.fieldNames()
+            ]
+            if missing:
+                raise ValueError(
+                    f"write.format('txlog'): partition column(s) "
+                    f"{missing} not in the written schema "
+                    f"{schema.fieldNames()}"
+                )
 
     def _validate(self, table) -> None:
         """Per-TASK constraint check over the task's own in-memory
@@ -2346,7 +2402,7 @@ class TxLogBatchWriter(DataSourceArrowWriter):
                 name = f"part-{uuid.uuid4().hex}.parquet"
                 scratch = os.path.join(self.path, f".wtmp-{uuid.uuid4().hex}")
                 values = {
-                    c: (None if v is None else str(v))
+                    c: (None if v is None else _partition_canon(v))
                     for c, v in zip(self._pcols, key)
                 }
                 writers[key] = (
@@ -2573,7 +2629,7 @@ class TxLogDataSource(DataSource):
         return TxLogStreamReader(schema, self.options)
 
     def writer(self, schema: T.StructType, overwrite: bool) -> TxLogBatchWriter:
-        return TxLogBatchWriter(self.options, overwrite)
+        return TxLogBatchWriter(self.options, overwrite, schema)
 
 
 class TxLogStreamReader(DataSourceStreamReader):

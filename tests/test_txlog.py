@@ -206,6 +206,71 @@ def test_bloom_skipping_never_loses_matches(spark, tmp_path):
     assert t.read(eq_filter={"v": None}).count() == 0
 
 
+def test_partition_pruning_type_edges_never_lose_matches(spark, tmp_path):
+    """Partition pruning soundness at type edges (review findings):
+    boolean probes must match Spark's lowercase Hive form, an
+    empty-string probe must never prune (recorded as the Hive default
+    token, indistinguishable from NULL), an int probe bridges a
+    double column's '3.0' form, and partition-scoped DELETE on a
+    boolean partition actually deletes."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, True), (2, False), (3, True)], "k long, flag boolean"
+    )
+    t = TxTable.create(spark, p, df, partition_by=["flag"])
+    got = t.read(partition_filter={"flag": True})
+    assert sorted(r.k for r in got.collect()) == [1, 3]
+    assert len(got.inputFiles()) < len(t.snapshot_files())
+    t.delete_where(F.lit(True), partition_filter={"flag": True})
+    assert sorted(r.k for r in t.read().collect()) == [2]
+
+    p2 = str(tmp_path / "t2")
+    d2 = spark.createDataFrame(
+        [(1, ""), (2, "en"), (3, None)], "k long, lang string"
+    )
+    t2 = TxTable.create(spark, p2, d2, partition_by=["lang"])
+    # ''-probe: may open extra files but must find the row
+    assert [r.k for r in t2.read(partition_filter={"lang": ""}).collect()] == [1]
+    assert [r.k for r in t2.read(partition_filter={"lang": None}).collect()] == [3]
+
+    p3 = str(tmp_path / "t3")
+    d3 = spark.createDataFrame([(1, 3.0), (2, 4.0)], "k long, b double")
+    t3 = TxTable.create(spark, p3, d3, partition_by=["b"])
+    assert [r.k for r in t3.read(partition_filter={"b": 3}).collect()] == [1]
+
+
+def test_bloom_probe_bridges_numeric_types(spark, tmp_path):
+    """An int probe against a double bloom column must NOT be treated
+    as proof of absence (review finding): the bloom canonical form
+    collapses integral floats, so read(eq_filter={'k': 5}) finds the
+    5.0 row and a small merge keyed int against double files still
+    rewrites them instead of landing duplicates."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(5.0, "a"), (6.0, "b")], "k double, v string"
+    )
+    t = TxTable.create(spark, p, df, bloom_by=["k"])
+    assert [r.v for r in t.read(eq_filter={"k": 5}).collect()] == ["a"]
+    up = spark.createDataFrame([(5.0, "A")], "k double, v string")
+    t.merge_upsert(up, "k")
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [
+        (5.0, "A"), (6.0, "b"),
+    ]
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE removes only definite-TRUE rows: a row where the
+    predicate evaluates to NULL must survive the CoW rewrite (review
+    finding — plain ~condition dropped it)."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 2.0)], "k long, x double"
+    )
+    t = TxTable.create(spark, p, df.coalesce(1))
+    t.delete_where("x > 5")
+    assert sorted(r.k for r in t.read().collect()) == [2, 3]
+
+
 def test_timestamp_time_travel(spark, tmp_path):
     """read_at_timestamp resolves to the newest commit at or before
     the instant — between-commit timestamps see the earlier snapshot,
@@ -951,6 +1016,18 @@ def test_spark_writer_partition_by(spark, tmp_path):
         spark.createDataFrame([(9, "de")], "k long, lang string").write.format(
             "txlog"
         ).option("path", p).option("partitionBy", "k").mode("append").save()
+    # spaces in the option are trimmed; a typo'd column fails at PLAN
+    # time (a bad name in the immutable genesis commit is unrepairable)
+    p2 = str(tmp_path / "t2")
+    df.write.format("txlog").option("path", p2).option(
+        "partitionBy", " lang "
+    ).mode("append").save()
+    assert TxTable(spark, p2).partition_by() == ["lang"]
+    with pytest.raises(Exception, match="not in the written schema"):
+        df.write.format("txlog").option("path", str(tmp_path / "t3")).option(
+            "partitionBy", "nope"
+        ).mode("append").save()
+    assert not TxTable(spark, str(tmp_path / "t3"))._versions()
 
 
 def test_txlog_random_ops_match_model(spark, tmp_path):
