@@ -677,8 +677,10 @@ def bm25_search(
     binary fractions (1.5, 0.75 — so 1-b folds to exact 0.25); every
     double expression is written with a fixed operation tree mirrored
     in the SQL oracle; per-term scores combine by FIXED-ORDER addition
-    (a float SUM over terms would be partial-aggregation-order-
-    dependent); scores 1e-6-floor-bucket for ranking. ln() is the one
+    in query order (a float SUM over terms would be partial-
+    aggregation-order-dependent) via a map-collect + literal-array
+    fold whose plan size is constant in |query|; scores
+    1e-6-floor-bucket for ranking. ln() is the one
     ulp-level engine difference, absorbed by the bucket floor (same
     precedent as tf_idf).
 
@@ -727,16 +729,28 @@ def bm25_search(
         .crossJoin(F.broadcast(stats))
         .select(F.col(id_col), "term", s.alias("s"))
     )
-    per_term = [
-        F.coalesce(
-            F.max(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0)
-        ).alias(f"__s{i}")
-        for i, t in enumerate(query_terms)
-    ]
-    agg = scored.groupBy(id_col).agg(*per_term)
-    total = F.col("__s0")
-    for i in range(1, len(query_terms)):
-        total = total + F.col(f"__s{i}")
+    # Constant plan shape in |query| (r10 verdict ask #7): instead of
+    # one max(CASE WHEN term=t) aggregate branch per query term (a
+    # 50-term query would compile a 50-branch aggregate), collect each
+    # doc's (term, score) pairs into ONE map — keys are unique per doc
+    # because tf grouped by (id, term) — and left-fold a literal term
+    # array over it. The fold preserves the contract's FIXED
+    # query-order addition (((0+s0)+s1)+s2; the 0.0 seed is exact —
+    # scores are non-negative), misses coalesce to 0.0 exactly as the
+    # CASE default did (try_element_at: ANSI-safe NULL on absent key),
+    # and the plan's aggregate is one collect_list regardless of
+    # query length.
+    agg = scored.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "s"))).alias(
+            "__sm"
+        )
+    )
+    total = F.aggregate(
+        F.array(*[F.lit(t) for t in query_terms]),
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.coalesce(F.try_element_at(F.col("__sm"), t), F.lit(0.0)),
+    )
     return (
         agg.select(
             F.col(id_col), F.floor(total * 1e6).cast("long").alias("score6")

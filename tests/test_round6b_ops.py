@@ -153,6 +153,30 @@ def test_bm25_rarer_term_outranks_common_term(spark):
     assert {r["doc_id"] for r in rows} == {1, 2, 3}
 
 
+def test_bm25_plan_constant_in_query_length(spark):
+    """The score fold's plan shape must not grow with |query| (r10
+    verdict ask #7): no per-term max(CASE WHEN) aggregate branches —
+    one map-collect aggregate whatever the term count — and a 12-term
+    query must still score correctly."""
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 pad"), (2, "t0 pad pad pad")], ["doc_id", "text"]
+    )
+
+    def plan(terms):
+        q = bm25_search(df, "text", "doc_id", terms)
+        return q._jdf.queryExecution().optimizedPlan().toString()
+
+    p3 = plan(["t0", "t1", "t2"])
+    p12 = plan([f"t{i}" for i in range(12)])
+    assert p3.count("CASE WHEN") == p12.count("CASE WHEN")
+    # one aggregate function regardless of query width
+    assert p3.count("collect_list") == p12.count("collect_list") == 1
+    rows = bm25_search(
+        df, "text", "doc_id", [f"t{i}" for i in range(12)], top_n=2
+    ).collect()
+    assert rows[0]["doc_id"] == 1  # matches three terms vs one
+
+
 def test_prefix_filter_equals_full_join(spark, sf_dir):
     """Candidate pruning must not change the answer: prefix_filter_pairs
     == ngram_jaccard_pairs (no max_df) on the fixture corpus, pair for

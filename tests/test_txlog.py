@@ -258,6 +258,126 @@ def test_bloom_probe_bridges_numeric_types(spark, tmp_path):
     ]
 
 
+def test_filestore_put_consumes_source(tmp_path):
+    """FileStore contract (r10 verdict ask #5): ``put`` CONSUMES the
+    staged scratch file — rename or upload-then-delete, the source
+    must be gone when it returns, on EVERY shipped store. An
+    upload-without-delete implementation would leak scratch files
+    that only the POSIX vacuum sweep reclaims."""
+    from data_analyse_marche_emploi_spark.sources.txlog import (
+        InMemoryFileStore,
+        PosixFileStore,
+    )
+
+    for store in (PosixFileStore(), InMemoryFileStore()):
+        troot = tmp_path / type(store).__name__
+        troot.mkdir(exist_ok=True)
+        src = troot / ".wtmp-scratch"
+        src.write_bytes(b"abc")
+        store.put(str(troot), "part-x.parquet", str(src))
+        assert not src.exists(), f"{type(store).__name__} left the source"
+        assert store.exists(str(troot), "part-x.parquet")
+        assert store.size(str(troot), "part-x.parquet") == 3
+
+
+def test_bloom_probe_bridges_decimal(spark, tmp_path):
+    """A decimal bloom_by column must not defeat int/float probes
+    (r10 advisor, medium): parquet ``to_pylist`` hands the builder
+    ``Decimal('5.00')`` whose naive str() form diverges from an int
+    probe's '5', turning the bloom miss into a false proof of absence
+    — the pruned file actually held the row Spark's coercing equality
+    would have matched."""
+    from decimal import Decimal
+
+    from data_analyse_marche_emploi_spark.sources.txlog import _bloom_canon
+
+    assert _bloom_canon(Decimal("5.00")) == _bloom_canon(5)
+    assert _bloom_canon(Decimal("5.50")) == _bloom_canon(5.5)
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(Decimal("5.00"), "a"), (Decimal("6.25"), "b")],
+        "k decimal(10,2), v string",
+    )
+    t = TxTable.create(spark, p, df.coalesce(1), bloom_by=["k"])
+    t.append(
+        spark.createDataFrame(
+            [(Decimal("7.00"), "c")], "k decimal(10,2), v string"
+        ).coalesce(1)
+    )
+    assert [r.v for r in t.read(eq_filter={"k": 5}).collect()] == ["a"]
+    assert [r.v for r in t.read(eq_filter={"k": 6.25}).collect()] == ["b"]
+    assert [r.v for r in t.read(eq_filter={"k": Decimal("7")}).collect()] == [
+        "c"
+    ]
+
+
+def test_contradictory_filters_conjoin_to_empty(spark, tmp_path):
+    """The same column in partition_filter AND eq_filter with
+    different values is a contradiction — the read must be EMPTY, not
+    the eq_filter-only answer (r10 advisor: the dict-merge row filter
+    let eq_filter replace the partition predicate, returning rows
+    from files with no recorded partition values)."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, lang string")
+    # unpartitioned table: no recorded partition values, so neither
+    # filter prunes files — only the row filters stand between the
+    # caller and a wrong answer
+    t = TxTable.create(spark, p, df)
+    assert (
+        t.read(partition_filter={"lang": "a"}, eq_filter={"lang": "b"}).count()
+        == 0
+    )
+    # agreeing values still work
+    assert [
+        r.k
+        for r in t.read(
+            partition_filter={"lang": "a"}, eq_filter={"lang": "a"}
+        ).collect()
+    ] == [1]
+
+
+def test_column_range_nan_double(spark, tmp_path):
+    """A double column containing NaN: Spark's max() ranks NaN
+    greatest, parquet footer stats omit it — column_range must give
+    the scan's answer (the metadata path would have said 2.0)."""
+    import math
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan")), (3, 2.0)], "k long, x double"
+    )
+    t = TxTable.create(spark, p, df)
+    lo, hi = t.column_range("x")
+    assert lo == 1.0
+    assert math.isnan(hi)
+
+
+def test_stream_rate_limit_cursor_only_advances_on_progress(spark, tmp_path):
+    """latestOffset is pure planning: repeated calls WITHOUT an
+    executed batch return the same bounded head instead of drifting
+    by maxVersionsPerTrigger per call; partitions() (real progress)
+    is what advances the cursor (r10 advisor)."""
+    from data_analyse_marche_emploi_spark.sources.txlog import (
+        TxLogStreamReader,
+    )
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a")]))
+    for i in range(5):
+        t.append(_df(spark, [(10 + i, "x")]))
+    r = TxLogStreamReader(
+        t.read().schema, {"path": p, "maxversionspertrigger": "2"}
+    )
+    r.initialOffset()
+    o1 = r.latestOffset()
+    o2 = r.latestOffset()
+    assert o1 == o2 == {"version": 1}
+    r.partitions({"version": -1}, o1)
+    assert r.latestOffset() == {"version": 3}
+    assert r.latestOffset() == {"version": 3}
+
+
 def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
     """SQL DELETE removes only definite-TRUE rows: a row where the
     predicate evaluates to NULL must survive the CoW rewrite (review
@@ -342,7 +462,12 @@ def test_metadata_only_count_and_range(spark, tmp_path):
     guarded = TxTable(spark, p, file_store=NoPartReads())
     assert guarded.count() == 41
     assert guarded.column_range("k") == (0, 99)
-    assert guarded.column_range("x") == (-7.0, 99.0)
+    # floating columns must fall back (= scan): parquet footer stats
+    # omit NaN while Spark's max() ranks NaN greatest, so a metadata
+    # answer could silently differ from the scan (r10 advisor)
+    with pytest.raises(AssertionError, match="was opened"):
+        guarded.column_range("x")
+    assert t.column_range("x") == (-7.0, 99.0)
     # string bounds may be writer-truncated: must fall back (= scan)
     with pytest.raises(AssertionError, match="was opened"):
         guarded.column_range("s")
@@ -939,6 +1064,95 @@ def test_txlog_stream_starting_version_and_rate_limit(spark, tmp_path):
 
 
 @posix_only
+def test_stream_sink_txlog_end_to_end(spark, tmp_path):
+    """Registered streaming SINK (r10 verdict ask #4):
+    ``df.writeStream.format('txlog')`` lands each micro-batch as one
+    atomic txn-stamped append — draining a txlog source into a txlog
+    sink moves every row exactly once across restarts of the same
+    checkpoint; txnAppId is required (fail-loud) and complete-mode is
+    refused."""
+    import pytest as _pytest
+
+    from data_analyse_marche_emploi_spark.sources.txlog import (
+        register_txlog_source,
+    )
+
+    register_txlog_source(spark)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    t = TxTable.create(spark, src, _df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+
+    def drain(**opts):
+        w = (
+            spark.readStream.format("txlog")
+            .option("path", src)
+            .load()
+            .writeStream.format("txlog")
+            .option("path", dst)
+            .option("checkpointLocation", ck)
+        )
+        for k, v in opts.items():
+            w = w.option(k, v)
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    with _pytest.raises(Exception, match="txnAppId"):
+        drain()  # missing the required writer id
+    drain(txnAppId="w1")
+    out = TxTable(spark, dst)
+    assert sorted((r.k, r.v) for r in out.read().collect()) == [
+        (1, "a"), (2, "b"),
+    ]
+    first_epochs = out.txns()["w1"]
+    t.append(_df(spark, [(3, "c")]))
+    drain(txnAppId="w1")
+    assert sorted((r.k, r.v) for r in out.read().collect()) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+    assert out.txns()["w1"] > first_epochs  # a later epoch committed
+
+
+@posix_only
+def test_stream_sink_replayed_epoch_lands_no_duplicate(spark, tmp_path):
+    """Crash-replay of a COMMITTED epoch (the crash window between
+    the sink commit and the engine checkpoint advancing): the sink
+    recognizes the recorded (txnAppId, batchId), deletes the restaged
+    parts, and lands no duplicate version and no duplicate rows."""
+    import pyarrow as pa
+
+    from data_analyse_marche_emploi_spark.sources.txlog import (
+        TxLogStreamWriter,
+    )
+
+    dst = str(tmp_path / "dst")
+    t = TxTable.create(spark, dst, _df(spark, [(0, "z")]))
+    w = TxLogStreamWriter({"path": dst, "txnappid": "w1"}, t.read().schema)
+
+    def msgs():
+        batch = pa.RecordBatch.from_pydict({"k": [1], "v": ["a"]})
+        return [w.write(iter([batch]))]
+
+    w.commit(msgs(), 0)
+    assert t.latest_version() == 1
+    assert sorted(r.k for r in t.read().collect()) == [0, 1]
+    w.commit(msgs(), 0)  # replayed epoch
+    assert t.latest_version() == 1  # no duplicate version
+    assert sorted(r.k for r in t.read().collect()) == [0, 1]
+    # the replay's restaged parts were deleted, not left as vacuum debt
+    assert set(t.file_store.list(dst)) == set(t.snapshot_files())
+    w.commit(msgs(), 1)  # next epoch commits normally
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 1]
+    assert t.txns() == {"w1": 1}
+    # txnAppId is mandatory
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="txnAppId"):
+        TxLogStreamWriter({"path": dst}, t.read().schema)
+
+
+@posix_only
 def test_txlog_batch_reader_time_travels_and_refuses_dirty(spark, tmp_path):
     """spark.read.format("txlog") reads the snapshot with one input
     partition per live file, time-travels via versionAsOf /
@@ -974,6 +1188,109 @@ def test_txlog_batch_reader_time_travels_and_refuses_dirty(spark, tmp_path):
         rd()
     # TxTable.read remains the sanctioned dirty-snapshot path
     assert sorted(r.k for r in t.read().collect()) == [2, 3]
+
+
+def test_batch_reader_yields_arrow_batches(spark, tmp_path):
+    """The DSv2 read path is COLUMNAR end-to-end (r10 verdict ask #1):
+    ``read()`` hands Spark ``pyarrow.RecordBatch`` objects in reader-
+    schema column order — never per-row Python tuples — so the scan
+    cost stays Arrow-side at any scale. The stream reader shares the
+    same scan helper."""
+    import pyarrow as pa
+
+    from data_analyse_marche_emploi_spark.sources.txlog import (
+        TxLogBatchReader,
+        TxLogStreamReader,
+    )
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a"), (2, "b")]))
+    reader = TxLogBatchReader(t.read().schema, {"path": p})
+    parts = reader.partitions()
+    assert parts
+    out = [b for part in parts for b in reader.read(part)]
+    assert out and all(isinstance(b, pa.RecordBatch) for b in out)
+    assert out[0].schema.names == ["k", "v"]
+    assert sorted(
+        (k, v)
+        for b in out
+        for k, v in zip(b.column("k").to_pylist(), b.column("v").to_pylist())
+    ) == [(1, "a"), (2, "b")]
+
+    s = TxLogStreamReader(t.read().schema, {"path": p})
+    sparts = s.partitions({"version": -1}, {"version": 0})
+    sout = [b for part in sparts for b in s.read(part)]
+    assert sout and all(isinstance(b, pa.RecordBatch) for b in sout)
+
+
+@posix_only
+def test_format_level_pruning_options(spark, tmp_path):
+    """``spark.read.format('txlog')`` gets the same partition → bloom
+    → min/max file pruning as ``TxTable.read`` via the
+    ``partitionFilter`` / ``eqFilter`` JSON options (r10 verdict ask
+    #2): a point lookup on a bloom_by table PLANS exactly one input
+    partition (asserted on the reader's own partition list — files
+    the index disproves are never opened), and the same predicate is
+    re-applied Arrow-side inside read() so the rows are exact, not
+    just pruned."""
+    import json as _json
+
+    from data_analyse_marche_emploi_spark.sources.txlog import (
+        TxLogBatchReader,
+        register_txlog_source,
+    )
+
+    register_txlog_source(spark)
+    p = str(tmp_path / "t")
+    # three single-file commits all spanning the full key range, so
+    # footer min/max can never prune — only the bloom can
+    rows = [(i, f"v{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "k long, v string")
+    t = TxTable.create(
+        spark, p, df.filter("k % 3 = 0").coalesce(1), bloom_by=["k"]
+    )
+    t.append(df.filter("k % 3 = 1").coalesce(1))
+    t.append(df.filter("k % 3 = 2").coalesce(1))
+    reader = TxLogBatchReader(
+        t.read().schema, {"path": p, "eqfilter": _json.dumps({"k": 4})}
+    )
+    # strict ==1 is safe at this controlled scale (deterministic md5
+    # blooms); at real scale a false positive opens one extra file
+    assert len(reader.partitions()) == 1
+    got = (
+        spark.read.format("txlog")
+        .option("path", p)
+        .option("eqFilter", _json.dumps({"k": 4}))
+        .load()
+        .collect()
+    )
+    assert [(r.k, r.v) for r in got] == [(4, "v4")]
+
+    # partitionFilter: prunes on recorded partition values AND
+    # filters the kept files' rows
+    p2 = str(tmp_path / "t2")
+    d2 = spark.createDataFrame(
+        [(1, "fr"), (2, "en"), (3, "fr")], "k long, lang string"
+    )
+    t2 = TxTable.create(spark, p2, d2, partition_by=["lang"])
+    r2 = TxLogBatchReader(
+        t2.read().schema,
+        {"path": p2, "partitionfilter": _json.dumps({"lang": "en"})},
+    )
+    assert len(r2.partitions()) < len(t2.snapshot_files())
+    got2 = (
+        spark.read.format("txlog")
+        .option("path", p2)
+        .option("partitionFilter", _json.dumps({"lang": "en"}))
+        .load()
+        .collect()
+    )
+    assert [(r.k, r.lang) for r in got2] == [(2, "en")]
+    # a malformed option fails loudly at plan time
+    with pytest.raises(Exception, match="JSON object"):
+        TxLogBatchReader(
+            t2.read().schema, {"path": p2, "eqfilter": "[1, 2]"}
+        )
 
 
 @posix_only
