@@ -106,6 +106,13 @@ HEADLINE = [
     "text_gopher_gate",
     "search_hybrid_rrf",
     "src_txlog_reader",
+    # round-11 additions: deletion-vector delete + MoR update,
+    # format-level pruned reads (Arrow-batch DSv2 path), the
+    # registered streaming txlog sink
+    "tablelog_dv_delete",
+    "tablelog_dv_update",
+    "tablelog_format_pruned",
+    "stream_txlog_sink",
 ]
 
 

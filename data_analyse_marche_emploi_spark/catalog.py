@@ -8932,6 +8932,90 @@ def tablelog_format_pruned(spark, sf_dir):
 
 
 @register(
+    "tablelog_dv_delete",
+    # two stacked positional deletes with ZERO rewrites (asserted:
+    # the live file list is unchanged and the dv state is non-empty);
+    # the oracle recomputes the surviving rows from orders
+    oracle="""
+    SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+    WHERE o_orderkey % 10 <> 7 AND o_orderkey % 100 <> 4
+    """,
+)
+def tablelog_dv_delete(spark, sf_dir):
+    """DELETION VECTORS on the versioned table (sources/txlog.py
+    delete_where(mode='dv') — the public formats' row-position MoR
+    delete, r10 verdict ask #6): a predicate delete lands as per-file
+    ROW-POSITION vectors with ZERO data-file rewrites and no equality
+    key required; reads drop the positions via one broadcast
+    positional anti-join on (file, ``_metadata.row_index``); a second
+    delete on the same files replaces each vector with the union
+    (cumulative), OPTIMIZE folds vectors into clean files, and DV
+    commits stamp log protocol 2 so an older engine refuses rather
+    than resurrecting rows. At 100 TB this is the selective-delete
+    path (GDPR point deletes): write cost O(deleted positions), read
+    cost one broadcast anti-join — versus CoW's rewrite of every
+    touched file. The entry stacks two predicate deletes, asserts
+    the live file list never changed, and returns the survivors the
+    oracle recomputes."""
+    from .sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    t = TxTable.create(spark, _txtmp("txdv_"), o)
+    before = sorted(t.snapshot_files())
+    t.delete_where("k % 10 = 7", mode="dv")
+    t.delete_where("k % 100 = 4", mode="dv")
+    assert sorted(t.snapshot_files()) == before, (
+        "deletion vectors rewrote data files"
+    )
+    assert t._snapshot_dv(), "no deletion vectors recorded"
+    return t.read()
+
+
+@register(
+    "tablelog_dv_update",
+    # merge-on-read UPDATE: matched positions vectored out + the
+    # transformed rows appended in ONE commit, zero rewrites
+    # (asserted: every original file stays live); the oracle
+    # recomputes the post-update table from orders
+    oracle="""
+    SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 10 = 3 THEN -o_totalprice
+                ELSE o_totalprice END AS p
+    FROM orders
+    """,
+)
+def tablelog_dv_update(spark, sf_dir):
+    """MERGE-ON-READ UPDATE via deletion vectors (sources/txlog.py
+    update_where(mode='dv') — the DV-backed UPDATE the public formats
+    ship): one atomic commit marks the matched rows' physical
+    positions deleted and appends the transformed rows as new parts —
+    ZERO files rewritten, write cost O(matched rows). This is the
+    high-frequency-update shape at 100 TB: a 0.01 % update writes
+    0.01 % of rows, where copy-on-write would rewrite every touched
+    FILE. Pre-update SET semantics (every expression sees the old
+    row), CHECK constraints validate the transformed rows, CDF emits
+    positionally-derived update_preimage/update_postimage pairs, and
+    OPTIMIZE folds the vectors away. The entry sign-flips a tenth of
+    the order prices, asserts no original file was rewritten, and
+    returns the table the oracle recomputes."""
+    from .sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    t = TxTable.create(spark, _txtmp("txdvu_"), o)
+    before = set(t.snapshot_files())
+    t.update_where("k % 10 = 3", {"p": "-p"}, mode="dv")
+    assert before <= set(t.snapshot_files()), (
+        "DV update rewrote an original file"
+    )
+    assert t._snapshot_dv(), "no deletion vectors recorded"
+    return t.read()
+
+
+@register(
     "stream_txlog_sink",
     # two source commits drain through the registered sink as
     # txn-stamped atomic appends; the oracle recomputes the exact
@@ -9717,23 +9801,18 @@ def dq_skew_report(spark, sf_dir):
 # ROLLUP, …) register after them — they stay fully covered by pytest and
 # tools/oracle_check.py, which check ALL entries.
 
-# Round-10 rotation (updated at round-10 start for the r10 driver pass):
+# Round-11 rotation (updated at round-11 for the r11 driver pass):
 # STALENESS policy, unchanged since r8 — rank every non-anchor entry
 # by the round of its most recent full-green (or clean rows-only)
 # driver row, never-green ranking stalest of all (which auto-enrolls
 # this round's registrations), and pack the 49 stalest after the
-# smoke anchor. After r9 re-proved 45 of the 48 r4-stale entries, the
-# window is this round's 8 new registrations (tablelog_partitioned,
-# dedup_substring_rewrite, tablelog_update_where, tablelog_bloom_lookup,
-# tablelog_metadata_agg, text_gopher_gate, search_hybrid_rrf,
-# src_txlog_reader;
-# stream_txlog_merge_sink is an UPGRADE of an
-# r7-green entry, so it keeps its rank), the 1 r4 entry r9's rotation
-# displaced (agg_freq_items; the other two displaced entries were
-# re-proven inside CORRECTNESS_r09), and 40 of the r5 cohort in
-# registration order — so every driver proof keeps to ~5 rounds old
-# as the window sweeps. (tools/rotate_window.py regenerates this list
-# from the pinned policy after new registrations.)
+# smoke anchor. The r11 window is this round's 4 new registrations
+# (tablelog_format_pruned, stream_txlog_sink, tablelog_dv_delete,
+# tablelog_dv_update — format-level pruning, the registered stream
+# sink, and deletion vectors) plus the 45 stalest prior entries — the r5/r6-era cohort
+# in registration order — so every driver proof keeps to ~5 rounds
+# old as the window sweeps. (tools/rotate_window.py regenerates this
+# list from the pinned policy after new registrations.)
 # The policy (window set == anchor + 49 stalest, recomputed from
 # CORRECTNESS_r0*.json files of rounds strictly before this comment's
 # round number) is pinned by
@@ -9742,55 +9821,55 @@ def dq_skew_report(spark, sf_dir):
 # comment. tools/oracle_check.py still checks ALL entries at three SFs.
 _DRIVER_WINDOW = [
     "flagship_orders_by_month",
-    "tablelog_partitioned",
-    "dedup_substring_rewrite",
-    "tablelog_update_where",
-    "tablelog_bloom_lookup",
-    "tablelog_metadata_agg",
-    "text_gopher_gate",
-    "search_hybrid_rrf",
-    "src_txlog_reader",
-    "agg_freq_items",
-    "text_perplexity",
-    "dedup_window_exact",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    "salted_groupby",
-    "salted_join",
-    "q_local_supplier_volume",
-    "q_priority_lines",
-    "q_order_priority_exists",
-    "q_small_quantity_revenue",
-    "q_promo_revenue_share",
-    "q_nation_volume",
-    "q_market_share",
-    "q_customer_distribution",
-    "q_top_supplier",
-    "q_large_orders",
-    "q_disjunctive_revenue",
-    "q_dormant_customers",
-    "join_range",
-    "order_limit",
-    "sort_global",
-    "join_hint_shuffle_hash",
-    "agg_stats",
-    "agg_quantiles",
-    "sample_exact_k",
-    "text_tf_idf",
-    "emb_centroid",
-    "dedup_canonical_quality",
-    "funnel_conversion",
-    "cohort_retention",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "src_rest_paged_dsv2",
-    "multimodal_audio",
-    "multimodal_jpeg",
-    "dedup_image_phash",
-    "dedup_audio_fingerprint",
-    "multimodal_mp4_meta",
-    "multimodal_spectral",
+    "tablelog_format_pruned",
+    "tablelog_dv_delete",
+    "stream_txlog_sink",
+    "tablelog_dv_update",
+    "docs_to_chunks",
+    "chunks_to_sequences",
+    "cap_docs_per_source",
+    "mixture_stratified_sample",
+    "mixture_train_split",
+    "emb_quantize",
+    "agg_theta_overlap",
+    "text_lang_id_ngram",
+    "multimodal_meta",
+    "q_min_price_supplier",
+    "q_part_supplier_counts",
+    "q_cheapest_line_supplier",
+    "array_ops",
+    "profile_table",
+    "stream_minhash_users",
+    "stream_value_histogram",
+    "stream_ohlc",
+    "multimodal_jpeg_progressive",
+    "multimodal_resize_area",
+    "dedup_video_phash",
+    "multimodal_gif",
+    "multimodal_gif_frames",
+    "multimodal_bmp",
+    "agg_theta_distinct",
+    "dedup_containment_pairs",
+    "agg_grouping_sets",
+    "unpivot_measures",
+    "ts_moving_stats",
+    "ts_ewma",
+    "agg_mode",
+    "q_important_parts",
+    "agg_corr_matrix",
+    "q_avg_yearly",
+    "dq_outliers",
+    "agg_exact_median",
+    "agg_exact_percentiles",
+    "q_nation_profit",
+    "q_revenue_yoy",
+    "q_promo_part_suppliers",
+    "ts_ohlc",
+    "window_ntile",
+    "ivm_incremental_agg",
+    "pipeline_gzip_ndjson_ingest",
+    "agg_weighted_median",
+    "json_variant_extract",
 ]
 
 def _prioritize() -> None:

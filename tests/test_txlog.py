@@ -378,6 +378,288 @@ def test_stream_rate_limit_cursor_only_advances_on_progress(spark, tmp_path):
     assert r.latestOffset() == {"version": 3}
 
 
+def test_dv_delete_basic_and_stacking(spark, tmp_path):
+    """DELETION VECTORS (r10 verdict ask #6): delete_where(mode='dv')
+    erases rows by PHYSICAL POSITION with zero rewrites and no key
+    contract — the file list is unchanged, reads drop the positions
+    via the broadcast positional anti-join, a second DV delete on the
+    same file REPLACES its vector with the union (cumulative), time
+    travel below the delete still sees every row, and no-op deletes
+    burn no version."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k long, v string"
+    )
+    t = TxTable.create(spark, p, df.filter("k < 5").coalesce(1))
+    t.append(df.filter("k >= 5").coalesce(1))
+    before = sorted(t.snapshot_files())
+    v = t.delete_where("k % 3 = 0", mode="dv")
+    assert v == 2
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 4, 5, 7, 8]
+    assert sorted(t.snapshot_files()) == before  # zero rewrites
+    # stacking: same files, replacement vector is the union
+    t.delete_where("k = 1", mode="dv")
+    assert sorted(r.k for r in t.read().collect()) == [2, 4, 5, 7, 8]
+    # time travel below the deletes
+    assert len(t.read(1).collect()) == 10
+    # exactness fallbacks: logged __rows__ counts erased positions
+    assert t.count() == 5
+    assert t.column_range("k") == (2, 8)
+    # no-op: no version burned
+    head = t.latest_version()
+    assert t.delete_where("k = 999", mode="dv") == head
+    # SQL DELETE semantics: NULL predicate keeps its row
+    p2 = str(tmp_path / "t2")
+    d2 = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 2.0)], "k long, x double"
+    )
+    t2 = TxTable.create(spark, p2, d2.coalesce(1))
+    t2.delete_where("x > 5", mode="dv")
+    assert sorted(r.k for r in t2.read().collect()) == [2, 3]
+
+
+def test_dv_guards_and_protocol(spark, tmp_path):
+    """A table with live deletion vectors: raw-file ops refuse loudly
+    (CoW delete/update, checkpoint, restore, the DSv2 raw reader),
+    the stream reader treats a DV commit as non-append, equality-MoR
+    deletes can't mix in under a DV delete, and — the protocol gate —
+    a revision-1 engine replaying the log refuses rather than
+    resurrecting rows (DV commits stamp protocol 2)."""
+    import data_analyse_marche_emploi_spark.sources.txlog as TX
+    from data_analyse_marche_emploi_spark.sources.txlog import (
+        TxLogBatchReader,
+        TxLogStreamReader,
+    )
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a"), (2, "b")]))
+    t.delete_where("k = 1", mode="dv")
+    assert t._read_action(1)["protocol"] == 2
+    for op, msg in [
+        (lambda: t.delete_where("k = 2"), "deletion vectors"),
+        (lambda: t.update_where("k = 2", {"v": "'x'"}), "deletion vectors"),
+        (lambda: t.checkpoint(), "deletion vectors"),
+        (lambda: t.restore(0), "deletion vectors"),
+        (lambda: t.merge_upsert(_df(spark, [(2, "B")]), "k"),
+         "deletion vectors"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            op()
+    # the DSv2 batch reader APPLIES deletion vectors (positions ride
+    # the planned partitions; tasks mask them Arrow-side) — parity
+    # with TxTable.read, no refusal
+    rdr = TxLogBatchReader(t.read().schema, {"path": p})
+    got = sorted(
+        k
+        for part in rdr.partitions()
+        for b in rdr.read(part)
+        for k in b.column("k").to_pylist()
+    )
+    assert got == [2]
+    with pytest.raises(ValueError, match="non-append"):
+        TxLogStreamReader(t.read().schema, {"path": p}).partitions(
+            {"version": 0}, {"version": 1}
+        )
+    # dv over pending equality deletes refused
+    p2 = str(tmp_path / "t2")
+    t2 = TxTable.create(spark, p2, _df(spark, [(1, "a"), (2, "b")]))
+    t2.delete_where(F.col("k") == 1, mode="mor", key="k")
+    with pytest.raises(ValueError, match="equality deletes"):
+        t2.delete_where("k = 2", mode="dv")
+    with pytest.raises(ValueError, match="unknown delete mode"):
+        t.delete_where("k = 2", mode="nope")
+    # protocol: a revision-1 reader must refuse the whole snapshot
+    orig = TX._READER_PROTOCOL
+    TX._READER_PROTOCOL = 1
+    try:
+        with pytest.raises(ValueError, match="upgrade the engine"):
+            t.read()
+    finally:
+        TX._READER_PROTOCOL = orig
+
+
+def test_dv_optimize_vacuum_interplay(spark, tmp_path):
+    """OPTIMIZE folds deletion vectors into rewritten files (dv state
+    empties, rows unchanged, the metadata-only count path lights back
+    up) and vacuum reclaims the then-unreferenced dv parts — while a
+    vacuum that KEEPS a dv-carrying snapshot must spare its parts."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k long, v string"
+    )
+    t = TxTable.create(spark, p, df.coalesce(2))
+    t.delete_where("k % 4 = 0", mode="dv")
+    dv_parts = set(t._snapshot_dv().values())
+    assert dv_parts
+    # keep_versions=1 keeps the dv-carrying head: parts must survive
+    t.vacuum()
+    assert all(t.file_store.exists(p, d) for d in dv_parts)
+    expect = sorted(r.k for r in t.read().collect())
+    t.optimize()
+    assert t._snapshot_dv() == {}
+    assert sorted(r.k for r in t.read().collect()) == expect
+    assert t.count() == 15  # metadata-only again (no guard needed)
+    removed = t.vacuum()
+    assert dv_parts <= set(removed)  # folded vectors reclaimed
+
+
+def test_dv_change_feed(spark, tmp_path):
+    """CDF over deletion-vector commits: each delete-dv version emits
+    EXACTLY its newly-erased rows as op 'delete' (the cumulative
+    vector minus the prior one — stacked deletes never re-emit), and
+    a commit that FOLDS vectors (optimize) refuses the feed with the
+    same not-a-faithful-pre-image rule as the equality-delete fold."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k long, v string"
+    )
+    t = TxTable.create(spark, p, df.coalesce(1))
+    t.delete_where("k % 3 = 0", mode="dv")   # v1: 0,3,6,9
+    t.delete_where("k = 1", mode="dv")       # v2: 1 only
+    ch = sorted(
+        (r.k, r._change_op, r._change_version)
+        for r in t.read_changes("k", 0, 2).collect()
+    )
+    assert ch == [
+        (0, "delete", 1), (1, "delete", 2), (3, "delete", 1),
+        (6, "delete", 1), (9, "delete", 1),
+    ]
+    t.optimize()  # v3 folds the vectors
+    with pytest.raises(ValueError, match="folds deletion vectors"):
+        t.read_changes("k", 0, 3)
+    # feed from the fold onward is well-defined
+    t.append(_df(spark, [(100, "new")]))
+    got = t.read_changes("k", 3, 4).collect()
+    assert [(r.k, r._change_op) for r in got] == [(100, "insert")]
+
+
+@posix_only
+def test_dv_format_level_read_end_to_end(spark, tmp_path):
+    """``spark.read.format('txlog')`` on a DV-dirty table through the
+    real worker path: deleted positions masked, pruning options still
+    compose, time travel below the delete sees every row."""
+    from data_analyse_marche_emploi_spark.sources.txlog import (
+        register_txlog_source,
+    )
+
+    register_txlog_source(spark)
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k long, v string"
+    )
+    t = TxTable.create(spark, p, df.coalesce(2))
+    t.delete_where("k % 3 = 0", mode="dv")
+    t.update_where("k = 1", {"v": "'ONE'"}, mode="dv")
+    got = (
+        spark.read.format("txlog").option("path", p).load().collect()
+    )
+    assert sorted((r.k, r.v) for r in got) == [
+        (1, "ONE"), (2, "v2"), (4, "v4"), (5, "v5"), (7, "v7"), (8, "v8"),
+    ]
+    assert (
+        spark.read.format("txlog")
+        .option("path", p)
+        .option("versionAsOf", 0)
+        .load()
+        .count()
+        == 10
+    )
+    one = (
+        spark.read.format("txlog")
+        .option("path", p)
+        .option("eqFilter", '{"k": 5}')
+        .load()
+        .collect()
+    )
+    assert [(r.k, r.v) for r in one] == [(5, "v5")]
+
+
+def test_dv_update_merge_on_read(spark, tmp_path):
+    """update_where(mode='dv') — the deletion-vector UPDATE: one
+    atomic commit marks matched positions deleted AND appends the
+    transformed rows, zero files rewritten. Pre-update SET semantics,
+    time travel intact, rows an earlier vector erased never re-match,
+    a row produced by a DV update is itself updatable, CDF emits
+    positionally-derived update_preimage/update_postimage pairs, and
+    OPTIMIZE folds it all."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, x double"
+    )
+    t = TxTable.create(spark, p, df.coalesce(1))
+    before = sorted(t.snapshot_files())
+    v = t.update_where("k % 3 = 0", {"x": "x + 100"}, mode="dv")
+    assert v == 1
+    # zero rewrites: the original file is still live, plus new parts
+    assert set(before) <= set(t.snapshot_files())
+    assert sorted((r.k, r.x) for r in t.read().collect()) == [
+        (0, 100.0), (1, 1.0), (2, 2.0), (3, 103.0), (4, 4.0), (5, 5.0),
+        (6, 106.0), (7, 7.0), (8, 8.0), (9, 109.0),
+    ]
+    assert t.count() == 10
+    # interleave a DV delete, then update a row the update produced
+    t.delete_where("k = 1", mode="dv")
+    t.update_where("k = 9", {"x": "0.5"}, mode="dv")
+    got = dict((r.k, r.x) for r in t.read().collect())
+    assert 1 not in got and got[9] == 0.5 and got[0] == 100.0
+    # time travel below the updates sees the original rows
+    assert sorted(r.x for r in t.read(0).collect()) == [
+        float(i) for i in range(10)
+    ]
+    # CDF: positional pre/post pairs for the first update
+    ch = sorted(
+        (r.k, r.x, r._change_op)
+        for r in t.read_changes("k", 0, 1).collect()
+    )
+    assert ch == [
+        (0, 0.0, "update_preimage"), (0, 100.0, "update_postimage"),
+        (3, 3.0, "update_preimage"), (3, 103.0, "update_postimage"),
+        (6, 6.0, "update_preimage"), (6, 106.0, "update_postimage"),
+        (9, 9.0, "update_preimage"), (9, 109.0, "update_postimage"),
+    ]
+    # protocol 2 rides the update commit too
+    assert t._read_action(1)["protocol"] == 2
+    t.optimize()
+    assert t._snapshot_dv() == {}
+    assert dict((r.k, r.x) for r in t.read().collect())[9] == 0.5
+    # no-op burns no version; bad mode fails loudly
+    head = t.latest_version()
+    assert t.update_where("k = 999", {"x": "0"}, mode="dv") == head
+    with pytest.raises(ValueError, match="unknown update mode"):
+        t.update_where("k = 1", {"x": "0"}, mode="nope")
+
+
+def test_dv_update_validates_constraints(spark, tmp_path):
+    """A DV update that would violate an active CHECK constraint
+    burns nothing — no commit, no version, table unchanged."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, p,
+        spark.createDataFrame([(1, 5.0), (2, 6.0)], "k long, x double"),
+    )
+    t.add_constraint("x_positive", "x > 0")
+    with pytest.raises(ValueError, match="x_positive"):
+        t.update_where("k = 1", {"x": "-1.0"}, mode="dv")
+    assert t.latest_version() == 1  # only the add-constraint commit
+    assert sorted(r.x for r in t.read().collect()) == [5.0, 6.0]
+
+
+def test_dv_partition_filter_scopes_scan(spark, tmp_path):
+    """delete_where(mode='dv', partition_filter=...) prunes the
+    position scan to the named partitions and conjoins the filter, so
+    rows outside the partition survive even when they match the bare
+    predicate."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "fr"), (2, "fr"), (3, "en"), (4, "en")], "k long, lang string"
+    )
+    t = TxTable.create(spark, p, df, partition_by=["lang"])
+    t.delete_where("k % 2 = 1", mode="dv", partition_filter={"lang": "fr"})
+    assert sorted((r.k, r.lang) for r in t.read().collect()) == [
+        (2, "fr"), (3, "en"), (4, "en"),
+    ]
+
+
 def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
     """SQL DELETE removes only definite-TRUE rows: a row where the
     predicate evaluates to NULL must survive the CoW rewrite (review
