@@ -2558,26 +2558,71 @@ class TxTable:
 
     def optimize(self, sort_cols: list[str] | None = None,
                  target_file_bytes: int = 128 * 1024 * 1024,
-                 zorder: tuple[str, str] | None = None) -> int:
-        """OPTIMIZE: rewrite the live snapshot into right-sized files
-        as ONE atomic commit replacing the whole file list — the txlog
-        form of operators/maintenance.py's compaction, with the same
-        row-group skipping payoff; readers of old versions are
-        untouched. ``sort_cols`` range-clusters one dimension;
-        ``zorder=(a, b)`` Morton-interleaves TWO so the logged min/max
-        stats (and the merge probe's data skipping) become selective
-        on EITHER column — OPTIMIZE ZORDER BY on the hand-rolled log."""
+                 zorder: tuple[str, str] | None = None,
+                 full: bool = False) -> int:
+        """OPTIMIZE: compact the snapshot into right-sized files as
+        ONE atomic commit — the txlog form of operators/maintenance.py
+        compaction, with the same row-group skipping payoff; readers
+        of old versions are untouched.
+
+        Default = INCREMENTAL BIN-PACKING (the public formats'
+        OPTIMIZE semantics): only files smaller than HALF the target
+        (the standard min-file-size rule — compaction output lands
+        near the target, so it doesn't re-qualify next pass and the
+        operation converges) or files carrying a DELETION VECTOR are
+        rewritten; right-sized files carry over by reference. At
+        100 TB this is the difference between a maintenance pass that
+        touches the write-churn tail and one that rewrites the whole
+        table — full rewrites must be opt-in, never routine. Nothing
+        to do (fewer than two undersized files, no vectors) = no-op,
+        no version burned.
+
+        Full rewrite happens when asked (``full=True``) or implied:
+        ``sort_cols`` range-clusters one dimension; ``zorder=(a, b)``
+        Morton-interleaves TWO so the logged min/max stats (and the
+        merge probe's data skipping) become selective on EITHER
+        column — re-clustering is inherently whole-snapshot. Pending
+        EQUALITY deletes also force the full path: their anti-join
+        scopes by commit order, so every pre-delete file must rewrite
+        to fold them (deletion vectors fold file-locally and don't).
+        OPTIMIZE is the sanctioned resolver for both MoR forms —
+        the rewrite applies them, and the commit removes the delete
+        files / drops the vector mappings along with the replaced
+        data files."""
         if sort_cols and zorder:
             raise ValueError("sort_cols and zorder are mutually exclusive")
         v = self.latest_version()
         entries, dels = self._snapshot_mor(v)
         live = [f for f, _, _ in entries]
+        dv_map = self._snapshot_dv(v)
+        if not (full or sort_cols or zorder or dels):
+            # incremental bin-pack
+            small = [
+                f for f in live
+                if f in dv_map
+                or self.file_store.size(self.path, f)
+                < target_file_bytes // 2
+            ]
+            plain = [f for f in small if f not in dv_map]
+            if len(plain) < 2 and not any(f in dv_map for f in small):
+                return v  # nothing to compact, nothing to fold
+            total = sum(self.file_store.size(self.path, f) for f in small)
+            n_files = max(
+                1, (total + target_file_bytes - 1) // target_file_bytes
+            )
+            df = self._scan_with_dv(small, dv_map).repartition(n_files)
+            adds = self._write_parts(df)
+            return self._commit_rebase(
+                v, adds, small, "optimize",
+                stats=self._file_stats(adds),
+                probe=None, ignore_new_constraints=True, what="optimize",
+            )
         total = sum(self.file_store.size(self.path, f) for f in live)
         n_files = max(1, (total + target_file_bytes - 1) // target_file_bytes)
-        # the delete-aware snapshot read: OPTIMIZE is the sanctioned
-        # resolver for pending merge-on-read deletes — the rewrite
-        # applies them, and the commit removes the delete files along
-        # with the replaced data files
+        # the delete-aware snapshot read applies equality deletes AND
+        # deletion vectors; the commit removes the delete files along
+        # with the replaced data files (vector mappings die with their
+        # data files' removes)
         df = self.read(v)
         if zorder:
             from ..operators.maintenance import zorder_cluster

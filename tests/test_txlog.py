@@ -1726,6 +1726,53 @@ def test_txlog_random_ops_match_model(spark, tmp_path):
             assert got == want, f"seq {seq} version {v}"
 
 
+def test_optimize_bin_packs_incrementally(spark, tmp_path):
+    """Default OPTIMIZE is INCREMENTAL: only files under half the
+    target (or carrying a deletion vector) rewrite; right-sized files
+    carry over by reference — a maintenance pass must not rewrite a
+    100 TB table. Nothing to compact = no-op (no version burned), and
+    compaction output lands near the target so it doesn't re-qualify
+    (the pass converges). full=True keeps the whole-snapshot path."""
+    p = str(tmp_path / "t")
+    # one big file (~wide rows x many) and three small ones
+    big = spark.range(0, 4000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("v"),
+    )
+    t = TxTable.create(spark, p, big.coalesce(1))
+    for lo in (4000, 4010, 4020):
+        t.append(
+            spark.range(lo, lo + 10).select(
+                F.col("k" if False else "id").alias("k"),
+                F.col("id").cast("string").alias("v"),
+            ).coalesce(1)
+        )
+    sizes = {f: t.file_store.size(p, f) for f in t.snapshot_files()}
+    big_file = max(sizes, key=sizes.get)
+    target = sizes[big_file]  # big file > target//2, smalls well under
+    expect = sorted(r.k for r in t.read().collect())
+    v = t.optimize(target_file_bytes=target)
+    act = t._read_action(v)
+    assert big_file not in act["removes"], "bin-pack rewrote a big file"
+    assert big_file in t.snapshot_files()  # carried by reference
+    assert len(act["removes"]) == 3
+    assert sorted(r.k for r in t.read().collect()) == expect
+    # converged: another pass is a no-op, no version burned
+    assert t.optimize(target_file_bytes=target) == v
+    # a deletion vector on the BIG file pulls it into the rewrite set
+    t.delete_where(F.col("k") == 0, mode="dv")
+    v2 = t.optimize(target_file_bytes=target)
+    assert big_file not in t.snapshot_files()
+    assert t._snapshot_dv() == {}
+    assert sorted(r.k for r in t.read().collect()) == expect[1:]
+    # full=True rewrites everything
+    v3 = t.optimize(target_file_bytes=target, full=True)
+    assert set(t._read_action(v3)["removes"]) == set(
+        t.snapshot_files(v3 - 1)
+    )
+    assert sorted(r.k for r in t.read().collect()) == expect[1:]
+
+
 def test_optimize_zorder_tightens_both_columns(spark, tmp_path):
     """optimize(zorder=(a, b)) must leave the LOGGED per-file stats
     selective on BOTH columns: for a uniform 2-D grid split into 4
