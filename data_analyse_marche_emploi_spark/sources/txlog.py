@@ -497,14 +497,18 @@ def _bloom_might_contain(bloom: dict, value) -> bool:
 
 
 def _eq_stats_match(stats: dict, eq_filter: dict | None) -> bool:
-    """False iff the file's logged bloom or min/max stats PROVE every
-    ``eq_filter`` value absent; NULL probes never prune (blooms and
-    footer stats both exclude nulls), incomparable probe/stat types
-    never prune, missing stats never prune — skipping must never lose
-    a match. Shared by :meth:`TxTable.read` and the format-level
+    """False iff the file's logged bloom, min/max, or null-count
+    stats PROVE every ``eq_filter`` value absent: a NULL probe prunes
+    a file whose logged null count for the column is zero (blooms and
+    min/max exclude nulls, so the nullCount stat is the only index
+    that can serve IS NULL), incomparable probe/stat types never
+    prune, missing stats never prune — skipping must never lose a
+    match. Shared by :meth:`TxTable.read` and the format-level
     ``spark.read.format("txlog")`` pruning options."""
     for c, v in (eq_filter or {}).items():
         if v is None:
+            if stats.get("__nulls__", {}).get(c) == 0:
+                return False
             continue
         bloom = stats.get("__bloom__", {}).get(c)
         if bloom is not None and not _bloom_might_contain(bloom, v):
@@ -645,6 +649,20 @@ class TxTable:
         os.makedirs(self.log_dir, exist_ok=True)
         final = os.path.join(self.log_dir, f"{version:08d}.json")
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
+        # Operation metrics (the DESCRIBE HISTORY operationMetrics
+        # analog) ride every commit for free — file counts always,
+        # rows_added when every add logged its __rows__ stat (derived
+        # from data already in hand; no extra IO).
+        metrics: dict = {
+            "files_added": len(adds),
+            "files_removed": len(removes),
+        }
+        if adds and stats and all(
+            stats.get(f, {}).get("__rows__") is not None for f in adds
+        ):
+            metrics["rows_added"] = int(
+                sum(stats[f]["__rows__"] for f in adds)
+            )
         with open(tmp, "w") as fh:
             json.dump(
                 {
@@ -659,6 +677,7 @@ class TxTable:
                     "op": op,
                     "ts": time.time(),
                     "stats": stats or {},
+                    "metrics": metrics,
                     **(extra or {}),
                 },
                 fh,
@@ -1107,8 +1126,25 @@ class TxTable:
             # Reserved key: per-file row count (Delta's add.stats
             # numRecords analog) — what makes count() metadata-only.
             cols: dict = {"__rows__": md.num_rows}
+            nulls: dict = {}
             for ci, cname in enumerate(md.schema.names):
                 lo = hi = None
+                # null counts: a SEPARATE full pass — they survive
+                # even where min/max extraction fails (decimal), and
+                # a recorded 0 lets an IS NULL probe prune the file
+                # unopened (Delta's nullCount analog). Recorded only
+                # when EVERY row group reports one; a partial sum
+                # could claim 0 while an unreported group holds
+                # nulls, and pruning must never lose a match.
+                nn: int | None = 0
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_null_count:
+                        nn = None
+                        break
+                    nn += st.null_count
+                if nn is not None:
+                    nulls[cname] = int(nn)
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(ci).statistics
                     try:
@@ -1126,6 +1162,8 @@ class TxTable:
                         break
                 if lo is not None and isinstance(lo, (int, float, str, bool)):
                     cols[cname] = [lo, hi]
+            if nulls:
+                cols["__nulls__"] = nulls
             if name in pvals:
                 # pop: consumed exactly once per commit (stats for an
                 # add set are computed once, before any retry loop), so
@@ -1195,7 +1233,67 @@ class TxTable:
                          "bloom_by": t._bloom_cols})
         return t
 
-    def append(self, df: DataFrame, max_commit_retries: int = 10) -> int:
+    def write_schema(self):
+        """The table's current WRITE schema as a Spark StructType —
+        derived from the newest live file's parquet footer (the same
+        binding rule the registered DataSource's ``schema()`` uses:
+        the newest ADD still live is the current write schema by
+        construction); None for a zero-file snapshot. One footer read,
+        driver-side — usable with or without a session (the DSv2
+        writer's commit hook has none)."""
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        live = self.snapshot_files()
+        if not live:
+            return None
+        last_live = set(live)
+        newest = None
+        for v in reversed(self._versions()):
+            adds = [f for f in self._read_action(v)["adds"] if f in last_live]
+            if adds:
+                newest = adds[-1]
+                break
+        f = self.file_store.read_path(self.path, newest or live[-1])
+        return from_arrow_schema(pq.ParquetFile(f).schema_arrow)
+
+    @staticmethod
+    def _check_schema(cur, new, merge_schema: bool, what: str) -> None:
+        """SCHEMA-ON-WRITE enforcement (the public formats' write-time
+        schema check): a same-name column with a DIFFERENT type always
+        refuses — silently landing it would make multi-generation
+        scans type-ambiguous; added or missing columns refuse unless
+        the caller opts into evolution (``merge_schema`` /
+        ``mergeSchema``), in which case old files read the new columns
+        as null under ``read(merge_schema=True)``. Order and
+        nullability are not part of the contract (parquet resolves
+        columns by name; nullability varies by writer)."""
+        cur_m = {f.name: f.dataType for f in cur.fields}
+        new_m = {f.name: f.dataType for f in new.fields}
+        conflicts = [
+            f"{n}: table {cur_m[n].simpleString()} vs "
+            f"incoming {new_m[n].simpleString()}"
+            for n in new_m
+            if n in cur_m and new_m[n] != cur_m[n]
+        ]
+        if conflicts:
+            raise ValueError(
+                f"{what}: column type conflict(s) {conflicts} — a "
+                "write can never change an existing column's type"
+            )
+        extra = sorted(n for n in new_m if n not in cur_m)
+        missing = sorted(n for n in cur_m if n not in new_m)
+        if (extra or missing) and not merge_schema:
+            raise ValueError(
+                f"{what}: incoming schema differs from the table's "
+                f"(new column(s) {extra}, absent column(s) {missing}); "
+                "pass merge_schema=True (writer option "
+                "mergeSchema=true) to evolve the schema — old files "
+                "then read the new columns as null"
+            )
+
+    def append(self, df: DataFrame, max_commit_retries: int = 10,
+               merge_schema: bool = False) -> int:
         """Append with optimistic-concurrency RETRY: a blind append
         commutes with ANY concurrent commit (it only adds immutable
         new files and reads nothing), so losing the version race is
@@ -1203,13 +1301,19 @@ class TxTable:
         already-written files at the next one, the same auto-rebase
         rule the public lakehouse formats apply to AppendOnly
         transactions. Data files are written ONCE; only the (tiny)
-        commit-record publish retries. The one thing an append is NOT
-        blind to is the CONSTRAINT SET: rows are validated against the
+        commit-record publish retries. Appends are NOT blind to two
+        things: the CONSTRAINT SET — rows are validated against the
         constraints live at ``validated_at``, so an intervening
-        add-constraint commit makes that validation stale — the rebase
-        loop detects it and re-validates before re-committing (r8
-        advisor finding). merge_upsert/delete_where run the richer
-        conflict-scoped rebase instead (module docstring)."""
+        add-constraint commit makes that validation stale and the
+        rebase loop re-validates before re-committing (r8 advisor
+        finding) — and the TABLE SCHEMA (see :meth:`_check_schema`):
+        mismatched columns refuse unless ``merge_schema=True`` opts
+        into evolution; type conflicts always refuse.
+        merge_upsert/delete_where run the richer conflict-scoped
+        rebase instead (module docstring)."""
+        cur = self.write_schema()
+        if cur is not None:
+            self._check_schema(cur, df.schema, merge_schema, "append")
         validated_at = self.latest_version()
         self._enforce_constraints(df, "append")
         adds = self._write_parts(df)
@@ -2829,6 +2933,20 @@ class TxLogBatchWriter(DataSourceArrowWriter):
         vs = t._versions()
         self._bound_version = vs[-1] if vs else -1
         self._constraints = t.constraints() if vs else {}
+        # SCHEMA-ON-WRITE at PLAN time for appends: a mismatched save
+        # must fail before any task writes a part. mode("overwrite")
+        # replaces the table wholesale, so it may change the schema
+        # (the overwriteSchema shape); option("mergeSchema", "true")
+        # opts an append into evolution.
+        if vs and not overwrite and schema is not None:
+            cur = t.write_schema()
+            if cur is not None:
+                allow = str(
+                    options.get("mergeschema", "false")
+                ).lower() in ("true", "1")
+                TxTable._check_schema(
+                    cur, schema, allow, "write.format('txlog')"
+                )
         # Partition columns: option("partitionBy", "a,b") on CREATE
         # declares them (recorded in the genesis commit, like
         # TxTable.create); appends to a partitioned table inherit the

@@ -1060,7 +1060,8 @@ def test_stream_schema_binds_latest_generation(spark, tmp_path):
     t = TxTable.create(spark, p, _df(spark, [(1, "a"), (2, "b")]))
     # schema-evolving append: new column w (mergeSchema read path)
     t.append(
-        spark.createDataFrame([(3, "c", 7.5)], "k long, v string, w double")
+        spark.createDataFrame([(3, "c", 7.5)], "k long, v string, w double"),
+        merge_schema=True,
     )
     ds = TxLogDataSource(options={"path": p})
     names = [f.name for f in ds.schema().fields]
@@ -1200,14 +1201,123 @@ def test_checkpoint_bounds_replay_and_preserves_snapshots(spark, tmp_path):
 
 
 def test_read_merge_schema_across_generations(spark, tmp_path):
-    """An append may add columns; merge_schema=True reads old files
-    with nulls there — schema evolution on the versioned table."""
+    """An append may add columns WHEN the caller opts into evolution
+    (merge_schema=True — the mergeSchema write contract);
+    read(merge_schema=True) then sees old files with nulls there."""
     p = str(tmp_path / "t")
     t = TxTable.create(spark, p, _df(spark, [(1, "a")]))
-    gen2 = spark.createDataFrame([(2, "b", 7.5)], "k long, v string, score double")
-    t.append(gen2)
+    gen2 = spark.createDataFrame(
+        [(2, "b", 7.5)], "k long, v string, score double"
+    )
+    t.append(gen2, merge_schema=True)
     got = {r["k"]: r["score"] for r in t.read(merge_schema=True).collect()}
     assert got == {1: None, 2: 7.5}
+
+
+def test_null_probe_prunes_on_null_counts(spark, tmp_path):
+    """read(eq_filter={col: None}) prunes files whose logged null
+    count is ZERO without opening them (Delta's nullCount analog —
+    the one index that can serve IS NULL, since blooms and min/max
+    both exclude nulls); files WITH nulls stay candidates and the
+    conjoined row filter keeps the answer exact."""
+    p = str(tmp_path / "t")
+    no_nulls = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    )
+    with_nulls = spark.createDataFrame(
+        [(3, None), (4, "d")], "k long, v string"
+    )
+    t = TxTable.create(spark, p, no_nulls.coalesce(1))
+    t.append(with_nulls.coalesce(1))
+    r = t.read(eq_filter={"v": None})
+    assert [x.k for x in r.collect()] == [3]
+    assert len(r.inputFiles()) == 1  # the all-non-null file never opened
+
+
+def test_history_operation_metrics(spark, tmp_path):
+    """Every commit records operation metrics (the DESCRIBE HISTORY
+    operationMetrics analog): file counts always, rows_added whenever
+    every added file logged its row count — derived from data already
+    in the commit, zero extra IO."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    t.append(_df(spark, [(3, "c")]).coalesce(1))
+    t.delete_where(F.col("k") == 1)
+    h = t.history()
+    assert h[0]["op"] == "create"
+    assert h[0]["metrics"]["files_added"] == 1
+    assert h[0]["metrics"]["rows_added"] == 2
+    assert h[1]["metrics"]["rows_added"] == 1
+    assert h[2]["op"] == "delete"
+    assert h[2]["metrics"]["files_removed"] >= 1
+    assert h[2]["metrics"]["rows_added"] == 1  # the survivor rewrite
+
+
+def test_schema_on_write_enforcement(spark, tmp_path):
+    """SCHEMA-ON-WRITE (the public formats' write-time contract): an
+    append whose columns differ from the table's refuses unless the
+    caller opts into evolution; a same-name column with a DIFFERENT
+    TYPE always refuses (evolution can add columns, never mutate
+    one); column order and nullability are not part of the
+    contract."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="merge_schema"):
+        t.append(
+            spark.createDataFrame([(2, "b", 1.0)],
+                                  "k long, v string, w double")
+        )
+    with pytest.raises(ValueError, match="merge_schema"):
+        t.append(spark.createDataFrame([(3,)], "k long"))
+    with pytest.raises(ValueError, match="type conflict"):
+        t.append(
+            spark.createDataFrame([(4, 9)], "k long, v long"),
+            merge_schema=True,
+        )
+    assert t.latest_version() == 0  # nothing landed
+    # column order doesn't matter
+    t.append(
+        spark.createDataFrame([("b", 2)], "v string, k long")
+    )
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [
+        (1, "a"), (2, "b"),
+    ]
+
+
+@posix_only
+def test_spark_writer_schema_enforcement(spark, tmp_path):
+    """The registered writer enforces schema-on-write at PLAN time for
+    appends (no task writes a part); option('mergeSchema','true')
+    opts into evolution; mode('overwrite') may change the schema
+    (it replaces the table wholesale)."""
+    from data_analyse_marche_emploi_spark.sources.txlog import (
+        register_txlog_source,
+    )
+
+    register_txlog_source(spark)
+    p = str(tmp_path / "t")
+    _df(spark, [(1, "a")]).write.format("txlog").option("path", p).mode(
+        "append"
+    ).save()
+    widened = spark.createDataFrame(
+        [(2, "b", 1.0)], "k long, v string, w double"
+    )
+    with pytest.raises(Exception, match="mergeSchema"):
+        widened.write.format("txlog").option("path", p).mode(
+            "append"
+        ).save()
+    assert TxTable(spark, p).latest_version() == 0
+    widened.write.format("txlog").option("path", p).option(
+        "mergeSchema", "true"
+    ).mode("append").save()
+    t = TxTable(spark, p)
+    got = {r["k"]: r["w"] for r in t.read(merge_schema=True).collect()}
+    assert got == {1: None, 2: 1.0}
+    # overwrite replaces the table: schema change allowed
+    spark.createDataFrame([(9,)], "n long").write.format("txlog").option(
+        "path", p
+    ).mode("overwrite").save()
+    assert [r.n for r in TxTable(spark, p).read().collect()] == [9]
 
 
 def test_change_feed_ops_and_optimize_is_silent(spark, tmp_path):
