@@ -546,6 +546,14 @@ class TxTable:
         # stages its delete-key files between the data write and the
         # stats call
         self._last_partition_values: dict[str, dict] = {}
+        # published commit records are IMMUTABLE (publish_exclusive
+        # installs each version exactly once, vacuum never touches the
+        # log), so actions memoize per handle — every metadata walk
+        # (snapshot, MoR, DV, constraints, txns) re-reads the same
+        # JSON records otherwise, and read() runs two walks. Memory is
+        # O(walked commits) per handle, the same order the walks
+        # themselves materialize transiently; checkpoints bound both.
+        self._action_cache: dict[int, dict] = {}
 
     def _birth_meta(self, field: str, attr: str) -> list[str]:
         """Shared lookup for table-birth metadata fields (partition /
@@ -603,6 +611,9 @@ class TxTable:
         return vs[-1]
 
     def _read_action(self, version: int) -> dict:
+        cached = self._action_cache.get(version)
+        if cached is not None:
+            return cached
         act = self.log_store.read_json(
             os.path.join(self.log_dir, f"{version:08d}.json")
         )
@@ -616,6 +627,7 @@ class TxTable:
                 f"{act['protocol']} > supported {_READER_PROTOCOL}; "
                 "upgrade the engine to read this table"
             )
+        self._action_cache[version] = act
         return act
 
     def _commit(self, version: int, adds: list[str], removes: list[str],
@@ -1868,6 +1880,10 @@ class TxTable:
             # may re-match here — harmless, the union below is what
             # makes the new vector cumulative, and the CDF delta
             # (new minus prior) cancels them back out.
+            # persist: the matched-position set (O(deleted rows) —
+            # the selective-delete contract) feeds the no-op probe,
+            # the touched-file collect, AND the vector write; without
+            # it each would re-scan every live file's predicate
             matched = (
                 self._read_files(live)
                 .select(
@@ -1879,23 +1895,30 @@ class TxTable:
                 )
                 .filter("__m")
                 .select("file", "pos")
+                .persist()
             )
-            if matched.limit(1).count() == 0:
-                return v  # no-op deletes don't burn a version
-            # bounded collect: one row per TOUCHED FILE (never per row)
-            touched = sorted(
-                r["file"]
-                for r in matched.select("file").distinct().collect()
-            )
-            cum = matched
-            prior = {f: dv_map[f] for f in touched if f in dv_map}
-            if prior:
-                cum = cum.unionByName(
-                    self._dv_rows(dv_map, sorted(prior))
-                ).distinct()
-            # one cumulative part; repartition(1) is safe — DV
-            # cardinality is the selective-delete contract above
-            dv_parts = self._write_parts(cum.repartition(1), prefix="dv-")
+            try:
+                if matched.limit(1).count() == 0:
+                    return v  # no-op deletes don't burn a version
+                # bounded collect: one row per TOUCHED FILE (never per
+                # row)
+                touched = sorted(
+                    r["file"]
+                    for r in matched.select("file").distinct().collect()
+                )
+                cum = matched
+                prior = {f: dv_map[f] for f in touched if f in dv_map}
+                if prior:
+                    cum = cum.unionByName(
+                        self._dv_rows(dv_map, sorted(prior))
+                    ).distinct()
+                # one cumulative part; repartition(1) is safe — DV
+                # cardinality is the selective-delete contract above
+                dv_parts = self._write_parts(
+                    cum.repartition(1), prefix="dv-"
+                )
+            finally:
+                matched.unpersist()
             mapping = {f: dv_parts[0] for f in touched}
             try:
                 self._commit(
@@ -2215,33 +2238,42 @@ class TxTable:
                 ["__dv_file", "__dv_pos"],
                 "left_anti",
             )
-        matched = scan.filter(F.coalesce(cond, F.lit(False)))
-        if matched.limit(1).count() == 0:
-            return v  # no-op updates don't burn a version
-        # pre-update SET semantics: every expression sees the old row
-        updated = matched.select(
-            *[
-                F.expr(set_exprs[c]).alias(c) if c in set_exprs
-                else F.col(c)
-                for c in cols
-            ]
-        )
-        self._enforce_constraints(updated, "update_where(mode='dv')")
-        adds = self._write_parts(updated)
-        pos = matched.select(
-            F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
-        )
-        # bounded collect: one row per touched FILE
-        touched = sorted(
-            r["file"] for r in pos.select("file").distinct().collect()
-        )
-        prior = {f: dv_map[f] for f in touched if f in dv_map}
-        cum = pos
-        if prior:
-            cum = cum.unionByName(
-                self._dv_rows(dv_map, sorted(prior))
-            ).distinct()
-        dv_parts = self._write_parts(cum.repartition(1), prefix="dv-")
+        # persist: the matched rows (O(matched) — the MoR-update
+        # contract) feed the no-op probe, the constraint check, the
+        # transformed-row write, the touched-file collect, AND the
+        # vector write; without it each re-scans every live file
+        matched = scan.filter(F.coalesce(cond, F.lit(False))).persist()
+        try:
+            if matched.limit(1).count() == 0:
+                return v  # no-op updates don't burn a version
+            # pre-update SET semantics: every expression sees the old
+            # row
+            updated = matched.select(
+                *[
+                    F.expr(set_exprs[c]).alias(c) if c in set_exprs
+                    else F.col(c)
+                    for c in cols
+                ]
+            )
+            self._enforce_constraints(updated, "update_where(mode='dv')")
+            adds = self._write_parts(updated)
+            pos = matched.select(
+                F.col("__dv_file").alias("file"),
+                F.col("__dv_pos").alias("pos"),
+            )
+            # bounded collect: one row per touched FILE
+            touched = sorted(
+                r["file"] for r in pos.select("file").distinct().collect()
+            )
+            prior = {f: dv_map[f] for f in touched if f in dv_map}
+            cum = pos
+            if prior:
+                cum = cum.unionByName(
+                    self._dv_rows(dv_map, sorted(prior))
+                ).distinct()
+            dv_parts = self._write_parts(cum.repartition(1), prefix="dv-")
+        finally:
+            matched.unpersist()
         mapping = {f: dv_parts[0] for f in touched}
         try:
             self._commit(

@@ -468,12 +468,15 @@ def test_dv_guards_and_protocol(spark, tmp_path):
         t2.delete_where("k = 2", mode="dv")
     with pytest.raises(ValueError, match="unknown delete mode"):
         t.delete_where("k = 2", mode="nope")
-    # protocol: a revision-1 reader must refuse the whole snapshot
+    # protocol: a revision-1 reader must refuse the whole snapshot —
+    # modeled as a FRESH handle under the downgraded protocol (the
+    # old-engine-opens-the-table scenario; an existing handle's
+    # action cache only ever holds records that passed the guard)
     orig = TX._READER_PROTOCOL
     TX._READER_PROTOCOL = 1
     try:
         with pytest.raises(ValueError, match="upgrade the engine"):
-            t.read()
+            TxTable(spark, p).read()
     finally:
         TX._READER_PROTOCOL = orig
 
@@ -1212,6 +1215,23 @@ def test_read_merge_schema_across_generations(spark, tmp_path):
     t.append(gen2, merge_schema=True)
     got = {r["k"]: r["score"] for r in t.read(merge_schema=True).collect()}
     assert got == {1: None, 2: 7.5}
+
+
+def test_dv_read_plan_is_broadcast_positional_anti_join(spark, tmp_path):
+    """Plan pin for the DV read: the positional anti-filter must be a
+    BROADCAST hash join (build side = the deleted-position set, the
+    selective-delete contract) — a shuffled anti-join here would move
+    the whole table on (file, pos) at 100 TB."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k long, v string"
+    )
+    t = TxTable.create(spark, p, df.coalesce(2))
+    t.delete_where("k % 10 = 0", mode="dv")
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_null_probe_prunes_on_null_counts(spark, tmp_path):
