@@ -2831,11 +2831,15 @@ class TxTable:
         return cur + 1
 
     def vacuum(self, keep_versions: int = 1,
-               min_age_seconds: float = 0.0) -> list[str]:
+               min_age_seconds: float = 0.0,
+               dry_run: bool = False) -> list[str]:
         """Physically delete files no snapshot among the newest
         ``keep_versions`` references. THE destructive step, kept
         separate from logical removes exactly so readers of retained
-        versions never break.
+        versions never break. ``dry_run=True`` returns the would-be
+        victims WITHOUT deleting anything (the public formats' VACUUM
+        DRY RUN) — the operational sanity check before the one
+        irreversible maintenance command.
 
         ``min_age_seconds`` is the in-flight-writer guard (the public
         formats' retention-window discipline): a concurrent writer's
@@ -2867,7 +2871,8 @@ class TxTable:
                 and self.file_store.mtime(self.path, f) > cutoff
             ):
                 continue  # possibly an in-flight writer's part
-            self.file_store.delete(self.path, f)
+            if not dry_run:
+                self.file_store.delete(self.path, f)
             removed.append(f)
         # Crashed DSv2 writer tasks can leave .wtmp- scratch files in
         # the table root (the task-local stage before store.put); they
@@ -2880,7 +2885,8 @@ class TxTable:
                 full = os.path.join(self.path, f)
                 if min_age_seconds > 0 and os.path.getmtime(full) > cutoff:
                     continue
-                os.remove(full)
+                if not dry_run:
+                    os.remove(full)
                 removed.append(f)
         return removed
 

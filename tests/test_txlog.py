@@ -1217,6 +1217,23 @@ def test_read_merge_schema_across_generations(spark, tmp_path):
     assert got == {1: None, 2: 7.5}
 
 
+def test_vacuum_dry_run_deletes_nothing(spark, tmp_path):
+    """vacuum(dry_run=True) reports the would-be victims WITHOUT
+    deleting anything; the real run then removes exactly that set."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a")]))
+    t.merge_upsert(_df(spark, [(1, "A")]), "k")
+    preview = t.vacuum(keep_versions=1, dry_run=True)
+    assert preview
+    assert all(t.file_store.exists(p, f) for f in preview
+               if f.endswith(".parquet"))
+    assert {r.v for r in t.read(0).collect()} == {"a"}  # history intact
+    assert sorted(t.vacuum(keep_versions=1)) == sorted(preview)
+    assert not any(
+        t.file_store.exists(p, f) for f in preview if f.endswith(".parquet")
+    )
+
+
 def test_dv_read_plan_is_broadcast_positional_anti_join(spark, tmp_path):
     """Plan pin for the DV read: the positional anti-filter must be a
     BROADCAST hash join (build side = the deleted-position set, the
