@@ -1217,6 +1217,40 @@ def test_read_merge_schema_across_generations(spark, tmp_path):
     assert got == {1: None, 2: 7.5}
 
 
+def test_dv_ops_fail_loud_on_commit_race(spark, tmp_path):
+    """Deletion-vector commits do NOT rebase (positions are only
+    valid against the exact file set the scan saw): a competing
+    commit landing inside the publish window makes the DV op raise,
+    nothing lands, the competitor's commit is intact, and a plain
+    re-run succeeds against the new head."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a"), (2, "b")]))
+    t2 = TxTable(spark, p)
+    racer = TxTable(
+        spark, p,
+        log_store=InjectOnce(
+            t.log_store, lambda: t2.append(_df(spark, [(3, "c")]))
+        ),
+    )
+    with pytest.raises(ValueError, match="lost the commit race"):
+        racer.delete_where(F.col("k") == 1, mode="dv")
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 3]
+    t.delete_where(F.col("k") == 1, mode="dv")  # re-run succeeds
+    assert sorted(r.k for r in t.read().collect()) == [2, 3]
+    # same contract for the DV update
+    racer2 = TxTable(
+        spark, p,
+        log_store=InjectOnce(
+            t.log_store, lambda: t2.append(_df(spark, [(4, "d")]))
+        ),
+    )
+    with pytest.raises(ValueError, match="lost the commit race"):
+        racer2.update_where(F.col("k") == 2, {"v": "'B'"}, mode="dv")
+    assert {r.k: r.v for r in t.read().collect()} == {
+        2: "b", 3: "c", 4: "d",
+    }
+
+
 def test_vacuum_dry_run_deletes_nothing(spark, tmp_path):
     """vacuum(dry_run=True) reports the would-be victims WITHOUT
     deleting anything; the real run then removes exactly that set."""
@@ -1777,11 +1811,13 @@ def test_spark_writer_partition_by(spark, tmp_path):
 
 
 def test_txlog_random_ops_match_model(spark, tmp_path):
-    """Model-based check: random create/append/merge/delete/optimize/
-    checkpoint sequences against a driver-side dict model — read()
-    must equal the model at EVERY version (time travel over the whole
-    history), after every sequence. The strongest correctness harness
-    for the log-replay + CoW machinery."""
+    """Model-based check: random create/append/merge/delete/
+    DV-delete/DV-update/optimize/checkpoint/restore sequences against
+    a driver-side dict model — read() must equal the model at EVERY
+    version (time travel over the whole history), after every
+    sequence. The strongest correctness harness for the log-replay +
+    CoW/MoR/deletion-vector machinery; the dirty-table guard matrix
+    (equality deletes AND vectors) is asserted in-sequence."""
     import random
 
     import pytest as _pytest
@@ -1791,17 +1827,20 @@ def test_txlog_random_ops_match_model(spark, tmp_path):
         p = str(tmp_path / f"t{seq}")
         model_hist = []  # model snapshot per version
         dirty_hist = []  # pending-MoR-deletes flag per version
+        dv_hist = []     # pending-deletion-vector flag per version
         dirty = False
+        dv_dirty = False
         model = {k: f"s{k}" for k in rng.sample(range(50), 8)}
         t = TxTable.create(
             spark, p, _df(spark, sorted(model.items()))
         )
         model_hist.append(dict(model))
         dirty_hist.append(False)
-        for _ in range(8):
+        dv_hist.append(False)
+        for _ in range(10):
             op = rng.choice(
-                ["append", "merge", "merge_mor", "delete", "optimize",
-                 "checkpoint", "restore"]
+                ["append", "merge", "merge_mor", "delete", "delete_dv",
+                 "update_dv", "optimize", "checkpoint", "restore"]
             )
             if op == "append":
                 new = {
@@ -1818,7 +1857,7 @@ def test_txlog_random_ops_match_model(spark, tmp_path):
                     k: f"m{k}{rng.randint(0, 9)}"
                     for k in rng.sample(range(100), rng.randint(1, 6))
                 }
-                if dirty:
+                if dirty or dv_dirty:
                     # the dirty-table guard is part of the contract
                     with _pytest.raises(ValueError, match="optimize"):
                         t.merge_upsert(_df(spark, sorted(upd.items())), "k")
@@ -1830,7 +1869,10 @@ def test_txlog_random_ops_match_model(spark, tmp_path):
                     k: f"r{k}{rng.randint(0, 9)}"
                     for k in rng.sample(range(100), rng.randint(1, 6))
                 }
-                # MoR merges stack freely, dirty or clean
+                # MoR merges stack freely — over pending equality
+                # deletes AND over deletion vectors (they compose:
+                # per-file positional filter + per-generation
+                # equality anti-join)
                 t.merge_upsert(_df(spark, sorted(upd.items())), "k",
                                mode="mor")
                 model.update(upd)
@@ -1839,7 +1881,7 @@ def test_txlog_random_ops_match_model(spark, tmp_path):
                 if not model:
                     continue
                 kill = rng.choice(sorted(model))
-                if dirty:
+                if dirty or dv_dirty:
                     with _pytest.raises(ValueError, match="optimize"):
                         t.delete_where(F.col("k") == kill)
                     continue
@@ -1848,11 +1890,44 @@ def test_txlog_random_ops_match_model(spark, tmp_path):
                 if v_after == v_before:
                     continue  # no-op delete burns no version
                 model.pop(kill)
+            elif op == "delete_dv":
+                if not model:
+                    continue
+                kill = rng.choice(sorted(model))
+                if dirty:
+                    # vectors refuse to land over pending EQUALITY
+                    # deletes (positions computed through them would
+                    # be ambiguous); stacking over other vectors is
+                    # fine
+                    with _pytest.raises(ValueError, match="optimize"):
+                        t.delete_where(F.col("k") == kill, mode="dv")
+                    continue
+                t.delete_where(F.col("k") == kill, mode="dv")
+                model.pop(kill)
+                dv_dirty = True
+            elif op == "update_dv":
+                if not model:
+                    continue
+                key = rng.choice(sorted(model))
+                newv = f"u{key}{rng.randint(0, 9)}"
+                if dirty:
+                    with _pytest.raises(ValueError, match="optimize"):
+                        t.update_where(
+                            F.col("k") == key, {"v": f"'{newv}'"},
+                            mode="dv",
+                        )
+                    continue
+                t.update_where(
+                    F.col("k") == key, {"v": f"'{newv}'"}, mode="dv"
+                )
+                model[key] = newv
+                dv_dirty = True
             elif op == "optimize":
                 t.optimize(sort_cols=["k"])
-                dirty = False  # the fold resolves pending deletes
+                dirty = False     # the fold resolves pending deletes
+                dv_dirty = False  # ...and folds deletion vectors
             elif op == "checkpoint":
-                if dirty:
+                if dirty or dv_dirty:
                     with _pytest.raises(ValueError, match="optimize"):
                         t.checkpoint()
                 else:
@@ -1860,7 +1935,7 @@ def test_txlog_random_ops_match_model(spark, tmp_path):
                 continue  # checkpoint burns no version
             else:
                 target = rng.randrange(len(model_hist))
-                if dirty or dirty_hist[target]:
+                if dirty or dirty_hist[target] or dv_dirty or dv_hist[target]:
                     with _pytest.raises(ValueError, match="optimize"):
                         t.restore(target)
                     continue
@@ -1868,6 +1943,7 @@ def test_txlog_random_ops_match_model(spark, tmp_path):
                 model = dict(model_hist[target])
             model_hist.append(dict(model))
             dirty_hist.append(dirty)
+            dv_hist.append(dv_dirty)
         for v, want in enumerate(model_hist):
             got = {r["k"]: r["v"] for r in t.read(v).collect()}
             assert got == want, f"seq {seq} version {v}"
