@@ -2960,7 +2960,7 @@ class TxLogBatchWriter(DataSourceArrowWriter):
 
     def __init__(self, options: dict, overwrite: bool,
                  schema: T.StructType | None = None):
-        self.path = options["path"]
+        self.path = _path_option(options)
         self.overwrite = overwrite
         # Bind the CHECK-constraint set ONCE, at job start on the
         # driver; tasks validate against this frozen set (a dict of
@@ -2971,6 +2971,24 @@ class TxLogBatchWriter(DataSourceArrowWriter):
         vs = t._versions()
         self._bound_version = vs[-1] if vs else -1
         self._constraints = t.constraints() if vs else {}
+        # Manual idempotence (the public formats' txnAppId/txnVersion
+        # pair for BATCH writes): when BOTH options are set, commit()
+        # consults the recorded per-app watermark and lands nothing
+        # for an already-committed version — the retry-a-failed-job
+        # recipe. txnVersion without txnAppId is a config error;
+        # txnAppId alone is the STREAM sink's option (which derives
+        # versions from epoch ids) and is ignored here.
+        app = options.get("txnappid")
+        ver = options.get("txnversion")
+        if ver is not None and app is None:
+            raise ValueError(
+                "write.format('txlog'): txnVersion requires txnAppId "
+                "(the manual-idempotence pair)"
+            )
+        self._txn = (
+            (str(app), int(ver)) if app is not None and ver is not None
+            else None
+        )
         # SCHEMA-ON-WRITE at PLAN time for appends: a mismatched save
         # must fail before any task writes a part. mode("overwrite")
         # replaces the table wholesale, so it may change the schema
@@ -3136,6 +3154,13 @@ class TxLogBatchWriter(DataSourceArrowWriter):
     def commit(self, messages) -> None:
         adds = [f for m in messages if m is not None for f in m.files]
         t = TxTable(None, self.path)
+        if self._txn is not None and t._versions():
+            last = t.txns().get(self._txn[0])
+            if last is not None and self._txn[1] <= last:
+                # already-committed txnVersion (a retried job): land
+                # nothing, drop the restaged parts
+                self.abort(messages)
+                return
         # partition values collected from the tasks ride into
         # _file_stats exactly as TxTable._write_parts' staged values do
         for m in messages:
@@ -3149,11 +3174,17 @@ class TxLogBatchWriter(DataSourceArrowWriter):
         # re-validate with) rather than land rows the new constraint
         # never saw. Any failure below aborts first, so uncommitted
         # parts never leak into the table root (r8 advisor finding).
+        txn_extra = (
+            {"txn": {"app": self._txn[0], "batch": self._txn[1]}}
+            if self._txn is not None
+            else {}
+        )
         try:
             if not t._versions():
                 os.makedirs(self.path, exist_ok=True)
                 t._commit(0, adds, [], "create", stats=t._file_stats(adds),
-                          extra={"partition_by": list(self._pcols)})
+                          extra={"partition_by": list(self._pcols),
+                                 **txn_extra})
             elif self.overwrite:
                 v = t.latest_version() + 1
                 news = t._constraints_added_in(self._bound_version, v)
@@ -3167,9 +3198,11 @@ class TxLogBatchWriter(DataSourceArrowWriter):
                 entries, dels = t._snapshot_mor()
                 removes = [f for f, _, _ in entries] + [f for f, _, _ in dels]
                 t._commit(v, adds, removes, "overwrite",
-                          stats=t._file_stats(adds))
+                          stats=t._file_stats(adds),
+                          extra=txn_extra or None)
             else:
-                t._commit_append(adds, validated_at=self._bound_version)
+                t._commit_append(adds, validated_at=self._bound_version,
+                                 txn=self._txn)
         except Exception:
             self.abort(messages)
             raise
@@ -3282,6 +3315,20 @@ def _resolve_asof_version(t: "TxTable", options: dict) -> int | None:
     return None
 
 
+def _path_option(options: dict) -> str:
+    """The ``path`` option as a plain filesystem path. SQL DDL
+    (``CREATE TABLE ... USING txlog OPTIONS (path '...')``) hands the
+    option back as a QUALIFIED URI (``file:/...`` — Spark normalizes
+    table options), while the DataFrame API passes it verbatim; the
+    engine's stores want the bare path either way."""
+    p = options["path"]
+    if p.startswith("file://"):
+        return p[len("file://"):] or "/"
+    if p.startswith("file:"):
+        return p[len("file:"):]
+    return p
+
+
 def _parse_filter_option(options: dict, key: str) -> dict | None:
     """Parse a JSON-object filter option (DSv2 options are strings;
     Spark lowercases the keys). ``option("eqFilter", '{"k": 5}')``
@@ -3382,7 +3429,7 @@ class TxLogBatchReader(DataSourceReader):
 
     def __init__(self, schema: T.StructType, options: dict):
         self.schema = schema
-        self.path = options["path"]
+        self.path = _path_option(options)
         self.options = options
         self.partition_filter = _parse_filter_option(
             options, "partitionfilter"
@@ -3487,7 +3534,8 @@ class TxLogDataSource(DataSource):
         # uuid-sorted glob could pick an old schema generation after
         # schema-evolving appends (r7 advisor finding). The newest ADD
         # still live is the current write schema by construction.
-        t = TxTable(None, self.options["path"])
+        path = _path_option(self.options)
+        t = TxTable(None, path)
         asof = _resolve_asof_version(t, self.options)
         live = t.snapshot_files(asof)
         if live:
@@ -3500,16 +3548,16 @@ class TxLogDataSource(DataSource):
                 if adds:
                     newest = adds[-1]
                     break
-            f = t.file_store.read_path(self.options["path"], newest or live[-1])
+            f = t.file_store.read_path(path, newest or live[-1])
             return from_arrow_schema(pq.ParquetFile(f).schema_arrow)
         # Zero-file snapshot (all rows deleted): fall back to any
         # schema-bearing file still in the store, same rule as
         # TxTable._read_files (delete-key / deletion-vector parts
         # don't carry the row schema).
-        for name in sorted(t.file_store.list(self.options["path"])):
+        for name in sorted(t.file_store.list(path)):
             if name.startswith(("delete-", "dv-")):
                 continue
-            f = t.file_store.read_path(self.options["path"], name)
+            f = t.file_store.read_path(path, name)
             return from_arrow_schema(pq.ParquetFile(f).schema_arrow)
         raise FileNotFoundError(
             f"no schema-bearing data files under {self.options['path']}"
@@ -3558,7 +3606,7 @@ class TxLogStreamReader(DataSourceStreamReader):
 
     def __init__(self, schema: T.StructType, options: dict):
         self.schema = schema
-        self.path = options["path"]
+        self.path = _path_option(options)
         self.ignore_changes = str(
             options.get("ignorechanges", "false")
         ).lower() in ("true", "1")

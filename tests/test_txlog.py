@@ -1356,6 +1356,47 @@ def test_schema_on_write_enforcement(spark, tmp_path):
 
 
 @posix_only
+def test_batch_writer_txn_idempotence(spark, tmp_path):
+    """Manual idempotence for BATCH writes (the public formats'
+    txnAppId/txnVersion pair): a retried save with an
+    already-committed version lands NOTHING (restaged parts deleted,
+    no vacuum debt), the next version lands normally, and txnVersion
+    without txnAppId is a config error."""
+    from data_analyse_marche_emploi_spark.sources.txlog import (
+        register_txlog_source,
+    )
+
+    register_txlog_source(spark)
+    p = str(tmp_path / "t")
+
+    def save(df, ver=None, **opts):
+        w = df.write.format("txlog").option("path", p)
+        if ver is not None:
+            w = w.option("txnAppId", "job1").option("txnVersion", ver)
+        for k, val in opts.items():
+            w = w.option(k, val)
+        w.mode("append").save()
+
+    save(_df(spark, [(1, "a")]), ver=7)  # create, txn recorded
+    t = TxTable(spark, p)
+    assert t.latest_version() == 0
+    assert t.txns() == {"job1": 7}
+    save(_df(spark, [(2, "b")]), ver=7)  # retried job: nothing lands
+    assert t.latest_version() == 0
+    assert sorted(r.k for r in t.read().collect()) == [1]
+    # the skipped save's restaged parts were deleted eagerly
+    assert set(t.file_store.list(p)) == set(t.snapshot_files())
+    save(_df(spark, [(2, "b")]), ver=8)  # next version lands
+    assert sorted(r.k for r in t.read().collect()) == [1, 2]
+    assert t.txns() == {"job1": 8}
+    with pytest.raises(Exception, match="txnAppId"):
+        save(_df(spark, [(9, "z")]), txnVersion="9")
+    # an UN-stamped save still appends freely
+    save(_df(spark, [(3, "c")]))
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 3]
+
+
+@posix_only
 def test_spark_writer_schema_enforcement(spark, tmp_path):
     """The registered writer enforces schema-on-write at PLAN time for
     appends (no task writes a part); option('mergeSchema','true')
