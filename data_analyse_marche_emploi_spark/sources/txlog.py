@@ -2915,14 +2915,17 @@ from pyspark.sql.datasource import (
 
 
 class _TxFilePartition(InputPartition):
-    """One data file of the scan; ``drop_positions`` carries the
-    file's deletion-vector row indices (resolved driver-side at plan
-    time) so the task can mask them out Arrow-side — None means the
-    file has no vector."""
+    """One data file of the scan; ``dv`` carries a REFERENCE to the
+    file's deletion vector — ``(dv_part_local_path, data_file_name)``
+    — resolved at plan time, so the TASK reads its own positions
+    (column-pruned, file-filtered) and masks them Arrow-side. Only
+    the reference rides the pickled partition, never the positions:
+    at 100 TB a large vector must not funnel through the driver or
+    bloat task serialization. None means the file has no vector."""
 
-    def __init__(self, path: str, drop_positions: list[int] | None = None):
+    def __init__(self, path: str, dv: tuple[str, str] | None = None):
         self.path = path
-        self.drop_positions = drop_positions
+        self.dv = dv
 
 
 class _TxWriteMessage(WriterCommitMessage):
@@ -3347,17 +3350,19 @@ def _parse_filter_option(options: dict, key: str) -> dict | None:
 
 def _arrow_scan_batches(path: str, schema: T.StructType,
                         row_filters: list[dict] | None = None,
-                        drop_positions: list[int] | None = None):
+                        dv: tuple[str, str] | None = None):
     """One file's scan as ``pyarrow.RecordBatch`` yields — Spark 4's
     Python DataSource accepts RecordBatch from ``read()`` directly,
     so the columnar parquet data never round-trips through per-row
     Python tuples (the r10 judge's weak flag on this path: a
     constant-factor Python tax that dominates at scale). Columns are
-    pruned to the reader schema plus any filter columns;
-    ``drop_positions`` (the file's deletion-vector row indices) mask
-    out first; each filter dict's ``{col: value}`` equalities (None =
-    IS NULL) conjoin Arrow-side with kernel ops; then the batch is
-    projected to the reader schema's exact column order."""
+    pruned to the reader schema plus any filter columns; ``dv`` — a
+    ``(dv_part_path, data_file_name)`` deletion-vector reference —
+    reads the file's deleted row indices task-side (pushdown-filtered
+    to the one file) and masks them out first; each filter dict's
+    ``{col: value}`` equalities (None = IS NULL) conjoin Arrow-side
+    with kernel ops; then the batch is projected to the reader
+    schema's exact column order."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -3372,12 +3377,18 @@ def _arrow_scan_batches(path: str, schema: T.StructType,
         if c in have
     ]
     tbl = pq.read_table(path, columns=need)
-    if drop_positions:
+    if dv is not None:
         import numpy as np
 
-        mask = np.ones(tbl.num_rows, dtype=bool)
-        mask[np.asarray(drop_positions, dtype=np.int64)] = False
-        tbl = tbl.filter(pa.array(mask))
+        dv_path, file_name = dv
+        positions = pq.read_table(
+            dv_path, columns=["pos"],
+            filters=[("file", "==", file_name)],
+        ).column("pos").to_numpy()
+        if len(positions):
+            mask = np.ones(tbl.num_rows, dtype=bool)
+            mask[positions] = False
+            tbl = tbl.filter(pa.array(mask))
     for flt in flts:
         for c, v in flt.items():
             if c not in have:
@@ -3459,35 +3470,22 @@ class TxLogBatchReader(DataSourceReader):
                 for e in entries
                 if TxTable._partition_match(e[1], self.partition_filter)
             ]
-        # DELETION VECTORS resolve at PLAN time: each kept file's
-        # deleted row indices ride its input partition, and the task
-        # masks them out Arrow-side — the format-level path reads
-        # dirty-DV tables exactly (no refusal, no TxTable handle
-        # needed), the way the public formats' DSv2 scans apply DVs.
+        # DELETION VECTORS resolve at PLAN time to REFERENCES: each
+        # kept file's partition carries (dv_part_path, file_name) and
+        # the TASK reads its own positions and masks them Arrow-side
+        # — the format-level path reads dirty-DV tables exactly (no
+        # refusal, no TxTable handle needed), the way the public
+        # formats' DSv2 scans apply DVs, and the positions themselves
+        # never funnel through the driver.
         dv_map = t._snapshot_dv(t.latest_version() if v is None else v)
-        drops: dict[str, list[int]] = {}
-        if dv_map:
-            import pyarrow.parquet as pq
-
-            live = {f for f, _, _ in entries}
-            by_part: dict[str, list[str]] = {}
-            for f, d in dv_map.items():
-                if f in live:
-                    by_part.setdefault(d, []).append(f)
-            for d, fs in sorted(by_part.items()):
-                dv_tbl = pq.read_table(
-                    t.file_store.read_path(self.path, d)
-                )
-                fset = set(fs)
-                for f_, p_ in zip(
-                    dv_tbl.column("file").to_pylist(),
-                    dv_tbl.column("pos").to_pylist(),
-                ):
-                    if f_ in fset:
-                        drops.setdefault(f_, []).append(p_)
         return [
             _TxFilePartition(
-                t.file_store.read_path(self.path, f), drops.get(f)
+                t.file_store.read_path(self.path, f),
+                (
+                    (t.file_store.read_path(self.path, dv_map[f]), f)
+                    if f in dv_map
+                    else None
+                ),
             )
             for f, _, _ in entries
         ]
@@ -3497,7 +3495,7 @@ class TxLogBatchReader(DataSourceReader):
             partition.path,
             self.schema,
             [self.partition_filter, self.eq_filter],
-            drop_positions=getattr(partition, "drop_positions", None),
+            dv=getattr(partition, "dv", None),
         )
 
 
