@@ -116,10 +116,70 @@ HEADLINE = [
 ]
 
 
+RECORDS_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "docs", "BENCH_RECORDS.json"
+)
+
+
+def _load_records_file() -> dict:
+    """The committed merged best-ever file (see save_records). The
+    driver's BENCH_r{N}.json artifacts keep only a 2000-byte TAIL of
+    this script's output line — from r7 on the full JSON no longer
+    fit, so parsing those alone left every query registered after r6
+    with NO best-ever record (r11 verdict "what's wrong" #2). This
+    file is written by bench itself with the COMPLETE result of every
+    run, so prior_records/prior_calib are never blind again."""
+    try:
+        with open(RECORDS_PATH) as f:
+            rec = json.load(f)
+        return rec if isinstance(rec, dict) else {}
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def save_records(times: dict[str, float], calib_jvm: float) -> None:
+    """Merge this run into docs/BENCH_RECORDS.json: per-query MIN and
+    calibration MIN. Min-merge is load-safe — a contaminated run can
+    only fail to lower a record, never inflate one — so no load gate
+    is needed on the write."""
+    rec = _load_records_file()
+    best = {
+        q: float(t)
+        for q, t in (rec.get("queries") or {}).items()
+        if isinstance(t, (int, float)) and t > 0
+    }
+    for q, t in times.items():
+        if isinstance(t, (int, float)) and t > 0:
+            best[q] = min(best.get(q, float("inf")), float(t))
+    c = rec.get("calib_jvm_sec")
+    if isinstance(c, (int, float)) and c > 0:
+        calib_jvm = min(calib_jvm, float(c))
+    try:
+        with open(RECORDS_PATH, "w") as f:
+            json.dump(
+                {
+                    "_comment": (
+                        "merged best-ever warm times (min across all "
+                        "bench runs), written by bench.py save_records; "
+                        "the rerun-guard baseline prior_records() reads"
+                    ),
+                    "calib_jvm_sec": round(calib_jvm, 3),
+                    "queries": {q: round(t, 3) for q, t in sorted(best.items())},
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+            f.write("\n")
+    except OSError:
+        pass  # recording is best-effort; the bench line still prints
+
+
 def prior_calib() -> float | None:
-    """Best (lowest) calib_jvm_sec across prior BENCH_r*.json — the
-    host-speed yardstick matching prior_records' best-ever query
-    times. Recorded since r7 only; None when absent."""
+    """Best (lowest) calib_jvm_sec across prior BENCH_r*.json AND the
+    merged records file — the host-speed yardstick matching
+    prior_records' best-ever query times. Recorded since r7 only;
+    None when absent."""
     import glob
 
     best = None
@@ -135,6 +195,9 @@ def prior_calib() -> float | None:
         c = rec.get("calib_jvm_sec")
         if isinstance(c, (int, float)) and c > 0:
             best = c if best is None else min(best, c)
+    c = _load_records_file().get("calib_jvm_sec")
+    if isinstance(c, (int, float)) and c > 0:
+        best = c if best is None else min(best, c)
     return best
 
 
@@ -148,10 +211,15 @@ def prior_records() -> dict[str, float]:
     pipeline_training_data 27.19 s vs a 1.14 s r6 record — that did
     not reproduce on an idle host). Min across ALL rounds, not just
     the last one, so one contaminated round can't poison the
-    threshold."""
+    threshold. Sources: the driver's BENCH_r*.json artifacts (which
+    only parse fully through r6 — see _load_records_file) plus the
+    committed merged records file bench writes itself."""
     import glob
 
     best: dict[str, float] = {}
+    for q, t in (_load_records_file().get("queries") or {}).items():
+        if isinstance(t, (int, float)) and t > 0:
+            best[q] = float(t)
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
         try:
@@ -291,6 +359,7 @@ def main() -> None:
         # external load contaminating that specific measurement.
         loadavgs[name] = round(load, 2)
     total = round(sum(times.values()), 3)
+    save_records(times, calib_jvm)
     # "value"/"queries" stay the warm min-of-3 for round-over-round
     # continuity; "queries_cold"/"cold_total_sec" expose the first-run
     # cost so warm numbers can't be misread as end-to-end.
