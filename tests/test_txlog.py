@@ -383,9 +383,9 @@ def test_dv_delete_basic_and_stacking(spark, tmp_path):
     erases rows by PHYSICAL POSITION with zero rewrites and no key
     contract — the file list is unchanged, reads drop the positions
     via the broadcast positional anti-join, a second DV delete on the
-    same file REPLACES its vector with the union (cumulative), time
-    travel below the delete still sees every row, and no-op deletes
-    burn no version."""
+    same file STACKS an incremental vector part (the live vector is
+    the stack's union), time travel below the delete still sees every
+    row, and no-op deletes burn no version."""
     p = str(tmp_path / "t")
     df = spark.createDataFrame(
         [(i, f"v{i}") for i in range(10)], "k long, v string"
@@ -492,7 +492,7 @@ def test_dv_optimize_vacuum_interplay(spark, tmp_path):
     )
     t = TxTable.create(spark, p, df.coalesce(2))
     t.delete_where("k % 4 = 0", mode="dv")
-    dv_parts = set(t._snapshot_dv().values())
+    dv_parts = {d for ps in t._snapshot_dv().values() for d in ps}
     assert dv_parts
     # keep_versions=1 keeps the dv-carrying head: parts must survive
     t.vacuum()
@@ -3211,3 +3211,366 @@ def test_txn_watermark_rides_checkpoint_and_rebase(spark, tmp_path):
     assert {r.k: r.v for r in t.read().collect()} == {
         1: "A", 2: "B", 7: "g"
     }
+
+
+# -- r11 advisor fixes -------------------------------------------------------
+
+
+def test_format_reader_resolves_one_snapshot_version(spark, tmp_path):
+    """r11 advisor (medium): TxLogBatchReader.partitions() must bind
+    the file list AND the deletion-vector map to ONE resolved version.
+    The old code called latest_version() twice; a concurrent optimize
+    landing between the two calls folded the vectors, so the already-
+    selected pre-fold files were planned WITHOUT their vectors and
+    logically-deleted rows resurrected. Injection: the SECOND
+    latest_version() call during planning (if any — the fix makes one)
+    runs that optimize."""
+    import data_analyse_marche_emploi_spark.sources.txlog as TX
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k long, v string"
+    )
+    t = TxTable.create(spark, p, df.coalesce(1))
+    t.delete_where("k % 3 = 0", mode="dv")
+    schema = t.read().schema
+    expect = sorted(r.k for r in t.read().collect())
+
+    orig = TX.TxTable.latest_version
+    state = {"armed": False, "calls": 0, "racing": False}
+
+    def hooked(self):
+        if state["armed"] and not state["racing"] and self.path == p:
+            state["calls"] += 1
+            if state["calls"] == 2:
+                state["racing"] = True
+                try:
+                    TxTable(spark, p).optimize()  # folds the vectors
+                finally:
+                    state["racing"] = False
+        return orig(self)
+
+    TX.TxTable.latest_version = hooked
+    try:
+        rdr = TX.TxLogBatchReader(schema, {"path": p})
+        state["armed"] = True
+        parts = rdr.partitions()
+        state["armed"] = False
+    finally:
+        TX.TxTable.latest_version = orig
+    got = sorted(
+        k
+        for part in parts
+        for b in rdr.read(part)
+        for k in b.column("k").to_pylist()
+    )
+    assert got == expect
+
+
+def test_append_ignores_nested_nullability(spark, tmp_path):
+    """r11 advisor: nullability is not part of the write-schema
+    contract — NESTED flags (containsNull / struct-field nullable)
+    flip across the parquet→arrow roundtrip and must not refuse a
+    legitimate append as a 'type conflict'. A REAL nested type change
+    still refuses."""
+    from pyspark.sql import types as T
+
+    p = str(tmp_path / "t")
+    strict = T.StructType([
+        T.StructField("k", T.LongType(), True),
+        T.StructField(
+            "tags", T.ArrayType(T.StringType(), containsNull=False), True
+        ),
+        T.StructField(
+            "meta",
+            T.StructType([T.StructField("a", T.LongType(), False)]),
+            True,
+        ),
+    ])
+    t = TxTable.create(
+        spark, p, spark.createDataFrame([(1, ["x"], (10,))], strict)
+    )
+    loose = T.StructType([
+        T.StructField("k", T.LongType(), True),
+        T.StructField(
+            "tags", T.ArrayType(T.StringType(), containsNull=True), True
+        ),
+        T.StructField(
+            "meta",
+            T.StructType([T.StructField("a", T.LongType(), True)]),
+            True,
+        ),
+    ])
+    t.append(spark.createDataFrame([(2, ["y"], (20,))], loose))
+    assert sorted(r.k for r in t.read().collect()) == [1, 2]
+    changed = T.StructType([
+        T.StructField("k", T.LongType(), True),
+        T.StructField("tags", T.ArrayType(T.LongType()), True),
+        T.StructField(
+            "meta",
+            T.StructType([T.StructField("a", T.LongType())]),
+            True,
+        ),
+    ])
+    with pytest.raises(ValueError, match="type conflict"):
+        t.append(spark.createDataFrame([(3, [1], (30,))], changed))
+
+
+def test_txn_watermark_rechecked_inside_rebase_window(spark, tmp_path):
+    """r11 advisor: batch-writer txn idempotence was read-then-commit —
+    a concurrent retry of the SAME job landing its (app, batch) inside
+    this writer's publish window must be detected by the rebase loop's
+    watermark re-check, which refuses to land the batch a second
+    time."""
+    from data_analyse_marche_emploi_spark.sources.txlog import (
+        _TxnAlreadyCommitted,
+    )
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a")]))
+    zombie = TxTable(spark, p)
+    adds_z = zombie._write_parts(_df(spark, [(2, "b")]).coalesce(1))
+    racer = TxTable(
+        spark, p,
+        log_store=InjectOnce(
+            t.log_store,
+            lambda: zombie._commit_append(adds_z, txn=("job", 7)),
+        ),
+    )
+    adds_r = racer._write_parts(_df(spark, [(2, "b")]).coalesce(1))
+    with pytest.raises(_TxnAlreadyCommitted):
+        racer._commit_append(adds_r, txn=("job", 7))
+    # exactly ONE copy of the batch landed (the zombie's)
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [
+        (1, "a"), (2, "b")
+    ]
+    assert t.last_txn("job") == 7
+    # a HIGHER txnVersion racing the same window is NOT a replay and
+    # must still land through the normal rebase
+    racer2 = TxTable(
+        spark, p,
+        log_store=InjectOnce(
+            t.log_store,
+            lambda: TxTable(spark, p).append(_df(spark, [(3, "c")])),
+        ),
+    )
+    adds2 = racer2._write_parts(_df(spark, [(4, "d")]).coalesce(1))
+    racer2._commit_append(adds2, txn=("job", 8))
+    assert t.last_txn("job") == 8
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 3, 4]
+
+
+@posix_only
+def test_writer_commit_drops_parts_on_replayed_txn_race(
+    spark, tmp_path, monkeypatch
+):
+    """The DSv2 writer surface of the same fix: when the rebase loop
+    reports the txn already committed, commit() must ABORT (drop the
+    restaged parts) and return cleanly — not raise, not double."""
+    import data_analyse_marche_emploi_spark.sources.txlog as TX
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a")]))
+    w = TX.TxLogBatchWriter(
+        {"path": p, "txnappid": "job", "txnversion": "9"},
+        False, t.read().schema,
+    )
+
+    def boom(self, *a, **k):
+        raise TX._TxnAlreadyCommitted("replayed")
+
+    monkeypatch.setattr(TX.TxTable, "_commit_append", boom)
+    part = "part-deadbeef.parquet"
+    src = str(tmp_path / "stage.parquet")
+    _df(spark, [(2, "b")]).coalesce(1).toPandas().to_parquet(src)
+    t.file_store.put(p, part, src)
+    w.commit([TX._TxWriteMessage([part])])  # must not raise
+    assert not t.file_store.exists(p, part), "restaged part not dropped"
+    assert t.latest_version() == 0
+
+
+def test_format_read_of_schema_evolved_table_nullfills(spark, tmp_path):
+    """r11 advisor: the format-level scan of a mergeSchema-evolved
+    table must read pre-evolution files' missing columns as ALL NULL
+    (the old projection raised KeyError and every such read crashed)."""
+    import data_analyse_marche_emploi_spark.sources.txlog as TX
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a")]).coalesce(1))
+    evolved = spark.createDataFrame(
+        [(2, "b", 7.5)], "k long, v string, w double"
+    )
+    t.append(evolved.coalesce(1), merge_schema=True)
+    schema = t.read(merge_schema=True).schema
+    rdr = TX.TxLogBatchReader(schema, {"path": p})
+    rows = sorted(
+        (
+            b.column("k").to_pylist()[i],
+            b.column("w").to_pylist()[i],
+        )
+        for part in rdr.partitions()
+        for b in rdr.read(part)
+        for i in range(b.num_rows)
+    )
+    assert rows == [(1, None), (2, 7.5)]
+    # a filter on the evolved column over the old file: non-null probe
+    # matches nothing, None probe matches the old file's rows
+    rdr2 = TX.TxLogBatchReader(
+        schema, {"path": p, "eqfilter": '{"w": null}'}
+    )
+    got = [
+        b.column("k").to_pylist()
+        for part in rdr2.partitions()
+        for b in rdr2.read(part)
+    ]
+    assert sorted(k for ks in got for k in ks) == [1]
+
+
+def test_path_option_rfc8089_forms(tmp_path):
+    """r11 advisor: file: URI parsing must handle every RFC-8089 form
+    — 'file://localhost/x' is '/x' (not the relative 'localhost/x'),
+    any other authority refuses loudly."""
+    from data_analyse_marche_emploi_spark.sources.txlog import (
+        _path_option,
+    )
+
+    assert _path_option({"path": "/plain/path"}) == "/plain/path"
+    assert _path_option({"path": "file:/tmp/t"}) == "/tmp/t"
+    assert _path_option({"path": "file:///tmp/t"}) == "/tmp/t"
+    assert _path_option({"path": "file://localhost/tmp/t"}) == "/tmp/t"
+    assert _path_option({"path": "file:///"}) == "/"
+    assert (
+        _path_option({"path": "file:///tmp/with%20space"})
+        == "/tmp/with space"
+    )
+    with pytest.raises(ValueError, match="remote authority"):
+        _path_option({"path": "file://otherhost/tmp/t"})
+
+
+# -- r12: per-file incremental deletion vectors ------------------------------
+
+
+def test_dv_parts_per_file_and_incremental_stacking(spark, tmp_path):
+    """r11 verdict ask #2: deletion vectors land as ONE part per
+    touched file (parallel write, no repartition(1) funnel), a
+    stacked delete APPENDS a new incremental part instead of
+    rewriting the cumulative union (write cost O(newly deleted)),
+    and the already-stacked parts are left byte-identical on disk."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k long, v string"
+    )
+    t = TxTable.create(spark, p, df.filter("k < 10").coalesce(1))
+    t.append(df.filter("k >= 10").coalesce(1))
+    files = sorted(t.snapshot_files())
+    assert len(files) == 2
+    t.delete_where("k % 5 = 0", mode="dv")  # touches both files
+    m1 = t._read_action(t.latest_version())["dv"]
+    assert sorted(m1) == files, "one mapping entry per touched file"
+    assert len(set(m1.values())) == 2, "per-file parts, not one funnel"
+    sizes1 = {d: t.file_store.size(p, d) for d in m1.values()}
+    # stack a second delete on the SAME files
+    t.delete_where("k % 5 = 1", mode="dv")
+    m2 = t._read_action(t.latest_version())["dv"]
+    assert set(m2.values()).isdisjoint(set(m1.values()))
+    # the first commit's parts were NOT rewritten (no cumulative
+    # rewrite — same name, same size, still referenced by the stack)
+    for d, sz in sizes1.items():
+        assert t.file_store.exists(p, d)
+        assert t.file_store.size(p, d) == sz
+    stacks = t._snapshot_dv()
+    assert all(len(ps) == 2 for ps in stacks.values()), stacks
+    assert sorted(r.k for r in t.read().collect()) == [
+        k for k in range(20) if k % 5 not in (0, 1)
+    ]
+    # each r12 part holds ONLY its own file's newly-deleted positions
+    import pyarrow.parquet as pq
+
+    for f, part in m2.items():
+        rows = pq.read_table(
+            t.file_store.read_path(p, part)
+        ).to_pydict()
+        assert set(rows["file"]) == {f}
+        assert len(rows["pos"]) == 2  # k%5==1 hits 2 of 10 per file
+
+
+def test_dv_stacking_bumps_protocol_and_old_reader_refuses(
+    spark, tmp_path
+):
+    """A FIRST vector on a file stamps protocol 2 (revision-2
+    readers replay it fine); STACKING stamps 3, because a revision-2
+    engine replays dv commits as cumulative replacements and would
+    drop the earlier positions — it must refuse, not resurrect."""
+    import data_analyse_marche_emploi_spark.sources.txlog as TX
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k long, v string"
+    )
+    t = TxTable.create(spark, p, df.coalesce(1))
+    t.delete_where("k = 0", mode="dv")
+    assert t._read_action(1)["protocol"] == 2
+    t.delete_where("k = 1", mode="dv")
+    assert t._read_action(2)["protocol"] == 3
+    orig = TX._READER_PROTOCOL
+    TX._READER_PROTOCOL = 2
+    try:
+        with pytest.raises(ValueError, match="upgrade the engine"):
+            TxTable(spark, p).read()
+    finally:
+        TX._READER_PROTOCOL = orig
+    # a DIFFERENT-file second vector is not stacking: still protocol 2
+    p2 = str(tmp_path / "t2")
+    t2 = TxTable.create(spark, p2, df.filter("k < 5").coalesce(1))
+    t2.append(df.filter("k >= 5").coalesce(1))
+    t2.delete_where("k = 0", mode="dv")
+    t2.delete_where("k = 7", mode="dv")
+    assert t2._read_action(3)["protocol"] == 2
+
+
+def test_dv_rematched_positions_never_reenter_a_part(spark, tmp_path):
+    """Positions an earlier vector erased are anti-joined out of the
+    matched set: a delete whose predicate only re-matches
+    already-deleted rows is a NO-OP (no version burned), and CDF
+    never re-emits a row as deleted twice."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k long, v string"
+    )
+    t = TxTable.create(spark, p, df.coalesce(1))
+    t.delete_where("k < 3", mode="dv")
+    head = t.latest_version()
+    # strictly-contained predicate: every match is already erased
+    assert t.delete_where("k < 2", mode="dv") == head
+    # overlapping predicate: only the NEW position enters the part
+    t.delete_where("k < 4", mode="dv")
+    ch = sorted(
+        (r.k, r._change_version)
+        for r in t.read_changes("k", 0).collect()
+    )
+    assert ch == [(0, 1), (1, 1), (2, 1), (3, 2)]
+
+
+def test_dv_large_delete_guard_steers_to_cow(spark, tmp_path):
+    """r11 verdict ask #2 (guard half): a DV delete/update matching
+    more than max_matched_fraction of the table's logged physical
+    rows refuses toward mode='cow'; passing a higher fraction forces
+    it; the guard never miscounts an incremental stack (denominator
+    is physical rows, numerator newly-matched only)."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k long, v string"
+    )
+    t = TxTable.create(spark, p, df.coalesce(2))
+    with pytest.raises(ValueError, match="max_matched_fraction"):
+        t.delete_where("k < 80", mode="dv")
+    with pytest.raises(ValueError, match="max_matched_fraction"):
+        t.update_where("k < 80", {"v": "'x'"}, mode="dv")
+    assert t.latest_version() == 0  # nothing landed
+    # explicit opt-out forces the vector anyway
+    t.delete_where("k < 80", mode="dv", max_matched_fraction=1.0)
+    assert sorted(r.k for r in t.read().collect()) == list(range(80, 100))
+    # under the default, a selective delete still passes (numerator
+    # is NEWLY matched rows, not the accumulated stack)
+    t.delete_where("k = 85", mode="dv")
+    assert t.count() == 19
