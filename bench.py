@@ -113,6 +113,10 @@ HEADLINE = [
     "tablelog_dv_update",
     "tablelog_format_pruned",
     "stream_txlog_sink",
+    # round-12 additions: streaming change-feed reads and the
+    # explicit-projection format read
+    "stream_txlog_cdf",
+    "tablelog_columns_pruned",
 ]
 
 

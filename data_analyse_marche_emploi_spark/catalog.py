@@ -9788,6 +9788,128 @@ def dq_skew_report(spark, sf_dir):
     )
 
 
+@register(
+    "tablelog_columns_pruned",
+    # explicit projection through the registered format: the loaded
+    # relation holds EXACTLY the two requested columns of the
+    # 16-column table (asserted in-entry, and the parquet reader
+    # receives only them — IO-pinned in tests/test_txlog.py); the
+    # oracle recomputes the projection from lineitem
+    oracle="""
+    SELECT l_orderkey AS k, l_extendedprice AS price FROM lineitem
+    """,
+)
+def tablelog_columns_pruned(spark, sf_dir):
+    """COLUMN PRUNING on the format-level read path (r11 verdict ask
+    #4): the Python DataSource API exposes no pruned-schema hook to
+    Catalyst, so ``spark.read.format('txlog').load().select('k')``
+    would decode EVERY column of every parquet file — at 100 TB on a
+    wide table, reading 50 columns to answer for 2. The ``columns``
+    option (sources/txlog.py TxLogDataSource._prune_schema) declares
+    the projection up front: the reader schema becomes the pruned
+    set, ``_arrow_scan_batches`` passes it into
+    ``pq.read_table(columns=...)``, and both the batch and stream
+    paths decode only the requested columns. The entry snapshots the
+    16-column lineitem into a versioned table, reads a 2-column
+    projection through the registered format, asserts the loaded
+    relation is exactly those columns, and returns the rows the
+    oracle recomputes."""
+    from .sources.txlog import TxTable, register_txlog_source
+
+    register_txlog_source(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    path = _txtmp("txcols_")
+    TxTable.create(spark, path, li)
+    got = (
+        spark.read.format("txlog")
+        .option("path", path)
+        .option("columns", "l_orderkey,l_extendedprice")
+        .load()
+    )
+    assert got.columns == ["l_orderkey", "l_extendedprice"], got.columns
+    return got.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_extendedprice").alias("price"),
+    )
+
+
+@register(
+    "stream_txlog_cdf",
+    # the streamed change feed over an append + DV delete + DV update
+    # history: the drain must equal the batch read_changes recompute,
+    # which this oracle rebuilds from orders — inserts for the
+    # appended slice, delete rows for the newly-vectored positions,
+    # and positional update pre/post pairs
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+      WHERE o_orderkey % 3 IN (0, 1)
+    )
+    SELECT k, p, 'insert' AS _change_op,
+           CAST(1 AS BIGINT) AS _change_version
+    FROM base WHERE k % 3 = 1
+    UNION ALL
+    SELECT k, p, 'delete', CAST(2 AS BIGINT) FROM base WHERE k % 10 = 7
+    UNION ALL
+    SELECT k, p, 'update_preimage', CAST(3 AS BIGINT)
+    FROM base WHERE k % 10 = 3
+    UNION ALL
+    SELECT k, -p, 'update_postimage', CAST(3 AS BIGINT)
+    FROM base WHERE k % 10 = 3
+    """,
+)
+def stream_txlog_cdf(spark, sf_dir):
+    """STREAMING CHANGE-FEED reads (r11 verdict ask #1 — Delta's
+    ``readChangeFeed`` streaming option): ``readStream.format
+    ('txlog').option('readChangeFeed', 'true')`` streams ROW-LEVEL
+    deltas per commit instead of refusing non-append commits — the
+    CDC-to-downstream shape every lakehouse user builds. Appends
+    stream as ``insert``; a deletion-vector delete streams EXACTLY
+    its newly-marked positions as ``delete``; a DV update streams
+    positional ``update_preimage``/``update_postimage`` pairs; CoW
+    commits stream the keyed pre/post diff. Deltas are computed
+    TASK-SIDE with Arrow kernels (sources/txlog.py _cdf_batches) from
+    file paths planned per commit — one partition per touched file,
+    positions never through the driver — and commits that FOLD
+    earlier deletes refuse mid-stream with the batch feed's exact
+    rule. The entry builds an append + DV-delete + DV-update history
+    over orders, drains the feed through the registered format, and
+    asserts zero data files were rewritten; the oracle recomputes the
+    exact delta rows."""
+    import uuid as _uuid
+
+    from .sources.txlog import TxTable, register_txlog_source
+
+    register_txlog_source(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    path = _txtmp("txcdf_")
+    t = TxTable.create(spark, path, o.filter(F.col("k") % 3 == 0))  # v0
+    t.append(o.filter(F.col("k") % 3 == 1))                         # v1
+    before = sorted(t.snapshot_files())
+    t.delete_where("k % 10 = 7", mode="dv")                         # v2
+    t.update_where("k % 10 = 3", {"p": "-p"}, mode="dv")            # v3
+    assert [f for f in before if f in set(t.snapshot_files())] == before, (
+        "DV commits rewrote data files"
+    )
+    name = f"txcdf_{_uuid.uuid4().hex[:10]}"
+    q = (
+        spark.readStream.format("txlog")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .option("changeFeedKey", "k")
+        .option("startingVersion", "1")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window
 # ---------------------------------------------------------------------------
@@ -9801,18 +9923,21 @@ def dq_skew_report(spark, sf_dir):
 # ROLLUP, …) register after them — they stay fully covered by pytest and
 # tools/oracle_check.py, which check ALL entries.
 
-# Round-11 rotation (updated at round-11 for the r11 driver pass):
+# Round-12 rotation (updated at round-12 for the r12 driver pass):
 # STALENESS policy, unchanged since r8 — rank every non-anchor entry
 # by the round of its most recent full-green (or clean rows-only)
 # driver row, never-green ranking stalest of all (which auto-enrolls
 # this round's registrations), and pack the 49 stalest after the
-# smoke anchor. The r11 window is this round's 4 new registrations
-# (tablelog_format_pruned, stream_txlog_sink, tablelog_dv_delete,
-# tablelog_dv_update — format-level pruning, the registered stream
-# sink, and deletion vectors) plus the 45 stalest prior entries — the r5/r6-era cohort
-# in registration order — so every driver proof keeps to ~5 rounds
-# old as the window sweeps. (tools/rotate_window.py regenerates this
-# list from the pinned policy after new registrations.)
+# smoke anchor. The r12 window is this round's new registrations
+# (stream_txlog_cdf — streaming change-feed reads — and
+# tablelog_columns_pruned — explicit projection on the format-level
+# read) plus the stalest prior entries: the r6/r7-era cohort
+# (q_waiting_suppliers, ts_rolling_distinct, dq_outliers_mad,
+# text_bm25, merge_upsert_delete, ...) whose last green predates
+# every other entry's, in registration order — so every driver proof
+# keeps to ~5 rounds old as the window sweeps.
+# (tools/rotate_window.py regenerates this list from the pinned
+# policy after new registrations.)
 # The policy (window set == anchor + 49 stalest, recomputed from
 # CORRECTNESS_r0*.json files of rounds strictly before this comment's
 # round number) is pinned by
@@ -9821,55 +9946,55 @@ def dq_skew_report(spark, sf_dir):
 # comment. tools/oracle_check.py still checks ALL entries at three SFs.
 _DRIVER_WINDOW = [
     "flagship_orders_by_month",
-    "tablelog_format_pruned",
-    "tablelog_dv_delete",
-    "stream_txlog_sink",
-    "tablelog_dv_update",
-    "docs_to_chunks",
-    "chunks_to_sequences",
-    "cap_docs_per_source",
-    "mixture_stratified_sample",
-    "mixture_train_split",
-    "emb_quantize",
-    "agg_theta_overlap",
-    "text_lang_id_ngram",
-    "multimodal_meta",
-    "q_min_price_supplier",
-    "q_part_supplier_counts",
-    "q_cheapest_line_supplier",
-    "array_ops",
-    "profile_table",
-    "stream_minhash_users",
-    "stream_value_histogram",
-    "stream_ohlc",
-    "multimodal_jpeg_progressive",
-    "multimodal_resize_area",
-    "dedup_video_phash",
-    "multimodal_gif",
-    "multimodal_gif_frames",
-    "multimodal_bmp",
-    "agg_theta_distinct",
-    "dedup_containment_pairs",
-    "agg_grouping_sets",
-    "unpivot_measures",
-    "ts_moving_stats",
-    "ts_ewma",
-    "agg_mode",
-    "q_important_parts",
-    "agg_corr_matrix",
-    "q_avg_yearly",
-    "dq_outliers",
-    "agg_exact_median",
-    "agg_exact_percentiles",
-    "q_nation_profit",
-    "q_revenue_yoy",
-    "q_promo_part_suppliers",
-    "ts_ohlc",
-    "window_ntile",
-    "ivm_incremental_agg",
-    "pipeline_gzip_ndjson_ingest",
-    "agg_weighted_median",
-    "json_variant_extract",
+    "tablelog_columns_pruned",
+    "stream_txlog_cdf",
+    "q_pareto_frontier",
+    "merge_upsert_delete",
+    "dq_outliers_mad",
+    "text_bm25",
+    "ts_interpolate",
+    "ts_rolling_distinct",
+    "global_quantile_bands",
+    "q_waiting_suppliers",
+    "str_fold_accents",
+    "join_scd2_point_in_time",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "join_asof_forward",
+    "join_bucketed_no_shuffle",
+    "join_null_safe",
+    "agg_arg_max",
+    "agg_conditional",
+    "agg_approx_quantiles",
+    "sample_seeded",
+    "ann_ivf_pq",
+    "ann_pq",
+    "stream_distinct_users",
+    "stream_src_rest_paged",
+    "multimodal_features",
+    "bpe_encode_corpus",
+    "agg_hll_rollup",
+    "agg_kll_quantiles",
+    "agg_cms_counts",
+    "q_revenue_share",
+    "agg_string_concat",
+    "pipeline_partitioned_write_prune",
+    "pipeline_orc_roundtrip",
+    "seq_transition_matrix",
+    "xml_extract",
+    "dedup_prefix_filter",
+    "dedup_edit_distance",
+    "sql_recursive_hierarchy",
+    "udtf_chunk_overlap",
+    "assoc_basket_pairs",
+    "graph_triangle_count",
+    "graph_clustering_coefficient",
+    "graph_pagerank",
+    "graph_connected_components",
+    "tablelog_time_travel",
+    "stream_txlog_merge_sink",
+    "txlog_change_feed",
+    "txlog_ivm_from_cdf",
 ]
 
 def _prioritize() -> None:

@@ -3574,3 +3574,361 @@ def test_dv_large_delete_guard_steers_to_cow(spark, tmp_path):
     # is NEWLY matched rows, not the accumulated stack)
     t.delete_where("k = 85", mode="dv")
     assert t.count() == 19
+
+
+# -- r12: explicit projection on the format-level read path ------------------
+
+
+def test_columns_option_prunes_parquet_io(spark, tmp_path, monkeypatch):
+    """r11 verdict ask #4: option("columns", "a,b") makes the reader
+    schema the pruned set, and the parquet reader must RECEIVE only
+    those columns (IO assertion, not just output shape) — the Python
+    DataSource API has no pruned-schema hook, so this option is the
+    format-level path's column pruning."""
+    import pyarrow.parquet as pq
+
+    import data_analyse_marche_emploi_spark.sources.txlog as TX
+
+    p = str(tmp_path / "t")
+    wide = spark.createDataFrame(
+        [(i, f"v{i}", float(i), i % 7, f"w{i}") for i in range(10)],
+        "k long, v string, x double, m long, w string",
+    )
+    t = TxTable.create(spark, p, wide.coalesce(1))
+    src = TX.TxLogDataSource({"path": p, "columns": "x,k"})
+    schema = src.schema()
+    assert [f.name for f in schema.fields] == ["x", "k"]
+
+    seen: list[list[str] | None] = []
+    orig = pq.read_table
+
+    def spy(path, *a, columns=None, **kw):
+        seen.append(columns)
+        return orig(path, *a, columns=columns, **kw)
+
+    monkeypatch.setattr(pq, "read_table", spy)
+    rdr = TX.TxLogBatchReader(schema, {"path": p, "columns": "x,k"})
+    rows = [
+        (b.column("x").to_pylist()[i], b.column("k").to_pylist()[i])
+        for part in rdr.partitions()
+        for b in rdr.read(part)
+        for i in range(b.num_rows)
+    ]
+    assert sorted(rows) == [(float(i), i) for i in range(10)]
+    assert seen and all(c == ["x", "k"] for c in seen), seen
+    # unknown columns refuse at plan time
+    with pytest.raises(ValueError, match="unknown column"):
+        TX.TxLogDataSource({"path": p, "columns": "k,nope"}).schema()
+
+
+def test_columns_option_composes_with_filters_and_dv(
+    spark, tmp_path, monkeypatch
+):
+    """The projection composes with eqFilter pruning (the filter
+    column is read for filtering but NOT projected out) and with
+    deletion vectors."""
+    import pyarrow.parquet as pq
+
+    import data_analyse_marche_emploi_spark.sources.txlog as TX
+
+    p = str(tmp_path / "t")
+    wide = spark.createDataFrame(
+        [(i, f"v{i}", float(i)) for i in range(10)],
+        "k long, v string, x double",
+    )
+    t = TxTable.create(spark, p, wide.coalesce(1))
+    t.delete_where("k = 4", mode="dv")
+    opts = {"path": p, "columns": "v", "eqfilter": '{"k": 4}'}
+    schema = TX.TxLogDataSource(opts).schema()
+    rdr = TX.TxLogBatchReader(schema, opts)
+    got = [
+        b.column("v").to_pylist()
+        for part in rdr.partitions()
+        for b in rdr.read(part)
+    ]
+    assert [v for vs in got for v in vs] == []  # k=4 is dv-deleted
+    opts2 = {"path": p, "columns": "v", "eqfilter": '{"k": 5}'}
+    rdr2 = TX.TxLogBatchReader(TX.TxLogDataSource(opts2).schema(), opts2)
+    got2 = [
+        v
+        for part in rdr2.partitions()
+        for b in rdr2.read(part)
+        for v in b.column("v").to_pylist()
+    ]
+    assert got2 == ["v5"]
+
+
+@posix_only
+def test_columns_option_end_to_end_batch_and_stream(spark, tmp_path):
+    """`spark.read.format('txlog').option('columns', ...)` through the
+    real worker path, batch and stream."""
+    from data_analyse_marche_emploi_spark.sources.txlog import (
+        register_txlog_source,
+    )
+
+    register_txlog_source(spark)
+    p = str(tmp_path / "t")
+    wide = spark.createDataFrame(
+        [(i, f"v{i}", float(i)) for i in range(10)],
+        "k long, v string, x double",
+    )
+    TxTable.create(spark, p, wide.coalesce(1))
+    got = (
+        spark.read.format("txlog")
+        .option("path", p)
+        .option("columns", "v,k")
+        .load()
+    )
+    assert got.columns == ["v", "k"]
+    assert sorted((r.v, r.k) for r in got.collect()) == [
+        (f"v{i}", i) for i in range(10)
+    ]
+    out = (
+        spark.readStream.format("txlog")
+        .option("path", p)
+        .option("columns", "k")
+        .load()
+        .writeStream.format("memory")
+        .queryName("cols_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM cols_stream").collect()
+    assert sorted(r.k for r in rows) == list(range(10))
+    assert rows[0].asDict().keys() == {"k"}
+
+
+# -- r12: streaming change-feed reads ----------------------------------------
+
+
+def _cdf_drain_driver_side(spark, p, start_v, end_v, key=None):
+    """Drive the CDF reader the way a worker would, driver-side (no
+    engine): plan partitions, run _cdf_batches, flatten rows."""
+    import data_analyse_marche_emploi_spark.sources.txlog as TX
+
+    opts = {"path": p, "readchangefeed": "true"}
+    if key:
+        opts["changefeedkey"] = key
+    schema = TX.TxLogDataSource(opts).schema()
+    rdr = TX.TxLogStreamReader(schema, opts)
+    parts = rdr._cdf_partitions(TxTable(None, p), start_v, end_v)
+    return [
+        tuple(
+            b.column(c).to_pylist()[i] for c in b.schema.names
+        )
+        for part in parts
+        for b in rdr.read(part)
+        for i in range(b.num_rows)
+    ]
+
+
+def test_stream_change_feed_equals_batch_recompute(spark, tmp_path):
+    """r11 verdict ask #1: the streamed change feed's drain equals
+    the batch read_changes recompute row-for-row — across appends,
+    a copy-on-write keyed update, DV deletes (newly-marked positions
+    only), and a DV update's positional pre/post pairs."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", float(i)) for i in range(10)],
+        "k long, v string, x double",
+    )
+    t = TxTable.create(spark, p, df.coalesce(1))                  # v0
+    t.append(_wide(spark, [(10, "v10", 10.0)]).coalesce(1))       # v1
+    t.update_where("k = 2", {"v": "'TWO'"})                       # v2 cow
+    t.delete_where("k % 5 = 1", mode="dv")                        # v3
+    t.update_where("k = 3", {"x": "-x"}, mode="dv")               # v4
+    batch = sorted(
+        (r.k, r.v, r.x, r._change_op, r._change_version)
+        for r in t.read_changes("k", 0, 4).collect()
+    )
+    got = sorted(_cdf_drain_driver_side(spark, p, 0, 4, key="k"))
+    assert got == batch
+    # stacked DV deletes: each commit's delta is ONLY its newly
+    # marked rows — never re-emits
+    t.delete_where("k % 5 = 2", mode="dv")                        # v5
+    b2 = sorted(
+        (r.k, r._change_op, r._change_version)
+        for r in t.read_changes("k", 4, 5).collect()
+    )
+    g2 = sorted(
+        (r[0], r[3], r[4])
+        for r in _cdf_drain_driver_side(spark, p, 4, 5, key="k")
+    )
+    assert g2 == b2 == [(2, "delete", 5), (7, "delete", 5)]
+
+
+def _wide(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, x double")
+
+
+def test_stream_change_feed_refusals(spark, tmp_path):
+    """Fold-refusal preserved mid-stream (same rule and message as
+    the batch feed), and a CoW commit without changeFeedKey refuses
+    with guidance instead of guessing a key."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, p, _wide(spark, [(i, f"v{i}", 0.0) for i in range(6)])
+    )
+    t.delete_where("k = 1", mode="dv")   # v1
+    t.optimize()                         # v2 folds the vector
+    with pytest.raises(ValueError, match="folds deletion vectors"):
+        _cdf_drain_driver_side(spark, p, 0, 2, key="k")
+    # feed from the fold onward is well-defined
+    t.update_where("k = 2", {"v": "'X'"})  # v3 cow
+    with pytest.raises(ValueError, match="changeFeedKey"):
+        _cdf_drain_driver_side(spark, p, 2, 3)
+    got = _cdf_drain_driver_side(spark, p, 2, 3, key="k")
+    assert sorted((r[0], r[3]) for r in got) == [
+        (2, "update_postimage"), (2, "update_preimage")
+    ]
+    # batch CDF over a merge-on-read equality delete refuses too
+    p2 = str(tmp_path / "t2")
+    t2 = TxTable.create(spark, p2, _wide(spark, [(1, "a", 0.0), (2, "b", 0.0)]))
+    t2.delete_where(F.col("k") == 1, mode="mor", key="k")
+    with pytest.raises(ValueError, match="merge-on-read"):
+        _cdf_drain_driver_side(spark, p2, 0, 1, key="k")
+
+
+def test_stream_ignore_deletes_skips_pure_delete_commits(spark, tmp_path):
+    """r11 verdict ask #7: ignoreDeletes=true streams THROUGH
+    pure-delete commits (DV delete, equality delete — no adds)
+    without refusal and without re-emitting rows; commits that
+    REWRITE rows still require ignoreChanges."""
+    from data_analyse_marche_emploi_spark.sources.txlog import (
+        TxLogStreamReader,
+    )
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, p, _wide(spark, [(i, f"v{i}", 0.0) for i in range(10)])
+    )
+    t.delete_where("k = 1", mode="dv")                       # v1: pure delete
+    t.append(_wide(spark, [(100, "new", 1.0)]).coalesce(1))  # v2
+    schema = t.read().schema
+    rdr = TxLogStreamReader(
+        schema, {"path": p, "ignoredeletes": "true"}
+    )
+    parts = rdr.partitions({"version": 0}, {"version": 2})
+    # only v2's added file is planned — v1 contributes nothing
+    assert len(parts) == 1
+    got = [
+        k
+        for part in parts
+        for b in rdr.read(part)
+        for k in b.column("k").to_pylist()
+    ]
+    assert got == [100]
+    # a rewriting commit (CoW update: removes AND adds) still refuses
+    t.optimize()  # fold the vector so CoW update is allowed
+    t.update_where("k = 2", {"v": "'X'"})
+    rdr2 = TxLogStreamReader(
+        schema, {"path": p, "ignoredeletes": "true"}
+    )
+    with pytest.raises(ValueError, match="ignoreChanges"):
+        rdr2.partitions({"version": 2}, {"version": 4})
+
+
+@posix_only
+def test_stream_change_feed_end_to_end_and_restart(spark, tmp_path):
+    """The registered format through the real engine: a CDF stream
+    drains to a memory sink, equals the batch recompute; after a
+    checkpointed stop, NEW commits (a stacked DV delete among them)
+    stream on restart — only unseen versions, nothing re-emitted."""
+    from data_analyse_marche_emploi_spark.sources.txlog import (
+        register_txlog_source,
+    )
+
+    register_txlog_source(spark)
+    p = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    t = TxTable.create(
+        spark, p, _wide(spark, [(i, f"v{i}", float(i)) for i in range(8)])
+    )
+    t.delete_where("k % 4 = 1", mode="dv")            # v1: 1, 5
+    t.update_where("k = 2", {"x": "x + 100"}, mode="dv")  # v2
+
+    def drain():
+        # file sink (not memory): checkpoint RECOVERY is the point
+        q = (
+            spark.readStream.format("txlog")
+            .option("path", p)
+            .option("readChangeFeed", "true")
+            .option("changeFeedKey", "k")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return sorted(
+            (r.k, r._change_op, r._change_version)
+            for r in spark.read.parquet(out).collect()
+        )
+
+    first = drain()
+    batch = sorted(
+        (r.k, r._change_op, r._change_version)
+        for r in t.read_changes("k", -1, 2).collect()
+    )
+    assert first == batch  # includes v0's rows as inserts
+    # new commits while the stream is down: a stacked delete + append
+    t.delete_where("k % 4 = 2", mode="dv")                    # v3: 2, 6
+    t.append(_wide(spark, [(50, "new", 0.5)]).coalesce(1))    # v4
+    second = drain()
+    assert len(second) == len(first) + 3, "restart re-emitted rows"
+    new_rows = sorted(set(second) - set(first))
+    assert new_rows == [
+        (2, "delete", 3), (6, "delete", 3), (50, "insert", 4)
+    ]
+
+
+@posix_only
+def test_stream_available_now_is_single_batch_drain(spark, tmp_path):
+    """r11 verdict ask #6 (pinned behavior): under availableNow the
+    engine's Python microbatch stream lacks Trigger.AvailableNow and
+    falls back to ONE batch — combined with the documented unbounded
+    first batch, maxVersionsPerTrigger=1 over N commits still drains
+    in a single batch. The docstring documents exactly this; this
+    test pins it so an engine upgrade that adds AvailableNow support
+    surfaces as a deliberate contract change."""
+    import uuid as _uuid
+
+    from data_analyse_marche_emploi_spark.sources.txlog import (
+        register_txlog_source,
+    )
+
+    register_txlog_source(spark)
+    p = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    t = TxTable.create(spark, p, _wide(spark, [(0, "a", 0.0)]).coalesce(1))
+    t.append(_wide(spark, [(1, "b", 1.0)]).coalesce(1))
+    t.append(_wide(spark, [(2, "c", 2.0)]).coalesce(1))
+    name = f"an_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("txlog")
+        .option("path", p)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = sorted(
+        r.k for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+    assert rows == [0, 1, 2]  # complete drain either way
+    offsets = [
+        f for f in os.listdir(os.path.join(ck, "offsets"))
+        if not f.startswith(".")
+    ]
+    assert len(offsets) == 1, (
+        "availableNow planned more than the documented single batch: "
+        f"{sorted(offsets)}"
+    )
