@@ -113,10 +113,11 @@ HEADLINE = [
     "tablelog_dv_update",
     "tablelog_format_pruned",
     "stream_txlog_sink",
-    # round-12 additions: streaming change-feed reads and the
-    # explicit-projection format read
+    # round-12 additions: streaming change-feed reads, the
+    # explicit-projection format read, and live IVM over the feed
     "stream_txlog_cdf",
     "tablelog_columns_pruned",
+    "stream_ivm_from_cdf",
 ]
 
 

@@ -9910,6 +9910,112 @@ def stream_txlog_cdf(spark, sf_dir):
     return spark.sql(f"SELECT * FROM {name}")
 
 
+@register(
+    "stream_ivm_from_cdf",
+    # the full CDC-to-downstream composition: a materialized
+    # aggregate seeded at v0 is kept current by STREAMING the change
+    # feed and additively merging each micro-batch's delta into a
+    # downstream versioned table; the oracle recomputes the aggregate
+    # from the source's final contents, so a missed retraction, a
+    # double-applied image, or a non-idempotent merge flips the hash
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+      WHERE o_orderkey % 3 IN (0, 1)
+    ),
+    final AS (
+      SELECT k, CASE WHEN k % 10 = 3 THEN -p ELSE p END AS p
+      FROM base WHERE k % 10 <> 7
+    )
+    SELECT k % 7 AS bucket, count(*) AS cnt,
+           CAST(sum(CAST(floor(p * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM final GROUP BY 1
+    """,
+)
+def stream_ivm_from_cdf(spark, sf_dir):
+    """STREAMING incremental view maintenance over the change feed —
+    the composition r11's verdict called "the CDC-to-downstream shape
+    every lakehouse user builds": a bucketed aggregate is
+    materialized ONCE from the source's v0 snapshot into a downstream
+    versioned table, then ``readStream.format('txlog')
+    .option('readChangeFeed', 'true')`` streams the source's
+    subsequent commits — an append, a deletion-vector delete, and a
+    DV update — and each micro-batch's rows fold into the view via
+    foreachBatch: inserts/update_postimages ADD, deletes/
+    update_preimages RETRACT, and the per-bucket delta merges
+    additively into the view table (one keyed merge_upsert per
+    epoch). The view is never recomputed from the source — refresh
+    cost is O(changed rows) per epoch, the IVM contract that makes a
+    materialized view cheaper than a rescan at 100 TB. The batch
+    sibling (txlog_ivm_from_cdf) applies read_changes retroactively;
+    this entry is the LIVE form the streaming change feed unlocks."""
+    from .sources.txlog import TxTable, register_txlog_source
+
+    register_txlog_source(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    src = _txtmp("txivms_")
+    t = TxTable.create(spark, src, o.filter(F.col("k") % 3 == 0))   # v0
+    t.append(o.filter(F.col("k") % 3 == 1))                         # v1
+    t.delete_where("k % 10 = 7", mode="dv")                         # v2
+    t.update_where("k % 10 = 3", {"p": "-p"}, mode="dv")            # v3
+
+    cents = F.floor(F.col("p") * 100).cast("long")
+    bucket = (F.col("k") % 7).alias("bucket")
+    view = TxTable.create(
+        spark,
+        _txtmp("txivmv_"),
+        t.read(0)
+        .groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(cents).alias("sum_cents"),
+        ),
+    )
+
+    def fold(batch_df, _batch_id):
+        sign = F.when(
+            F.col("_change_op").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+        delta = batch_df.groupBy(bucket).agg(
+            F.sum(sign).alias("d_cnt"),
+            F.sum(sign * cents).alias("d_sum"),
+        )
+        merged = (
+            view.read()
+            .join(delta, "bucket", "full_outer")
+            .select(
+                "bucket",
+                (
+                    F.coalesce("cnt", F.lit(0))
+                    + F.coalesce("d_cnt", F.lit(0))
+                ).alias("cnt"),
+                (
+                    F.coalesce("sum_cents", F.lit(0))
+                    + F.coalesce("d_sum", F.lit(0))
+                ).alias("sum_cents"),
+            )
+        )
+        view.merge_upsert(merged, "bucket")
+
+    q = (
+        spark.readStream.format("txlog")
+        .option("path", src)
+        .option("readChangeFeed", "true")
+        .option("changeFeedKey", "k")
+        .option("startingVersion", "1")
+        .load()
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return view.read().filter(F.col("cnt") > 0)
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window
 # ---------------------------------------------------------------------------
@@ -9948,6 +10054,7 @@ _DRIVER_WINDOW = [
     "flagship_orders_by_month",
     "tablelog_columns_pruned",
     "stream_txlog_cdf",
+    "stream_ivm_from_cdf",
     "q_pareto_frontier",
     "merge_upsert_delete",
     "dq_outliers_mad",
@@ -9994,7 +10101,6 @@ _DRIVER_WINDOW = [
     "tablelog_time_travel",
     "stream_txlog_merge_sink",
     "txlog_change_feed",
-    "txlog_ivm_from_cdf",
 ]
 
 def _prioritize() -> None:

@@ -3624,7 +3624,32 @@ def _arrow_scan_batches(path: str, schema: T.StructType,
         for c in dict.fromkeys(cols + [c for f in flts for c in f])
         if c in have
     ]
-    tbl = pq.read_table(path, columns=need)
+    # ROW-GROUP pushdown (within-file data skipping, the layer below
+    # the plan-time file pruning): non-null equality probes hand
+    # pyarrow a filter so row groups whose stats exclude the value
+    # are never decoded. ONLY when the file carries no deletion
+    # vector — DV masking is keyed on the file-absolute
+    # ``_metadata.row_index``, and a pushed filter would renumber the
+    # surviving rows. IS-NULL probes stay Arrow-side (the DNF filter
+    # grammar has no null test); exactness never depends on the
+    # pushdown because every predicate re-applies below anyway.
+    push = None
+    if dv is None:
+        push = [
+            (c, "==", v)
+            for f in flts
+            for c, v in f.items()
+            if v is not None and c in have
+        ] or None
+    try:
+        tbl = pq.read_table(path, columns=need, filters=push)
+    except (pa.lib.ArrowInvalid, pa.lib.ArrowNotImplementedError, TypeError):
+        if push is None:
+            raise
+        # a probe the dataset expression grammar can't compare against
+        # this column type: fall back to the unpushed read — the
+        # Arrow-side re-filter below still applies the predicate
+        tbl = pq.read_table(path, columns=need)
     if dv is not None:
         import numpy as np
 

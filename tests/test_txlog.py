@@ -1988,6 +1988,26 @@ def test_txlog_random_ops_match_model(spark, tmp_path):
         for v, want in enumerate(model_hist):
             got = {r["k"]: r["v"] for r in t.read(v).collect()}
             assert got == want, f"seq {seq} version {v}"
+        # r12: streamed change feed == batch recompute over the newest
+        # suffix the batch feed accepts (fold/MoR commits refuse both
+        # ways — walk forward past them)
+        head = t.latest_version()
+        base = cdf_from = None
+        for v0 in range(head):
+            try:
+                base = sorted(
+                    (r.k, r.v, r._change_op, r._change_version)
+                    for r in t.read_changes("k", v0, head).collect()
+                )
+                cdf_from = v0
+                break
+            except ValueError:
+                continue
+        if base is not None:
+            got = sorted(
+                _cdf_drain_driver_side(spark, p, cdf_from, head, key="k")
+            )
+            assert got == base, f"seq {seq} CDF parity ({cdf_from}, {head}]"
 
 
 def test_optimize_bin_packs_incrementally(spark, tmp_path):
@@ -3932,3 +3952,65 @@ def test_stream_available_now_is_single_batch_drain(spark, tmp_path):
         "availableNow planned more than the documented single batch: "
         f"{sorted(offsets)}"
     )
+
+
+def test_format_read_pushes_rowgroup_filters(spark, tmp_path, monkeypatch):
+    """Within-file data skipping on the format-level path: a non-null
+    eqFilter probe reaches pq.read_table as a row-group filter (IO
+    assertion) — EXCEPT on DV-carrying files, where a pushed filter
+    would renumber the file-absolute row indices the vector masks;
+    results stay exact either way."""
+    import pyarrow.parquet as pq
+
+    import data_analyse_marche_emploi_spark.sources.txlog as TX
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k long, v string"
+    )
+    t = TxTable.create(spark, p, df.coalesce(1))
+    schema = t.read().schema
+
+    seen: list = []
+    orig = pq.read_table
+
+    def spy(path, *a, filters=None, **kw):
+        seen.append(filters)
+        return orig(path, *a, filters=filters, **kw)
+
+    monkeypatch.setattr(pq, "read_table", spy)
+    opts = {"path": p, "eqfilter": '{"k": 7}'}
+    rdr = TX.TxLogBatchReader(schema, opts)
+    got = [
+        k
+        for part in rdr.partitions()
+        for b in rdr.read(part)
+        for k in b.column("k").to_pylist()
+    ]
+    assert got == [7]
+    assert [("k", "==", 7)] in seen, seen
+    # now the same probe over a DV-carrying file: NO pushdown, rows
+    # still exact (7 erased -> empty; 8 survives)
+    seen.clear()
+    t.delete_where("k = 7", mode="dv")
+    rdr2 = TX.TxLogBatchReader(schema, {"path": p, "eqfilter": '{"k": 7}'})
+    got2 = [
+        k
+        for part in rdr2.partitions()
+        for b in rdr2.read(part)
+        for k in b.column("k").to_pylist()
+    ]
+    assert got2 == []
+    # the vector part's own (file == ...) read is pushdown-filtered
+    # by design; the DATA file must not receive the k-probe
+    assert not [
+        f for f in seen if f and any(c == "k" for c, _, _ in f)
+    ], seen
+    rdr3 = TX.TxLogBatchReader(schema, {"path": p, "eqfilter": '{"k": 8}'})
+    got3 = [
+        k
+        for part in rdr3.partitions()
+        for b in rdr3.read(part)
+        for k in b.column("k").to_pylist()
+    ]
+    assert got3 == [8]
