@@ -9019,7 +9019,12 @@ def tablelog_dv_update(spark, sf_dir):
     "stream_txlog_sink",
     # two source commits drain through the registered sink as
     # txn-stamped atomic appends; the oracle recomputes the exact
-    # row set from orders — exactly-once, whatever the epoch count
+    # row set from orders — exactly-once, whatever the epoch count.
+    # Under availableNow the engine's Python microbatch stream lacks
+    # Trigger.AvailableNow and drains in ONE batch (documented on
+    # TxLogStreamReader, pinned by
+    # test_stream_available_now_is_single_batch_drain); the replay
+    # test in tests/test_txlog.py drives real multi-batch epochs.
     oracle="""
     SELECT o_orderkey AS k, o_totalprice AS p FROM orders
     WHERE o_orderkey % 4 IN (0, 1)

@@ -3031,7 +3031,16 @@ class TxTable:
         are spared; a production deployment sets it comfortably above
         the longest write job (the same reasoning as Delta's default
         7-day retention check). 0 keeps the historical eager behavior
-        for single-writer maintenance windows."""
+        for single-writer maintenance windows.
+
+        STREAMING-READER caveat (the same one Delta documents for its
+        retention window): a lagging stream — plain or
+        ``readChangeFeed`` — resolves files of OLD versions from its
+        checkpointed offset, and ``keep_versions`` only protects the
+        newest snapshots; vacuuming history a stream has not yet
+        drained breaks that stream's next batch (loudly — the files
+        are gone, never silently wrong). Keep the retention window
+        above the slowest consumer's lag."""
         vs = self._versions()
         keep = vs[-keep_versions:]
         referenced: set[str] = set()
