@@ -74,10 +74,11 @@ _LOG_DIR = "_txlog"
 # discipline the public formats use): plain add/remove ops stamp 1,
 # DELETION-VECTOR commits stamp 2 — so a revision-1 engine replaying
 # any snapshot that includes a positional-delete action fails loudly
-# in _read_action instead of silently resurrecting deleted rows
-# (snapshot replay touches every action since the newest checkpoint,
-# and checkpoints refuse pending DVs, so no live DV state can hide
-# below one). Readers refuse anything newer than _READER_PROTOCOL.
+# in _read_action instead of silently resurrecting deleted rows.
+# Checkpoints that consolidate live DV state (r12) carry their own
+# protocol field, guarded in _latest_checkpoint_raw, so DV state can
+# never hide below a checkpoint from a reader that understands
+# protocols. Readers refuse anything newer than _READER_PROTOCOL.
 _PROTOCOL = 1
 _DV_PROTOCOL = 2
 # Revision 3: INCREMENTAL per-file deletion vectors — a data file may
@@ -893,15 +894,19 @@ class TxTable:
         ``dv_prev`` field, were CUMULATIVE and REPLACE the stack), a
         removed data file drops its mapping (CoW rewrites and
         optimize fold the deletes into the replacement files), and
-        replay starts at the newest checkpoint — sound because
-        ``checkpoint()`` refuses while DVs are pending, so DV state
-        at any checkpoint is empty."""
+        replay starts at the newest checkpoint, seeded from its
+        consolidated per-file stacks (r12 — ``checkpoint()`` carries
+        live DV state; pre-r12 checkpoints refused pending DVs, so
+        their absent ``dv`` field correctly seeds empty)."""
         if version is None:
             version = self.latest_version()
         dv: dict[str, tuple[str, ...]] = {}
         start = 0
-        ck = self._latest_checkpoint(version)
+        ck = self._latest_checkpoint_raw(version)
         if ck is not None:
+            dv = {
+                f: tuple(ps) for f, ps in (ck[1].get("dv") or {}).items()
+            }
             start = ck[0] + 1
         for v in self._versions():
             if v < start:
@@ -924,9 +929,11 @@ class TxTable:
         """Ops whose semantics read or rewrite raw data files are only
         correct on a fully-resolved table: live equality-delete files
         or deletion vectors would resurrect erased rows (CoW merge
-        candidates, change-feed pre-images) or be silently lost
-        (checkpoint consolidation). ``optimize()`` is the sanctioned
-        resolver — it folds both into rewritten files."""
+        candidates, change-feed pre-images, restore replays).
+        ``optimize()`` is the sanctioned resolver — it folds both into
+        rewritten files. (``checkpoint()`` no longer routes through
+        this: it consolidates DV state instead of refusing it, and
+        inlines the equality-delete half.)"""
         _, deletes = self._snapshot_mor()
         if deletes:
             raise ValueError(
@@ -955,6 +962,16 @@ class TxTable:
         data = self.log_store.read_json(
             os.path.join(self.log_dir, f"{v:08d}.checkpoint.json")
         )
+        # checkpoint-side protocol guard (r12): a dv-carrying
+        # checkpoint replayed by an engine that doesn't understand
+        # its vector encoding would silently resurrect rows — refuse
+        # exactly like _read_action does for commit records
+        if data.get("protocol", 1) > _READER_PROTOCOL:
+            raise ValueError(
+                f"txlog checkpoint {v} uses protocol "
+                f"{data['protocol']} > supported {_READER_PROTOCOL}; "
+                "upgrade the engine to read this table"
+            )
         return v, data
 
     def _latest_checkpoint(
@@ -974,15 +991,51 @@ class TxTable:
         harmless (both writers derive identical content from the same
         immutable log prefix), so a publish collision is swallowed.
         Versions and action files are untouched, so time travel below
-        the checkpoint still replays from genesis."""
-        self._require_no_pending_deletes("checkpoint")
+        the checkpoint still replays from genesis.
+
+        LIVE DELETION VECTORS consolidate INTO the checkpoint (r12 —
+        the public formats store DV descriptors in their checkpoints
+        for exactly this): a long-lived merge-on-read table must not
+        be barred from bounding its log replay until an optimize
+        happens to fold everything. The record carries the per-file
+        part stacks plus the MINIMUM protocol revision able to replay
+        them, and :meth:`_latest_checkpoint_raw` refuses
+        newer-protocol checkpoints the way :meth:`_read_action` does
+        for commits (engines older than this revision refused to
+        WRITE dv checkpoints but did not validate one on read — the
+        bootstrapping limitation of adding the field late; from this
+        revision on, readers are protocol-guarded). Pending EQUALITY
+        deletes still refuse: their anti-join scopes by the add
+        version of every data file, which consolidation collapses to
+        the checkpoint version — the scoping would go wrong, not just
+        unbounded."""
+        _, deletes = self._snapshot_mor()
+        if deletes:
+            raise ValueError(
+                "checkpoint requires a table without pending "
+                f"merge-on-read delete files ({len(deletes)} live) — "
+                "run optimize() to fold them first (their version "
+                "scoping cannot ride a consolidated file list)"
+            )
         v = self.latest_version()
         entries = self._snapshot_entries(v)
+        dv = self._snapshot_dv(v)
+        dv_extra: dict = {}
+        if dv:
+            dv_extra = {
+                "dv": {f: list(ps) for f, ps in sorted(dv.items())},
+                "protocol": (
+                    _DV_STACK_PROTOCOL
+                    if any(len(ps) > 1 for ps in dv.values())
+                    else _DV_PROTOCOL
+                ),
+            }
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
             json.dump(
                 {
                     "version": v,
+                    **dv_extra,
                     "live": [{"file": f, "stats": s} for f, s in entries],
                     # Active CHECK constraints ride along so the
                     # constraints() walk — which EVERY write path runs —

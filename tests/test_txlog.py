@@ -420,7 +420,8 @@ def test_dv_delete_basic_and_stacking(spark, tmp_path):
 
 def test_dv_guards_and_protocol(spark, tmp_path):
     """A table with live deletion vectors: raw-file ops refuse loudly
-    (CoW delete/update, checkpoint, restore, the DSv2 raw reader),
+    (CoW delete/update, restore, the DSv2 raw reader; checkpoint
+    CONSOLIDATES dv state since r12 — see its own test),
     the stream reader treats a DV commit as non-append, equality-MoR
     deletes can't mix in under a DV delete, and — the protocol gate —
     a revision-1 engine replaying the log refuses rather than
@@ -438,7 +439,6 @@ def test_dv_guards_and_protocol(spark, tmp_path):
     for op, msg in [
         (lambda: t.delete_where("k = 2"), "deletion vectors"),
         (lambda: t.update_where("k = 2", {"v": "'x'"}), "deletion vectors"),
-        (lambda: t.checkpoint(), "deletion vectors"),
         (lambda: t.restore(0), "deletion vectors"),
         (lambda: t.merge_upsert(_df(spark, [(2, "B")]), "k"),
          "deletion vectors"),
@@ -1968,10 +1968,14 @@ def test_txlog_random_ops_match_model(spark, tmp_path):
                 dirty = False     # the fold resolves pending deletes
                 dv_dirty = False  # ...and folds deletion vectors
             elif op == "checkpoint":
-                if dirty or dv_dirty:
+                if dirty:
+                    # equality deletes still refuse (their version
+                    # scoping cannot ride a consolidated file list)
                     with _pytest.raises(ValueError, match="optimize"):
                         t.checkpoint()
                 else:
+                    # r12: live DV state CONSOLIDATES into the
+                    # checkpoint instead of refusing
                     t.checkpoint()
                 continue  # checkpoint burns no version
             else:
@@ -4014,3 +4018,62 @@ def test_format_read_pushes_rowgroup_filters(spark, tmp_path, monkeypatch):
         for k in b.column("k").to_pylist()
     ]
     assert got3 == [8]
+
+
+def test_checkpoint_consolidates_dv_state(spark, tmp_path):
+    """r12: a long-lived MoR table can bound its log replay WITHOUT
+    waiting for an optimize — checkpoint() consolidates live
+    deletion-vector stacks into the checkpoint record (the public
+    formats store DV descriptors in checkpoints for the same reason).
+    Replay seeds from the consolidated stacks (reads exact, vacuum
+    spares the parts), later commits extend them, time travel below
+    the checkpoint still replays from genesis, and a dv-carrying
+    checkpoint is protocol-guarded on read. Equality deletes still
+    refuse (their version scoping cannot ride a consolidated list)."""
+    import data_analyse_marche_emploi_spark.sources.txlog as TX
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k long, v string"
+    )
+    t = TxTable.create(spark, p, df.filter("k < 10").coalesce(1))
+    t.append(df.filter("k >= 10").coalesce(1))
+    t.delete_where("k % 5 = 0", mode="dv")   # v2
+    t.delete_where("k % 5 = 1", mode="dv")   # v3 (stacks)
+    expect = sorted(r.k for r in t.read().collect())
+    ck_v = t.checkpoint()
+    assert ck_v == 3
+    ck = t._latest_checkpoint_raw(ck_v)
+    assert ck is not None and ck[1].get("dv"), "dv state not consolidated"
+    assert ck[1]["protocol"] == 3  # stacked vectors need stack replay
+    # a FRESH handle replays from the checkpoint seed only
+    t2 = TxTable(spark, p)
+    stacks = t2._snapshot_dv()
+    assert stacks and all(len(ps) == 2 for ps in stacks.values())
+    assert sorted(r.k for r in t2.read().collect()) == expect
+    # vacuum keeps the consolidated parts referenced
+    removed = t2.vacuum()
+    for ps in stacks.values():
+        assert not set(ps) & set(removed)
+    assert sorted(r.k for r in t2.read().collect()) == expect
+    # later commits extend the seeded stacks
+    t2.delete_where("k = 12", mode="dv")
+    assert sorted(r.k for r in t2.read().collect()) == [
+        k for k in expect if k != 12
+    ]
+    # time travel below the checkpoint replays from genesis
+    assert len(t2.read(1).collect()) == 20
+    # protocol guard: an older reader refuses the dv checkpoint
+    orig = TX._READER_PROTOCOL
+    TX._READER_PROTOCOL = 2
+    try:
+        with pytest.raises(ValueError, match="upgrade the engine"):
+            TxTable(spark, p).read()
+    finally:
+        TX._READER_PROTOCOL = orig
+    # equality deletes still refuse the checkpoint
+    p2 = str(tmp_path / "t2")
+    t3 = TxTable.create(spark, p2, _df(spark, [(1, "a"), (2, "b")]))
+    t3.delete_where(F.col("k") == 1, mode="mor", key="k")
+    with pytest.raises(ValueError, match="merge-on-read"):
+        t3.checkpoint()
