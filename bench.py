@@ -118,6 +118,7 @@ HEADLINE = [
     "stream_txlog_cdf",
     "tablelog_columns_pruned",
     "stream_ivm_from_cdf",
+    "tablelog_batch_cdf",
 ]
 
 

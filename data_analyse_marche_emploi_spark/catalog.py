@@ -10021,6 +10021,81 @@ def stream_ivm_from_cdf(spark, sf_dir):
     return view.read().filter(F.col("cnt") > 0)
 
 
+@register(
+    "tablelog_batch_cdf",
+    # the BATCH commit-range change feed through the registered
+    # format, over two copy-on-write commits — a keyed UPDATE (pre +
+    # post images) and a predicate DELETE (pre images only; unchanged
+    # survivor rewrites emit NOTHING) — recomputed by the oracle from
+    # orders
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+      WHERE o_orderkey % 16 IN (0, 1, 2)
+    )
+    SELECT k, p, 'update_preimage' AS _change_op,
+           CAST(1 AS BIGINT) AS _change_version
+    FROM base WHERE k % 32 = 1
+    UNION ALL
+    SELECT k, p + 1, 'update_postimage', CAST(1 AS BIGINT)
+    FROM base WHERE k % 32 = 1
+    UNION ALL
+    SELECT k, p, 'delete', CAST(2 AS BIGINT) FROM base WHERE k % 16 = 2
+    """,
+)
+def tablelog_batch_cdf(spark, sf_dir):
+    """BATCH change-feed reads through the registered format —
+    ``spark.read.format('txlog').option('readChangeFeed', 'true')
+    .option('startingVersion', N)[.option('endingVersion', M)]`` —
+    Delta's batch CDF shape, completing the feed matrix next to the
+    streaming reader (stream_txlog_cdf) and the TxTable.read_changes
+    API. The commit-range planner and task-side Arrow delta
+    computation are SHARED with the stream path
+    (sources/txlog.py _plan_cdf_partitions / _cdf_batches); this
+    entry exercises the COPY-ON-WRITE keyed-diff half the streaming
+    entry's DV history doesn't: a CoW UPDATE emits
+    update_preimage/update_postimage pairs and a CoW DELETE emits
+    pre-images only, while carried-over survivor rows in the
+    rewritten files emit NOTHING (the diff is keyed, not file-level
+    — the property that keeps CDC volume O(changed rows) even though
+    CoW rewrites whole files). The entry asserts the planner produced
+    exactly one keyed-diff work unit per CoW commit before returning
+    the format read the oracle recomputes."""
+    from .sources.txlog import (
+        TxLogDataSource,
+        TxTable,
+        register_txlog_source,
+    )
+
+    register_txlog_source(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    path = _txtmp("txbcdf_")
+    t = TxTable.create(spark, path, o.filter(F.col("k") % 16 < 3))  # v0
+    t.update_where("k % 32 = 1", {"p": "p + 1"})                    # v1
+    t.delete_where("k % 16 = 2")                                    # v2
+    opts = {
+        "path": path,
+        "readchangefeed": "true",
+        "startingversion": "1",
+        "changefeedkey": "k",
+    }
+    src = TxLogDataSource(opts)
+    planned = src.reader(src.schema()).partitions()
+    assert len(planned) == 2 and all(
+        pt.kind == "cow" for pt in planned
+    ), "CoW commits must plan one keyed-diff unit each"
+    return (
+        spark.read.format("txlog")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("changeFeedKey", "k")
+        .load()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window
 # ---------------------------------------------------------------------------
@@ -10060,6 +10135,7 @@ _DRIVER_WINDOW = [
     "tablelog_columns_pruned",
     "stream_txlog_cdf",
     "stream_ivm_from_cdf",
+    "tablelog_batch_cdf",
     "q_pareto_frontier",
     "merge_upsert_delete",
     "dq_outliers_mad",
@@ -10105,7 +10181,6 @@ _DRIVER_WINDOW = [
     "graph_connected_components",
     "tablelog_time_travel",
     "stream_txlog_merge_sink",
-    "txlog_change_feed",
 ]
 
 def _prioritize() -> None:

@@ -751,6 +751,19 @@ class TxTable:
             )
         return best
 
+    def first_version_at_or_after(self, ts: float) -> int:
+        """The OLDEST version committed at or after wall-clock ``ts``
+        — the resolution rule behind the stream reader's
+        ``startingTimestamp`` option (Delta's same-named option:
+        consume changes committed at or after the timestamp).
+        ``latest_version() + 1`` when ``ts`` postdates every commit —
+        the stream then consumes only future commits. Same
+        walk-don't-bisect rule as :meth:`version_at_timestamp`."""
+        for v in self._versions():
+            if self._read_action(v).get("ts", 0.0) >= ts:
+                return v
+        return self.latest_version() + 1
+
     def read_at_timestamp(self, ts: float, **kwargs) -> DataFrame:
         """Timestamp time travel: :meth:`read` at
         :meth:`version_at_timestamp`. Keyword args pass through
@@ -3897,6 +3910,90 @@ def _cdf_batches(part: "_TxCdfPartition", row_schema: T.StructType):
                 yield _stamp_cdf(b, op, part.version)
 
 
+def _plan_cdf_partitions(
+    t: "TxTable", table_path: str, start_v: int, end_v: int,
+    cdf_key: str | None,
+) -> "Sequence[_TxCdfPartition]":
+    """Plan the change feed for versions in ``(start_v, end_v]`` — the
+    per-commit planning shared by the STREAM reader (micro-batch
+    version ranges) and the BATCH reader (startingVersion ..
+    endingVersion), with :meth:`TxTable.read_changes`'s fold refusals
+    and the same O(changed files) cost."""
+    rp = lambda f: t.file_store.read_path(table_path, f)  # noqa: E731
+    parts: list[_TxCdfPartition] = []
+    for v in t._versions():
+        if v <= start_v or v > end_v:
+            continue
+        act = t._read_action(v)
+        if act.get("delete_adds"):
+            raise ValueError(
+                f"change feed over a merge-on-read commit (version "
+                f"{v}) is not supported — its pre-images live in "
+                "unrewritten files; run optimize() (which folds "
+                "deletes) and consume the feed from there"
+            )
+        if act["op"] in ("delete-dv", "update-dv"):
+            is_update = act["op"] == "update-dv"
+            mapping = act["dv"]
+            prev = act.get("dv_prev") or {}
+            for f in sorted(mapping):
+                parts.append(_TxCdfPartition(
+                    v, "dv_delta",
+                    "update_preimage" if is_update else "delete",
+                    path=rp(f), file_name=f,
+                    new=(rp(mapping[f]),),
+                    prev=(rp(prev[f]),) if f in prev else (),
+                ))
+            parts.extend(
+                _TxCdfPartition(v, "scan", "update_postimage",
+                                path=rp(f))
+                for f in act["adds"]
+            )
+            continue
+        if act["removes"]:
+            dv_at_prev = t._snapshot_dv(v - 1)
+            if any(f in dv_at_prev for f in act["removes"]):
+                raise ValueError(
+                    f"change feed over version {v} ({act['op']}) is "
+                    "not supported: it folds deletion vectors, so "
+                    "its removed files are not a faithful "
+                    "pre-image; consume the feed with "
+                    f"from_version >= {v} instead"
+                )
+            if any(f.startswith("delete-") for f in act["removes"]):
+                raise ValueError(
+                    f"change feed over version {v} ({act['op']}) is "
+                    "not supported: it folds merge-on-read delete "
+                    "files, so its removed files are not a "
+                    "faithful pre-image; consume the feed with "
+                    f"from_version >= {v} instead"
+                )
+        if act["adds"] and act["removes"]:
+            if not cdf_key:
+                raise ValueError(
+                    f"change feed hit a copy-on-write commit "
+                    f"(version {v}, op={act['op']}) whose deltas "
+                    "need a keyed pre/post diff; set "
+                    "changeFeedKey=<unique key column> (the batch "
+                    "read_changes key argument)"
+                )
+            parts.append(_TxCdfPartition(
+                v, "cow", key=cdf_key,
+                pre=tuple(rp(f) for f in act["removes"]),
+                post=tuple(rp(f) for f in act["adds"]),
+            ))
+        else:
+            parts.extend(
+                _TxCdfPartition(v, "scan", "insert", path=rp(f))
+                for f in act["adds"]
+            )
+            parts.extend(
+                _TxCdfPartition(v, "scan", "delete", path=rp(f))
+                for f in act["removes"]
+            )
+    return parts
+
+
 class TxLogBatchReader(DataSourceReader):
     """Batch read of a snapshot: one input partition per live data
     file at the resolved version, so the scan parallelizes per file
@@ -3913,6 +4010,17 @@ class TxLogBatchReader(DataSourceReader):
     ``read()`` so the result is EXACT — a file lacking recorded
     values or indexes just doesn't prune, and a bloom false positive
     costs one extra file open, never a wrong row.
+
+    ``readChangeFeed=true`` turns the batch read into a COMMIT-RANGE
+    change feed (Delta's batch readChangeFeed): options
+    ``startingVersion`` (inclusive, required) .. ``endingVersion``
+    (inclusive, default latest) select the commits, and the result
+    carries ``_change_op``/``_change_version`` — the format-level
+    spelling of :meth:`TxTable.read_changes`, sharing the stream
+    reader's per-commit planner and task-side Arrow delta computation
+    (``changeFeedKey`` required once the range holds a copy-on-write
+    commit). Snapshot options (filters, time travel, columns) refuse
+    in this mode.
 
     DELETION VECTORS are APPLIED, not refused: each file's deleted
     row indices resolve driver-side at plan time and ride the input
@@ -3933,8 +4041,49 @@ class TxLogBatchReader(DataSourceReader):
             options, "partitionfilter"
         )
         self.eq_filter = _parse_filter_option(options, "eqfilter")
+        # BATCH change feed (Delta's batch readChangeFeed shape):
+        # startingVersion (INCLUSIVE, required — an unbounded batch
+        # feed from genesis is almost never what a CDC consumer
+        # means) .. endingVersion (inclusive, default latest). The
+        # per-commit planning and task-side Arrow delta computation
+        # are the streaming reader's (_plan_cdf_partitions /
+        # _cdf_batches); the result schema carries _change_op /
+        # _change_version like the batch TxTable.read_changes.
+        self.cdf = TxLogDataSource._cdf_requested(options)
+        if self.cdf:
+            bad = [
+                o for o in ("partitionfilter", "eqfilter", "versionasof",
+                            "timestampasof")
+                if options.get(o) is not None
+            ]
+            if bad:
+                raise ValueError(
+                    f"readChangeFeed cannot combine with option(s) "
+                    f"{bad}: the feed is a commit-range read "
+                    "(startingVersion/endingVersion), not a snapshot"
+                )
+            sv = options.get("startingversion")
+            if sv is None:
+                raise ValueError(
+                    "batch readChangeFeed requires "
+                    "startingVersion=<first commit, inclusive> "
+                    "(endingVersion optional, default latest)"
+                )
+            self.cdf_start = int(sv)
+            ev = options.get("endingversion")
+            self.cdf_end = None if ev is None else int(ev)
+            self.cdf_key = options.get("changefeedkey")
+            self._row_schema = T.StructType(list(schema.fields)[:-2])
 
-    def partitions(self) -> Sequence[_TxFilePartition]:
+    def partitions(self) -> Sequence[InputPartition]:
+        if self.cdf:
+            t = TxTable(None, self.path)
+            end = (
+                t.latest_version() if self.cdf_end is None else self.cdf_end
+            )
+            return _plan_cdf_partitions(
+                t, self.path, self.cdf_start - 1, end, self.cdf_key
+            )
         t = TxTable(None, self.path)
         v = _resolve_asof_version(t, self.options)
         # resolve the snapshot version EXACTLY ONCE: the file list and
@@ -3988,7 +4137,10 @@ class TxLogBatchReader(DataSourceReader):
             for f, _, _ in entries
         ]
 
-    def read(self, partition: _TxFilePartition):
+    def read(self, partition):
+        if isinstance(partition, _TxCdfPartition):
+            yield from _cdf_batches(partition, self._row_schema)
+            return
         yield from _arrow_scan_batches(
             partition.path,
             self.schema,
@@ -4122,12 +4274,6 @@ class TxLogDataSource(DataSource):
         )
 
     def reader(self, schema: T.StructType) -> TxLogBatchReader:
-        if self._cdf_requested(self.options):
-            raise ValueError(
-                "readChangeFeed is a STREAMING read option "
-                "(spark.readStream.format('txlog')); the batch change "
-                "feed is TxTable.read_changes"
-            )
         return TxLogBatchReader(schema, self.options)
 
     def streamReader(self, schema: T.StructType) -> "TxLogStreamReader":
@@ -4155,6 +4301,11 @@ class TxLogStreamReader(DataSourceStreamReader):
       checkpoint skips the table's history and consumes only commits
       ``>= N``. Ignored on restart (the checkpointed offset wins, as
       it must for exactly-once).
+    * ``startingTimestamp=<epoch seconds>`` — the same, resolved by
+      wall clock: the first consumed commit is the oldest one at or
+      after the instant (:meth:`TxTable.first_version_at_or_after`);
+      past-head timestamps consume only future commits. Mutually
+      exclusive with ``startingVersion``.
     * ``maxVersionsPerTrigger=N`` — steady-state rate limit: each
       micro-batch advances the offset by at most N commits, so a
       backlog drains in bounded increments instead of one giant batch
@@ -4218,7 +4369,22 @@ class TxLogStreamReader(DataSourceStreamReader):
             self._row_schema = T.StructType(list(schema.fields)[:-2])
         else:
             self._row_schema = schema
-        self.starting_version = int(options.get("startingversion", 0))
+        st = options.get("startingtimestamp")
+        if st is not None:
+            # Delta's startingTimestamp: consume commits at or after
+            # the wall-clock instant (epoch seconds). Resolved ONCE,
+            # driver-side, at stream construction; the checkpointed
+            # offset still wins on restart, as it must.
+            if options.get("startingversion") is not None:
+                raise ValueError(
+                    "startingVersion and startingTimestamp are "
+                    "mutually exclusive"
+                )
+            self.starting_version = TxTable(
+                None, self.path
+            ).first_version_at_or_after(float(st))
+        else:
+            self.starting_version = int(options.get("startingversion", 0))
         self.max_versions = int(options.get("maxversionspertrigger", 0))
         if self.max_versions < 0:
             raise ValueError("maxVersionsPerTrigger must be >= 0")
@@ -4292,83 +4458,9 @@ class TxLogStreamReader(DataSourceStreamReader):
     def _cdf_partitions(
         self, t: "TxTable", start_v: int, end_v: int
     ) -> Sequence[_TxCdfPartition]:
-        """Plan the change feed for versions in ``(start_v, end_v]``
-        — the streaming counterpart of :meth:`TxTable.read_changes`'s
-        per-commit loop, with the same fold refusals and the same
-        O(changed files) cost."""
-        rp = lambda f: t.file_store.read_path(self.path, f)  # noqa: E731
-        parts: list[_TxCdfPartition] = []
-        for v in t._versions():
-            if v <= start_v or v > end_v:
-                continue
-            act = t._read_action(v)
-            if act.get("delete_adds"):
-                raise ValueError(
-                    f"change feed over a merge-on-read commit (version "
-                    f"{v}) is not supported — its pre-images live in "
-                    "unrewritten files; run optimize() (which folds "
-                    "deletes) and consume the feed from there"
-                )
-            if act["op"] in ("delete-dv", "update-dv"):
-                is_update = act["op"] == "update-dv"
-                mapping = act["dv"]
-                prev = act.get("dv_prev") or {}
-                for f in sorted(mapping):
-                    parts.append(_TxCdfPartition(
-                        v, "dv_delta",
-                        "update_preimage" if is_update else "delete",
-                        path=rp(f), file_name=f,
-                        new=(rp(mapping[f]),),
-                        prev=(rp(prev[f]),) if f in prev else (),
-                    ))
-                parts.extend(
-                    _TxCdfPartition(v, "scan", "update_postimage",
-                                    path=rp(f))
-                    for f in act["adds"]
-                )
-                continue
-            if act["removes"]:
-                dv_at_prev = t._snapshot_dv(v - 1)
-                if any(f in dv_at_prev for f in act["removes"]):
-                    raise ValueError(
-                        f"change feed over version {v} ({act['op']}) is "
-                        "not supported: it folds deletion vectors, so "
-                        "its removed files are not a faithful "
-                        "pre-image; consume the feed with "
-                        f"from_version >= {v} instead"
-                    )
-                if any(f.startswith("delete-") for f in act["removes"]):
-                    raise ValueError(
-                        f"change feed over version {v} ({act['op']}) is "
-                        "not supported: it folds merge-on-read delete "
-                        "files, so its removed files are not a "
-                        "faithful pre-image; consume the feed with "
-                        f"from_version >= {v} instead"
-                    )
-            if act["adds"] and act["removes"]:
-                if not self.cdf_key:
-                    raise ValueError(
-                        f"change feed hit a copy-on-write commit "
-                        f"(version {v}, op={act['op']}) whose deltas "
-                        "need a keyed pre/post diff; set "
-                        "changeFeedKey=<unique key column> (the batch "
-                        "read_changes key argument)"
-                    )
-                parts.append(_TxCdfPartition(
-                    v, "cow", key=self.cdf_key,
-                    pre=tuple(rp(f) for f in act["removes"]),
-                    post=tuple(rp(f) for f in act["adds"]),
-                ))
-            else:
-                parts.extend(
-                    _TxCdfPartition(v, "scan", "insert", path=rp(f))
-                    for f in act["adds"]
-                )
-                parts.extend(
-                    _TxCdfPartition(v, "scan", "delete", path=rp(f))
-                    for f in act["removes"]
-                )
-        return parts
+        return _plan_cdf_partitions(
+            t, self.path, start_v, end_v, self.cdf_key
+        )
 
     def read(self, partition):
         if isinstance(partition, _TxCdfPartition):

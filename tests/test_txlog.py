@@ -4077,3 +4077,111 @@ def test_checkpoint_consolidates_dv_state(spark, tmp_path):
     t3.delete_where(F.col("k") == 1, mode="mor", key="k")
     with pytest.raises(ValueError, match="merge-on-read"):
         t3.checkpoint()
+
+
+def test_batch_change_feed_reader(spark, tmp_path):
+    """Batch readChangeFeed through the format reader (Delta's batch
+    CDF shape): startingVersion..endingVersion select the commits,
+    the rows equal TxTable.read_changes over the same range, and the
+    CoW keyed diff runs through the shared planner; snapshot options
+    refuse; startingVersion is required."""
+    import data_analyse_marche_emploi_spark.sources.txlog as TX
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, p, _wide(spark, [(i, f"v{i}", float(i)) for i in range(10)])
+    )
+    t.update_where("k = 2", {"v": "'TWO'"})        # v1 cow
+    t.delete_where("k % 5 = 1", mode="dv")         # v2
+    t.append(_wide(spark, [(50, "new", 0.5)]).coalesce(1))  # v3
+
+    def drain(opts):
+        src = TX.TxLogDataSource(opts)
+        rdr = src.reader(src.schema())
+        return sorted(
+            tuple(b.column(c).to_pylist()[i] for c in b.schema.names)
+            for part in rdr.partitions()
+            for b in rdr.read(part)
+            for i in range(b.num_rows)
+        )
+
+    base = {"path": p, "readchangefeed": "true", "changefeedkey": "k"}
+    got = drain({**base, "startingversion": "1"})
+    want = sorted(
+        (r.k, r.v, r.x, r._change_op, r._change_version)
+        for r in t.read_changes("k", 0, 3).collect()
+    )
+    assert got == want
+    bounded = drain(
+        {**base, "startingversion": "2", "endingversion": "2"}
+    )
+    assert bounded == sorted(
+        (r.k, r.v, r.x, r._change_op, r._change_version)
+        for r in t.read_changes("k", 1, 2).collect()
+    )
+    with pytest.raises(ValueError, match="startingVersion"):
+        drain(base)
+    with pytest.raises(ValueError, match="cannot combine"):
+        drain({**base, "startingversion": "1", "eqfilter": '{"k": 1}'})
+
+
+@posix_only
+def test_batch_change_feed_end_to_end(spark, tmp_path):
+    """spark.read.format('txlog').option('readChangeFeed', ...)
+    through the real worker path."""
+    from data_analyse_marche_emploi_spark.sources.txlog import (
+        register_txlog_source,
+    )
+
+    register_txlog_source(spark)
+    p = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, p, _wide(spark, [(i, f"v{i}", float(i)) for i in range(6)])
+    )
+    t.delete_where("k = 3", mode="dv")
+    got = (
+        spark.read.format("txlog")
+        .option("path", p)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load()
+    )
+    assert sorted((r.k, r._change_op, r._change_version)
+                  for r in got.collect()) == [(3, "delete", 1)]
+
+
+def test_stream_starting_timestamp(spark, tmp_path):
+    """startingTimestamp resolves to the oldest commit at or after
+    the instant; past-head timestamps consume only future commits;
+    mutually exclusive with startingVersion."""
+    from data_analyse_marche_emploi_spark.sources.txlog import (
+        TxLogStreamReader,
+    )
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]).coalesce(1))
+    t.append(_df(spark, [(3, "c")]).coalesce(1))
+    ts1 = t._read_action(1)["ts"]
+    ts2 = t._read_action(2)["ts"]
+    schema = t.read().schema
+    mid = (ts1 + ts2) / 2  # strictly between commits 1 and 2
+    rdr = TxLogStreamReader(
+        schema, {"path": p, "startingtimestamp": str(mid)}
+    )
+    assert rdr.initialOffset() == {"version": 1}  # first consumed: v2
+    # exactly at a commit's ts: that commit is included
+    rdr2 = TxLogStreamReader(
+        schema, {"path": p, "startingtimestamp": str(ts1)}
+    )
+    assert rdr2.initialOffset() == {"version": 0}
+    # past head: only future commits
+    rdr3 = TxLogStreamReader(
+        schema, {"path": p, "startingtimestamp": str(ts2 + 1e6)}
+    )
+    assert rdr3.initialOffset() == {"version": 2}
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        TxLogStreamReader(
+            schema,
+            {"path": p, "startingtimestamp": "0", "startingversion": "1"},
+        )
