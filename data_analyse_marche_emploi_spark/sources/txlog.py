@@ -781,6 +781,10 @@ class TxTable:
         (logged ``__rows__`` counts positions a DV has erased) falls
         back to the real distributed count; never an approximation
         either way."""
+        if version is None:
+            # resolve ONCE: the metadata check and the fallback scan
+            # must bind to the same snapshot (two-resolution race)
+            version = self.latest_version()
         entries, deletes = self._snapshot_mor(version)
         if not deletes and not self._snapshot_dv(version):
             ns = [s.get("__rows__") for _, s, _ in entries]
@@ -802,6 +806,8 @@ class TxTable:
         case Delta's stats handle via tightBounds; this engine keeps
         the 'never an approximation' contract by scanning (r10
         advisor). Falls back to the real distributed aggregate."""
+        if version is None:
+            version = self.latest_version()  # one snapshot for check + scan
         entries, deletes = self._snapshot_mor(version)
         if not deletes and entries and not self._snapshot_dv(version):
             # a logged-zero-row file (an empty CoW rewrite part) has no
@@ -938,7 +944,8 @@ class TxTable:
                     dv[f] = dv.get(f, ()) + (part,)
         return dv
 
-    def _require_no_pending_deletes(self, op: str) -> None:
+    def _require_no_pending_deletes(self, op: str,
+                                    version: int | None = None) -> None:
         """Ops whose semantics read or rewrite raw data files are only
         correct on a fully-resolved table: live equality-delete files
         or deletion vectors would resurrect erased rows (CoW merge
@@ -946,15 +953,25 @@ class TxTable:
         ``optimize()`` is the sanctioned resolver — it folds both into
         rewritten files. (``checkpoint()`` no longer routes through
         this: it consolidates DV state instead of refusing it, and
-        inlines the equality-delete half.)"""
-        _, deletes = self._snapshot_mor()
+        inlines the equality-delete half.)
+
+        Callers that go on to scan a snapshot MUST pass the version
+        they will scan: checking at an implicitly-resolved latest and
+        then re-resolving latest for the scan opens the same
+        two-resolution race the r11 advisor flagged on the format
+        reader — a delete commit landing between the two would let a
+        CoW rewrite read through it and resurrect rows. With a single
+        bound version, any later delete commit instead surfaces as a
+        fail-loud rebase conflict (delete-dv/update-dv are not
+        rebasable; equality deletes conflict with removers)."""
+        _, deletes = self._snapshot_mor(version)
         if deletes:
             raise ValueError(
                 f"{op} requires a table without pending merge-on-read "
                 f"delete files ({len(deletes)} live) — run optimize() "
                 "to fold them first"
             )
-        dv = self._snapshot_dv()
+        dv = self._snapshot_dv(version)
         if dv:
             raise ValueError(
                 f"{op} requires a table without pending deletion "
@@ -1022,7 +1039,8 @@ class TxTable:
         version of every data file, which consolidation collapses to
         the checkpoint version — the scoping would go wrong, not just
         unbounded."""
-        _, deletes = self._snapshot_mor()
+        v = self.latest_version()
+        _, deletes = self._snapshot_mor(v)
         if deletes:
             raise ValueError(
                 "checkpoint requires a table without pending "
@@ -1030,7 +1048,6 @@ class TxTable:
                 "run optimize() to fold them first (their version "
                 "scoping cannot ride a consolidated file list)"
             )
-        v = self.latest_version()
         entries = self._snapshot_entries(v)
         dv = self._snapshot_dv(v)
         dv_extra: dict = {}
@@ -1907,11 +1924,13 @@ class TxTable:
         )
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown merge mode {mode!r}")
+        v = self.latest_version()
         if mode == "cow":
             # CoW candidate reads open raw data files; pending equality
             # deletes would resurrect erased rows in the rewrite.
-            self._require_no_pending_deletes("merge_upsert(mode='cow')")
-        v = self.latest_version()
+            # Checked at THE version this transaction binds to (and
+            # scans), never a separately-resolved latest.
+            self._require_no_pending_deletes("merge_upsert(mode='cow')", v)
         bounds = updates.agg(
             F.min(key).alias("lo"),
             F.max(key).alias("hi"),
@@ -2236,8 +2255,8 @@ class TxTable:
                 probe=probe_mor, ignore_new_constraints=True,
                 what=f"delete_where(mode='mor', key={key!r})",
             )
-        self._require_no_pending_deletes("delete_where")
         v = self.latest_version()
+        self._require_no_pending_deletes("delete_where", v)
         entries = self._snapshot_entries(v)
         if partition_filter:
             entries = [
@@ -2353,8 +2372,8 @@ class TxTable:
                 condition, set_exprs, partition_filter,
                 max_matched_fraction,
             )
-        self._require_no_pending_deletes("update_where")
         v = self.latest_version()
+        self._require_no_pending_deletes("update_where", v)
         entries = self._snapshot_entries(v)
         if partition_filter:
             entries = [

@@ -4185,3 +4185,48 @@ def test_stream_starting_timestamp(spark, tmp_path):
             schema,
             {"path": p, "startingtimestamp": "0", "startingversion": "1"},
         )
+
+
+def test_pending_delete_checks_bind_one_version(spark, tmp_path):
+    """r12 sweep of the r11 advisor's two-resolution race class: every
+    raw-file op checks the dirty-table guard at THE version it scans
+    and commits against, never a separately-resolved latest — and a
+    CoW rewrite racing a concurrent DV commit in its publish window
+    fail-louds through the rebase guard (delete-dv is not rebasable)
+    instead of committing files that resurrect the vectored rows."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k long, v string"
+    )
+    t = TxTable.create(spark, p, df.coalesce(1))
+    # the guard honors an explicit version
+    t.delete_where("k = 0", mode="dv")  # v1
+    t._require_no_pending_deletes("x", 0)  # clean at v0
+    with pytest.raises(ValueError, match="deletion vectors"):
+        t._require_no_pending_deletes("x", 1)
+    t.optimize()  # v2 folds
+    # CoW delete vs racing DV commit: the racer's vector lands inside
+    # the CoW delete's publish window; serial execution would apply
+    # the CoW rewrite to a vectored table (resurrecting k=5), so the
+    # rebase must refuse, the table must still honor the vector, and
+    # a re-run must succeed
+    racer = TxTable(
+        spark, p,
+        log_store=InjectOnce(
+            t.log_store,
+            lambda: TxTable(spark, p).delete_where("k = 5", mode="dv"),
+        ),
+    )
+    with pytest.raises(ValueError, match="delete-dv"):
+        racer.delete_where("k = 7")  # CoW
+    assert sorted(r.k for r in t.read().collect()) == [
+        k for k in range(10) if k not in (0, 5)
+    ]
+    t2 = TxTable(spark, p)
+    with pytest.raises(ValueError, match="deletion vectors"):
+        t2.delete_where("k = 7")  # still dv-dirty: guard refuses
+    t2.optimize()
+    t2.delete_where("k = 7")  # clean re-run succeeds
+    assert sorted(r.k for r in t2.read().collect()) == [
+        k for k in range(10) if k not in (0, 5, 7)
+    ]
