@@ -3867,19 +3867,32 @@ def _cdf_batches(part: "_TxCdfPartition", row_schema: T.StructType):
     pre, post = _read_table(part.pre), _read_table(part.post)
     key = part.key
 
-    def _key_map(tbl, side: str) -> dict:
-        ks = tbl.column(key).to_pylist()
-        m = {k: i for i, k in enumerate(ks)}
-        if len(m) != len(ks):
-            raise ValueError(
-                f"change feed: duplicate {key!r} values on the {side} "
-                f"side of commit {part.version} — the keyed diff "
-                "requires the merge-key uniqueness contract"
-            )
-        return m
+    def _key_map(tbl, side: str) -> tuple[dict, list[int]]:
+        # NULL keys never match a SQL equi-join, so the batch feed
+        # emits a null-key pre row as `delete` and a post row as
+        # `insert` unconditionally — mirror that exactly instead of
+        # letting a Python dict match None == None (and instead of
+        # tripping the duplicate-key refusal on several nulls)
+        m: dict = {}
+        nulls: list[int] = []
+        for i, k in enumerate(tbl.column(key).to_pylist()):
+            if k is None:
+                nulls.append(i)
+            elif k in m:
+                raise ValueError(
+                    f"change feed: duplicate {key!r} values on the "
+                    f"{side} side of commit {part.version} — the "
+                    "keyed diff requires the merge-key uniqueness "
+                    "contract"
+                )
+            else:
+                m[k] = i
+        return m, nulls
 
-    pre_m = _key_map(pre, "pre") if pre is not None else {}
-    post_m = _key_map(post, "post") if post is not None else {}
+    pre_m, pre_nulls = _key_map(pre, "pre") if pre is not None else ({}, [])
+    post_m, post_nulls = (
+        _key_map(post, "post") if post is not None else ({}, [])
+    )
     ins = sorted(k for k in post_m if k not in pre_m)
     dels = sorted(k for k in pre_m if k not in post_m)
     both = sorted(k for k in pre_m if k in post_m)
@@ -3917,8 +3930,8 @@ def _cdf_batches(part: "_TxCdfPartition", row_schema: T.StructType):
                 changed_pre.append(pre_m[k])
                 changed_post.append(post_m[k])
     for tbl, idx, op in (
-        (post, [post_m[k] for k in ins], "insert"),
-        (pre, [pre_m[k] for k in dels], "delete"),
+        (post, [post_m[k] for k in ins] + post_nulls, "insert"),
+        (pre, [pre_m[k] for k in dels] + pre_nulls, "delete"),
         (pre, changed_pre, "update_preimage"),
         (post, changed_post, "update_postimage"),
     ):

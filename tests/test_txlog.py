@@ -3753,8 +3753,12 @@ def test_stream_change_feed_equals_batch_recompute(spark, tmp_path):
     a copy-on-write keyed update, DV deletes (newly-marked positions
     only), and a DV update's positional pre/post pairs."""
     p = str(tmp_path / "t")
+    # a NULL-key row rides along: a SQL equi-join never matches NULL,
+    # so every CoW rewrite re-emits it as a delete+insert pair in the
+    # batch feed — the stream must mirror that exactly (and must not
+    # let a Python dict match None == None)
     df = spark.createDataFrame(
-        [(i, f"v{i}", float(i)) for i in range(10)],
+        [(i, f"v{i}", float(i)) for i in range(10)] + [(None, "nk", 0.0)],
         "k long, v string, x double",
     )
     t = TxTable.create(spark, p, df.coalesce(1))                  # v0
@@ -3763,10 +3767,14 @@ def test_stream_change_feed_equals_batch_recompute(spark, tmp_path):
     t.delete_where("k % 5 = 1", mode="dv")                        # v3
     t.update_where("k = 3", {"x": "-x"}, mode="dv")               # v4
     batch = sorted(
-        (r.k, r.v, r.x, r._change_op, r._change_version)
-        for r in t.read_changes("k", 0, 4).collect()
+        (
+            (r.k, r.v, r.x, r._change_op, r._change_version)
+            for r in t.read_changes("k", 0, 4).collect()
+        ),
+        key=repr,
     )
-    got = sorted(_cdf_drain_driver_side(spark, p, 0, 4, key="k"))
+    assert (None, "nk", 0.0, "delete", 2) in batch  # the join contract
+    got = sorted(_cdf_drain_driver_side(spark, p, 0, 4, key="k"), key=repr)
     assert got == batch
     # stacked DV deletes: each commit's delta is ONLY its newly
     # marked rows — never re-emits
