@@ -89,7 +89,29 @@ _DV_PROTOCOL = 2
 # stamp 3 when they actually stack (a file they touch already carries
 # a vector), so single-shot DV tables stay revision-2 readable.
 _DV_STACK_PROTOCOL = 3
-_READER_PROTOCOL = 3
+# Revision 4: checkpoints that consolidate LIVE EQUALITY-DELETE state
+# (r13) — the record carries each live data file's true add version
+# plus the live delete files with their versions and keys, so the
+# version-scoped anti-join replays exactly from the consolidated seed.
+# A reader below this revision would seed the delete list empty and
+# resurrect logically-erased rows, hence the checkpoint-side protocol
+# stamp (and the .checkpoint.v3 filename below, which pre-r13 engines
+# never even discover).
+_EQ_CHECKPOINT_PROTOCOL = 4
+_READER_PROTOCOL = 4
+
+# Checkpoints whose replay needs protocol >= 3 (any consolidated DV or
+# equality-delete state) publish under this SUFFIX instead of
+# ".checkpoint.json": engines older than r13 list the log dir with
+# eager int() parses and either mis-replay (pre-r12: no checkpoint
+# protocol guard at all — they would seed DV state empty and silently
+# resurrect deleted rows; r12 advisor, medium) or at best refuse.
+# A name that matches NEITHER of their patterns (*.json /
+# *.checkpoint.json) is simply invisible to them, so they fall back to
+# the newest plain checkpoint below it or to genesis replay — slow but
+# exact. Deliberately NOT "*.json": old _versions() int-parses every
+# .json that isn't *.checkpoint.json and would crash on the name.
+_CK_V3_SUFFIX = ".checkpoint.v3"
 
 
 class _TxnAlreadyCommitted(Exception):
@@ -870,18 +892,31 @@ class TxTable:
         delete file at version v erases matching keys ONLY from data
         files added at versions < v (a later merge's own adds carry
         the fresh rows for the same keys). Files consolidated into a
-        checkpoint count as added_at = the checkpoint version: every
-        live delete is strictly newer (checkpoint() refuses while
-        deletes are pending), so the scoping stays exact."""
+        checkpoint WITHOUT pending deletes count as added_at = the
+        checkpoint version: every later delete is strictly newer, so
+        the scoping stays exact. A checkpoint that consolidated LIVE
+        equality deletes (r13, protocol 4) instead carries each file's
+        TRUE add version under ``eq.added_at`` plus the live delete
+        files under ``eq.deletes`` — both seed here, so the replay is
+        byte-identical to the genesis walk."""
         if version is None:
             version = self.latest_version()
         entries: list[tuple[str, dict, int]] = []
         deletes: list[tuple[str, int, str]] = []
         start = 0
-        ck = self._latest_checkpoint(version)
+        ck = self._latest_checkpoint_raw(version)
         if ck is not None:
-            ck_version, ck_entries = ck
-            entries = [(f, s, ck_version) for f, s in ck_entries]
+            ck_version, data = ck
+            eq = data.get("eq") or {}
+            added_at = eq.get("added_at") or {}
+            entries = [
+                (e["file"], e.get("stats", {}),
+                 added_at.get(e["file"], ck_version))
+                for e in data["live"]
+            ]
+            deletes = [
+                (f, int(dv), k) for f, dv, k in (eq.get("deletes") or [])
+            ]
             start = ck_version + 1
         for v in self._versions():
             if v < start:
@@ -980,17 +1015,28 @@ class TxTable:
             )
 
     def _latest_checkpoint_raw(self, version: int) -> tuple[int, dict] | None:
-        cks = sorted(
-            int(f[: -len(".checkpoint.json")])
-            for f in self.log_store.list_log(self.log_dir)
-            if f.endswith(".checkpoint.json")
-        )
-        usable = [v for v in cks if v <= version]
+        # Two checkpoint generations share the log dir: plain
+        # ".checkpoint.json" (protocol-1 content, readable by every
+        # engine revision) and ".checkpoint.v3" (consolidated DV /
+        # equality-delete state — see _CK_V3_SUFFIX for why the name
+        # is invisible to pre-r13 listers). Newest version wins; on a
+        # same-version tie the v3 record wins (it is derived from the
+        # same immutable log prefix plus the pending-delete state the
+        # plain record could not carry).
+        cks: dict[int, str] = {}
+        for f in self.log_store.list_log(self.log_dir):
+            if f.endswith(".checkpoint.json"):
+                v = int(f[: -len(".checkpoint.json")])
+                cks.setdefault(v, f)
+            elif f.endswith(_CK_V3_SUFFIX):
+                v = int(f[: -len(_CK_V3_SUFFIX)])
+                cks[v] = f
+        usable = [v for v in sorted(cks) if v <= version]
         if not usable:
             return None
         v = usable[-1]
         data = self.log_store.read_json(
-            os.path.join(self.log_dir, f"{v:08d}.checkpoint.json")
+            os.path.join(self.log_dir, cks[v])
         )
         # checkpoint-side protocol guard (r12): a dv-carrying
         # checkpoint replayed by an engine that doesn't understand
@@ -1031,34 +1077,51 @@ class TxTable:
         part stacks plus the MINIMUM protocol revision able to replay
         them, and :meth:`_latest_checkpoint_raw` refuses
         newer-protocol checkpoints the way :meth:`_read_action` does
-        for commits (engines older than this revision refused to
-        WRITE dv checkpoints but did not validate one on read — the
-        bootstrapping limitation of adding the field late; from this
-        revision on, readers are protocol-guarded). Pending EQUALITY
-        deletes still refuse: their anti-join scopes by the add
-        version of every data file, which consolidation collapses to
-        the checkpoint version — the scoping would go wrong, not just
-        unbounded."""
+        for commits. Every protocol>=3 checkpoint publishes under the
+        ``.checkpoint.v3`` name (see ``_CK_V3_SUFFIX``): engines
+        written before the checkpoint protocol guard existed would
+        replay a dv-carrying ``.checkpoint.json`` with the DV state
+        silently seeded EMPTY — resurrecting deleted rows (r12
+        advisor, medium). A name they never discover degrades them to
+        genesis replay instead: slow but exact.
+
+        Pending EQUALITY deletes consolidate too (r13 — previously a
+        refusal, which left eq-delete-heavy tables replaying O(all
+        commits) until an optimize happened): the record carries each
+        live data file's TRUE add version (``eq.added_at``) plus the
+        live delete files with their versions and keys
+        (``eq.deletes``), so the version-scoped anti-join —
+        "a delete at version d erases keys only from data files added
+        before d" — replays from the consolidated seed exactly as it
+        would from genesis. Stamped ``_EQ_CHECKPOINT_PROTOCOL``; an
+        older engine (which would seed the delete list empty) refuses
+        on the protocol field — and pre-r13 engines never discover the
+        file at all."""
         v = self.latest_version()
-        _, deletes = self._snapshot_mor(v)
-        if deletes:
-            raise ValueError(
-                "checkpoint requires a table without pending "
-                f"merge-on-read delete files ({len(deletes)} live) — "
-                "run optimize() to fold them first (their version "
-                "scoping cannot ride a consolidated file list)"
-            )
+        entries_mor, deletes = self._snapshot_mor(v)
         entries = self._snapshot_entries(v)
         dv = self._snapshot_dv(v)
         dv_extra: dict = {}
         if dv:
+            # every dv-carrying checkpoint needs the stack-replay
+            # protocol: the checkpoint dv FIELD itself postdates
+            # protocol 2, so stamping unstacked vectors 2 would let a
+            # dv-commit-aware but checkpoint-dv-unaware engine seed
+            # empty (r12 advisor, medium) — 3 is the minimum revision
+            # that understands checkpoint-consolidated vectors at all
             dv_extra = {
                 "dv": {f: list(ps) for f, ps in sorted(dv.items())},
-                "protocol": (
-                    _DV_STACK_PROTOCOL
-                    if any(len(ps) > 1 for ps in dv.values())
-                    else _DV_PROTOCOL
-                ),
+                "protocol": _DV_STACK_PROTOCOL,
+            }
+        if deletes:
+            added_at = {f: at for f, _, at in entries_mor}
+            dv_extra = {
+                **dv_extra,
+                "eq": {
+                    "added_at": added_at,
+                    "deletes": [[f, dv_, k] for f, dv_, k in deletes],
+                },
+                "protocol": _EQ_CHECKPOINT_PROTOCOL,
             }
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
@@ -1086,9 +1149,14 @@ class TxTable:
                 },
                 fh,
             )
+        name = (
+            f"{v:08d}{_CK_V3_SUFFIX}"
+            if dv_extra
+            else f"{v:08d}.checkpoint.json"
+        )
         try:
             self.log_store.publish_exclusive(
-                tmp, os.path.join(self.log_dir, f"{v:08d}.checkpoint.json")
+                tmp, os.path.join(self.log_dir, name)
             )
         except FileExistsError:
             pass  # same-version checkpoints are content-identical

@@ -1968,15 +1968,12 @@ def test_txlog_random_ops_match_model(spark, tmp_path):
                 dirty = False     # the fold resolves pending deletes
                 dv_dirty = False  # ...and folds deletion vectors
             elif op == "checkpoint":
-                if dirty:
-                    # equality deletes still refuse (their version
-                    # scoping cannot ride a consolidated file list)
-                    with _pytest.raises(ValueError, match="optimize"):
-                        t.checkpoint()
-                else:
-                    # r12: live DV state CONSOLIDATES into the
-                    # checkpoint instead of refusing
-                    t.checkpoint()
+                # r12: live DV state CONSOLIDATES into the checkpoint;
+                # r13: live EQUALITY deletes consolidate too (the
+                # record carries version-scoped eq state) — checkpoint
+                # never refuses, and every read below replays from
+                # whatever consolidated seed it lands on
+                t.checkpoint()
                 continue  # checkpoint burns no version
             else:
                 target = rng.randrange(len(model_hist))
@@ -4036,8 +4033,8 @@ def test_checkpoint_consolidates_dv_state(spark, tmp_path):
     Replay seeds from the consolidated stacks (reads exact, vacuum
     spares the parts), later commits extend them, time travel below
     the checkpoint still replays from genesis, and a dv-carrying
-    checkpoint is protocol-guarded on read. Equality deletes still
-    refuse (their version scoping cannot ride a consolidated list)."""
+    checkpoint is protocol-guarded on read AND published under the
+    pre-r13-invisible .checkpoint.v3 name."""
     import data_analyse_marche_emploi_spark.sources.txlog as TX
 
     p = str(tmp_path / "t")
@@ -4053,7 +4050,15 @@ def test_checkpoint_consolidates_dv_state(spark, tmp_path):
     assert ck_v == 3
     ck = t._latest_checkpoint_raw(ck_v)
     assert ck is not None and ck[1].get("dv"), "dv state not consolidated"
-    assert ck[1]["protocol"] == 3  # stacked vectors need stack replay
+    assert ck[1]["protocol"] == 3  # checkpoint-dv replay needs >= 3
+    # r13 (r12 advisor, medium): dv-carrying checkpoints publish under
+    # the .checkpoint.v3 name pre-r13 listers never discover — a
+    # pre-guard engine degrades to genesis replay instead of silently
+    # seeding DV state empty and resurrecting deleted rows
+    assert f"{ck_v:08d}.checkpoint.v3" in t.log_store.list_log(t.log_dir)
+    assert (
+        f"{ck_v:08d}.checkpoint.json" not in t.log_store.list_log(t.log_dir)
+    )
     # a FRESH handle replays from the checkpoint seed only
     t2 = TxTable(spark, p)
     stacks = t2._snapshot_dv()
@@ -4079,12 +4084,86 @@ def test_checkpoint_consolidates_dv_state(spark, tmp_path):
             TxTable(spark, p).read()
     finally:
         TX._READER_PROTOCOL = orig
-    # equality deletes still refuse the checkpoint
-    p2 = str(tmp_path / "t2")
-    t3 = TxTable.create(spark, p2, _df(spark, [(1, "a"), (2, "b")]))
-    t3.delete_where(F.col("k") == 1, mode="mor", key="k")
-    with pytest.raises(ValueError, match="merge-on-read"):
-        t3.checkpoint()
+    # r13: equality deletes consolidate too (see
+    # test_checkpoint_consolidates_eq_delete_state)
+
+
+def test_checkpoint_consolidates_eq_delete_state(spark, tmp_path):
+    """r13 (r12 verdict ask #3): a checkpoint over LIVE equality
+    deletes consolidates their VERSION-SCOPED state instead of
+    refusing — previously an eq-delete-heavy table replayed O(all
+    commits) forever unless an optimize happened. The record carries
+    each live file's TRUE add version plus the live delete files
+    (version + key), so replay from the seed equals the genesis walk:
+    a consolidated delete still erases keys only from data files
+    added BEFORE it (the case collapsing added_at to the checkpoint
+    version would get wrong), and a post-checkpoint MoR merge's
+    re-add survives its own delete. Publishes as .checkpoint.v3 with
+    the eq protocol; an older engine refuses on the protocol field."""
+    import data_analyse_marche_emploi_spark.sources.txlog as TX
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, p, _df(spark, [(k, f"s{k}") for k in range(8)])
+    )
+    # v1: MoR merge — its delete file (scoped < 1) erases k=2 from the
+    # v0 file only; its own add carries the fresh "m2" row
+    t.merge_upsert(_df(spark, [(2, "m2"), (50, "m50")]), "k", mode="mor")
+    t.delete_where(F.col("k") == 3, mode="mor", key="k")  # v2
+    expect = sorted((r.k, r.v) for r in t.read().collect())
+    assert (2, "m2") in expect and all(k != 3 for k, _ in expect)
+    ck = t.checkpoint()
+    raw = t._latest_checkpoint_raw(ck)
+    assert raw is not None
+    assert raw[1]["protocol"] == TX._EQ_CHECKPOINT_PROTOCOL
+    assert raw[1]["eq"]["deletes"] and raw[1]["eq"]["added_at"]
+    assert f"{ck:08d}.checkpoint.v3" in t.log_store.list_log(t.log_dir)
+
+    # a store that refuses pre-checkpoint action reads proves the
+    # replay is REALLY bounded, not just correct
+    inner = t.log_store
+
+    class NoGenesisReads(LogStore):
+        def list_log(self, d):
+            return inner.list_log(d)
+
+        def publish_exclusive(self, tmp, final):
+            inner.publish_exclusive(tmp, final)
+
+        def read_json(self, path):
+            name = os.path.basename(path)
+            if "checkpoint" not in name and int(name[:8]) < ck:
+                raise AssertionError(
+                    f"pre-checkpoint action {name} was read — eq "
+                    "replay is not consolidated"
+                )
+            return inner.read_json(path)
+
+    g = TxTable(spark, p, log_store=NoGenesisReads())
+    assert sorted((r.k, r.v) for r in g.read().collect()) == expect
+    # post-checkpoint MoR merge: its delete (scoped < its version)
+    # erases the consolidated k=2 rows, its re-add survives
+    g.merge_upsert(_df(spark, [(2, "fresh2")]), "k", mode="mor")
+    after = {r.k: r.v for r in g.read().collect()}
+    assert after[2] == "fresh2"
+    # parity with a full genesis replay on an unguarded fresh handle
+    assert {r.k: r.v for r in TxTable(spark, p).read().collect()} == after
+    # protocol guard: an r12 engine (protocol 3) refuses the eq
+    # checkpoint instead of seeding the delete list empty
+    orig = TX._READER_PROTOCOL
+    TX._READER_PROTOCOL = 3
+    try:
+        with pytest.raises(ValueError, match="upgrade the engine"):
+            TxTable(spark, p).read()
+    finally:
+        TX._READER_PROTOCOL = orig
+    # optimize folds everything; the next checkpoint is plain again
+    t2 = TxTable(spark, p)
+    t2.optimize()
+    ck2 = t2.checkpoint()
+    raw2 = t2._latest_checkpoint_raw(ck2)
+    assert "eq" not in raw2[1] and "dv" not in raw2[1]
+    assert f"{ck2:08d}.checkpoint.json" in t2.log_store.list_log(t2.log_dir)
 
 
 def test_batch_change_feed_reader(spark, tmp_path):
