@@ -3515,6 +3515,37 @@ def test_dv_parts_per_file_and_incremental_stacking(spark, tmp_path):
         assert len(rows["pos"]) == 2  # k%5==1 hits 2 of 10 per file
 
 
+def test_dv_write_coalesces_maxRecordsPerFile_splits(spark, tmp_path):
+    """r12 advisor (low): spark.sql.files.maxRecordsPerFile splits one
+    task's staged output into several files, so the 'one parquet per
+    partition dir' assumption is config-dependent — the DV writer must
+    coalesce the split into the file's single commit part instead of
+    failing every large delete under that config."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k long, v string"
+    )
+    t = TxTable.create(spark, p, df.coalesce(1))
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "10")
+    try:
+        # 50 deleted positions on one file, staged at <=10 rows per
+        # parquet: five staged files must coalesce into one dv part
+        t.delete_where("k % 2 = 0", mode="dv",
+                       max_matched_fraction=1.0)
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    m = t._read_action(t.latest_version())["dv"]
+    assert len(m) == 1, "one commit part per touched file"
+    import pyarrow.parquet as pq
+
+    (part,) = m.values()
+    rows = pq.read_table(t.file_store.read_path(p, part)).to_pydict()
+    assert sorted(rows["pos"]) == [i for i in range(100) if i % 2 == 0]
+    assert sorted(r.k for r in t.read().collect()) == [
+        i for i in range(100) if i % 2 == 1
+    ]
+
+
 def test_dv_stacking_bumps_protocol_and_old_reader_refuses(
     spark, tmp_path
 ):
@@ -4023,6 +4054,231 @@ def test_format_read_pushes_rowgroup_filters(spark, tmp_path, monkeypatch):
         for k in b.column("k").to_pylist()
     ]
     assert got3 == [8]
+
+
+def test_format_range_filter_prunes_files_and_pushes(
+    spark, tmp_path, monkeypatch
+):
+    """r12 verdict ask #4: the rangeFilter option prunes files at PLAN
+    time through the logged [min, max] stats (non-matching files never
+    opened — IO-asserted), pushes the predicates to pq.read_table for
+    within-file skipping, and re-applies them Arrow-side so the result
+    is exact; null values never match; malformed shapes refuse."""
+    import pyarrow.parquet as pq
+
+    import data_analyse_marche_emploi_spark.sources.txlog as TX
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)] + [(None, "nk")],
+        "k long, v string",
+    )
+    t = TxTable.create(spark, p, df.repartitionByRange(4, "k"))
+    assert len(t.snapshot_files()) == 4
+    schema = t.read().schema
+
+    opened: list = []
+    pushed: list = []
+    orig = pq.read_table
+
+    def spy(path, *a, filters=None, **kw):
+        opened.append(os.path.basename(str(path)))
+        pushed.append(filters)
+        return orig(path, *a, filters=filters, **kw)
+
+    monkeypatch.setattr(pq, "read_table", spy)
+    opts = {"path": p, "rangefilter": '{"k": {">=": 80, "<": 95}}'}
+    rdr = TX.TxLogBatchReader(schema, opts)
+    parts = rdr.partitions()
+    assert len(parts) == 1, "3 of 4 files should prune on min/max stats"
+    got = sorted(
+        k
+        for part in parts
+        for b in rdr.read(part)
+        for k in b.column("k").to_pylist()
+    )
+    assert got == list(range(80, 95))
+    assert len(set(opened)) == 1, "pruned files must never be opened"
+    assert [("k", ">=", 80), ("k", "<", 95)] in pushed, pushed
+    # combined with eqFilter both predicates apply
+    rdr2 = TX.TxLogBatchReader(
+        schema,
+        {"path": p, "rangefilter": '{"k": {">=": 80}}',
+         "eqfilter": '{"v": "v90"}'},
+    )
+    got2 = [
+        (b.column("k").to_pylist(), b.column("v").to_pylist())
+        for part in rdr2.partitions()
+        for b in rdr2.read(part)
+        if b.num_rows
+    ]
+    assert got2 == [([90], ["v90"])]
+    # malformed shapes refuse at plan time
+    for bad in ('{"k": {"!=": 3}}', '{"k": 5}', '[1]', '{"k": {">=": null}}'):
+        with pytest.raises((ValueError, TypeError)):
+            TX.TxLogBatchReader(schema, {"path": p, "rangefilter": bad})
+    # refused in CDF mode (the feed is a commit-range read)
+    with pytest.raises(ValueError, match="cannot combine"):
+        TX.TxLogBatchReader(
+            schema,
+            {"path": p, "readchangefeed": "true", "startingversion": "0",
+             "rangefilter": '{"k": {">=": 1}}'},
+        )
+
+
+@posix_only
+def test_format_range_filter_end_to_end(spark, tmp_path):
+    """spark.read.format('txlog').option('rangeFilter', ...) through
+    the real engine equals the plain filtered read."""
+    from data_analyse_marche_emploi_spark.sources.txlog import (
+        register_txlog_source,
+    )
+
+    register_txlog_source(spark)
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i * 2.5) for i in range(1000)], "k long, x double"
+    )
+    TxTable.create(spark, p, df.repartitionByRange(8, "k"))
+    got = (
+        spark.read.format("txlog")
+        .option("path", p)
+        .option("rangeFilter", '{"k": {">=": 100, "<=": 219}, '
+                               '"x": {">": 300.0}}')
+        .load()
+        .orderBy("k")
+        .collect()
+    )
+    want = sorted(
+        (r.k, r.x)
+        for r in df.filter("k >= 100 and k <= 219 and x > 300.0").collect()
+    )
+    assert [(r.k, r.x) for r in got] == want
+
+
+def test_stream_cow_diff_distributes_across_key_buckets(spark, tmp_path):
+    """r12 verdict ask #1: a multi-file CoW commit's keyed diff no
+    longer rides ONE partition — the planner splits it into key-range
+    buckets from the logged [min, max] stats (one slice of the key
+    space per partition, each reading only the overlapping files),
+    null keys ride a dedicated specials slice, and the drain equals
+    the batch read_changes recompute row-for-row."""
+    import data_analyse_marche_emploi_spark.sources.txlog as TX
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", float(i)) for i in range(200)]
+        + [(None, "nk", 0.0)],
+        "k long, v string, x double",
+    )
+    t = TxTable.create(spark, p, df.repartitionByRange(4, "k"))
+    assert len(t.snapshot_files()) == 4
+    t.update_where("k % 10 = 3", {"v": "'X'"})  # v1: wide CoW commit
+    opts = {"path": p, "readchangefeed": "true", "changefeedkey": "k"}
+    schema = TX.TxLogDataSource(opts).schema()
+    rdr = TX.TxLogStreamReader(schema, opts)
+    parts = rdr._cdf_partitions(TxTable(None, p), 0, 1)
+    cow = [q for q in parts if q.kind == "cow"]
+    assert len(cow) > 1, "the CoW diff funneled through one partition"
+    assert sum(1 for q in cow if q.nulls_only) == 1
+    assert all(q.bucket is not None or q.nulls_only for q in cow)
+    # value buckets partition the key space: ranges are disjoint and
+    # cover every key the commit touched
+    ranges = sorted(q.bucket for q in cow if q.bucket is not None)
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 is not None and hi1 <= lo2
+    assert ranges[-1][1] is None
+    got = sorted(_cdf_drain_driver_side(spark, p, 0, 1, key="k"), key=repr)
+    want = sorted(
+        (
+            (r.k, r.v, r.x, r._change_op, r._change_version)
+            for r in t.read_changes("k", 0, 1).collect()
+        ),
+        key=repr,
+    )
+    assert got == want
+    # the null-key row re-emits as delete+insert (SQL join semantics)
+    assert (None, "nk", 0.0, "delete", 1) in got
+    assert (None, "nk", 0.0, "insert", 1) in got
+
+
+def test_stream_cow_diff_nan_keys_match_batch_feed(spark, tmp_path):
+    """r12 advisor (low): float NaN change-feed keys follow the batch
+    feed's xxhash64 semantics (NaN == NaN): an UNCHANGED NaN-keyed row
+    emits nothing (previously a spurious delete+insert pair), a
+    CHANGED one emits an update pair, and two NaN keys on one side
+    trip the uniqueness refusal instead of bypassing it."""
+    p = str(tmp_path / "t")
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "b"), (nan, "n")], "k double, v string"
+    )
+    t = TxTable.create(spark, p, df.coalesce(1))
+    t.update_where("k = 2.0", {"v": "'B'"})  # v1 CoW; NaN row unchanged
+    want = sorted(
+        (
+            (r.k, r.v, r._change_op)
+            for r in t.read_changes("k", 0, 1).collect()
+        ),
+        key=repr,
+    )
+    got = sorted(
+        ((r[0], r[1], r[2])
+         for r in _cdf_drain_driver_side(spark, p, 0, 1, key="k")),
+        key=repr,
+    )
+    assert got == want
+    import math
+
+    assert not any(
+        isinstance(k, float) and math.isnan(k) for k, _, _ in got
+    ), "unchanged NaN-keyed row must not re-emit"
+    # a CHANGED NaN-keyed row emits the update pair, like the batch feed
+    t.update_where("v = 'n'", {"v": "'N'"})  # v2 rewrites the NaN row
+    got2 = sorted(
+        (r[1], r[2])
+        for r in _cdf_drain_driver_side(spark, p, 1, 2, key="k")
+        if isinstance(r[0], float) and math.isnan(r[0])
+    )
+    assert got2 == [("N", "update_postimage"), ("n", "update_preimage")]
+    # duplicate NaN keys on one side refuse at PLANNING
+    p2 = str(tmp_path / "t2")
+    t2 = TxTable.create(
+        spark, p2,
+        spark.createDataFrame(
+            [(nan, "x"), (nan, "y"), (1.0, "z")], "k double, v string"
+        ).coalesce(1),
+    )
+    t2.update_where("v = 'z'", {"v": "'Z'"})
+    with pytest.raises(ValueError, match="duplicate 'k'"):
+        _cdf_drain_driver_side(spark, p2, 0, 1, key="k")
+
+
+def test_cdf_key_validates_at_plan_time(spark, tmp_path):
+    """r12 verdict ask #6 + advisor: a typo'd changeFeedKey refuses at
+    READER CONSTRUCTION naming the schema (not a task-side KeyError),
+    and a non-unique key refuses at PLANNING with the contract message
+    before any micro-batch runs."""
+    import data_analyse_marche_emploi_spark.sources.txlog as TX
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, p,
+        _wide(spark, [(i, "dup", float(i)) for i in range(6)]),
+    )
+    t.update_where("k = 1", {"x": "-x"})  # v1 CoW
+    opts = {"path": p, "readchangefeed": "true", "changefeedkey": "nope"}
+    schema = TX.TxLogDataSource(opts).schema()
+    with pytest.raises(ValueError, match="names no column"):
+        TX.TxLogStreamReader(schema, opts)
+    with pytest.raises(ValueError, match="names no column"):
+        TX.TxLogBatchReader(schema, {**opts, "startingversion": "0"})
+    # non-unique key ('v' is constant): the refusal comes from
+    # partitions() — planning — not from read()
+    good = {"path": p, "readchangefeed": "true", "changefeedkey": "v"}
+    rdr = TX.TxLogStreamReader(TX.TxLogDataSource(good).schema(), good)
+    with pytest.raises(ValueError, match="refused at planning"):
+        rdr._cdf_partitions(TxTable(None, p), 0, 1)
 
 
 def test_checkpoint_consolidates_dv_state(spark, tmp_path):
