@@ -3193,9 +3193,42 @@ class TxTable:
         self._commit(cur + 1, target, live, "restore", stats=stats)
         return cur + 1
 
+    def registered_streams(self) -> dict[str, int]:
+        """Committed low-water mark per REGISTERED stream — the
+        ``_txlog/_streams/<id>.json`` side-log written by
+        ``readStream.format("txlog").option("streamId", ...)`` after
+        every committed micro-batch. A mark of v means the stream has
+        durably consumed every commit <= v and will next read (v,
+        head]. Unparseable records are skipped (a torn write can only
+        make vacuum's guard more conservative, never less)."""
+        d = os.path.join(self.log_dir, "_streams")
+        out: dict[str, int] = {}
+        if not os.path.isdir(d):
+            return out
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".json") or f.startswith(".tmp-"):
+                continue
+            try:
+                with open(os.path.join(d, f)) as fh:
+                    out[f[: -len(".json")]] = int(json.load(fh)["version"])
+            except (OSError, ValueError, KeyError):
+                continue
+        return out
+
+    def unregister_stream(self, stream_id: str) -> bool:
+        """Retire a stream registration (an abandoned consumer would
+        otherwise guard vacuum forever). True if a record existed."""
+        f = os.path.join(self.log_dir, "_streams", f"{stream_id}.json")
+        try:
+            os.remove(f)
+            return True
+        except FileNotFoundError:
+            return False
+
     def vacuum(self, keep_versions: int = 1,
                min_age_seconds: float = 0.0,
-               dry_run: bool = False) -> list[str]:
+               dry_run: bool = False,
+               force: bool = False) -> list[str]:
         """Physically delete files no snapshot among the newest
         ``keep_versions`` references. THE destructive step, kept
         separate from logical removes exactly so readers of retained
@@ -3214,14 +3247,21 @@ class TxTable:
         7-day retention check). 0 keeps the historical eager behavior
         for single-writer maintenance windows.
 
-        STREAMING-READER caveat (the same one Delta documents for its
-        retention window): a lagging stream — plain or
+        STREAMING-READER protection: a lagging stream — plain or
         ``readChangeFeed`` — resolves files of OLD versions from its
         checkpointed offset, and ``keep_versions`` only protects the
-        newest snapshots; vacuuming history a stream has not yet
-        drained breaks that stream's next batch (loudly — the files
-        are gone, never silently wrong). Keep the retention window
-        above the slowest consumer's lag."""
+        newest snapshots. Streams REGISTERED via the ``streamId`` read
+        option record their committed low-water mark in the
+        ``_streams/`` side-log (r12 verdict ask #5), and vacuum
+        REFUSES (dry run included — the sanity check must surface the
+        refusal, not hide it) when the would-be victims include any
+        file a registered stream's unconsumed suffix references
+        (adds, CDF pre-images, deletion-vector and delete-key parts).
+        ``force=True`` overrides; ``unregister_stream`` retires an
+        abandoned consumer. UNregistered streams keep the documented
+        Delta-style caveat: keep the retention window above the
+        slowest consumer's lag — a stranded stream fails loudly (the
+        files are gone), never silently wrong."""
         vs = self._versions()
         keep = vs[-keep_versions:]
         referenced: set[str] = set()
@@ -3244,9 +3284,38 @@ class TxTable:
                 and self.file_store.mtime(self.path, f) > cutoff
             ):
                 continue  # possibly an in-flight writer's part
-            if not dry_run:
-                self.file_store.delete(self.path, f)
             removed.append(f)
+        if removed and not force:
+            streams = self.registered_streams()
+            for sid, lw in sorted(streams.items()):
+                # everything the stream's next batches could plan:
+                # conservative union across plain and CDF readers —
+                # adds, removed pre-images, vector parts (current and
+                # pre-r12 cumulative), equality-delete key files
+                needed: set[str] = set()
+                for v in vs:
+                    if v <= lw:
+                        continue
+                    act = self._read_action(v)
+                    needed.update(act["adds"])
+                    needed.update(act["removes"])
+                    needed.update(act.get("delete_adds") or [])
+                    needed.update((act.get("dv") or {}).values())
+                    needed.update((act.get("dv_prev") or {}).values())
+                stranded = needed.intersection(removed)
+                if stranded:
+                    raise ValueError(
+                        f"vacuum would strand registered stream "
+                        f"{sid!r} (committed through version {lw}; "
+                        f"{len(stranded)} file(s) its unconsumed "
+                        "suffix still references would be deleted). "
+                        "Let the stream catch up, raise "
+                        "keep_versions, unregister_stream() an "
+                        "abandoned consumer, or pass force=True"
+                    )
+        if not dry_run:
+            for f in removed:
+                self.file_store.delete(self.path, f)
         # Crashed DSv2 writer tasks can leave .wtmp- scratch files in
         # the table root (the task-local stage before store.put); they
         # are POSIX-protocol artifacts outside the store's part
@@ -4819,6 +4888,15 @@ class TxLogStreamReader(DataSourceStreamReader):
       so skipping it keeps the append stream exact w.r.t. inserts —
       nothing is re-emitted. Commits that REWRITE rows (removes AND
       adds) still require ``ignoreChanges``.
+    * ``streamId=<name>`` — REGISTER the stream with the table (r12
+      verdict ask #5): after every committed micro-batch the reader
+      records its low-water mark (the last consumed version) in the
+      ``_txlog/_streams/<name>.json`` side-log, and
+      :meth:`TxTable.vacuum` refuses to reclaim files a registered
+      stream's uncommitted suffix still references (``force=True``
+      overrides; ``TxTable.unregister_stream`` retires an abandoned
+      registration). Without the option the stream is unregistered
+      and the documented retention-window caveat applies unchanged.
     """
 
     def __init__(self, schema: T.StructType, options: dict):
@@ -4859,6 +4937,16 @@ class TxLogStreamReader(DataSourceStreamReader):
         self.max_versions = int(options.get("maxversionspertrigger", 0))
         if self.max_versions < 0:
             raise ValueError("maxVersionsPerTrigger must be >= 0")
+        sid = options.get("streamid")
+        if sid is not None:
+            import re as _re
+
+            if not _re.fullmatch(r"[A-Za-z0-9._-]{1,100}", sid):
+                raise ValueError(
+                    "streamId must match [A-Za-z0-9._-]{1,100}, got "
+                    f"{sid!r}"
+                )
+        self.stream_id = sid
         self._last_end: int | None = None
 
     def _table(self):
@@ -4894,6 +4982,11 @@ class TxLogStreamReader(DataSourceStreamReader):
         # so a pathological behind-head end offset cannot trick the
         # bound into replanning consumed versions)
         self._last_end = max(int(end["version"]), int(start["version"]))
+        # the start offset is what the engine has durably committed —
+        # safe to register as this stream's low-water mark even though
+        # the batch being planned hasn't run yet (see
+        # _record_stream_mark for why commit() alone is not enough)
+        self._record_stream_mark(int(start["version"]))
         t = self._table()
         if self.read_change_feed:
             return self._cdf_partitions(
@@ -4941,8 +5034,39 @@ class TxLogStreamReader(DataSourceStreamReader):
         # per-row Python round-trip on the stream path either
         yield from _arrow_scan_batches(partition.path, self.schema)
 
+    def _record_stream_mark(self, version: int) -> None:
+        """streamId registration (r12 verdict ask #5): record this
+        stream's committed low-water mark so vacuum can tell which
+        history a lagging consumer still needs. Max-merged (the mark
+        never regresses) and atomic (os.replace); an under-reported
+        mark only makes vacuum MORE conservative, never wrong.
+        POSIX-deployment scope, like the registered format itself
+        (the DSv2 path always runs on the default stores). Called
+        from BOTH partitions() — with the batch's START version, the
+        offset the engine has durably committed — and commit(): the
+        engine only calls commit() when a FOLLOWING batch commits,
+        so an availableNow single-batch drain would otherwise never
+        register at all."""
+        if self.stream_id is None:
+            return
+        d = os.path.join(self.path, _LOG_DIR, "_streams")
+        os.makedirs(d, exist_ok=True)
+        final = os.path.join(d, f"{self.stream_id}.json")
+        try:
+            with open(final) as fh:
+                if int(json.load(fh)["version"]) >= version:
+                    return
+        except (OSError, ValueError, KeyError):
+            pass
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"version": int(version), "updated_at": time.time()}, fh
+            )
+        os.replace(tmp, final)
+
     def commit(self, end: dict) -> None:
-        pass
+        self._record_stream_mark(int(end["version"]))
 
 
 def register_txlog_source(spark: SparkSession) -> None:

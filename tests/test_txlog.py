@@ -4281,6 +4281,106 @@ def test_cdf_key_validates_at_plan_time(spark, tmp_path):
         rdr._cdf_partitions(TxTable(None, p), 0, 1)
 
 
+@posix_only
+def test_vacuum_refuses_to_strand_registered_stream(spark, tmp_path):
+    """r12 verdict ask #5: a stream registered via the streamId option
+    records its committed low-water mark, and vacuum REFUSES (dry run
+    included) while its unconsumed suffix references would-be victims
+    — the lagging stream then resumes cleanly; once it catches up (or
+    is unregistered, or force=True) vacuum proceeds."""
+    import data_analyse_marche_emploi_spark.sources.txlog as TX
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a")]).coalesce(1))
+    t.append(_df(spark, [(2, "b")]).coalesce(1))  # v1
+    t.append(_df(spark, [(3, "c")]).coalesce(1))  # v2
+    schema = t.read().schema
+    opts = {"path": p, "ignorechanges": "true", "streamid": "s1"}
+    rdr = TX.TxLogStreamReader(schema, opts)
+    assert rdr.partitions({"version": -1}, {"version": 0})
+    rdr.commit({"version": 0})  # committed through v0 only
+    assert TxTable(spark, p).registered_streams() == {"s1": 0}
+    t.optimize(full=True)  # v3 rewrites everything
+    with pytest.raises(ValueError, match="strand registered stream 's1'"):
+        t.vacuum()
+    with pytest.raises(ValueError, match="strand"):
+        t.vacuum(dry_run=True)  # the sanity check surfaces the refusal
+    # the refused vacuum deleted nothing: the lagging stream resumes
+    # cleanly over (0, 3] (ignoreChanges re-emits the optimize's
+    # rewritten rows — the documented caveat of that option)
+    rdr2 = TX.TxLogStreamReader(schema, opts)
+    rows = sorted(
+        k
+        for part in rdr2.partitions({"version": 0}, {"version": 3})
+        for b in rdr2.read(part)
+        for k in b.column("k").to_pylist()
+    )
+    assert rows == [1, 2, 2, 3, 3]
+    rdr2.commit({"version": 3})  # caught up
+    assert t.vacuum(), "caught-up stream must not block vacuum"
+    assert sorted(r.k for r in TxTable(spark, p).read().collect()) == [
+        1, 2, 3
+    ]
+    # a second lagging registration guards again; force / unregister
+    # override it
+    rdr3 = TX.TxLogStreamReader(schema, {**opts, "streamid": "s2"})
+    rdr3.commit({"version": 0})
+    t.append(_df(spark, [(4, "d")]).coalesce(1))  # v4
+    t.optimize(full=True)                         # v5
+    TX.TxLogStreamReader(schema, opts).commit({"version": 5})  # s1 ahead
+    with pytest.raises(ValueError, match="'s2'"):
+        t.vacuum()
+    assert t.vacuum(dry_run=True, force=True), "force bypasses the guard"
+    assert t.unregister_stream("s2") is True
+    assert t.unregister_stream("s2") is False
+    assert t.vacuum()
+    # a malformed streamId refuses at construction
+    with pytest.raises(ValueError, match="streamId"):
+        TX.TxLogStreamReader(schema, {**opts, "streamid": "../evil"})
+
+
+@posix_only
+def test_stream_id_registration_end_to_end(spark, tmp_path):
+    """The registered format through the real engine: a streamId
+    drain records its low-water mark in the _streams side-log. The
+    engine only calls the source commit() hook when a FOLLOWING batch
+    commits, so a single availableNow drain registers the batch's
+    START offset (the durably-committed position — conservative,
+    never wrong) and a subsequent drain ADVANCES the mark to the
+    first drain's progress."""
+    from data_analyse_marche_emploi_spark.sources.txlog import (
+        register_txlog_source,
+    )
+
+    register_txlog_source(spark)
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, p, _df(spark, [(1, "a")]).coalesce(1))
+    t.append(_df(spark, [(2, "b")]).coalesce(1))  # v1
+
+    def drain():
+        q = (
+            spark.readStream.format("txlog")
+            .option("path", p)
+            .option("streamId", "consumer-1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    drain()
+    marks = TxTable(spark, p).registered_streams()
+    assert marks == {"consumer-1": -1}, marks  # registered from batch 1
+    t.append(_df(spark, [(3, "c")]).coalesce(1))  # v2
+    drain()  # restart: start offset = the first drain's progress (1)
+    marks = TxTable(spark, p).registered_streams()
+    assert marks == {"consumer-1": 1}, marks
+
+
 def test_checkpoint_consolidates_dv_state(spark, tmp_path):
     """r12: a long-lived MoR table can bound its log replay WITHOUT
     waiting for an optimize — checkpoint() consolidates live
