@@ -147,16 +147,41 @@ def save_records(times: dict[str, float], calib_jvm: float) -> None:
     """Merge this run into docs/BENCH_RECORDS.json: per-query MIN and
     calibration MIN. Min-merge is load-safe — a contaminated run can
     only fail to lower a record, never inflate one — so no load gate
-    is needed on the write."""
+    is needed on the write.
+
+    Each query record also carries the JVM CALIBRATION of the run
+    that set it (``queries_calib``; r12 advisor): one run on a faster
+    host permanently lowers raw records, and a guard scaling every
+    threshold by one GLOBAL calibration then misjudges records set on
+    other hosts — per-record calibration lets the rerun guard scale
+    each threshold by how much slower TODAY's host is than the host
+    that actually set THAT record. Legacy records (no stored calib)
+    inherit the file's global min calibration — the value the old
+    global factor implicitly compared them against."""
     rec = _load_records_file()
+    run_calib = calib_jvm
+    legacy = rec.get("calib_jvm_sec")
+    legacy = (
+        float(legacy)
+        if isinstance(legacy, (int, float)) and legacy > 0
+        else run_calib
+    )
     best = {
         q: float(t)
         for q, t in (rec.get("queries") or {}).items()
         if isinstance(t, (int, float)) and t > 0
     }
+    calibs = {
+        q: float(c)
+        for q, c in (rec.get("queries_calib") or {}).items()
+        if isinstance(c, (int, float)) and c > 0 and q in best
+    }
     for q, t in times.items():
-        if isinstance(t, (int, float)) and t > 0:
-            best[q] = min(best.get(q, float("inf")), float(t))
+        if not (isinstance(t, (int, float)) and t > 0):
+            continue
+        if q not in best or float(t) < best[q]:
+            best[q] = float(t)
+            calibs[q] = run_calib
     c = rec.get("calib_jvm_sec")
     if isinstance(c, (int, float)) and c > 0:
         calib_jvm = min(calib_jvm, float(c))
@@ -167,10 +192,17 @@ def save_records(times: dict[str, float], calib_jvm: float) -> None:
                     "_comment": (
                         "merged best-ever warm times (min across all "
                         "bench runs), written by bench.py save_records; "
-                        "the rerun-guard baseline prior_records() reads"
+                        "the rerun-guard baseline prior_records() reads. "
+                        "queries_calib = the calib_jvm_sec of the run "
+                        "that set each record (host-speed context for "
+                        "the per-record rerun threshold)"
                     ),
                     "calib_jvm_sec": round(calib_jvm, 3),
                     "queries": {q: round(t, 3) for q, t in sorted(best.items())},
+                    "queries_calib": {
+                        q: round(calibs.get(q, legacy), 3)
+                        for q in sorted(best)
+                    },
                 },
                 f,
                 indent=1,
@@ -179,6 +211,19 @@ def save_records(times: dict[str, float], calib_jvm: float) -> None:
             f.write("\n")
     except OSError:
         pass  # recording is best-effort; the bench line still prints
+
+
+def prior_record_calibs() -> dict[str, float]:
+    """Per-query calibration of the run that set each best-ever record
+    (see save_records). Queries absent here fall back to the GLOBAL
+    prior_calib() factor in the rerun guard."""
+    return {
+        q: float(c)
+        for q, c in (
+            _load_records_file().get("queries_calib") or {}
+        ).items()
+        if isinstance(c, (int, float)) and c > 0
+    }
 
 
 def prior_calib() -> float | None:
@@ -321,6 +366,18 @@ def main() -> None:
     # doesn't trigger a futile rerun of every query.
     pc = prior_calib()
     calib_factor = max(1.0, calib_jvm / pc) if pc else 1.0
+    # Per-record calibration (r12 advisor): a record set on a FASTER
+    # host gets a proportionally looser threshold on this host, and a
+    # record set HERE keeps a tight one — the one global factor did
+    # neither (records min-merge across hosts, the global calib is the
+    # fastest host's, so normal-host records were compared against a
+    # factor they didn't earn).
+    record_calibs = prior_record_calibs()
+
+    def factor_for(name: str) -> float:
+        rc = record_calibs.get(name)
+        return max(1.0, calib_jvm / rc) if rc else calib_factor
+
     times: dict[str, float] = {}
     cold_times: dict[str, float] = {}
     loadavgs: dict[str, float] = {}
@@ -345,10 +402,12 @@ def main() -> None:
         trail = [warm]
         for _ in range(2):
             over_record = (
-                name in prior and warm > 2 * calib_factor * prior[name]
+                name in prior
+                and warm > 2 * factor_for(name) * prior[name]
             )
             degraded_under_load = load > 8.0 and (
-                name not in prior or warm > calib_factor * prior[name]
+                name not in prior
+                or warm > factor_for(name) * prior[name]
             )
             if not over_record and not degraded_under_load:
                 break

@@ -62,8 +62,30 @@ def test_save_records_min_merges_and_prior_records_reads_it(
         rec = json.load(f)
     assert rec["queries"] == {"q_a": 1.5, "q_b": 1.0, "q_c": 0.7}
     assert rec["calib_jvm_sec"] == 0.5
+    # r12 advisor: each record carries the calibration of the run that
+    # SET it — q_a/q_c were set by the second (slower, 0.9) run, q_b
+    # by the first (0.5) — so the rerun guard can scale each threshold
+    # by the record's own host speed instead of one global factor
+    assert rec["queries_calib"] == {"q_a": 0.9, "q_b": 0.5, "q_c": 0.9}
+    assert bench.prior_record_calibs() == rec["queries_calib"]
     got = bench.prior_records()
     assert got["q_a"] == 1.5 and got["q_b"] == 1.0 and got["q_c"] == 0.7
     # the real BENCH_r*.json artifacts may hold an even lower calib;
     # the records-file value must participate in the min
     assert bench.prior_calib() <= 0.5
+
+
+def test_legacy_records_inherit_global_calib(tmp_path, monkeypatch):
+    """Records written before queries_calib existed inherit the file's
+    global min calibration — the value the old global rerun factor
+    implicitly compared them against — instead of being dropped or
+    treated as set on today's host."""
+    path = str(tmp_path / "records.json")
+    monkeypatch.setattr(bench, "RECORDS_PATH", path)
+    with open(path, "w") as f:
+        json.dump({"calib_jvm_sec": 0.2, "queries": {"q_old": 4.0}}, f)
+    bench.save_records({"q_new": 1.0}, calib_jvm=0.6)
+    with open(path) as f:
+        rec = json.load(f)
+    assert rec["queries"] == {"q_old": 4.0, "q_new": 1.0}
+    assert rec["queries_calib"] == {"q_old": 0.2, "q_new": 0.6}
