@@ -119,6 +119,10 @@ HEADLINE = [
     "tablelog_columns_pruned",
     "stream_ivm_from_cdf",
     "tablelog_batch_cdf",
+    # round-13 additions: range-predicate pushdown on the format-level
+    # read, checkpoint consolidation over live equality deletes
+    "tablelog_range_pruned",
+    "tablelog_eq_checkpoint",
 ]
 
 

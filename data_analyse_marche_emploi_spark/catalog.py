@@ -10059,8 +10059,11 @@ def tablelog_batch_cdf(spark, sf_dir):
     rewritten files emit NOTHING (the diff is keyed, not file-level
     — the property that keeps CDC volume O(changed rows) even though
     CoW rewrites whole files). The entry asserts the planner produced
-    exactly one keyed-diff work unit per CoW commit before returning
-    the format read the oracle recomputes."""
+    keyed-diff work units for exactly the two CoW commits — ONE per
+    commit when the commit is small, SEVERAL key-range buckets when
+    the logged [min, max] stats let the diff distribute (r12 verdict
+    ask #1) — before returning the format read the oracle
+    recomputes."""
     from .sources.txlog import (
         TxLogDataSource,
         TxTable,
@@ -10083,9 +10086,9 @@ def tablelog_batch_cdf(spark, sf_dir):
     }
     src = TxLogDataSource(opts)
     planned = src.reader(src.schema()).partitions()
-    assert len(planned) == 2 and all(
-        pt.kind == "cow" for pt in planned
-    ), "CoW commits must plan one keyed-diff unit each"
+    assert all(pt.kind == "cow" for pt in planned) and {
+        pt.version for pt in planned
+    } == {1, 2}, "both CoW commits must plan keyed-diff units"
     return (
         spark.read.format("txlog")
         .option("path", path)
@@ -10094,6 +10097,118 @@ def tablelog_batch_cdf(spark, sf_dir):
         .option("changeFeedKey", "k")
         .load()
     )
+
+
+@register(
+    "tablelog_range_pruned",
+    # a selective range scan through the registered format: the
+    # rangeFilter option prunes files on the logged [min, max] stats
+    # (asserted in-entry: fewer planned partitions than live files)
+    # and the oracle recomputes the band from orders
+    oracle="""
+    SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+    WHERE o_orderkey >= (SELECT max(o_orderkey)*7//10 FROM orders)
+      AND o_orderkey <  (SELECT max(o_orderkey)*9//10 FROM orders)
+    """,
+)
+def tablelog_range_pruned(spark, sf_dir):
+    """RANGE-PREDICATE pushdown on the format-level path (r12 verdict
+    ask #4): ``spark.read.format('txlog').option('rangeFilter',
+    '{"k": {">=": lo, "<": hi}}')`` routes ``<``/``>``/``<=``/``>=``
+    probes through the SAME logged min/max file pruning as
+    ``TxTable.read`` (sources/txlog.py _range_stats_match), pushes
+    them to ``pq.read_table(filters=...)`` for within-file row-group
+    skipping on DV-free files, and re-applies them Arrow-side so the
+    result is exact. The entry stages the table through
+    ``repartitionByRange`` so files are key-clustered (the layout a
+    time- or id-banded 100 TB table has), probes a 20% band, and
+    asserts the plan holds fewer input partitions than the table has
+    files — the pruned files are never opened. Previously only
+    equality probes pruned on this path; range scans decoded every
+    file."""
+    import json as _json
+
+    from .sources.txlog import (
+        TxLogBatchReader,
+        TxTable,
+        register_txlog_source,
+    )
+
+    register_txlog_source(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    path = _txtmp("txrng_")
+    t = TxTable.create(spark, path, o.repartitionByRange(8, "k"))
+    mx = int(o.agg(F.max("k")).first()[0])
+    flt = _json.dumps({"k": {">=": mx * 7 // 10, "<": mx * 9 // 10}})
+    planned = TxLogBatchReader(
+        t.read().schema, {"path": path, "rangefilter": flt}
+    ).partitions()
+    assert len(planned) < len(t.snapshot_files()), (
+        "range stats pruned nothing"
+    )
+    return (
+        spark.read.format("txlog")
+        .option("path", path)
+        .option("rangeFilter", flt)
+        .load()
+    )
+
+
+@register(
+    "tablelog_eq_checkpoint",
+    # a checkpoint taken over LIVE equality deletes (a MoR merge's
+    # delete file + a keyed MoR delete) consolidates their
+    # version-scoped state; the fresh-handle read replays from the
+    # seed and must equal the oracle's recomputation from orders
+    oracle="""
+    SELECT k, CASE WHEN k % 40 = 0 THEN p + 10 ELSE p END AS p
+    FROM (SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+          WHERE o_orderkey % 8 = 0)
+    WHERE k % 16 = 0
+    """,
+)
+def tablelog_eq_checkpoint(spark, sf_dir):
+    """CHECKPOINT CONSOLIDATION OVER LIVE EQUALITY DELETES (r12
+    verdict ask #3): ``checkpoint()`` on a merge-on-read table with
+    pending equality-delete files used to REFUSE — an eq-delete-heavy
+    table replayed O(all commits) on every metadata walk until an
+    optimize happened to fold them. The checkpoint record now carries
+    each live file's TRUE add version plus the live delete files with
+    their versions and keys (sources/txlog.py checkpoint() /
+    _snapshot_mor), so the version-scoped anti-join — a delete at
+    version d erases keys only from files added BEFORE d — replays
+    exactly from the consolidated seed; the record publishes under
+    the pre-r13-invisible ``.checkpoint.v3`` name with the eq
+    protocol revision. The entry lands a MoR upsert and a keyed MoR
+    delete, checkpoints WITHOUT optimizing, asserts the record
+    carries the eq state, and returns a FRESH handle's read — the
+    replay the oracle recomputes. At 100 TB this is what keeps a
+    continuously-merged table's log replay O(commits since
+    checkpoint) instead of O(table lifetime)."""
+    from .sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    base = o.filter(F.col("k") % 8 == 0)
+    path = _txtmp("txeqck_")
+    t = TxTable.create(spark, path, base)
+    t.merge_upsert(
+        base.filter(F.col("k") % 40 == 0).withColumn(
+            "p", F.col("p") + 10
+        ),
+        "k",
+        mode="mor",
+    )                                                   # v1: eq delete + add
+    t.delete_where("k % 16 = 8", mode="mor", key="k")   # v2: keyed eq delete
+    ck = t.checkpoint()
+    raw = t._latest_checkpoint_raw(ck)
+    assert raw is not None and raw[1].get("eq", {}).get("deletes"), (
+        "checkpoint did not consolidate the live equality deletes"
+    )
+    return TxTable(spark, path).read().select("k", "p")
 
 
 # ---------------------------------------------------------------------------
@@ -10109,19 +10224,23 @@ def tablelog_batch_cdf(spark, sf_dir):
 # ROLLUP, …) register after them — they stay fully covered by pytest and
 # tools/oracle_check.py, which check ALL entries.
 
-# Round-12 rotation (updated at round-12 for the r12 driver pass):
+# Round-13 rotation (updated at round-13 for the r13 driver pass):
 # STALENESS policy, unchanged since r8 — rank every non-anchor entry
 # by the round of its most recent full-green (or clean rows-only)
 # driver row, never-green ranking stalest of all (which auto-enrolls
 # this round's registrations), and pack the 49 stalest after the
-# smoke anchor. The r12 window is this round's new registrations
-# (stream_txlog_cdf — streaming change-feed reads — and
-# tablelog_columns_pruned — explicit projection on the format-level
-# read) plus the stalest prior entries: the r6/r7-era cohort
-# (q_waiting_suppliers, ts_rolling_distinct, dq_outliers_mad,
-# text_bm25, merge_upsert_delete, ...) whose last green predates
-# every other entry's, in registration order — so every driver proof
-# keeps to ~5 rounds old as the window sweeps.
+# smoke anchor. The r13 window is this round's new registrations
+# (tablelog_range_pruned — range-predicate pushdown on the
+# format-level read — and tablelog_eq_checkpoint — checkpoint
+# consolidation over live equality deletes) plus the stalest prior
+# entries: the r8-era §2 core cohort the r12 verdict named
+# (scan_match_all, proj_source_fields, filter_terms_in,
+# agg_count_total, agg_groupby_count, agg_date_histogram, agg_topk,
+# the str_* chain, dedup_exact, json_parse, set ops, windows,
+# sessionize, pivot_status, sql_api_flagship, txlog_constraints,
+# snk_txlog_writer, ...) whose last green predates every other
+# entry's, in registration order — so every driver proof keeps to ~5
+# rounds old as the window sweeps.
 # (tools/rotate_window.py regenerates this list from the pinned
 # policy after new registrations.)
 # The policy (window set == anchor + 49 stalest, recomputed from
@@ -10132,55 +10251,55 @@ def tablelog_batch_cdf(spark, sf_dir):
 # comment. tools/oracle_check.py still checks ALL entries at three SFs.
 _DRIVER_WINDOW = [
     "flagship_orders_by_month",
-    "tablelog_columns_pruned",
-    "stream_txlog_cdf",
-    "stream_ivm_from_cdf",
-    "tablelog_batch_cdf",
-    "q_pareto_frontier",
-    "merge_upsert_delete",
-    "dq_outliers_mad",
-    "text_bm25",
-    "ts_interpolate",
-    "ts_rolling_distinct",
-    "global_quantile_bands",
-    "q_waiting_suppliers",
-    "str_fold_accents",
-    "join_scd2_point_in_time",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "join_asof_forward",
-    "join_bucketed_no_shuffle",
-    "join_null_safe",
-    "agg_arg_max",
-    "agg_conditional",
-    "agg_approx_quantiles",
-    "sample_seeded",
-    "ann_ivf_pq",
-    "ann_pq",
-    "stream_distinct_users",
-    "stream_src_rest_paged",
-    "multimodal_features",
-    "bpe_encode_corpus",
-    "agg_hll_rollup",
-    "agg_kll_quantiles",
-    "agg_cms_counts",
-    "q_revenue_share",
-    "agg_string_concat",
-    "pipeline_partitioned_write_prune",
-    "pipeline_orc_roundtrip",
-    "seq_transition_matrix",
-    "xml_extract",
-    "dedup_prefix_filter",
-    "dedup_edit_distance",
-    "sql_recursive_hierarchy",
-    "udtf_chunk_overlap",
-    "assoc_basket_pairs",
-    "graph_triangle_count",
-    "graph_clustering_coefficient",
-    "graph_pagerank",
-    "graph_connected_components",
-    "tablelog_time_travel",
-    "stream_txlog_merge_sink",
+    "tablelog_range_pruned",
+    "tablelog_eq_checkpoint",
+    "txlog_change_feed",
+    "txlog_ivm_from_cdf",
+    "text_html_strip",
+    "dedup_url_normalized",
+    "text_ngram_counts",
+    "stream_txlog_source",
+    "pipeline_crawl_to_training",
+    "q_forecast_revenue",
+    "pipeline_schema_evolution",
+    "maintenance_compact_files",
+    "dq_skew_report",
+    "sql_api_flagship",
+    "sql_lateral_topk",
+    "scan_match_all",
+    "proj_source_fields",
+    "filter_terms_in",
+    "filter_single_term",
+    "col_rename_flatten",
+    "str_lower",
+    "str_mutate_steps",
+    "agg_count_total",
+    "agg_groupby_count",
+    "agg_date_histogram",
+    "agg_topk",
+    "agg_distinct",
+    "agg_approx_distinct",
+    "join_dim_containment",
+    "json_parse",
+    "json_serialize",
+    "str_split_parse",
+    "json_map_explode",
+    "regex_extract_groups",
+    "emb_norms",
+    "date_fmt_fr",
+    "duration_hhmm",
+    "snk_run_metrics",
+    "pipeline_export_offres",
+    "window_analytics",
+    "sessionize",
+    "set_intersect",
+    "set_except",
+    "agg_cube",
+    "pivot_status",
+    "text_token_count",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
 ]
 
 def _prioritize() -> None:

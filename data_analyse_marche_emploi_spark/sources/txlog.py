@@ -4072,6 +4072,17 @@ def _arrow_scan_batches(path: str, schema: T.StructType,
     yield from tbl.select(cols).to_batches()
 
 
+def _bucketing_option(options: dict) -> bool:
+    """``changeFeedBuckets`` (default true): the escape hatch that
+    disables the CoW keyed-diff key-range split — for layouts where
+    overlapping file ranges make every bucket read every file (pure
+    read amplification with no parallelism win) or for A/B-ing the
+    funnel (docs/SCALING.md r13)."""
+    return str(
+        options.get("changefeedbuckets", "true")
+    ).lower() not in ("false", "0")
+
+
 def _validate_cdf_key(cdf_key: str | None,
                       row_schema: T.StructType) -> None:
     """Plan-time existence check for ``changeFeedKey`` (r12 advisor):
@@ -4394,7 +4405,7 @@ def _probe_cdf_key_unique(rp, files, key: str, side: str,
 
 def _plan_cdf_partitions(
     t: "TxTable", table_path: str, start_v: int, end_v: int,
-    cdf_key: str | None,
+    cdf_key: str | None, bucketing: bool = True,
 ) -> "Sequence[_TxCdfPartition]":
     """Plan the change feed for versions in ``(start_v, end_v]`` — the
     per-commit planning shared by the STREAM reader (micro-batch
@@ -4471,10 +4482,14 @@ def _plan_cdf_partitions(
             # ride the commit itself
             prev_stats = dict(t._snapshot_entries(v - 1))
             stats = act.get("stats", {})
-            split = _cow_key_buckets(
-                cdf_key,
-                {f: prev_stats.get(f) for f in act["removes"]},
-                {f: stats.get(f) for f in act["adds"]},
+            split = (
+                _cow_key_buckets(
+                    cdf_key,
+                    {f: prev_stats.get(f) for f in act["removes"]},
+                    {f: stats.get(f) for f in act["adds"]},
+                )
+                if bucketing
+                else None
             )
             if split is None:
                 parts.append(_TxCdfPartition(
@@ -4600,6 +4615,7 @@ class TxLogBatchReader(DataSourceReader):
             ev = options.get("endingversion")
             self.cdf_end = None if ev is None else int(ev)
             self.cdf_key = options.get("changefeedkey")
+            self.cdf_bucketing = _bucketing_option(options)
             self._row_schema = T.StructType(list(schema.fields)[:-2])
             _validate_cdf_key(self.cdf_key, self._row_schema)
 
@@ -4610,7 +4626,8 @@ class TxLogBatchReader(DataSourceReader):
                 t.latest_version() if self.cdf_end is None else self.cdf_end
             )
             return _plan_cdf_partitions(
-                t, self.path, self.cdf_start - 1, end, self.cdf_key
+                t, self.path, self.cdf_start - 1, end, self.cdf_key,
+                bucketing=self.cdf_bucketing,
             )
         t = TxTable(None, self.path)
         v = _resolve_asof_version(t, self.options)
@@ -4910,6 +4927,7 @@ class TxLogStreamReader(DataSourceStreamReader):
         ).lower() in ("true", "1")
         self.read_change_feed = TxLogDataSource._cdf_requested(options)
         self.cdf_key = options.get("changefeedkey")
+        self.cdf_bucketing = _bucketing_option(options)
         if self.read_change_feed:
             # the last two fields are the _change_op/_change_version
             # meta columns schema() appended; tasks scan data files
@@ -5023,7 +5041,8 @@ class TxLogStreamReader(DataSourceStreamReader):
         self, t: "TxTable", start_v: int, end_v: int
     ) -> Sequence[_TxCdfPartition]:
         return _plan_cdf_partitions(
-            t, self.path, start_v, end_v, self.cdf_key
+            t, self.path, start_v, end_v, self.cdf_key,
+            bucketing=self.cdf_bucketing,
         )
 
     def read(self, partition):
