@@ -2744,6 +2744,7 @@ class TxTable:
         merge_schema: bool = False,
         partition_filter: dict | None = None,
         eq_filter: dict | None = None,
+        _files_subset: "set[str] | None" = None,
     ) -> DataFrame:
         """Snapshot read, optionally time-traveled to ``version``. The
         returned plan lists explicit immutable files, so it stays valid
@@ -2806,6 +2807,13 @@ class TxTable:
             version = self.latest_version()
         entries, deletes = self._snapshot_mor(version)
         dv_map = self._snapshot_dv(version)
+        if _files_subset is not None:
+            # INTERNAL (read_changes' merge-on-read pre-image scan):
+            # restrict the plan to a caller-proven candidate set —
+            # only sound when the caller's downstream predicate
+            # provably matches nothing in the dropped files (the same
+            # prove-only contract as eq_filter pruning below)
+            entries = [e for e in entries if e[0] in _files_subset]
         if eq_filter:
             entries = [e for e in entries if _eq_stats_match(e[1], eq_filter)]
         if partition_filter:
@@ -2871,23 +2879,144 @@ class TxTable:
         (the contract the public lakehouse change feeds expose). Files
         untouched by a commit are never read: CDC cost is O(changed
         files), the property that makes IVM cheaper than
-        recomputation. Returns the row columns plus
-        ``_change_version`` and ``_change_op``."""
+        recomputation. MERGE-ON-READ commits are supported too (r13):
+        their delete files name exactly the erased keys, so the
+        pre-image is the prior snapshot's resolved read pruned to
+        stats-admitted candidate files and semi-joined to those keys —
+        O(candidate files), candidate ~= changed on a key-clustered
+        table (``key`` must equal the commit's merge key). Returns
+        the row columns plus ``_change_version`` and
+        ``_change_op``."""
         if to_version is None:
             to_version = self.latest_version()
         spark = self.spark
+
+        def _keyed_diff(pre: DataFrame, post: DataFrame) -> DataFrame:
+            """Keyed pre/post classification shared by the CoW and
+            merge-on-read branches: full-outer join on ``key``,
+            xxhash64 row compare (NaN == NaN, null == null), updates
+            fan out into (preimage, postimage) row pairs, unchanged
+            rewrites emit nothing."""
+            cols = post.columns
+            h = F.xxhash64(*[F.col(c) for c in cols])
+            a = post.select(
+                key, h.alias("__post_h"), F.struct(*cols).alias("__post")
+            )
+            b = pre.select(
+                key,
+                F.xxhash64(*[F.col(c) for c in cols]).alias("__pre_h"),
+                F.struct(*cols).alias("__pre"),
+            )
+            j = a.join(b, key, "full_outer")
+            # updates fan out into (preimage, postimage) row pairs;
+            # unchanged rewrites (pre_h == post_h) emit nothing
+            return (
+                j.select(
+                    F.explode(
+                        F.when(
+                            F.col("__pre_h").isNull(),
+                            F.array(
+                                F.struct(
+                                    F.col("__post").alias("row"),
+                                    F.lit("insert").alias("op"),
+                                )
+                            ),
+                        )
+                        .when(
+                            F.col("__post_h").isNull(),
+                            F.array(
+                                F.struct(
+                                    F.col("__pre").alias("row"),
+                                    F.lit("delete").alias("op"),
+                                )
+                            ),
+                        )
+                        .when(
+                            F.col("__pre_h") != F.col("__post_h"),
+                            F.array(
+                                F.struct(
+                                    F.col("__pre").alias("row"),
+                                    F.lit("update_preimage").alias("op"),
+                                ),
+                                F.struct(
+                                    F.col("__post").alias("row"),
+                                    F.lit("update_postimage").alias("op"),
+                                ),
+                            ),
+                        )
+                        .otherwise(F.array())
+                    ).alias("__chg")
+                )
+                .select("__chg.row.*", F.col("__chg.op").alias("_change_op"))
+            )
+
         feeds = []
         for v in self._versions():
             if v <= from_version or v > to_version:
                 continue
             act = self._read_action(v)
             if act.get("delete_adds"):
-                raise ValueError(
-                    f"change feed over a merge-on-read commit (version "
-                    f"{v}) is not supported — its pre-images live in "
-                    "unrewritten files; run optimize() (which folds "
-                    "deletes) and consume the feed from there"
+                # MERGE-ON-READ commits (r13 — previously refused,
+                # forcing an optimize before any CDC): the commit's
+                # delete files name EXACTLY the keys it erases, and
+                # the prior snapshot holds their rows. Pre-images =
+                # the v-1 MoR/DV-resolved read, pruned to files whose
+                # logged stats admit any deleted key (the delete
+                # files' parquet-footer [min, max] — metadata only,
+                # no key ever collects to the driver), broadcast-
+                # semi-joined to the keys; post-images = the commit's
+                # own adds. The shared keyed classification then
+                # yields insert (key new), delete (key erased, not
+                # re-added), and update pairs — unchanged rewrites
+                # emit nothing, matching the CoW branch. Cost:
+                # O(candidate files) + broadcast joins; candidate ~=
+                # changed on a key-clustered table (on a scattered
+                # one this is what the refusal used to cost you an
+                # optimize for).
+                if key != act["delete_key"]:
+                    raise ValueError(
+                        f"change feed over merge-on-read commit {v} "
+                        f"requires key={act['delete_key']!r} (its "
+                        f"merge key; the delete files name keys in "
+                        f"that column only), got {key!r}"
+                    )
+                dk = None
+                kmin = kmax = None
+                ranged = True
+                for f in act["delete_adds"]:
+                    local = self.file_store.read_path(self.path, f)
+                    d = spark.read.parquet(local).select(key)
+                    dk = d if dk is None else dk.unionByName(d)
+                    rng = _footer_key_range(local, key)
+                    if rng is None:
+                        ranged = False
+                    elif ranged:
+                        kmin = rng[0] if kmin is None else min(kmin, rng[0])
+                        kmax = rng[1] if kmax is None else max(kmax, rng[1])
+                subset = (
+                    set(self._candidate_files(v - 1, key, kmin, kmax))
+                    if ranged and kmin is not None
+                    else None
                 )
+                pre = self.read(v - 1, _files_subset=subset).join(
+                    F.broadcast(dk), key, "left_semi"
+                )
+                post = (
+                    self._read_files(act["adds"])
+                    if act["adds"]
+                    else None
+                )
+                changed = (
+                    _keyed_diff(pre, post)
+                    if post is not None
+                    # delete_where(mode="mor"): keys erased, nothing
+                    # re-added — every pre-image is a delete
+                    else pre.withColumn("_change_op", F.lit("delete"))
+                )
+                feeds.append(
+                    changed.withColumn("_change_version", F.lit(v))
+                )
+                continue
             if act["op"] in ("delete-dv", "update-dv"):
                 # A deletion-vector commit's erased rows are EXACTLY
                 # the newly-marked positions. r12+ commits write
@@ -2996,53 +3125,7 @@ class TxTable:
             elif post is None:
                 changed = pre.withColumn("_change_op", F.lit("delete"))
             else:
-                cols = post.columns
-                h = F.xxhash64(*[F.col(c) for c in cols])
-                a = post.select(key, h.alias("__post_h"), F.struct(*cols).alias("__post"))
-                b = pre.select(key, F.xxhash64(*[F.col(c) for c in cols]).alias("__pre_h"),
-                               F.struct(*cols).alias("__pre"))
-                j = a.join(b, key, "full_outer")
-                # updates fan out into (preimage, postimage) row pairs;
-                # unchanged rewrites (pre_h == post_h) emit nothing
-                changed = (
-                    j.select(
-                        F.explode(
-                            F.when(
-                                F.col("__pre_h").isNull(),
-                                F.array(
-                                    F.struct(
-                                        F.col("__post").alias("row"),
-                                        F.lit("insert").alias("op"),
-                                    )
-                                ),
-                            )
-                            .when(
-                                F.col("__post_h").isNull(),
-                                F.array(
-                                    F.struct(
-                                        F.col("__pre").alias("row"),
-                                        F.lit("delete").alias("op"),
-                                    )
-                                ),
-                            )
-                            .when(
-                                F.col("__pre_h") != F.col("__post_h"),
-                                F.array(
-                                    F.struct(
-                                        F.col("__pre").alias("row"),
-                                        F.lit("update_preimage").alias("op"),
-                                    ),
-                                    F.struct(
-                                        F.col("__post").alias("row"),
-                                        F.lit("update_postimage").alias("op"),
-                                    ),
-                                ),
-                            )
-                            .otherwise(F.array())
-                        ).alias("__chg")
-                    )
-                    .select("__chg.row.*", F.col("__chg.op").alias("_change_op"))
-                )
+                changed = _keyed_diff(pre, post)
             feeds.append(
                 changed.withColumn("_change_version", F.lit(v))
             )
@@ -3897,6 +3980,34 @@ def _parse_range_option(options: dict) -> dict | None:
     return flt or None
 
 
+def _footer_key_range(path: str, key: str):
+    """[min, max] of ``key`` from a parquet FOOTER (metadata only — no
+    data pages read), or None when any row group lacks usable stats or
+    the type isn't JSON-portable. Used by the merge-on-read change
+    feed to prune pre-image candidate files without collecting a
+    single key to the driver."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    try:
+        ci = md.schema.names.index(key)
+    except ValueError:
+        return None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        try:
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        except Exception:
+            return None
+    if lo is None or not isinstance(lo, (int, float, str, bool)):
+        return None
+    return lo, hi
+
+
 def _range_stats_match(stats: dict, rf: dict | None) -> bool:
     """False iff the file's logged [min, max] for some rangeFilter
     column PROVES no row can satisfy that column's predicates — the
@@ -4356,6 +4467,16 @@ def _cow_key_buckets(
     return buckets, nullable(pre_stats), nullable(post_stats)
 
 
+# The plan-time uniqueness probe reads the key column of a CoW
+# commit's pre/post files DRIVER-side — O(commit rows) sequential IO.
+# Fine for ordinary commits (fail-fast beats an opaque task error);
+# a table-rewriting MERGE is where it would dominate planning, so
+# commits whose LOGGED row counts exceed this bound skip the probe
+# and rely on the task-side backstop in _cdf_batches (measured: the
+# probe costs ~1.5 s/M rows at plan time; docs/SCALING.md r13).
+_CDF_PROBE_MAX_ROWS = 2_000_000
+
+
 def _probe_cdf_key_unique(rp, files, key: str, side: str,
                           version: int) -> None:
     """PLAN-TIME uniqueness probe for the CoW diff key (r12 verdict
@@ -4366,8 +4487,9 @@ def _probe_cdf_key_unique(rp, files, key: str, side: str,
     match a SQL equi-join; the diff re-emits them), NaNs normalize to
     one value (the hash semantics the diff uses). The task-side check
     in ``_cdf_batches`` stays as the backstop. Cost: O(commit rows)
-    over ONE column, driver-side, once per planning — small next to
-    the diff itself, and only paid on CoW commits."""
+    over ONE column, driver-side, once per planning — the caller
+    skips it above ``_CDF_PROBE_MAX_ROWS`` so a table-scale MERGE's
+    planning stays metadata-bounded."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -4419,11 +4541,17 @@ def _plan_cdf_partitions(
             continue
         act = t._read_action(v)
         if act.get("delete_adds"):
+            # the DSv2 feed's task-side diff has no join stage to
+            # resolve a MoR pre-image (it needs the PRIOR snapshot's
+            # fully-resolved read, not this commit's files); the
+            # driver-side batch feed gained exactly that in r13
             raise ValueError(
                 f"change feed over a merge-on-read commit (version "
-                f"{v}) is not supported — its pre-images live in "
-                "unrewritten files; run optimize() (which folds "
-                "deletes) and consume the feed from there"
+                f"{v}) is not supported on the format-level reader — "
+                "its pre-images need the prior snapshot's resolved "
+                "read; use TxTable.read_changes (which supports "
+                "merge-on-read commits) or run optimize() and "
+                "consume the feed from there"
             )
         if act["op"] in ("delete-dv", "update-dv"):
             is_update = act["op"] == "update-dv"
@@ -4470,18 +4598,30 @@ def _plan_cdf_partitions(
                     "changeFeedKey=<unique key column> (the batch "
                     "read_changes key argument)"
                 )
+            prev_stats = dict(t._snapshot_entries(v - 1))
+            stats = act.get("stats", {})
             # plan-time uniqueness refusal (r12 verdict ask #6) —
             # fail HERE with the contract message, not as an opaque
-            # task failure mid-stream
-            _probe_cdf_key_unique(rp, act["removes"], cdf_key,
-                                  "pre", v)
-            _probe_cdf_key_unique(rp, act["adds"], cdf_key,
-                                  "post", v)
+            # task failure mid-stream. Skipped when the commit's
+            # LOGGED row counts exceed _CDF_PROBE_MAX_ROWS — the
+            # task-side check still refuses, just later; commits
+            # with unlogged counts (pre-r10 writers) always probe
+            # since nothing proves they are large.
+            counts = [
+                (stats.get(f) or prev_stats.get(f) or {}).get("__rows__")
+                for f in act["removes"] + act["adds"]
+            ]
+            if (
+                any(c is None for c in counts)
+                or sum(counts) <= _CDF_PROBE_MAX_ROWS
+            ):
+                _probe_cdf_key_unique(rp, act["removes"], cdf_key,
+                                      "pre", v)
+                _probe_cdf_key_unique(rp, act["adds"], cdf_key,
+                                      "post", v)
             # KEY-RANGE bucket split (r12 verdict ask #1): pre files'
             # stats come from the snapshot they were live in; adds'
             # ride the commit itself
-            prev_stats = dict(t._snapshot_entries(v - 1))
-            stats = act.get("stats", {})
             split = (
                 _cow_key_buckets(
                     cdf_key,

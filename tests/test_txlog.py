@@ -1990,25 +1990,23 @@ def test_txlog_random_ops_match_model(spark, tmp_path):
             got = {r["k"]: r["v"] for r in t.read(v).collect()}
             assert got == want, f"seq {seq} version {v}"
         # r12: streamed change feed == batch recompute over the newest
-        # suffix the batch feed accepts (fold/MoR commits refuse both
-        # ways — walk forward past them)
+        # suffix BOTH feeds accept (fold commits refuse both ways;
+        # MoR commits feed in BATCH since r13 but still refuse on the
+        # task-side stream — walk forward past whichever refuses)
         head = t.latest_version()
-        base = cdf_from = None
         for v0 in range(head):
             try:
                 base = sorted(
                     (r.k, r.v, r._change_op, r._change_version)
                     for r in t.read_changes("k", v0, head).collect()
                 )
-                cdf_from = v0
-                break
+                got = sorted(
+                    _cdf_drain_driver_side(spark, p, v0, head, key="k")
+                )
             except ValueError:
                 continue
-        if base is not None:
-            got = sorted(
-                _cdf_drain_driver_side(spark, p, cdf_from, head, key="k")
-            )
-            assert got == base, f"seq {seq} CDF parity ({cdf_from}, {head}]"
+            assert got == base, f"seq {seq} CDF parity ({v0}, {head}]"
+            break
 
 
 def test_optimize_bin_packs_incrementally(spark, tmp_path):
@@ -2182,13 +2180,21 @@ def test_mor_optimize_folds_deletes(spark, tmp_path):
     p = str(tmp_path / "t")
     t = TxTable.create(spark, p, _df(spark, [(1, "a"), (2, "b")]))
     t.merge_upsert(_df(spark, [(2, "B")]), "k", mode="mor")
-    # dirty-table guards are on while the delete is pending
+    # dirty-table guards are on while the delete is pending (a CoW
+    # merge would rewrite through the unresolved deletes)...
     with pytest.raises(ValueError, match="optimize"):
         t.merge_upsert(_df(spark, [(1, "A")]), "k")
-    with pytest.raises(ValueError, match="optimize"):
-        t.checkpoint()
-    with pytest.raises(ValueError, match="optimize"):
-        t.read_changes("k", 0)
+    # ...but checkpoint (r13: version-scoped eq consolidation) and
+    # read_changes (r13: MoR commits feed natively — delete keys name
+    # the pre-image) both handle the pending delete without a fold
+    t.checkpoint()
+    feed = sorted(
+        (r.k, r.v, r._change_op)
+        for r in t.read_changes("k", 0, 1).collect()
+    )
+    assert feed == [
+        (2, "B", "update_postimage"), (2, "b", "update_preimage")
+    ]
     v = t.optimize()
     _, dels = t._snapshot_mor(v)
     assert dels == []
@@ -2603,6 +2609,80 @@ def test_delete_where_mor_refuses_null_keys(spark, tmp_path):
     # CoW handles them fine (predicate rewrite, no key join)
     t.delete_where(F.col("v") == "drop", mode="cow")
     assert [(r.k, r.v) for r in t.read().collect()] == [(1, "keep")]
+
+
+def test_change_feed_over_merge_on_read_commits(spark, tmp_path, monkeypatch):
+    """r13: read_changes no longer refuses merge-on-read commits — a
+    MoR commit's delete files name EXACTLY the keys it erases, so the
+    pre-image is the prior snapshot's resolved read (candidate-pruned
+    via the delete files' footer stats, never collecting a key to the
+    driver) semi-joined to those keys, and the keyed classification
+    matches the CoW feed's contract: insert for new keys, update
+    pairs for rewrites, delete for keyed deletes, NOTHING for
+    identical rewrites. Stacked MoR merges feed per commit (each
+    pre-image resolved at its own v-1); a wrong key refuses naming
+    the merge key; the format-level reader still refuses, pointing
+    here."""
+    import data_analyse_marche_emploi_spark.sources.txlog as TX
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, p, _df(spark, [(1, "a"), (2, "b"), (4, "d")]).coalesce(1)
+    )
+    # v1: MoR merge — update k=2, insert k=3, identical rewrite k=4
+    t.merge_upsert(
+        _df(spark, [(2, "B"), (3, "c"), (4, "d")]).coalesce(1),
+        "k", mode="mor",
+    )
+    # v2: stacked MoR merge on the same key (pre-image = the v1 row)
+    t.merge_upsert(_df(spark, [(2, "B2")]).coalesce(1), "k", mode="mor")
+    # v3: keyed MoR delete
+    t.delete_where(F.col("k") == 1, mode="mor", key="k")
+    feed = sorted(
+        (r.k, r.v, r._change_op, r._change_version)
+        for r in t.read_changes("k", 0).collect()
+    )
+    assert feed == sorted([
+        (2, "b", "update_preimage", 1),
+        (2, "B", "update_postimage", 1),
+        (3, "c", "insert", 1),
+        (2, "B", "update_preimage", 2),
+        (2, "B2", "update_postimage", 2),
+        (1, "a", "delete", 3),
+    ])
+    assert not [f for f in feed if f[0] == 4], (
+        "identical MoR rewrite must emit nothing"
+    )
+    # pre-image scan is candidate-pruned: the v3 delete names key 1
+    # only, so files whose stats exclude it never enter the plan
+    seen: list = []
+    orig_read = TX.TxTable.read
+
+    def spy(self, version=None, merge_schema=False,
+            partition_filter=None, eq_filter=None, _files_subset=None):
+        seen.append(_files_subset)
+        return orig_read(self, version, merge_schema, partition_filter,
+                         eq_filter, _files_subset)
+
+    # context-scoped: a bare monkeypatch.undo() would also revert the
+    # autouse store-mode fixture's patches (same monkeypatch object)
+    with monkeypatch.context() as mp:
+        mp.setattr(TX.TxTable, "read", spy)
+        got = [
+            (r.k, r._change_op)
+            for r in t.read_changes("k", 2, 3).collect()
+        ]
+    assert got == [(1, "delete")]
+    assert seen and seen[-1] is not None
+    assert len(seen[-1]) < len(t.snapshot_files(2)), (
+        "pre-image scan planned every live file"
+    )
+    # wrong feed key refuses naming the commit's merge key
+    with pytest.raises(ValueError, match="merge key"):
+        t.read_changes("v", 0).collect()
+    # the format-level (task-side) feed still refuses, pointing here
+    with pytest.raises(ValueError, match="read_changes"):
+        _cdf_drain_driver_side(spark, p, 0, 3, key="k")
 
 
 def test_change_feed_refuses_folded_delete_commits(spark, tmp_path):
