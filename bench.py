@@ -123,6 +123,7 @@ HEADLINE = [
     # read, checkpoint consolidation over live equality deletes
     "tablelog_range_pruned",
     "tablelog_eq_checkpoint",
+    "txlog_mor_change_feed",
 ]
 
 

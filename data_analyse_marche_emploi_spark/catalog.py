@@ -10211,6 +10211,67 @@ def tablelog_eq_checkpoint(spark, sf_dir):
     return TxTable(spark, path).read().select("k", "p")
 
 
+@register(
+    "txlog_mor_change_feed",
+    # the change feed over a DIRTY merge-on-read history (no optimize
+    # fold): a MoR upsert's update pairs + inserts, then a keyed MoR
+    # delete's pre-images — recomputed by the oracle from orders
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+      WHERE o_orderkey % 16 IN (0, 1)
+    )
+    SELECT k, p, 'update_preimage' AS _change_op,
+           CAST(1 AS BIGINT) AS _change_version
+    FROM base WHERE k % 32 = 1
+    UNION ALL
+    SELECT k, p + 5, 'update_postimage', CAST(1 AS BIGINT)
+    FROM base WHERE k % 32 = 1
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'insert', CAST(1 AS BIGINT)
+    FROM orders WHERE o_orderkey % 16 = 2
+    UNION ALL
+    SELECT k, p, 'delete', CAST(2 AS BIGINT) FROM base WHERE k % 32 = 0
+    """,
+)
+def txlog_mor_change_feed(spark, sf_dir):
+    """CHANGE FEED OVER MERGE-ON-READ COMMITS (r13; previously a hard
+    refusal that forced an optimize before any CDC): a MoR commit's
+    delete files name EXACTLY the keys it erases, so
+    ``TxTable.read_changes`` derives its pre-images from the PRIOR
+    snapshot's fully-resolved read — candidate-pruned via the delete
+    files' parquet-footer [min, max] (metadata only; no key ever
+    collects to the driver) and broadcast-semi-joined to the keys —
+    and classifies against the commit's adds with the same keyed
+    xxhash64 diff as the CoW branch: insert for new keys, update
+    pairs for rewrites, delete for keyed deletes, NOTHING for
+    identical rewrites (sources/txlog.py read_changes). The entry
+    feeds a STILL-DIRTY table (asserted: live delete files at feed
+    time) through an upsert-with-inserts and a keyed delete. At
+    100 TB this is CDC for the write-cheap MoR path — the tables that
+    merge continuously and optimize rarely are exactly the ones whose
+    downstreams want a change feed."""
+    from .sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    base = o.filter(F.col("k") % 16 < 2)
+    path = _txtmp("txmorcdf_")
+    t = TxTable.create(spark, path, base)
+    t.merge_upsert(
+        base.filter(F.col("k") % 32 == 1)
+        .withColumn("p", F.col("p") + 5)
+        .unionByName(o.filter(F.col("k") % 16 == 2)),
+        "k",
+        mode="mor",
+    )                                               # v1: upsert + inserts
+    t.delete_where("k % 32 = 0", mode="mor", key="k")  # v2: keyed delete
+    _, dels = t._snapshot_mor()
+    assert dels, "the feed must run over the DIRTY table (no fold)"
+    return t.read_changes("k", 0)
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window
 # ---------------------------------------------------------------------------
@@ -10253,6 +10314,7 @@ _DRIVER_WINDOW = [
     "flagship_orders_by_month",
     "tablelog_range_pruned",
     "tablelog_eq_checkpoint",
+    "txlog_mor_change_feed",
     "txlog_change_feed",
     "txlog_ivm_from_cdf",
     "text_html_strip",
@@ -10299,7 +10361,6 @@ _DRIVER_WINDOW = [
     "text_token_count",
     "text_quality",
     "text_lang_id",
-    "text_fingerprint",
 ]
 
 def _prioritize() -> None:
