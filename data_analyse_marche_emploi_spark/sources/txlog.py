@@ -114,6 +114,14 @@ _READER_PROTOCOL = 4
 _CK_V3_SUFFIX = ".checkpoint.v3"
 
 
+# Upper bound on a CoW change-feed commit's key-range buckets: keeps
+# the planner's span-assignment loop (O(files x spans) driver-side
+# Python) and the partition count bounded on a commit touching tens of
+# thousands of files — subsampled cuts make buckets coarser, never
+# wrong.
+_COW_MAX_BUCKETS = 256
+
+
 class _NanKeySentinel:
     """Singleton stand-in for float NaN change-feed keys: dict lookups
     on raw NaN never match (NaN != NaN), but the batch feed's xxhash64
@@ -2980,19 +2988,23 @@ class TxTable:
                         f"merge key; the delete files name keys in "
                         f"that column only), got {key!r}"
                     )
-                dk = None
+                locals_ = [
+                    self.file_store.read_path(self.path, f)
+                    for f in act["delete_adds"]
+                ]
+                # ONE multi-path scan, not a union per delete file — a
+                # merge that staged many key parts must not bloat the
+                # plan linearly in file count
+                dk = spark.read.parquet(*locals_).select(key)
                 kmin = kmax = None
                 ranged = True
-                for f in act["delete_adds"]:
-                    local = self.file_store.read_path(self.path, f)
-                    d = spark.read.parquet(local).select(key)
-                    dk = d if dk is None else dk.unionByName(d)
+                for local in locals_:
                     rng = _footer_key_range(local, key)
                     if rng is None:
                         ranged = False
-                    elif ranged:
-                        kmin = rng[0] if kmin is None else min(kmin, rng[0])
-                        kmax = rng[1] if kmax is None else max(kmax, rng[1])
+                        break
+                    kmin = rng[0] if kmin is None else min(kmin, rng[0])
+                    kmax = rng[1] if kmax is None else max(kmax, rng[1])
                 subset = (
                     set(self._candidate_files(v - 1, key, kmin, kmax))
                     if ranged and kmin is not None
@@ -4435,6 +4447,13 @@ def _cow_key_buckets(
     cuts = sorted({lo for lo, _ in rngs.values()})
     if len(cuts) < 2:
         return None
+    if len(cuts) > _COW_MAX_BUCKETS:
+        # bound planning cost (the span-assignment loop is
+        # O(files x spans) driver-side Python) and the partition
+        # count: subsample the cut points evenly — buckets get
+        # coarser, never wrong (they still partition the key space)
+        step = -(-len(cuts) // _COW_MAX_BUCKETS)
+        cuts = cuts[::step]
     spans = [
         (cuts[i], cuts[i + 1]) for i in range(len(cuts) - 1)
     ] + [(cuts[-1], None)]

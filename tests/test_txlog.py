@@ -1989,6 +1989,33 @@ def test_txlog_random_ops_match_model(spark, tmp_path):
         for v, want in enumerate(model_hist):
             got = {r["k"]: r["v"] for r in t.read(v).collect()}
             assert got == want, f"seq {seq} version {v}"
+        # r13: PER-COMMIT batch feed == the model's own state diff for
+        # every commit the feed accepts (fold commits refuse; appends,
+        # CoW merges/deletes/restores, DV ops, and now MERGE-ON-READ
+        # commits must all classify exactly — the strongest oracle the
+        # keyed diff has, since the model knows the true insert/
+        # delete/update set)
+        for v in range(1, len(model_hist)):
+            try:
+                feed = t.read_changes("k", v - 1, v).collect()
+            except ValueError:
+                continue  # fold refusal (its own tests pin the rule)
+            old, new = model_hist[v - 1], model_hist[v]
+            want_chg = sorted(
+                [(k0, old[k0], "delete")
+                 for k0 in old.keys() - new.keys()]
+                + [(k0, new[k0], "insert")
+                   for k0 in new.keys() - old.keys()]
+                + [p
+                   for k0 in old.keys() & new.keys()
+                   if old[k0] != new[k0]
+                   for p in ((k0, old[k0], "update_preimage"),
+                             (k0, new[k0], "update_postimage"))]
+            )
+            got_chg = sorted(
+                (r.k, r.v, r._change_op) for r in feed
+            )
+            assert got_chg == want_chg, f"seq {seq} feed at v{v}"
         # r12: streamed change feed == batch recompute over the newest
         # suffix BOTH feeds accept (fold commits refuse both ways;
         # MoR commits feed in BATCH since r13 but still refuse on the
@@ -4280,6 +4307,23 @@ def test_stream_cow_diff_distributes_across_key_buckets(spark, tmp_path):
     # the null-key row re-emits as delete+insert (SQL join semantics)
     assert (None, "nk", 0.0, "delete", 1) in got
     assert (None, "nk", 0.0, "insert", 1) in got
+    # changeFeedBuckets=false is the escape hatch: one partition for
+    # the whole commit (the pre-r13 plan), same rows
+    off = TX.TxLogStreamReader(
+        schema, {**opts, "changefeedbuckets": "false"}
+    )
+    parts_off = off._cdf_partitions(TxTable(None, p), 0, 1)
+    assert len([q for q in parts_off if q.kind == "cow"]) == 1
+    got_off = sorted(
+        (
+            tuple(b.column(c).to_pylist()[i] for c in b.schema.names)
+            for part in parts_off
+            for b in off.read(part)
+            for i in range(b.num_rows)
+        ),
+        key=repr,
+    )
+    assert got_off == want
 
 
 def test_stream_cow_diff_nan_keys_match_batch_feed(spark, tmp_path):
