@@ -2752,6 +2752,7 @@ class TxTable:
         merge_schema: bool = False,
         partition_filter: dict | None = None,
         eq_filter: dict | None = None,
+        range_filter: dict | None = None,
         _files_subset: "set[str] | None" = None,
     ) -> DataFrame:
         """Snapshot read, optionally time-traveled to ``version``. The
@@ -2784,6 +2785,14 @@ class TxTable:
         both index forms stay candidates — skipping never loses a
         match.
 
+        ``range_filter={col: {op: value}}`` (ops ``>=``/``>``/``<``/
+        ``<=``; r13, the API twin of the format-level ``rangeFilter``
+        option) prunes files through the logged [min, max] stats —
+        the skipping a Catalyst ``.filter()`` on the returned
+        DataFrame cannot do, because the plan's file list is already
+        fixed — and conjoins the predicates as row filters so kept
+        files stay exact (nulls never match, SQL semantics).
+
         Merge-on-read resolution: if the snapshot carries live
         equality-delete files, data files are read grouped by their
         add version (one multi-path parquet scan per commit
@@ -2792,6 +2801,24 @@ class TxTable:
         a delete never touches rows its own merge (or a later one)
         added. Extra read cost: one broadcastable-key anti join;
         ``optimize()`` folds the deletes away."""
+
+        if range_filter is not None and not (
+            isinstance(range_filter, dict)
+            and all(
+                isinstance(ops, dict)
+                and ops
+                and all(
+                    op in _RANGE_OPS
+                    and isinstance(val, (int, float, str, bool))
+                    for op, val in ops.items()
+                )
+                for ops in range_filter.values()
+            )
+        ):
+            raise ValueError(
+                "range_filter must be {column: {op: scalar}} with ops "
+                f"in {_RANGE_OPS}, got {range_filter!r}"
+            )
 
         def _row_filter(df: DataFrame) -> DataFrame:
             # Conjoin BOTH dicts predicate-by-predicate (no dict
@@ -2809,6 +2836,15 @@ class TxTable:
                         if v is None
                         else F.col(c).eqNullSafe(F.lit(v))
                     )
+            ops_col = {
+                ">=": lambda c, v: c >= v,
+                ">": lambda c, v: c > v,
+                "<": lambda c, v: c < v,
+                "<=": lambda c, v: c <= v,
+            }
+            for c, ops in (range_filter or {}).items():
+                for op, v in ops.items():
+                    df = df.filter(ops_col[op](F.col(c), F.lit(v)))
             return df
 
         if version is None:
@@ -2824,6 +2860,12 @@ class TxTable:
             entries = [e for e in entries if e[0] in _files_subset]
         if eq_filter:
             entries = [e for e in entries if _eq_stats_match(e[1], eq_filter)]
+        if range_filter:
+            entries = [
+                e
+                for e in entries
+                if _range_stats_match(e[1], range_filter)
+            ]
         if partition_filter:
             entries = [
                 e

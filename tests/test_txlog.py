@@ -4233,6 +4233,34 @@ def test_format_range_filter_prunes_files_and_pushes(
         )
 
 
+def test_read_range_filter_prunes_on_stats(spark, tmp_path):
+    """r13: TxTable.read(range_filter=...) — the API twin of the
+    format-level rangeFilter option — prunes files through the logged
+    [min, max] stats (a Catalyst .filter() on the returned DataFrame
+    can't: the plan's file list is already fixed) and conjoins the
+    predicates as row filters so kept files stay exact; nulls never
+    match; malformed shapes refuse."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i) * 2) for i in range(100)] + [(None, 0.0)],
+        "k long, x double",
+    )
+    t = TxTable.create(spark, p, df.repartitionByRange(4, "k"))
+    got = t.read(range_filter={"k": {">=": 80, "<": 95}})
+    # plan lists only stats-admitted files
+    files = {
+        os.path.basename(f)
+        for f in got.inputFiles()
+    }
+    assert 0 < len(files) < len(t.snapshot_files())
+    assert sorted(r.k for r in got.collect()) == list(range(80, 95))
+    # composes with eq_filter; null rows never match a range
+    got2 = t.read(eq_filter={"x": 180.0}, range_filter={"k": {">": 89}})
+    assert [(r.k, r.x) for r in got2.collect()] == [(90, 180.0)]
+    with pytest.raises(ValueError, match="range_filter"):
+        t.read(range_filter={"k": {"!=": 3}})
+
+
 @posix_only
 def test_format_range_filter_end_to_end(spark, tmp_path):
     """spark.read.format('txlog').option('rangeFilter', ...) through
