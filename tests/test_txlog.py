@@ -2685,11 +2685,12 @@ def test_change_feed_over_merge_on_read_commits(spark, tmp_path, monkeypatch):
     seen: list = []
     orig_read = TX.TxTable.read
 
-    def spy(self, version=None, merge_schema=False,
-            partition_filter=None, eq_filter=None, _files_subset=None):
+    # signature-agnostic passthrough: read() grows parameters
+    # (range_filter landed this round) and a positional re-spread
+    # here silently shifted _files_subset into the new slot
+    def spy(self, *a, _files_subset=None, **kw):
         seen.append(_files_subset)
-        return orig_read(self, version, merge_schema, partition_filter,
-                         eq_filter, _files_subset)
+        return orig_read(self, *a, _files_subset=_files_subset, **kw)
 
     # context-scoped: a bare monkeypatch.undo() would also revert the
     # autouse store-mode fixture's patches (same monkeypatch object)
