@@ -273,9 +273,11 @@ def prior_records() -> dict[str, float]:
     import glob
 
     best: dict[str, float] = {}
+    file_qs: set[str] = set()
     for q, t in (_load_records_file().get("queries") or {}).items():
         if isinstance(t, (int, float)) and t > 0:
             best[q] = float(t)
+            file_qs.add(q)
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
         try:
@@ -288,9 +290,25 @@ def prior_records() -> dict[str, float]:
         # accept both the wrapped and the bare shape.
         if "queries" not in rec and isinstance(rec.get("parsed"), dict):
             rec = rec["parsed"]
+        calibrated = isinstance(
+            rec.get("calib_jvm_sec"), (int, float)
+        )
         for q, t in (rec.get("queries") or {}).items():
-            if isinstance(t, (int, float)) and t > 0:
-                best[q] = min(best.get(q, float("inf")), float(t))
+            if not (isinstance(t, (int, float)) and t > 0):
+                continue
+            if not calibrated and q in file_qs:
+                # Pre-calibration-era artifacts (rounds <= 6) carry
+                # minima with NO host-speed context; several sit ~2x
+                # below every measurement of rounds 7+ on hosts whose
+                # calibration is the best ever recorded, so as
+                # baselines they just trigger a futile rerun of the
+                # same untouched queries every round (r13: 11 phantom
+                # reruns on an idle best-calib host). The records
+                # file covers every benched query from r7 on — prefer
+                # its calibrated records; uncalibrated values only
+                # fill genuinely-recordless queries.
+                continue
+            best[q] = min(best.get(q, float("inf")), float(t))
     return best
 
 
