@@ -3348,7 +3348,7 @@ class TxTable:
             try:
                 with open(os.path.join(d, f)) as fh:
                     out[f[: -len(".json")]] = int(json.load(fh)["version"])
-            except (OSError, ValueError, KeyError):
+            except (OSError, ValueError, KeyError, TypeError):
                 continue
         return out
 
