@@ -124,6 +124,7 @@ HEADLINE = [
     "tablelog_range_pruned",
     "tablelog_eq_checkpoint",
     "txlog_mor_change_feed",
+    "tablelog_format_mor_read",
 ]
 
 

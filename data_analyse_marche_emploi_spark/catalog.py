@@ -10272,6 +10272,66 @@ def txlog_mor_change_feed(spark, sf_dir):
     return t.read_changes("k", 0)
 
 
+@register(
+    "tablelog_format_mor_read",
+    # the registered format reads a DIRTY merge-on-read table exactly
+    # (no TxTable handle, no optimize): a MoR upsert + a keyed MoR
+    # delete, resolved task-side — the oracle recomputes the
+    # survivors from orders
+    oracle="""
+    SELECT k, CASE WHEN k % 24 = 0 THEN p + 7 ELSE p END AS p
+    FROM (SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+          WHERE o_orderkey % 6 = 0)
+    WHERE k % 12 = 0
+    """,
+)
+def tablelog_format_mor_read(spark, sf_dir):
+    """FORMAT-LEVEL reads of MERGE-ON-READ-dirty tables (r13;
+    previously a refusal steering plain ``spark.read`` users to the
+    TxTable API or an optimize): the planner scopes each data file's
+    applicable equality-delete files by version — a delete at version
+    d erases keys only from files added before d, so a merge's own
+    fresh rows survive its own delete file — and each TASK anti-joins
+    the keys Arrow-side (sources/txlog.py TxLogBatchReader /
+    _arrow_scan_batches), producing exactly ``TxTable.read``'s
+    result with key sets read column-pruned task-side and never
+    transiting the driver. The entry lands a MoR upsert and a keyed
+    MoR delete, asserts the plan carries version-scoped delete
+    references, and returns the plain format read the oracle
+    recomputes. At 100 TB this is what lets any Spark reader consume
+    a continuously-merged table without waiting for maintenance."""
+    from .sources.txlog import (
+        TxLogBatchReader,
+        TxTable,
+        register_txlog_source,
+    )
+
+    register_txlog_source(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    base = o.filter(F.col("k") % 6 == 0)
+    path = _txtmp("txfmor_")
+    t = TxTable.create(spark, path, base)
+    t.merge_upsert(
+        base.filter(F.col("k") % 24 == 0).withColumn(
+            "p", F.col("p") + 7
+        ),
+        "k",
+        mode="mor",
+    )                                                   # v1
+    t.delete_where("k % 12 = 6", mode="mor", key="k")   # v2
+    planned = TxLogBatchReader(
+        t.read().schema, {"path": path}
+    ).partitions()
+    assert any(q.eq_dels for q in planned), (
+        "the plan must carry version-scoped delete references"
+    )
+    return (
+        spark.read.format("txlog").option("path", path).load()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window
 # ---------------------------------------------------------------------------
@@ -10315,6 +10375,7 @@ _DRIVER_WINDOW = [
     "tablelog_range_pruned",
     "tablelog_eq_checkpoint",
     "txlog_mor_change_feed",
+    "tablelog_format_mor_read",
     "txlog_change_feed",
     "txlog_ivm_from_cdf",
     "text_html_strip",
@@ -10360,7 +10421,6 @@ _DRIVER_WINDOW = [
     "pivot_status",
     "text_token_count",
     "text_quality",
-    "text_lang_id",
 ]
 
 def _prioritize() -> None:

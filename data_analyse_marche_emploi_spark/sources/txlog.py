@@ -3498,15 +3498,22 @@ class _TxFilePartition(InputPartition):
     file's deletion-vector STACK — ``((dv_part_local_path, ...),
     data_file_name)`` — resolved at plan time, so the TASK reads its
     own positions (column-pruned, file-filtered, unioned across the
-    stacked incremental parts) and masks them Arrow-side. Only the
-    references ride the pickled partition, never the positions: at
-    100 TB a large vector must not funnel through the driver or
-    bloat task serialization. None means the file has no vector."""
+    stacked incremental parts) and masks them Arrow-side. ``eq_dels``
+    (r13) carries the EQUALITY-DELETE files that apply to this data
+    file — ``((delete_file_local_path, key_column), ...)``, already
+    version-scoped at plan time (a delete applies only to files added
+    strictly before it) — so the task anti-joins the keys Arrow-side
+    the way :meth:`TxTable.read`'s join stage would. Only file
+    REFERENCES ride the pickled partition, never positions or keys:
+    at 100 TB a large vector or key set must not funnel through the
+    driver or bloat task serialization."""
 
     def __init__(self, path: str,
-                 dv: tuple[tuple[str, ...], str] | None = None):
+                 dv: tuple[tuple[str, ...], str] | None = None,
+                 eq_dels: tuple = ()):
         self.path = path
         self.dv = dv
+        self.eq_dels = eq_dels
 
 
 class _TxCdfPartition(InputPartition):
@@ -4116,7 +4123,8 @@ def _range_masks(pc, col, ops: dict):
 def _arrow_scan_batches(path: str, schema: T.StructType,
                         row_filters: list[dict] | None = None,
                         dv: tuple[str, str] | None = None,
-                        range_filters: dict | None = None):
+                        range_filters: dict | None = None,
+                        eq_dels: tuple = ()):
     """One file's scan as ``pyarrow.RecordBatch`` yields — Spark 4's
     Python DataSource accepts RecordBatch from ``read()`` directly,
     so the columnar parquet data never round-trips through per-row
@@ -4129,8 +4137,12 @@ def _arrow_scan_batches(path: str, schema: T.StructType,
     ``{col: value}`` equalities (None = IS NULL) conjoin Arrow-side
     with kernel ops; ``range_filters`` — ``{col: {op: value}}`` with
     ops from ``_RANGE_OPS`` — conjoin the same way (r12 verdict ask
-    #4); then the batch is projected to the reader schema's exact
-    column order."""
+    #4); ``eq_dels`` — ``((delete_file_path, key_column), ...)``
+    version-scoped EQUALITY-DELETE references (r13) — anti-join the
+    file's rows against each delete file's keys (column-pruned read,
+    null keys never match, matching :meth:`TxTable.read`'s SQL
+    anti-join exactly); then the batch is projected to the reader
+    schema's exact column order."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -4143,7 +4155,10 @@ def _arrow_scan_batches(path: str, schema: T.StructType,
     need = [
         c
         for c in dict.fromkeys(
-            cols + [c for f in flts for c in f] + list(rngs)
+            cols
+            + [c for f in flts for c in f]
+            + list(rngs)
+            + [k for _, k in eq_dels or ()]
         )
         if c in have
     ]
@@ -4197,6 +4212,26 @@ def _arrow_scan_batches(path: str, schema: T.StructType,
             mask = np.ones(tbl.num_rows, dtype=bool)
             mask[positions] = False
             tbl = tbl.filter(pa.array(mask))
+    for del_path, del_key in eq_dels or ():
+        if del_key not in have:
+            # a data file written before the key column existed reads
+            # it as all-null, and null keys never match the anti-join
+            continue
+        keys = (
+            pq.read_table(del_path, columns=[del_key])
+            .column(del_key)
+            .drop_null()
+        )
+        if not len(keys):
+            continue
+        # SQL anti-join semantics: a null data key matches nothing and
+        # therefore SURVIVES (is_in -> null -> fill_null False ->
+        # invert True), exactly like TxTable.read's left_anti join
+        tbl = tbl.filter(pc.invert(pc.fill_null(
+            pc.is_in(tbl.column(del_key),
+                     value_set=keys.combine_chunks()),
+            False,
+        )))
     for flt in flts:
         for c, v in flt.items():
             if c not in have:
@@ -4767,13 +4802,13 @@ class TxLogBatchReader(DataSourceReader):
     DELETION VECTORS are APPLIED, not refused: each file's deleted
     row indices resolve driver-side at plan time and ride the input
     partition; the task masks them out of the Arrow table before
-    yielding (see ``_arrow_scan_batches``) — positional deletes need
-    no join stage, unlike equality deletes. Pending merge-on-read
-    EQUALITY deletes are still REFUSED loudly: this reader hands
-    Spark raw file partitions and has no join stage to apply delete
-    keys with — reading through them would resurrect logically-erased
-    rows. ``TxTable.read`` (which resolves both) or an ``optimize()``
-    fold is the sanctioned path for equality-dirty tables."""
+    yielding (see ``_arrow_scan_batches``). Pending merge-on-read
+    EQUALITY deletes are applied too (r13; previously a refusal):
+    the planner scopes each data file's applicable delete files by
+    version (a delete erases keys only from files added before it)
+    and the task anti-joins the keys Arrow-side — the same result
+    ``TxTable.read``'s join stage produces, with key sets read
+    column-pruned task-side and never transiting the driver."""
 
     def __init__(self, schema: T.StructType, options: dict):
         self.schema = schema
@@ -4840,13 +4875,27 @@ class TxLogBatchReader(DataSourceReader):
         # break the r11 advisor flagged
         v0 = t.latest_version() if v is None else v
         entries, deletes = t._snapshot_mor(v0)
+        # EQUALITY DELETES apply TASK-side (r13; previously a refusal
+        # that forced MoR-dirty tables through TxTable.read or an
+        # optimize): each data file's partition carries references to
+        # exactly the delete files that apply to it — version-scoped
+        # here at plan time (a delete at version d erases keys only
+        # from files added strictly before d) — and the task
+        # anti-joins the keys Arrow-side. Key sets never transit the
+        # driver; per-task cost is one column-pruned read per
+        # applicable delete file.
+        dels_by_file: dict[str, tuple] = {}
         if deletes:
-            raise ValueError(
-                "read.format('txlog'): snapshot carries pending "
-                "merge-on-read equality deletes, which this raw-file "
-                "reader cannot apply; read via TxTable.read() or run "
-                "optimize() to fold them first"
-            )
+            refs = [
+                (t.file_store.read_path(self.path, df_), dver, k)
+                for df_, dver, k in deletes
+            ]
+            for f, _, added_at in entries:
+                applicable = tuple(
+                    (p_, k) for p_, dver, k in refs if dver > added_at
+                )
+                if applicable:
+                    dels_by_file[f] = applicable
         if self.eq_filter:
             entries = [
                 e for e in entries if _eq_stats_match(e[1], self.eq_filter)
@@ -4889,6 +4938,7 @@ class TxLogBatchReader(DataSourceReader):
                     if f in dv_map
                     else None
                 ),
+                eq_dels=dels_by_file.get(f, ()),
             )
             for f, _, _ in entries
         ]
@@ -4903,6 +4953,7 @@ class TxLogBatchReader(DataSourceReader):
             [self.partition_filter, self.eq_filter],
             dv=getattr(partition, "dv", None),
             range_filters=self.range_filter,
+            eq_dels=getattr(partition, "eq_dels", ()),
         )
 
 

@@ -1660,9 +1660,9 @@ def test_stream_sink_replayed_epoch_lands_no_duplicate(spark, tmp_path):
 def test_txlog_batch_reader_time_travels_and_refuses_dirty(spark, tmp_path):
     """spark.read.format("txlog") reads the snapshot with one input
     partition per live file, time-travels via versionAsOf /
-    timestampAsOf, and REFUSES a snapshot with pending merge-on-read
-    deletes (this raw-file reader has no join stage to apply them —
-    reading through would resurrect erased rows)."""
+    timestampAsOf, and (r13) APPLIES pending merge-on-read equality
+    deletes task-side — version-scoped at plan time, anti-joined
+    Arrow-side — instead of refusing, matching TxTable.read exactly."""
     import time
 
     from data_analyse_marche_emploi_spark.sources.txlog import (
@@ -1688,10 +1688,79 @@ def test_txlog_batch_reader_time_travels_and_refuses_dirty(spark, tmp_path):
     with pytest.raises(Exception, match="mutually exclusive"):
         rd(versionAsOf=0, timestampAsOf=mid)
     t.delete_where(F.col("k") == 1, mode="mor", key="k")
-    with pytest.raises(Exception, match="equality deletes"):
-        rd()
-    # TxTable.read remains the sanctioned dirty-snapshot path
+    # r13: the format read applies the pending equality delete
+    # task-side and equals TxTable.read on the dirty snapshot
+    assert rd() == [(2, "B"), (3, "c")]
     assert sorted(r.k for r in t.read().collect()) == [2, 3]
+
+
+def test_format_read_applies_equality_deletes_version_scoped(
+    spark, tmp_path
+):
+    """r13: the format-level reader reads MoR-dirty tables exactly —
+    each data file's partition carries only the delete files that
+    POSTDATE its add (the version scoping that keeps a merge's own
+    fresh rows alive), null keys survive the anti-join (SQL
+    semantics), the keys compose with eqFilter/columns, and stacked
+    merges resolve like TxTable.read."""
+    import data_analyse_marche_emploi_spark.sources.txlog as TX
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, p,
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (None, "nk")], "k long, v string"
+        ).coalesce(1),
+    )
+    t.merge_upsert(_df(spark, [(2, "B1")]).coalesce(1), "k", mode="mor")
+    # stacked merge on the same key: v2's delete must erase v1's row
+    # but NOT v2's own add
+    t.merge_upsert(
+        _df(spark, [(2, "B2"), (3, "c")]).coalesce(1), "k", mode="mor"
+    )
+    want = sorted(
+        ((r.k, r.v) for r in t.read().collect()), key=repr
+    )
+    schema = t.read().schema
+    rdr = TX.TxLogBatchReader(schema, {"path": p})
+    parts = rdr.partitions()
+    # version scoping at plan time: the v2 add carries NO applicable
+    # deletes; the v0 file carries both
+    n_dels = sorted(len(q.eq_dels) for q in parts)
+    assert n_dels[0] == 0 and n_dels[-1] == 2, n_dels
+    got = sorted(
+        (
+            (k_, v_)
+            for part in parts
+            for b in rdr.read(part)
+            for k_, v_ in zip(
+                b.column("k").to_pylist(), b.column("v").to_pylist()
+            )
+        ),
+        key=repr,
+    )
+    assert got == want
+    assert (None, "nk") in got  # null key survives the anti-join
+    # composes with eqFilter and the columns projection
+    rdr2 = TX.TxLogBatchReader(schema, {"path": p, "eqfilter": '{"k": 2}'})
+    got2 = [
+        (r_k, r_v)
+        for part in rdr2.partitions()
+        for b in rdr2.read(part)
+        for r_k, r_v in zip(
+            b.column("k").to_pylist(), b.column("v").to_pylist()
+        )
+    ]
+    assert got2 == [(2, "B2")]
+    src = TX.TxLogDataSource({"path": p, "columns": "v"})
+    rdr3 = src.reader(src.schema())
+    got3 = sorted(
+        v_
+        for part in rdr3.partitions()
+        for b in rdr3.read(part)
+        for v_ in b.column("v").to_pylist()
+    )
+    assert got3 == ["B2", "a", "c", "nk"]
 
 
 def test_batch_reader_yields_arrow_batches(spark, tmp_path):
