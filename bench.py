@@ -271,6 +271,18 @@ def prior_records() -> dict[str, float]:
     threshold. Sources: the driver's BENCH_r*.json artifacts (which
     only parse fully through r6 — see _load_records_file) plus the
     committed merged records file bench writes itself."""
+    return prior_records_with_sources()[0]
+
+
+def prior_records_with_sources() -> tuple[dict[str, float], set[str]]:
+    """``(best, from_file)``: the :func:`prior_records` minima plus the
+    set of queries whose minimum came from the RECORDS FILE (i.e. was
+    not undercut by a calibrated artifact value). The distinction
+    matters for the rerun guard (r13 advisor): ``queries_calib`` stores
+    the calibration of the run that set the FILE record, so scaling a
+    baseline that actually came from a different run's artifact by that
+    calibration pairs a time with another host's speed — queries whose
+    baseline is artifact-sourced must fall back to the global factor."""
     import glob
 
     best: dict[str, float] = {}
@@ -309,8 +321,13 @@ def prior_records() -> dict[str, float]:
                 # its calibrated records; uncalibrated values only
                 # fill genuinely-recordless queries.
                 continue
-            best[q] = min(best.get(q, float("inf")), float(t))
-    return best
+            if float(t) < best.get(q, float("inf")):
+                best[q] = float(t)
+                # an artifact value undercut the file record (or the
+                # file has none): this baseline's calibration context
+                # is NOT queries_calib's
+                file_qs.discard(q)
+    return best, file_qs
 
 
 def run_query(spark, name: str, sf_dir: str, repeats: int = 3) -> tuple[float, float]:
@@ -382,7 +399,7 @@ def main() -> None:
     calib_py = time.perf_counter() - t0
 
     names = [n for n in HEADLINE if n in catalog.QUERIES]
-    prior = prior_records()
+    prior, prior_from_file = prior_records_with_sources()
     # "×2 after calibration" (r7 verdict ask #4): best-ever records
     # come from the fastest host this repo ever ran on; scale the
     # rerun threshold by how much slower TODAY's JVM calibration is
@@ -399,8 +416,14 @@ def main() -> None:
     record_calibs = prior_record_calibs()
 
     def factor_for(name: str) -> float:
+        # per-record calibration applies ONLY when the baseline is the
+        # records-file value queries_calib describes; an artifact-
+        # sourced baseline (r13 advisor) pairs with the global factor
+        # — its setting run's calibration was never stored
         rc = record_calibs.get(name)
-        return max(1.0, calib_jvm / rc) if rc else calib_factor
+        if rc and name in prior_from_file:
+            return max(1.0, calib_jvm / rc)
+        return calib_factor
 
     times: dict[str, float] = {}
     cold_times: dict[str, float] = {}

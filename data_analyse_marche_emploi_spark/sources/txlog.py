@@ -5327,7 +5327,11 @@ class TxLogStreamReader(DataSourceStreamReader):
             with open(final) as fh:
                 if int(json.load(fh)["version"]) >= version:
                     return
-        except (OSError, ValueError, KeyError):
+        except (OSError, ValueError, KeyError, TypeError):
+            # same malformed-record tolerance as registered_streams
+            # (r13 advisor): a record whose "version" is JSON null
+            # raises TypeError from int(None) — the stale mark must be
+            # OVERWRITTEN below, not crash every subsequent planning
             pass
         tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:

@@ -91,6 +91,37 @@ def test_prior_records_prefers_calibrated_records():
             assert got[q] == rec[q], (q, got[q], rec[q])
 
 
+def test_prior_records_sources_flag_artifact_undercuts(
+    tmp_path, monkeypatch
+):
+    """r13 advisor: a calibrated ARTIFACT minimum that undercuts the
+    records-file value supplies the baseline but NOT the per-record
+    calibration (queries_calib describes the file record's setting
+    run) — prior_records_with_sources must drop such queries from the
+    file-sourced set so factor_for falls back to the global factor."""
+    root = tmp_path
+    monkeypatch.setattr(bench, "RECORDS_PATH", str(root / "records.json"))
+    bench.save_records({"q_file": 2.0, "q_cut": 5.0}, calib_jvm=0.5)
+    art = {
+        "calib_jvm_sec": 0.4,
+        "queries": {"q_cut": 3.0, "q_art_only": 1.0},
+    }
+    with open(root / "BENCH_r98.json", "w") as f:
+        json.dump(art, f)
+    real_glob = glob.glob
+
+    def fake_glob(pat):
+        if "BENCH_r*" in pat:
+            return real_glob(os.path.join(str(root), "BENCH_r*.json"))
+        return real_glob(pat)
+
+    monkeypatch.setattr(glob, "glob", fake_glob)
+    best, from_file = bench.prior_records_with_sources()
+    assert best == {"q_file": 2.0, "q_cut": 3.0, "q_art_only": 1.0}
+    assert "q_file" in from_file
+    assert "q_cut" not in from_file and "q_art_only" not in from_file
+
+
 def test_legacy_records_inherit_global_calib(tmp_path, monkeypatch):
     """Records written before queries_calib existed inherit the file's
     global min calibration — the value the old global rerun factor
