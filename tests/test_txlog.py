@@ -2087,8 +2087,8 @@ def test_txlog_random_ops_match_model(spark, tmp_path):
             assert got_chg == want_chg, f"seq {seq} feed at v{v}"
         # r12: streamed change feed == batch recompute over the newest
         # suffix BOTH feeds accept (fold commits refuse both ways;
-        # MoR commits feed in BATCH since r13 but still refuse on the
-        # task-side stream — walk forward past whichever refuses)
+        # MoR commits feed both ways since r14 — walk forward past
+        # whichever refuses)
         head = t.latest_version()
         for v0 in range(head):
             try:
@@ -2717,8 +2717,8 @@ def test_change_feed_over_merge_on_read_commits(spark, tmp_path, monkeypatch):
     pairs for rewrites, delete for keyed deletes, NOTHING for
     identical rewrites. Stacked MoR merges feed per commit (each
     pre-image resolved at its own v-1); a wrong key refuses naming
-    the merge key; the format-level reader still refuses, pointing
-    here."""
+    the merge key; the format-level reader resolves the same diff
+    task-side (r14) and must match row-for-row."""
     import data_analyse_marche_emploi_spark.sources.txlog as TX
 
     p = str(tmp_path / "t")
@@ -2777,9 +2777,18 @@ def test_change_feed_over_merge_on_read_commits(spark, tmp_path, monkeypatch):
     # wrong feed key refuses naming the commit's merge key
     with pytest.raises(ValueError, match="merge key"):
         t.read_changes("v", 0).collect()
-    # the format-level (task-side) feed still refuses, pointing here
-    with pytest.raises(ValueError, match="read_changes"):
-        _cdf_drain_driver_side(spark, p, 0, 3, key="k")
+    # r14: the format-level (task-side) feed resolves MoR pre-images
+    # itself (prior-snapshot candidates + delete-key semi-join, all
+    # Arrow-side) — its drain equals the batch recompute row-for-row
+    batch = sorted(
+        (r.k, r.v, r._change_op, r._change_version)
+        for r in t.read_changes("k", 0, 3).collect()
+    )
+    got = sorted(_cdf_drain_driver_side(spark, p, 0, 3, key="k"))
+    assert got == batch
+    # and the wrong-key refusal matches too
+    with pytest.raises(ValueError, match="merge key"):
+        _cdf_drain_driver_side(spark, p, 0, 3, key="v")
 
 
 def test_change_feed_refuses_folded_delete_commits(spark, tmp_path):
@@ -4019,12 +4028,17 @@ def test_stream_change_feed_refusals(spark, tmp_path):
     assert sorted((r[0], r[3]) for r in got) == [
         (2, "update_postimage"), (2, "update_preimage")
     ]
-    # batch CDF over a merge-on-read equality delete refuses too
+    # a merge-on-read equality delete FEEDS (r14 — previously a
+    # refusal): the task resolves the pre-image from the prior
+    # snapshot and the erased row surfaces as a delete
     p2 = str(tmp_path / "t2")
     t2 = TxTable.create(spark, p2, _wide(spark, [(1, "a", 0.0), (2, "b", 0.0)]))
     t2.delete_where(F.col("k") == 1, mode="mor", key="k")
-    with pytest.raises(ValueError, match="merge-on-read"):
-        _cdf_drain_driver_side(spark, p2, 0, 1, key="k")
+    got2 = _cdf_drain_driver_side(spark, p2, 0, 1, key="k")
+    assert sorted((r[0], r[3]) for r in got2) == [(1, "delete")]
+    # ...but only under the commit's merge key, like the batch feed
+    with pytest.raises(ValueError, match="merge key"):
+        _cdf_drain_driver_side(spark, p2, 0, 1, key="v")
 
 
 def test_stream_ignore_deletes_skips_pure_delete_commits(spark, tmp_path):
@@ -4334,7 +4348,10 @@ def test_read_range_filter_prunes_on_stats(spark, tmp_path):
 @posix_only
 def test_format_range_filter_end_to_end(spark, tmp_path):
     """spark.read.format('txlog').option('rangeFilter', ...) through
-    the real engine equals the plain filtered read."""
+    the real engine equals the plain filtered read. Range columns are
+    non-float (float columns refuse at plan time since r14 — NaN
+    semantics); a double column rides along unfiltered to prove it
+    still reads fine."""
     from data_analyse_marche_emploi_spark.sources.txlog import (
         register_txlog_source,
     )
@@ -4342,23 +4359,24 @@ def test_format_range_filter_end_to_end(spark, tmp_path):
     register_txlog_source(spark)
     p = str(tmp_path / "t")
     df = spark.createDataFrame(
-        [(i, i * 2.5) for i in range(1000)], "k long, x double"
+        [(i, i * 3, i * 2.5) for i in range(1000)],
+        "k long, m long, x double",
     )
     TxTable.create(spark, p, df.repartitionByRange(8, "k"))
     got = (
         spark.read.format("txlog")
         .option("path", p)
         .option("rangeFilter", '{"k": {">=": 100, "<=": 219}, '
-                               '"x": {">": 300.0}}')
+                               '"m": {">": 360}}')
         .load()
         .orderBy("k")
         .collect()
     )
     want = sorted(
-        (r.k, r.x)
-        for r in df.filter("k >= 100 and k <= 219 and x > 300.0").collect()
+        (r.k, r.m, r.x)
+        for r in df.filter("k >= 100 and k <= 219 and m > 360").collect()
     )
-    assert [(r.k, r.x) for r in got] == want
+    assert [(r.k, r.m, r.x) for r in got] == want
 
 
 def test_stream_cow_diff_distributes_across_key_buckets(spark, tmp_path):
@@ -4474,6 +4492,258 @@ def test_stream_cow_diff_nan_keys_match_batch_feed(spark, tmp_path):
     t2.update_where("v = 'z'", {"v": "'Z'"})
     with pytest.raises(ValueError, match="duplicate 'k'"):
         _cdf_drain_driver_side(spark, p2, 0, 1, key="k")
+
+
+def test_stream_mor_cdf_distributes_and_matches_batch(spark, tmp_path):
+    """r13 verdict ask #1: the format-level change feed RESOLVES
+    merge-on-read commits instead of refusing — each task reads its
+    key slice of the prior snapshot's candidate files (DV masks and
+    version-scoped earlier equality deletes applied Arrow-side),
+    semi-joins to the commit's delete keys, and the drain equals the
+    batch read_changes recompute row-for-row across a dirty MoR
+    history: a DV delete riding in the pre-image, stacked MoR merges
+    (the second resolving the first's pending equality deletes), and
+    a keyed MoR delete with no adds."""
+    import data_analyse_marche_emploi_spark.sources.txlog as TX
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200)], "k long, v string"
+    )
+    t = TxTable.create(spark, p, df.repartitionByRange(4, "k"))
+    assert len(t.snapshot_files()) == 4
+    t.delete_where("k % 17 = 5", mode="dv")                        # v1
+    ups = spark.createDataFrame(
+        [(k, "UP") for k in range(0, 200, 10)] + [(201, "new")],
+        "k long, v string",
+    )
+    t.merge_upsert(ups.coalesce(1), "k", mode="mor")               # v2
+    t.merge_upsert(                                                # v3
+        _df(spark, [(20, "UP2"), (40, "UP")]).coalesce(1), "k",
+        mode="mor",
+    )
+    t.delete_where(F.col("k") == 7, mode="mor", key="k")           # v4
+    opts = {"path": p, "readchangefeed": "true", "changefeedkey": "k"}
+    schema = TX.TxLogDataSource(opts).schema()
+    rdr = TX.TxLogStreamReader(schema, opts)
+    parts = rdr._cdf_partitions(TxTable(None, p), 1, 4)
+    mor = [q for q in parts if q.kind == "mor"]
+    assert mor, "no merge-on-read partitions planned"
+    # the wide v2 merge distributes across key-range buckets (the
+    # 4-file clustered base gives the planner distinct cut points)
+    v2 = [q for q in mor if q.version == 2]
+    assert len(v2) > 1, "the MoR diff funneled through one partition"
+    # merge_upsert refuses null merge keys, so a null POST-image is
+    # unreachable; at most a defensive specials slice is planned
+    assert sum(1 for q in v2 if q.nulls_only) <= 1
+    ranges = sorted(q.bucket for q in v2 if q.bucket is not None)
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 is not None and hi1 <= lo2
+    # bucketed pre-image slices carry FEWER candidate files than the
+    # whole snapshot (plan-time stats pruning at the bucket level)
+    assert any(len(q.pre) < 4 for q in v2 if q.bucket is not None)
+    got = sorted(_cdf_drain_driver_side(spark, p, 1, 4, key="k"),
+                 key=repr)
+    want = sorted(
+        (
+            (r.k, r.v, r._change_op, r._change_version)
+            for r in t.read_changes("k", 1, 4).collect()
+        ),
+        key=repr,
+    )
+    assert got == want
+    # spot semantics: identical rewrite (k=40 at v3) emits nothing;
+    # the keyed delete is a bare delete
+    assert not [r for r in got if r[0] == 40 and r[3] == 3]
+    assert (7, "v7", "delete", 4) in got
+    # DV-deleted rows (k%17==5) never resurface as PRE-images — a
+    # re-upserted one (k=90) is an insert, not an update pair
+    assert not [
+        r for r in got
+        if r[0] is not None and r[0] % 17 == 5
+        and r[2] in ("delete", "update_preimage")
+    ]
+    assert (90, "UP", "insert", 2) in got
+    # escape hatch parity: changeFeedBuckets=false plans ONE mor
+    # partition per commit, same rows
+    off = TX.TxLogStreamReader(
+        schema, {**opts, "changefeedbuckets": "false"}
+    )
+    parts_off = off._cdf_partitions(TxTable(None, p), 1, 4)
+    assert len([q for q in parts_off if q.kind == "mor"
+                and q.version == 2]) == 1
+    got_off = sorted(
+        (
+            tuple(b.column(c).to_pylist()[i] for c in b.schema.names)
+            for part in parts_off
+            for b in off.read(part)
+            for i in range(b.num_rows)
+        ),
+        key=repr,
+    )
+    assert got_off == want
+
+
+def test_stream_cow_hash_buckets_on_no_locality_commits(
+    spark, tmp_path, monkeypatch
+):
+    """r13 verdict ask #2: a wide CoW commit on a RANDOM key layout
+    (fully overlapping per-file key ranges — range bucketing honestly
+    refuses) no longer funnels through one task when its logged row
+    counts prove it wide: the planner splits the diff into
+    deterministic HASH SLICES of the key, each reading every file but
+    keeping only its slice, and the drain equals the batch recompute
+    — including null keys (owned by exactly one slice) and the
+    asymmetric case where one side's pandas dtype coerces through
+    null presence and the other's does not."""
+    import data_analyse_marche_emploi_spark.sources.txlog as TX
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(300)] + [(None, "nullk")],
+        "k long, v string",
+    )
+    # hash-partitioned: every file spans ~the full key range
+    t = TxTable.create(spark, p, df.repartition(3, "k"))
+    assert len(t.snapshot_files()) == 3
+    monkeypatch.setattr(TX, "_COW_HASH_MIN_ROWS", 100)
+    monkeypatch.setattr(TX, "_COW_HASH_TARGET_ROWS", 100)
+    t.update_where("k % 10 = 3", {"v": "'X'"})                    # v1
+    t.delete_where("k IS NULL")                                   # v2 cow
+    opts = {"path": p, "readchangefeed": "true", "changefeedkey": "k"}
+    schema = TX.TxLogDataSource(opts).schema()
+    rdr = TX.TxLogStreamReader(schema, opts)
+    parts = rdr._cdf_partitions(TxTable(None, p), 0, 1)
+    cow = [q for q in parts if q.kind == "cow"]
+    assert len(cow) > 1, "no-locality wide commit still funnels"
+    assert all(q.hash_bucket is not None for q in cow)
+    n = cow[0].hash_bucket[1]
+    assert sorted(q.hash_bucket[0] for q in cow) == list(range(n))
+    got = sorted(_cdf_drain_driver_side(spark, p, 0, 2, key="k"),
+                 key=repr)
+    want = sorted(
+        (
+            (r.k, r.v, r._change_op, r._change_version)
+            for r in t.read_changes("k", 0, 2).collect()
+        ),
+        key=repr,
+    )
+    assert got == want
+    # the null-keyed row rode exactly one slice: one delete+insert
+    # pair at v1, one delete at v2 (the asymmetric dtype case: v2's
+    # post side has no nulls and reads back int64, the pre side
+    # float64 — canonical hashing keeps slices aligned)
+    assert sorted(r[2:] for r in got if r[0] is None) == [
+        ("delete", 1), ("delete", 2), ("insert", 1)
+    ]
+    # below the row threshold the single-partition fallback stays
+    monkeypatch.setattr(TX, "_COW_HASH_MIN_ROWS", 10**9)
+    parts_small = rdr._cdf_partitions(TxTable(None, p), 0, 1)
+    assert len([q for q in parts_small if q.kind == "cow"]) == 1
+
+
+def test_stream_mor_hash_buckets_on_no_locality_commits(
+    spark, tmp_path, monkeypatch
+):
+    """r14: the hash-slice fallback covers MERGE-ON-READ commits too —
+    a wide MoR merge on a RANDOM key layout (range bucketing refuses)
+    splits into deterministic hash slices, each resolving its slice
+    of the prior snapshot's pre-image (DV masks applied Arrow-side)
+    and semi-joining to the full delete-key set; the drain equals the
+    batch recompute row-for-row."""
+    import data_analyse_marche_emploi_spark.sources.txlog as TX
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(300)], "k long, v string"
+    )
+    # hash-partitioned: every file spans ~the full key range
+    t = TxTable.create(spark, p, df.repartition(3, "k"))
+    assert len(t.snapshot_files()) == 3
+    t.delete_where("k % 29 = 3", mode="dv")                       # v1
+    ups = spark.createDataFrame(
+        [(k, "UP") for k in range(0, 300, 5)]
+        + [(500, "new"), (501, "new")],
+        "k long, v string",
+    )
+    monkeypatch.setattr(TX, "_COW_HASH_MIN_ROWS", 100)
+    monkeypatch.setattr(TX, "_COW_HASH_TARGET_ROWS", 100)
+    t.merge_upsert(ups.coalesce(1), "k", mode="mor")              # v2
+    opts = {"path": p, "readchangefeed": "true", "changefeedkey": "k"}
+    schema = TX.TxLogDataSource(opts).schema()
+    rdr = TX.TxLogStreamReader(schema, opts)
+    parts = rdr._cdf_partitions(TxTable(None, p), 1, 2)
+    mor = [q for q in parts if q.kind == "mor"]
+    assert len(mor) > 1, "no-locality wide MoR merge still funnels"
+    assert all(q.hash_bucket is not None for q in mor)
+    n = mor[0].hash_bucket[1]
+    assert sorted(q.hash_bucket[0] for q in mor) == list(range(n))
+    got = sorted(_cdf_drain_driver_side(spark, p, 1, 2, key="k"),
+                 key=repr)
+    want = sorted(
+        (
+            (r.k, r.v, r._change_op, r._change_version)
+            for r in t.read_changes("k", 1, 2).collect()
+        ),
+        key=repr,
+    )
+    assert got == want
+    # spot semantics across slices: brand-new keys insert; a rewritten
+    # key emits an update pair; a DV-erased key (90 % 29 == 3, masked
+    # at v1) re-upserted at v2 has no pre-image, so it's an INSERT
+    assert (500, "new", "insert", 2) in got
+    assert (10, "v10", "update_preimage", 2) in got
+    assert (10, "UP", "update_postimage", 2) in got
+    assert (90, "UP", "insert", 2) in got
+    assert not [r for r in got if r[0] == 90 and r[2] != "insert"]
+
+
+def test_cdf_probe_bounded_by_bytes_when_counts_unlogged(
+    spark, tmp_path, monkeypatch
+):
+    """r13 verdict "what's wrong" #2: commits whose writers logged NO
+    __rows__ stats (pre-r10) used to probe key uniqueness
+    UNCONDITIONALLY — unbounded sequential planning IO on an
+    old-writer wide MERGE. The probe is now bounded by summed file
+    BYTES for such commits: over the bound it skips straight to the
+    task-side backstop; under it the fail-fast probe still runs."""
+    import data_analyse_marche_emploi_spark.sources.txlog as TX
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, p, _df(spark, [(i, "x") for i in range(50)]).coalesce(1)
+    )
+    t.update_where("k = 3", {"v": "'Y'"})                          # v1
+    # simulate a pre-r10 writer: strip __rows__ from every action
+    orig = TX.TxTable._read_action
+
+    def no_rows(self, version):
+        act = dict(orig(self, version))
+        act["stats"] = {
+            f: {k2: v2 for k2, v2 in (s or {}).items()
+                if k2 != "__rows__"}
+            for f, s in act.get("stats", {}).items()
+        }
+        return act
+
+    probes: list = []
+    orig_probe = TX._probe_cdf_key_unique
+    monkeypatch.setattr(
+        TX, "_probe_cdf_key_unique",
+        lambda *a, **k: (probes.append(a), orig_probe(*a, **k))[1],
+    )
+    with monkeypatch.context() as mp:
+        mp.setattr(TX.TxTable, "_read_action", no_rows)
+        # over the byte bound: no probe, planning stays metadata-only
+        mp.setattr(TX, "_CDF_PROBE_MAX_BYTES", 1)
+        t2 = TxTable(None, p)
+        parts = TX._plan_cdf_partitions(t2, p, 0, 1, "k")
+        assert not probes, "stats-less wide commit still probed"
+        assert [q.kind for q in parts if q.kind == "cow"] == ["cow"]
+        # under the bound: the fail-fast probe runs
+        mp.setattr(TX, "_CDF_PROBE_MAX_BYTES", 10**12)
+        TX._plan_cdf_partitions(TxTable(None, p), p, 0, 1, "k")
+        assert probes, "small stats-less commit must still fail fast"
 
 
 def test_cdf_key_validates_at_plan_time(spark, tmp_path):
@@ -4601,6 +4871,140 @@ def test_stream_id_registration_end_to_end(spark, tmp_path):
     drain()  # restart: start offset = the first drain's progress (1)
     marks = TxTable(spark, p).registered_streams()
     assert marks == {"consumer-1": 1}, marks
+
+
+def test_stream_guard_works_on_cas_log_store(spark, tmp_path):
+    """r13 advisor: the _streams side-log used to bypass the LogStore
+    seam with direct os.* calls, so on a non-POSIX store the vacuum
+    guard silently recorded and protected NOTHING. Routed through
+    LogStore.put_json/delete_json + list_log/read_json, the guard now
+    works end-to-end on the CAS (object-store-shaped) log store:
+    marks record, max-merge, tolerate malformed records, refuse
+    vacuum while lagging, and release when caught up/unregistered."""
+    from data_analyse_marche_emploi_spark.sources.txlog import (
+        InMemoryCASLogStore,
+    )
+
+    cs = InMemoryCASLogStore()
+    p = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, p, _df(spark, [(1, "a")]).coalesce(1), log_store=cs
+    )
+    t.append(_df(spark, [(2, "b")]).coalesce(1))  # v1
+    t.record_stream_mark("s1", -1)
+    t.record_stream_mark("s1", 0)
+    t.record_stream_mark("s1", -5)  # max-merged: never regresses
+    assert TxTable(
+        spark, p, log_store=cs
+    ).registered_streams() == {"s1": 0}
+    # a malformed record (version: null) is SKIPPED on read and
+    # OVERWRITTEN by the next mark, not a planning crash
+    cs.put_json(
+        os.path.join(t.log_dir, "_streams", "bad.json"),
+        {"version": None},
+    )
+    assert t.registered_streams() == {"s1": 0}
+    t.record_stream_mark("bad", 1)
+    assert t.registered_streams() == {"bad": 1, "s1": 0}
+    assert t.unregister_stream("bad") is True
+    assert t.unregister_stream("bad") is False
+    t.optimize(full=True)  # v2 rewrites everything s1 still needs
+    with pytest.raises(ValueError, match="strand registered stream 's1'"):
+        t.vacuum()
+    t.record_stream_mark("s1", t.latest_version())  # caught up
+    assert t.vacuum()
+    assert sorted(r.k for r in t.read().collect()) == [1, 2]
+
+
+def test_eq_delete_join_broadcast_is_size_bounded(spark, tmp_path):
+    """r13 verdict ask #3: the eq-delete anti/semi joins broadcast
+    their key set ONLY while the summed delete-file size fits Spark's
+    broadcast threshold — the explicit hint bypasses
+    autoBroadcastJoinThreshold, so a merge-heavy, never-optimized
+    table's accumulated key set would otherwise be forced driver-side
+    without bound. Above the bound the hint drops (shuffled join,
+    bounded), results identical."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(4000)], "k long, v string"
+    )
+    t = TxTable.create(spark, p, df.coalesce(2))
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(i, "UP") for i in range(0, 4000, 2)], "k long, v string"
+        ).coalesce(1),
+        "k", mode="mor",
+    )
+    dels = [f for f in t.file_store.list(p) if f.startswith("delete-")]
+    assert dels
+    dbytes = sum(t.file_store.size(p, f) for f in dels)
+    assert dbytes > 1024  # the lowered threshold below must bite
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan, plan
+    want = sorted((r.k, r.v) for r in t.read().collect())
+    conf = "spark.sql.autoBroadcastJoinThreshold"
+    orig = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "1kb")
+        assert t._broadcast_bound() == 1024
+        got_df = t.read()
+        plan2 = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan2, plan2
+        assert sorted((r.k, r.v) for r in got_df.collect()) == want
+        # the MoR change feed's pre-image semi-join drops its hint too
+        feed = t.read_changes("k", 0)
+        pf = feed._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in pf, pf
+        ops = [r._change_op for r in feed.collect()]
+        assert ops.count("update_postimage") == 2000
+        assert ops.count("update_preimage") == 2000
+        # threshold parsing: plain bytes, units, disabled
+        spark.conf.set(conf, "10485760")
+        assert t._broadcast_bound() == 10 * 1024 * 1024
+        spark.conf.set(conf, "2m")
+        assert t._broadcast_bound() == 2 * 1024 * 1024
+        spark.conf.set(conf, "-1")
+        assert t._broadcast_bound() == 0
+        # -1 (broadcast disabled) also drops the hint, same rows
+        assert sorted((r.k, r.v) for r in t.read().collect()) == want
+    finally:
+        spark.conf.set(conf, orig)
+
+
+def test_range_filter_refuses_float_columns(spark, tmp_path):
+    """r13 verdict "what's wrong" #1: Spark SQL ranks NaN GREATER
+    than every number (col >= v admits NaN) while parquet stats and
+    Arrow comparison kernels exclude it — so float rangeFilter
+    columns refuse at PLAN time on every surface (TxTable.read, the
+    DSv2 schema/load path, direct reader construction) instead of
+    silently diverging; the refusal names the exact alternative,
+    which this test proves keeps Spark's NaN semantics."""
+    import data_analyse_marche_emploi_spark.sources.txlog as TX
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 1.5), (2, float("nan")), (3, 0.5)], "k long, d double"
+    )
+    t = TxTable.create(spark, p, df.coalesce(1))
+    with pytest.raises(ValueError, match="float range predicates"):
+        t.read(range_filter={"d": {">=": 1.0}})
+    # non-float columns keep working
+    assert sorted(
+        r.k for r in t.read(range_filter={"k": {">=": 2}}).collect()
+    ) == [2, 3]
+    # the documented alternative — .filter() on the returned frame —
+    # follows Spark's NaN-ranks-greatest semantics: >= 1.0 ADMITS the
+    # NaN row (exactly what stats-pruned Arrow filtering would lose)
+    assert sorted(
+        r.k for r in t.read().filter(F.col("d") >= 1.0).collect()
+    ) == [1, 2]
+    # format-level surfaces refuse at plan time too
+    opts = {"path": p, "rangefilter": '{"d": {">=": 1.0}}'}
+    with pytest.raises(ValueError, match="float range predicates"):
+        TX.TxLogDataSource(opts).schema()
+    schema = TX.TxLogDataSource({"path": p}).schema()
+    with pytest.raises(ValueError, match="float range predicates"):
+        TX.TxLogBatchReader(schema, opts)
 
 
 def test_checkpoint_consolidates_dv_state(spark, tmp_path):
