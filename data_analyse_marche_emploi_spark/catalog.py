@@ -10434,23 +10434,19 @@ def stream_txlog_mor_cdf(spark, sf_dir):
 # ROLLUP, …) register after them — they stay fully covered by pytest and
 # tools/oracle_check.py, which check ALL entries.
 
-# Round-13 rotation (updated at round-13 for the r13 driver pass):
+# Round-14 rotation (updated at round-14 for the r14 driver pass):
 # STALENESS policy, unchanged since r8 — rank every non-anchor entry
 # by the round of its most recent full-green (or clean rows-only)
 # driver row, never-green ranking stalest of all (which auto-enrolls
 # this round's registrations), and pack the 49 stalest after the
-# smoke anchor. The r13 window is this round's new registrations
-# (tablelog_range_pruned — range-predicate pushdown on the
-# format-level read — and tablelog_eq_checkpoint — checkpoint
-# consolidation over live equality deletes) plus the stalest prior
-# entries: the r8-era §2 core cohort the r12 verdict named
-# (scan_match_all, proj_source_fields, filter_terms_in,
-# agg_count_total, agg_groupby_count, agg_date_histogram, agg_topk,
-# the str_* chain, dedup_exact, json_parse, set ops, windows,
-# sessionize, pivot_status, sql_api_flagship, txlog_constraints,
-# snk_txlog_writer, ...) whose last green predates every other
-# entry's, in registration order — so every driver proof keeps to ~5
-# rounds old as the window sweeps.
+# smoke anchor. The r14 window is this round's new registration
+# (stream_txlog_mor_cdf — the streamed change feed over a dirty
+# merge-on-read history, resolved task-side) plus the stalest prior
+# entries: the r9-era cohort the r13 verdict predicted
+# (dedup_union_by_id, stream_dedup_upsert, join_enrich, the LSH/kNN
+# similarity family, the early multimodal entries, ...) whose last
+# green predates every other entry's, in registration order — so
+# every driver proof keeps to ~5 rounds old as the window sweeps.
 # (tools/rotate_window.py regenerates this list from the pinned
 # policy after new registrations.)
 # The policy (window set == anchor + 49 stalest, recomputed from
@@ -10461,55 +10457,55 @@ def stream_txlog_mor_cdf(spark, sf_dir):
 # comment. tools/oracle_check.py still checks ALL entries at three SFs.
 _DRIVER_WINDOW = [
     "flagship_orders_by_month",
-    "tablelog_range_pruned",
-    "tablelog_eq_checkpoint",
-    "txlog_mor_change_feed",
-    "tablelog_format_mor_read",
-    "txlog_change_feed",
-    "txlog_ivm_from_cdf",
-    "text_html_strip",
-    "dedup_url_normalized",
-    "text_ngram_counts",
-    "stream_txlog_source",
-    "pipeline_crawl_to_training",
-    "q_forecast_revenue",
-    "pipeline_schema_evolution",
-    "maintenance_compact_files",
-    "dq_skew_report",
-    "sql_api_flagship",
-    "sql_lateral_topk",
-    "scan_match_all",
-    "proj_source_fields",
-    "filter_terms_in",
-    "filter_single_term",
-    "col_rename_flatten",
-    "str_lower",
-    "str_mutate_steps",
-    "agg_count_total",
-    "agg_groupby_count",
-    "agg_date_histogram",
-    "agg_topk",
-    "agg_distinct",
-    "agg_approx_distinct",
-    "join_dim_containment",
-    "json_parse",
-    "json_serialize",
-    "str_split_parse",
-    "json_map_explode",
-    "regex_extract_groups",
-    "emb_norms",
-    "date_fmt_fr",
-    "duration_hhmm",
-    "snk_run_metrics",
-    "pipeline_export_offres",
-    "window_analytics",
-    "sessionize",
-    "set_intersect",
-    "set_except",
-    "agg_cube",
-    "pivot_status",
-    "text_token_count",
-    "text_quality",
+    "stream_txlog_mor_cdf",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_fingerprint_rolling",
+    "dedup_exact",
+    "ann_lsh_multiprobe",
+    "dedup_semantic",
+    "q_shipping_priority",
+    "q_returned_items",
+    "stream_sliding_window",
+    "src_rest_paged",
+    "mixture_temperature",
+    "emb_pca_project",
+    "tablelog_merge_on_read",
+    "snk_txlog_writer",
+    "txlog_constraints",
+    "pipeline_clean_text",
+    "agg_pricing_summary",
+    "join_enrich",
+    "join_anti",
+    "dedup_union_by_id",
+    "scd2_apply",
+    "pipeline_csv_tech",
+    "window_topk_per_group",
+    "window_running_sum",
+    "agg_rollup",
+    "join_fact_fact",
+    "text_fr_nlp_tokens",
+    "dedup_minhash_lsh",
+    "dedup_lines_global",
+    "dedup_embedding_lsh",
+    "dedup_embedding_lsh_multiprobe",
+    "knn_brute_force",
+    "ann_lsh",
+    "join_asof",
+    "ts_gapfill",
+    "snapshot_diff",
+    "ann_ivf",
+    "pipeline_multimodal_training",
+    "pipeline_training_data",
+    "pipeline_training_sequences",
+    "stream_tumbling_window",
+    "stream_dedup_upsert",
+    "stream_scd2_enrich",
+    "stream_session_window",
+    "stream_stateful_totals",
+    "stream_stream_join",
+    "multimodal_wav_roundtrip",
+    "multimodal_png",
 ]
 
 def _prioritize() -> None:

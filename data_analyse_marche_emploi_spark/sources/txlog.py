@@ -135,6 +135,24 @@ _COW_HASH_MIN_ROWS = 2_000_000
 _COW_HASH_TARGET_ROWS = 1_000_000
 _COW_HASH_MAX_BUCKETS = 32
 
+# Range-split read-amplification cap (r14): a key-range split whose
+# total planned file opens exceed this multiple of the funnel's is
+# refused in favor of the hash fallback — re-reading one side's whole
+# file set per bucket is amplified IO whose parallelism is still
+# bounded by the widest bucket (measured slower than the funnel at
+# small scale on scattered layouts; docs/SCALING.md r14).
+_COW_BUCKET_AMP_CAP = 3
+
+# MERGE-ON-READ adds / delete-key files are RANGE-CLUSTERED by the
+# merge key at write time (r14): one extra shuffle of O(update rows)
+# buys selective logged [min, max] stats on every MoR-written file —
+# the difference between candidate pruning / CDF range buckets
+# working and every MoR add spanning the whole key space (a
+# hash-shuffled upsert's natural layout). File count is sized to
+# ~TARGET rows so small merges stay single-file.
+_MOR_ADD_TARGET_ROWS = 4_000_000
+_MOR_ADD_MAX_FILES = 256
+
 
 class _NanKeySentinel:
     """Singleton stand-in for float NaN change-feed keys: dict lookups
@@ -2114,9 +2132,24 @@ class TxTable:
             return v  # empty update set: no-op, no version burned
         self._enforce_constraints(updates, f"merge_upsert(mode={mode!r})")
         if mode == "mor":
-            adds = self._write_parts(updates)
+            # range-cluster the written files by the merge key (r14):
+            # a hash-shuffled upsert's natural layout gives every add
+            # file a whole-key-space [min, max] — stats that prune
+            # nothing and force the change feed's no-locality
+            # fallback. One bounded shuffle of exactly the rows being
+            # written keeps MoR tables range-skippable. Null keys were
+            # refused above, so repartitionByRange sees none.
+            nf = max(1, min(
+                _MOR_ADD_MAX_FILES,
+                -(-int(bounds["n"]) // _MOR_ADD_TARGET_ROWS),
+            ))
+            adds = self._write_parts(
+                updates.repartitionByRange(nf, key)
+            )
             dels = self._write_parts(
-                updates.select(key).distinct(), prefix="delete-"
+                updates.select(key).distinct()
+                .repartitionByRange(nf, key),
+                prefix="delete-",
             )
             # A MoR merge reads nothing and removes nothing — like an
             # append it commutes with concurrent appends/merges/deletes
@@ -2384,8 +2417,17 @@ class TxTable:
                     "— an equality delete would erase them too; use "
                     "mode='cow'"
                 )
+            # range-clustered like merge-mor's files (r14): selective
+            # delete-file footer ranges keep the change feed's
+            # candidate pruning and vacuum's key scoping cheap
+            nf = max(1, min(
+                _MOR_ADD_MAX_FILES,
+                -(-mk.count() // _MOR_ADD_TARGET_ROWS),
+            ))
             dels = self._write_parts(
-                matched.select(key).distinct(), prefix="delete-"
+                matched.select(key).distinct()
+                .repartitionByRange(nf, key),
+                prefix="delete-",
             )
             dkeys = mk.select(key)
 
@@ -4878,14 +4920,25 @@ def _cow_key_buckets(
             buckets.append([lo, hi, *sets])
     if len(buckets) < 2:
         return None
-    # DEGENERACY gate (r14): a random key layout rarely has IDENTICAL
-    # file minimums — its near-equal mins produce a formal split whose
-    # last span still overlaps EVERY file, i.e. one bucket re-reads
-    # the whole commit and carries ~all its rows: the old funnel plus
-    # pure extra reads from the other buckets. Such a split is
-    # honestly no-locality — return None so the caller's hash-bucket
-    # fallback (parallel by construction) can take over.
-    if any(
+    # READ-AMPLIFICATION gate (r14): a formal split is only a plan if
+    # its total file opens stay near the funnel's. A no-locality side
+    # (random layouts: near-equal mins, full-range spans — or one
+    # side's files each covering the whole key space) lands its
+    # entire file set in many buckets, so the split re-reads that
+    # side per bucket: amplified IO with the parallelism still bounded
+    # by the widest bucket — measured SLOWER than the funnel at small
+    # scale (docs/SCALING.md r14). Refuse such splits; the caller's
+    # hash-bucket fallback (uniformly parallel by construction, with
+    # its amplification sized to logged row counts) takes over for
+    # provably-wide commits.
+    total_opens = sum(
+        len(bpre) + len(bpost) for _, _, bpre, bpost in buckets
+    )
+    if total_opens > _COW_BUCKET_AMP_CAP * len(rngs) or any(
+        # ...and independently of the total: a bucket that re-reads
+        # EVERY file is the old funnel plus pure extra reads from the
+        # other buckets (near-equal mins on a random layout), however
+        # few files are involved
         len(set(bpre) | set(bpost)) == len(rngs)
         for _, _, bpre, bpost in buckets
     ):

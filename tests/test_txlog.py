@@ -4642,6 +4642,66 @@ def test_stream_cow_hash_buckets_on_no_locality_commits(
     assert len([q for q in parts_small if q.kind == "cow"]) == 1
 
 
+def test_mor_writes_are_range_clustered(spark, tmp_path, monkeypatch):
+    """r14: merge_upsert(mode='mor') range-clusters its adds AND
+    delete-key files by the merge key (one bounded shuffle of the
+    written rows) — a hash-shuffled upsert's natural layout would give
+    every MoR-written file a whole-key-space [min, max], stats that
+    prune nothing and force the change feed's no-locality fallback.
+    Pinned: multi-file MoR writes carry pairwise NON-OVERLAPPING
+    logged key ranges; small merges stay single-file."""
+    import data_analyse_marche_emploi_spark.sources.txlog as TX
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, p, _df(spark, [(0, "seed")]).coalesce(1)
+    )
+    monkeypatch.setattr(TX, "_MOR_ADD_TARGET_ROWS", 100)
+    ups = spark.createDataFrame(
+        [(i, "u") for i in range(1, 1001)], "k long, v string"
+    ).repartition(8, "k")  # deliberately scattered input layout
+    t.merge_upsert(ups, "k", mode="mor")  # v1
+    act = t._read_action(1)
+    assert len(act["adds"]) == 10  # ceil(1000 / 100)
+
+    def ranges(group, logged: bool):
+        # adds carry logged stats; delete files are ranged by their
+        # parquet FOOTER (what the feed's candidate pruning reads)
+        out = sorted(
+            act["stats"][f]["k"] if logged
+            else TX._footer_key_range(
+                t.file_store.read_path(p, f), "k"
+            )
+            for f in group
+        )
+        assert len(out) == len(group) and None not in out
+        return out
+
+    for group, logged in ((act["adds"], True),
+                          (act["delete_adds"], False)):
+        rngs = ranges(group, logged)
+        for (_, hi1), (lo2, _) in zip(rngs, rngs[1:]):
+            assert hi1 <= lo2, rngs
+    # a small merge writes ONE add + ONE delete file
+    monkeypatch.setattr(TX, "_MOR_ADD_TARGET_ROWS", 4_000_000)
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(5, "x"), (7, "y")], "k long, v string"
+        ).repartition(4),
+        "k", mode="mor",
+    )  # v2
+    act2 = t._read_action(2)
+    assert len(act2["adds"]) == 1 and len(act2["delete_adds"]) == 1
+    # delete_where(mode='mor') clusters its delete files the same way
+    monkeypatch.setattr(TX, "_MOR_ADD_TARGET_ROWS", 100)
+    t.delete_where("k >= 500 AND k < 900", mode="mor", key="k")  # v3
+    act3 = t._read_action(3)
+    assert len(act3["delete_adds"]) == 4  # ceil(400 / 100)
+    assert sorted(r.k for r in t.read().collect()) == (
+        [0] + list(range(1, 500)) + list(range(900, 1001))
+    )
+
+
 def test_stream_mor_hash_buckets_on_no_locality_commits(
     spark, tmp_path, monkeypatch
 ):
