@@ -2195,13 +2195,27 @@ class TxTable:
             if candidates
             else []
         )
+        # range-cluster the UPDATE half by the merge key (r14, same
+        # shuffle as the MoR write path): survivors inherit the
+        # touched files' layout (a file-scan union preserves
+        # partition→file locality), but the raw updates arrive in the
+        # caller's layout — usually hash-shuffled, whole-key-range
+        # files whose logged stats would prune nothing for later
+        # merges and change-feed buckets
+        upd = updates.repartitionByRange(
+            max(1, min(
+                _MOR_ADD_MAX_FILES,
+                -(-int(bounds["n"]) // _MOR_ADD_TARGET_ROWS),
+            )),
+            key,
+        )
         if touched:
             survivors = self._read_files(touched).join(
                 F.broadcast(keys), key, "left_anti"
             )
-            new_data = survivors.unionByName(updates)
+            new_data = survivors.unionByName(upd)
         else:
-            new_data = updates
+            new_data = upd
         adds = self._write_parts(new_data)
 
         def probe(entries: list[tuple[str, dict]]) -> bool:

@@ -4700,6 +4700,18 @@ def test_mor_writes_are_range_clustered(spark, tmp_path, monkeypatch):
     assert sorted(r.k for r in t.read().collect()) == (
         [0] + list(range(1, 500)) + list(range(900, 1001))
     )
+    # ...and so does the CoW merge's UPDATE half (survivors keep the
+    # touched files' layout; the raw updates shuffle once)
+    p2 = str(tmp_path / "t2")
+    t2 = TxTable.create(
+        spark, p2, _df(spark, [(0, "seed")]).coalesce(1)
+    )
+    t2.merge_upsert(ups, "k", mode="cow")  # pure-insert merge
+    actc = t2._read_action(1)
+    rc = sorted(actc["stats"][f]["k"] for f in actc["adds"])
+    assert len(rc) == 10
+    for (_, hi1), (lo2, _) in zip(rc, rc[1:]):
+        assert hi1 <= lo2, rc
 
 
 def test_stream_mor_hash_buckets_on_no_locality_commits(
