@@ -5055,7 +5055,8 @@ def _cow_hash_buckets(counts: list) -> int | None:
 def _plan_cdf_partitions(
     t: "TxTable", table_path: str, start_v: int, end_v: int,
     cdf_key: str | None, bucketing: bool = True,
-) -> "Sequence[_TxCdfPartition]":
+    seed: tuple | None = None, return_state: bool = False,
+):
     """Plan the change feed for versions in ``(start_v, end_v]`` — the
     per-commit planning shared by the STREAM reader (micro-batch
     version ranges) and the BATCH reader (startingVersion ..
@@ -5067,12 +5068,24 @@ def _plan_cdf_partitions(
     ``start_v`` from the checkpointed replay and then FOLDED FORWARD
     action by action (r13 advisor: the old per-commit
     ``_snapshot_entries(v-1)`` replay made planning
-    O(commits-in-range × log-length) driver-side on long ranges)."""
+    O(commits-in-range × log-length) driver-side on long ranges).
+
+    ``seed`` short-circuits even that one replay: a ``(entries,
+    deletes, dv)`` tuple previously returned for a range ENDING at
+    this call's ``start_v`` (the stream reader caches its last
+    batch's end state, making steady-state micro-batch planning
+    O(new commits) instead of O(log prefix) per trigger — the log is
+    append-only and versions are immutable, so a cached prefix state
+    can never go stale). The seed is copied before folding, so a
+    planning failure mid-range never corrupts the caller's cache.
+    ``return_state=True`` returns ``(parts, state_at_end_v)``."""
     rp = lambda f: t.file_store.read_path(table_path, f)  # noqa: E731
     parts: list[_TxCdfPartition] = []
     # incremental v-1 snapshot state: entries [(file, stats, added_at)],
     # deletes [(delete_file, delete_version, key)], dv {file: (parts,)}
-    if start_v >= 0:
+    if seed is not None:
+        entries, deletes, dv = list(seed[0]), list(seed[1]), dict(seed[2])
+    elif start_v >= 0:
         entries, deletes = t._snapshot_mor(start_v)
         dv = dict(t._snapshot_dv(start_v))
     else:
@@ -5379,6 +5392,8 @@ def _plan_cdf_partitions(
                 for f in act["removes"]
             )
         _fold()
+    if return_state:
+        return parts, (entries, deletes, dv)
     return parts
 
 
@@ -5927,10 +5942,29 @@ class TxLogStreamReader(DataSourceStreamReader):
     def _cdf_partitions(
         self, t: "TxTable", start_v: int, end_v: int
     ) -> Sequence[_TxCdfPartition]:
-        return _plan_cdf_partitions(
+        # STEADY-STATE planning cache (r14): each batch's end-state
+        # (live stats, pending eq-deletes, DV stacks) seeds the next
+        # contiguous batch, so per-trigger planning is O(new commits)
+        # instead of O(log prefix). Safe because the log is
+        # append-only with immutable versions — state at a version
+        # never changes; a non-contiguous range (engine retry /
+        # restart) just misses the cache and replays from the
+        # checkpointed snapshot as before. The seed is copied inside
+        # the planner, so a mid-range fold refusal leaves the cache
+        # intact for the retry.
+        cached = getattr(self, "_cdf_plan_state", None)
+        seed = (
+            cached[1]
+            if cached is not None and cached[0] == start_v
+            else None
+        )
+        parts, state = _plan_cdf_partitions(
             t, self.path, start_v, end_v, self.cdf_key,
             bucketing=self.cdf_bucketing,
+            seed=seed, return_state=True,
         )
+        self._cdf_plan_state = (end_v, state)
+        return parts
 
     def read(self, partition):
         if isinstance(partition, _TxCdfPartition):

@@ -4770,6 +4770,63 @@ def test_stream_mor_hash_buckets_on_no_locality_commits(
     assert not [r for r in got if r[0] == 90 and r[2] != "insert"]
 
 
+def test_stream_cdf_planning_caches_state_across_batches(
+    spark, tmp_path, monkeypatch
+):
+    """r14: steady-state micro-batch CDF planning is O(new commits)
+    per trigger — each batch's folded end state (live stats, pending
+    eq-deletes, DV stacks) seeds the next CONTIGUOUS batch, so the
+    checkpointed-snapshot replay (_snapshot_mor/_snapshot_dv) runs
+    only on the first or a non-contiguous range; cached plans equal
+    fresh plans partition-for-partition."""
+    import data_analyse_marche_emploi_spark.sources.txlog as TX
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, p, _df(spark, [(1, "a"), (2, "b")]).coalesce(1)
+    )
+    t.append(_df(spark, [(3, "c")]).coalesce(1))                   # v1
+    t.delete_where(F.col("k") == 1, mode="dv")                     # v2
+    t.merge_upsert(
+        _df(spark, [(2, "B2"), (4, "d")]).coalesce(1), "k", mode="mor"
+    )                                                              # v3
+    opts = {"path": p, "readchangefeed": "true", "changefeedkey": "k"}
+    schema = TX.TxLogDataSource(opts).schema()
+    rdr = TX.TxLogStreamReader(schema, opts)
+    th = TxTable(None, p)
+    replays: list = []
+    orig = TxTable._snapshot_mor
+    monkeypatch.setattr(
+        TxTable, "_snapshot_mor",
+        lambda self, v=None: (replays.append(v), orig(self, v))[1],
+    )
+
+    def flat(parts):
+        return [
+            (q.version, q.kind, q.op, q.path, q.pre, q.post, q.key,
+             q.bucket, q.nulls_only, q.hash_bucket, q.dkeys)
+            for q in parts
+        ]
+
+    p1 = rdr._cdf_partitions(th, -1, 1)
+    assert replays == []  # genesis seed needs no replay
+    p2 = rdr._cdf_partitions(th, 1, 2)   # contiguous: cache hit
+    p3 = rdr._cdf_partitions(th, 2, 3)   # contiguous: cache hit
+    assert replays == [], "contiguous batches must not replay the log"
+    # cached plans == fresh plans (fresh planner replays once per call)
+    assert flat(p2) == flat(TX._plan_cdf_partitions(th, p, 1, 2, "k"))
+    assert flat(p3) == flat(TX._plan_cdf_partitions(th, p, 2, 3, "k"))
+    assert flat(p1) == flat(TX._plan_cdf_partitions(th, p, -1, 1, "k"))
+    assert replays == [1, 2], "fresh planning replays once per call"
+    # a non-contiguous range (engine restart / retry of an older
+    # batch) misses the cache and replays from the snapshot
+    replays.clear()
+    pr = rdr._cdf_partitions(th, 0, 3)
+    assert replays == [0]
+    replays.clear()
+    assert flat(pr) == flat(TX._plan_cdf_partitions(th, p, 0, 3, "k"))
+
+
 def test_cdf_probe_bounded_by_bytes_when_counts_unlogged(
     spark, tmp_path, monkeypatch
 ):
