@@ -4770,6 +4770,65 @@ def test_stream_mor_hash_buckets_on_no_locality_commits(
     assert not [r for r in got if r[0] == 90 and r[2] != "insert"]
 
 
+def test_stream_reader_prunes_with_filter_options(spark, tmp_path):
+    """r14: the batch reader's pruning trio works on the STREAM path —
+    each micro-batch's added files prune through the logged stats
+    (non-matching files never planned), kept files re-filter
+    Arrow-side so the drained rows are exact, CDF mode refuses the
+    combination, and float range columns refuse at construction."""
+    import data_analyse_marche_emploi_spark.sources.txlog as TX
+
+    p = str(tmp_path / "t")
+    df1 = spark.createDataFrame(
+        [(i, f"v{i}", i * 1.0) for i in range(100)],
+        "k long, v string, x double",
+    )
+    t = TxTable.create(spark, p, df1.repartitionByRange(4, "k"))
+    t.append(
+        spark.createDataFrame(
+            [(i, f"v{i}", i * 1.0) for i in range(100, 200)],
+            "k long, v string, x double",
+        ).repartitionByRange(4, "k")
+    )                                                              # v1
+    schema = t.read().schema
+    opts = {"path": p, "rangefilter": '{"k": {">=": 80, "<": 120}}'}
+    rdr = TX.TxLogStreamReader(schema, opts)
+    parts = rdr.partitions({"version": -1}, {"version": 1})
+    # 4 files per commit; the band [80, 120) overlaps ~1 per commit
+    assert 0 < len(parts) < 8, len(parts)
+    got = sorted(
+        k
+        for part in parts
+        for b in rdr.read(part)
+        for k in b.column("k").to_pylist()
+    )
+    assert got == list(range(80, 120))
+    # eqFilter + partition-free partitionFilter compose the same way
+    rdr2 = TX.TxLogStreamReader(
+        schema, {"path": p, "eqfilter": '{"k": 150}'}
+    )
+    parts2 = rdr2.partitions({"version": -1}, {"version": 1})
+    assert 0 < len(parts2) < 8
+    rows2 = [
+        (b.column("k").to_pylist(), b.column("v").to_pylist())
+        for part in parts2
+        for b in rdr2.read(part)
+        if b.num_rows
+    ]
+    assert rows2 == [([150], ["v150"])]
+    # refused in CDF mode; float range columns refuse at construction
+    with pytest.raises(ValueError, match="cannot combine"):
+        TX.TxLogStreamReader(
+            schema,
+            {"path": p, "readchangefeed": "true", "changefeedkey": "k",
+             "rangefilter": '{"k": {">=": 1}}'},
+        )
+    with pytest.raises(ValueError, match="float range predicates"):
+        TX.TxLogStreamReader(
+            schema, {"path": p, "rangefilter": '{"x": {">=": 1.0}}'}
+        )
+
+
 def test_stream_cdf_planning_caches_state_across_batches(
     spark, tmp_path, monkeypatch
 ):
