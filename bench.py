@@ -125,9 +125,11 @@ HEADLINE = [
     "tablelog_eq_checkpoint",
     "txlog_mor_change_feed",
     "tablelog_format_mor_read",
-    # round-14 addition: the streamed change feed over a dirty
-    # merge-on-read history (task-side pre-image resolution)
+    # round-14 additions: the streamed change feed over a dirty
+    # merge-on-read history (task-side pre-image resolution), and the
+    # pruning filter trio on the plain stream path
     "stream_txlog_mor_cdf",
+    "stream_txlog_pruned",
 ]
 
 

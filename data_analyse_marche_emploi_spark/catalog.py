@@ -10421,6 +10421,71 @@ def stream_txlog_mor_cdf(spark, sf_dir):
     return spark.sql(f"SELECT * FROM {name}")
 
 
+@register(
+    "stream_txlog_pruned",
+    # the pruning trio on the STREAM path: a rangeFilter band over a
+    # two-commit clustered history — the oracle recomputes the band
+    # from orders
+    oracle="""
+    SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+    WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+    """,
+)
+def stream_txlog_pruned(spark, sf_dir):
+    """STREAM-PATH FILTER PUSHDOWN (r14): ``readStream.format
+    ('txlog')`` honors the batch reader's pruning trio — each
+    micro-batch's ADDED files prune through the logged [min, max] /
+    bloom / partition stats before being planned (non-matching files
+    never open), and kept files re-apply the predicates Arrow-side so
+    drained rows are exact (sources/txlog.py TxLogStreamReader). The
+    entry builds a two-commit range-clustered history over orders,
+    asserts the band's plan drops files (in-entry pruning proof), and
+    drains the stream through the real engine; the oracle recomputes
+    the band. At 100 TB this is the firehose-subscriber case: a
+    downstream consuming one key band of a wide table reads that
+    slice of every commit, not every added file — and because MoR/CoW
+    writes are range-clustered by the merge key, the stats this rides
+    stay selective commit after commit."""
+    import uuid as _uuid
+
+    from .sources import txlog as TX
+    from .sources.txlog import TxTable, register_txlog_source
+
+    register_txlog_source(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    path = _txtmp("txsprune_")
+    t = TxTable.create(
+        spark, path,
+        o.filter(F.col("k") % 2 == 0).repartitionByRange(4, "k"),
+    )
+    t.append(
+        o.filter(F.col("k") % 2 == 1).repartitionByRange(4, "k")
+    )                                                              # v1
+    flt = '{"k": {">=": 1000, "<": 3000}}'
+    rdr = TX.TxLogStreamReader(
+        t.read().schema, {"path": path, "rangefilter": flt}
+    )
+    planned = rdr.partitions({"version": -1}, {"version": 1})
+    assert len(planned) < 8, (
+        "range stats pruned nothing on the stream plan"
+    )
+    name = f"txsprune_{_uuid.uuid4().hex[:10]}"
+    q = (
+        spark.readStream.format("txlog")
+        .option("path", path)
+        .option("rangeFilter", flt)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window
 # ---------------------------------------------------------------------------
@@ -10458,6 +10523,7 @@ def stream_txlog_mor_cdf(spark, sf_dir):
 _DRIVER_WINDOW = [
     "flagship_orders_by_month",
     "stream_txlog_mor_cdf",
+    "stream_txlog_pruned",
     "text_lang_id",
     "text_fingerprint",
     "text_fingerprint_rolling",
@@ -10505,7 +10571,6 @@ _DRIVER_WINDOW = [
     "stream_stateful_totals",
     "stream_stream_join",
     "multimodal_wav_roundtrip",
-    "multimodal_png",
 ]
 
 def _prioritize() -> None:
