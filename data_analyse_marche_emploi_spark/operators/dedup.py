@@ -1254,27 +1254,34 @@ def embedding_lsh_pairs(
 
     Returns (i, j, cos6) with i < j, distinct across tables.
     """
-    from .similarity import (
-        anchor_planes,
-        anchor_signatures,
-        multiprobe_signatures,
-    )
+    from .similarity import _anchor_rows, signature_rows
 
-    planes = anchor_planes(vectors, vec_col, id_col, bits, n_tables)
+    anchors = _anchor_rows(vectors, vec_col, id_col, bits, n_tables)
 
     # Candidates carry bare (i, j) ids through the bucket join and the
     # cross-table dedup — vectors rejoin only for the once-per-pair
     # rescore. (Carrying both 64-dim vectors through the distinct()
     # multiplied shuffle bytes ~50x: measured 92 s -> 8 s at sf0.1.)
-    if n_probes == 1:
-        left = anchor_signatures(
-            vectors, planes, vec_col, id_col, "i", "__ti", "__bi"
-        )
-    else:
-        left = multiprobe_signatures(
-            vectors, planes, vec_col, id_col, "i", "__ti", "__bi", n_probes
-        )
-    right = anchor_signatures(vectors, planes, vec_col, id_col, "j", "__tj", "__bj")
+    #
+    # ONE map-side signature pass serves BOTH sides of the self-join
+    # (r14 optimization round): the probed left side is the full row
+    # set, the base right side is its __p = 0 slice with renamed
+    # columns — the old shape recomputed the whole vectors×planes
+    # product a second time for the right side (its base buckets are
+    # BY CONSTRUCTION the left side's). localCheckpoint materializes
+    # the pass once; the checkpoint is a constant ×n_tables·n_probes
+    # multiple of the corpus in (id, int, long) rows, the same bound
+    # the old bits_df checkpoint carried.
+    sig = signature_rows(
+        vectors, anchors, vec_col, id_col, "i", "__ti", "__bi",
+        bits, n_tables, n_probes=n_probes, probe_col="__p",
+    ).localCheckpoint(eager=True)
+    left = sig.drop("__p")
+    right = sig.filter(F.col("__p") == 0).select(
+        F.col("i").alias("j"),
+        F.col("__ti").alias("__tj"),
+        F.col("__bi").alias("__bj"),
+    )
     cand = (
         left.join(
             right,

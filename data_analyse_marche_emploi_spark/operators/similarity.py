@@ -108,20 +108,14 @@ def knn_brute_force(
     )
 
 
-def anchor_planes(
+def _anchor_rows(
     vectors: DataFrame, vec_col: str, id_col: str, bits: int, n_tables: int
-) -> DataFrame:
-    """The anchor-pair LSH plane table: ``bits·n_tables`` rows
-    (tbl, bit, va, vb) where plane p pairs the corpus vectors with the
-    2p-th and (2p+1)-th lowest ids. Each plane is the Voronoi bisector
-    between two fixed corpus directions — a data-dependent family that
-    any engine with a cosine can replay exactly (the property the
-    DuckDB differential oracles ride on), unlike a seeded-hash plane
-    stream. The anchor fetch is a k-sized TakeOrderedAndProject to the
-    driver (same contract as knn's query-set collect)."""
-    from pyspark.sql import types as T
-
-    spark = vectors.sparkSession
+):
+    """Driver-side anchor fetch shared by :func:`anchor_planes` (the
+    DataFrame plane table) and :func:`signature_rows` (the vectorized
+    map-side signature pass): the ``2·bits·n_tables`` lowest-id corpus
+    vectors, via a k-sized TakeOrderedAndProject (same contract as
+    knn's query-set collect)."""
     n_anchor = 2 * bits * n_tables
     anchors = (
         vectors.select(id_col, vec_col)
@@ -134,6 +128,37 @@ def anchor_planes(
             f"anchor_planes needs at least {n_anchor} vectors for {bits} bits x "
             f"{n_tables} tables; corpus has {len(anchors)}"
         )
+    return anchors
+
+
+def _seq_norm(vec) -> float:
+    # The exact sequential double fold norm_expr performs (left
+    # fold, IEEE double adds, correctly-rounded sqrt) — so the
+    # anchor norms carried on the plane table are bit-identical to
+    # engine-side recomputation and every floor-bucketed oracle
+    # stays exact.
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def anchor_planes(
+    vectors: DataFrame, vec_col: str, id_col: str, bits: int, n_tables: int
+) -> DataFrame:
+    """The anchor-pair LSH plane table: ``bits·n_tables`` rows
+    (tbl, bit, va, vb) where plane p pairs the corpus vectors with the
+    2p-th and (2p+1)-th lowest ids. Each plane is the Voronoi bisector
+    between two fixed corpus directions — a data-dependent family that
+    any engine with a cosine can replay exactly (the property the
+    DuckDB differential oracles ride on), unlike a seeded-hash plane
+    stream."""
+    from pyspark.sql import types as T
+
+    spark = vectors.sparkSession
+    anchors = _anchor_rows(vectors, vec_col, id_col, bits, n_tables)
     vec_type = vectors.schema[vec_col].dataType
     plane_schema = T.StructType(
         [
@@ -146,19 +171,6 @@ def anchor_planes(
         ]
     )
 
-    def _norm(vec) -> float:
-        # The exact sequential double fold norm_expr performs (left
-        # fold, IEEE double adds, correctly-rounded sqrt) — so the
-        # anchor norms carried on the plane table are bit-identical to
-        # engine-side recomputation and every floor-bucketed oracle
-        # stays exact.
-        import math
-
-        acc = 0.0
-        for x in vec:
-            acc += float(x) * float(x)
-        return math.sqrt(acc)
-
     return spark.createDataFrame(
         [
             (
@@ -166,13 +178,188 @@ def anchor_planes(
                 p % bits,
                 anchors[2 * p][vec_col],
                 anchors[2 * p + 1][vec_col],
-                _norm(anchors[2 * p][vec_col]),
-                _norm(anchors[2 * p + 1][vec_col]),
+                _seq_norm(anchors[2 * p][vec_col]),
+                _seq_norm(anchors[2 * p + 1][vec_col]),
             )
             for p in range(bits * n_tables)
         ],
         plane_schema,
     )
+
+
+def signature_rows(
+    df: DataFrame,
+    anchors,
+    vec_col: str,
+    id_col: str,
+    id_alias: str,
+    t_alias: str,
+    b_alias: str,
+    bits: int,
+    n_tables: int,
+    n_probes: int = 1,
+    probe_col: str | None = None,
+) -> DataFrame:
+    """(id, table, bucket[, probe]) signature rows computed MAP-SIDE in
+    one vectorized ``mapInPandas`` pass — the optimized form of
+    :func:`anchor_signatures` / :func:`multiprobe_signatures` (r14
+    optimization round; guide §4.2): the old shape exploded every
+    vector ×(bits·n_tables) through a broadcast plane product, partial-
+    aggregated the bits back into buckets through a corpus-sized
+    exchange, and (multi-probe) re-joined the per-bit margin rows to
+    themselves plus a window — five shuffles/products per signature
+    side. Here each task folds its Arrow batches against the driver-
+    collected anchor matrix (``2·bits·n_tables`` vectors, a few KB —
+    closure-shipped) and emits finished bucket rows: ZERO shuffles,
+    zero joins, and the per-vector work is numpy-vectorized across the
+    batch.
+
+    Every comparison stays integer-exact and IDENTICAL to the Catalyst
+    fold path (the property all the DuckDB differential oracles ride
+    on): dot products and norms accumulate in the same element order
+    as ``dot_expr``/``norm_expr``'s sequential left fold — the numpy
+    loop runs over DIMENSIONS, carrying an IEEE-double accumulator per
+    (row, plane) — and ``cos6 = floor(dot / (norm_v · norm_anchor) ·
+    1e6)`` applies the same operations in the same order, so every
+    bucket bit, margin, and probe rank is bit-for-bit the value the
+    old plan computed (tests/test_dedup_similarity.py's recall/
+    soundness pins and the sf0.001 oracle parity sweep hold unchanged).
+
+    Probe rows (``n_probes > 1``) replay the classic margin-ranked
+    sequence exactly: flip sets of one or two bits ranked by summed
+    |cos6(v,va) − cos6(v,vb)| margins ascending, mask ascending as the
+    tie-break; ``probe_col`` (when given) carries 0 for the base
+    bucket row and 1.. for probe rows so ONE pass can serve both the
+    probed and the base side of a self-join.
+
+    Null semantics match the Catalyst path: a null/ragged vector's
+    cos6 comparisons are all null, so its base bucket is 0 (the
+    ``otherwise(0)`` sum) and its probe masks rank null-margins-first,
+    mask ascending."""
+    import numpy as np
+    import pandas as pd
+
+    P = bits * n_tables
+    d = max(len(anchors[2 * p][vec_col]) for p in range(P)) if P else 0
+    # interleaved anchor matrix [a_0, b_0, a_1, b_1, ...] (2P, d) and
+    # the matching sequential-fold norms — computed ONCE driver-side
+    a_mat = np.array(
+        [np.asarray(anchors[i][vec_col], dtype=np.float64) for i in range(2 * P)]
+    )
+    a_norm = np.array([_seq_norm(anchors[i][vec_col]) for i in range(2 * P)])
+    # probe mask/score index tables: singles then pairs, exactly the
+    # fl-union the window ranked (score asc, mask asc)
+    masks = [1 << b for b in range(bits)]
+    pair_idx: list[tuple[int, int]] = []
+    for b1 in range(bits):
+        for b2 in range(b1 + 1, bits):
+            masks.append((1 << b1) | (1 << b2))
+            pair_idx.append((b1, b2))
+    mask_arr = np.array(masks, dtype=np.int64)
+    n_extra = n_probes - 1
+    id_dtype = df.schema[id_col].dataType.simpleString()
+    out_fields = [f"{id_alias} {id_dtype}", f"{t_alias} int", f"{b_alias} long"]
+    if probe_col is not None:
+        out_fields.append(f"{probe_col} int")
+    out_schema = ", ".join(out_fields)
+    rows_per_id = n_tables * (1 + n_extra)
+
+    def _sig_batch(c6: "np.ndarray"):
+        """(rows, 2P) float64 cos6 values → (buckets (rows, T) int64,
+        probe buckets (rows, T, n_extra) int64). NaN (null-vector)
+        rows fall out exactly like Catalyst nulls: every ca > cb is
+        False (bucket bit 0) and every margin ranks nulls-first."""
+        n = c6.shape[0]
+        ca = c6[:, 0::2].reshape(n, n_tables, bits)
+        cb = c6[:, 1::2].reshape(n, n_tables, bits)
+        gt = ca > cb  # NaN > NaN is False, matching null-comparison→otherwise(0)
+        weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
+        buckets = (gt.astype(np.int64) * weights).sum(axis=2)
+        if not n_extra:
+            return buckets, None
+        margin = np.abs(ca - cb)  # (n, T, bits); exact small ints (or NaN)
+        scores = np.concatenate(
+            [margin]
+            + [
+                (margin[:, :, b1] + margin[:, :, b2])[:, :, None]
+                for b1, b2 in pair_idx
+            ],
+            axis=2,
+        )  # (n, T, K) in mask_arr order
+        # null margins sort FIRST under Spark's asc (nulls first);
+        # real margins are >= 0, so -1 is a faithful sentinel
+        scores = np.where(np.isnan(scores), -1.0, scores)
+        order = np.lexsort(
+            (np.broadcast_to(mask_arr, scores.shape), scores), axis=2
+        )[:, :, :n_extra]
+        probe_buckets = buckets[:, :, None] ^ mask_arr[order]
+        return buckets, probe_buckets
+
+    def sigs(it):
+        tbl_base = np.repeat(
+            np.arange(n_tables, dtype=np.int32), 1 + n_extra
+        )  # per-id tbl column, base row then its probes
+        probe_tags = np.tile(np.arange(1 + n_extra, dtype=np.int32), n_tables)
+        for pdf in it:
+            n = len(pdf)
+            if not n:
+                continue
+            vals = pdf[vec_col]
+            try:
+                x = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in vals]
+                )
+                if x.ndim != 2 or x.shape[1] != d:
+                    raise ValueError("ragged batch")
+            except (ValueError, TypeError):
+                # null/ragged vectors in the batch: fold row-by-row;
+                # a null array or a length mismatch vs the anchor dim
+                # leaves NaN cos6 → the _sig_batch null semantics above
+                c6 = np.full((n, 2 * P), np.nan)
+                for r, v in enumerate(vals):
+                    if v is None or len(v) != d:
+                        continue
+                    xs = [float(e) for e in v]
+                    acc = 0.0
+                    for e in xs:
+                        acc += e * e
+                    nv = np.sqrt(acc)
+                    for p2 in range(2 * P):
+                        dot = 0.0
+                        for j, e in enumerate(xs):
+                            dot += e * a_mat[p2, j]
+                        c6[r, p2] = np.floor(
+                            dot / (nv * a_norm[p2]) * 1e6
+                        )
+            else:
+                # sequential left fold over DIMENSIONS, vectorized
+                # across (row, plane) — identical IEEE add/mul order
+                # to dot_expr/norm_expr
+                dots = np.zeros((n, 2 * P))
+                nacc = np.zeros(n)
+                for j in range(d):
+                    xj = x[:, j]
+                    dots += xj[:, None] * a_mat[:, j]
+                    nacc += xj * xj
+                nv = np.sqrt(nacc)
+                c6 = np.floor(dots / (nv[:, None] * a_norm) * 1e6)
+            buckets, probes = _sig_batch(c6)
+            if n_extra:
+                b_out = np.concatenate(
+                    [buckets[:, :, None], probes], axis=2
+                ).reshape(-1)
+            else:
+                b_out = buckets.reshape(-1)
+            data = {
+                id_alias: pdf[id_col].repeat(rows_per_id).to_numpy(),
+                t_alias: np.tile(tbl_base, n),
+                b_alias: b_out,
+            }
+            if probe_col is not None:
+                data[probe_col] = np.tile(probe_tags, n)
+            yield pd.DataFrame(data)
+
+    return df.select(id_col, vec_col).mapInPandas(sigs, out_schema)
 
 
 def _cos6(a: str, b: str) -> F.Column:
@@ -453,17 +640,20 @@ def ann_lsh(
     Scale shape: see anchor_planes / anchor_signatures — the plane
     product is linear in the corpus, and candidates join back to the
     corpus by id for exact rescoring."""
-    planes = anchor_planes(vectors, vec_col, id_col, bits, n_tables)
-    v = anchor_signatures(vectors, planes, vec_col, id_col, "nid", "tbl", "bucket")
-    if n_probes == 1:
-        q = anchor_signatures(
-            queries, planes, vec_col, id_col, "qid", "qtbl", "qbucket"
-        )
-    else:
-        q = multiprobe_signatures(
-            queries, planes, vec_col, id_col, "qid", "qtbl", "qbucket",
-            n_probes,
-        )
+    # ONE map-side vectorized signature pass per side (r14 optimization
+    # round, signature_rows): the corpus side emits its base buckets
+    # with zero shuffles, and the query side replays the same margin-
+    # ranked probe sequence task-side instead of through the plane-
+    # product + self-join + window plan.
+    anchors = _anchor_rows(vectors, vec_col, id_col, bits, n_tables)
+    v = signature_rows(
+        vectors, anchors, vec_col, id_col, "nid", "tbl", "bucket",
+        bits, n_tables,
+    )
+    q = signature_rows(
+        queries, anchors, vec_col, id_col, "qid", "qtbl", "qbucket",
+        bits, n_tables, n_probes=n_probes,
+    )
     cand = (
         v.join(
             F.broadcast(q),

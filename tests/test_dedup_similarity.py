@@ -1053,3 +1053,81 @@ def test_semantic_dedup_equals_python_reference(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_signature_rows_matches_catalyst_reference(emb):
+    """The r14-optimization vectorized signature pass (one map-side
+    mapInPandas, zero shuffles) must be ROW-IDENTICAL to the original
+    Catalyst plane-product formulation it replaced — base buckets AND
+    the full margin-ranked multi-probe sequence — because every LSH
+    oracle (and the DuckDB probe replay) rides on that arithmetic
+    being bit-for-bit the sequential double fold."""
+    from data_analyse_marche_emploi_spark.operators.similarity import (
+        _anchor_rows,
+        anchor_planes,
+        anchor_signatures,
+        multiprobe_signatures,
+        signature_rows,
+    )
+
+    bits, n_tables = 4, 3
+    planes = anchor_planes(emb, "embedding", "vec_id", bits, n_tables)
+    anchors = _anchor_rows(emb, "embedding", "vec_id", bits, n_tables)
+
+    ref_base = anchor_signatures(
+        emb, planes, "embedding", "vec_id", "i", "t", "b"
+    )
+    new_base = signature_rows(
+        emb, anchors, "embedding", "vec_id", "i", "t", "b", bits, n_tables
+    )
+    assert ref_base.exceptAll(new_base).count() == 0
+    assert new_base.exceptAll(ref_base).count() == 0
+
+    ref_mp = multiprobe_signatures(
+        emb, planes, "embedding", "vec_id", "i", "t", "b", 3
+    )
+    new_mp = signature_rows(
+        emb, anchors, "embedding", "vec_id", "i", "t", "b",
+        bits, n_tables, n_probes=3, probe_col="__p",
+    )
+    # the __p tag partitions one pass into the probed and base sides
+    assert new_mp.filter(F.col("__p") == 0).drop("__p").exceptAll(
+        new_base
+    ).count() == 0
+    new_mp = new_mp.drop("__p")
+    assert ref_mp.exceptAll(new_mp).count() == 0
+    assert new_mp.exceptAll(ref_mp).count() == 0
+
+
+def test_signature_rows_null_and_ragged_vectors(spark):
+    """Null / ragged vectors keep the Catalyst null semantics the old
+    plan had: every cos6 comparison is null, so the base bucket is 0
+    (the otherwise(0) sum) and probe masks rank nulls-first, mask
+    ascending — the optimization must not turn a null vector into a
+    crash or a different bucket claim."""
+    from data_analyse_marche_emploi_spark.operators.similarity import (
+        _anchor_rows,
+        signature_rows,
+    )
+
+    bits, n_tables = 2, 1
+    rows = [(i, [float(i + j) for j in range(4)]) for i in range(4)]
+    rows += [(10, None), (11, [1.0, 2.0])]  # null vector; ragged (d=2 vs 4)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    anchors = _anchor_rows(
+        df.filter("vec_id < 4"), "embedding", "vec_id", bits, n_tables
+    )
+    got = {
+        (r.i, r.t): r.b
+        for r in signature_rows(
+            df.filter("vec_id >= 10"), anchors, "embedding", "vec_id",
+            "i", "t", "b", bits, n_tables,
+        ).collect()
+    }
+    assert got == {(10, 0): 0, (11, 0): 0}
+    probes = signature_rows(
+        df.filter("vec_id = 10"), anchors, "embedding", "vec_id",
+        "i", "t", "b", bits, n_tables, n_probes=3, probe_col="__p",
+    ).collect()
+    # base 0, then masks ascending (1, 2) XOR 0
+    assert sorted((r["__p"], r.b) for r in probes) == [(0, 0), (1, 1), (2, 2)]
