@@ -67,11 +67,22 @@ def logreg_train(
         b = 0.0
         losses: list[float] = []
 
-        grad_schema = "dim int, val double"
+        # one (d+2)-vector ROW per task, collected straight to the
+        # driver and summed there in partition order (r14 optimization
+        # round): the previous shape exploded each task's vector into
+        # (dim, val) cells and ran a groupBy-sum SHUFFLE per iteration
+        # — a second stage whose only job was to re-assemble what each
+        # task already held contiguously. Driver state stays bounded:
+        # numPartitions × (d+2) doubles per iteration, the same
+        # model-state discipline as emb_kmeans/pca. Summation order is
+        # partition-index order (collect preserves it), which is
+        # MORE deterministic than shuffle-arrival order was.
+        grad_schema = "part int, vals array<double>"
 
         def make_pass(bw):
             def grad_pass(it):
                 import pandas as pd
+                from pyspark import TaskContext
 
                 cw, cb = bw.value
                 acc = np.zeros(d + 2, dtype=np.float64)  # d grads, db, loss
@@ -88,7 +99,10 @@ def logreg_train(
                         np.sum(np.logaddexp(0.0, z) - y * z)
                     )
                 yield pd.DataFrame(
-                    {"dim": np.arange(d + 2, dtype=np.int32), "val": acc}
+                    {
+                        "part": [TaskContext.get().partitionId()],
+                        "vals": [acc],
+                    }
                 )
 
             return grad_pass
@@ -96,20 +110,15 @@ def logreg_train(
         for _ in range(iters):
             bw = spark.sparkContext.broadcast((w, b))
             try:
-                cells = (
-                    base.mapInPandas(make_pass(bw), grad_schema)
-                    .groupBy("dim")
-                    .agg(F.sum("val").alias("s"))
-                    .collect()
-                )
+                cells = base.mapInPandas(make_pass(bw), grad_schema).collect()
             finally:
                 # each iteration's weights are dead the moment its
                 # gradient lands; keeping iters broadcasts alive leaks
                 # executor memory for the length of training
                 bw.unpersist()
             acc = np.zeros(d + 2)
-            for r in cells:
-                acc[r["dim"]] = r["s"]
+            for r in sorted(cells, key=lambda r: r["part"]):
+                acc += np.asarray(r["vals"], dtype=np.float64)
             w = w - lr * (acc[:d] / n + l2 * w)
             b -= lr * (acc[d] / n)
             losses.append(acc[d + 1] / n)

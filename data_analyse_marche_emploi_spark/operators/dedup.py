@@ -1457,6 +1457,10 @@ def prefix_filter_pairs(
     # branch (id-sized aggregates; AQE exchange reuse collapses the
     # identical prefixes) — at corpus scale recomputing bare-id
     # candidates is orders cheaper than shuffling all arrays.
+    # (r14 optimization round: a localCheckpoint of cand was measured
+    # SLOWER here — 5.9 s → 9.2 s warm at sf0.1 — the eager
+    # materialization defeats AQE's reuse of the shared prefix
+    # exchanges; left as-is deliberately.)
     survivors = (
         cand.select(F.col("i").alias("doc"))
         .union(cand.select(F.col("j").alias("doc")))

@@ -1491,6 +1491,22 @@ class TxTable:
                 "max_matched_fraction to force DV anyway"
             )
 
+    def _parts_rows(self, names) -> int:
+        """Summed row count of already-written parts, from their
+        parquet footers (one driver-side metadata read per part — no
+        Spark action): what lets the DV write paths derive their
+        no-op probe / fraction-guard count from the write they were
+        doing anyway instead of a separate count() job over the same
+        predicate scan (r14 optimization round)."""
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(
+                self.file_store.read_path(self.path, n)
+            ).metadata.num_rows
+            for n in names
+        )
+
     def _file_stats(self, names: list[str]) -> dict[str, dict]:
         """Per-file min/max column stats lifted from the parquet
         footers at commit time — the log-side data-skipping index the
@@ -2103,6 +2119,15 @@ class TxTable:
         )
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown merge mode {mode!r}")
+        # Materialize the caller's update relation ONCE (r14
+        # optimization round): the bounds probe, the distinct key set,
+        # the range-clustered write, and (CoW) the survivors' anti-join
+        # each re-ran the caller's arbitrary lineage — a filter over a
+        # joined scan re-executed up to four times per merge. The
+        # checkpoint is O(update rows), the merge's working set (what
+        # the adds write materializes anyway); eager=False defers it to
+        # the bounds probe, so an empty/no-op merge pays nothing extra.
+        updates = updates.localCheckpoint(eager=False)
         v = self.latest_version()
         if mode == "cow":
             # CoW candidate reads open raw data files; pending equality
@@ -2359,19 +2384,28 @@ class TxTable:
                     ["file", "pos"],
                     "left_anti",
                 )
-            matched = matched.persist()
+            # ONE action (r14 optimization round): the vector write
+            # itself materializes the matched set, and its parquet
+            # footers carry the exact row count the no-op probe and
+            # the fraction guard need — the previous persist + count()
+            # was a second action over the same scan. A guard REFUSAL
+            # now deletes the just-written (uncommitted, unreferenced)
+            # parts to keep the "no commit was made" promise; that
+            # wasted write is O(matched rows) on an error path whose
+            # fix is a CoW rerun costing a full rewrite anyway.
+            mapping = self._write_dv_parts(matched)
+            n_matched = self._parts_rows(mapping.values())
+            if n_matched == 0:
+                return v  # no-op deletes don't burn a version
             try:
-                n_matched = matched.count()
-                if n_matched == 0:
-                    return v  # no-op deletes don't burn a version
                 self._guard_dv_fraction(
                     n_matched, entries, "delete_where(mode='dv')",
                     max_matched_fraction,
                 )
-                # one incremental part per touched file, in parallel
-                mapping = self._write_dv_parts(matched)
-            finally:
-                matched.unpersist()
+            except ValueError:
+                for part in mapping.values():
+                    self.file_store.delete(self.path, part)
+                raise
             # stacking on an already-vectored file needs the
             # stack-aware replay — stamp the higher protocol revision
             stacked = any(f in dv_map for f in mapping)
@@ -2400,7 +2434,17 @@ class TxTable:
             matched = self.read(
                 v, partition_filter=partition_filter
             ).filter(condition)
-            mk = matched.groupBy(key).agg(F.count(F.lit(1)).alias("__nm"))
+            # Materialize the matched-key aggregate ONCE (r14
+            # optimization round): the no-op probe, the NULL-key
+            # guard, the over-delete guard's broadcast, the
+            # delete-file write, and the file-count sizing each re-ran
+            # the full snapshot scan + predicate — five evaluations of
+            # the most expensive relation in the call. The checkpoint
+            # is O(matched distinct keys), exactly the delete-file
+            # payload being written anyway.
+            mk = matched.groupBy(key).agg(
+                F.count(F.lit(1)).alias("__nm")
+            ).localCheckpoint(eager=False)
             if mk.limit(1).count() == 0:
                 return v  # no-op deletes don't burn a version
             # NULL-key guard, mirroring merge_upsert's: an equality
@@ -2438,9 +2482,12 @@ class TxTable:
                 _MOR_ADD_MAX_FILES,
                 -(-mk.count() // _MOR_ADD_TARGET_ROWS),
             ))
+            # the delete-file payload IS mk's key set — deriving it
+            # from the checkpointed aggregate instead of
+            # matched.select(key).distinct() skips one more full
+            # snapshot scan (identical rows by construction)
             dels = self._write_parts(
-                matched.select(key).distinct()
-                .repartitionByRange(nf, key),
+                mk.select(key).repartitionByRange(nf, key),
                 prefix="delete-",
             )
             dkeys = mk.select(key)
@@ -2712,29 +2759,16 @@ class TxTable:
                 "left_anti",
             )
         # persist: the matched rows (O(matched) — the MoR-update
-        # contract) feed the no-op probe, the constraint check, the
-        # transformed-row write, the touched-file collect, AND the
-        # vector write; without it each re-scans every live file
+        # contract) feed both the vector write and the transformed-row
+        # write; without it each re-scans every live file. The no-op
+        # probe and the fraction guard read the written vector parts'
+        # parquet footers instead of running a separate count() action
+        # (r14 optimization round — one action fewer per commit); a
+        # guard/constraint refusal deletes the just-written
+        # (uncommitted, unreferenced) parts to keep the "no commit was
+        # made" promise.
         matched = scan.filter(F.coalesce(cond, F.lit(False))).persist()
         try:
-            n_matched = matched.count()
-            if n_matched == 0:
-                return v  # no-op updates don't burn a version
-            self._guard_dv_fraction(
-                n_matched, entries, "update_where(mode='dv')",
-                max_matched_fraction,
-            )
-            # pre-update SET semantics: every expression sees the old
-            # row
-            updated = matched.select(
-                *[
-                    F.expr(set_exprs[c]).alias(c) if c in set_exprs
-                    else F.col(c)
-                    for c in cols
-                ]
-            )
-            self._enforce_constraints(updated, "update_where(mode='dv')")
-            adds = self._write_parts(updated)
             # one incremental part per touched file, in parallel —
             # the scan's anti-join above already excluded positions an
             # earlier vector erased, so these parts hold only NEWLY
@@ -2745,6 +2779,31 @@ class TxTable:
                     F.col("__dv_pos").alias("pos"),
                 )
             )
+            n_matched = self._parts_rows(mapping.values())
+            if n_matched == 0:
+                return v  # no-op updates don't burn a version
+            try:
+                self._guard_dv_fraction(
+                    n_matched, entries, "update_where(mode='dv')",
+                    max_matched_fraction,
+                )
+                # pre-update SET semantics: every expression sees the
+                # old row
+                updated = matched.select(
+                    *[
+                        F.expr(set_exprs[c]).alias(c) if c in set_exprs
+                        else F.col(c)
+                        for c in cols
+                    ]
+                )
+                self._enforce_constraints(
+                    updated, "update_where(mode='dv')"
+                )
+            except ValueError:
+                for part in mapping.values():
+                    self.file_store.delete(self.path, part)
+                raise
+            adds = self._write_parts(updated)
         finally:
             matched.unpersist()
         stacked = any(f in dv_map for f in mapping)
