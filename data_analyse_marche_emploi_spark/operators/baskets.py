@@ -173,6 +173,13 @@ def pagerank(
     cannot exist here (an undirected edge gives both endpoints
     degree >= 1); isolated nodes are out of the edge set by
     definition and score base + nothing = base."""
+    # (r14 optimization round: a localCheckpoint of sym/deg here was
+    # measured SLOWER — 2.9 s → 4.1 s warm at sf0.1 — because AQE's
+    # exchange reuse already computes the shared pair_counts subtree
+    # once per action, while the checkpoint pays an extra eager
+    # materialization of O(edges) rows. Left un-checkpointed
+    # deliberately; at iteration counts deep enough to blow up the
+    # plan, a reliable checkpoint every ~10 rounds is the tool.)
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

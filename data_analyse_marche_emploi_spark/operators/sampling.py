@@ -341,7 +341,16 @@ def dsir_select(
         # ≤ n_buckets rows after the partial agg — constant-size
         return g.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
 
-    raw_c = dist(raw_g).withColumnRenamed("c", "csum")
+    # ONE raw-side pass (r14 optimization round): the raw bucket
+    # distribution used to re-run the grams explode + per-gram md5 —
+    # the op's most expensive map work — because its groupBy(b) and
+    # per_doc's groupBy(id, b) shuffle on different keys (no exchange
+    # reuse). The distribution is the per-(doc, bucket) counts rolled
+    # up, so derive it from per_doc: identical counts by construction,
+    # and the rollup input is distinct (doc, bucket) rows, orders of
+    # magnitude fewer than gram instances.
+    per_doc = raw_g.groupBy("__id", "b").agg(F.count(F.lit(1)).alias("n"))
+    raw_c = per_doc.groupBy("b").agg(F.sum("n").alias("csum"))
     tgt_c = dist(tgt_g).withColumnRenamed("c", "ctum")
     raw_tot = raw_c.agg(F.sum("csum").alias("cs_total"))
     tgt_tot = tgt_c.agg(F.sum("ctum").alias("ct_total"))
@@ -370,7 +379,6 @@ def dsir_select(
             .alias("llr6"),
         )
     )
-    per_doc = raw_g.groupBy("__id", "b").agg(F.count(F.lit(1)).alias("n"))
     scored = (
         per_doc.join(F.broadcast(llr), "b")
         .groupBy("__id")

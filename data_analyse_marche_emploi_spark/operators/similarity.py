@@ -1423,37 +1423,108 @@ def semantic_dedup(
             .limit(n_clusters)
             .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
         )
-    cent = cent.withColumn("__cn", norm_expr("cv"))
+    # MAP-SIDE argmax assignment (r14 optimization round; guide §4.2):
+    # the old shape exploded the corpus ×n_clusters through a
+    # broadcast product and re-assembled rows with a min_by groupBy
+    # whose shuffle carried the full vectors. Each task now folds its
+    # Arrow batches against the driver-collected centroid matrix —
+    # the same bounded relation the broadcast shipped — with the
+    # IDENTICAL sequential-IEEE-fold cos6 arithmetic (numpy loop over
+    # dimensions, then floor(dot/(nv·cn)·1e6); argmax by cos6 desc,
+    # cid asc), so the assignment — and the DuckDB oracle replay — is
+    # bit-for-bit unchanged, with ZERO shuffles and no row explosion.
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = cent.collect()
+    c_mat = np.array(
+        [np.asarray(r["cv"], dtype=np.float64) for r in cent_rows]
+    )
+    c_norm = np.array([_seq_norm(r["cv"]) for r in cent_rows])
+    c_ids = [r["cid"] for r in cent_rows]
+    k, d = c_mat.shape
+    # argmax by (cos6 desc, cid asc) == lexicographic min of
+    # (-cos6, cid): precompute the cid ascending order so ties (and
+    # the all-NaN null-vector row, whose every comparison is false —
+    # the min_by struct comparator's nulls-first) resolve to the
+    # LOWEST cid, exactly the old struct-min key
+    cid_order = sorted(range(k), key=lambda i: c_ids[i])
+    c_mat = c_mat[cid_order]
+    c_norm = c_norm[cid_order]
+    c_ids = [c_ids[i] for i in cid_order]
+    id_t = vectors.schema[id_col].dataType.simpleString()
+    vec_t = vectors.schema[vec_col].dataType.simpleString()
+    cid_t = cent.schema["cid"].dataType.simpleString()
+    asg_schema = (
+        f"__id {id_t}, __v {vec_t}, __vn double, cluster_id {cid_t}"
+    )
+
+    def assign(it):
+        for pdf in it:
+            n = len(pdf)
+            if not n:
+                continue
+            vals = pdf[vec_col if vec_col in pdf else "__v"]
+            try:
+                x = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in vals]
+                )
+                if x.ndim != 2 or x.shape[1] != d:
+                    raise ValueError("ragged batch")
+            except (ValueError, TypeError):
+                c6 = np.full((n, k), np.nan)
+                nv = np.full(n, np.nan)
+                for r, v in enumerate(vals):
+                    if v is None or len(v) != d:
+                        continue
+                    xs = [float(e) for e in v]
+                    acc = 0.0
+                    for e in xs:
+                        acc += e * e
+                    nv[r] = np.sqrt(acc)
+                    for ci in range(k):
+                        dot = 0.0
+                        for j, e in enumerate(xs):
+                            dot += e * c_mat[ci, j]
+                        c6[r, ci] = np.floor(
+                            dot / (nv[r] * c_norm[ci]) * 1e6
+                        )
+            else:
+                dots = np.zeros((n, k))
+                nacc = np.zeros(n)
+                for j in range(d):
+                    xj = x[:, j]
+                    dots += xj[:, None] * c_mat[:, j]
+                    nacc += xj * xj
+                nv = np.sqrt(nacc)
+                c6 = np.floor(dots / (nv[:, None] * c_norm) * 1e6)
+            # first index of the max along the cid-ascending axis ==
+            # (cos6 desc, cid asc); all-NaN rows fall to index 0, the
+            # lowest cid (the struct-min nulls-first behavior)
+            best = np.nanmax(
+                np.where(np.isnan(c6), -np.inf, c6), axis=1
+            )
+            pick = (
+                np.where(np.isnan(c6), -np.inf, c6)
+                == best[:, None]
+            ).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "__id": pdf[id_col],
+                    "__v": vals,
+                    "__vn": nv,
+                    "cluster_id": [c_ids[i] for i in pick],
+                }
+            )
+
     assigned = (
-        vectors.select(
-            F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
-            norm_expr(vec_col).alias("__vn"),
-        )
-        .join(F.broadcast(cent))
-        .withColumn("__ccos", _cos6n("__v", "cv", "__vn", "__cn"))
-        .groupBy("__id")
-        .agg(
-            F.min_by(
-                F.struct(
-                    F.col("__v").alias("v"),
-                    F.col("cid").alias("c"),
-                    F.col("__vn").alias("n"),
-                ),
-                F.struct((-F.col("__ccos")).alias("ns"), F.col("cid")),
-            ).alias("m")
-        )
-        .select(
-            F.col("__id"),
-            F.col("m.v").alias("__v"),
-            F.col("m.n").alias("__vn"),
-            F.col("m.c").alias("cluster_id"),
-        )
+        vectors.select(id_col, vec_col)
+        .mapInPandas(assign, asg_schema)
         # Three consumers follow (both self-join sides + the output
         # rows); without a barrier each replays the corpus scan and
-        # the broadcast-argmax product. One eager localCheckpoint
-        # materializes the assignment once — the same
-        # iterative-algorithm discipline connected_components uses
-        # (tests/test_plan_quality.py pins the product count at 1).
+        # the map-side argmax. One eager localCheckpoint materializes
+        # the assignment once — the same iterative-algorithm
+        # discipline connected_components uses.
         .localCheckpoint(eager=True)
     )
     a = assigned.select(
