@@ -6,16 +6,22 @@ GPT-3 WebText-vs-CommonCrawl quality classifier and CCNet's LM filter
 are this shape).
 
 Spark-first training: FULL-BATCH gradient descent where each iteration
-is ONE partial-aggregated pass — every task folds its Arrow batches
-into a (d+1)-vector gradient contribution, the shuffle carries one
-(dim, value) cell per task, and the driver holds only the (d+1) weight
-vector (the emb_kmeans/pca_fit discipline: model state driver-side,
-data never leaves the cluster). Scoring is a map-side broadcast dot
-product. Iterations are Python-loop orchestration.
+is ONE map-only pass — every task folds its Arrow batches into a
+(d+2)-vector gradient contribution and emits a single (partition_id,
+vector) row; the driver collects ≤ numPartitions of those rows and
+sums them in partition-index order (r14 optimization round: the old
+groupBy-sum shuffle existed only to reassemble what tasks already
+held). The driver holds only the (d+1) weight vector and the bounded
+P×(d+2) gradient rows (the emb_kmeans/pca_fit discipline: model state
+driver-side, data never leaves the cluster). Scoring is a map-side
+broadcast dot product. Iterations are Python-loop orchestration.
 
-Verification class: gradient sums are float partial aggregations, so
-cross-engine bit-replay is not claimed (same class as emb_kmeans /
-pca_fit — rows-only driver check); the semantic pytest pins separation
+Verification class: gradient sums are float partial aggregations whose
+reduction order is partition order — loss/weight trajectories are
+deterministic for a FIXED partitioning but shift at bit level with the
+input partition count, so cross-engine bit-replay is not claimed (same
+class as emb_kmeans / pca_fit — rows-only driver check) and no
+exact-value oracle may pin them; the semantic pytest pins separation
 accuracy on planted clusters, monotone loss, and same-engine
 determinism under repartitioning-stable aggregation order.
 """

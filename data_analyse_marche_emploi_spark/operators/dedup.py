@@ -664,8 +664,12 @@ def connected_components(
         )
         # Break lineage each round: without this, iteration i's plan
         # contains all i-1 previous joins (classic iterative-algorithm
-        # plan blowup; at scale use reliable checkpoint instead).
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # plan blowup). materialize_once upgrades to the RELIABLE
+        # checkpoint when the session has a checkpoint dir (r15 —
+        # executor-loss-survivable at cluster scale).
+        from .checkpointing import materialize_once
+
+        new_labels = materialize_once(new_labels)
         # Convergence probe reads the CHECKPOINTED rows (the old label
         # rides along as __old), so it costs a scan, not the extra
         # labels-to-labels join a separate old-vs-new compare would.
@@ -1268,14 +1272,21 @@ def embedding_lsh_pairs(
     # set, the base right side is its __p = 0 slice with renamed
     # columns — the old shape recomputed the whole vectors×planes
     # product a second time for the right side (its base buckets are
-    # BY CONSTRUCTION the left side's). localCheckpoint materializes
-    # the pass once; the checkpoint is a constant ×n_tables·n_probes
-    # multiple of the corpus in (id, int, long) rows, the same bound
-    # the old bits_df checkpoint carried.
-    sig = signature_rows(
-        vectors, anchors, vec_col, id_col, "i", "__ti", "__bi",
-        bits, n_tables, n_probes=n_probes, probe_col="__p",
-    ).localCheckpoint(eager=True)
+    # BY CONSTRUCTION the left side's). The checkpoint materializes
+    # the pass once; it is a constant ×n_tables·n_probes multiple of
+    # the corpus in (id, int, long) rows, the same bound the old
+    # bits_df checkpoint carried. materialize_once (r15): a cluster
+    # deployment with a configured checkpoint dir gets the RELIABLE
+    # checkpoint (executor loss survivable, no executor-local storage
+    # pinned); locally this stays localCheckpoint.
+    from .checkpointing import materialize_once
+
+    sig = materialize_once(
+        signature_rows(
+            vectors, anchors, vec_col, id_col, "i", "__ti", "__bi",
+            bits, n_tables, n_probes=n_probes, probe_col="__p",
+        )
+    )
     left = sig.drop("__p")
     right = sig.filter(F.col("__p") == 0).select(
         F.col("i").alias("j"),

@@ -442,9 +442,10 @@ def multiprobe_signatures(
     The per-bit margin rows feed the base buckets, the singles, the
     pairs, AND the flips join — four consumers that would each replay
     the df×planes product. The set is |df|·bits·n_tables rows (a
-    constant multiple of the probed side), so one eager
-    localCheckpoint materializes it once and every consumer reads the
-    checkpointed rows; the derived base buckets replace a second
+    constant multiple of the probed side), so one eager checkpoint
+    (materialize_once — reliable when a checkpoint dir is configured)
+    materializes it once and every consumer reads the checkpointed
+    rows; the derived base buckets replace a second
     anchor_signatures pass. (tests/test_plan_quality.py pins the
     product count.)"""
     ca = _cos6n("__v", "va", "__vn", "na")
@@ -465,8 +466,10 @@ def multiprobe_signatures(
             .alias("bitval"),
             F.abs(ca - cb).alias("margin"),
         )
-        .localCheckpoint(eager=True)
     )
+    from .checkpointing import materialize_once
+
+    bits_df = materialize_once(bits_df)
     base = bits_df.groupBy(id_alias, t_alias).agg(
         F.sum("bitval").alias(b_alias)
     )
@@ -1522,11 +1525,14 @@ def semantic_dedup(
         .mapInPandas(assign, asg_schema)
         # Three consumers follow (both self-join sides + the output
         # rows); without a barrier each replays the corpus scan and
-        # the map-side argmax. One eager localCheckpoint materializes
-        # the assignment once — the same iterative-algorithm
-        # discipline connected_components uses.
-        .localCheckpoint(eager=True)
+        # the map-side argmax. One eager checkpoint materializes the
+        # assignment once — the same iterative-algorithm discipline
+        # connected_components uses (reliable when a checkpoint dir
+        # is configured; see operators/checkpointing.py).
     )
+    from .checkpointing import materialize_once
+
+    assigned = materialize_once(assigned)
     a = assigned.select(
         F.col("cluster_id"), F.col("__id").alias("i"),
         F.col("__v").alias("av"), F.col("__vn").alias("an"),

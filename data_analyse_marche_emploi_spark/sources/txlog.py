@@ -70,6 +70,27 @@ __all__ = [
 
 _LOG_DIR = "_txlog"
 
+
+def _footer_pool_map(fn, names):
+    """Map ``fn`` over part names on a bounded thread pool, preserving
+    input order. The commit path lifts per-file parquet-footer
+    metadata (row counts, min/max stats, blooms) driver-side;
+    sequential reads serialize O(written files) round-trips inside the
+    commit critical section — noise at bench scale, a real stall for
+    a 100 TB merge writing thousands of parts (r15). pyarrow releases
+    the GIL during footer IO/parse, so threads genuinely overlap.
+    Short lists skip the pool: thread startup would cost more than it
+    saves, and most commits write a handful of parts."""
+    names = list(names)
+    if len(names) <= 2:
+        return [fn(n) for n in names]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(
+        max_workers=min(16, len(names))
+    ) as pool:
+        return list(pool.map(fn, names))
+
 # Log-format revisions. Every commit is stamped with the MINIMUM
 # revision able to read its action (the per-commit minReaderVersion
 # discipline the public formats use): plain add/remove ops stamp 1,
@@ -1493,18 +1514,29 @@ class TxTable:
 
     def _parts_rows(self, names) -> int:
         """Summed row count of already-written parts, from their
-        parquet footers (one driver-side metadata read per part — no
-        Spark action): what lets the DV write paths derive their
-        no-op probe / fraction-guard count from the write they were
-        doing anyway instead of a separate count() job over the same
-        predicate scan (r14 optimization round)."""
+        parquet footers (driver-side metadata reads — no Spark
+        action): what lets the DV write paths derive their no-op
+        probe / fraction-guard count from the write they were doing
+        anyway instead of a separate count() job over the same
+        predicate scan (r14 optimization round).
+
+        Footers are read through the commit-path metadata pool
+        (:func:`_footer_pool_map`) — a merge writing thousands of
+        parts must not serialize O(files) metadata round-trips inside
+        the commit critical section (r15; pyarrow releases the GIL on
+        footer IO/parse). NOTE: ``file_store.read_path`` must return a
+        locally-openable path for this call (true for both shipped
+        stores; an object-store FileStore whose read_path returns
+        ``s3://...`` URIs needs a filesystem-aware override here)."""
         import pyarrow.parquet as pq
 
         return sum(
-            pq.ParquetFile(
-                self.file_store.read_path(self.path, n)
-            ).metadata.num_rows
-            for n in names
+            _footer_pool_map(
+                lambda n: pq.ParquetFile(
+                    self.file_store.read_path(self.path, n)
+                ).metadata.num_rows,
+                names,
+            )
         )
 
     def _file_stats(self, names: list[str]) -> dict[str, dict]:
@@ -1521,8 +1553,8 @@ class TxTable:
 
         pvals = self._last_partition_values
         bloom_cols = self.bloom_by()
-        out: dict[str, dict] = {}
-        for name in names:
+
+        def _one(name: str) -> dict:
             local = self.file_store.read_path(self.path, name)
             md = pq.ParquetFile(local).metadata
             # Reserved key: per-file row count (Delta's add.stats
@@ -1566,12 +1598,6 @@ class TxTable:
                     cols[cname] = [lo, hi]
             if nulls:
                 cols["__nulls__"] = nulls
-            if name in pvals:
-                # pop: consumed exactly once per commit (stats for an
-                # add set are computed once, before any retry loop), so
-                # a long-lived handle doesn't accumulate per-part
-                # entries forever
-                cols["__partition__"] = pvals.pop(name)
             want = [c for c in bloom_cols if c in md.schema.names]
             if want:
                 # One column-pruned pass over the staged part to build
@@ -1585,6 +1611,18 @@ class TxTable:
                     )
                     for c in want
                 }
+            return cols
+
+        # Per-file footer lifts run on the commit-path metadata pool
+        # (r15; see _footer_pool_map — sequential O(written files)
+        # driver-side reads stall large-merge commits). The partition-
+        # value pop stays HERE, single-threaded and in input order:
+        # consumed exactly once per commit, so a long-lived handle
+        # doesn't accumulate per-part entries forever.
+        out: dict[str, dict] = {}
+        for name, cols in zip(names, _footer_pool_map(_one, names)):
+            if name in pvals:
+                cols["__partition__"] = pvals.pop(name)
             out[name] = cols
         return out
 
@@ -2394,37 +2432,44 @@ class TxTable:
             # wasted write is O(matched rows) on an error path whose
             # fix is a CoW rerun costing a full rewrite anyway.
             mapping = self._write_dv_parts(matched)
-            n_matched = self._parts_rows(mapping.values())
-            if n_matched == 0:
-                return v  # no-op deletes don't burn a version
             try:
+                n_matched = self._parts_rows(mapping.values())
+                if n_matched == 0:
+                    return v  # no-op deletes don't burn a version
                 self._guard_dv_fraction(
                     n_matched, entries, "delete_where(mode='dv')",
                     max_matched_fraction,
                 )
-            except ValueError:
+                # stacking on an already-vectored file needs the
+                # stack-aware replay — stamp the higher protocol
+                # revision
+                stacked = any(f in dv_map for f in mapping)
+                try:
+                    self._commit(
+                        v + 1, [], [], "delete-dv",
+                        extra={"dv": mapping},
+                        min_protocol=(
+                            _DV_STACK_PROTOCOL if stacked
+                            else _DV_PROTOCOL
+                        ),
+                    )
+                except FileExistsError:
+                    # The DV conflict matrix (positions are only valid
+                    # against the exact file set the scan saw) is
+                    # stricter than append's; fail loudly rather than
+                    # rebase.
+                    raise ValueError(
+                        "delete_where(mode='dv') lost the commit race "
+                        "to a concurrent commit; re-run the delete"
+                    ) from None
+            except Exception:
+                # ANY post-write failure (guard refusal, lost commit
+                # race) deletes the uncommitted, unreferenced vector
+                # parts — "no commit was made" leaves no orphans
+                # (r14 advisor; was ValueError-only around the guard).
                 for part in mapping.values():
                     self.file_store.delete(self.path, part)
                 raise
-            # stacking on an already-vectored file needs the
-            # stack-aware replay — stamp the higher protocol revision
-            stacked = any(f in dv_map for f in mapping)
-            try:
-                self._commit(
-                    v + 1, [], [], "delete-dv",
-                    extra={"dv": mapping},
-                    min_protocol=(
-                        _DV_STACK_PROTOCOL if stacked else _DV_PROTOCOL
-                    ),
-                )
-            except FileExistsError:
-                # The DV conflict matrix (positions are only valid
-                # against the exact file set the scan saw) is stricter
-                # than append's; fail loudly rather than rebase.
-                raise ValueError(
-                    "delete_where(mode='dv') lost the commit race to a "
-                    "concurrent commit; re-run the delete"
-                ) from None
             return v + 1
         if mode == "mor":
             if key is None:
@@ -2768,6 +2813,7 @@ class TxTable:
         # (uncommitted, unreferenced) parts to keep the "no commit was
         # made" promise.
         matched = scan.filter(F.coalesce(cond, F.lit(False))).persist()
+        adds: list[str] = []
         try:
             # one incremental part per touched file, in parallel —
             # the scan's anti-join above already excluded positions an
@@ -2779,10 +2825,10 @@ class TxTable:
                     F.col("__dv_pos").alias("pos"),
                 )
             )
-            n_matched = self._parts_rows(mapping.values())
-            if n_matched == 0:
-                return v  # no-op updates don't burn a version
             try:
+                n_matched = self._parts_rows(mapping.values())
+                if n_matched == 0:
+                    return v  # no-op updates don't burn a version
                 self._guard_dv_fraction(
                     n_matched, entries, "update_where(mode='dv')",
                     max_matched_fraction,
@@ -2799,28 +2845,36 @@ class TxTable:
                 self._enforce_constraints(
                     updated, "update_where(mode='dv')"
                 )
-            except ValueError:
-                for part in mapping.values():
+                adds = self._write_parts(updated)
+                stacked = any(f in dv_map for f in mapping)
+                try:
+                    self._commit(
+                        v + 1, adds, [], "update-dv",
+                        stats=self._file_stats(adds),
+                        extra={"dv": mapping},
+                        min_protocol=(
+                            _DV_STACK_PROTOCOL if stacked
+                            else _DV_PROTOCOL
+                        ),
+                    )
+                except FileExistsError:
+                    raise ValueError(
+                        "update_where(mode='dv') lost the commit race "
+                        "to a concurrent commit; re-run the update"
+                    ) from None
+            except Exception:
+                # ANY failure after the DV write and before a landed
+                # commit — guard/constraint refusals, a Spark error in
+                # the adds write, a lost commit race — deletes every
+                # just-written (uncommitted, unreferenced) part, so
+                # "no commit was made" never leaves orphans behind
+                # (r14 advisor: the old cleanup caught ValueError only
+                # and left the adds write outside its scope).
+                for part in list(mapping.values()) + adds:
                     self.file_store.delete(self.path, part)
                 raise
-            adds = self._write_parts(updated)
         finally:
             matched.unpersist()
-        stacked = any(f in dv_map for f in mapping)
-        try:
-            self._commit(
-                v + 1, adds, [], "update-dv",
-                stats=self._file_stats(adds),
-                extra={"dv": mapping},
-                min_protocol=(
-                    _DV_STACK_PROTOCOL if stacked else _DV_PROTOCOL
-                ),
-            )
-        except FileExistsError:
-            raise ValueError(
-                "update_where(mode='dv') lost the commit race to a "
-                "concurrent commit; re-run the update"
-            ) from None
         return v + 1
 
     # -- read path -----------------------------------------------------------
@@ -2976,6 +3030,7 @@ class TxTable:
         eq_filter: dict | None = None,
         range_filter: dict | None = None,
         _files_subset: "set[str] | None" = None,
+        _state: tuple | None = None,
     ) -> DataFrame:
         """Snapshot read, optionally time-traveled to ``version``. The
         returned plan lists explicit immutable files, so it stays valid
@@ -3082,8 +3137,17 @@ class TxTable:
 
         if version is None:
             version = self.latest_version()
-        entries, deletes = self._snapshot_mor(version)
-        dv_map = self._snapshot_dv(version)
+        if _state is not None:
+            # INTERNAL (read_changes' incremental fold): the caller
+            # already holds the exact (entries, deletes, dv) state of
+            # this version — replaying the log again per commit made
+            # long-history change feeds O(commits × log length)
+            # driver-side (r15). The caller passes copies, so later
+            # folding never mutates this plan's captured lists.
+            entries, deletes, dv_map = _state
+        else:
+            entries, deletes = self._snapshot_mor(version)
+            dv_map = self._snapshot_dv(version)
         if _files_subset is not None:
             # INTERNAL (read_changes' merge-on-read pre-image scan):
             # restrict the plan to a caller-proven candidate set —
@@ -3239,11 +3303,52 @@ class TxTable:
                 .select("__chg.row.*", F.col("__chg.op").alias("_change_op"))
             )
 
+        # Prior-snapshot state (live file entries, pending equality
+        # deletes, deletion-vector stacks) is seeded ONCE at
+        # ``from_version`` and FOLDED FORWARD commit by commit — the
+        # same incremental walk _plan_cdf_partitions uses. The old
+        # shape re-replayed the log per commit (read(v-1) /
+        # _candidate_files(v-1) / _snapshot_dv(v-1)), making feed
+        # planning O(commits-in-range × log-length) driver-side on
+        # long-history tables (r15; measured quadratic past ~100
+        # commits).
+        if from_version >= 0:
+            entries, deletes = self._snapshot_mor(from_version)
+            dv = dict(self._snapshot_dv(from_version))
+        else:
+            entries, deletes, dv = [], [], {}
+
         feeds = []
         for v in self._versions():
             if v <= from_version or v > to_version:
                 continue
             act = self._read_action(v)
+
+            def _fold() -> None:
+                # apply this commit to the live state AFTER planning
+                # it (the plan needs the v-1 view) — same rules as
+                # _snapshot_mor / _snapshot_dv
+                nonlocal entries, deletes
+                removed = set(act["removes"])
+                entries = [e for e in entries if e[0] not in removed]
+                deletes = [d for d in deletes if d[0] not in removed]
+                for f in removed:
+                    dv.pop(f, None)
+                st = act.get("stats", {})
+                entries.extend(
+                    (f, st.get(f, {}), v) for f in act["adds"]
+                )
+                deletes.extend(
+                    (f, v, act["delete_key"])
+                    for f in act.get("delete_adds", [])
+                )
+                new = act.get("dv") or {}
+                if "dv_prev" in act:
+                    for f, p in new.items():
+                        dv[f] = (p,)
+                else:
+                    for f, p in new.items():
+                        dv[f] = dv.get(f, ()) + (p,)
             if act.get("delete_adds"):
                 # MERGE-ON-READ commits (r13 — previously refused,
                 # forcing an optimize before any CDC): the commit's
@@ -3287,11 +3392,27 @@ class TxTable:
                     kmin = rng[0] if kmin is None else min(kmin, rng[0])
                     kmax = rng[1] if kmax is None else max(kmax, rng[1])
                 subset = (
-                    set(self._candidate_files(v - 1, key, kmin, kmax))
+                    # data skipping over the FOLDED entries — the same
+                    # [min, max]-overlap rule _candidate_files applies,
+                    # without re-replaying the log to v-1
+                    {
+                        f
+                        for f, s, _ in entries
+                        if (s or {}).get(key) is None
+                        or not (
+                            s[key][1] < kmin or s[key][0] > kmax
+                        )
+                    }
                     if ranged and kmin is not None
                     else None
                 )
-                pre = self.read(v - 1, _files_subset=subset).join(
+                pre = self.read(
+                    v - 1,
+                    _files_subset=subset,
+                    # copies: read()'s lazy plan must not see later
+                    # fold mutations
+                    _state=(list(entries), list(deletes), dict(dv)),
+                ).join(
                     # size-guarded like read()'s anti join (r14): a
                     # table-scale MoR delete's key set must not be
                     # forced driver-side
@@ -3315,6 +3436,7 @@ class TxTable:
                 feeds.append(
                     changed.withColumn("_change_version", F.lit(v))
                 )
+                _fold()
                 continue
             if act["op"] in ("delete-dv", "update-dv"):
                 # A deletion-vector commit's erased rows are EXACTLY
@@ -3377,11 +3499,9 @@ class TxTable:
                         .withColumn("_change_op", F.lit("update_postimage"))
                         .withColumn("_change_version", F.lit(v))
                     )
+                _fold()
                 continue
-            dv_at_prev = (
-                self._snapshot_dv(v - 1) if act["removes"] else {}
-            )
-            if any(f in dv_at_prev for f in act["removes"]):
+            if any(f in dv for f in act["removes"]):
                 # This commit FOLDED deletion vectors (optimize /
                 # overwrite): its removed files still hold rows the
                 # vectors had already logically erased at feed start,
@@ -3412,6 +3532,7 @@ class TxTable:
                     f">= {v} instead"
                 )
             if not act["adds"] and not act["removes"]:
+                _fold()
                 continue
             post = (
                 self._read_files(act["adds"]) if act["adds"] else None
@@ -3428,6 +3549,7 @@ class TxTable:
             feeds.append(
                 changed.withColumn("_change_version", F.lit(v))
             )
+            _fold()
         if not feeds:
             raise ValueError(
                 f"no commits in ({from_version}, {to_version}]"

@@ -1131,3 +1131,54 @@ def test_signature_rows_null_and_ragged_vectors(spark):
     ).collect()
     # base 0, then masks ascending (1, 2) XOR 0
     assert sorted((r["__p"], r.b) for r in probes) == [(0, 0), (1, 1), (2, 2)]
+
+
+def test_materialize_once_reliable_checkpoint_fallback(emb, tmp_path):
+    """r15 checkpoint policy: operators that materialize bounded
+    intermediates (embedding_lsh_pairs' signature rows) use the
+    RELIABLE checkpoint when the session has a checkpoint dir — the
+    cluster fault-tolerance escape hatch — and results are identical
+    either way (durability, never semantics)."""
+    from data_analyse_marche_emploi_spark.operators.checkpointing import (
+        materialize_once,
+    )
+    from data_analyse_marche_emploi_spark.operators.dedup import (
+        embedding_lsh_pairs,
+    )
+
+    spark = emb.sparkSession
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None  # default: localCheckpoint path
+    local = sorted(
+        tuple(r)
+        for r in embedding_lsh_pairs(
+            emb, "embedding", "vec_id", threshold=0.4, bits=4, n_tables=6
+        ).collect()
+    )
+    ckdir = str(tmp_path / "ck")
+    sc.setCheckpointDir(ckdir)
+    try:
+        # the helper takes the reliable branch...
+        out = materialize_once(emb.select("vec_id"))
+        assert out.count() == emb.count()
+        import os
+
+        found = [
+            f for root, _, fs in os.walk(ckdir) for f in fs
+        ]
+        assert found, "reliable checkpoint wrote nothing under the dir"
+        # ...and the operator's results are unchanged under it
+        reliable = sorted(
+            tuple(r)
+            for r in embedding_lsh_pairs(
+                emb, "embedding", "vec_id",
+                threshold=0.4, bits=4, n_tables=6,
+            ).collect()
+        )
+        assert reliable == local
+    finally:
+        # session fixture is shared: restore the localCheckpoint path
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.empty()
+        )
+        assert sc.getCheckpointDir() is None
