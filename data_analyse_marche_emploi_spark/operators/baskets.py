@@ -187,11 +187,16 @@ def pagerank(
         F.count(F.lit(1)).alias("deg")
     )
     base = scale * (damping_den - damping_num) // damping_den
-    ranks = deg.select("node", F.lit(int(scale)).alias("rank"))
+    # ``deg`` rides INSIDE the rank relation (r15): the old loop
+    # re-joined ranks⋈deg every iteration just to recover the degree
+    # it had thrown away — one node-keyed join per round for free.
+    # Carrying the extra int64 column through the per-round rollup
+    # join costs bytes only; the integer arithmetic is unchanged.
+    ranks = deg.select("node", "deg", F.lit(int(scale)).alias("rank"))
     for _ in range(int(iterations)):
         contrib = (
             sym.join(
-                ranks.join(deg, "node").select(
+                ranks.select(
                     F.col("node").alias("src"),
                     F.expr("rank div deg").alias("give"),
                 ),
@@ -201,10 +206,10 @@ def pagerank(
             .agg(F.sum("give").alias("got"))
         )
         ranks = (
-            deg.select("node")
-            .join(contrib, "node", "left")
+            deg.join(contrib, "node", "left")
             .select(
                 "node",
+                "deg",
                 (
                     F.lit(int(base))
                     + F.expr(

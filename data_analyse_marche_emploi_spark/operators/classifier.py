@@ -49,7 +49,6 @@ def logreg_train(
     pin). Cost per iteration: one scan, one (d+1)-cell shuffle."""
     import numpy as np
 
-    spark = df.sparkSession
     # Persist the projected training relation ONCE: every gradient
     # iteration re-scans it, and before r10 each of those scans
     # re-read (and re-joined/featurized) the source relation — at
@@ -85,12 +84,16 @@ def logreg_train(
         # MORE deterministic than shuffle-arrival order was.
         grad_schema = "part int, vals array<double>"
 
-        def make_pass(bw):
+        def make_pass(cw, cb):
+            # weights travel in the TASK CLOSURE, not a broadcast
+            # (r15): the model is d+1 doubles — a few hundred bytes —
+            # and the old per-iteration broadcast-create + unpersist
+            # round-trips cost more than shipping it with the task.
+            # Same floats reach every task either way.
             def grad_pass(it):
                 import pandas as pd
                 from pyspark import TaskContext
 
-                cw, cb = bw.value
                 acc = np.zeros(d + 2, dtype=np.float64)  # d grads, db, loss
                 for pdf in it:
                     x = np.array(list(pdf["__x"]), dtype=np.float64)
@@ -114,14 +117,9 @@ def logreg_train(
             return grad_pass
 
         for _ in range(iters):
-            bw = spark.sparkContext.broadcast((w, b))
-            try:
-                cells = base.mapInPandas(make_pass(bw), grad_schema).collect()
-            finally:
-                # each iteration's weights are dead the moment its
-                # gradient lands; keeping iters broadcasts alive leaks
-                # executor memory for the length of training
-                bw.unpersist()
+            cells = base.mapInPandas(
+                make_pass(w.copy(), b), grad_schema
+            ).collect()
             acc = np.zeros(d + 2)
             for r in sorted(cells, key=lambda r: r["part"]):
                 acc += np.asarray(r["vals"], dtype=np.float64)

@@ -1285,6 +1285,7 @@ def embedding_lsh_pairs(
         signature_rows(
             vectors, anchors, vec_col, id_col, "i", "__ti", "__bi",
             bits, n_tables, n_probes=n_probes, probe_col="__p",
+            fan_out=True,
         )
     )
     left = sig.drop("__p")

@@ -199,6 +199,7 @@ def signature_rows(
     n_tables: int,
     n_probes: int = 1,
     probe_col: str | None = None,
+    fan_out: bool = False,
 ) -> DataFrame:
     """(id, table, bucket[, probe]) signature rows computed MAP-SIDE in
     one vectorized ``mapInPandas`` pass — the optimized form of
@@ -359,7 +360,26 @@ def signature_rows(
                 data[probe_col] = np.tile(probe_tags, n)
             yield pd.DataFrame(data)
 
-    return df.select(id_col, vec_col).mapInPandas(sigs, out_schema)
+    src = df.select(id_col, vec_col)
+    # Scale-adaptive parallelism (r15, guide §2; ``fan_out`` — opt-in
+    # per call site): the signature pass inherits the SCAN's
+    # partitioning, and a small embeddings table is one parquet file —
+    # one 128 MB-split partition — so a SELF-JOIN consumer's whole
+    # checkpointed pass ran in ONE task (stage-profiled: a 1-task
+    # 1.7-2.4 s stage under dedup_embedding_lsh_multiprobe at
+    # sf0.1/local[32]; fanning out measured 4.64 -> 3.58 s min-of-5).
+    # Fan out only when the scan is narrower than the session's
+    # parallelism — at warehouse scale the scan already has plenty of
+    # splits and this adds nothing. ann_lsh's consumers deliberately
+    # DON'T opt in: their corpus pass fuses scan -> signatures ->
+    # broadcast-probe-join into one map stage, and inserting the
+    # exchange broke that fusion for a measured net LOSS (1.66 ->
+    # 2.10 s min-of-4).
+    if fan_out:
+        n_part = df.sparkSession.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < n_part:
+            src = src.repartition(n_part)
+    return src.mapInPandas(sigs, out_schema)
 
 
 def _cos6(a: str, b: str) -> F.Column:

@@ -71,18 +71,23 @@ __all__ = [
 _LOG_DIR = "_txlog"
 
 
-def _footer_pool_map(fn, names):
-    """Map ``fn`` over part names on a bounded thread pool, preserving
-    input order. The commit path lifts per-file parquet-footer
-    metadata (row counts, min/max stats, blooms) driver-side;
-    sequential reads serialize O(written files) round-trips inside the
-    commit critical section — noise at bench scale, a real stall for
-    a 100 TB merge writing thousands of parts (r15). pyarrow releases
-    the GIL during footer IO/parse, so threads genuinely overlap.
-    Short lists skip the pool: thread startup would cost more than it
-    saves, and most commits write a handful of parts."""
+def _footer_pool_map(fn, names, local: bool = True):
+    """Map ``fn`` over part names, preserving input order — on a
+    bounded thread pool when the backing store is (possibly) REMOTE,
+    sequentially when it is process-local. The commit path lifts
+    per-file parquet-footer metadata (row counts, min/max stats,
+    blooms) driver-side; on an object store, sequential reads
+    serialize O(written files) round-trips inside the commit critical
+    section — a real stall for a 100 TB merge writing thousands of
+    parts, and pyarrow releases the GIL during footer IO/parse so
+    threads genuinely overlap. On LOCAL files the pool measurably
+    HURTS (r15 A/B, 200-part commit: sequential 0.021 s vs pooled
+    0.113 s for _file_stats — page-cached footers cost ~0.1 ms each,
+    below thread-pool startup + GIL handoff), so the shipped
+    process-local stores take the sequential path and only a custom
+    (presumed remote) FileStore pays the pool."""
     names = list(names)
-    if len(names) <= 2:
+    if local or len(names) <= 2:
         return [fn(n) for n in names]
     from concurrent.futures import ThreadPoolExecutor
 
@@ -1512,6 +1517,14 @@ class TxTable:
                 "max_matched_fraction to force DV anyway"
             )
 
+    def _local_store(self) -> bool:
+        """True when the FileStore is one of the shipped process-local
+        implementations — their read_path round-trips are page-cache
+        cheap and the footer pool would only add overhead (see
+        _footer_pool_map). A custom store (object-store deployment)
+        gets the threaded path."""
+        return type(self.file_store) in (PosixFileStore, InMemoryFileStore)
+
     def _parts_rows(self, names) -> int:
         """Summed row count of already-written parts, from their
         parquet footers (driver-side metadata reads — no Spark
@@ -1536,6 +1549,7 @@ class TxTable:
                     self.file_store.read_path(self.path, n)
                 ).metadata.num_rows,
                 names,
+                local=self._local_store(),
             )
         )
 
@@ -1620,7 +1634,9 @@ class TxTable:
         # consumed exactly once per commit, so a long-lived handle
         # doesn't accumulate per-part entries forever.
         out: dict[str, dict] = {}
-        for name, cols in zip(names, _footer_pool_map(_one, names)):
+        for name, cols in zip(
+            names, _footer_pool_map(_one, names, local=self._local_store())
+        ):
             if name in pvals:
                 cols["__partition__"] = pvals.pop(name)
             out[name] = cols

@@ -27,6 +27,7 @@ def _quadratic(rows, d):
     )
 
 
+@pytest.mark.slow
 def test_passjoin_equals_quadratic_on_fixture(spark):
     df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     got = sorted(

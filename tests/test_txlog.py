@@ -5487,3 +5487,36 @@ def test_pending_delete_checks_bind_one_version(spark, tmp_path):
     assert sorted(r.k for r in t2.read().collect()) == [
         k for k in range(10) if k not in (0, 5, 7)
     ]
+
+
+def test_footer_pool_custom_store_matches_sequential(spark, tmp_path):
+    """r15: commit-path footer metadata lifts (_file_stats /
+    _parts_rows) run on a thread pool only for CUSTOM FileStores
+    (presumed remote); the shipped process-local stores take the
+    measured-faster sequential path. The pooled path must return
+    byte-identical stats in input order."""
+    from pyspark.sql import functions as F
+
+    from data_analyse_marche_emploi_spark.sources.txlog import (
+        PosixFileStore,
+        TxTable,
+    )
+
+    class SlowishStore(PosixFileStore):
+        """Custom subclass: type check routes it to the pool."""
+
+    d = str(tmp_path / "t")
+    rows = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 7 * 1.5).alias("p")
+    ).repartition(8)
+    t = TxTable.create(spark, d, rows, file_store=SlowishStore())
+    assert not t._local_store()
+    names = sorted(t.snapshot_files())
+    pooled = t._file_stats(names)
+    assert t._parts_rows(names) == 5000
+    # sequential reference from a posix-store handle on the same files
+    t2 = TxTable(spark, d)
+    assert t2._local_store()
+    seq = t2._file_stats(names)
+    assert pooled == seq
+    assert list(pooled) == names  # input order preserved
